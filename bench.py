@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Execution is forced with a noop sink (full pipeline runs, nothing
+shipped to the driver), matching how a cluster job would be measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "oi_hourly_densified",  # flagship: window agg + densify + lead
+    "iceberg_split_oi",  # as-of window + conditional agg
+    "rolling_sentiment",  # window family
+    "cumulative_value",
+    "pricing_summary",  # scan-heavy agg
+    "order_revenue",  # fact-fact shuffle join
+    "cross_sectional_rank",  # rank + flags
+    "portfolio_daily_pnl",
+    "ols_price_on_discount",  # regression kernel at lineitem scale
+    "exact_dedup_groups",
+    "token_stats",
+    "quality_score",
+    "cosine_topk",  # brute-force ANN baseline
+    "jaccard_near_dups",  # inverted-index self-join
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from dissertation_iceberg_spark.queries.registry import REGISTRY, _ensure_loaded
+    from dissertation_iceberg_spark.session import get_spark
+
+    _ensure_loaded()
+    spark = get_spark("bench")
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_query_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

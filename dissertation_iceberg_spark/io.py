@@ -1,0 +1,81 @@
+"""Table IO for the driver's testdata + generic parquet/CSV sources.
+
+SURVEY §2.1 (S1-S6): at scale the steady state is partitioned parquet;
+CSV/archive decompression is an ingest-edge job, not the engine hot path.
+Column pruning and predicate pushdown are automatic once the plan is
+declarative (reference's manual ``usecols=[0..3]`` disappears).
+
+The ``events`` table needs special handling: the testdata parquet stores
+``ts`` as TIMESTAMP(NANOS) which Spark reads (under
+``spark.sql.legacy.parquet.nanosAsLong``) as int64 nanoseconds. We
+convert with ``timestamp_micros(ts div 1000)`` — identical to DuckDB's
+ns->us truncation, so oracle comparisons are exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dissertation_iceberg_spark.session import apply_runtime_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing types for engine use."""
+    apply_runtime_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns int64 -> microsecond timestamp (truncating), DuckDB-identical
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all testdata tables as temp views for spark.sql use."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def lob_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical LOB-shaped view over the driver's ``events`` table.
+
+    The reference's message stream (SURVEY §1.1) has (time, event_type,
+    size, price, direction, ticker); the driver testdata has no LOBSTER
+    table, so queries map ``events`` onto it deterministically:
+    - direction: +1 if event_id is even else -1 (balanced, reproducible
+      in ANSI SQL for the oracle)
+    - size: ``value``
+    - ticker-analog: ``user_id`` (partition key for per-ticker windows)
+
+    Mirrored by queries.sqlgen.EVENTS_LOB_SQL — keep in sync.
+    """
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("direction"),
+        F.col("value").alias("size"),
+    )

@@ -1,0 +1,178 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference surface (engine extension, SURVEY §7 step 9):
+- exact dedup: hash-groupBy on content (or md5 fingerprint at 100 TB so
+  the shuffle key is 16 bytes, not the document)
+- n-gram Jaccard near-dup: shingle -> explode -> inverted-index
+  self-join -> Jaccard from intersection counts. Candidate pairs are
+  generated only for documents sharing >=1 shingle (never a cross
+  join); at 100 TB add a shingle-frequency cap to drop stop-shingles
+  (documented inline).
+- MinHash/SimHash variants live here too; MinHash uses exact permutation
+  hashing expressed with built-in hash + transform (no UDF).
+
+All shuffles are on bounded keys (fingerprints, shingles); nothing
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical texts: canonical (min) id + duplicate count.
+
+    At scale, group by md5(text) instead of text to keep shuffle rows
+    small; both engines produce identical hex digests.
+    """
+    return df.groupBy(F.md5(F.col(text_col)).alias("fingerprint")).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (lowest id) per distinct text."""
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs of word n-grams, distinct per document.
+
+    Tokenization: whitespace split, empties dropped — SQL-reproducible.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    k = F.size(toks) - (n - 1)
+    shingles = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle")
+    ).distinct()
+
+
+def jaccard_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Candidate-pair n-gram Jaccard similarity >= threshold.
+
+    inverted-index join: |A∩B| from shingle co-occurrence counts,
+    |A∪B| = |A|+|B|−|A∩B|. ``max_shingle_freq`` drops shingles shared
+    by too many docs (stop-shingles) — the knob that keeps candidate
+    generation near-linear at 100 TB.
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = (
+            sh.join(F.broadcast(freq.filter(F.col("df") <= max_shingle_freq)), "shingle")
+            .drop("df")
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per doc: for each of ``num_hashes`` seeded hash
+    functions, the min over the doc's shingle set. Pure built-ins
+    (xxhash64 with seed via concat) — no UDF, one groupBy."""
+    sh = word_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature, hash each band, self-join on (band, hash).
+
+    Docs colliding in >=1 band become candidate pairs (then verified
+    with exact Jaccard by the caller). Shuffle key = (band, band-hash):
+    bounded, skew-resistant via the stop-shingle cap upstream.
+    """
+    cols = [c for c in signatures.columns if c.startswith("mh_")]
+    assert len(cols) >= bands * rows_per_band
+    band_exprs = []
+    for b in range(bands):
+        use = cols[b * rows_per_band : (b + 1) * rows_per_band]
+        band_exprs.append(
+            F.struct(F.lit(b).alias("band"), F.hash(*[F.col(c) for c in use]).alias("bh"))
+        )
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.bh")
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    return (
+        a.join(b_, ["band", "bh"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens using xxhash64 bit votes.
+
+    Implemented with higher-order array functions (no Python UDF):
+    for each bit position, sum +1/-1 votes across token hashes.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_cols = []
+    for i in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(
+            F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)) * F.lit(2**i).cast("long")
+            if i < 63
+            else F.when(vote > 0, F.lit(-(2**63)).cast("long")).otherwise(F.lit(0))
+        )
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))

@@ -1,0 +1,195 @@
+"""Join-family + scan/aggregate queries over the TPC-H-ish tables.
+
+Covers SURVEY §2.3 equi-join shapes (J2/J8 broadcast dim joins, J11
+outer join) and the partial+final aggregation family on lineitem.
+Large-table sums use the integer-scaled trick for bit-stable results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dissertation_iceberg_spark.io import load_table
+from dissertation_iceberg_spark.queries.registry import register
+
+# --------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary (scan -> filter -> agg)
+# --------------------------------------------------------------------------
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  count(*) AS count_order,
+  sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
+      AS sum_disc_price,
+  round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(*), 6) AS avg_qty,
+  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / count(*), 6)
+      AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", oracle=_PRICING_ORACLE)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: predicate pushdown into the parquet scan +
+    map-side-combinable conditional aggregation (A-family)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count_order"),
+            (F.sum(qty_c) / 100.0).alias("sum_qty"),
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
+            (F.sum(disc_c) / 10000.0).alias("sum_disc_price"),
+            F.round(F.sum(qty_c) / 100.0 / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(price_c) / 100.0 / F.count(F.lit(1)), 6).alias("avg_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Broadcast dim-join chain (J2/J8 shape): customer -> nation -> region
+# --------------------------------------------------------------------------
+
+_ENRICH_ORACLE = """
+SELECT r.r_name AS region_name, n.n_name AS nation_name,
+       count(*) AS n_customers,
+       sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
+
+@register("customer_enrich", oracle=_ENRICH_ORACLE)
+def customer_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J8 shape: fact table enriched through explicitly-broadcast dim
+    tables (nation/region are tiny at every SF) — no shuffle of the
+    fact side for the join itself."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0).alias(
+                "total_acctbal"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Fact-fact equi-join + agg (orders x lineitem)
+# --------------------------------------------------------------------------
+
+_ORDER_REV_ORACLE = """
+SELECT o.o_orderpriority,
+       count(DISTINCT o.o_orderkey) AS n_orders,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+           / 10000.0 AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY 1
+"""
+
+
+@register("order_revenue", oracle=_ORDER_REV_ORACLE)
+def order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact shuffle join on the order key: both sides hash-
+    partition on o_orderkey/l_orderkey (AQE picks SMJ/SHJ and handles
+    skew); filter pushed below the join."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            (F.sum(rev) / 10000.0).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J11 full-outer join + coalesce fill
+# --------------------------------------------------------------------------
+
+_OUTER_ORACLE = """
+WITH top_cnt AS (
+  SELECT user_id, count(*) AS n_click FROM events
+  WHERE event_type = 'click' GROUP BY 1),
+bot_cnt AS (
+  SELECT user_id, count(*) AS n_error FROM events
+  WHERE event_type = 'error' GROUP BY 1)
+SELECT coalesce(t.user_id, b.user_id) AS user_id,
+       coalesce(t.n_click, 0) AS n_click,
+       coalesce(b.n_error, 0) AS n_error
+FROM top_cnt t FULL OUTER JOIN bot_cnt b ON t.user_id = b.user_id
+"""
+
+
+@register("counts_outer_join", oracle=_OUTER_ORACLE)
+def counts_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: top-counts ⟗ bottom-counts with zero-fill
+    (trading_strategy.py:415-416)."""
+    e = load_table(spark, sf_dir, "events")
+    top = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_click"))
+    )
+    bot = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_error"))
+    )
+    t, b = top.alias("t"), bot.alias("b")
+    return (
+        t.join(b, F.col("t.user_id") == F.col("b.user_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("t.user_id"), F.col("b.user_id")).alias("user_id"),
+            F.coalesce(F.col("n_click"), F.lit(0)).alias("n_click"),
+            F.coalesce(F.col("n_error"), F.lit(0)).alias("n_error"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON extraction over events.props (extension: S-family for semi-structured)
+# --------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+"""
+
+
+@register("json_extract_props", oracle=_JSON_ORACLE)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: get_json_object stays JVM-side; at
+    scale prefer from_json once per row with an explicit schema."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )

@@ -1,0 +1,252 @@
+"""LLM-data-pipeline queries over documents/embeddings (extension
+surface, SURVEY §7 step 9): dedup, text analysis, similarity search.
+
+Token semantics are pinned to "whitespace split, empties dropped" in
+both engines; similarity sums run positionally over 64-element vectors
+cast to double element-wise, so scores agree bit-for-bit before the
+final 6-dp rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dissertation_iceberg_spark.io import load_table
+from dissertation_iceberg_spark.operators import dedup as dd
+from dissertation_iceberg_spark.operators import text as tx
+from dissertation_iceberg_spark.operators.similarity import cosine_topk
+from dissertation_iceberg_spark.queries.registry import register
+
+# --------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# --------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS fingerprint,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+@register("exact_dedup_groups", oracle=_EXACT_DEDUP_ORACLE)
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups keyed by content hash — at 100 TB the md5 key
+    keeps the shuffle row narrow regardless of document size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup_groups(docs, "text", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Token statistics
+# --------------------------------------------------------------------------
+
+_TOKENS = "list_filter(str_split(text, ' '), x -> x <> '')"
+
+_TOKEN_ORACLE = f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct({_TOKENS})) AS BIGINT) AS n_unique_tokens,
+  round(CAST(list_sum(list_transform({_TOKENS}, x -> length(x))) AS DOUBLE)
+        / len({_TOKENS}), 6) AS mean_token_len
+FROM documents
+"""
+
+
+@register("token_stats", oracle=_TOKEN_ORACLE)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct count, mean length —
+    per-row expressions, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.token_stats(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_unique_tokens").cast("long").alias("n_unique_tokens"),
+        "mean_token_len",
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring
+# --------------------------------------------------------------------------
+
+_SW = "['the','a','of','and','in','to','is']"
+
+_QUALITY_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  round(CAST(len(list_filter(toks, x -> list_contains({_SW}, lower(x)))) AS DOUBLE)
+        / len(toks), 6) AS stopword_ratio,
+  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS unique_ratio,
+  round(CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END
+        + 0.3 * least(CAST(len(list_filter(toks, x -> list_contains({_SW}, lower(x))))
+                           AS DOUBLE) / len(toks) * 4, 1.0)
+        + 0.3 * CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS quality
+FROM t
+"""
+
+
+@register("quality_score", oracle=_QUALITY_ORACLE)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: stopword/uniqueness/length features
+    composited into [0,1] — codegen-only, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.quality_score(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "stopword_ratio",
+        "unique_ratio",
+        "quality",
+    )
+
+
+# --------------------------------------------------------------------------
+# Content fingerprinting
+# --------------------------------------------------------------------------
+
+_FP_ORACLE = """
+SELECT doc_id, md5(text) AS md5 FROM documents
+"""
+
+
+@register("fingerprint_md5", oracle=_FP_ORACLE)
+def fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 hex (identical across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.fingerprint(docs, "text", "doc_id").select("doc_id", "md5")
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic
+# --------------------------------------------------------------------------
+
+
+def _lang_oracle() -> str:
+    toks = "list_filter(str_split(lower(text), ' '), x -> x <> '')"
+    hits = {
+        lang: (
+            f"len(list_filter({toks}, x -> list_contains("
+            f"[{', '.join(repr(w) for w in tx.LANG_PROFILES[lang])}], x)))"
+        )
+        for lang in sorted(tx.LANG_PROFILES)
+    }
+    best = "greatest(" + ", ".join(hits[l] for l in sorted(hits)) + ")"
+    # tie semantics mirror Spark array_max over (hits, lang) structs:
+    # max hits, ties -> lexicographically LARGEST lang code
+    ladder = " ".join(
+        f"WHEN {hits[lang]} = {best} THEN '{lang}'"
+        for lang in sorted(tx.LANG_PROFILES, reverse=True)
+    )
+    return f"""
+SELECT doc_id,
+  CASE {ladder} END AS pred_lang,
+  CAST({best} AS BIGINT) AS lang_hits
+FROM documents
+"""
+
+
+@register("lang_id", oracle=_lang_oracle())
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language stopword-profile vote,
+    argmax with deterministic tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.lang_id(docs, "text", "doc_id")
+    return out.select(
+        "doc_id", "pred_lang", F.col("lang_hits").cast("long").alias("lang_hits")
+    )
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k (similarity-search baseline)
+# --------------------------------------------------------------------------
+
+QUERY_MOD = 50
+TOP_K = 3
+
+_COSINE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id % {QUERY_MOD} = 0),
+pairs AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT unnest(q.qvec) AS x, unnest(e.embedding) AS y) z) AS dot,
+    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+     FROM (SELECT unnest(q.qvec) AS x) z) AS nq,
+    (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT unnest(e.embedding) AS y) z) AS ne
+  FROM embeddings e, q WHERE q.qid <> e.vec_id)
+SELECT qid, neighbor_id,
+       round(dot / (sqrt(nq) * sqrt(ne)), 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY round(dot / (sqrt(nq) * sqrt(ne)), 6) DESC, neighbor_id)
+            AS BIGINT) AS rnk
+FROM pairs
+QUALIFY rnk <= {TOP_K}
+"""
+
+
+@register("cosine_topk", oracle=_COSINE_ORACLE)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast query set × corpus, JVM-side
+    zip_with/aggregate dot products, per-query row_number. The ANN
+    scale path (hyperplane LSH buckets) lives in
+    operators.similarity.lsh_cosine_topk (tested, rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=TOP_K)
+    return out.select(
+        "qid", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs (inverted-index join)
+# --------------------------------------------------------------------------
+
+JACCARD_N = 3
+JACCARD_THRESHOLD = 0.2
+
+_JACCARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - {JACCARD_N - 1}),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+    FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, n_inter,
+       round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("jaccard_near_dups", oracle=_JACCARD_ORACLE)
+def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: word-3-gram Jaccard via inverted-index
+    self-join (no cross product; stop-shingle cap available for scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dd.jaccard_near_dup_pairs(
+        docs, "text", "doc_id", n=JACCARD_N, threshold=JACCARD_THRESHOLD
+    )
+    return out.select(
+        "id_a", "id_b", F.col("n_inter").cast("long").alias("n_inter"), "jaccard"
+    )

@@ -1,0 +1,66 @@
+"""Query registry: one named entry per implemented operator.
+
+Each query is a callable ``(spark, sf_dir) -> DataFrame`` plus an
+optional DuckDB oracle SQL string over the same parquet tables
+(pre-registered views: region nation customer supplier part orders
+lineitem events documents embeddings). The driver hash-compares Spark
+vs DuckDB results order-insensitively with columns sorted by name, so
+every computed column is aliased identically on both sides and floats
+are rounded in-query (both sides, same decimals) to make values
+bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None -> rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import all query modules so their @register calls run."""
+    global _LOADED
+    if _LOADED:
+        return
+    from dissertation_iceberg_spark.queries import (  # noqa: F401
+        core,
+        joins,
+        llm_ops,
+        regression,
+        strategy,
+    )
+
+    _LOADED = True

@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are chosen for correctness-stable, cluster-portable behavior:
+- UTC session timezone (timestamp arithmetic must not depend on host tz)
+- AQE on (runtime re-planning: partition coalescing, skew-join splitting,
+  broadcast-join conversion) — the main lever that makes the same plan
+  work at sf0.001 and at 100 TB
+- nanosAsLong: the driver's testdata parquet stores TIMESTAMP(NANOS)
+  which Spark cannot read natively; we read the raw int64 and convert to
+  microsecond timestamps ourselves (see io.load_table), matching DuckDB's
+  ns->us truncation exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs applied to any session we are handed
+# (including the driver's own session in __spark_entry__).
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet scans: keep row-group pruning + pushdown on (defaults, but pin)
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+# Confs that must be set before the JVM starts (ignored if set later).
+STARTUP_CONF = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (driver-owned)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # non-settable in this context; defaults are acceptable
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "dissertation-iceberg-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in {**STARTUP_CONF, **RUNTIME_CONF}.items():
+        builder = builder.config(k, v)
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark = builder.getOrCreate()
+    return apply_runtime_conf(spark)

@@ -1,0 +1,114 @@
+"""Local replica of the driver's correctness gate: run each registry
+query on Spark AND its DuckDB oracle, compare row count + column names +
+values (order-insensitive, columns sorted by name, exact equality).
+
+CLI:  python tools/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+
+
+def _canon(col: pd.Series) -> pd.Series:
+    """Canonicalize a column for cross-engine comparison."""
+    if pd.api.types.is_datetime64_any_dtype(col):
+        return col.astype("datetime64[us]").astype("int64")
+    if col.dtype == object:
+        # dates / strings / Nones
+        return col.map(lambda v: "\x00" if v is None else str(v))
+    if pd.api.types.is_float_dtype(col):
+        return col.astype("float64")
+    if pd.api.types.is_integer_dtype(col):
+        return col.astype("int64")
+    if pd.api.types.is_bool_dtype(col):
+        return col.astype("int64")
+    return col
+
+
+def compare_frames(sp: pd.DataFrame, du: pd.DataFrame) -> tuple[bool, str]:
+    sp_cols, du_cols = sorted(sp.columns), sorted(du.columns)
+    if sp_cols != du_cols:
+        return False, f"column mismatch: spark={sp_cols} duck={du_cols}"
+    if len(sp) != len(du):
+        return False, f"row count mismatch: spark={len(sp)} duck={len(du)}"
+    if len(sp) == 0:
+        return True, "ok (both empty)"
+    sp = sp[sp_cols].copy()
+    du = du[du_cols].copy()
+    for c in sp_cols:
+        sp[c] = _canon(sp[c])
+        du[c] = _canon(du[c])
+    sp = sp.sort_values(sp_cols, na_position="last").reset_index(drop=True)
+    du = du.sort_values(du_cols, na_position="last").reset_index(drop=True)
+    for c in sp_cols:
+        a, b = sp[c].to_numpy(), du[c].to_numpy()
+        if pd.api.types.is_float_dtype(sp[c]) or pd.api.types.is_float_dtype(du[c]):
+            af, bf = a.astype("float64"), b.astype("float64")
+            eq = (af == bf) | (np.isnan(af) & np.isnan(bf))
+            if not eq.all():
+                i = int(np.argmin(eq))
+                return False, (
+                    f"value mismatch in '{c}' at sorted row {i}: "
+                    f"spark={af[i]!r} duck={bf[i]!r} "
+                    f"(maxdiff={np.nanmax(np.abs(af - bf))!r})"
+                )
+        else:
+            eq = pd.Series(a).eq(pd.Series(b)) | (pd.isna(a) & pd.isna(b))
+            if not eq.all():
+                i = int(np.argmin(eq.to_numpy()))
+                return False, f"value mismatch in '{c}' at sorted row {i}: spark={a[i]!r} duck={b[i]!r}"
+    return True, "ok"
+
+
+def duck_connection(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def run_parity(sf_dir: str, names: list[str] | None = None) -> dict[str, tuple[bool, str]]:
+    from dissertation_iceberg_spark.queries.registry import REGISTRY, _ensure_loaded
+    from dissertation_iceberg_spark.session import get_spark
+
+    _ensure_loaded()
+    spark = get_spark("parity", shuffle_partitions=8)
+    con = duck_connection(sf_dir)
+    results = {}
+    for name, spec in REGISTRY.items():
+        if names and name not in names:
+            continue
+        if spec.oracle is None:
+            results[name] = (True, "rows-only (no oracle)")
+            continue
+        try:
+            sp = spec.fn(spark, sf_dir).toPandas()
+            du = con.execute(spec.oracle).fetchdf()
+            results[name] = compare_frames(sp, du)
+        except Exception as e:  # noqa: BLE001
+            results[name] = (False, f"EXC {type(e).__name__}: {e}")
+    return results
+
+
+if __name__ == "__main__":
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:] or None
+    res = run_parity(sf_dir, names)
+    n_ok = sum(ok for ok, _ in res.values())
+    for name, (ok, msg) in sorted(res.items()):
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {msg}")
+    print(f"{n_ok}/{len(res)} parity-ok at {sf_dir}")
+    sys.exit(0 if n_ok == len(res) else 1)
