@@ -59,8 +59,10 @@ def _ensure_loaded() -> None:
         core,
         joins,
         llm_ops,
+        oi_variants,
         regression,
         strategy,
+        windows2,
     )
 
     _LOADED = True

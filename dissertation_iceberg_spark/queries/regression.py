@@ -10,7 +10,7 @@ closed form and against DuckDB's regr_* aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.io import load_table
@@ -51,3 +51,149 @@ def ols_price_on_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("y_price"),
     )
     return simple_ols(li, "x_disc", "y_price", ["l_returnflag"])
+
+
+# --------------------------------------------------------------------------
+# A18: two-feature OLS with t-stats + adj-R² via the Gram-matrix kernel.
+# The closed-form solve (Cramer, 3×3 with intercept) is written ONCE as
+# SQL formula strings evaluated by BOTH engines (Spark F.expr == DuckDB
+# SQL), over sufficient statistics that are exact integer-scaled sums —
+# so beta/intercept match bit-for-bit and only Syy-dependent outputs
+# (t, R²) rely on the 6-dp rounding.
+# --------------------------------------------------------------------------
+
+# sufficient statistics (a..f = upper triangle of [x1,x2,1]'[x1,x2,1])
+# NB: literals must be written in scientific notation (1e4, not
+# 10000.0) — Spark SQL parses `10000.0` as DECIMAL which would switch
+# the whole expression tree to exact decimal arithmetic while DuckDB
+# stays in doubles; `1e4` is DOUBLE in both.
+_STATS_SQL = {
+    "a": "sum(x1c * x1c) / 1e4",  # Σx1²
+    "b": "sum(x1c * x2c) / 1e4",  # Σx1x2
+    "c": "sum(x1c) / 1e2",  # Σx1
+    "d": "sum(x2c * x2c) / 1e4",  # Σx2²
+    "e2": "sum(x2c) / 1e2",  # Σx2
+    "f": "CAST(count(*) AS DOUBLE)",  # n
+    "p": "sum(x1c * yc) / 1e4",  # Σx1y
+    "q": "sum(x2c * yc) / 1e4",  # Σx2y
+    "r": "sum(yc) / 1e2",  # Σy
+    "syy": "sum(CAST(yc AS DOUBLE) * CAST(yc AS DOUBLE)) / 1e4",  # Σy²
+}
+
+_DET = "(a*(d*f - e2*e2) - b*(b*f - e2*c) + c*(b*e2 - d*c))"
+_DET1 = "(p*(d*f - e2*e2) - b*(q*f - e2*r) + c*(q*e2 - d*r))"
+_DET2 = "(a*(q*f - e2*r) - p*(b*f - e2*c) + c*(b*r - q*c))"
+_DET3 = "(a*(d*r - e2*q) - b*(b*r - c*q) + p*(b*e2 - d*c))"
+
+_BETA = {
+    "beta1": f"{_DET1} / {_DET}",
+    "beta2": f"{_DET2} / {_DET}",
+    "intercept": f"{_DET3} / {_DET}",
+}
+_INV = {
+    "inv11": f"(d*f - e2*e2) / {_DET}",
+    "inv22": f"(a*f - c*c) / {_DET}",
+    "inv33": f"(a*d - b*b) / {_DET}",
+}
+_RSS = (
+    "(syy - 2*(beta1*p + beta2*q + intercept*r)"
+    " + (beta1*(a*beta1 + b*beta2 + c*intercept)"
+    " + beta2*(b*beta1 + d*beta2 + e2*intercept)"
+    " + intercept*(c*beta1 + e2*beta2 + f*intercept)))"
+)
+_TSS = "(syy - r*r/f)"
+
+_FINAL = {
+    "n": "CAST(f AS BIGINT)",
+    "beta1_r": "round(beta1, 6)",
+    "beta2_r": "round(beta2, 6)",
+    "intercept_r": "round(intercept, 6)",
+    "t_beta1": f"round(beta1 / sqrt({_RSS} / (f - 3) * inv11), 6)",
+    "t_beta2": f"round(beta2 / sqrt({_RSS} / (f - 3) * inv22), 6)",
+    "adj_r2": f"round(1 - ({_RSS} / (f - 3)) / ({_TSS} / (f - 1)), 6)",
+}
+
+_OLS2_INPUT_SQL = """
+SELECT l_returnflag,
+       CAST(round(l_discount * 100) AS BIGINT) AS x1c,
+       CAST(round(l_tax * 100) AS BIGINT) AS x2c,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+FROM lineitem
+"""
+
+
+def _ols2_oracle() -> str:
+    stats = ", ".join(f"{expr} AS {k}" for k, expr in _STATS_SQL.items())
+    betas = ", ".join(f"{expr} AS {k}" for k, expr in _BETA.items())
+    invs = ", ".join(f"{expr} AS {k}" for k, expr in _INV.items())
+    finals = ", ".join(f"{expr} AS {k}" for k, expr in _FINAL.items())
+    return f"""
+WITH inp AS ({_OLS2_INPUT_SQL}),
+g AS (SELECT l_returnflag, {stats} FROM inp GROUP BY l_returnflag),
+s AS (SELECT *, {betas}, {invs} FROM g)
+SELECT l_returnflag, {finals} FROM s
+"""
+
+
+@register("ols2_gram", oracle=_ols2_oracle())
+def ols2_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: price ~ discount + tax per return flag — Gram sufficient
+    statistics in one distributed pass, closed-form 3×3 solve with
+    t-stats and adjusted R² (chunk_pipeline.py:201-243)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    inp = li.select(
+        "l_returnflag",
+        F.round(F.col("l_discount") * 100).cast("long").alias("x1c"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("x2c"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("yc"),
+    )
+    g = inp.groupBy("l_returnflag").agg(
+        *[F.expr(expr).alias(k) for k, expr in _STATS_SQL.items()]
+    )
+    s = g.select(
+        "*",
+        *[F.expr(expr).alias(k) for k, expr in _BETA.items()],
+        *[F.expr(expr).alias(k) for k, expr in _INV.items()],
+    )
+    return s.select(
+        "l_returnflag", *[F.expr(expr).alias(k) for k, expr in _FINAL.items()]
+    )
+
+
+# --------------------------------------------------------------------------
+# A20/ClOp: close-to-open returns (ClOp_calc.py:25-57 input construction)
+# --------------------------------------------------------------------------
+
+_CLOP_ORACLE = """
+WITH d AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         min_by(value, event_id) AS open_px,
+         max_by(value, event_id) AS close_px
+  FROM events GROUP BY 1, 2)
+SELECT user_id, day,
+       round(ln(lead(open_px) OVER (PARTITION BY user_id ORDER BY day)
+                / close_px), 6) AS clop_ret,
+       round(ln(close_px / open_px), 6) AS intraday_ret
+FROM d
+"""
+
+
+@register("clop_returns", oracle=_CLOP_ORACLE)
+def clop_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClOp: close-to-next-open log returns per key — daily first/last
+    via min_by/max_by on the sequence, lead over days
+    (order_imbalance.py:206-226)."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.expr("min_by(value, event_id)").alias("open_px"),
+        F.expr("max_by(value, event_id)").alias("close_px"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    return d.select(
+        "user_id",
+        "day",
+        F.round(F.log(F.lead("open_px", 1).over(w) / F.col("close_px")), 6).alias(
+            "clop_ret"
+        ),
+        F.round(F.log(F.col("close_px") / F.col("open_px")), 6).alias("intraday_ret"),
+    )
