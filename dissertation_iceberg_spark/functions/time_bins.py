@@ -20,11 +20,21 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def micros(ts_col: str | Column) -> Column:
+    """Epoch microseconds for TIMESTAMP or TIMESTAMP_NTZ inputs.
+
+    The cast is a no-op for LTZ; for NTZ (e.g. datetime64[us] parquet)
+    it interprets the wall clock in the session tz — pinned to UTC by
+    the session factory, which is exactly DuckDB's ``epoch_us``.
+    """
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return F.unix_micros(ts.cast("timestamp"))
+
+
 def bin_end(ts_col: str | Column, delta_sec: int) -> Column:
     """Ceil-aligned bin-end label as a timestamp column."""
-    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
     delta_us = int(delta_sec) * 1_000_000
-    us = F.unix_micros(ts)
+    us = micros(ts_col)
     # ceil(us / delta_us) in exact-enough double space: us < 2^53 so the
     # division is correctly rounded and the quotient magnitude (~1e4-1e7)
     # keeps ceil() exact; boundary events (us % delta_us == 0) stay put.

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dissertation_iceberg_spark.functions.time_bins import micros
+
 
 def asof_next_within(
     df: DataFrame,
@@ -53,15 +55,11 @@ def asof_next_within(
         .orderBy(F.desc(ts_col), F.desc(seq_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    next_match_us = F.min(
-        F.when(match_pred, F.unix_micros(F.col(ts_col)))
-    ).over(w)
+    next_match_us = F.min(F.when(match_pred, micros(ts_col))).over(w)
     flag = F.when(
         probe_pred,
         F.coalesce(
-            (next_match_us <= F.unix_micros(F.col(ts_col)) + int(tolerance_us)).cast(
-                "int"
-            ),
+            (next_match_us <= micros(ts_col) + int(tolerance_us)).cast("int"),
             F.lit(0),
         ),
     )

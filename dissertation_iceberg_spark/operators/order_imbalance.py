@@ -75,19 +75,32 @@ def densify(
     delta_sec: int,
     bin_col: str = "bin",
     zero_fill: tuple[str, ...] = ("order_imbalance", "n_events"),
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Left-join the binned frame onto its complete calendar grid.
 
     Missing bins get OI=0 (load-bearing reference semantics: an empty
     interval is 'balanced', not absent). Other columns stay NULL.
+    With ``group_cols`` the grid spans each group's own [min, max] —
+    at 100 TB that is one sequence per (ticker, day), never a global
+    sort or a driver-side calendar.
     """
-    bounds = binned.agg(F.min(bin_col).alias("lo"), F.max(bin_col).alias("hi"))
-    grid = bounds.select(
-        F.explode(
-            F.sequence("lo", "hi", F.expr(f"INTERVAL {int(delta_sec)} SECONDS"))
-        ).alias(bin_col)
-    )
-    out = grid.join(F.broadcast(binned), on=bin_col, how="left")
+    gc = group_cols or []
+    interval = F.expr(f"INTERVAL {int(delta_sec)} SECONDS")
+    if gc:
+        bounds = binned.groupBy(*gc).agg(
+            F.min(bin_col).alias("lo"), F.max(bin_col).alias("hi")
+        )
+        grid = bounds.select(
+            *gc, F.explode(F.sequence("lo", "hi", interval)).alias(bin_col)
+        )
+        out = grid.join(binned, on=[*gc, bin_col], how="left")
+    else:
+        bounds = binned.agg(F.min(bin_col).alias("lo"), F.max(bin_col).alias("hi"))
+        grid = bounds.select(
+            F.explode(F.sequence("lo", "hi", interval)).alias(bin_col)
+        )
+        out = grid.join(F.broadcast(binned), on=bin_col, how="left")
     for c in zero_fill:
         if c in binned.columns:
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
@@ -120,11 +133,12 @@ def oi_pipeline(
     """
     group_cols = kw.pop("group_cols", None)
     b = binned_oi(df, delta_sec, group_cols=group_cols, **kw)
-    dz = densify(b, delta_sec)
+    dz = densify(b, delta_sec, group_cols=group_cols)
     r = with_returns(dz, group_cols=group_cols)
     for c in ("order_imbalance", "first_price", "last_price", "log_ret", "fut_log_ret"):
         r = r.withColumn(c, F.round(F.col(c), round_to))
     return r.select(
+        *(group_cols or []),
         "bin",
         "order_imbalance",
         "n_events",
@@ -132,4 +146,4 @@ def oi_pipeline(
         "last_price",
         "log_ret",
         "fut_log_ret",
-    ).orderBy("bin")
+    ).orderBy(*(group_cols or []), "bin")

@@ -17,12 +17,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dissertation_iceberg_spark.functions.time_bins import micros
+
 US_PER_DAY = 86_400 * 1_000_000
 
 
 def seconds_of_day_us(ts_col: str | Column) -> Column:
-    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
-    return F.unix_micros(ts) % US_PER_DAY
+    return micros(ts_col) % US_PER_DAY
 
 
 def trading_hours_filter(

@@ -1,0 +1,308 @@
+"""Reference-faithful tests on LOBSTER-shaped fixtures: 1 ms as-of
+semantics, ceil bin boundaries, sentinel filters, the scalar feature
+family, outside-spread overrides, CSV ingest-edge alignment, and the
+per-ticker OI pipeline — each checked against a DuckDB oracle and/or a
+directly-computed pandas ground truth (merge_asof-equivalent)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dissertation_iceberg_spark.functions.time_bins import bin_end, bin_end_sql
+from dissertation_iceberg_spark.operators.iceberg import asof_next_within
+from dissertation_iceberg_spark.operators.lob_features import (
+    outside_spread_override,
+    with_lob_features,
+)
+from dissertation_iceberg_spark.operators.order_imbalance import oi_pipeline
+from dissertation_iceberg_spark.sources.lobster import (
+    read_messages,
+    read_orderbook,
+    sentinel_filter,
+    widen,
+)
+from tests.lobster_fixtures import TOL_US, write_fixtures
+from tools.parity import compare_frames
+
+SENTINEL = 9_999_999_999
+
+
+@pytest.fixture(scope="session")
+def lob_paths(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lob"))
+    wide = write_fixtures(root)
+    return {"root": root, "wide": wide, "csv": f"{root}/csv"}
+
+
+@pytest.fixture(scope="session")
+def lob_duck(lob_paths):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lob AS SELECT * FROM '{lob_paths['wide']}'")
+    return con
+
+
+@pytest.fixture(scope="session")
+def lob_df(spark, lob_paths):
+    return spark.read.parquet(lob_paths["wide"])
+
+
+def test_ingest_widen_matches_fixture(spark, lob_paths):
+    """S1-S4: CSV pair -> typed + seq-keyed wide frame == the fixture
+    (the positional-alignment invariant, made explicit)."""
+    msgs = read_messages(spark, f"{lob_paths['csv']}/*message*.csv")
+    book = read_orderbook(spark, f"{lob_paths['csv']}/*orderbook*.csv")
+    got = (
+        widen(msgs, book)
+        .select(
+            "ticker", "seq", "datetime", "event_type", "size", "price",
+            "direction", "ask_price_1", "ask_size_1", "bid_price_1", "bid_size_1",
+        )
+        .toPandas()
+    )
+    want = pd.read_parquet(lob_paths["wide"])[got.columns]
+    ok, msg = compare_frames(got, want)
+    assert ok, msg
+
+
+def test_iceberg_tag_1ms(lob_df, lob_duck):
+    """J1 at reference parameters: by=(ticker, price), forward 1 ms,
+    inclusive at exactly +1 ms."""
+    tagged = asof_next_within(
+        lob_df,
+        probe_pred=F.col("event_type") == 4,
+        match_pred=F.col("event_type") == 1,
+        by_cols=["ticker", "price"],
+        ts_col="datetime",
+        seq_col="seq",
+        tolerance_us=TOL_US,
+    ).filter(F.col("event_type") == 4)
+    sp = tagged.select("ticker", "seq", "iceberg").toPandas()
+
+    du = lob_duck.execute(
+        f"""
+        WITH t AS (
+          SELECT *, min(CASE WHEN event_type = 1 THEN epoch_us(datetime) END)
+                 OVER (PARTITION BY ticker, price
+                       ORDER BY datetime DESC, seq DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nxt
+          FROM lob)
+        SELECT ticker, seq,
+               CAST(CASE WHEN nxt IS NOT NULL AND nxt <= epoch_us(datetime) + {TOL_US}
+                    THEN 1 ELSE 0 END AS INT) AS iceberg
+        FROM t WHERE event_type = 4
+        """
+    ).fetchdf()
+    ok, msg = compare_frames(sp, du)
+    assert ok, msg
+    # planted refills: a healthy absolute number must be tagged, and
+    # both tagged and untagged classes must be present
+    n_tag = int(sp.iceberg.sum())
+    assert n_tag >= 100, n_tag
+    assert (sp.iceberg == 0).any()
+
+
+def test_iceberg_exact_tolerance_edges(spark):
+    """Inclusive at +1000 µs, exclusive at +1001 µs; same-timestamp
+    submissions match only when they follow in seq order."""
+    base = pd.Timestamp("2018-03-01 10:00:00")
+    rows = [
+        # (seq, type, price, offset_us)
+        (0, 4, 100, 0),      # exec; refill at +1000 -> tagged
+        (1, 1, 100, 1000),
+        (2, 4, 200, 0),      # exec; refill at +1001 -> NOT tagged
+        (3, 1, 200, 1001),
+        (4, 1, 300, 0),      # submission BEFORE exec in seq at same ts
+        (5, 4, 300, 0),      # -> not tagged (nothing follows)
+        (6, 4, 400, 0),      # exec; same-ts refill AFTER in seq -> tagged
+        (7, 1, 400, 0),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "ticker": "AAA",
+            "seq": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "price": [r[2] for r in rows],
+            "datetime": [base + pd.Timedelta(microseconds=r[3]) for r in rows],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        asof_next_within(
+            df,
+            probe_pred=F.col("event_type") == 4,
+            match_pred=F.col("event_type") == 1,
+            by_cols=["ticker", "price"],
+            ts_col="datetime",
+            seq_col="seq",
+            tolerance_us=1000,
+        )
+        .filter(F.col("event_type") == 4)
+        .select("seq", "iceberg")
+        .toPandas()
+        .set_index("seq")["iceberg"]
+    )
+    assert out[0] == 1  # exactly at tolerance: inclusive
+    assert out[2] == 0  # 1 µs past tolerance
+    assert out[5] == 0  # same-ts submission earlier in seq
+    assert out[6] == 1  # same-ts submission later in seq
+
+
+def test_bin_ceil_boundary(spark):
+    """pandas Index.ceil parity: boundary events stay at the boundary."""
+    pdf = pd.DataFrame(
+        {
+            "ts": [
+                pd.Timestamp("2018-03-01 10:00:15"),
+                pd.Timestamp("2018-03-01 10:00:15.000001"),
+                pd.Timestamp("2018-03-01 10:00:14.999999"),
+            ]
+        }
+    )
+    out = (
+        spark.createDataFrame(pdf)
+        .select(bin_end("ts", 15).alias("bin"))
+        .toPandas()["bin"]
+    )
+    assert out[0] == pd.Timestamp("2018-03-01 10:00:15")
+    assert out[1] == pd.Timestamp("2018-03-01 10:00:30")
+    assert out[2] == pd.Timestamp("2018-03-01 10:00:15")
+    # matches pandas ceil exactly
+    want = pdf["ts"].dt.ceil("15s")
+    assert (out.reset_index(drop=True) == want).all()
+
+
+def test_trading_hours_inclusive(spark):
+    from dissertation_iceberg_spark.operators.preprocessing import (
+        trading_hours_filter,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "ts": [
+                pd.Timestamp("2018-03-01 09:59:59.999999"),
+                pd.Timestamp("2018-03-01 10:00:00"),
+                pd.Timestamp("2018-03-01 15:30:00"),
+                pd.Timestamp("2018-03-01 15:30:00.000001"),
+            ]
+        }
+    )
+    kept = trading_hours_filter(spark.createDataFrame(pdf)).toPandas()["ts"]
+    assert list(kept) == [
+        pd.Timestamp("2018-03-01 10:00:00"),
+        pd.Timestamp("2018-03-01 15:30:00"),
+    ]
+
+
+def test_sentinel_filter(lob_df, lob_duck):
+    got = sentinel_filter(lob_df).count()
+    want = lob_duck.execute(
+        f"SELECT count(*) FROM lob WHERE ask_price_1 <> {SENTINEL}"
+        f" AND bid_price_1 <> -{SENTINEL}"
+    ).fetchone()[0]
+    assert got == want
+    assert got < lob_df.count()
+
+
+def test_lob_features_oracle(lob_df, lob_duck):
+    sp = (
+        with_lob_features(sentinel_filter(lob_df))
+        .select(
+            "ticker",
+            "seq",
+            F.round("midprice", 6).alias("midprice"),
+            F.round("ofi", 6).alias("ofi"),
+            F.round("weighted_mp", 6).alias("weighted_mp"),
+            F.round("agg_ratio", 6).alias("agg_ratio"),
+            F.round("bid_pref", 6).alias("bid_pref"),
+            F.col("hid_at_bid").cast("long").alias("hid_at_bid"),
+            F.col("hid_at_ask").cast("long").alias("hid_at_ask"),
+        )
+        .toPandas()
+    )
+    du = lob_duck.execute(
+        f"""
+        SELECT ticker, seq,
+          round((ask_price_1 + bid_price_1) / 2e0, 6) AS midprice,
+          round(CAST(bid_size_1 - ask_size_1 AS DOUBLE) / (bid_size_1 + ask_size_1), 6) AS ofi,
+          round((CAST(bid_size_1 AS DOUBLE) / (bid_size_1 + ask_size_1)) * ask_price_1
+                + (1 - CAST(bid_size_1 AS DOUBLE) / (bid_size_1 + ask_size_1)) * bid_price_1, 6)
+              AS weighted_mp,
+          round(CAST(price - bid_price_1 AS DOUBLE) / (ask_price_1 - bid_price_1), 6) AS agg_ratio,
+          round(CAST(bid_price_1 AS DOUBLE) / (bid_price_1 + ask_price_1), 6) AS bid_pref,
+          CAST(price = bid_price_1 AS BIGINT) AS hid_at_bid,
+          CAST(price = ask_price_1 AS BIGINT) AS hid_at_ask
+        FROM lob WHERE ask_price_1 <> {SENTINEL} AND bid_price_1 <> -{SENTINEL}
+        """
+    ).fetchdf()
+    ok, msg = compare_frames(sp, du)
+    assert ok, msg
+
+
+def test_outside_spread_override(lob_df):
+    hid = with_lob_features(sentinel_filter(lob_df)).filter(
+        F.col("event_type") == 5
+    )
+    base = hid.withColumn("pred_dir", F.lit(0)).withColumn("pred_prob", F.lit(0.5))
+    out = outside_spread_override(base).toPandas()
+    below = out[out.agg_ratio <= 0]
+    above = out[out.agg_ratio >= 1]
+    mid = out[(out.agg_ratio > 0) & (out.agg_ratio < 1)]
+    assert len(below) > 0 and (below.pred_dir == 1).all() and (below.pred_prob == 1.0).all()
+    assert len(above) > 0 and (above.pred_dir == -1).all() and (above.pred_prob == 0.0).all()
+    assert (mid.pred_dir == 0).all() and (mid.pred_prob == 0.5).all()
+
+
+def test_oi_pipeline_per_ticker(lob_df, lob_duck):
+    """Flagship kernel grouped by ticker on visible executions, grid
+    densified per ticker, vs full DuckDB oracle."""
+    execs = lob_df.filter(F.col("event_type") == 4)
+    sp = oi_pipeline(
+        execs,
+        900,
+        ts_col="datetime",
+        price_col="price",
+        seq_col="seq",
+        group_cols=["ticker"],
+    ).toPandas()
+    du = lob_duck.execute(
+        f"""
+        WITH b AS (
+          SELECT ticker, {bin_end_sql("datetime", 900)} AS bin,
+            CASE WHEN (sum(CASE WHEN direction=-1 THEN size ELSE 0 END)
+                     + sum(CASE WHEN direction=1 THEN size ELSE 0 END)) <> 0
+                 THEN CAST(sum(CASE WHEN direction=-1 THEN size ELSE 0 END)
+                         - sum(CASE WHEN direction=1 THEN size ELSE 0 END) AS DOUBLE)
+                    / (sum(CASE WHEN direction=-1 THEN size ELSE 0 END)
+                     + sum(CASE WHEN direction=1 THEN size ELSE 0 END)) END AS order_imbalance,
+            count(*) AS n_events,
+            min_by(price, seq) AS first_price,
+            max_by(price, seq) AS last_price
+          FROM lob WHERE event_type = 4 GROUP BY 1, 2),
+        bounds AS (SELECT ticker, min(bin) AS lo, max(bin) AS hi FROM b GROUP BY 1),
+        grid AS (
+          SELECT ticker, unnest(generate_series(lo, hi, INTERVAL 900 SECOND)) AS bin
+          FROM bounds),
+        d AS (
+          SELECT g.ticker, g.bin,
+                 coalesce(b.order_imbalance, 0) AS order_imbalance,
+                 coalesce(b.n_events, 0) AS n_events,
+                 b.first_price, b.last_price,
+                 ln(b.last_price) - ln(b.first_price) AS log_ret
+          FROM grid g LEFT JOIN b ON g.ticker = b.ticker AND g.bin = b.bin)
+        SELECT ticker, bin, round(order_imbalance, 6) AS order_imbalance, n_events,
+               round(first_price, 6) AS first_price, round(last_price, 6) AS last_price,
+               round(log_ret, 6) AS log_ret,
+               round(lead(log_ret) OVER (PARTITION BY ticker ORDER BY bin), 6)
+                   AS fut_log_ret
+        FROM d
+        """
+    ).fetchdf()
+    ok, msg = compare_frames(sp, du)
+    assert ok, msg
+    # invariants: per-ticker grid complete at 900 s
+    for _, g in sp.groupby("ticker"):
+        bins = list(g.sort_values("bin")["bin"])
+        assert {(b - a).total_seconds() for a, b in zip(bins, bins[1:])} == {900.0}
