@@ -74,24 +74,34 @@ def hyperplane_lsh_buckets(
     num_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    num_tables: int = 1,
 ) -> DataFrame:
-    """Sign-of-projection LSH bucket id per vector (scale path for ANN).
+    """Sign-of-projection LSH bucket ids per vector (scale path for ANN).
 
-    Deterministic pseudo-random hyperplanes generated from the seed
-    driver-side (tiny literal), dot products JVM-side.
+    ``num_tables`` independent hash tables (OR-amplification): a
+    candidate pair needs to collide in ANY table, trading extra
+    (cheap, equi-join) candidates for recall — the standard knob when
+    single-table sign-LSH recall is too low. Hyperplanes are
+    deterministic tiny literals from the seed; projections are JVM-side
+    higher-order functions. Output: one row per (vector, table).
     """
     import random
 
     rnd = random.Random(seed)
-    planes = [
-        [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
-    ]
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        proj = _dot(F.col(vec_col), plane)
-        bucket = bucket + F.when(proj > 0, F.lit(2**i)).otherwise(F.lit(0))
-    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    rows = []
+    for t in range(num_tables):
+        planes = [
+            [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
+        ]
+        bucket = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            plane = F.array(*[F.lit(x) for x in p])
+            proj = _dot(F.col(vec_col), plane)
+            bucket = bucket + F.when(proj > 0, F.lit(2**i)).otherwise(F.lit(0))
+        rows.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*rows)).alias("tb")
+    ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
 
 
 def lsh_cosine_topk(
@@ -103,22 +113,32 @@ def lsh_cosine_topk(
     k: int = 3,
     num_planes: int = 8,
     dim: int = 64,
+    num_tables: int = 4,
 ) -> DataFrame:
-    """ANN: candidates restricted to the query's LSH bucket, then exact
-    cosine + top-k. Recall < 1 by construction; the scale win is that
-    the join key is the bucket id (equi-join, shuffle-partitionable)
+    """ANN: candidates restricted to vectors sharing the query's bucket
+    in at least one hash table, then exact cosine + top-k. Recall < 1
+    by construction; the scale win is that the join key is
+    (table, bucket) — an equi-join the planner can shuffle-partition —
     instead of a cross product."""
-    cb = hyperplane_lsh_buckets(corpus, vec_col, id_col, num_planes, dim)
+    cb = hyperplane_lsh_buckets(
+        corpus, vec_col, id_col, num_planes, dim, num_tables=num_tables
+    )
     qb = hyperplane_lsh_buckets(
         queries.select(F.col(query_id_col).alias("vec_id"), F.col(vec_col)),
         vec_col,
         "vec_id",
         num_planes,
         dim,
+        num_tables=num_tables,
     ).select(
-        F.col("vec_id").alias("qid"), F.col(vec_col).alias("qvec"), "bucket"
+        F.col("vec_id").alias("qid"), F.col(vec_col).alias("qvec"), "tbl", "bucket"
     )
-    pairs = cb.join(F.broadcast(qb), "bucket").where(F.col("qid") != F.col(id_col))
+    pairs = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .where(F.col("qid") != F.col(id_col))
+        .select("qid", "qvec", id_col, vec_col)
+        .distinct()
+    )
     scored = pairs.select(
         "qid",
         F.col(id_col).alias("neighbor_id"),

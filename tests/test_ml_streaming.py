@@ -1,0 +1,181 @@
+"""ML pipeline (M1-M6), multimodal plumbing, LSH ANN, and the
+Structured Streaming OI variant — rows-only / self-consistency checks
+(these operators have no SQL oracle; SURVEY §5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def featured(spark, sf_dir):
+    from dissertation_iceberg_spark.io import lob_events
+    from dissertation_iceberg_spark.ml.pipeline import direction_label
+
+    df = lob_events(spark, sf_dir).withColumn(
+        "log_value", F.log("value")
+    ).withColumn("hour_of_day", F.hour("ts").cast("double"))
+    return direction_label(df).cache()
+
+
+FEATURES = ["value", "log_value", "hour_of_day"]
+
+
+def test_rf_train_predict(featured):
+    from dissertation_iceberg_spark.ml.pipeline import (
+        evaluate_binary,
+        feature_importances,
+        predict_direction,
+        train_rf,
+    )
+
+    model = train_rf(featured, FEATURES)
+    pred = predict_direction(model, featured)
+    rows = pred.select("pred_dir", "pred_prob", "label").toPandas()
+    assert set(rows.pred_dir.unique()) <= {-1, 1}
+    assert ((rows.pred_prob >= 0) & (rows.pred_prob <= 1)).all()
+    # M4 threshold consistency
+    assert ((rows.pred_prob > 0.5) == (rows.pred_dir == 1)).all()
+    metrics = evaluate_binary(pred)
+    assert 0.0 <= metrics["accuracy"] <= 1.0
+    imp = feature_importances(model, FEATURES)
+    assert set(imp) == set(FEATURES)
+    assert abs(sum(imp.values()) - 1.0) < 1e-6
+
+
+def test_boosted_and_logistic(featured):
+    from dissertation_iceberg_spark.ml.pipeline import (
+        predict_direction,
+        train_boosted,
+        train_logistic,
+    )
+
+    small = featured.limit(400).cache()
+    for trainer in (train_boosted, train_logistic):
+        model = trainer(small, FEATURES)
+        pred = predict_direction(model, small)
+        assert pred.count() == 400
+
+
+def test_multimodal_features(spark):
+    from dissertation_iceberg_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=48)
+    feats = extract_features(media, dim=8).toPandas()
+    assert len(feats) == 48
+    assert feats.feature.map(len).eq(8).all()
+    # histogram features are normalized
+    assert feats.feature.map(sum).sub(1.0).abs().lt(1e-6).all()
+    assert (feats.n_bytes > 0).all()
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.operators.similarity import (
+        cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    ann = lsh_cosine_topk(emb, queries, k=5, num_planes=4, num_tables=8).toPandas()
+    # every ANN hit is a valid pair, and recall vs exact is nonzero
+    exact_pairs = set(zip(exact.qid, exact.neighbor_id))
+    ann_pairs = set(zip(ann.qid, ann.neighbor_id))
+    assert ann_pairs, "ANN returned nothing"
+    recall = len(ann_pairs & exact_pairs) / len(exact_pairs)
+    assert recall > 0.2, recall
+
+
+def test_minhash_banding(spark, sf_dir):
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.operators.dedup import (
+        jaccard_near_dup_pairs,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=32)
+    assert sigs.count() == docs.count()
+    cands = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4).toPandas()
+    true_pairs = jaccard_near_dup_pairs(
+        docs, "text", "doc_id", threshold=0.5
+    ).toPandas()
+    if len(true_pairs):
+        cand_set = set(zip(cands.id_a, cands.id_b))
+        hits = sum(
+            (a, b) in cand_set for a, b in zip(true_pairs.id_a, true_pairs.id_b)
+        )
+        # banded MinHash should surface most >=0.5-Jaccard pairs
+        assert hits / len(true_pairs) >= 0.5
+
+
+def test_simhash_deterministic(spark, sf_dir):
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    a = simhash(docs, "text", "doc_id").toPandas().set_index("doc_id")["simhash"]
+    b = simhash(docs, "text", "doc_id").toPandas().set_index("doc_id")["simhash"]
+    assert (a == b).all()
+    # identical texts -> identical signatures
+    docs2 = docs.union(docs)
+    c = simhash(docs2, "text", "doc_id").toPandas()
+    assert (c.groupby("doc_id")["simhash"].nunique() == 1).all()
+
+
+def test_streaming_oi_matches_batch(spark, sf_dir, tmp_path):
+    from dissertation_iceberg_spark.io import lob_events
+    from dissertation_iceberg_spark.streaming.oi_stream import streaming_oi
+
+    src = str(tmp_path / "events_src")
+    out_name = "oi_stream_out"
+    lob = lob_events(spark, sf_dir).select("ts", "direction", "size")
+    lob.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        streaming_oi(stream, 3600)
+        .writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table(out_name)
+        .select("bin", F.round("order_imbalance", 6).alias("oi"), "n_events")
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    want = (
+        streaming_oi(spark.read.parquet(src), 3600)
+        .select("bin", F.round("order_imbalance", 6).alias("oi"), "n_events")
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # ceil-semantics parity with the batch bin_end kernel
+    from dissertation_iceberg_spark.functions.time_bins import bin_end
+
+    batch_bins = (
+        spark.read.parquet(src)
+        .select(bin_end("ts", 3600).alias("bin"))
+        .distinct()
+        .toPandas()["bin"]
+    )
+    assert set(got.bin) == set(batch_bins)
