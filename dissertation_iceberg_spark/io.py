@@ -57,6 +57,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Decouple parallelism from input file splits.
+
+    Small single-file parquet reads arrive as ONE partition, which
+    serializes expression-heavy per-row stages (tokenization, vector
+    math) on one core. One cheap round-robin repartition restores
+    cluster-wide parallelism; on a real multi-file table this is a
+    near-no-op and can be dropped by the caller.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def lob_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical LOB-shaped view over the driver's ``events`` table.
 

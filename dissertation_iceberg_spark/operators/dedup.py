@@ -74,7 +74,13 @@ def jaccard_near_dup_pairs(
     by too many docs (stop-shingles) — the knob that keeps candidate
     generation near-linear at 100 TB.
     """
-    sh = word_shingles(df, text_col, id_col, n)
+    from pyspark.storagelevel import StorageLevel
+
+    # the shingle table feeds three consumers (both self-join sides +
+    # set sizes); persist so the explode+distinct shuffle runs once
+    sh = word_shingles(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = (

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dissertation_iceberg_spark.io import load_table
+from dissertation_iceberg_spark.io import load_table, spread
 from dissertation_iceberg_spark.operators import dedup as dd
 from dissertation_iceberg_spark.operators import text as tx
 from dissertation_iceberg_spark.operators.similarity import cosine_topk
@@ -59,7 +59,7 @@ FROM documents
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct count, mean length —
     per-row expressions, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     out = tx.token_stats(docs, "text", "doc_id")
     return out.select(
         "doc_id",
@@ -95,7 +95,7 @@ FROM t
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: stopword/uniqueness/length features
     composited into [0,1] — codegen-only, no UDF."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     out = tx.quality_score(docs, "text", "doc_id")
     return out.select(
         "doc_id",
@@ -155,7 +155,7 @@ FROM documents
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: per-language stopword-profile vote,
     argmax with deterministic tie-break."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     out = tx.lang_id(docs, "text", "doc_id")
     return out.select(
         "doc_id", "pred_lang", F.col("lang_hits").cast("long").alias("lang_hits")
@@ -198,7 +198,7 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with/aggregate dot products, per-query row_number. The ANN
     scale path (hyperplane LSH buckets) lives in
     operators.similarity.lsh_cosine_topk (tested, rows-only)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -243,7 +243,7 @@ WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
 def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: word-3-gram Jaccard via inverted-index
     self-join (no cross product; stop-shingle cap available for scale)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     out = dd.jaccard_near_dup_pairs(
         docs, "text", "doc_id", n=JACCARD_N, threshold=JACCARD_THRESHOLD
     )

@@ -1,0 +1,73 @@
+"""Plan-shape guards: the physical plans the 100 TB story depends on.
+
+These assert optimizer-visible properties (pushdown, broadcast vs
+shuffle joins, no accidental cartesian products) so a regression in
+query construction fails fast — not just slower.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dissertation_iceberg_spark.queries.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_filter_pushdown(spark, sf_dir):
+    p = _plan(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_scan_column_pruning(spark, sf_dir):
+    p = _plan(spark, sf_dir, "quality_score")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p, (
+        "documents scan must prune to (doc_id, text)"
+    )
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "customer_enrich")
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_asof_is_window_not_join(spark, sf_dir):
+    p = _plan(spark, sf_dir, "iceberg_tag")
+    assert "Join" not in p, "as-of must compile to a window pass, not a join"
+    assert "Window" in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_densify_grid_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "oi_hourly_densified")
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_jaccard_no_cartesian(spark, sf_dir):
+    p = _plan(spark, sf_dir, "jaccard_near_dups")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_rolling_refit_single_pass(spark, sf_dir):
+    """M8: no iterative re-reads — exactly one scan of events."""
+    p = _plan(spark, sf_dir, "rolling_refit_signal")
+    assert p.count("Scan parquet") <= 2  # daily frame feeds gram + predict sides
+
+
+@pytest.mark.parametrize(
+    "name", ["oi_hourly_densified", "iceberg_split_oi", "rolling_sentiment"]
+)
+def test_no_python_udfs_in_core_path(spark, sf_dir, name):
+    p = _plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+        f"{name} must stay JVM-side"
+    )
