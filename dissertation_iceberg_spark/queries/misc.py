@@ -1,0 +1,336 @@
+"""Remaining §2 scalar/stat operators: weighted OI, standardization,
+inf/NaN scrub, bucketization, seasonality with month key, regression
+diagnostics (A23), ClOp regression.
+
+Weighted OI uses exact integer scaling end-to-end: with p = k/100 the
+weight (1−2p) is (100−2k)/100, so Σ size·(1−2p) is an integer sum —
+bit-identical across engines without rounding tricks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dissertation_iceberg_spark.functions.time_bins import bin_end, bin_end_sql
+from dissertation_iceberg_spark.io import load_table
+from dissertation_iceberg_spark.queries.registry import register
+
+DELTA = 21_600
+
+# --------------------------------------------------------------------------
+# A1 weighted OI: Σ(size·(1−2·pred_prob)) / Σ size
+# --------------------------------------------------------------------------
+
+_WOI_ORACLE = f"""
+WITH e AS (
+  SELECT *, CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(json_extract(props, '$.k') AS BIGINT) % 100 AS k
+  FROM events)
+SELECT {bin_end_sql("ts", DELTA)} AS bin,
+       round(CAST(sum(cents * (100 - 2 * k)) AS DOUBLE)
+             / (100 * sum(cents)), 6) AS weighted_oi,
+       count(*) AS n
+FROM e GROUP BY 1
+"""
+
+
+@register("weighted_oi", oracle=_WOI_ORACLE)
+def weighted_oi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 weighted variant (order_imbalance.py:242-249): probability-
+    weighted imbalance with pred_prob = (props.k % 100)/100 — integer
+    arithmetic end-to-end."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    k = (F.get_json_object("props", "$.k").cast("long")) % 100
+    e = e.withColumn("cents", cents).withColumn("k", k)
+    return (
+        e.withColumn("bin", bin_end("ts", DELTA))
+        .groupBy("bin")
+        .agg(
+            F.round(
+                F.sum(F.col("cents") * (100 - 2 * F.col("k"))).cast("double")
+                / (100 * F.sum("cents")),
+                6,
+            ).alias("weighted_oi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# M1 standardization: z-score within group
+# --------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH s AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY 1)
+SELECT e.event_id,
+       round((e.value - s.mu) / s.sd, 6) AS z_value
+FROM events e JOIN s ON e.event_type = s.event_type
+"""
+
+
+@register("zscore", oracle=_ZSCORE_ORACLE)
+def zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 standardize (prediction_ML_pipeline.py:222-224): broadcast the
+    per-group moments back onto rows (no window over raw events)."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return e.join(F.broadcast(s), "event_type").select(
+        "event_id",
+        F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6).alias("z_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P10 inf/NaN scrub
+# --------------------------------------------------------------------------
+
+_SCRUB_ORACLE = """
+WITH x AS (
+  SELECT event_id,
+         CASE WHEN user_id > 10 THEN CAST('Infinity' AS DOUBLE) ELSE value END
+             AS maybe_inf,
+         CASE WHEN user_id > 5 THEN CAST('NaN' AS DOUBLE) ELSE value END
+             AS maybe_nan
+  FROM events)
+SELECT event_id,
+  round(CASE WHEN isinf(maybe_inf) OR isnan(maybe_inf) OR maybe_inf IS NULL
+        THEN 0 ELSE maybe_inf END, 6) AS scrubbed_inf,
+  round(CASE WHEN isinf(maybe_nan) OR isnan(maybe_nan) OR maybe_nan IS NULL
+        THEN 0 ELSE maybe_nan END, 6) AS scrubbed_nan
+FROM x
+"""
+
+
+@register("nan_scrub", oracle=_SCRUB_ORACLE)
+def nan_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 (chunk_pipeline.py:212-213): fillna(0) + replace(±inf, 0) as
+    a reusable when() scrub."""
+    e = load_table(spark, sf_dir, "events")
+
+    def scrub(c):
+        return F.round(
+            F.when(c.isNull() | F.isnan(c) | (F.abs(c) == float("inf")), 0.0).otherwise(
+                c
+            ),
+            6,
+        )
+
+    maybe_inf = F.when(F.col("user_id") > 10, F.lit(float("inf"))).otherwise(
+        F.col("value")
+    )
+    maybe_nan = F.when(F.col("user_id") > 5, F.lit(float("nan"))).otherwise(
+        F.col("value")
+    )
+    return e.select(
+        "event_id",
+        scrub(maybe_inf).alias("scrubbed_inf"),
+        scrub(maybe_nan).alias("scrubbed_nan"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.8 pd.cut bucketization
+# --------------------------------------------------------------------------
+
+_BUCKET_ORACLE = """
+SELECT event_id,
+  CASE WHEN value < 50 THEN 'low'
+       WHEN value < 100 THEN 'mid'
+       WHEN value < 150 THEN 'high'
+       ELSE 'extreme' END AS bucket
+FROM events
+"""
+
+
+@register("value_buckets", oracle=_BUCKET_ORACLE)
+def value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.cut ladder (direction_analysis.ipynb cell 56) as chained
+    when() — Bucketizer-equivalent, codegen-friendly."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        F.when(v < 50, "low")
+        .when(v < 100, "mid")
+        .when(v < 150, "high")
+        .otherwise("extreme")
+        .alias("bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A6 seasonality with month key
+# --------------------------------------------------------------------------
+
+_SEASON2_ORACLE = """
+SELECT CAST(extract(month FROM ts) AS BIGINT) AS month,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+       count(*) AS n,
+       round(avg(value), 6) AS mean_value,
+       round(stddev_samp(value), 6) AS std_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("seasonality_month_hour", oracle=_SEASON2_ORACLE)
+def seasonality_month_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 with the optional month key (EDA_initial.ipynb cell 7)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.month("ts").cast("long").alias("month"),
+        F.hour("ts").cast("long").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("std_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A23 regression diagnostics: residual, leverage, studentized, Cook's D
+# --------------------------------------------------------------------------
+
+_DIAG_ORACLE = """
+WITH g AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(user_id AS DOUBLE)) AS sx, sum(value) AS sy,
+         sum(CAST(user_id AS DOUBLE) * value) AS sxy,
+         sum(CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)) AS sxx,
+         sum(value * value) AS syy
+  FROM events GROUP BY 1),
+b AS (
+  SELECT *,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+         (sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n AS intercept,
+         (sxx - sx * sx / n) AS ssx,
+         ((syy - sy * sy / n)
+          - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sxy - sx * sy / n))
+             / (n - 2) AS s2
+  FROM g)
+SELECT e.event_id,
+  round(e.value - (b.intercept + b.slope * e.user_id), 6) AS residual,
+  round(1e0 / b.n + pow(e.user_id - b.sx / b.n, 2) / b.ssx, 6) AS leverage,
+  round((e.value - (b.intercept + b.slope * e.user_id))
+        / sqrt(b.s2 * (1 - (1e0 / b.n + pow(e.user_id - b.sx / b.n, 2) / b.ssx))), 6)
+      AS studentized,
+  round(pow(e.value - (b.intercept + b.slope * e.user_id), 2)
+        * (1e0 / b.n + pow(e.user_id - b.sx / b.n, 2) / b.ssx)
+        / (2 * b.s2 * pow(1 - (1e0 / b.n + pow(e.user_id - b.sx / b.n, 2) / b.ssx), 2)), 6)
+      AS cooks_d
+FROM events e JOIN b ON e.event_type = b.event_type
+"""
+
+
+@register("ols_diagnostics", oracle=_DIAG_ORACLE)
+def ols_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23 (order_imbalance.py:603-670): per-row residual, leverage
+    (hat diagonal), internally-studentized residual, Cook's distance —
+    the per-group (XᵀX)⁻¹ pieces broadcast back onto rows as plain
+    expressions (no per-row matrix math)."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.col("user_id").cast("double")
+    y = F.col("value")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    ssx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    slope = sxy_c / ssx
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    s2 = ((F.col("syy") - F.col("sy") * F.col("sy") / n) - slope * sxy_c) / (n - 2)
+    b = g.select(
+        "event_type", "n", "sx", slope.alias("slope"),
+        intercept.alias("intercept"), ssx.alias("ssx"), s2.alias("s2"),
+    )
+    j = e.join(F.broadcast(b), "event_type")
+    resid = F.col("value") - (F.col("intercept") + F.col("slope") * F.col("user_id"))
+    lev = 1.0 / F.col("n") + F.pow(
+        F.col("user_id") - F.col("sx") / F.col("n"), 2
+    ) / F.col("ssx")
+    stud = resid / F.sqrt(F.col("s2") * (1 - lev))
+    cooks = F.pow(resid, 2) * lev / (2 * F.col("s2") * F.pow(1 - lev, 2))
+    return j.select(
+        "event_id",
+        F.round(resid, 6).alias("residual"),
+        F.round(lev, 6).alias("leverage"),
+        F.round(stud, 6).alias("studentized"),
+        F.round(cooks, 6).alias("cooks_d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ClOp regression (A20 applied to close-to-open returns)
+# --------------------------------------------------------------------------
+
+_CLOP_REG_ORACLE = """
+WITH d AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         min_by(value, event_id) AS open_px,
+         max_by(value, event_id) AS close_px
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT ln(lead(open_px) OVER (PARTITION BY user_id ORDER BY day) / close_px)
+             AS clop_ret,
+         ln(close_px / open_px) AS intraday_ret
+  FROM d),
+g AS (
+  SELECT count(*) AS n, sum(intraday_ret) AS sx, sum(clop_ret) AS sy,
+         sum(intraday_ret * clop_ret) AS sxy,
+         sum(intraday_ret * intraday_ret) AS sxx,
+         sum(clop_ret * clop_ret) AS syy
+  FROM r WHERE clop_ret IS NOT NULL)
+SELECT n,
+  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+  round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 6) AS intercept,
+  round((sxy - sx * sy / n) * (sxy - sx * sy / n)
+        / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+FROM g
+"""
+
+
+@register("clop_regression", oracle=_CLOP_REG_ORACLE)
+def clop_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20/ClOp_calc.py:25-57: regress close-to-open returns on the
+    prior intraday return — daily OLS on the aggregated frame."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.expr("min_by(value, event_id)").alias("open_px"),
+        F.expr("max_by(value, event_id)").alias("close_px"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.select(
+        (F.log(F.lead("open_px", 1).over(w) / F.col("close_px"))).alias("clop_ret"),
+        (F.log(F.col("close_px") / F.col("open_px"))).alias("intraday_ret"),
+    ).filter(F.col("clop_ret").isNotNull())
+    x, y = F.col("intraday_ret"), F.col("clop_ret")
+    g = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    ssx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    ssy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = sxy_c / ssx
+    return g.select(
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+        F.round(sxy_c * sxy_c / (ssx * ssy), 6).alias("r2"),
+    )

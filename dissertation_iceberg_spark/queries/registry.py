@@ -59,6 +59,7 @@ def _ensure_loaded() -> None:
         core,
         joins,
         llm_ops,
+        misc,
         ml_rolling,
         oi_variants,
         regression,

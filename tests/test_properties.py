@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis) for the semantics the oracle can't
+sweep: ceil-bin labels vs pandas, OI bounds, dedup idempotence, as-of
+tolerance monotonicity."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+MICROS = st.integers(
+    min_value=1_500_000_000_000_000, max_value=1_600_000_000_000_000
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(MICROS, min_size=1, max_size=40), st.sampled_from([15, 60, 900]))
+def test_bin_end_matches_pandas_ceil(spark, micros, delta):
+    from dissertation_iceberg_spark.functions.time_bins import bin_end
+
+    pdf = pd.DataFrame({"ts": pd.to_datetime(micros, unit="us")})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(bin_end("ts", delta).alias("bin"))
+        .toPandas()["bin"]
+        .reset_index(drop=True)
+    )
+    want = pdf["ts"].dt.ceil(f"{delta}s").reset_index(drop=True)
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([-1, 1]), st.integers(min_value=1, max_value=10_000)
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_oi_bounded(spark, rows):
+    from dissertation_iceberg_spark.operators.order_imbalance import oi_expr
+
+    df = spark.createDataFrame(
+        [(d, float(s)) for d, s in rows], ["direction", "size"]
+    )
+    oi = df.agg(oi_expr(F.col("direction"), F.col("size")).alias("oi")).collect()[0][
+        "oi"
+    ]
+    assert oi is not None and -1.0 <= oi <= 1.0
+    # sign identity: all sells -> +1, all buys -> -1
+    if all(d == -1 for d, _ in rows):
+        assert oi == 1.0
+    if all(d == 1 for d, _ in rows):
+        assert oi == -1.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["a", "b"])),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_dedup_idempotent(spark, rows):
+    from dissertation_iceberg_spark.operators.preprocessing import dedup_first
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], ["seq", "k", "v"]
+    )
+    once = dedup_first(df, ["k", "v"], "seq")
+    twice = dedup_first(once, ["k", "v"], "seq")
+    a = sorted(once.collect())
+    b = sorted(twice.collect())
+    assert a == b
+    # keeps the FIRST seq per key
+    seen = {}
+    for i, (k, v) in enumerate(rows):
+        seen.setdefault((k, v), i)
+    assert sorted(r["seq"] for r in a) == sorted(seen.values())
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=0, max_value=2000))
+def test_asof_tolerance_monotone(spark, gap_us):
+    """If a refill at gap g is tagged, any tolerance >= g tags it and
+    any tolerance < g does not."""
+    from dissertation_iceberg_spark.operators.iceberg import asof_next_within
+
+    base = pd.Timestamp("2018-03-01 10:00:00")
+    pdf = pd.DataFrame(
+        {
+            "ticker": ["A", "A"],
+            "seq": [0, 1],
+            "event_type": [4, 1],
+            "price": [100, 100],
+            "datetime": [base, base + pd.Timedelta(microseconds=gap_us)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    def flag(tol):
+        out = (
+            asof_next_within(
+                df,
+                F.col("event_type") == 4,
+                F.col("event_type") == 1,
+                ["ticker", "price"],
+                "datetime",
+                "seq",
+                tol,
+            )
+            .filter(F.col("event_type") == 4)
+            .collect()
+        )
+        return out[0]["iceberg"]
+
+    assert flag(gap_us) == 1  # inclusive at exactly the gap
+    assert flag(gap_us + 1) == 1
+    if gap_us > 0:
+        assert flag(gap_us - 1) == 0
