@@ -31,6 +31,10 @@ HEADLINE = [
     "quality_score",
     "cosine_topk",  # brute-force ANN baseline
     "jaccard_near_dups",  # inverted-index self-join
+    "rolling_refit_signal",  # M8 associative Gram-window refit
+    "multi_delta_oi",  # per-delta assembly (shared-scan unions)
+    "ols2_gram",  # multi-feature Gram OLS
+    "embedding_near_dups",  # embedding-cosine dedup
 ]
 
 

@@ -1,0 +1,142 @@
+"""Additional extension queries: embedding-cosine near-dup detection
+(oracle-matched) and rows-only entries for the operators whose hashes
+(xxhash64) or models have no DuckDB equivalent — the driver records the
+weaker rows-only check for these, by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dissertation_iceberg_spark.io import load_table, lob_events, spread
+from dissertation_iceberg_spark.queries.registry import register
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (exact, oracle-matched)
+# --------------------------------------------------------------------------
+
+NEAR_DUP_THRESHOLD = 0.3  # synthetic embeddings: p99 pair cosine ≈ 0.29
+PAIR_MOD = 10  # restrict the left side to every 10th vector: bounded pairs
+
+_EMB_DUP_ORACLE = f"""
+WITH a AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {PAIR_MOD} = 0),
+pairs AS (
+  SELECT a.vec_id AS id_a, e.vec_id AS id_b,
+    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT unnest(a.embedding) AS x, unnest(e.embedding) AS y) z) AS dot,
+    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+     FROM (SELECT unnest(a.embedding) AS x) z) AS na,
+    (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT unnest(e.embedding) AS y) z) AS nb
+  FROM embeddings e, a WHERE a.vec_id < e.vec_id)
+SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+FROM pairs
+WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+@register("embedding_near_dups", oracle=_EMB_DUP_ORACLE)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold — the exact
+    baseline for embedding dedup (the LSH-bucketed variant in
+    operators/similarity.py is the scale path)."""
+    from dissertation_iceberg_spark.operators.similarity import _dot, _norm2
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    a = emb.filter(F.col("vec_id") % PAIR_MOD == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+    )
+    pairs = emb.join(F.broadcast(a), F.col("id_a") < F.col("vec_id"))
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("embedding"))
+        / (F.sqrt(_norm2(F.col("emb_a"))) * F.sqrt(_norm2(F.col("embedding")))),
+        6,
+    )
+    return (
+        pairs.select("id_a", F.col("vec_id").alias("id_b"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------------
+# Rows-only entries (no DuckDB equivalent: xxhash64 / ML models / LSH)
+# --------------------------------------------------------------------------
+
+
+@register("simhash_signatures", oracle=None)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (xxhash64 bit votes — no DuckDB
+    xxhash64, so rows-only; determinism is pytest-verified)."""
+    from dissertation_iceberg_spark.operators.dedup import simhash
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return simhash(docs, "text", "doc_id")
+
+
+@register("minhash_lsh_pairs", oracle=None)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (banded signatures; recall vs exact
+    Jaccard is pytest-verified)."""
+    from dissertation_iceberg_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=32)
+    return minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
+
+
+@register("lsh_ann_topk", oracle=None)
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k cosine neighbors via multi-table hyperplane
+    LSH — the ANN scale path (recall vs brute force pytest-verified)."""
+    from dissertation_iceberg_spark.operators.similarity import lsh_cosine_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_cosine_topk(emb, queries, k=3, num_planes=4, num_tables=8)
+
+
+@register("ml_direction_predictions", oracle=None)
+def ml_direction_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2+M4: RandomForest direction predictions with threshold —
+    per-class counts + accuracy (model outputs have no SQL oracle)."""
+    from dissertation_iceberg_spark.ml.pipeline import (
+        direction_label,
+        predict_direction,
+        train_rf,
+    )
+
+    df = direction_label(
+        lob_events(spark, sf_dir)
+        .withColumn("log_value", F.log("value"))
+        .withColumn("hour_of_day", F.hour("ts").cast("double"))
+    )
+    model = train_rf(df, ["value", "log_value", "hour_of_day"], num_trees=20)
+    pred = predict_direction(model, df)
+    return pred.groupBy("pred_dir").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg((F.col("pred_dir") == F.col("direction")).cast("double")).alias(
+            "accuracy"
+        ),
+    )
+
+
+@register("oi_pacf", oracle=None)
+def oi_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 PACF: distributed ACF -> driver-side Durbin-Levinson on the
+    5-element vector -> tiny result frame."""
+    from dissertation_iceberg_spark.functions.timeseries import pacf_from_acf
+    from dissertation_iceberg_spark.queries.oi_variants import oi_acf
+
+    acf_rows = {r["lag_k"]: r["acf"] for r in oi_acf(spark, sf_dir).collect()}
+    acf = [acf_rows[k] for k in sorted(acf_rows)]
+    pacf = pacf_from_acf(acf)
+    return spark.createDataFrame(
+        [(k + 1, round(v, 6)) for k, v in enumerate(pacf)], ["lag_k", "pacf"]
+    )
