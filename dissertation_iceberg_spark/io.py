@@ -70,6 +70,21 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Steady-state layout (SURVEY §1.4): partitioned parquet with
+    (ticker, date)-style directory columns so per-day queries prune at
+    the file listing, and idempotent overwrite-per-partition replaces
+    the reference's incremental CSV appends (S6)."""
+    (
+        df.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def lob_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical LOB-shaped view over the driver's ``events`` table.
 
