@@ -71,3 +71,20 @@ def test_no_python_udfs_in_core_path(spark, sf_dir, name):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
         f"{name} must stay JVM-side"
     )
+
+
+# brute-force similarity scans the corpus against a broadcast query set
+# by design; quantile_filter joins a broadcast 1-ROW bounds frame (a
+# nested-loop join with a single build row == a map-side filter)
+INTENTIONAL_BNLJ = {"cosine_topk", "embedding_near_dups", "quantile_filter"}
+
+
+def test_plan_red_flag_sweep(spark, sf_dir):
+    """No query may regress into a cartesian product, an unintended
+    nested-loop join, or a row-at-a-time Python UDF."""
+    for name, spec in sorted(REGISTRY.items()):
+        p = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        if name not in INTENTIONAL_BNLJ:
+            assert "BroadcastNestedLoopJoin" not in p, name
+        assert "BatchEvalPython" not in p, name
