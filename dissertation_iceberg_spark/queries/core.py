@@ -75,6 +75,62 @@ def oi_hourly_densified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Flagship, per-key variant: grouped OI with per-key calendar grids —
+# the partition-first shape the 100 TB deployment uses (SURVEY §1.4)
+# --------------------------------------------------------------------------
+
+_PK_DELTA = 21_600
+
+_OI_PK_ORACLE = f"""
+WITH lob AS ({EVENTS_LOB_SQL}),
+b AS (
+  SELECT user_id, {bin_end_sql("ts", _PK_DELTA)} AS bin,
+         CASE WHEN (sum(CASE WHEN direction=-1 THEN size ELSE 0 END)
+                  + sum(CASE WHEN direction= 1 THEN size ELSE 0 END)) <> 0
+              THEN (sum(CASE WHEN direction=-1 THEN size ELSE 0 END)
+                  - sum(CASE WHEN direction= 1 THEN size ELSE 0 END))
+                 / (sum(CASE WHEN direction=-1 THEN size ELSE 0 END)
+                  + sum(CASE WHEN direction= 1 THEN size ELSE 0 END))
+         END AS order_imbalance,
+         count(*) AS n_events,
+         min_by(value, event_id) AS first_price,
+         max_by(value, event_id) AS last_price
+  FROM lob GROUP BY 1, 2),
+bounds AS (SELECT user_id, min(bin) AS lo, max(bin) AS hi FROM b GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL {_PK_DELTA} SECOND)) AS bin
+  FROM bounds),
+d AS (
+  SELECT g.user_id, g.bin,
+         coalesce(b.order_imbalance, 0) AS order_imbalance,
+         coalesce(b.n_events, 0) AS n_events,
+         b.first_price, b.last_price,
+         ln(b.last_price) - ln(b.first_price) AS log_ret
+  FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bin = b.bin)
+SELECT user_id, bin,
+       round(order_imbalance, 6) AS order_imbalance,
+       n_events,
+       round(first_price, 6) AS first_price,
+       round(last_price, 6) AS last_price,
+       round(log_ret, 6) AS log_ret,
+       round(lead(log_ret) OVER (PARTITION BY user_id ORDER BY bin), 6)
+           AS fut_log_ret
+FROM d
+"""
+
+
+@register("oi_per_key_densified", oracle=_OI_PK_ORACLE)
+def oi_per_key_densified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship kernel partitioned by key (ticker-analog): per-key bins,
+    per-key grids from each key's own [min, max] span, per-key return
+    windows — no global state anywhere, which is what makes the same
+    plan valid at 1000 executors."""
+    return oi_pipeline(
+        lob_events(spark, sf_dir), _PK_DELTA, group_cols=["user_id"]
+    )
+
+
+# --------------------------------------------------------------------------
 # P1 trading-hours filter
 # --------------------------------------------------------------------------
 
