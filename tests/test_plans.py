@@ -76,7 +76,12 @@ def test_no_python_udfs_in_core_path(spark, sf_dir, name):
 # brute-force similarity scans the corpus against a broadcast query set
 # by design; quantile_filter joins a broadcast 1-ROW bounds frame (a
 # nested-loop join with a single build row == a map-side filter)
-INTENTIONAL_BNLJ = {"cosine_topk", "embedding_near_dups", "quantile_filter"}
+INTENTIONAL_BNLJ = {
+    "cosine_topk",
+    "embedding_near_dups",
+    "quantile_filter",
+    "portfolio_statistics",  # broadcast 1-row moments frame
+}
 
 
 def test_plan_red_flag_sweep(spark, sf_dir):
