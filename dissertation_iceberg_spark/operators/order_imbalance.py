@@ -116,7 +116,12 @@ def with_returns(
 ) -> DataFrame:
     """Within-bin log return + next-bin future return (W4 lead)."""
     w = Window.partitionBy(*(group_cols or [])).orderBy(bin_col)
-    log_ret = F.log(F.col(last_col)) - F.log(F.col(first_col))
+    # zero/negative prices (possible in raw feeds) must not evaluate
+    # ln(): Spark ANSI and DuckDB both raise — guard, emit NULL
+    log_ret = F.when(
+        (F.col(first_col) > 0) & (F.col(last_col) > 0),
+        F.log(F.col(last_col)) - F.log(F.col(first_col)),
+    )
     return densified.withColumn("log_ret", log_ret).withColumn(
         "fut_log_ret", F.lead("log_ret", 1).over(w)
     )

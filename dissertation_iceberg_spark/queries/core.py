@@ -53,7 +53,8 @@ d AS (
          coalesce(b.order_imbalance, 0) AS order_imbalance,
          coalesce(b.n_events, 0) AS n_events,
          b.first_price, b.last_price,
-         ln(b.last_price) - ln(b.first_price) AS log_ret
+         CASE WHEN b.first_price > 0 AND b.last_price > 0
+              THEN ln(b.last_price) - ln(b.first_price) END AS log_ret
   FROM grid g LEFT JOIN b ON g.bin = b.bin)
 SELECT bin,
        round(order_imbalance, 6) AS order_imbalance,
@@ -105,7 +106,8 @@ d AS (
          coalesce(b.order_imbalance, 0) AS order_imbalance,
          coalesce(b.n_events, 0) AS n_events,
          b.first_price, b.last_price,
-         ln(b.last_price) - ln(b.first_price) AS log_ret
+         CASE WHEN b.first_price > 0 AND b.last_price > 0
+              THEN ln(b.last_price) - ln(b.first_price) END AS log_ret
   FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bin = b.bin)
 SELECT user_id, bin,
        round(order_imbalance, 6) AS order_imbalance,

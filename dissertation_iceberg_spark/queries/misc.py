@@ -281,16 +281,18 @@ WITH d AS (
          max_by(value, event_id) AS close_px
   FROM events GROUP BY 1, 2),
 r AS (
-  SELECT ln(lead(open_px) OVER (PARTITION BY user_id ORDER BY day) / close_px)
-             AS clop_ret,
-         ln(close_px / open_px) AS intraday_ret
-  FROM d),
+  SELECT CASE WHEN close_px > 0 AND lead(open_px) OVER wd > 0
+         THEN ln(lead(open_px) OVER wd / close_px) END AS clop_ret,
+         CASE WHEN open_px > 0 AND close_px > 0
+              THEN ln(close_px / open_px) END AS intraday_ret
+  FROM d
+  WINDOW wd AS (PARTITION BY user_id ORDER BY day)),
 g AS (
   SELECT count(*) AS n, sum(intraday_ret) AS sx, sum(clop_ret) AS sy,
          sum(intraday_ret * clop_ret) AS sxy,
          sum(intraday_ret * intraday_ret) AS sxx,
          sum(clop_ret * clop_ret) AS syy
-  FROM r WHERE clop_ret IS NOT NULL)
+  FROM r WHERE clop_ret IS NOT NULL AND intraday_ret IS NOT NULL)
 SELECT n,
   round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
   round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 6) AS intercept,
@@ -310,10 +312,17 @@ def clop_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(value, event_id)").alias("close_px"),
     )
     w = Window.partitionBy("user_id").orderBy("day")
+    nxt_open = F.lead("open_px", 1).over(w)
     r = d.select(
-        (F.log(F.lead("open_px", 1).over(w) / F.col("close_px"))).alias("clop_ret"),
-        (F.log(F.col("close_px") / F.col("open_px"))).alias("intraday_ret"),
-    ).filter(F.col("clop_ret").isNotNull())
+        F.when(
+            (F.col("close_px") > 0) & (nxt_open > 0),
+            F.log(nxt_open / F.col("close_px")),
+        ).alias("clop_ret"),
+        F.when(
+            (F.col("open_px") > 0) & (F.col("close_px") > 0),
+            F.log(F.col("close_px") / F.col("open_px")),
+        ).alias("intraday_ret"),
+    ).filter(F.col("clop_ret").isNotNull() & F.col("intraday_ret").isNotNull())
     x, y = F.col("intraday_ret"), F.col("clop_ret")
     g = r.agg(
         F.count(F.lit(1)).alias("n"),

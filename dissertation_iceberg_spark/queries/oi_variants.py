@@ -177,11 +177,11 @@ def conditional_oi_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXCESS_ORACLE = f"""
 WITH ub AS (
   SELECT user_id, {bin_end_sql("ts", DELTA)} AS bin,
-         ln(max_by(value, event_id)) - ln(min_by(value, event_id)) AS log_ret
+         CASE WHEN min_by(value, event_id) > 0 AND max_by(value, event_id) > 0 THEN ln(max_by(value, event_id)) - ln(min_by(value, event_id)) END AS log_ret
   FROM events GROUP BY 1, 2),
 mb AS (
   SELECT {bin_end_sql("ts", DELTA)} AS bin,
-         ln(max_by(value, event_id)) - ln(min_by(value, event_id)) AS mkt_ret
+         CASE WHEN min_by(value, event_id) > 0 AND max_by(value, event_id) > 0 THEN ln(max_by(value, event_id)) - ln(min_by(value, event_id)) END AS mkt_ret
   FROM events GROUP BY 1)
 SELECT ub.user_id, ub.bin,
        round(ub.log_ret, 6) AS log_ret,
@@ -198,9 +198,9 @@ def excess_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     at order_imbalance.py:112 is a latent bug Spark must not replicate).
     Market side is tiny after aggregation -> broadcast."""
     e = load_table(spark, sf_dir, "events")
-    ret = F.log(F.expr("max_by(value, event_id)")) - F.log(
-        F.expr("min_by(value, event_id)")
-    )
+    fp = F.expr("min_by(value, event_id)")
+    lp = F.expr("max_by(value, event_id)")
+    ret = F.when((fp > 0) & (lp > 0), F.log(lp) - F.log(fp))
     ub = (
         e.withColumn("bin", bin_end("ts", DELTA))
         .groupBy("user_id", "bin")
@@ -227,7 +227,7 @@ def excess_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FACTOR_ORACLE = f"""
 WITH r AS (
   SELECT user_id, date_trunc('day', ts) AS day,
-         ln(max_by(value, event_id)) - ln(min_by(value, event_id)) AS day_ret
+         CASE WHEN min_by(value, event_id) > 0 AND max_by(value, event_id) > 0 THEN ln(max_by(value, event_id)) - ln(min_by(value, event_id)) END AS day_ret
   FROM events GROUP BY 1, 2),
 f AS (
   SELECT date_trunc('day', o_orderdate) AS day,
@@ -249,9 +249,9 @@ def factor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     here from orders so the oracle sees identical inputs."""
     e = load_table(spark, sf_dir, "events")
     o = load_table(spark, sf_dir, "orders")
-    ret = F.log(F.expr("max_by(value, event_id)")) - F.log(
-        F.expr("min_by(value, event_id)")
-    )
+    fp = F.expr("min_by(value, event_id)")
+    lp = F.expr("max_by(value, event_id)")
+    ret = F.when((fp > 0) & (lp > 0), F.log(lp) - F.log(fp))
     r = (
         e.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(ret.alias("day_ret"))

