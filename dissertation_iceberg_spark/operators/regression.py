@@ -100,6 +100,35 @@ def ols_fit(
     return out
 
 
+FF_FACTORS = ("smb", "hml", "rf", "cma", "rmw")
+
+
+def regression_spec(
+    order_type: str = "combined",
+    ret_type: str = "excess",
+    predictive: bool = True,
+    momentum: bool = False,
+) -> tuple[list[str], str]:
+    """A19 (chunk_pipeline.py:246-305): map a spec tuple to the X column
+    list and y column. X always appends the FF factor columns; the OI
+    columns depend on the order-type variant."""
+    oi_cols = {
+        "vis": ["order_imbalance"],
+        "hid": ["order_imbalance_hid"],
+        "combined": ["order_imbalance_vis", "order_imbalance_hid"],
+        "iceberg": ["order_imbalance_vis", "order_imbalance_ib",
+                     "order_imbalance_hid"],
+    }[order_type]
+    x = [*oi_cols, *(["momentum"] if momentum else []), *FF_FACTORS]
+    y = {
+        ("log", True): "fut_log_ret",
+        ("log", False): "log_ret",
+        ("excess", True): "fut_log_ret_ex",
+        ("excess", False): "log_ret_ex",
+    }[(ret_type, predictive)]
+    return x, y
+
+
 def simple_ols(
     df: DataFrame, x_col: str, y_col: str, group_cols: list[str]
 ) -> DataFrame:

@@ -343,3 +343,50 @@ def clop_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
         F.round(sxy_c * sxy_c / (ssx * ssy), 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# M9 heuristic direction override (direction_analysis.ipynb cells 41-49)
+# --------------------------------------------------------------------------
+
+_HEUR_ORACLE = """
+WITH hid AS (
+  SELECT event_id, user_id, date_trunc('minute', ts) AS minute_ts
+  FROM events WHERE event_type = 'error'),
+vis AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute_ts,
+         min_by(CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END, event_id)
+             AS vis_dir
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2)
+SELECT h.event_id,
+       CAST(coalesce(v.vis_dir, 0) AS BIGINT) AS pred_dir,
+       CAST(CASE WHEN v.vis_dir IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS overridden
+FROM hid h LEFT JOIN vis v
+  ON h.user_id = v.user_id AND h.minute_ts = v.minute_ts
+"""
+
+
+@register("heuristic_direction_override", oracle=_HEUR_ORACLE)
+def heuristic_direction_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9: hidden executions co-occurring (same key, same minute) with a
+    visible trade take that trade's direction — equi-join on the
+    truncated timestamp + when() override
+    (direction_analysis.ipynb cells 41-49)."""
+    e = load_table(spark, sf_dir, "events")
+    direction = F.when(F.col("event_id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    hid = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.date_trunc("minute", F.col("ts")).alias("minute_ts")
+    )
+    vis = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn("dir", direction)
+        .groupBy("user_id", F.date_trunc("minute", F.col("ts")).alias("minute_ts"))
+        .agg(F.expr("min_by(dir, event_id)").alias("vis_dir"))
+    )
+    return hid.join(vis, ["user_id", "minute_ts"], "left").select(
+        "event_id",
+        F.coalesce(F.col("vis_dir"), F.lit(0)).cast("long").alias("pred_dir"),
+        F.col("vis_dir").isNotNull().cast("long").alias("overridden"),
+    )

@@ -60,3 +60,17 @@ def test_ols_fit_single_feature_vs_duckdb_regr(spark, sf_dir):
         n, k = f["n"], 2
         r2 = 1 - (1 - f["adj_r2"]) * (n - k) / (n - 1)
         assert abs(r2 - r["r2"]) < 1e-9
+
+
+def test_regression_spec_construction():
+    from dissertation_iceberg_spark.operators.regression import regression_spec
+
+    x, y = regression_spec("combined", "log", predictive=True)
+    assert x == ["order_imbalance_vis", "order_imbalance_hid",
+                 "smb", "hml", "rf", "cma", "rmw"]
+    assert y == "fut_log_ret"
+    x, y = regression_spec("iceberg", "excess", predictive=False, momentum=True)
+    assert "momentum" in x and "order_imbalance_ib" in x
+    assert y == "log_ret_ex"
+    x, y = regression_spec("vis", "log", predictive=False)
+    assert x[0] == "order_imbalance" and y == "log_ret"
