@@ -104,6 +104,78 @@ def hyperplane_lsh_buckets(
     ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer buckets the corpus into
+    ``n_lists`` inverted lists; each query probes its ``n_probe``
+    nearest centroids and reranks those lists with exact cosine.
+
+    Scale shape: centroid assignment is a map-side transform; the
+    candidate join is an equi-join on the list id; recall is tuned by
+    n_probe/n_lists. Centroids are tiny (n_lists × dim) and broadcast.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cv = corpus.withColumn("__v", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__v", predictionCol="list_id")
+    model = km.fit(cv)
+    corpus_b = model.transform(cv).select(id_col, vec_col, "list_id")
+
+    # query -> n_probe nearest centroids, JVM-side against the tiny
+    # broadcast centroid table
+    cents = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = corpus.sparkSession.createDataFrame(
+        cents, ["list_id", "centroid"]
+    )
+    q = queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("centroid"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    qc = q.crossJoin(F.broadcast(cent_df)).withColumn("dist", dist)
+    wq = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("list_id"))
+    probes = (
+        qc.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= n_probe)
+        .select("qid", "qvec", "list_id")
+    )
+    pairs = corpus_b.join(F.broadcast(probes), "list_id").where(
+        F.col("qid") != F.col(id_col)
+    )
+    scored = pairs.select(
+        "qid",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qvec"), F.col(vec_col))
+            / (F.sqrt(_norm2(F.col("qvec"))) * F.sqrt(_norm2(F.col(vec_col)))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "neighbor_id", "cosine", "rnk")
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

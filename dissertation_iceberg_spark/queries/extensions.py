@@ -140,3 +140,16 @@ def oi_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(k + 1, round(v, 6)) for k, v in enumerate(pacf)], ["lag_k", "pacf"]
     )
+
+
+@register("ivf_ann_topk", oracle=None)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means inverted lists + n_probe rerank —
+    the second ANN scale path (recall pytest-verified vs brute force)."""
+    from dissertation_iceberg_spark.operators.similarity import ivf_cosine_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_cosine_topk(emb, queries, k=3, n_lists=16, n_probe=4)

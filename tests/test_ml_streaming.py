@@ -179,3 +179,24 @@ def test_streaming_oi_matches_batch(spark, sf_dir, tmp_path):
         .toPandas()["bin"]
     )
     assert set(got.bin) == set(batch_bins)
+
+
+def test_ivf_ann_recall(spark, sf_dir):
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    ann = ivf_cosine_topk(emb, queries, k=5, n_lists=8, n_probe=4).toPandas()
+    exact_pairs = set(zip(exact.qid, exact.neighbor_id))
+    ann_pairs = set(zip(ann.qid, ann.neighbor_id))
+    assert ann_pairs
+    recall = len(ann_pairs & exact_pairs) / len(exact_pairs)
+    # probing half the lists on clustered-ish data: expect decent recall
+    assert recall > 0.3, recall

@@ -81,6 +81,7 @@ INTENTIONAL_BNLJ = {
     "embedding_near_dups",
     "quantile_filter",
     "portfolio_statistics",  # broadcast 1-row moments frame
+    "ivf_ann_topk",  # broadcast tiny centroid table (n_lists rows)
 }
 
 
