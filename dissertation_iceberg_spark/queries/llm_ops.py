@@ -250,3 +250,57 @@ def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.col("n_inter").cast("long").alias("n_inter"), "jaccard"
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish regex tokenization + polynomial rolling-hash fingerprint
+# --------------------------------------------------------------------------
+
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+_BPE_ORACLE = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+  CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS BIGINT)
+      AS n_unique_bpe
+FROM documents
+"""
+
+
+@register("bpe_token_count", oracle=_BPE_ORACLE)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenization: letter-runs / digit-runs / punctuation-runs
+    via one regex (the pre-merge stage of byte-pair encoders) — counts
+    approximate LLM token budgets far better than whitespace splits."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_bpe"),
+    )
+
+
+_ROLLHASH_ORACLE = """
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_hash
+FROM documents
+"""
+
+
+@register("rolling_hash", oracle=_ROLLHASH_ORACLE)
+def rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint (base 31, mod 1e9+7) over the
+    character stream — pure integer fold, identical in both engines, and
+    the building block for windowed/rabin-karp chunking at scale."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    chars = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("long"))
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1_000_000_007,
+    )
+    return docs.select("doc_id", h.alias("roll_hash"))
