@@ -38,11 +38,16 @@ def streaming_oi(
     d, s = F.col(dir_col), F.col(size_col)
     sell = F.sum(F.when(d == -1, s).otherwise(F.lit(0.0)))
     buy = F.sum(F.when(d == 1, s).otherwise(F.lit(0.0)))
-    shifted = F.expr(f"{ts_col} - INTERVAL 1 MICROSECOND")
-    win = F.window(shifted, f"{int(delta_sec)} seconds")
-    df = events
+    # materialize the ceil-parity shift as a column BEFORE the
+    # watermark: Spark only links a watermark to a window whose time
+    # column IS the watermarked column, not an expression over it
+    df = events.withColumn(
+        "__ts_shift",
+        F.expr(f"CAST({ts_col} AS TIMESTAMP) - INTERVAL 1 MICROSECOND"),
+    )
+    win = F.window(F.col("__ts_shift"), f"{int(delta_sec)} seconds")
     if df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = df.withWatermark("__ts_shift", watermark)
     return (
         df.groupBy(*(group_cols or []), win.alias("win"))
         .agg(

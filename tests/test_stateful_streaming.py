@@ -86,3 +86,70 @@ def test_stateful_matches_batch(spark, lob_src):
     for key in undecided:
         assert key not in got_ids
     assert len(got) + len(undecided) == (pdf.event_type == 4).sum()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: a row arriving AFTER its window has been
+    finalized (watermark passed the window end and the window was
+    emitted in an earlier micro-batch) is dropped. (A late row arriving
+    while its window is still live legitimately merges — the watermark
+    is a finalization bound, not an input filter.)"""
+    import time
+
+    import pandas as pd
+    from dissertation_iceberg_spark.streaming.oi_stream import streaming_oi
+
+    src = str(tmp_path / "late_src")
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    b1 = pd.DataFrame(
+        {
+            "ts": [base + pd.Timedelta(minutes=m) for m in (5, 20, 110)],
+            "direction": [1, -1, 1],
+            "size": [10.0, 20.0, 30.0],
+        }
+    )
+    # batch 2: on-time row; processed with watermark 11:20 -> finalizes
+    # and emits the 10:00-11:00 window
+    b2 = pd.DataFrame(
+        {
+            "ts": [base + pd.Timedelta(minutes=115)],
+            "direction": [1],
+            "size": [5.0],
+        }
+    )
+    # batch 3: late row for the already-emitted window -> dropped
+    b3 = pd.DataFrame(
+        {
+            "ts": [base + pd.Timedelta(minutes=15)],
+            "direction": [-1],
+            "size": [999.0],
+        }
+    )
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b3).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_oi(stream, 3600, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("late_oi")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("late_oi").toPandas().set_index("bin")
+    # the 10:00-11:00 window (bin end 11:00) closed at watermark 11:20
+    bin_11 = pd.Timestamp("2024-01-01 11:00:00")
+    assert bin_11 in got.index
+    row = got.loc[bin_11]
+    assert row.n_events == 2  # late 999-size row NOT included
+    # OI from the two on-time events: (20 - 10) / 30
+    assert abs(row.order_imbalance - (20 - 10) / 30) < 1e-9
