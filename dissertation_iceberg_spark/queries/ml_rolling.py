@@ -182,3 +182,130 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u, 6).alias("u_stat"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# M8 multi-feature rolling refit: y ~ x + momentum + 1, exact Gram path
+# --------------------------------------------------------------------------
+
+# Cramer formulas shared verbatim with the ols2_gram kernel: the stats
+# frame exposes columns a..r (Gram upper triangle + moments) and both
+# engines evaluate the SAME strings.
+from dissertation_iceberg_spark.queries.regression import _BETA  # noqa: E402
+
+MOM_DAYS = 3
+
+_MGRAM_COLS = {
+    "a": "txx", "b": "txm", "c": "tx", "d": "tmm", "e2": "tm",
+    "f": "tn", "p": "txy", "q": "tmy", "r": "ty",
+}
+
+_MULTI_SQL_STATS = """
+daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         sum(CAST(round(value * 100) AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2),
+dm AS (
+  SELECT *, sum(x) OVER (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN {mom} PRECEDING AND 1 PRECEDING) AS m,
+         lead(x) OVER (PARTITION BY user_id ORDER BY day) AS y
+  FROM daily),
+rows_ok AS (SELECT * FROM dm WHERE m IS NOT NULL AND y IS NOT NULL),
+day_gram AS (
+  SELECT day, count(*) AS n,
+         sum(x * x) AS sxx, sum(x * m) AS sxm, sum(x) AS sx,
+         sum(m * m) AS smm, sum(m) AS sm,
+         sum(x * y) AS sxy, sum(m * y) AS smy, sum(y) AS sy
+  FROM rows_ok GROUP BY day),
+trail AS (
+  SELECT day,
+         CAST(sum(n)   OVER w AS DOUBLE) AS tn,
+         CAST(sum(sxx) OVER w AS DOUBLE) AS txx,
+         CAST(sum(sxm) OVER w AS DOUBLE) AS txm,
+         CAST(sum(sx)  OVER w AS DOUBLE) AS tx,
+         CAST(sum(smm) OVER w AS DOUBLE) AS tmm,
+         CAST(sum(sm)  OVER w AS DOUBLE) AS tm,
+         CAST(sum(sxy) OVER w AS DOUBLE) AS txy,
+         CAST(sum(smy) OVER w AS DOUBLE) AS tmy,
+         CAST(sum(sy)  OVER w AS DOUBLE) AS ty
+  FROM day_gram
+  WINDOW w AS (ORDER BY day ROWS BETWEEN {train} PRECEDING AND 1 PRECEDING))
+""".format(mom=MOM_DAYS, train=TRAIN_DAYS)
+
+
+def _multi_oracle() -> str:
+    renames = ", ".join(f"{src} AS {dst}" for dst, src in _MGRAM_COLS.items())
+    betas = ", ".join(f"{expr} AS {k}" for k, expr in _BETA.items())
+    det = "(a*(d*f - e2*e2) - b*(b*f - e2*c) + c*(b*e2 - d*c))"
+    return f"""
+WITH {_MULTI_SQL_STATS},
+g AS (SELECT day, {renames} FROM trail WHERE tn >= 4),
+s AS (SELECT *, {betas} FROM g WHERE {det} <> 0)
+SELECT d.day, d.user_id,
+       round(s.beta1, 6) AS beta_x,
+       round(s.beta2, 6) AS beta_mom,
+       round((s.intercept + s.beta1 * d.x + s.beta2 * d.m) / 1e2, 6)
+           AS signal_hat,
+       CAST(s.f AS BIGINT) AS n_train
+FROM (SELECT user_id, day, x, m FROM dm WHERE m IS NOT NULL) d
+JOIN s ON d.day = s.day
+"""
+
+
+@register("rolling_refit_multi", oracle=_multi_oracle())
+def rolling_refit_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 with the reference's momentum control (A19): per-day refit of
+    y ~ x + momentum + 1 over the trailing window — per-day Gram sums
+    (integer-exact), trailing window sums, shared Cramer formula
+    strings. One aggregation + one window; zero iteration. Long-sum
+    headroom: |Σ trailing x·y| < ~2e18 at sf0.1 (5× margin); beyond
+    that, scale to DECIMAL(38) sums."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    wl = Window.partitionBy("user_id").orderBy("day")
+    dm = daily.withColumn(
+        "m", F.sum("x").over(wl.rowsBetween(-MOM_DAYS, -1))
+    ).withColumn("y", F.lead("x", 1).over(wl))
+    rows_ok = dm.filter(F.col("m").isNotNull() & F.col("y").isNotNull())
+    x, m_, y = F.col("x"), F.col("m"), F.col("y")
+    day_gram = rows_ok.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x * x).alias("sxx"), F.sum(x * m_).alias("sxm"),
+        F.sum(x).alias("sx"), F.sum(m_ * m_).alias("smm"),
+        F.sum(m_).alias("sm"), F.sum(x * y).alias("sxy"),
+        F.sum(m_ * y).alias("smy"), F.sum(y).alias("sy"),
+    )
+    wt = Window.orderBy("day").rowsBetween(-TRAIN_DAYS, -1)
+    trail = day_gram.select(
+        "day",
+        *[
+            F.sum(src_col).over(wt).cast("double").alias(dst)
+            for dst, src_col in [
+                ("tn", "n"), ("txx", "sxx"), ("txm", "sxm"), ("tx", "sx"),
+                ("tmm", "smm"), ("tm", "sm"), ("txy", "sxy"),
+                ("tmy", "smy"), ("ty", "sy"),
+            ]
+        ],
+    )
+    g = trail.filter(F.col("tn") >= 4).select(
+        "day", *[F.col(src).alias(dst) for dst, src in _MGRAM_COLS.items()]
+    )
+    det = "(a*(d*f - e2*e2) - b*(b*f - e2*c) + c*(b*e2 - d*c))"
+    s = g.filter(F.expr(det) != 0).select(
+        "day", *[F.expr(expr).alias(k) for k, expr in _BETA.items()], F.col("f")
+    )
+    d = dm.filter(F.col("m").isNotNull()).select("user_id", "day", "x", "m")
+    return d.join(F.broadcast(s), "day").select(
+        "day",
+        "user_id",
+        F.round("beta1", 6).alias("beta_x"),
+        F.round("beta2", 6).alias("beta_mom"),
+        F.round(
+            (F.col("intercept") + F.col("beta1") * F.col("x")
+             + F.col("beta2") * F.col("m")) / F.lit(1e2),
+            6,
+        ).alias("signal_hat"),
+        F.col("f").cast("long").alias("n_train"),
+    )
