@@ -58,12 +58,18 @@ def main() -> None:
         ).mode("overwrite").save()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # median of 3 runs per query: local timing noise (GC, page cache,
+    # codegen compilation) otherwise dominates the single-digit-second
+    # measurements
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(

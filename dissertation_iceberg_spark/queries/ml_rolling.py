@@ -309,3 +309,62 @@ def rolling_refit_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("signal_hat"),
         F.col("f").cast("long").alias("n_train"),
     )
+
+
+# --------------------------------------------------------------------------
+# A14 stratified: per-day Mann-Whitney U (no global sort)
+# --------------------------------------------------------------------------
+
+_MWU_STRAT_ORACLE = f"""
+WITH s AS (
+  SELECT date_trunc('day', ts) AS day, value, event_type FROM events
+  WHERE event_type IN ('{_GROUP_A}', '{_GROUP_B}')),
+r AS (
+  SELECT day, event_type,
+         rank() OVER (PARTITION BY day ORDER BY value)
+           + (count(*) OVER (PARTITION BY day, value) - 1) / 2e0 AS avg_rank
+  FROM s),
+agg AS (
+  SELECT day,
+    sum(CASE WHEN event_type = '{_GROUP_A}' THEN avg_rank ELSE 0 END) AS r1,
+    sum(CASE WHEN event_type = '{_GROUP_A}' THEN 1 ELSE 0 END) AS n1,
+    sum(CASE WHEN event_type = '{_GROUP_B}' THEN 1 ELSE 0 END) AS n2
+  FROM r GROUP BY day)
+SELECT day, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+  round(r1 - n1 * (n1 + 1) / 2e0, 6) AS u_stat,
+  round((r1 - n1 * (n1 + 1) / 2e0 - n1 * n2 / 2e0)
+        / sqrt(n1 * n2 * (n1 + n2 + 1) / 12e0), 6) AS z_score
+FROM agg WHERE n1 > 0 AND n2 > 0
+"""
+
+
+@register("mann_whitney_u_stratified", oracle=_MWU_STRAT_ORACLE)
+def mann_whitney_u_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 at scale: per-stratum (per-day) U statistics — the rank sort
+    partitions by day, so no operator ever needs a global ordering
+    (the scale fix promised in SCALE.md)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_GROUP_A, _GROUP_B)
+    ).withColumn("day", F.date_trunc("day", F.col("ts")))
+    avg_rank = (
+        F.rank().over(Window.partitionBy("day").orderBy("value"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("day", "value")) - 1) / 2.0
+    )
+    r = e.select("day", "event_type", avg_rank.alias("avg_rank"))
+    agg = r.groupBy("day").agg(
+        F.sum(
+            F.when(F.col("event_type") == _GROUP_A, F.col("avg_rank")).otherwise(0.0)
+        ).alias("r1"),
+        F.sum(F.when(F.col("event_type") == _GROUP_A, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == _GROUP_B, 1).otherwise(0)).alias("n2"),
+    )
+    n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
+    u = r1 - n1 * (n1 + 1) / 2.0
+    z = (u - n1 * n2 / 2.0) / F.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
+    return agg.filter((n1 > 0) & (n2 > 0)).select(
+        "day",
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        F.round(u, 6).alias("u_stat"),
+        F.round(z, 6).alias("z_score"),
+    )

@@ -200,3 +200,31 @@ def test_ivf_ann_recall(spark, sf_dir):
     recall = len(ann_pairs & exact_pairs) / len(exact_pairs)
     # probing half the lists on clustered-ish data: expect decent recall
     assert recall > 0.3, recall
+
+
+def test_model_persistence_roundtrip(spark, sf_dir, tmp_path, featured):
+    """S10: PipelineModel.save/load — reloaded model reproduces the
+    original predictions exactly."""
+    from pyspark.ml import PipelineModel
+
+    from dissertation_iceberg_spark.ml.pipeline import predict_direction, train_rf
+
+    model = train_rf(featured.limit(500), FEATURES, num_trees=10)
+    path = str(tmp_path / "rf_model")
+    model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+    a = (
+        predict_direction(model, featured.limit(200))
+        .select("event_id", "pred_prob")
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    b = (
+        predict_direction(reloaded, featured.limit(200))
+        .select("event_id", "pred_prob")
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert (a.pred_prob == b.pred_prob).all()

@@ -153,3 +153,61 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert row.n_events == 2  # late 999-size row NOT included
     # OI from the two on-time events: (20 - 10) / 30
     assert abs(row.order_imbalance - (20 - 10) / 30) < 1e-9
+
+
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Exactly-once replay: stop after batch 1, restart with the same
+    checkpoint over more data — windows already emitted must not
+    re-emit, new data must appear (foreachBatch parquet sink)."""
+    import os
+
+    import pandas as pd
+    from dissertation_iceberg_spark.streaming.oi_stream import streaming_oi
+
+    src = str(tmp_path / "ck_src")
+    out = str(tmp_path / "ck_out")
+    ckpt = str(tmp_path / "ck_state")
+    base = pd.Timestamp("2024-01-01 10:00:00")
+
+    def sink(df, epoch_id):
+        df.write.mode("append").parquet(out)
+
+    def run_available():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            streaming_oi(stream, 3600, watermark="30 minutes")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = pd.DataFrame(
+        {
+            "ts": [base + pd.Timedelta(minutes=m) for m in (10, 20, 150)],
+            "direction": [1, -1, 1],
+            "size": [10.0, 30.0, 7.0],
+        }
+    )
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src)
+    run_available()
+    first = spark.read.parquet(out).toPandas()
+    assert len(first) >= 1  # the 10-11 window finalized (watermark 12:00)
+
+    # restart with MORE data; previously emitted windows must not repeat
+    b2 = pd.DataFrame(
+        {
+            "ts": [base + pd.Timedelta(minutes=400)],
+            "direction": [-1],
+            "size": [11.0],
+        }
+    )
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+    run_available()
+    final = spark.read.parquet(out).toPandas()
+    assert not final.duplicated(["bin"]).any(), final.to_string()
+    assert len(final) > len(first)  # the 12-13 window finalized on restart
