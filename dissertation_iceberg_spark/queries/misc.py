@@ -390,3 +390,40 @@ def heuristic_direction_override(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("vis_dir"), F.lit(0)).cast("long").alias("pred_dir"),
         F.col("vis_dir").isNotNull().cast("long").alias("overridden"),
     )
+
+
+# --------------------------------------------------------------------------
+# O5 categorical-order result sort (array_position over a timeframe dim)
+# --------------------------------------------------------------------------
+
+_TF_ORDER = "array(900, 3600, 21600)"
+
+_TF_ORACLE = f"""
+WITH lob AS (SELECT *, CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END AS direction,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+per AS (
+  SELECT CAST(900 AS BIGINT) AS delta_sec, count(*) AS n_rows FROM lob
+  UNION ALL SELECT 3600, count(*) FROM lob
+  UNION ALL SELECT 21600, count(*) FROM lob)
+SELECT delta_sec, n_rows,
+       CAST(array_position([900, 3600, 21600], delta_sec) AS BIGINT) AS tf_order
+FROM per ORDER BY tf_order
+"""
+
+
+@register("timeframe_ordered", oracle=_TF_ORACLE)
+def timeframe_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: categorical timeframe ordering via array_position (the
+    reference sorts result tables by a categorical timeframe column,
+    regression_table.ipynb cells 5-6)."""
+    e = load_table(spark, sf_dir, "events")
+    n = e.count()  # driver-side scalar: row count only
+    rows = [(d, n) for d in (900, 3600, 21600)]
+    per = spark.createDataFrame(rows, "delta_sec LONG, n_rows LONG")
+    return per.select(
+        "delta_sec",
+        "n_rows",
+        F.expr(f"CAST(array_position({_TF_ORDER}, delta_sec) AS LONG)").alias(
+            "tf_order"
+        ),
+    ).orderBy("tf_order")

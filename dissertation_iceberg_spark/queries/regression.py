@@ -94,6 +94,9 @@ _INV = {
     "inv11": f"(d*f - e2*e2) / {_DET}",
     "inv22": f"(a*f - c*c) / {_DET}",
     "inv33": f"(a*d - b*b) / {_DET}",
+    # off-diagonal cofactor (x1,x2) — needed for linear-hypothesis
+    # tests like t_test(beta1 - beta2 = 0) (A22)
+    "inv12": f"-(b*f - e2*c) / {_DET}",
 }
 _RSS = (
     "(syy - 2*(beta1*p + beta2*q + intercept*r)"
@@ -111,6 +114,13 @@ _FINAL = {
     "t_beta1": f"round(beta1 / sqrt({_RSS} / (f - 3) * inv11), 6)",
     "t_beta2": f"round(beta2 / sqrt({_RSS} / (f - 3) * inv22), 6)",
     "adj_r2": f"round(1 - ({_RSS} / (f - 3)) / ({_TSS} / (f - 1)), 6)",
+    # A22: t-test of beta1 == beta2 (direction_analysis.ipynb cells
+    # 63-65: t_test('order_imbalance_ib - order_imbalance = 0')) —
+    # var(b1−b2) = σ²(inv11 + inv22 − 2·inv12)
+    "t_equal": (
+        f"round((beta1 - beta2) / sqrt({_RSS} / (f - 3)"
+        " * (inv11 + inv22 - 2 * inv12)), 6)"
+    ),
 }
 
 _OLS2_INPUT_SQL = """

