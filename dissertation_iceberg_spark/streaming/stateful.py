@@ -54,7 +54,7 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _make_flagger(tolerance_us: int):
+def _make_flagger(tolerance_us: int, use_timeout: bool):
     def flag_refills(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
@@ -67,24 +67,44 @@ def _make_flagger(tolerance_us: int):
         else:
             pending = []
         decided: list[tuple[str, int, int, int]] = []
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            ["ts_us", "event_id"]
-        )
-        for r in rows.itertuples():
-            if r.event_type == 4:
-                pending.append((int(r.ts_us), int(r.event_id)))
-            elif r.event_type == 1:
-                still = []
-                for ts_us, eid in pending:
-                    if ts_us + tolerance_us >= r.ts_us:
-                        decided.append((ticker, eid, int(price), 1))
-                    else:
-                        decided.append((ticker, eid, int(price), 0))
-                pending = still
+
+        if use_timeout and state.hasTimedOut:
+            # watermark passed (oldest pending + tolerance): pendings the
+            # watermark has overtaken can never match -> decide 0
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            still = []
+            for ts_us, eid in pending:
+                if ts_us + tolerance_us < wm_us:
+                    decided.append((ticker, eid, int(price), 0))
+                else:
+                    still.append((ts_us, eid))
+            pending = still
+        else:
+            batches = list(pdfs)
+            if batches:
+                rows = pd.concat(batches, ignore_index=True).sort_values(
+                    ["ts_us", "event_id"]
+                )
+                for r in rows.itertuples():
+                    if r.event_type == 4:
+                        pending.append((int(r.ts_us), int(r.event_id)))
+                    elif r.event_type == 1:
+                        for ts_us, eid in pending:
+                            if ts_us + tolerance_us >= r.ts_us:
+                                decided.append((ticker, eid, int(price), 1))
+                            else:
+                                decided.append((ticker, eid, int(price), 0))
+                        pending = []
+
         state.update((
             [t for t, _ in pending],
             [i for _, i in pending],
         ))
+        if use_timeout and pending:
+            # fire when the watermark passes the oldest undecidable point
+            wm_ms = state.getCurrentWatermarkMs()
+            target_ms = (min(t for t, _ in pending) + tolerance_us) // 1000 + 1
+            state.setTimeoutTimestamp(max(target_ms, wm_ms + 1))
         if decided:
             yield pd.DataFrame(
                 decided, columns=["ticker", "event_id", "price", "iceberg"]
@@ -97,9 +117,16 @@ def streaming_iceberg_tag(
     events: DataFrame,
     tolerance_us: int = 1_000,
     watermark: str = "1 hour",
+    timeout: bool = False,
 ) -> DataFrame:
     """events: (ticker, price, ts, event_id, event_type ∈ {1,4}) stream
-    -> decided executions with iceberg flags."""
+    -> decided executions with iceberg flags.
+
+    With ``timeout=True`` an event-time timeout flushes pendings the
+    watermark has overtaken (decided 0): keys whose submissions never
+    arrive no longer hold state forever — the knob that bounds state
+    for long-running deployments.
+    """
     from pyspark.sql import functions as F
 
     from dissertation_iceberg_spark.functions.time_bins import micros
@@ -112,9 +139,13 @@ def streaming_iceberg_tag(
     if df.isStreaming:
         df = df.withWatermark("ts", watermark)
     return df.groupBy("ticker", "price").applyInPandasWithState(
-        _make_flagger(tolerance_us),
+        _make_flagger(tolerance_us, timeout),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )

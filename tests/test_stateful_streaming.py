@@ -211,3 +211,62 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     final = spark.read.parquet(out).toPandas()
     assert not final.duplicated(["bin"]).any(), final.to_string()
     assert len(final) > len(first)  # the 12-13 window finalized on restart
+
+
+def test_event_time_timeout_flushes_pendings(spark, tmp_path):
+    """timeout=True: an execution with NO following submission is
+    decided 0 once the watermark passes ts + tolerance."""
+    import time
+
+    import pandas as pd
+    from dissertation_iceberg_spark.streaming.stateful import (
+        streaming_iceberg_tag,
+    )
+
+    src = str(tmp_path / "to_src")
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    # batch 1: a lone execution (no submission will ever come)
+    b1 = pd.DataFrame(
+        {
+            "ticker": ["A"],
+            "price": [100],
+            "ts": [base],
+            "event_id": [0],
+            "event_type": [4],
+        }
+    )
+    # batch 2: unrelated key far in the future -> watermark jumps past
+    # base + tolerance, firing the timeout for key (A, 100)
+    b2 = pd.DataFrame(
+        {
+            "ticker": ["B"],
+            "price": [200],
+            "ts": [base + pd.Timedelta(hours=3)],
+            "event_id": [1],
+            "event_type": [1],
+        }
+    )
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_iceberg_tag(
+            stream, tolerance_us=1_000, watermark="30 minutes", timeout=True
+        )
+        .writeStream.format("memory")
+        .queryName("to_ice")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("to_ice").toPandas()
+    row = got[(got.ticker == "A") & (got.event_id == 0)]
+    assert len(row) == 1, got.to_string()
+    assert row.iloc[0].iceberg == 0  # flushed by timeout, never matched
