@@ -1,6 +1,8 @@
 """Custom stateful streaming operator: incremental iceberg-refill
 detection via applyInPandasWithState.
 
+Streaming counterpart of J1 (reference: order_imbalance.py:25-48
+``iceberg_tag``, merge_asof forward/1ms semantics — SURVEY §2.3).
 Batch J1 needs the whole history to find "the next submission within
 tolerance"; on a stream, per-(key) state carries the undecided
 executions across micro-batches:
