@@ -74,6 +74,58 @@ def test_multimodal_features(spark):
     assert (feats.n_bytes > 0).all()
 
 
+def test_video_frame_sampling(spark):
+    from dissertation_iceberg_spark.operators.multimodal import (
+        sample_frames,
+        synthetic_media,
+        video_features,
+    )
+
+    media = synthetic_media(spark, n=30)  # 10 of each kind
+    frames = sample_frames(media, n_frames=4).toPandas()
+    # only video rows explode, each into exactly n_frames rows
+    assert len(frames) == 10 * 4
+    per = frames.groupby("media_id").frame_idx.apply(list)
+    assert per.map(lambda v: sorted(v) == [0, 1, 2, 3]).all()
+    # offsets evenly spaced over duration_ms=1000, endpoints exact
+    one = frames[frames.media_id == frames.media_id.min()].sort_values("frame_idx")
+    assert list(one.offset_ms) == [0, 333, 667, 1000]
+    assert (frames.frame_payload.map(len) > 0).all()
+
+    # mean-pooled video features: one row per video, fixed dim,
+    # equal to the hand-computed mean of per-frame histograms
+    vf = video_features(media, n_frames=4, dim=8).toPandas()
+    assert len(vf) == 10
+    assert (vf.n_frames == 4).all()
+    assert vf.feature.map(len).eq(8).all()
+    from dissertation_iceberg_spark.operators.multimodal import (
+        _fake_decode_features,
+    )
+
+    mid = int(vf.media_id.iloc[0])
+    mine = frames[frames.media_id == mid].sort_values("frame_idx")
+    manual = [
+        sum(col) / 4
+        for col in zip(
+            *(_fake_decode_features(p, 8) for p in mine.frame_payload)
+        )
+    ]
+    got = vf.set_index("media_id").loc[mid, "feature"]
+    assert max(abs(a - b) for a, b in zip(got, manual)) < 1e-6
+
+
+def test_decode_image_guard(spark):
+    from dissertation_iceberg_spark.operators.multimodal import (
+        decode_image_features,
+    )
+
+    # container has no PIL → deterministic fallback with dim size[0]+1
+    out = decode_image_features(b"\x01\x02\x03\x04" * 8, size=(8, 8))
+    assert len(out) == 9
+    assert out == decode_image_features(b"\x01\x02\x03\x04" * 8, size=(8, 8))
+    assert decode_image_features(None) == [0.0] * 9
+
+
 def test_lsh_ann_recall(spark, sf_dir):
     from dissertation_iceberg_spark.io import load_table
     from dissertation_iceberg_spark.operators.similarity import (

@@ -46,6 +46,68 @@ def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
     assert joined.count() == plain.count()
 
 
+def test_aqe_skew_join_split(spark):
+    """AQE skew-join must split a pathological hot key at runtime.
+
+    Synthetic skew: one key holds ~10× the rows of all others combined.
+    With test-scale thresholds lowered, the executed plan's sort-merge
+    join must carry ``skew=true`` (the hot partition was split into
+    sub-partitions), and results must match the plain join. This is the
+    runtime complement to the deterministic ``salted_join`` — at 100 TB
+    AQE handles moderate skew automatically; salting is for keys so hot
+    a single split set still thrashes.
+    """
+    conf = spark.conf
+    keys = [
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+    ]
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        n_hot, n_cold = 200_000, 20_000
+        hot = spark.range(n_hot).select(
+            F.lit(0).cast("long").alias("k"), F.col("id").alias("v")
+        )
+        cold = spark.range(n_cold).select(
+            (F.col("id") % 64 + 1).alias("k"), F.col("id").alias("v")
+        )
+        left = hot.unionByName(cold)
+        right = spark.range(65).select(
+            F.col("id").alias("k"), F.lit("dim").alias("w")
+        )
+        joined = left.join(right, "k")
+        # collect() executes THIS df's query execution (count() would
+        # spawn a separate one whose plan we couldn't inspect)
+        assert len(joined.collect()) == n_hot + n_cold  # every row matches once
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE did not split the skewed partition:\n" + plan[:3000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def test_salted_join_matches_plain(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("k"), "l_extendedprice"
