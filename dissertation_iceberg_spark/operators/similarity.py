@@ -104,41 +104,73 @@ def hyperplane_lsh_buckets(
     ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
 
 
-def ivf_cosine_topk(
+class IVFIndex:
+    """Persistable IVF index: inverted lists (corpus bucketed by nearest
+    centroid) + the tiny centroid table.
+
+    At 100 TB the index is built ONCE (one k-means fit + one map-side
+    assignment pass), written partitioned by ``list_id``, and every
+    subsequent query batch probes it without refitting — probe reads
+    prune to n_probe/n_lists of the corpus via partition pruning.
+    """
+
+    def __init__(self, lists: DataFrame, cent_df: DataFrame, id_col: str, vec_col: str):
+        self.lists = lists  # (id_col, vec_col, list_id)
+        self.cent_df = cent_df  # (list_id, centroid)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def save(self, path: str) -> None:
+        self.lists.write.mode("overwrite").partitionBy("list_id").parquet(
+            f"{path}/lists"
+        )
+        self.cent_df.write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @staticmethod
+    def load(spark, path: str, id_col: str = "vec_id", vec_col: str = "embedding"):
+        return IVFIndex(
+            spark.read.parquet(f"{path}/lists"),
+            spark.read.parquet(f"{path}/centroids"),
+            id_col,
+            vec_col,
+        )
+
+
+def build_ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    query_id_col: str = "query_id",
-    k: int = 3,
     n_lists: int = 16,
-    n_probe: int = 4,
     seed: int = 42,
-) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer buckets the corpus into
-    ``n_lists`` inverted lists; each query probes its ``n_probe``
-    nearest centroids and reranks those lists with exact cosine.
-
-    Scale shape: centroid assignment is a map-side transform; the
-    candidate join is an equi-join on the list id; recall is tuned by
-    n_probe/n_lists. Centroids are tiny (n_lists × dim) and broadcast.
-    """
+) -> IVFIndex:
+    """Fit the k-means coarse quantizer and bucket the corpus into
+    inverted lists. Centroid assignment is a map-side transform."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     cv = corpus.withColumn("__v", array_to_vector(F.col(vec_col)))
     km = KMeans(k=n_lists, seed=seed, featuresCol="__v", predictionCol="list_id")
     model = km.fit(cv)
-    corpus_b = model.transform(cv).select(id_col, vec_col, "list_id")
-
-    # query -> n_probe nearest centroids, JVM-side against the tiny
-    # broadcast centroid table
+    lists = model.transform(cv).select(id_col, vec_col, "list_id")
     cents = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    cent_df = corpus.sparkSession.createDataFrame(
-        cents, ["list_id", "centroid"]
-    )
+    cent_df = corpus.sparkSession.createDataFrame(cents, ["list_id", "centroid"])
+    return IVFIndex(lists, cent_df, id_col, vec_col)
+
+
+def ivf_search(
+    index: IVFIndex,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    k: int = 3,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a (possibly loaded-from-disk) IVF index: each query visits
+    its ``n_probe`` nearest centroids' lists and reranks with exact
+    cosine. Recall is tuned by n_probe/n_lists."""
+    id_col, vec_col, cent_df = index.id_col, index.vec_col, index.cent_df
+    corpus_b = index.lists
     q = queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qvec"))
     dist = F.aggregate(
         F.zip_with(
@@ -174,6 +206,26 @@ def ivf_cosine_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "neighbor_id", "cosine", "rnk")
     )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN = build_ivf_index + ivf_search in one shot (the
+    registry's one-call form; persistent deployments build once via
+    :class:`IVFIndex` and search many times)."""
+    index = build_ivf_index(
+        corpus, vec_col=vec_col, id_col=id_col, n_lists=n_lists, seed=seed
+    )
+    return ivf_search(index, queries, query_id_col=query_id_col, k=k, n_probe=n_probe)
 
 
 def lsh_cosine_topk(

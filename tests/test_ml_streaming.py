@@ -126,6 +126,37 @@ def test_decode_image_guard(spark):
     assert decode_image_features(None) == [0.0] * 9
 
 
+def test_ivf_index_roundtrip(spark, sf_dir, tmp_path):
+    """IVF index persists (lists partitioned by list_id + centroids)
+    and a loaded index answers identically to the in-memory one — the
+    build-once/search-many path for repeated query batches."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.operators.similarity import (
+        IVFIndex,
+        build_ivf_index,
+        ivf_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = build_ivf_index(emb, n_lists=8, seed=42)
+    fresh = ivf_search(index, queries, k=3, n_probe=3).toPandas()
+    assert len(fresh) > 0
+
+    path = str(tmp_path / "ivf")
+    index.save(path)
+    loaded = IVFIndex.load(spark, path)
+    replay = ivf_search(loaded, queries, k=3, n_probe=3).toPandas()
+
+    key = ["qid", "rnk"]
+    a = fresh.sort_values(key).reset_index(drop=True)
+    b = replay.sort_values(key).reset_index(drop=True)
+    assert a[["qid", "neighbor_id", "rnk"]].equals(b[["qid", "neighbor_id", "rnk"]])
+    assert (a.cosine - b.cosine).abs().max() < 1e-9
+
+
 def test_lsh_ann_recall(spark, sf_dir):
     from dissertation_iceberg_spark.io import load_table
     from dissertation_iceberg_spark.operators.similarity import (
