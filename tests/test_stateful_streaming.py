@@ -270,3 +270,61 @@ def test_event_time_timeout_flushes_pendings(spark, tmp_path):
     row = got[(got.ticker == "A") & (got.event_id == 0)]
     assert len(row) == 1, got.to_string()
     assert row.iloc[0].iceberg == 0  # flushed by timeout, never matched
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark
+    horizon are dropped; a duplicate arriving after its key's state was
+    evicted is re-emitted (the bounded-state tradeoff, characterized)."""
+    import time
+
+    import pandas as pd
+    from dissertation_iceberg_spark.streaming.dedup_stream import streaming_dedup
+
+    src = str(tmp_path / "dedup_src")
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    mk = lambda ids, mins: pd.DataFrame(
+        {
+            "doc_id": ids,
+            "ts": [base + pd.Timedelta(minutes=m) for m in mins],
+            "payload": [f"d{i}" for i in ids],
+        }
+    )
+    # b1: first sightings of 1 and 2
+    b1 = mk([1, 2], [0, 5])
+    # b2: dup of 1 within horizon (dropped) + id 3 far ahead. The
+    # watermark advances to 12:00 - 30min = 11:30 at the END of b2, so
+    # it is in force during b3.
+    b2 = mk([1, 3], [10, 120])
+    # b3: unrelated key; at the end of this batch, eviction (running at
+    # wm 11:30) removes keys 1 (expiry 10:30) and 2 (10:35).
+    b3 = mk([4], [125])
+    # b4: id 1 AFTER eviction (re-emitted), dup of 3 within horizon
+    # (state expiry 12:30 > wm -> dropped)
+    b4 = mk([1, 3], [130, 135])
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src)
+    for b in (b2, b3, b4):
+        time.sleep(1.1)
+        spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_dedup(stream, ["doc_id"], ts_col="ts", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_out").toPandas().sort_values(["doc_id", "ts"])
+    # ids 2/3/4 exactly once; id 1 twice (second sighting post-eviction)
+    assert got.doc_id.tolist() == [1, 1, 2, 3, 4], got.to_string()
+    assert got[got.doc_id == 1].ts.tolist() == [
+        base,
+        base + pd.Timedelta(minutes=130),
+    ]
