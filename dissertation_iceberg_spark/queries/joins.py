@@ -193,3 +193,104 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5-style multi-way join (supplier/nation/region coverage)
+# --------------------------------------------------------------------------
+
+_REGIONAL_ORACLE = """
+SELECT r_name, n_name,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 1e4 AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+@register("regional_supplier_revenue", oracle=_REGIONAL_ORACLE)
+def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact-fact shuffle join (lineitem ⨝ orders on
+    orderkey) with every dimension broadcast (customer/supplier/nation/
+    region), including the local-supplier predicate c_nationkey =
+    s_nationkey. At 100 TB the orderkey join would be bucket-co-located
+    (functions/partitioning.write_bucketed); dims stay broadcast.
+    Revenue uses the double-scaled integer trick (cents × discount
+    cents → exact BIGINT sums)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            (F.sum(rev) / F.lit(1e4)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14-style part-type revenue share (part coverage)
+# --------------------------------------------------------------------------
+
+_PART_TYPE_ORACLE = """
+WITH rev AS (
+  SELECT p_type,
+    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rev_scaled
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type
+)
+SELECT p_type,
+  rev_scaled / 1e4 AS revenue,
+  round(rev_scaled / sum(rev_scaled) OVER (), 6) AS revenue_share
+FROM rev
+"""
+
+
+@register("part_type_revenue", oracle=_PART_TYPE_ORACLE)
+def part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 flavor: broadcast dim join (part) + share-of-total via
+    a global window over the TINY aggregated frame (|p_type| rows —
+    the single-partition window is O(groups), never O(rows))."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    agg = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(F.sum(rev).alias("rev_scaled"))
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "p_type",
+        (F.col("rev_scaled") / F.lit(1e4)).alias("revenue"),
+        F.round(F.col("rev_scaled") / F.sum("rev_scaled").over(total), 6).alias(
+            "revenue_share"
+        ),
+    )

@@ -94,3 +94,14 @@ def test_plan_red_flag_sweep(spark, sf_dir):
         if name not in INTENTIONAL_BNLJ:
             assert "BroadcastNestedLoopJoin" not in p, name
         assert "BatchEvalPython" not in p, name
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_dir):
+    """Q5-shape plan: every dim broadcast; at most ONE shuffle join
+    (the fact-fact lineitem ⨝ orders — itself broadcast at tiny SF,
+    where orders fits under the threshold)."""
+    p = _plan(spark, sf_dir, "regional_supplier_revenue")
+    assert p.count("BroadcastHashJoin") >= 4, p[:3000]
+    assert p.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
