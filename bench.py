@@ -35,6 +35,7 @@ HEADLINE = [
     "multi_delta_oi",  # per-delta assembly (shared-scan unions)
     "ols2_gram",  # multi-feature Gram OLS
     "embedding_near_dups",  # embedding-cosine dedup
+    "regional_supplier_revenue",  # Q5-shape multi-way join (4 bcast dims)
 ]
 
 
