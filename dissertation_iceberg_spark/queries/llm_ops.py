@@ -304,3 +304,40 @@ def rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % 1_000_000_007,
     )
     return docs.select("doc_id", h.alias("roll_hash"))
+
+
+# --------------------------------------------------------------------------
+# Distinct aggregation: vocabulary size per language (absent from the
+# reference — SURVEY §2.4 notes no distinct-agg — and a corpus-stats
+# staple for a training-data pipeline)
+# --------------------------------------------------------------------------
+
+_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT lang,
+  count(*) AS n_tokens,
+  count(DISTINCT tok) AS n_distinct_tokens
+FROM toks
+WHERE tok != ''
+GROUP BY lang
+"""
+
+
+@register("vocab_stats", oracle=_VOCAB_ORACLE)
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language vocabulary size. Spark plans count(DISTINCT)
+    as a two-phase partial-distinct on (lang, tok) — the distinct
+    dedup shuffles O(distinct) rows, not O(tokens). The approximate
+    path (approx_count_distinct, HLL sketch, fixed-size partial state)
+    is the 100 TB default; pinned within 5% of this exact query in
+    tests/test_factors.py."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+    )

@@ -78,3 +78,28 @@ def test_spark_ml_minhash_agrees_with_custom(spark, sf_dir):
         # ML path (token-set Jaccard) must agree with the custom op
         assert len(m) > 0
         assert (abs(m.jaccard - m.jaccard_ml) < 1e-6).all()
+
+
+def test_hll_approx_distinct_within_tolerance(spark, sf_dir):
+    """approx_count_distinct (HLL++, fixed-size sketch state — the
+    100 TB path for vocabulary stats) lands within 5% of the exact
+    two-phase distinct across every language group."""
+    from pyspark.sql import functions as F
+
+    from dissertation_iceberg_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    got = (
+        toks.groupBy("lang")
+        .agg(
+            F.countDistinct("tok").alias("exact"),
+            F.approx_count_distinct("tok", rsd=0.02).alias("approx"),
+        )
+        .toPandas()
+    )
+    assert len(got) > 0
+    rel_err = (got.approx - got.exact).abs() / got.exact
+    assert rel_err.max() < 0.05, got.to_string()
