@@ -142,6 +142,55 @@ def oi_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_features", oracle=None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction end-to-end (rows-only: the decode
+    kernel is the deterministic stand-in, not SQL-expressible).
+
+    Derives an opaque-binary media table from the driver's ``documents``
+    parquet (payload = utf-8 bytes, kind cycled image/audio/video), then
+    runs the real Spark plumbing: Arrow-batched ``mapInPandas`` feature
+    extraction for every row (operators/multimodal.py:68) and the video
+    path frame-sample → per-frame decode → JVM-side mean-pool
+    (operators/multimodal.py:195). Deterministic fake decoder ⇒ stable
+    rows. Reference scope: the engine extension spec (SURVEY §2 LLM
+    ops); no reference notebook equivalent exists.
+    """
+    from dissertation_iceberg_spark.operators.multimodal import (
+        extract_features,
+        video_features,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.lit("application/x-fake").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(64).cast("long").alias("width"),
+        F.lit(64).cast("long").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+    feats = extract_features(media, dim=8)
+    vid = video_features(media, n_frames=4, dim=8).select(
+        "media_id", F.col("n_frames").alias("video_frames")
+    )
+    return (
+        feats.join(vid, "media_id", "left")
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.round(F.element_at("feature", 1), 6).alias("f0"),
+            F.round(F.element_at("feature", 8), 6).alias("f7"),
+            F.coalesce("video_frames", F.lit(0)).alias("video_frames"),
+        )
+    )
+
+
 @register("ivf_ann_topk", oracle=None)
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: k-means inverted lists + n_probe rerank —

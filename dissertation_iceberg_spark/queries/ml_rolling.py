@@ -156,22 +156,32 @@ FROM agg
 def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14: Mann-Whitney U between two classes' value distributions with
     normal approximation (no tie correction; spec pinned on both
-    engines) — rank sums as window aggregates, so the test statistic
-    distributes instead of collecting samples to scipy."""
+    engines).
+
+    Scale path (round-2 fix): no per-row global ordering anywhere.
+    ``groupBy(value)`` first — the rank sum only needs per-distinct-value
+    multiplicities — then exclusive prefix sums over the distinct-value
+    frame via bucketed two-pass summation (functions/ranks.py). The
+    average rank of a distinct value is ``cum_lj + (lj + 1)/2`` and
+    ``R1 = Σ f1j · avg_rank_j``, which equals the per-row rank sum
+    exactly (integer×half-integer doubles < 2^53 are exact)."""
+    from dissertation_iceberg_spark.functions.ranks import (
+        bucketed_exclusive_cumsums,
+    )
+
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(_GROUP_A, _GROUP_B)
     )
-    avg_rank = (
-        F.rank().over(Window.orderBy("value"))
-        + (F.count(F.lit(1)).over(Window.partitionBy("value")) - 1) / 2.0
+    dv = e.groupBy("value").agg(
+        F.count(F.lit(1)).alias("lj"),
+        F.sum(F.when(F.col("event_type") == _GROUP_A, 1).otherwise(0)).alias("f1"),
     )
-    r = e.select("event_type", avg_rank.alias("avg_rank"))
-    agg = r.agg(
-        F.sum(
-            F.when(F.col("event_type") == _GROUP_A, F.col("avg_rank")).otherwise(0.0)
-        ).alias("r1"),
-        F.sum(F.when(F.col("event_type") == _GROUP_A, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("event_type") == _GROUP_B, 1).otherwise(0)).alias("n2"),
+    cum = bucketed_exclusive_cumsums(dv, "value", ["lj"])
+    avg_rank = F.col("cum_lj") + (F.col("lj") + 1) / 2.0
+    agg = cum.agg(
+        F.sum(F.col("f1") * avg_rank).alias("r1"),
+        F.sum("f1").alias("n1"),
+        F.sum(F.col("lj") - F.col("f1")).alias("n2"),
     )
     n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
     u = r1 - n1 * (n1 + 1) / 2.0
@@ -181,6 +191,190 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2.cast("long").alias("n2"),
         F.round(u, 6).alias("u_stat"),
         F.round(z, 6).alias("z_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A14 (second half): Anderson-Darling k-sample test, Scholz-Stephens
+# midrank A2akN — the statistic scipy.stats.anderson_ksamp returns
+# (reference: direction_analysis.ipynb cells 75-80 calls anderson_ksamp
+# alongside mannwhitneyu over direction groups).
+# --------------------------------------------------------------------------
+
+_AD_GROUPS = ("click", "error", "view")  # k = 3 samples
+
+_AD_K = len(_AD_GROUPS)
+
+_AD_SIGMA_SQL = """
+sqrt(( ((4*g - 6)*(k - 1) + (10 - 6*g)*bigh) * pow(n_total, 3)
+     + ((2*g - 4)*k*k + 8*h*k + (2*g - 14*h - 4)*bigh - 8*h + 4*g - 6)
+       * pow(n_total, 2)
+     + ((6*h + 2*g - 2)*k*k + (4*h - 4*g + 6)*k + (2*h - 6)*bigh + 4*h)
+       * n_total
+     + ((2*h + 6)*k*k - 4*h*k)
+     ) / ((n_total - 1e0)*(n_total - 2e0)*(n_total - 3e0)))
+"""
+
+_AD_ORACLE = f"""
+WITH s AS (
+  SELECT value, event_type FROM events
+  WHERE event_type IN ('{_AD_GROUPS[0]}', '{_AD_GROUPS[1]}', '{_AD_GROUPS[2]}')),
+dv AS (
+  SELECT value, count(*) AS lj,
+         sum(CASE WHEN event_type='{_AD_GROUPS[0]}' THEN 1 ELSE 0 END) AS f1,
+         sum(CASE WHEN event_type='{_AD_GROUPS[1]}' THEN 1 ELSE 0 END) AS f2,
+         sum(CASE WHEN event_type='{_AD_GROUPS[2]}' THEN 1 ELSE 0 END) AS f3
+  FROM s GROUP BY value),
+cum AS (
+  SELECT *,
+    coalesce(sum(lj) OVER w, 0) AS cum_lj,
+    coalesce(sum(f1) OVER w, 0) AS cum_f1,
+    coalesce(sum(f2) OVER w, 0) AS cum_f2,
+    coalesce(sum(f3) OVER w, 0) AS cum_f3
+  FROM dv
+  WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+tot AS (SELECT sum(lj) AS n_total, sum(f1) AS n1, sum(f2) AS n2, sum(f3) AS n3
+        FROM dv),
+terms AS (
+  SELECT
+    sum( (lj/CAST(t.n_total AS DOUBLE))
+         * pow(t.n_total*(cum_f1 + f1/2e0) - (cum_lj + lj/2e0)*t.n1, 2)
+         / ((cum_lj + lj/2e0)*(t.n_total - cum_lj - lj/2e0)
+            - t.n_total*lj/4e0) ) AS s1,
+    sum( (lj/CAST(t.n_total AS DOUBLE))
+         * pow(t.n_total*(cum_f2 + f2/2e0) - (cum_lj + lj/2e0)*t.n2, 2)
+         / ((cum_lj + lj/2e0)*(t.n_total - cum_lj - lj/2e0)
+            - t.n_total*lj/4e0) ) AS s2,
+    sum( (lj/CAST(t.n_total AS DOUBLE))
+         * pow(t.n_total*(cum_f3 + f3/2e0) - (cum_lj + lj/2e0)*t.n3, 2)
+         / ((cum_lj + lj/2e0)*(t.n_total - cum_lj - lj/2e0)
+            - t.n_total*lj/4e0) ) AS s3
+  FROM cum, tot t),
+idx AS (SELECT unnest(generate_series(
+          1, CAST((SELECT n_total FROM tot) AS BIGINT) - 1)) AS i),
+harm AS (SELECT i, sum(1e0/i) OVER (ORDER BY i) AS Hi FROM idx),
+hg AS (
+  SELECT max(Hi) AS h,
+         sum(CASE WHEN i <= (SELECT n_total FROM tot) - 2
+                  THEN ((SELECT max(Hi) FROM harm) - Hi)
+                       / ((SELECT n_total FROM tot) - i) ELSE 0 END) AS g
+  FROM harm),
+fin AS (
+  SELECT t.n_total, {_AD_K} AS k,
+         (t.n_total - 1e0)/t.n_total
+           * (x.s1/t.n1 + x.s2/t.n2 + x.s3/t.n3) AS a2akn,
+         1e0/t.n1 + 1e0/t.n2 + 1e0/t.n3 AS bigh, hg.h AS h, hg.g AS g
+  FROM terms x, tot t, hg)
+SELECT CAST(n_total AS BIGINT) AS n_total, k,
+  round(a2akn, 6) AS a2akn,
+  round({_AD_SIGMA_SQL}, 6) AS sigma,
+  round((a2akn - (k - 1)) / {_AD_SIGMA_SQL}, 6) AS a2_std
+FROM fin
+"""
+
+
+def _harmonic_constants(n_total: int) -> tuple[float, float]:
+    """Scholz-Stephens variance constants h = H_{{N-1}} and
+    g = Σ_{{i=1}}^{{N-2}} (h - H_i)/(N - i): functions of N only, O(N)
+    driver-side (N is a collected scalar, not data). At 100 TB N sizes
+    (>1e8) swap in the asymptotic expansions h ≈ ln N + γ and
+    g ≈ π²/6 − (ln N + γ)/N-ish tail terms; at dissertation scale the
+    exact loop is microseconds."""
+    h = 0.0
+    for j in range(1, n_total):
+        h += 1.0 / j
+    hi = 0.0
+    g = 0.0
+    for i in range(1, n_total - 1):
+        hi += 1.0 / i
+        g += (h - hi) / (n_total - i)
+    return h, g
+
+
+@register("anderson_ksamp", oracle=_AD_ORACLE)
+def anderson_ksamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: k-sample Anderson-Darling test (midrank A2akN, the variant
+    scipy.stats.anderson_ksamp computes) across three event-type
+    groups, fully distributed.
+
+    Same scale design as the round-2 Mann-Whitney rewrite: the ECDF
+    terms only need per-distinct-value multiplicities and exclusive
+    prefix counts, so ``groupBy(value)`` + bucketed two-pass cumsums
+    (functions/ranks.py) replace any global ordering. The variance
+    standardization constants depend only on N and come from an O(N)
+    driver-side loop over a collected scalar (asymptotic swap for
+    cluster-scale N documented in :func:`_harmonic_constants`)."""
+    from dissertation_iceberg_spark.functions.ranks import (
+        bucketed_exclusive_cumsums,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*_AD_GROUPS)
+    )
+    dv = e.groupBy("value").agg(
+        F.count(F.lit(1)).alias("lj"),
+        *[
+            F.sum(
+                F.when(F.col("event_type") == grp, 1).otherwise(0)
+            ).alias(f"f{i+1}")
+            for i, grp in enumerate(_AD_GROUPS)
+        ],
+    )
+    cum = bucketed_exclusive_cumsums(dv, "value", ["lj", "f1", "f2", "f3"])
+
+    # group sizes: k-row collect (tiny, like the Gram k×k collects)
+    sizes = {
+        r["event_type"]: r["cnt"]
+        for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = [int(sizes[grp]) for grp in _AD_GROUPS]
+    n_total = sum(n)
+    h, g = _harmonic_constants(n_total)
+
+    lj = F.col("lj")
+    bj = F.col("cum_lj") + lj / 2.0
+    denom = bj * (n_total - bj) - n_total * lj / 4.0
+    inner = [
+        (
+            (lj / F.lit(float(n_total)))
+            * F.pow(
+                n_total * (F.col(f"cum_f{i+1}") + F.col(f"f{i+1}") / 2.0)
+                - bj * n[i],
+                2,
+            )
+            / denom
+        ).alias(f"inner{i+1}")
+        for i in range(_AD_K)
+    ]
+    sums = cum.select(*inner).agg(
+        *[F.sum(f"inner{i+1}").alias(f"s{i+1}") for i in range(_AD_K)]
+    )
+    a2akn = (
+        F.lit((n_total - 1.0) / n_total)
+        * sum(F.col(f"s{i+1}") / n[i] for i in range(_AD_K))
+    )
+    big_h = sum(1.0 / ni for ni in n)
+    k = float(_AD_K)
+    a = (4 * g - 6) * (k - 1) + (10 - 6 * g) * big_h
+    b = (
+        (2 * g - 4) * k**2 + 8 * h * k + (2 * g - 14 * h - 4) * big_h
+        - 8 * h + 4 * g - 6
+    )
+    c = (
+        (6 * h + 2 * g - 2) * k**2 + (4 * h - 4 * g + 6) * k
+        + (2 * h - 6) * big_h + 4 * h
+    )
+    d = (2 * h + 6) * k**2 - 4 * h * k
+    sigmasq = (a * n_total**3 + b * n_total**2 + c * n_total + d) / (
+        (n_total - 1.0) * (n_total - 2.0) * (n_total - 3.0)
+    )
+    sigma = sigmasq**0.5
+    return sums.select(
+        F.lit(n_total).cast("long").alias("n_total"),
+        F.lit(_AD_K).alias("k"),
+        F.round(a2akn, 6).alias("a2akn"),
+        F.round(F.lit(sigma), 6).alias("sigma"),
+        F.round((a2akn - (k - 1)) / sigma, 6).alias("a2_std"),
     )
 
 

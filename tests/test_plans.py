@@ -82,6 +82,8 @@ INTENTIONAL_BNLJ = {
     "quantile_filter",
     "portfolio_statistics",  # broadcast 1-row moments frame
     "ivf_ann_topk",  # broadcast tiny centroid table (n_lists rows)
+    "mann_whitney_u",  # broadcast 1-row min/max bounds (bucketed ranks)
+    "anderson_ksamp",  # broadcast 1-row min/max bounds (bucketed ranks)
 }
 
 
@@ -94,6 +96,29 @@ def test_plan_red_flag_sweep(spark, sf_dir):
         if name not in INTENTIONAL_BNLJ:
             assert "BroadcastNestedLoopJoin" not in p, name
         assert "BatchEvalPython" not in p, name
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """O3: top-k must compile to TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a single-partition window."""
+    p = _plan(spark, sf_dir, "topk_users")
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+
+
+@pytest.mark.parametrize("name", ["mann_whitney_u", "anderson_ksamp"])
+def test_rank_stats_have_no_global_event_sort(spark, sf_dir, name):
+    """Round-2 scale fix: every value-ordered window must be partitioned
+    by the rank bucket; the only unpartitioned windows allowed are the
+    O(n_buckets) offset prefix sums (input = a bucket-keyed aggregate).
+    """
+    p = _plan(spark, sf_dir, name)
+    for line in p.splitlines():
+        if "windowspecdefinition" not in line:
+            continue
+        ordered_by_value = "value#" in line.split("windowspecdefinition", 1)[1]
+        if ordered_by_value:
+            assert "__bucket#" in line, f"unbucketed value sort in {name}: {line}"
 
 
 def test_multiway_join_broadcasts_dims(spark, sf_dir):
