@@ -76,6 +76,7 @@ def densify(
     bin_col: str = "bin",
     zero_fill: tuple[str, ...] = ("order_imbalance", "n_events"),
     group_cols: list[str] | None = None,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Left-join the binned frame onto its complete calendar grid.
 
@@ -84,6 +85,13 @@ def densify(
     With ``group_cols`` the grid spans each group's own [min, max] —
     at 100 TB that is one sequence per (ticker, day), never a global
     sort or a driver-side calendar.
+
+    Broadcast mechanics (round-2 clarification): the grid CANNOT be the
+    build side — a grid-preserving left join only admits BuildRight, so
+    the hint goes on the binned aggregate, which has at most one row per
+    non-empty bin and is therefore never larger than the grid. For long
+    spans at fine deltas (bin count beyond broadcast limits) pass
+    ``hint_broadcast=False`` and both sides shuffle on the bin key.
     """
     gc = group_cols or []
     interval = F.expr(f"INTERVAL {int(delta_sec)} SECONDS")
@@ -100,7 +108,8 @@ def densify(
         grid = bounds.select(
             F.explode(F.sequence("lo", "hi", interval)).alias(bin_col)
         )
-        out = grid.join(F.broadcast(binned), on=bin_col, how="left")
+        right = F.broadcast(binned) if hint_broadcast else binned
+        out = grid.join(right, on=bin_col, how="left")
     for c in zero_fill:
         if c in binned.columns:
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))

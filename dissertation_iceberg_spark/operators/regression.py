@@ -41,8 +41,12 @@ def _xtx_aggs(feature_cols: list[str], y_col: str):
             bn = b or "const"
             aggs.append(F.sum(c(a) * c(b)).alias(f"xx_{an}__{bn}"))
         aggs.append(F.sum(c(a) * F.col(y_col).cast("double")).alias(f"xy_{a or 'const'}"))
-    aggs.append(F.sum(F.col(y_col) * F.col(y_col)).alias("yy"))
-    aggs.append(F.sum(F.col(y_col)).alias("sy"))
+    # y cast to double like every X sum: an integer/decimal y would
+    # otherwise sum in long/decimal space (overflow + drift vs the
+    # float64 driver-side solve)
+    y = F.col(y_col).cast("double")
+    aggs.append(F.sum(y * y).alias("yy"))
+    aggs.append(F.sum(y).alias("sy"))
     aggs.append(F.count(F.lit(1)).alias("n"))
     return aggs
 

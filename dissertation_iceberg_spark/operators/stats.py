@@ -29,28 +29,35 @@ from pyspark.sql import functions as F
 def moment_stats(
     df: DataFrame, value_col: str, group_cols: list[str], annualize: float = 252.0
 ) -> DataFrame:
-    """n/mean/std(ddof=1)/skew(g1)/excess-kurtosis(g2)/Sharpe from power
-    sums (engine-independent closed forms)."""
+    """n/mean/std(ddof=1)/skew(g1)/excess-kurtosis(g2)/Sharpe via
+    TWO-PASS centered sums (round-2 advice fix): pass 1 computes each
+    group's mean, pass 2 sums (x−μ)^2..4. Raw power sums suffer
+    catastrophic cancellation when |mean| ≫ spread; centering matches
+    the reference's scipy two-pass accuracy on any domain, not just
+    near-zero-mean returns. The mean frame is O(groups) and broadcast,
+    so the second pass adds no shuffle of the fact rows."""
     x = F.col(value_col)
-    g = df.groupBy(*group_cols).agg(
-        F.count(x).alias("n"),
-        F.sum(x).alias("s1"),
-        F.sum(x * x).alias("s2"),
-        F.sum(x * x * x).alias("s3"),
-        F.sum(x * x * x * x).alias("s4"),
+    means = df.groupBy(*group_cols).agg(
+        (F.sum(x) / F.count(x)).alias("__mu")
+    )
+    d = x - F.col("__mu")
+    g = (
+        df.join(F.broadcast(means), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(x).alias("n"),
+            F.first("__mu").alias("mu"),
+            F.sum(d * d).alias("cs2"),
+            F.sum(d * d * d).alias("cs3"),
+            F.sum(d * d * d * d).alias("cs4"),
+        )
     )
     n = F.col("n").cast("double")
-    mu = F.col("s1") / n
-    m2 = F.col("s2") / n - mu * mu
-    m3 = F.col("s3") / n - 3 * mu * F.col("s2") / n + 2 * mu * mu * mu
-    m4 = (
-        F.col("s4") / n
-        - 4 * mu * F.col("s3") / n
-        + 6 * mu * mu * F.col("s2") / n
-        - 3 * mu * mu * mu * mu
-    )
-    var_samp = (F.col("s2") - n * mu * mu) / (n - 1)
-    std = F.sqrt(var_samp)
+    mu = F.col("mu")
+    m2 = F.col("cs2") / n
+    m3 = F.col("cs3") / n
+    m4 = F.col("cs4") / n
+    std = F.sqrt(F.col("cs2") / (n - 1))
     sharpe = mu / std * F.lit(float(annualize) ** 0.5)
     return g.select(
         *group_cols,
@@ -64,26 +71,30 @@ def moment_stats(
 
 
 def moment_stats_sql(table_sql: str, value_col: str, group_cols: list[str]) -> str:
-    """DuckDB mirror of :func:`moment_stats` (identical formula path)."""
+    """DuckDB mirror of :func:`moment_stats` (identical two-pass
+    centered formula path)."""
     gc = ", ".join(group_cols)
     ann = 252.0**0.5
+    v = value_col
     return f"""
-WITH g AS (
-  SELECT {gc}, count({value_col}) AS n,
-         sum({value_col}) AS s1,
-         sum({value_col}*{value_col}) AS s2,
-         sum({value_col}*{value_col}*{value_col}) AS s3,
-         sum({value_col}*{value_col}*{value_col}*{value_col}) AS s4
-  FROM ({table_sql}) GROUP BY {gc}
+WITH src AS ({table_sql}),
+mu AS (
+  SELECT {gc}, sum({v})/count({v}) AS mu FROM src GROUP BY {gc}),
+g AS (
+  SELECT {", ".join("src." + c for c in group_cols)}, count(src.{v}) AS n,
+         any_value(mu.mu) AS mu,
+         sum((src.{v} - mu.mu)*(src.{v} - mu.mu)) AS cs2,
+         sum((src.{v} - mu.mu)*(src.{v} - mu.mu)*(src.{v} - mu.mu)) AS cs3,
+         sum((src.{v} - mu.mu)*(src.{v} - mu.mu)*(src.{v} - mu.mu)
+             *(src.{v} - mu.mu)) AS cs4
+  FROM src JOIN mu USING ({gc}) GROUP BY {", ".join("src." + c for c in group_cols)}
 )
 SELECT {gc}, n,
-  round(s1/n, 6) AS mean_val,
-  round(sqrt((s2 - n*(s1/n)*(s1/n))/(n-1)), 6) AS std_val,
-  round((s3/n - 3*(s1/n)*s2/n + 2*(s1/n)*(s1/n)*(s1/n))
-        / pow(s2/n - (s1/n)*(s1/n), 1.5), 6) AS skew_g1,
-  round((s4/n - 4*(s1/n)*s3/n + 6*(s1/n)*(s1/n)*s2/n - 3*pow(s1/n, 4))
-        / pow(s2/n - (s1/n)*(s1/n), 2) - 3, 6) AS kurt_g2,
-  round((s1/n)/sqrt((s2 - n*(s1/n)*(s1/n))/(n-1)) * {ann!r}, 6) AS sharpe_ann
+  round(mu, 6) AS mean_val,
+  round(sqrt(cs2/(n-1)), 6) AS std_val,
+  round((cs3/n) / pow(cs2/n, 1.5), 6) AS skew_g1,
+  round((cs4/n) / pow(cs2/n, 2) - 3, 6) AS kurt_g2,
+  round(mu/sqrt(cs2/(n-1)) * {ann!r}, 6) AS sharpe_ann
 FROM g
 """
 

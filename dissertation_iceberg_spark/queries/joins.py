@@ -272,10 +272,10 @@ FROM rev
 @register("part_type_revenue", oracle=_PART_TYPE_ORACLE)
 def part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 flavor: broadcast dim join (part) + share-of-total via
-    a global window over the TINY aggregated frame (|p_type| rows —
-    the single-partition window is O(groups), never O(rows))."""
-    from pyspark.sql import Window
-
+    a scalar-subquery-style broadcast of the 1-row total (round-2
+    rewrite: no unpartitioned window at all, so WindowExec warning
+    noise can't mask real plan regressions; integer-scaled sums keep
+    the total exact either way)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     rev = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
@@ -286,11 +286,9 @@ def part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type")
         .agg(F.sum(rev).alias("rev_scaled"))
     )
-    total = Window.partitionBy()
-    return agg.select(
+    total = agg.agg(F.sum("rev_scaled").alias("__total"))
+    return agg.join(F.broadcast(total)).select(
         "p_type",
         (F.col("rev_scaled") / F.lit(1e4)).alias("revenue"),
-        F.round(F.col("rev_scaled") / F.sum("rev_scaled").over(total), 6).alias(
-            "revenue_share"
-        ),
+        F.round(F.col("rev_scaled") / F.col("__total"), 6).alias("revenue_share"),
     )

@@ -41,6 +41,38 @@ def test_trading_days_calendar(spark):
     assert sat.next_trading_day == pd.Timestamp("2018-03-05").date()
 
 
+def test_nyse_holiday_rules():
+    """Rule-derived NYSE closures hit the known public dates."""
+    import datetime as dt
+
+    from dissertation_iceberg_spark.sources.factors import nyse_holidays
+
+    hols = nyse_holidays(2018, 2022)
+    expected = {
+        "2018-01-01", "2018-01-15", "2018-02-19", "2018-03-30",  # Good Friday
+        "2018-05-28", "2018-07-04", "2018-09-03", "2018-11-22",
+        "2018-12-05",  # ad-hoc: national day of mourning
+        "2018-12-25",
+        "2021-12-24",  # Christmas 2021 (Sat) observed Friday
+        "2022-06-20",  # Juneteenth 2022 (Sun) observed Monday
+    }
+    assert {dt.date.fromisoformat(s) for s in expected} <= hols
+    # New Year's Day 2022 fell on Saturday: NOT observed (no shift)
+    assert dt.date(2021, 12, 31) not in hols
+    assert dt.date(2022, 1, 1) not in hols
+
+
+def test_trading_days_skips_nyse_holidays(spark):
+    cal = trading_days(spark, "2018-07-01", "2018-07-10").toPandas().set_index("date")
+    import datetime as dt
+
+    assert not cal.loc[dt.date(2018, 7, 4)].is_trading_day  # Wednesday holiday
+    assert cal.loc[dt.date(2018, 7, 3)].is_trading_day
+    # next/prev trading day hop OVER the mid-week holiday
+    assert cal.loc[dt.date(2018, 7, 3)].next_trading_day == dt.date(2018, 7, 5)
+    assert cal.loc[dt.date(2018, 7, 5)].prev_trading_day == dt.date(2018, 7, 3)
+
+
 def test_spark_ml_minhash_agrees_with_custom(spark, sf_dir):
     """SURVEY §7 step 9 names ml.feature.MinHashLSH — cross-check the
     custom banded MinHash against Spark ML's approxSimilarityJoin."""

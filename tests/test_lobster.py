@@ -106,7 +106,18 @@ def test_iceberg_tag_1ms(lob_df, lob_duck):
 
 def test_iceberg_exact_tolerance_edges(spark):
     """Inclusive at +1000 µs, exclusive at +1001 µs; same-timestamp
-    submissions match only when they follow in seq order."""
+    submissions match only when they follow in seq order.
+
+    DOCUMENTED DEVIATION from the reference (round-1 advice): pandas
+    ``merge_asof(direction='forward', allow_exact_matches=True)``
+    (order_imbalance.py:25-48) matches an exact-ts submission regardless
+    of row order, because merge_asof compares timestamps only. We
+    deliberately require the submission to FOLLOW the execution in
+    (ts, seq) order — a refill recorded before its execution in the
+    event sequence is causally not a refill of it. LOBSTER seq order is
+    the tape order, so this is the stricter, physically-correct
+    semantics; rows where it differs are exact-ts ties like seq 4/5
+    below (pandas: tagged; here: not tagged)."""
     base = pd.Timestamp("2018-03-01 10:00:00")
     rows = [
         # (seq, type, price, offset_us)

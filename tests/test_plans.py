@@ -84,6 +84,7 @@ INTENTIONAL_BNLJ = {
     "ivf_ann_topk",  # broadcast tiny centroid table (n_lists rows)
     "mann_whitney_u",  # broadcast 1-row min/max bounds (bucketed ranks)
     "anderson_ksamp",  # broadcast 1-row min/max bounds (bucketed ranks)
+    "part_type_revenue",  # broadcast 1-row share-of-total denominator
 }
 
 
