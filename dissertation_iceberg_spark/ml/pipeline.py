@@ -97,20 +97,33 @@ def train_rf(
     return cv_est.fit(df).bestModel
 
 
+# The reference's exact XGBoost hyperparameters (test_workflow.py:56-64)
+# — passed verbatim to SparkXGBClassifier when xgboost is importable, so
+# the M3 parity path lights up without code changes if the environment
+# ever gains the package.
+XGB_REFERENCE_PARAMS = {
+    "objective": "binary:logistic",
+    "learning_rate": 0.1,
+    "max_depth": 6,
+    "subsample": 0.8,
+    "colsample_bytree": 0.8,
+    "n_estimators": 100,
+    "eval_metric": "logloss",
+}
+
+
 def train_boosted(df: DataFrame, feature_cols: list[str]) -> PipelineModel:
-    """M3: distributed boosted trees with the reference's XGB params
-    where they translate (lr=0.1, depth=6, subsample=0.8)."""
+    """M3: distributed boosted trees with the reference's exact XGB
+    params (XGB_REFERENCE_PARAMS) when xgboost is available; GBT
+    stand-in with the translatable subset otherwise."""
     try:  # optional: real XGBoost if the environment provides it
         from xgboost.spark import SparkXGBClassifier  # noqa: PLC0415
 
         est = SparkXGBClassifier(
             features_col="features",
             label_col="label",
-            learning_rate=0.1,
-            max_depth=6,
-            subsample=0.8,
-            colsample_bytree=0.8,
             seed=SEED,
+            **XGB_REFERENCE_PARAMS,
         )
     except ImportError:
         est = GBTClassifier(

@@ -42,9 +42,13 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
-    Plan shape: broadcast(queries) × corpus -> score -> per-query
-    row_number -> filter. One pass over the corpus, no shuffle of the
-    corpus except the final tiny top-k aggregation.
+    ORACLE BASELINE — cap the query-set size. The plan is a
+    BroadcastNestedLoopJoin scoring O(|corpus| × |queries|) pairs: one
+    corpus pass, fine for recall grading and small ad-hoc lookups, a
+    deliberate scale-killer for bulk search (at 100 TB × 10k queries
+    this query IS the bottleneck). Bulk paths: `lsh_cosine_topk`
+    (hyperplane LSH, OR-amplified) or `ivf_cosine_topk` (inverted
+    lists, probe cost ≈ n_probe/n_lists of the corpus).
     """
     q = queries.select(
         F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qvec")

@@ -379,6 +379,100 @@ def anderson_ksamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Distribution-test battery extension: two-sample Kolmogorov-Smirnov on
+# the same distinct-value ECDF machinery (no reference equivalent; the
+# engine's rank framework makes it one more aggregate).
+# --------------------------------------------------------------------------
+
+_KS_TERMS = 5  # truncated Kolmogorov series (identical on both engines)
+
+_KS_SERIES_SQL = " + ".join(
+    f"({'-' if j % 2 == 0 else ''}1) * exp(-2e0 * {j * j} * z * z)"
+    for j in range(1, _KS_TERMS + 1)
+)
+
+_KS_ORACLE = f"""
+WITH s AS (
+  SELECT value, event_type FROM events
+  WHERE event_type IN ('{_GROUP_A}', '{_GROUP_B}')),
+dv AS (
+  SELECT value,
+         sum(CASE WHEN event_type='{_GROUP_A}' THEN 1 ELSE 0 END) AS f1,
+         sum(CASE WHEN event_type='{_GROUP_B}' THEN 1 ELSE 0 END) AS f2
+  FROM s GROUP BY value),
+cum AS (
+  SELECT sum(f1) OVER w AS c1, sum(f2) OVER w AS c2 FROM dv
+  WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)),
+tot AS (SELECT sum(f1) AS n1, sum(f2) AS n2 FROM dv),
+agg AS (
+  SELECT max(abs(c1/CAST(t.n1 AS DOUBLE) - c2/CAST(t.n2 AS DOUBLE))) AS d,
+         any_value(t.n1) AS n1, any_value(t.n2) AS n2
+  FROM cum, tot t),
+zed AS (
+  SELECT n1, n2, d,
+         sqrt(n1 * CAST(n2 AS DOUBLE) / (n1 + n2)) * d AS z
+  FROM agg)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+  round(d, 6) AS d_stat,
+  round(z, 6) AS ks_z,
+  round(2e0 * ({_KS_SERIES_SQL}), 6) AS p_asymp
+FROM zed
+"""
+
+
+@register("ks_2samp", oracle=_KS_ORACLE)
+def ks_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS test, fully distributed: D = max |ECDF₁ − ECDF₂|
+    over the pooled distinct values; inclusive cumulative counts from
+    the same bucketed two-pass machinery as `anderson_ksamp` (no global
+    sort), group totals via a broadcast 1-row frame; p-value from the
+    truncated Kolmogorov series (identical truncation on both
+    engines)."""
+    from dissertation_iceberg_spark.functions.ranks import (
+        bucketed_exclusive_cumsums,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_GROUP_A, _GROUP_B)
+    )
+    dv = e.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == _GROUP_A, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("event_type") == _GROUP_B, 1).otherwise(0)).alias("f2"),
+    )
+    cum = bucketed_exclusive_cumsums(dv, "value", ["f1", "f2"])
+    totals = dv.agg(F.sum("f1").alias("n1"), F.sum("f2").alias("n2"))
+    c1 = (F.col("cum_f1") + F.col("f1")) / F.col("n1").cast("double")
+    c2 = (F.col("cum_f2") + F.col("f2")) / F.col("n2").cast("double")
+    agg = (
+        cum.join(F.broadcast(totals))
+        .select(F.abs(c1 - c2).alias("gap"), "n1", "n2")
+        .groupBy("n1", "n2")
+        .agg(F.max("gap").alias("d"))
+    )
+    z = (
+        F.sqrt(F.col("n1") * F.col("n2").cast("double") / (F.col("n1") + F.col("n2")))
+        * F.col("d")
+    )
+    series = None
+    for j in range(1, _KS_TERMS + 1):
+        term = F.lit(float((-1) ** (j - 1))) * F.exp(
+            F.lit(-2.0 * j * j) * F.col("z") * F.col("z")
+        )
+        series = term if series is None else series + term
+    return (
+        agg.withColumn("z", z)
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.round("d", 6).alias("d_stat"),
+            F.round("z", 6).alias("ks_z"),
+            F.round(2.0 * series, 6).alias("p_asymp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # M8 multi-feature rolling refit: y ~ x + momentum + 1, exact Gram path
 # --------------------------------------------------------------------------
 

@@ -59,6 +59,40 @@ def test_boosted_and_logistic(featured):
         assert pred.count() == 400
 
 
+def test_xgboost_reference_params_exact(featured):
+    """M3 parity path: SparkXGBClassifier must receive the reference's
+    exact hyperparameters (test_workflow.py:56-64). Skipped while the
+    container lacks xgboost; lights up with zero code changes when the
+    environment gains it."""
+    xgboost_spark = pytest.importorskip("xgboost.spark")
+
+    from dissertation_iceberg_spark.ml.pipeline import (
+        XGB_REFERENCE_PARAMS,
+        predict_direction,
+        train_boosted,
+    )
+
+    # pin the translated param dict itself against the reference values
+    assert XGB_REFERENCE_PARAMS == {
+        "objective": "binary:logistic",
+        "learning_rate": 0.1,
+        "max_depth": 6,
+        "subsample": 0.8,
+        "colsample_bytree": 0.8,
+        "n_estimators": 100,
+        "eval_metric": "logloss",
+    }
+    assert xgboost_spark is not None
+    small = featured.limit(400).cache()
+    model = train_boosted(small, FEATURES)
+    est = model.stages[-1]
+    assert type(est).__module__.startswith("xgboost"), (
+        "xgboost importable but train_boosted did not use SparkXGBClassifier"
+    )
+    pred = predict_direction(model, small)
+    assert pred.count() == 400
+
+
 def test_multimodal_features(spark):
     from dissertation_iceberg_spark.operators.multimodal import (
         extract_features,

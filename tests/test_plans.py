@@ -84,6 +84,7 @@ INTENTIONAL_BNLJ = {
     "ivf_ann_topk",  # broadcast tiny centroid table (n_lists rows)
     "mann_whitney_u",  # broadcast 1-row min/max bounds (bucketed ranks)
     "anderson_ksamp",  # broadcast 1-row min/max bounds (bucketed ranks)
+    "ks_2samp",  # broadcast 1-row bounds + group totals (bucketed ranks)
     "part_type_revenue",  # broadcast 1-row share-of-total denominator
 }
 
@@ -107,7 +108,7 @@ def test_topk_is_take_ordered(spark, sf_dir):
     assert "Window" not in p
 
 
-@pytest.mark.parametrize("name", ["mann_whitney_u", "anderson_ksamp"])
+@pytest.mark.parametrize("name", ["mann_whitney_u", "anderson_ksamp", "ks_2samp"])
 def test_rank_stats_have_no_global_event_sort(spark, sf_dir, name):
     """Round-2 scale fix: every value-ordered window must be partitioned
     by the rank bucket; the only unpartitioned windows allowed are the

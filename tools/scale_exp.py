@@ -1,0 +1,158 @@
+"""Scaling experiment: 1× / 10× / 100× replication of the sf tables
+through the four kernels the 100 TB claims rest on (SCALE.md table).
+
+Replication is KEY-SCALED — replicas get shifted ids (and, for text /
+embeddings, block-disjoint content) so the data grows the way real
+corpora grow: more keys / more distinct documents, not 100 copies of
+the same rows (which would quadratically inflate pair-generating
+kernels and measure a shape no real corpus has).
+
+CLI: python tools/scale_exp.py [sf_dir] [factor ...]   (default 1 10 100)
+Prints one JSON line per (kernel, factor): time (best of 3 after a
+warm-up), output rows, and the kernel-specific state size (candidate
+pairs / probe rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from dissertation_iceberg_spark.io import load_table, lob_events, spread  # noqa: E402
+from dissertation_iceberg_spark.session import get_spark  # noqa: E402
+
+BEST_OF = 2
+
+
+def replicate(df: DataFrame, factor: int, shifts: dict[str, int]) -> DataFrame:
+    """factor copies with id columns shifted per replica (single scan:
+    crossJoin against a tiny replica-index range)."""
+    if factor == 1:
+        return df
+    reps = df.sparkSession.range(factor).withColumnRenamed("id", "__rep")
+    out = df.crossJoin(F.broadcast(reps))
+    for col, step in shifts.items():
+        out = out.withColumn(col, F.col(col) + F.col("__rep") * step)
+    return out
+
+
+def timed(make_df, action="noop") -> tuple[float, int]:
+    best, rows = float("inf"), -1
+    for _ in range(BEST_OF + 1):  # first run = warm-up, not recorded
+        df = make_df()
+        t0 = time.time()
+        if action == "noop":
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            rows = df.count()
+        dt = time.time() - t0
+        if _ > 0:
+            best = min(best, dt)
+    if rows < 0:
+        rows = make_df().count()
+    return best, rows
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 100]
+    spark = get_spark()
+
+    from dissertation_iceberg_spark.operators.dedup import jaccard_near_dup_pairs
+    from dissertation_iceberg_spark.operators.iceberg import asof_next_within
+    from dissertation_iceberg_spark.operators.order_imbalance import oi_pipeline
+    from dissertation_iceberg_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+    )
+
+    lob = lob_events(spark, sf_dir)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+
+    for r in factors:
+        ev = replicate(
+            lob, r, {"user_id": 10_000_000, "event_id": 10_000_000_000}
+        ).drop("__rep").persist()
+        n_ev = ev.count()
+
+        t, rows = timed(lambda: oi_pipeline(ev, 3600, group_cols=["user_id"]))
+        print(json.dumps({"kernel": "oi_pipeline", "factor": r,
+                          "input_rows": n_ev, "out_rows": rows, "sec": round(t, 3)}))
+
+        t, rows = timed(
+            lambda: asof_next_within(
+                ev,
+                probe_pred=F.col("event_type") == "purchase",
+                match_pred=F.col("event_type") == "signup",
+                by_cols=["user_id"],
+                tolerance_us=120_000_000,
+            ).filter(F.col("event_type") == "purchase")
+        )
+        print(json.dumps({"kernel": "asof_tag", "factor": r,
+                          "input_rows": n_ev, "out_rows": rows, "sec": round(t, 3)}))
+        ev.unpersist()
+
+        # block-disjoint replica text: every word prefixed with the
+        # replica id, so shingle sets never collide across blocks
+        d = replicate(docs, r, {"doc_id": 10_000_000})
+        if r > 1:
+            pfx = F.concat(F.lit("b"), F.col("__rep"), F.lit("_"))
+            d = d.withColumn(
+                "text",
+                F.concat(pfx, F.regexp_replace(
+                    F.col("text"), " ", F.concat(F.lit(" "), pfx))),
+            )
+        d = d.drop("__rep").persist()
+        n_docs = d.count()
+        t, pairs = timed(
+            lambda: jaccard_near_dup_pairs(d, "text", "doc_id", n=3, threshold=0.8),
+            action="count",
+        )
+        print(json.dumps({"kernel": "jaccard", "factor": r,
+                          "input_rows": n_docs, "out_rows": pairs, "sec": round(t, 3)}))
+        d.unpersist()
+
+        # block-shifted embeddings: replicas displaced along every axis
+        e = replicate(emb, r, {"vec_id": 10_000_000})
+        if r > 1:
+            e = e.withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x: (x + F.col("__rep").cast("float") * F.lit(0.01)),
+                ),
+            )
+        e = e.drop("__rep").persist()
+        n_vec = e.count()
+        queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        # production sizing rule: n_lists ~ sqrt(corpus) keeps per-list
+        # size and centroid-table size balanced, so probe cost grows
+        # ~sqrt(N) at fixed n_probe — that is the curve we measure
+        n_lists = 16 * int(r**0.5)
+        t0 = time.time()
+        idx = build_ivf_index(e, n_lists=n_lists, id_col="vec_id",
+                              vec_col="embedding")
+        idx.lists.persist().count()
+        build_s = time.time() - t0
+        t, rows = timed(
+            lambda: ivf_search(idx, queries, k=3, n_probe=4), action="count"
+        )
+        print(json.dumps({"kernel": "ivf_probe", "factor": r,
+                          "input_rows": n_vec, "out_rows": rows,
+                          "n_lists": n_lists,
+                          "build_sec": round(build_s, 3), "sec": round(t, 3)}))
+        idx.lists.unpersist()
+        e.unpersist()
+
+
+if __name__ == "__main__":
+    main()
