@@ -182,3 +182,59 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     for c in bit_cols[1:]:
         sig = sig + c
     return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair graph by min-label
+    propagation: cluster_id = min node id in the component (a canonical
+    representative independent of iteration order).
+
+    This is the transitive-closure step that turns near-dup PAIRS into
+    dedup CLUSTERS (the reference has no equivalent; without it, A~B
+    and B~C keep both A-B and B-C "duplicates" but never links A to C).
+
+    Iterative by nature (the one algorithm class SURVEY §2 exempts from
+    single-SQL oracles — here the ORACLE is still exact via a DuckDB
+    recursive CTE, because the fixpoint is order-independent). Each
+    sweep is one join + one min-aggregate, both on the bounded pair
+    graph (O(pairs), not O(docs)); `localCheckpoint` truncates lineage
+    so plans stay flat; convergence needs O(component diameter) sweeps
+    — near-dup clusters are shallow (stars/cliques), so 3-5 in
+    practice, with the driver-side changed-count (an O(1) scalar) as
+    the stop condition.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        cand = sym.join(labels, sym["dst"] == labels["id"]).select(
+            F.col("src").alias("id"), "label"
+        )
+        new = (
+            labels.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

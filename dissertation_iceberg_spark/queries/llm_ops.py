@@ -253,6 +253,58 @@ def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Near-dup CLUSTERS: transitive closure of the pair graph (round 2).
+# The Spark side iterates min-label propagation to a fixpoint; the
+# oracle reaches the same fixpoint via a recursive CTE — both are
+# well-defined because cluster_id = min doc_id in the component is
+# independent of evaluation order.
+# --------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(doc_id = cluster_id AS INT) AS is_canonical
+FROM cc
+"""
+
+
+@register("near_dup_clusters", oracle=_CLUSTER_ORACLE)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters = connected components over the Jaccard near-dup
+    pair graph (operators/dedup.py:connected_components): cluster_id is
+    the component's min doc_id (canonical keep), cluster_size the
+    dedup fan-in. Iterative label propagation on the O(pairs) graph —
+    the iteration count is bounded by component diameter, not corpus
+    size."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = dd.jaccard_near_dup_pairs(
+        docs, "text", "doc_id", n=JACCARD_N, threshold=JACCARD_THRESHOLD
+    )
+    cc = dd.connected_components(pairs, "id_a", "id_b")
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
+# --------------------------------------------------------------------------
 # BPE-ish regex tokenization + polynomial rolling-hash fingerprint
 # --------------------------------------------------------------------------
 

@@ -121,3 +121,24 @@ def test_asof_tolerance_monotone(spark, gap_us):
     assert flag(gap_us + 1) == 1
     if gap_us > 0:
         assert flag(gap_us - 1) == 0
+
+
+def test_connected_components_chain_triangle(spark):
+    """Min-label propagation reaches the exact fixpoint: a 4-chain
+    (transitive closure beyond direct pairs), a triangle, and a
+    detached pair each collapse to their min id."""
+    from dissertation_iceberg_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain: 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                   # pair
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(edges, max_iter=10).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
