@@ -393,3 +393,91 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("tok").alias("n_distinct_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash sampling (round 2): the reproducible-subset
+# primitive every training-data pipeline needs — no RNG state, no
+# seed-per-partition hazard; membership is a pure function of content,
+# so reruns, backfills, and engines agree byte-for-byte.
+# --------------------------------------------------------------------------
+
+_SAMPLE_ORACLE = """
+SELECT doc_id, lang,
+       substr(md5(text), 1, 1) AS bucket
+FROM documents
+WHERE substr(md5(text), 1, 1) = '0'
+"""
+
+
+@register("deterministic_sample", oracle=_SAMPLE_ORACLE)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1/16 content-hash sample: keep docs whose md5 hex digit 0 is
+    '0'. Scales trivially (per-row expression, no shuffle); the rate
+    knob is the hex-prefix range. md5 (not xxhash64) so the oracle is
+    engine-portable."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bucket = F.substring(F.md5(F.col("text")), 1, 1)
+    return docs.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket") == "0"
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (round 2): assign docs to fixed-token-budget packs
+# (training-batch construction). Contiguous-fill semantics: a doc's
+# pack is the budget bucket its running token total STARTS in —
+# deterministic, one window per partition key, identical in SQL.
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 2048
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t)
+SELECT lang,
+       CAST(floor((cum - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       sum(n_tokens) AS pack_tokens
+FROM c GROUP BY 1, 2
+"""
+
+
+@register("sequence_packing", oracle=_PACK_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous packing of documents into {PACK_BUDGET}-token
+    packs per language: window cumsum -> integer-divide -> per-pack
+    rollup. The window partitions by the pack key (lang here; a real
+    pipeline adds a shard/date key so partitions stay bounded at
+    100 TB)."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = docs.select("doc_id", "lang", n_tokens.alias("n_tokens")).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    return (
+        c.withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET).cast("long"),
+        )
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+    )
