@@ -202,3 +202,63 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_cosine_topk(emb, queries, k=3, n_lists=16, n_probe=4)
+
+
+# --------------------------------------------------------------------------
+# Trading-calendar dim on the correctness surface (round 2). The
+# holiday set is generated ONCE from the rule engine
+# (sources/factors.nyse_holidays) and inlined into both sides as
+# literals; what the oracle independently checks is the calendar
+# construction itself — weekday logic and the next/prev-trading-day
+# window semantics (first-following / last-preceding within 7 rows).
+# --------------------------------------------------------------------------
+
+_CAL_START, _CAL_END = "2018-01-01", "2018-12-31"
+
+
+def _calendar_oracle() -> str:
+    from dissertation_iceberg_spark.sources.factors import nyse_holidays
+
+    hols = sorted(
+        h for h in nyse_holidays(2018, 2018)
+        if _CAL_START <= h.isoformat() <= _CAL_END
+    )
+    hol_list = ", ".join(f"DATE '{h}'" for h in hols)
+    # TIMESTAMP (not DATE) columns on both sides: DuckDB DATE arrives
+    # in pandas as datetime64 while Spark DateType arrives as objects —
+    # timestamps are the dtype the compare canonicalizes identically
+    return f"""
+WITH cal AS (
+  SELECT unnest(generate_series(DATE '{_CAL_START}',
+              DATE '{_CAL_END}', INTERVAL 1 DAY)) AS date),
+c AS (
+  SELECT date,
+         dayofweek(date) NOT IN (0, 6)
+         AND date NOT IN ({hol_list}) AS is_trading_day
+  FROM cal)
+SELECT date, is_trading_day,
+  min(CASE WHEN is_trading_day THEN date END)
+    OVER (ORDER BY date ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING)
+    AS next_trading_day,
+  max(CASE WHEN is_trading_day THEN date END)
+    OVER (ORDER BY date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    AS prev_trading_day
+FROM c
+"""
+
+
+@register("trading_calendar", oracle=_calendar_oracle())
+def trading_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XNYS trading-calendar dim for 2018: rule-based holidays
+    (sources/factors.py), weekday mask, next/prev trading day via
+    bounded first/last windows. O(days) dim — the global window is tiny
+    by construction."""
+    from dissertation_iceberg_spark.sources.factors import trading_days
+
+    cal = trading_days(spark, _CAL_START, _CAL_END)
+    return cal.select(
+        F.col("date").cast("timestamp").alias("date"),
+        "is_trading_day",
+        F.col("next_trading_day").cast("timestamp").alias("next_trading_day"),
+        F.col("prev_trading_day").cast("timestamp").alias("prev_trading_day"),
+    )

@@ -481,3 +481,75 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("pack_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (round 2): max n-gram CONTAINMENT of each
+# training doc against a benchmark set — containment (|A∩B| / |bench
+# shingles|), not Jaccard, because a benchmark snippet embedded in a
+# long doc must still score ~1.0. Same inverted-index join shape as the
+# Jaccard pass: candidates only where >=1 shingle is shared.
+# --------------------------------------------------------------------------
+
+BENCH_MOD = 100  # stand-in benchmark set: every 100th doc
+CONTAMINATION_MIN = 0.5
+
+_CONTAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - {JACCARD_N - 1}),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+    FROM toks)),
+bench AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+train AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+bsizes AS (SELECT doc_id, count(*) AS bsz FROM bench GROUP BY 1),
+inter AS (
+  SELECT t.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS n_inter
+  FROM train t JOIN bench b ON t.shingle = b.shingle
+  GROUP BY 1, 2),
+scored AS (
+  SELECT train_id, bench_id,
+         round(CAST(n_inter AS DOUBLE) / bs.bsz, 6) AS containment
+  FROM inter JOIN bsizes bs ON bs.doc_id = bench_id)
+SELECT train_id,
+       max(containment) AS max_containment,
+       CAST(count(CASE WHEN containment >= {CONTAMINATION_MIN} THEN 1 END)
+            AS BIGINT) AS n_contaminating
+FROM scored GROUP BY train_id
+"""
+
+
+@register("benchmark_contamination", oracle=_CONTAM_ORACLE)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: per training doc, the max shingle
+    containment vs any benchmark doc and the count of benchmark docs
+    over the threshold. Inverted-index equi-join on shingles (never a
+    cross product); the benchmark side is small by nature, so its
+    shingle table broadcasts at scale."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = dd.word_shingles(docs, "text", "doc_id", n=JACCARD_N)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = sh.filter(is_bench)
+    train = sh.filter(~is_bench)
+    bsizes = bench.groupBy("doc_id").agg(F.count(F.lit(1)).alias("bsz"))
+    inter = (
+        train.join(
+            F.broadcast(bench.withColumnRenamed("doc_id", "bench_id")), "shingle"
+        )
+        .groupBy(F.col("doc_id").alias("train_id"), "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = inter.join(
+        F.broadcast(bsizes.withColumnRenamed("doc_id", "bench_id")), "bench_id"
+    ).withColumn(
+        "containment", F.round(F.col("n_inter") / F.col("bsz"), 6)
+    )
+    return scored.groupBy("train_id").agg(
+        F.max("containment").alias("max_containment"),
+        F.count(
+            F.when(F.col("containment") >= CONTAMINATION_MIN, 1)
+        ).alias("n_contaminating"),
+    )
