@@ -64,6 +64,7 @@ def _ensure_loaded() -> None:
         ml_rolling,
         oi_variants,
         regression,
+        sessions,
         strategy,
         strategy2,
         windows2,

@@ -1,0 +1,117 @@
+"""Event-stream session / funnel / retention queries over ``events``.
+
+Extension surface: the clickstream trio every large-scale event
+pipeline needs (closest reference shape: the per-user event counting in
+``trading_strategy.py:415-416``). All timestamps are exchanged as epoch
+microseconds (BIGINT) — the pinned cross-engine representation — and
+monetary sums use the integer-cents trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dissertation_iceberg_spark.io import load_table
+from dissertation_iceberg_spark.operators import sessions as ss
+from dissertation_iceberg_spark.queries.registry import register
+
+_GAP_US = 6 * 3600 * 1_000_000  # 6 hours, matches gap="6 hours" below
+
+_SESSION_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w >= {_GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT user_id,
+       min(us) AS session_start_us,
+       max(us) AS session_end_us,
+       count(*) AS n_events,
+       sum(cents) / 1e2 AS session_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register("sessionization", oracle=_SESSION_ORACLE)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via native ``session_window`` — the
+    gap-merge happens inside one hash aggregate keyed on (user,
+    window); the only shuffle is on user_id. The identical call works
+    under Structured Streaming with a watermark. The oracle replays
+    the same semantics as lag + cumulative-sum session ids."""
+    e = load_table(spark, sf_dir, "events")
+    return ss.sessionize(
+        e,
+        value_cents=F.round(F.col("value") * 100).cast("long"),
+        gap="6 hours",
+    )
+
+
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+_FUNNEL_ORACLE = """
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+v AS (
+  SELECT e.user_id, min(epoch_us(ts)) AS view_us
+  FROM events e JOIN s USING (user_id)
+  WHERE event_type = 'view' AND epoch_us(ts) > signup_us GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(epoch_us(ts)) AS click_us
+  FROM events e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND epoch_us(ts) > view_us GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(epoch_us(ts)) AS purchase_us
+  FROM events e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND epoch_us(ts) > click_us GROUP BY 1)
+SELECT s.user_id, signup_us,
+       coalesce(view_us, 0) AS view_us,
+       coalesce(click_us, 0) AS click_us,
+       coalesce(purchase_us, 0) AS purchase_us
+FROM s LEFT JOIN v USING (user_id)
+       LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)
+"""
+
+
+@register("funnel_stages", oracle=_FUNNEL_ORACLE)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup→view→click→purchase: first
+    time each user reaches each step, step k+1 strictly after step k.
+    Every stage is a user-keyed conditional min — stage frames are
+    user-cardinality and all joins co-partition on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    return ss.funnel_stages(e, _FUNNEL_STEPS)
+
+
+_RETENTION_ORACLE = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(date_trunc('week', ts)) AS week_us
+  FROM events),
+c AS (
+  SELECT user_id, min(week_us) AS cohort_week_us FROM uw GROUP BY 1)
+SELECT cohort_week_us,
+       (week_us - cohort_week_us) // 604800000000 AS week_offset,
+       count(*) AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register("retention_cohorts", oracle=_RETENTION_ORACLE)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-active week,
+    counted at each later week they return. Dedup to (user, week)
+    happens once at event cardinality; everything after is user-week
+    sized."""
+    e = load_table(spark, sf_dir, "events")
+    return ss.retention_cohorts(e)
