@@ -108,3 +108,160 @@ def lang_id(
         best["lang"].alias("pred_lang"),
         best["hits"].alias("lang_hits"),
     )
+
+
+# --------------------------------------------------------------------------
+# Inverted-index / IR-scoring family (extension: classic corpus ops)
+# --------------------------------------------------------------------------
+
+
+def doc_term_freq(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc, term) -> term frequency. The one explode+shuffle the whole
+    IR family shares; downstream term-level frames are vocabulary-sized
+    and broadcast back, so the doc-term frame shuffles exactly once."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·ln(N/df).
+
+    df-per-term is vocabulary-cardinality (broadcast joined back); the
+    corpus size N is a 1-row broadcast, never a collected scalar. The
+    rank runs on the ROUNDED score with the term as tiebreak, so the
+    selection is deterministic and engine-independent.
+    """
+    tf = doc_term_freq(df, text_col, id_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, F.col("term"), "tfidf", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of tokens
+    taken by the most frequent token / bigram, and the unique-token
+    fraction. High values flag boilerplate and degenerate generations.
+
+    Both explodes re-key on doc_id, so the whole operator is two
+    doc-keyed aggregations — no term-level global state at all.
+    """
+    t = tokens(F.col(text_col))
+    toks = df.select(F.col(id_col), t.alias("toks"), F.size(t).alias("n_tokens"))
+    top_tok = (
+        toks.select(id_col, "n_tokens", F.explode("toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"), F.first("n_tokens").alias("n_tokens"))
+        .groupBy(id_col)
+        .agg(
+            F.max("c").alias("top_c"),
+            F.first("n_tokens").alias("n_tokens"),
+        )
+    )
+    # bigrams over the first n-1 positions; element_at is 1-indexed and
+    # the lambda index is 0-based, hence i+2 for the successor token
+    bigrams = F.transform(
+        F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+        lambda x, i: F.concat(x, F.lit(" "), F.element_at(F.col("toks"), i + F.lit(2))),
+    )
+    top_bg = (
+        toks.select(id_col, bigrams.alias("bgs"))
+        .select(id_col, F.explode("bgs").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bg_c"), F.count(F.lit(1)).alias("n_bigram_kinds"))
+    )
+    uniq = df.select(
+        F.col(id_col),
+        F.size(F.array_distinct(t)).alias("n_unique"),
+    )
+    n_bg = F.col("n_tokens") - 1
+    return (
+        top_tok.join(top_bg, id_col)
+        .join(uniq, id_col)
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("top_c").cast("double") / F.col("n_tokens"), 6).alias(
+                "top_token_frac"
+            ),
+            F.round(
+                F.when(n_bg > 0, F.col("top_bg_c").cast("double") / n_bg).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+            F.round(F.col("n_unique").cast("double") / F.col("n_tokens"), 6).alias(
+                "unique_frac"
+            ),
+        )
+    )
+
+
+def posting_list_digest(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 256,
+) -> DataFrame:
+    """Sharded inverted index: per (term, doc_id-bucket), the posting
+    count, id range, and an md5 digest of the sorted posting list.
+
+    Bucketing by ``doc_id div bucket_width`` bounds every group at
+    ``bucket_width`` postings, so no single stop-word term can create a
+    giant group — THE fix that makes inverted-index builds survive
+    100 TB (a full per-term list for a common term would be billions of
+    ids in one reducer). The digest caps output row width; consumers
+    needing the raw list read the (term, bucket) shards.
+    """
+    dt = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .select("term", F.col(id_col).alias("doc_id"))
+        .distinct()
+    )
+    return (
+        dt.withColumn("bucket", F.expr(f"doc_id div {bucket_width}"))
+        .groupBy("term", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("postings_md5"),
+        )
+    )

@@ -553,3 +553,97 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("containment") >= CONTAMINATION_MIN, 1)
         ).alias("n_contaminating"),
     )
+
+
+# --------------------------------------------------------------------------
+# Inverted-index / IR scoring family (round 2)
+# --------------------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, tfidf, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+  FROM scored)
+WHERE rk <= 3
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf·ln(N/df). One doc-term
+    shuffle; the df table and corpus-size N are broadcast back; the
+    rank runs on the rounded score with term tiebreak, so selection is
+    deterministic in both engines."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return tx.tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+_REPETITION_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS toks, len({_TOKENS}) AS n_tokens
+  FROM documents),
+top_tok AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM base) GROUP BY 1, 2)
+  GROUP BY 1),
+top_bg AS (
+  SELECT doc_id, max(c) AS top_bg_c FROM (
+    SELECT doc_id, bg, count(*) AS c
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS bg
+          FROM base) GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT b.doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+       round(CASE WHEN n_tokens > 1
+                  THEN CAST(top_bg_c AS DOUBLE) / (n_tokens - 1)
+                  ELSE 0.0 END, 6) AS top_bigram_frac,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens, 6)
+         AS unique_frac
+FROM base b JOIN top_tok USING (doc_id) JOIN top_bg USING (doc_id)
+"""
+
+
+@register("repetition_stats", oracle=_REPETITION_ORACLE)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top-token fraction,
+    top-bigram fraction, unique-token fraction) — both explodes re-key
+    on doc_id, so no term-level global state exists anywhere."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return tx.repetition_stats(docs, "text", "doc_id")
+
+
+_POSTING_ORACLE = f"""
+WITH dt AS (
+  SELECT DISTINCT term, doc_id
+  FROM (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents))
+SELECT term, doc_id // 256 AS bucket,
+       count(*) AS n_postings,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS postings_md5
+FROM dt GROUP BY 1, 2
+"""
+
+
+@register("posting_list_digest", oracle=_POSTING_ORACLE)
+def posting_list_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded inverted-index build: (term, doc_id-bucket) shards keep
+    every reducer group ≤256 postings regardless of term frequency —
+    the property that lets the build survive stop-words at 100 TB. The
+    md5 digest of the sorted posting list is the order-insensitive
+    equality check."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return tx.posting_list_digest(docs, "text", "doc_id", bucket_width=256)
