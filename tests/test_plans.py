@@ -86,6 +86,7 @@ INTENTIONAL_BNLJ = {
     "anderson_ksamp",  # broadcast 1-row min/max bounds (bucketed ranks)
     "ks_2samp",  # broadcast 1-row bounds + group totals (bucketed ranks)
     "part_type_revenue",  # broadcast 1-row share-of-total denominator
+    "tfidf_top_terms",  # broadcast 1-row corpus-size (N) frame
 }
 
 
@@ -121,6 +122,33 @@ def test_rank_stats_have_no_global_event_sort(spark, sf_dir, name):
         ordered_by_value = "value#" in line.split("windowspecdefinition", 1)[1]
         if ordered_by_value:
             assert "__bucket#" in line, f"unbucketed value sort in {name}: {line}"
+
+
+def test_sessionization_is_single_user_aggregate(spark, sf_dir):
+    """session_window must compile to one user-keyed aggregation —
+    no join, no unpartitioned window."""
+    p = _plan(spark, sf_dir, "sessionization")
+    assert "Join" not in p
+    assert "hashpartitioning(user_id" in p
+    assert "windowspecdefinition()" not in p
+
+
+def test_tfidf_broadcasts_term_stats(spark, sf_dir):
+    """The vocabulary-sized df table must broadcast back onto the
+    doc-term frame — a shuffle join here would re-exchange the big
+    side on a low-cardinality key."""
+    p = _plan(spark, sf_dir, "tfidf_top_terms")
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_posting_digest_no_joins(spark, sf_dir):
+    """The sharded index build is aggregation-only: explode → distinct
+    → (term, bucket) agg. Any join in this plan is a regression."""
+    p = _plan(spark, sf_dir, "posting_list_digest")
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
 
 
 def test_multiway_join_broadcasts_dims(spark, sf_dir):

@@ -328,3 +328,75 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
         base,
         base + pd.Timedelta(minutes=130),
     ]
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """Append-mode session_window: every emitted session equals its
+    batch twin, and every session sealed by the final watermark is
+    emitted. Files arrive in time order (maxFilesPerTrigger=1) so the
+    watermark actually advances between micro-batches."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.operators.sessions import sessionize
+    from dissertation_iceberg_spark.streaming.sessions_stream import streaming_sessions
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    src = str(tmp_path / "sess_src")
+    # four time-ordered chunks -> four micro-batches
+    bounds = list(
+        e.selectExpr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY us) AS b1",
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY us) AS b2",
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY us) AS b3",
+        )
+        .collect()[0]
+        .asDict()
+        .values()
+    )
+    e = e.drop("us")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    chunks = [
+        e.filter(us <= bounds[0]),
+        e.filter((us > bounds[0]) & (us <= bounds[1])),
+        e.filter((us > bounds[1]) & (us <= bounds[2])),
+        e.filter(us > bounds[2]),
+    ]
+    for i, c in enumerate(chunks):
+        c.coalesce(1).write.parquet(f"{src}/f{i}")
+    paths = [f"{src}/f{i}" for i in range(4)]
+    batch_schema = spark.read.parquet(*paths).schema
+
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        streaming_sessions(stream, gap="6 hours", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("sess_stream_out").toPandas()
+    want = sessionize(
+        spark.read.parquet(*paths), gap="6 hours"
+    ).toPandas()
+
+    key = ["user_id", "session_start_us", "session_end_us", "n_events"]
+    got_k = got[key].sort_values(key).reset_index(drop=True)
+    want_k = want[key].sort_values(key).reset_index(drop=True)
+    # 1) no invented sessions: everything emitted exists identically in batch
+    merged = got_k.merge(want_k, on=key, how="left", indicator=True)
+    assert (merged["_merge"] == "both").all(), "streaming emitted a non-batch session"
+    # 2) completeness under the final watermark: sessions sealed before
+    #    the watermark reached by the first three chunks must be out
+    wm_us = int(bounds[2]) - 30 * 60 * 1_000_000
+    gap_us = 6 * 3600 * 1_000_000
+    sealed = want_k[want_k["session_end_us"] + gap_us < wm_us]
+    have = sealed.merge(got_k, on=key, how="left", indicator=True)
+    assert (have["_merge"] == "both").all(), "a sealed session was not emitted"
+    assert len(got_k) > 0 and len(sealed) > 0
