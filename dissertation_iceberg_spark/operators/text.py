@@ -265,3 +265,51 @@ def posting_list_digest(
             ).alias("postings_md5"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a fixed term query under BM25 (Lucene-style
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Doc length rides through the explode as part of the grouping key,
+    so there is NO doc-length join — the only joins are the
+    vocabulary-sized per-term df table and the 1-row (N, avgdl) frame,
+    both broadcast. The final top-k is an orderBy+limit, which Spark
+    executes as per-partition top-k + driver merge."""
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    t = tokens(F.col(text_col))
+    tf = (
+        df.select(F.col(id_col), F.size(t).alias("dl"), F.explode(t).alias("term"))
+        .filter(F.array_contains(terms, F.col("term")))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = df.select(F.size(tokens(F.col(text_col))).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(corpus))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

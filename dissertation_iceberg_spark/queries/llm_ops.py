@@ -647,3 +647,40 @@ def posting_list_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality check."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return tx.posting_list_digest(docs, "text", "doc_id", bucket_width=256)
+
+
+_BM25_TERMS = ["spark", "join", "window", "vector"]
+
+# decimal literals in e-notation: DuckDB parses 0.5/1.2 as DECIMAL,
+# Spark as DOUBLE — e-notation is DOUBLE in both engines
+_BM25_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
+  WHERE term IN ('spark', 'join', 'window', 'vector')
+  GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+corpus AS (
+  SELECT count(*) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl
+  FROM base)
+SELECT doc_id, round(sum(
+         ln(1e0 + (n_docs - df + 5e-1) / (df + 5e-1))
+         * (tf * 22e-1)
+         / (tf + 12e-1 * (1e0 - 75e-2 + 75e-2 * dl / avgdl))
+       ), 6) AS bm25
+FROM tf JOIN dfreq USING (term) CROSS JOIN corpus
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("bm25_topk", oracle=_BM25_ORACLE)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval for a fixed term query: doc length rides through
+    the explode (no doc-length join); df and (N, avgdl) broadcast; the
+    final top-k compiles to TakeOrderedAndProject."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return tx.bm25_topk(docs, _BM25_TERMS, "text", "doc_id", k=20)

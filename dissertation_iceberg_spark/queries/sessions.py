@@ -115,3 +115,29 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized."""
     e = load_table(spark, sf_dir, "events")
     return ss.retention_cohorts(e)
+
+
+_PCTL_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 5e-1), 6) AS p50,
+       round(quantile_cont(value, 9e-1), 6) AS p90,
+       round(quantile_cont(value, 99e-2), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+@register("percentile_battery", oracle=_PCTL_ORACLE)
+def percentile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed percentiles (linear interpolation at
+    (n-1)·p, identical in Spark `percentile` and DuckDB
+    `quantile_cont`) per event type — the exact path complements the
+    approx_percentile sketch pinned in tests."""
+    e = load_table(spark, sf_dir, "events")
+    pcts = F.expr("percentile(value, array(5e-1, 9e-1, 99e-2))")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.element_at(pcts, 1), 6).alias("p50"),
+        F.round(F.element_at(pcts, 2), 6).alias("p90"),
+        F.round(F.element_at(pcts, 3), 6).alias("p99"),
+    )

@@ -87,6 +87,7 @@ INTENTIONAL_BNLJ = {
     "ks_2samp",  # broadcast 1-row bounds + group totals (bucketed ranks)
     "part_type_revenue",  # broadcast 1-row share-of-total denominator
     "tfidf_top_terms",  # broadcast 1-row corpus-size (N) frame
+    "bm25_topk",  # broadcast 1-row (N, avgdl) corpus frame
 }
 
 
@@ -141,6 +142,14 @@ def test_tfidf_broadcasts_term_stats(spark, sf_dir):
     assert p.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    """BM25's final top-k must be per-partition top-k + driver merge,
+    and the term filter must reach the scan side of the explode."""
+    p = _plan(spark, sf_dir, "bm25_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
 
 
 def test_posting_digest_no_joins(spark, sf_dir):
