@@ -292,3 +292,49 @@ def part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_scaled") / F.lit(1e4)).alias("revenue"),
         F.round(F.col("rev_scaled") / F.col("__total"), 6).alias("revenue_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (round 2: the two join types the inventory lacked)
+# --------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 5e-2)
+"""
+
+
+@register("discounted_orders_semijoin", oracle=_SEMI_ORACLE)
+def discounted_orders_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): orders with at least one deep-discount
+    line. The probe side never widens — semi joins carry no lineitem
+    columns through the shuffle, and the filter is pushed below the
+    join on the build side."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return o.join(
+        l, o.o_orderkey == l.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+_ANTI_ORACLE = """
+SELECT o_orderkey, o_orderstatus
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+"""
+
+
+@register("unreturned_orders_antijoin", oracle=_ANTI_ORACLE)
+def unreturned_orders_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): orders with no returned line —
+    the declarative complement of the semi join, same narrow-shuffle
+    property."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return o.join(
+        l, o.o_orderkey == l.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_orderstatus")

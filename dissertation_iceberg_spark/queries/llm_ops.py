@@ -684,3 +684,90 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     final top-k compiles to TakeOrderedAndProject."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return tx.bm25_topk(docs, _BM25_TERMS, "text", "doc_id", k=20)
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking + stratified hash split (round 2)
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 50
+CHUNK_STEP = 40  # 10-token overlap between consecutive chunks
+
+_CHUNK_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS toks, len({_TOKENS}) AS n FROM documents)
+SELECT doc_id,
+       (start - 1) // {CHUNK_STEP} AS chunk_idx,
+       least({CHUNK_TOKENS}, n - start + 1) AS chunk_len,
+       md5(array_to_string(toks[start:start + {CHUNK_TOKENS} - 1], ' '))
+         AS chunk_md5
+FROM (SELECT doc_id, toks, n,
+             unnest(range(1, n + 1, {CHUNK_STEP})) AS start
+      FROM base)
+"""
+
+
+@register("chunk_documents", oracle=_CHUNK_ORACLE)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: fixed token budget with overlap
+    (50-token chunks, stride 40). Pure per-row array expressions +
+    one explode — no shuffle at all; at 100 TB this is the map-side
+    stage feeding sequence packing. md5 digests keep the verify row
+    narrow."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = tx.tokens(F.col("text"))
+    base = docs.select("doc_id", t.alias("toks"), F.size(t).alias("n"))
+    return (
+        base.select(
+            "doc_id",
+            "toks",
+            "n",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STEP))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"(start - 1) div {CHUNK_STEP}").alias("chunk_idx"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.col("n") - F.col("start") + 1
+            ).cast("long").alias("chunk_len"),
+            F.md5(
+                F.array_join(F.slice(F.col("toks"), F.col("start"), CHUNK_TOKENS), " ")
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+_STRAT_ORACLE = """
+WITH b AS (
+  SELECT lang, n_chars, substring(md5(text), 1, 1) AS h FROM documents)
+SELECT lang,
+       CASE WHEN h BETWEEN '0' AND 'b' THEN 'train'
+            WHEN h IN ('c', 'd') THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars
+FROM b GROUP BY 1, 2
+"""
+
+
+@register("stratified_split", oracle=_STRAT_ORACLE)
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split (12/2/2 sixteenths
+    by content-hash hex prefix), audited per language stratum. The
+    split is a per-row expression — reproducible across runs, engines,
+    and cluster sizes, and immune to partition order."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    h = F.substring(F.md5(F.col("text")), 1, 1)
+    split = (
+        F.when(h.between("0", "b"), "train")
+        .when(h.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return docs.select("lang", split.alias("split"), "n_chars").groupBy(
+        "lang", "split"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

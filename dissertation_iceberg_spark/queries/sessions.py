@@ -141,3 +141,45 @@ def percentile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(pcts, 2), 6).alias("p90"),
         F.round(F.element_at(pcts, 3), 6).alias("p99"),
     )
+
+
+_TRAILING_ORACLE = """
+WITH o AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT event_id, user_id, us,
+       count(*) OVER w AS n_trailing_hour,
+       sum(cents) OVER w / 1e2 AS trailing_hour_value
+FROM o
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("trailing_hour_activity", oracle=_TRAILING_ORACLE)
+def trailing_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-based rolling window (RANGE frame over epoch-µs, not
+    ROWS): per event, the user's event count and value over the
+    trailing hour. Range frames are insensitive to tie order, so
+    equal-timestamp events need no tiebreak for determinism."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = e.select(
+        "event_id", "user_id", us.alias("us"), cents.alias("cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        (F.sum("cents").over(w) / F.lit(1e2)).alias("trailing_hour_value"),
+    )
