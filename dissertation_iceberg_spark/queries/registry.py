@@ -65,6 +65,7 @@ def _ensure_loaded() -> None:
         oi_variants,
         regression,
         sessions,
+        sqlops,
         strategy,
         strategy2,
         windows2,

@@ -1,0 +1,166 @@
+"""Multi-dimensional aggregation and set-operator surface: ROLLUP /
+CUBE / GROUPING SETS ids, pivot (long->wide), INTERSECT / EXCEPT.
+
+The reference reaches these shapes imperatively (nested groupby loops
+and boolean masks over pandas frames, e.g. the per-priority/per-status
+breakdown loops in ``portfolio_strategy_statistics.ipynb`` cells 18-22);
+declared as ROLLUP/CUBE they collapse to ONE shuffle producing every
+grouping level at once — Spark expands grouping sets map-side, so the
+subtotal rows ride the same exchange as the leaf rows. Monetary sums
+use the integer-cents trick throughout (exact under any aggregation
+order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dissertation_iceberg_spark.io import load_table
+from dissertation_iceberg_spark.queries.registry import register
+
+_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+_ROLLUP_ORACLE = f"""
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority, o_orderstatus) AS gid,
+       count(*) AS n_orders,
+       sum({_CENTS}) / 1e2 AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+@register("revenue_rollup", oracle=_ROLLUP_ORACLE)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (priority, status): leaf, per-priority subtotal and
+    grand-total rows from one pass. grouping_id disambiguates genuine
+    NULL dimension values from rolled-up levels — the standard SQL
+    answer to the reference's loop-of-groupbys."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select("o_orderpriority", "o_orderstatus", cents.alias("cents"))
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents") / F.lit(1e2)).alias("total_price"),
+        )
+    )
+
+
+_CUBE_ORACLE = f"""
+SELECT year(o_orderdate) AS order_year, o_orderstatus,
+       GROUPING(year(o_orderdate), o_orderstatus) AS gid,
+       count(*) AS n_orders,
+       sum({_CENTS}) / 1e2 AS total_price
+FROM orders
+GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+"""
+
+
+@register("status_year_cube", oracle=_CUBE_ORACLE)
+def status_year_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (year, status): all four grouping sets — (year,
+    status), (year), (status), () — in one shuffle. The marginal cost
+    over a plain groupBy is the grouping-set expansion factor, not
+    extra passes over the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("order_year"),
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .cube("order_year", "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents") / F.lit(1e2)).alias("total_price"),
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+WITH o AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT day,
+  {", ".join(
+    f"count(*) FILTER (WHERE event_type = '{t}') AS {t}_n, "
+    f"coalesce(sum(cents) FILTER (WHERE event_type = '{t}'), 0) / 1e2 "
+    f"AS {t}_value"
+    for t in _EVENT_TYPES
+  )}
+FROM o GROUP BY day
+"""
+
+
+@register("event_type_pivot", oracle=_PIVOT_ORACLE)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): per-day event counts and value by type as
+    columns. The pivot value list is pinned so the schema is static —
+    at scale an unpinned pivot needs an extra distinct pass just to
+    discover columns, and a schema that drifts with the data."""
+    e = load_table(spark, sf_dir, "events")
+    wide = (
+        e.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+    )
+    cols = [F.col("day")]
+    for t in _EVENT_TYPES:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n"))
+        cols.append(
+            (F.coalesce(F.col(f"{t}_cents"), F.lit(0)) / F.lit(1e2)).alias(
+                f"{t}_value"
+            )
+        )
+    return wide.select(*cols)
+
+
+_SPLIT_YEAR = 1998  # orders span 1995-2001; split into two eras
+
+_INTERSECT_ORACLE = f"""
+SELECT o_custkey FROM orders WHERE year(o_orderdate) < {_SPLIT_YEAR}
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) >= {_SPLIT_YEAR}
+"""
+
+
+@register("repeat_buyers_intersect", oracle=_INTERSECT_ORACLE)
+def repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): customers active in both eras.
+    Compiles to an aggregate-then-join on the single key column — the
+    shuffle carries distinct keys only, never order rows."""
+    o = load_table(spark, sf_dir, "orders")
+    early = o.filter(F.year("o_orderdate") < _SPLIT_YEAR).select("o_custkey")
+    late = o.filter(F.year("o_orderdate") >= _SPLIT_YEAR).select("o_custkey")
+    return early.intersect(late)
+
+
+_EXCEPT_ORACLE = f"""
+SELECT o_custkey FROM orders WHERE year(o_orderdate) < {_SPLIT_YEAR}
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) >= {_SPLIT_YEAR}
+"""
+
+
+@register("lapsed_buyers_except", oracle=_EXCEPT_ORACLE)
+def lapsed_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): customers who bought early but never
+    again — the churn complement of the intersect, same narrow
+    distinct-key shuffle (DataFrame.subtract = EXCEPT DISTINCT)."""
+    o = load_table(spark, sf_dir, "orders")
+    early = o.filter(F.year("o_orderdate") < _SPLIT_YEAR).select("o_custkey")
+    late = o.filter(F.year("o_orderdate") >= _SPLIT_YEAR).select("o_custkey")
+    return early.subtract(late)
