@@ -262,3 +262,172 @@ def trading_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_trading_day").cast("timestamp").alias("next_trading_day"),
         F.col("prev_trading_day").cast("timestamp").alias("prev_trading_day"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic distributed k-means (round 2): exact integer-quantized
+# Lloyd iterations, oracle-matched bit-for-bit
+# --------------------------------------------------------------------------
+
+KM_K = 8
+KM_SCALE = 10_000  # quantization: |x| <= 0.53 -> |xq| <= 5300
+
+_KM_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT)) AS qv
+  FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS pos),
+xe AS (SELECT vec_id, pos, qv[pos] AS x FROM q, idx),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {KM_K})),
+c0 AS (SELECT cluster, pos, qv[pos] AS s, CAST(1 AS BIGINT) AS n
+       FROM seeds, idx),
+d1 AS (
+  SELECT vec_id, cluster, n, sum((x*n - s)*(x*n - s)) AS num
+  FROM xe JOIN c0 USING (pos) GROUP BY 1, 2, 3),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY CAST(num AS DOUBLE)/(n*n), cluster)
+             AS rn
+    FROM d1) WHERE rn = 1),
+c1 AS (
+  SELECT cluster, pos, sum(x) AS s, count(*) AS n
+  FROM a1 JOIN xe USING (vec_id) GROUP BY 1, 2),
+d2 AS (
+  SELECT vec_id, cluster, n, sum((x*n - s)*(x*n - s)) AS num
+  FROM xe JOIN c1 USING (pos) GROUP BY 1, 2, 3),
+a2 AS (
+  SELECT vec_id, cluster, n, num FROM (
+    SELECT vec_id, cluster, n, num,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY CAST(num AS DOUBLE)/(n*n), cluster)
+             AS rn
+    FROM d2) WHERE rn = 1),
+stats AS (
+  SELECT cluster AS cluster_id, count(*) AS n_vecs, sum(num) AS sum_num,
+         max(n) AS n
+  FROM a2 GROUP BY 1),
+lab AS (
+  SELECT cluster, label, count(*) AS c
+  FROM a2 JOIN q USING (vec_id) GROUP BY 1, 2),
+maj AS (
+  SELECT cluster AS cluster_id, label AS majority_label, c AS maj_n FROM (
+    SELECT cluster, label, c,
+           row_number() OVER (PARTITION BY cluster ORDER BY c DESC, label)
+             AS rn
+    FROM lab) WHERE rn = 1)
+SELECT s.cluster_id, s.n_vecs, m.majority_label,
+       round(CAST(m.maj_n AS DOUBLE) / s.n_vecs, 6) AS label_share,
+       round(CAST(s.sum_num AS DOUBLE) / (s.n * s.n) / 1e8 / s.n_vecs, 6)
+         AS mean_sq_dist
+FROM stats s JOIN maj m USING (cluster_id)
+"""
+
+
+def _km_assign(xe: DataFrame, cent: DataFrame, keep_stats: bool) -> DataFrame:
+    """One Lloyd assignment pass against centroids held as (cluster,
+    pos, s, n) — i.e. un-normalized integer component sums. Distance
+    comparison uses sum_d (x*n - s)^2 / n^2: the numerator is an exact
+    int64 (quantized inputs), the division is a single correctly-
+    rounded double op, so argmin ties and order agree across engines
+    and partitionings."""
+    e = F.col("x") * F.col("n") - F.col("s")
+    d = (
+        xe.join(F.broadcast(cent), "pos")
+        .select("vec_id", "cluster", "n", e.alias("e"))
+        .groupBy("vec_id", "cluster", "n")
+        .agg(F.sum(F.col("e") * F.col("e")).alias("num"))
+    )
+    dist = (F.col("num").cast("double") / (F.col("n") * F.col("n"))).alias("dist")
+    fields = ["dist", "cluster", "n", "num"] if keep_stats else ["dist", "cluster"]
+    picked = (
+        d.select("vec_id", dist, "cluster", "n", "num")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(*fields)).alias("m"))
+    )
+    out = [F.col("vec_id"), F.col("m.cluster").alias("cluster")]
+    if keep_stats:
+        out += [F.col("m.n").alias("n"), F.col("m.num").alias("num")]
+    return picked.select(*out)
+
+
+@register("kmeans_cluster_stats", oracle=_KM_ORACLE)
+def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (2 Lloyd iterations, k=8) over the embedding
+    corpus, with per-cluster size, majority label, purity and mean
+    squared distance — the clustering step of semantic dedup / data
+    curation. Embeddings are quantized to integers (1e-4 grid) so every
+    aggregate is an exact int sum: the whole iteration is reproducible
+    bit-for-bit on any cluster size, and the DuckDB oracle replays it
+    exactly. Centroids live as un-normalized (sum, count) pairs — never
+    floats — and ride broadcast joins; the vector side is never
+    collected. At 100 TB each iteration is one broadcast join + one
+    int-sum shuffle keyed on (cluster, pos)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * KM_SCALE).cast("long"),
+    )
+    base = emb.select("vec_id", "label", qv.alias("qv"))
+    xe = base.select("vec_id", F.posexplode("qv").alias("pos", "x"))
+
+    from pyspark.sql import Window
+
+    seeds = (
+        base.orderBy("vec_id")
+        .limit(KM_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cluster"),
+            "qv",
+        )
+    )
+    c0 = seeds.select(
+        "cluster", F.posexplode("qv").alias("pos", "s")
+    ).withColumn("n", F.lit(1).cast("long"))
+
+    a1 = _km_assign(xe, c0, keep_stats=False)
+    c1 = (
+        a1.join(xe, "vec_id")
+        .groupBy("cluster", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    a2 = _km_assign(xe, c1, keep_stats=True)
+
+    stats = a2.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("num").cast("decimal(38,0)")).alias("sum_num"),
+        F.max("n").alias("n"),
+    )
+    lab = (
+        a2.join(base.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    maj = (
+        lab.select("cluster", F.struct(F.col("c"), F.col("label")).alias("cl"))
+        .groupBy("cluster")
+        .agg(F.max_by(F.struct("cl"), F.struct(F.col("cl.c"), -F.col("cl.label"))).alias("m"))
+        .select(
+            "cluster",
+            F.col("m.cl.label").alias("majority_label"),
+            F.col("m.cl.c").alias("maj_n"),
+        )
+    )
+    return stats.join(maj, "cluster").select(
+        F.col("cluster").alias("cluster_id"),
+        "n_vecs",
+        "majority_label",
+        F.round(F.col("maj_n").cast("double") / F.col("n_vecs"), 6).alias(
+            "label_share"
+        ),
+        F.round(
+            F.col("sum_num").cast("double") / (F.col("n") * F.col("n"))
+            / F.lit(1e8) / F.col("n_vecs"),
+            6,
+        ).alias("mean_sq_dist"),
+    )

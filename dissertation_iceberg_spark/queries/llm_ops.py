@@ -771,3 +771,151 @@ def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pattern scrubbing, mixture weights, chunk-level dedup (round 2)
+# --------------------------------------------------------------------------
+
+_SCRUB_PAT = r"\b(customer|order)\b"  # stand-in PII/blocklist pattern
+
+_SCRUB_ORACLE = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE regexp_matches(text, '{_SCRUB_PAT}'))
+         AS docs_affected,
+       CAST(coalesce(sum(len(regexp_extract_all(text, '{_SCRUB_PAT}'))), 0)
+            AS BIGINT) AS total_matches,
+       CAST(coalesce(sum(length(text)
+            - length(regexp_replace(text, '{_SCRUB_PAT}', '', 'g'))), 0)
+            AS BIGINT) AS chars_removed
+FROM documents GROUP BY lang
+"""
+
+
+@register("pattern_scrub_stats", oracle=_SCRUB_ORACLE)
+def pattern_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction audit for a scrub regex (PII/blocklist stand-in —
+    the synthetic corpus has no emails/digits, so a dictionary pattern
+    demonstrates the machinery): per language, documents affected,
+    match count, and characters that deletion-redaction would remove.
+    Pure per-row JVM regex — the scrub itself is the same expression
+    with regexp_replace kept instead of length-diffed, so the audit
+    costs exactly one dry run of the real pass."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pat = _SCRUB_PAT
+    hit = F.col("text").rlike(pat)
+    n_matches = F.regexp_count(F.col("text"), F.lit(pat))
+    removed = F.length("text") - F.length(F.regexp_replace("text", pat, ""))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(hit).alias("docs_affected"),
+        F.sum(n_matches).cast("long").alias("total_matches"),
+        F.sum(removed).cast("long").alias("chars_removed"),
+    )
+
+
+_MIX_BUDGET = 1_000_000  # sampled-token budget to allocate
+
+_MIX_ORACLE = f"""
+WITH per_lang AS (
+  SELECT lang,
+         count(*) AS n_docs,
+         sum(len({_TOKENS})) AS n_tokens
+  FROM documents GROUP BY lang),
+w AS (
+  SELECT *, CAST(round(sqrt(n_tokens) * 1e6) AS BIGINT) AS wq
+  FROM per_lang)
+SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(wq AS DOUBLE) / sum(wq) OVER (), 6) AS mixture_share,
+       round(CAST(wq AS DOUBLE) / sum(wq) OVER () * {_MIX_BUDGET}
+             / n_tokens, 6) AS epochs
+FROM w
+"""
+
+
+@register("mixture_weights", oracle=_MIX_ORACLE)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (T=2 ⇒ sqrt scaling):
+    per-language sampling share and implied epochs for a fixed token
+    budget — the standard rebalancing step for multilingual training
+    sets. The sqrt weight is quantized to an integer so the
+    share-of-total is exact under any summation order; the total rides
+    a broadcast 1-row join, not a global window."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    per_lang = docs.select("lang", tx.tokens(F.col("text")).alias("t")).groupBy(
+        "lang"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("t")).cast("long").alias("n_tokens"),
+    )
+    w = per_lang.withColumn(
+        "wq", F.round(F.sqrt(F.col("n_tokens")) * 1e6).cast("long")
+    )
+    total = w.agg(F.sum("wq").alias("__tot"))
+    share = F.col("wq").cast("double") / F.col("__tot")
+    return w.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("mixture_share"),
+        F.round(share * _MIX_BUDGET / F.col("n_tokens"), 6).alias("epochs"),
+    )
+
+
+DUP_CHUNK = 16  # non-overlapping 16-token chunks
+
+_DUP_CHUNK_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS t, len({_TOKENS}) AS n FROM documents),
+ch AS (
+  SELECT doc_id, md5(array_to_string(t[s:s + {DUP_CHUNK} - 1], ' ')) AS h
+  FROM (SELECT doc_id, t, n, unnest(range(1, n + 1, {DUP_CHUNK})) AS s
+        FROM base)),
+g AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY h)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       count(*) FILTER (WHERE nd > 1) AS n_shared_chunks,
+       round(CAST(count(*) FILTER (WHERE nd > 1) AS DOUBLE) / count(*), 6)
+         AS shared_fraction
+FROM ch JOIN g USING (h)
+GROUP BY doc_id
+"""
+
+
+@register("duplicate_chunk_fraction", oracle=_DUP_CHUNK_ORACLE)
+def duplicate_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup signal: fraction of a doc's 16-token chunks
+    that also occur in at least one OTHER document — catches partial
+    copies that whole-doc fingerprints miss and near-dup shingles
+    over-count. One shuffle on the 16-byte chunk hash; the per-hash
+    distinct-doc count joins back on the same key, so at 100 TB both
+    stages share a partitioning and the rows stay (hash, id)-narrow."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = tx.tokens(F.col("text"))
+    base = docs.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+    ch = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n"), F.lit(DUP_CHUNK))
+        ).alias("s"),
+        "t",
+    ).select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(F.col("t"), F.col("s"), DUP_CHUNK), " ")).alias(
+            "h"
+        ),
+    )
+    g = ch.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    shared = F.count_if(F.col("nd") > 1)
+    return (
+        ch.join(g, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            shared.alias("n_shared_chunks"),
+            F.round(
+                shared.cast("double") / F.count(F.lit(1)), 6
+            ).alias("shared_fraction"),
+        )
+    )
