@@ -919,3 +919,141 @@ def duplicate_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_fraction"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Curation end-to-end: keep-list and quality funnel (round 2)
+# --------------------------------------------------------------------------
+
+_KEEP_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+ex AS (
+  SELECT doc_id,
+         CAST(doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS INT)
+           AS exact_canonical
+  FROM documents)
+SELECT ex.doc_id, ex.exact_canonical,
+       CAST(cc.doc_id IS NOT NULL AS INT) AS in_near_cluster,
+       CAST(ex.exact_canonical = 1
+            AND (cc.doc_id IS NULL OR cc.doc_id = cc.cluster_id) AS INT)
+         AS keep
+FROM ex LEFT JOIN cc USING (doc_id)
+"""
+
+
+@register("dedup_keep_list", oracle=_KEEP_ORACLE)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision per document: exact-dup canonical
+    (min doc_id per content hash) AND near-dup canonical (min doc_id
+    of its Jaccard cluster, via connected components) — the keep-list
+    a curation pipeline materializes before training. Composes the
+    16-byte-hash exact pass with the O(pairs) cluster pass; nothing
+    here touches document bodies after the first fingerprint scan."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    exact_canon = (
+        F.col("doc_id")
+        == F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    ).cast("int")
+    ex = docs.select("doc_id", exact_canon.alias("exact_canonical"))
+    pairs = dd.jaccard_near_dup_pairs(
+        docs, "text", "doc_id", n=JACCARD_N, threshold=JACCARD_THRESHOLD
+    )
+    cc = dd.connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    j = ex.join(cc, "doc_id", "left")
+    keep = (
+        (F.col("exact_canonical") == 1)
+        & (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+    ).cast("int")
+    return j.select(
+        "doc_id",
+        "exact_canonical",
+        F.col("cluster_id").isNotNull().cast("int").alias("in_near_cluster"),
+        keep.alias("keep"),
+    )
+
+
+_FUNNEL_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         len({_TOKENS}) AS nt,
+         len(list_distinct({_TOKENS})) AS nu,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+  FROM documents),
+agg AS (
+  SELECT count(*) AS n0,
+         count(*) FILTER (WHERE nt >= 30) AS n1,
+         count(*) FILTER (WHERE nt >= 30 AND nu * 100 >= nt * 35) AS n2,
+         count(*) FILTER (WHERE nt >= 30 AND nu * 100 >= nt * 35
+                            AND doc_id = canon) AS n3
+  FROM b)
+SELECT stage, gate, n_docs,
+       round(CAST(n_docs AS DOUBLE) / n0, 6) AS yield_frac
+FROM (
+  SELECT 0 AS stage, 'all' AS gate, n0 AS n_docs, n0 FROM agg
+  UNION ALL SELECT 1, 'min_tokens_30', n1, n0 FROM agg
+  UNION ALL SELECT 2, 'unique_frac_035', n2, n0 FROM agg
+  UNION ALL SELECT 3, 'exact_canonical', n3, n0 FROM agg)
+"""
+
+
+@register("quality_funnel", oracle=_FUNNEL_ORACLE)
+def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative quality-gate yield report: how many documents survive
+    each successive filter (length, lexical diversity, exact-dup
+    canonical) — the per-run audit table every filtering pipeline
+    emits. The diversity gate compares via integer cross-
+    multiplication (nu*100 >= nt*35), sidestepping float thresholds.
+    One scan, one tiny window for the dup gate, one 1-row aggregate."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = tx.tokens(F.col("text"))
+    b = docs.select(
+        "doc_id",
+        F.size(t).alias("nt"),
+        F.size(F.array_distinct(t)).alias("nu"),
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("canon"),
+    )
+    g1 = F.col("nt") >= 30
+    g2 = F.col("nu") * 100 >= F.col("nt") * 35
+    g3 = F.col("doc_id") == F.col("canon")
+    agg = b.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count_if(g1).alias("n1"),
+        F.count_if(g1 & g2).alias("n2"),
+        F.count_if(g1 & g2 & g3).alias("n3"),
+    )
+    stage = lambda i, name, col: F.struct(  # noqa: E731
+        F.lit(i).alias("stage"), F.lit(name).alias("gate"), F.col(col).alias("n_docs")
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                stage(0, "all", "n0"),
+                stage(1, "min_tokens_30", "n1"),
+                stage(2, "unique_frac_035", "n2"),
+                stage(3, "exact_canonical", "n3"),
+            )
+        ).alias("s"),
+        "n0",
+    ).select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.gate").alias("gate"),
+        F.col("s.n_docs").alias("n_docs"),
+        F.round(F.col("s.n_docs").cast("double") / F.col("n0"), 6).alias(
+            "yield_frac"
+        ),
+    )

@@ -183,3 +183,105 @@ def trailing_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
         (F.sum("cents").over(w) / F.lit(1e2)).alias("trailing_hour_value"),
     )
+
+
+_GF_DELTA_US = 5 * 60 * 1_000_000  # 5-minute bins: sparse at every SF
+
+_GAPFILL_ORACLE = f"""
+WITH o AS (
+  SELECT event_type, epoch_us(ts) // {_GF_DELTA_US} AS bi,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+obs AS (SELECT event_type, bi, sum(cents) AS cents FROM o GROUP BY 1, 2),
+spans AS (SELECT event_type, min(bi) AS mn, max(bi) AS mx
+          FROM obs GROUP BY 1),
+grid AS (SELECT event_type, unnest(range(mn, mx + 1)) AS bi FROM spans),
+g AS (SELECT grid.event_type, grid.bi, obs.cents
+      FROM grid LEFT JOIN obs USING (event_type, bi)),
+f AS (SELECT *,
+        last_value(cents IGNORE NULLS) OVER wp AS pc,
+        last_value(CASE WHEN cents IS NOT NULL THEN bi END IGNORE NULLS)
+          OVER wp AS pb,
+        first_value(cents IGNORE NULLS) OVER wn AS nc,
+        first_value(CASE WHEN cents IS NOT NULL THEN bi END IGNORE NULLS)
+          OVER wn AS nb
+      FROM g WINDOW
+        wp AS (PARTITION BY event_type ORDER BY bi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY event_type ORDER BY bi
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_type, make_timestamp(bi * {_GF_DELTA_US}) AS bin,
+       CASE WHEN cents IS NOT NULL THEN cents / 1e2
+            WHEN pc IS NOT NULL AND nc IS NOT NULL THEN
+              CAST(pc * (nb - pb) + (nc - pc) * (bi - pb) AS DOUBLE)
+              / (nb - pb) / 1e2
+       END AS value,
+       (cents IS NULL AND pc IS NOT NULL AND nc IS NOT NULL) AS filled
+FROM f
+"""
+
+
+@register("gap_fill_interpolate", oracle=_GAPFILL_ORACLE)
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill with LINEAR INTERPOLATION: densify
+    each event type's 5-minute bin grid, then fill missing bins from
+    the surrounding observations (leading/trailing edges stay NULL,
+    `filled` marks synthetic rows). The interpolation fraction is an
+    exact integer ratio and the endpoints are integer cents, so filled
+    values are engine-reproducible. Scale shape: one narrow groupBy,
+    a per-group generated grid, and two O(bins) windows per type — no
+    row-scale shuffle beyond the first aggregate."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    obs = (
+        e.select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {_GF_DELTA_US}").alias("bi"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "bi")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    grid = (
+        obs.groupBy("event_type")
+        .agg(F.min("bi").alias("mn"), F.max("bi").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("bi"),
+        )
+    )
+    g = grid.join(obs, ["event_type", "bi"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("bi")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("bi")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    mark = F.when(F.col("cents").isNotNull(), F.col("bi"))
+    pc = F.last("cents", ignorenulls=True).over(wp)
+    pb = F.last(mark, ignorenulls=True).over(wp)
+    nc = F.first("cents", ignorenulls=True).over(wn)
+    nb = F.first(mark, ignorenulls=True).over(wn)
+    # interpolation as an exact integer numerator over the gap length:
+    # the two double divisions are then correctly rounded identically
+    # in every engine — no decimal rounding (which ties at half-ulp)
+    interp = (
+        (pc * (nb - pb) + (nc - pc) * (F.col("bi") - pb)).cast("double")
+        / (nb - pb)
+        / F.lit(1e2)
+    )
+    return g.select(
+        "event_type",
+        F.expr(f"timestamp_micros(bi * {_GF_DELTA_US})").alias("bin"),
+        F.when(F.col("cents").isNotNull(), F.col("cents") / F.lit(1e2))
+        .when(pc.isNotNull() & nc.isNotNull(), interp)
+        .alias("value"),
+        (F.col("cents").isNull() & pc.isNotNull() & nc.isNotNull()).alias(
+            "filled"
+        ),
+    )

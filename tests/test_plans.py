@@ -88,6 +88,7 @@ INTENTIONAL_BNLJ = {
     "part_type_revenue",  # broadcast 1-row share-of-total denominator
     "tfidf_top_terms",  # broadcast 1-row corpus-size (N) frame
     "bm25_topk",  # broadcast 1-row (N, avgdl) corpus frame
+    "mixture_weights",  # broadcast 1-row weight-total denominator
 }
 
 

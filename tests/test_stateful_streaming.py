@@ -400,3 +400,69 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     have = sealed.merge(got_k, on=key, how="left", indicator=True)
     assert (have["_merge"] == "both").all(), "a sealed session was not emitted"
     assert len(got_k) > 0 and len(sealed) > 0
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Inner stream-stream join with watermarks + event-time range
+    bound: with an in-order feed (maxFilesPerTrigger=1 over
+    time-sorted files) no state is evicted before its matches arrive,
+    so the streaming result equals the batch join exactly."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.streaming.join_stream import attribution_join
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = list(
+        e.select(us.alias("us"))
+        .selectExpr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY us) AS b1",
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY us) AS b2",
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY us) AS b3",
+        )
+        .collect()[0]
+        .asDict()
+        .values()
+    )
+    src = str(tmp_path / "ssj_src")
+    chunks = [
+        e.filter(us <= bounds[0]),
+        e.filter((us > bounds[0]) & (us <= bounds[1])),
+        e.filter((us > bounds[1]) & (us <= bounds[2])),
+        e.filter(us > bounds[2]),
+    ]
+    for i, c in enumerate(chunks):
+        c.coalesce(1).write.parquet(f"{src}/f{i}")
+    paths = [f"{src}/f{i}" for i in range(4)]
+    schema = spark.read.parquet(*paths).schema
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "view"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        attribution_join(*split(stream))
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("ssj_out").toPandas()
+    want = attribution_join(*split(spark.read.parquet(*paths))).toPandas()
+
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    got_s = got[cols].sort_values(cols).reset_index(drop=True)
+    want_s = want[cols].sort_values(cols).reset_index(drop=True)
+    assert len(want_s) > 0, "fixture produced no view->purchase pairs"
+    assert got_s.equals(want_s)
