@@ -285,3 +285,47 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filled"
         ),
     )
+
+
+_RANKS_ORACLE = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2)
+SELECT event_type, day, cents / 1e2 AS daily_value,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cum_dist,
+       ntile(4) OVER w AS quartile
+FROM d
+WINDOW w AS (PARTITION BY event_type ORDER BY cents, day)
+"""
+
+
+@register("daily_value_ranks", oracle=_RANKS_ORACLE)
+def daily_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-rank battery (percent_rank / cume_dist / ntile) over
+    per-type daily values — the distribution-position columns feature
+    stores derive per entity. Ranks run on the O(days) aggregate, not
+    events, and ntile's order carries a day tiebreak so bucket
+    assignment is total-order deterministic."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    d = (
+        e.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "day")
+    return d.select(
+        "event_type",
+        "day",
+        (F.col("cents") / F.lit(1e2)).alias("daily_value"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

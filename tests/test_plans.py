@@ -170,3 +170,34 @@ def test_multiway_join_broadcasts_dims(spark, sf_dir):
     assert p.count("SortMergeJoin") <= 1
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoop" not in p
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    """Semi/anti joins must keep their narrow-probe property: the join
+    type survives to the physical plan and the build-side filter is
+    pushed into the lineitem scan."""
+    p = _plan(spark, sf_dir, "discounted_orders_semijoin")
+    assert "LeftSemi" in p
+    assert "GreaterThan(l_discount" in p
+    assert "CartesianProduct" not in p
+    p = _plan(spark, sf_dir, "unreturned_orders_antijoin")
+    assert "LeftAnti" in p
+    assert "EqualTo(l_returnflag,R)" in p
+
+
+def test_rollup_and_pivot_shuffle_counts(spark, sf_dir):
+    """ROLLUP expands grouping sets map-side: ONE exchange total. A
+    pinned pivot is two aggregation phases ((day,type) pre-agg, then
+    pivotfirst on day) — two exchanges, and crucially no extra
+    distinct-discovery job over the fact table."""
+    assert _plan(spark, sf_dir, "revenue_rollup").count("Exchange") == 1
+    assert _plan(spark, sf_dir, "event_type_pivot").count("Exchange") <= 2
+
+
+def test_gap_fill_windows_partitioned(spark, sf_dir):
+    """Both gap-fill scaffolding windows must carry the event_type
+    partition key — no unpartitioned window over the dense grid."""
+    p = _plan(spark, sf_dir, "gap_fill_interpolate")
+    for line in p.splitlines():
+        if "windowspecdefinition" in line:
+            assert "event_type#" in line.split("windowspecdefinition", 1)[1], line

@@ -466,3 +466,84 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     want_s = want[cols].sort_values(cols).reset_index(drop=True)
     assert len(want_s) > 0, "fixture produced no view->purchase pairs"
     assert got_s.equals(want_s)
+
+
+def test_stream_static_join_matches_batch(spark, tmp_path):
+    """Stream-static join + watermarked tumbling aggregate: the static
+    dim is planned per micro-batch (no watermark, no state); every
+    window sealed by the final watermark matches the batch twin."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.streaming.enrich_stream import (
+        segment_window_counts,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    # static dim derived once from batch: user's parity segment
+    segments = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.concat(F.lit("seg"), (F.col("user_id") % 3)).alias("segment"),
+        )
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = list(
+        e.select(us.alias("us"))
+        .selectExpr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY us) AS b1",
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY us) AS b2",
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY us) AS b3",
+        )
+        .collect()[0]
+        .asDict()
+        .values()
+    )
+    src = str(tmp_path / "ssj2_src")
+    chunks = [
+        e.filter(us <= bounds[0]),
+        e.filter((us > bounds[0]) & (us <= bounds[1])),
+        e.filter((us > bounds[1]) & (us <= bounds[2])),
+        e.filter(us > bounds[2]),
+    ]
+    for i, c in enumerate(chunks):
+        c.coalesce(1).write.parquet(f"{src}/f{i}")
+    paths = [f"{src}/f{i}" for i in range(4)]
+    schema = spark.read.parquet(*paths).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        segment_window_counts(stream, segments)
+        .writeStream.format("memory")
+        .queryName("seg_win_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("seg_win_out").toPandas()
+    want = segment_window_counts(spark.read.parquet(*paths), segments).toPandas()
+
+    cols = sorted(got.columns)
+    got_s = got[cols].sort_values(cols).reset_index(drop=True)
+    want_s = want[cols].sort_values(cols).reset_index(drop=True)
+    # nothing invented: every emitted row exists identically in batch
+    merged = got_s.merge(want_s, on=cols, how="left", indicator=True)
+    assert (merged["_merge"] == "both").all()
+    # completeness: windows sealed by the watermark reached after the
+    # first three chunks must all be out
+    wm_us = int(bounds[2]) - 30 * 60 * 1_000_000
+    win_us = 6 * 3600 * 1_000_000
+    end_us = (
+        want_s["window_start"].astype("datetime64[us]").astype("int64") + win_us
+    )
+    sealed = want_s[end_us < wm_us]
+    have = sealed.merge(got_s, on=cols, how="left", indicator=True)
+    assert (have["_merge"] == "both").all()
+    assert len(sealed) > 0 and len(got_s) > 0
