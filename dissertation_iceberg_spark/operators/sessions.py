@@ -24,7 +24,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.functions.time_bins import micros
@@ -131,4 +131,62 @@ def retention_cohorts(
         )
         .groupBy("cohort_week_us", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def gap_fill_linear(
+    obs: DataFrame,
+    group_col: str = "event_type",
+    bin_col: str = "bi",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Densify each group's integer bin range and linearly interpolate
+    missing values from the surrounding observations.
+
+    Input: one row per OBSERVED (group, bin) with an integer-scaled
+    value. Output: one row per bin in [min, max] per group, with
+    ``value`` = cents/100 for observed bins, the linear fill for
+    interior gaps (NULL at leading/trailing edges) and a ``filled``
+    flag. The fill is computed as an exact integer numerator over the
+    gap length with one double division — engine-reproducible without
+    rounding (half-ulp rounding ties are the failure mode this
+    avoids). Scale: grids generate per-group; the scaffolding is two
+    O(bins) windows per group, nothing row-scale."""
+    grid = (
+        obs.groupBy(group_col)
+        .agg(F.min(bin_col).alias("__mn"), F.max(bin_col).alias("__mx"))
+        .select(
+            group_col,
+            F.explode(F.sequence(F.col("__mn"), F.col("__mx"))).alias(bin_col),
+        )
+    )
+    g = grid.join(obs, [group_col, bin_col], "left")
+    wp = (
+        Window.partitionBy(group_col)
+        .orderBy(bin_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy(group_col)
+        .orderBy(bin_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    c = F.col(cents_col)
+    mark = F.when(c.isNotNull(), F.col(bin_col))
+    pc = F.last(cents_col, ignorenulls=True).over(wp)
+    pb = F.last(mark, ignorenulls=True).over(wp)
+    nc = F.first(cents_col, ignorenulls=True).over(wn)
+    nb = F.first(mark, ignorenulls=True).over(wn)
+    interp = (
+        (pc * (nb - pb) + (nc - pc) * (F.col(bin_col) - pb)).cast("double")
+        / (nb - pb)
+        / F.lit(1e2)
+    )
+    return g.select(
+        group_col,
+        bin_col,
+        F.when(c.isNotNull(), c / F.lit(1e2))
+        .when(pc.isNotNull() & nc.isNotNull(), interp)
+        .alias("value"),
+        (c.isNull() & pc.isNotNull() & nc.isNotNull()).alias("filled"),
     )

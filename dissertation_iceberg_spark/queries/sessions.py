@@ -231,8 +231,6 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     values are engine-reproducible. Scale shape: one narrow groupBy,
     a per-group generated grid, and two O(bins) windows per type — no
     row-scale shuffle beyond the first aggregate."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events")
     obs = (
         e.select(
@@ -243,47 +241,11 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bi")
         .agg(F.sum("cents").alias("cents"))
     )
-    grid = (
-        obs.groupBy("event_type")
-        .agg(F.min("bi").alias("mn"), F.max("bi").alias("mx"))
-        .select(
-            "event_type",
-            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("bi"),
-        )
-    )
-    g = grid.join(obs, ["event_type", "bi"], "left")
-    wp = (
-        Window.partitionBy("event_type")
-        .orderBy("bi")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wn = (
-        Window.partitionBy("event_type")
-        .orderBy("bi")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    mark = F.when(F.col("cents").isNotNull(), F.col("bi"))
-    pc = F.last("cents", ignorenulls=True).over(wp)
-    pb = F.last(mark, ignorenulls=True).over(wp)
-    nc = F.first("cents", ignorenulls=True).over(wn)
-    nb = F.first(mark, ignorenulls=True).over(wn)
-    # interpolation as an exact integer numerator over the gap length:
-    # the two double divisions are then correctly rounded identically
-    # in every engine — no decimal rounding (which ties at half-ulp)
-    interp = (
-        (pc * (nb - pb) + (nc - pc) * (F.col("bi") - pb)).cast("double")
-        / (nb - pb)
-        / F.lit(1e2)
-    )
-    return g.select(
+    return ss.gap_fill_linear(obs).select(
         "event_type",
         F.expr(f"timestamp_micros(bi * {_GF_DELTA_US})").alias("bin"),
-        F.when(F.col("cents").isNotNull(), F.col("cents") / F.lit(1e2))
-        .when(pc.isNotNull() & nc.isNotNull(), interp)
-        .alias("value"),
-        (F.col("cents").isNull() & pc.isNotNull() & nc.isNotNull()).alias(
-            "filled"
-        ),
+        "value",
+        "filled",
     )
 
 

@@ -164,3 +164,43 @@ def lapsed_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     early = o.filter(F.year("o_orderdate") < _SPLIT_YEAR).select("o_custkey")
     late = o.filter(F.year("o_orderdate") >= _SPLIT_YEAR).select("o_custkey")
     return early.subtract(late)
+
+
+_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_UNPIVOT_ORACLE = f"""
+WITH long AS (
+  {" UNION ALL ".join(
+    f"SELECT l_returnflag, '{m}' AS measure, {m} AS val FROM lineitem"
+    for m in _MEASURES
+  )})
+SELECT l_returnflag, measure, count(*) AS n,
+       sum(CAST(round(val * 1e4) AS BIGINT)) / 1e4 AS total,
+       round(min(val), 6) AS min_val,
+       round(max(val), 6) AS max_val
+FROM long GROUP BY 1, 2
+"""
+
+
+@register("measure_unpivot_stats", oracle=_UNPIVOT_ORACLE)
+def measure_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, the melt inverse of the pivot): all four
+    lineitem measures stacked into (measure, value) rows, then profiled
+    per return flag. Spark compiles unpivot to a map-side Expand — ONE
+    scan of the fact table, where the naive long-form rewrite (the
+    oracle's UNION ALL) reads it once per measure."""
+    l = load_table(spark, sf_dir, "lineitem")
+    long = l.unpivot(
+        ids=["l_returnflag"],
+        values=_MEASURES,
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("val") * 1e4).cast("long")) / F.lit(1e4)).alias(
+            "total"
+        ),
+        F.round(F.min("val"), 6).alias("min_val"),
+        F.round(F.max("val"), 6).alias("max_val"),
+    )

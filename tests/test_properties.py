@@ -142,3 +142,95 @@ def test_connected_components_chain_triangle(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=-10_000, max_value=10_000),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_gap_fill_linear_properties(spark, obs):
+    """Gap-fill invariants on arbitrary sparse integer series: observed
+    bins keep their exact value, interior gaps match numpy linear
+    interpolation, fills are bounded by their endpoints, and edges are
+    never invented."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.operators.sessions import gap_fill_linear
+
+    rows = [("g", b, c) for b, c in obs.items()]
+    df = spark.createDataFrame(rows, ["event_type", "bi", "cents"])
+    out = {
+        r["bi"]: r
+        for r in gap_fill_linear(df).collect()
+    }
+    bins = sorted(obs)
+    lo, hi = bins[0], bins[-1]
+    assert set(out) == set(range(lo, hi + 1))
+    xp = np.array(bins, dtype=float)
+    fp = np.array([obs[b] for b in bins], dtype=float) / 100.0
+    for b, r in out.items():
+        if b in obs:
+            assert r["filled"] is False
+            assert r["value"] == obs[b] / 100.0
+        else:
+            assert r["filled"] is True
+            want = float(np.interp(b, xp, fp))
+            assert abs(r["value"] - want) < 1e-9
+            left = max(x for x in bins if x < b)
+            right = min(x for x in bins if x > b)
+            lov = min(obs[left], obs[right]) / 100.0
+            hiv = max(obs[left], obs[right]) / 100.0
+            assert lov - 1e-9 <= r["value"] <= hiv + 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=3),
+        min_size=1,
+        max_size=130,
+    )
+)
+def test_chunking_reconstructs(spark, tokens):
+    """chunk_documents semantics vs a pure-Python recomputation:
+    chunk count, per-chunk lengths, and md5 digests all match for
+    arbitrary token streams."""
+    import hashlib
+    import math
+
+    from dissertation_iceberg_spark.queries.llm_ops import (
+        CHUNK_STEP,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+    from dissertation_iceberg_spark.queries import llm_ops
+
+    text = " ".join(tokens)
+    df = spark.createDataFrame(
+        [(1, text, "en", "src0", len(text))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    orig = llm_ops.load_table
+    try:
+        llm_ops.load_table = lambda *_a, **_k: df
+        got = sorted(
+            chunk_documents(spark, "ignored").collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+    finally:
+        llm_ops.load_table = orig
+
+    n = len(tokens)
+    want_chunks = math.ceil(n / CHUNK_STEP)
+    assert len(got) == want_chunks
+    for i, r in enumerate(got):
+        start = i * CHUNK_STEP
+        chunk = tokens[start : start + CHUNK_TOKENS]
+        assert r["chunk_idx"] == i
+        assert r["chunk_len"] == len(chunk)
+        assert r["chunk_md5"] == hashlib.md5(" ".join(chunk).encode()).hexdigest()
