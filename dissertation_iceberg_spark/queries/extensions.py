@@ -431,3 +431,48 @@ def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_sq_dist"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-dimension embedding statistics (whitening / normalization prep)
+# --------------------------------------------------------------------------
+
+_DIM_STATS_ORACLE = """
+SELECT CAST(i - 1 AS BIGINT) AS dim,
+       count(*) AS n,
+       CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT))
+            AS DOUBLE) / 1e6 / count(*) AS mean_val,
+       CAST(min(embedding[i]) AS DOUBLE) AS min_val,
+       CAST(max(embedding[i]) AS DOUBLE) AS max_val
+FROM embeddings CROSS JOIN range(1, 65) AS t(i)
+GROUP BY 1
+"""
+
+
+@register("embedding_dim_stats", oracle=_DIM_STATS_ORACLE)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column — the
+    stats pass a pipeline runs before per-dimension whitening or
+    scalar quantization. posexplode turns array<float> long-form
+    map-side (no join, unlike the oracle's positional cross join);
+    one groupBy on 64 keys follows, so the shuffle carries O(dims)
+    groups however large the corpus. Means use floor-scaled integer
+    sums (exact under any aggregation order — round() would tie at
+    half-ulp); min/max are arithmetic-free so they need no rounding
+    at all."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    x = emb.select(F.posexplode("embedding").alias("dim", "val"))
+    v = F.col("val").cast("double")
+    return (
+        x.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.floor(v * 1e6).cast("long")).cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1))
+            ).alias("mean_val"),
+            F.min(v).alias("min_val"),
+            F.max(v).alias("max_val"),
+        )
+    )

@@ -522,14 +522,11 @@ FROM scored GROUP BY train_id
 """
 
 
-@register("benchmark_contamination", oracle=_CONTAM_ORACLE)
-def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decontamination scan: per training doc, the max shingle
-    containment vs any benchmark doc and the count of benchmark docs
-    over the threshold. Inverted-index equi-join on shingles (never a
-    cross product); the benchmark side is small by nature, so its
-    shingle table broadcasts at scale."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+def _contamination_scores(docs: DataFrame) -> DataFrame:
+    """(train_id, bench_id, containment) candidate pairs via the
+    shingle inverted-index equi-join — shared by the per-doc scan and
+    the per-source rollup. The benchmark side is small by nature, so
+    its shingle table broadcasts at scale."""
     sh = dd.word_shingles(docs, "text", "doc_id", n=JACCARD_N)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench = sh.filter(is_bench)
@@ -542,16 +539,71 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_id").alias("train_id"), "bench_id")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    scored = inter.join(
+    return inter.join(
         F.broadcast(bsizes.withColumnRenamed("doc_id", "bench_id")), "bench_id"
-    ).withColumn(
-        "containment", F.round(F.col("n_inter") / F.col("bsz"), 6)
-    )
+    ).withColumn("containment", F.round(F.col("n_inter") / F.col("bsz"), 6))
+
+
+@register("benchmark_contamination", oracle=_CONTAM_ORACLE)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: per training doc, the max shingle
+    containment vs any benchmark doc and the count of benchmark docs
+    over the threshold. Inverted-index equi-join on shingles (never a
+    cross product)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scored = _contamination_scores(docs)
     return scored.groupBy("train_id").agg(
         F.max("containment").alias("max_containment"),
         F.count(
             F.when(F.col("containment") >= CONTAMINATION_MIN, 1)
         ).alias("n_contaminating"),
+    )
+
+
+_CONTAM_CTES = _CONTAM_ORACLE.split("SELECT train_id,\n")[0]
+
+_SOURCE_CONTAM_ORACLE = f"""{_CONTAM_CTES}
+SELECT source, count(*) AS n_docs,
+       CAST(count(CASE WHEN mc >= {CONTAMINATION_MIN} THEN 1 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(count(CASE WHEN mc >= {CONTAMINATION_MIN} THEN 1 END)
+            AS DOUBLE) / count(*) AS contamination_rate
+FROM documents d LEFT JOIN (
+  SELECT train_id, max(containment) AS mc FROM scored GROUP BY 1
+) s ON d.doc_id = s.train_id
+WHERE d.doc_id % {BENCH_MOD} <> 0
+GROUP BY source
+"""
+
+
+@register("per_source_contamination", oracle=_SOURCE_CONTAM_ORACLE)
+def per_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination rollup per corpus source: of each source's
+    training docs, how many have max benchmark containment over the
+    threshold — the decide-which-crawl-to-drop view. A LEFT join from
+    the doc dim keeps zero-candidate docs in the denominator; beyond
+    the shared inverted-index pass the rollup is one O(docs) shuffle
+    to O(sources) rows."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    doc_max = (
+        _contamination_scores(docs)
+        .groupBy("train_id")
+        .agg(F.max("containment").alias("mc"))
+    )
+    train = docs.filter(F.col("doc_id") % BENCH_MOD != 0).select(
+        "doc_id", "source"
+    )
+    hit = F.when(F.col("mc") >= CONTAMINATION_MIN, 1)
+    return (
+        train.join(doc_max, train.doc_id == doc_max.train_id, "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(hit).alias("n_contaminated"),
+            (F.count(hit).cast("double") / F.count(F.lit(1))).alias(
+                "contamination_rate"
+            ),
+        )
     )
 
 

@@ -204,3 +204,42 @@ def measure_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("val"), 6).alias("min_val"),
         F.round(F.max("val"), 6).alias("max_val"),
     )
+
+
+_GSETS_ORACLE = f"""
+SELECT o_orderpriority, year(o_orderdate) AS order_year,
+       GROUPING(o_orderpriority, year(o_orderdate)) AS gid,
+       count(*) AS n_orders,
+       sum({_CENTS}) / 1e2 AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, year(o_orderdate)),
+                        (o_orderpriority), (year(o_orderdate)))
+"""
+
+
+@register("priority_grouping_sets", oracle=_GSETS_ORACLE)
+def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct GROUPING SETS — an asymmetric set list ((priority, year),
+    (priority), (year)) that neither ROLLUP nor CUBE can express (no
+    grand total, both one-dim margins). Uses the first-class
+    DataFrame.groupingSets API; like rollup/cube it expands map-side
+    and rides ONE exchange for all three levels."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("order_year"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return d.groupingSets(
+        [
+            ["o_orderpriority", "order_year"],
+            ["o_orderpriority"],
+            ["order_year"],
+        ],
+        "o_orderpriority",
+        "order_year",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("cents") / F.lit(1e2)).alias("total_price"),
+    )

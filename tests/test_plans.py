@@ -201,3 +201,25 @@ def test_gap_fill_windows_partitioned(spark, sf_dir):
     for line in p.splitlines():
         if "windowspecdefinition" in line:
             assert "event_type#" in line.split("windowspecdefinition", 1)[1], line
+
+
+def test_grouping_sets_single_exchange(spark, sf_dir):
+    """Direct GROUPING SETS expands map-side like ROLLUP: all three
+    levels ride one exchange."""
+    assert _plan(spark, sf_dir, "priority_grouping_sets").count("Exchange") == 1
+
+
+def test_unpivot_single_scan(spark, sf_dir):
+    """unpivot compiles to a map-side Expand over ONE lineitem scan —
+    the whole point vs the oracle's read-per-measure UNION ALL."""
+    p = _plan(spark, sf_dir, "measure_unpivot_stats")
+    assert p.count("Scan parquet") == 1
+    assert "Expand" in p
+
+
+def test_dim_stats_no_join(spark, sf_dir):
+    """posexplode long-forms the array map-side: no join anywhere (the
+    oracle needs a positional cross join), one narrow groupBy."""
+    p = _plan(spark, sf_dir, "embedding_dim_stats")
+    assert "Join" not in p
+    assert "Generate explode" in p or "Generate posexplode" in p
