@@ -1,0 +1,346 @@
+"""Corpus-preparation queries (round-2 third batch): unigram-LM
+scoring, tokenizer-training pair counts, int8 embedding quantization,
+write/compaction planning, and a generic event as-of enrich.
+
+Parity tricks reused from the rest of the registry: per-token log
+probabilities are rounded to 6 dp and integer-scaled to BIGINT
+micro-units BEFORE the per-document sum, so the only float reduction
+is replaced by an exact integer one (float sums across a shuffle are
+order-nondeterministic); per-vector sums run positionally via
+``F.aggregate`` against DuckDB unnest-subselects; monetary values ride
+as integer cents.
+
+Reference provenance: extends the text-statistics family
+(SURVEY.md §2 extension surface); the as-of enrich reuses the J1
+machinery (reference ``iceberg_detection.py`` merge_asof shape) on
+generic clickstream data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dissertation_iceberg_spark.functions.time_bins import micros
+from dissertation_iceberg_spark.io import load_table, spread
+from dissertation_iceberg_spark.operators import text as tx
+from dissertation_iceberg_spark.queries.registry import register
+
+_TOKENS = "list_filter(str_split(text, ' '), x -> x <> '')"
+
+# --------------------------------------------------------------------------
+# Unigram-LM document scoring (perplexity proxy)
+# --------------------------------------------------------------------------
+
+_ULM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+counts AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+corpus AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                  count(*) AS vocab FROM counts),
+lp AS (
+  SELECT term,
+         CAST(round(ln(CAST(c + 1 AS DOUBLE) / (n_total + vocab)) * 1e6)
+              AS BIGINT) AS lp_micro
+  FROM counts CROSS JOIN corpus)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       sum(lp_micro) AS lp_micro_sum,
+       round(CAST(sum(lp_micro) AS DOUBLE) / count(*) / 1e6, 6)
+         AS mean_logprob
+FROM tok JOIN lp USING (term)
+GROUP BY doc_id
+"""
+
+
+@register("unigram_logprob", oracle=_ULM_ORACLE)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring (perplexity proxy): corpus token
+    counts -> add-one-smoothed log probabilities -> mean token logprob
+    per document. The standard cheap quality signal for pretraining
+    corpora (low mean logprob = gibberish / OCR noise).
+
+    Scale shape: one token-keyed aggregation (map-side combinable), a
+    vocab-sized logprob table joined back on the token key (shuffle
+    equi-join; hot stopword keys are exactly what AQE skew-join
+    handles), and one doc-keyed exact integer sum. No collect, no UDF.
+    Parity: logprob is rounded then scaled to BIGINT micro-units per
+    TOKEN, so the cross-shuffle per-doc reduction is exact integer
+    arithmetic — float-sum order never matters."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("term"))
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    corpus = counts.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    lp = counts.crossJoin(F.broadcast(corpus)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("n_total") + F.col("vocab"))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        tok.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("lp_micro_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "lp_micro_sum",
+            F.round(
+                F.col("lp_micro_sum").cast("double") / F.col("n_tokens") / 1e6, 6
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE-training pair counts (tokenizer training, first merge iteration)
+# --------------------------------------------------------------------------
+
+_BPE_PAIRS_K = 20
+
+_BPE_PAIRS_ORACLE = f"""
+WITH base AS (
+  SELECT {_TOKENS} AS toks FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               j -> toks[j] || ' ' || toks[j + 1])) AS pair
+  FROM base WHERE len(toks) >= 2)
+SELECT pair, count(*) AS n_pairs
+FROM pairs GROUP BY 1
+ORDER BY n_pairs DESC, pair
+LIMIT {_BPE_PAIRS_K}
+"""
+
+
+@register("bpe_pair_counts", oracle=_BPE_PAIRS_ORACLE)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair frequency count — the inner loop of BPE/WordPiece
+    tokenizer training (each merge iteration picks the argmax pair).
+    Per-row array expression + explode + one map-side-combinable count;
+    the final top-k compiles to TakeOrderedAndProject (per-partition
+    heaps + driver merge, never a global sort). Ties at the k-boundary
+    break on the pair string, so the result is deterministic."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = tx.tokens(F.col("text"))
+    base = docs.select(t.alias("toks")).filter(F.size("toks") >= 2)
+    # 0-based subscripts: pair i joins toks[i] and toks[i+1]
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(toks[i], ' ', toks[i + 1]))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("pair"))
+        .limit(_BPE_PAIRS_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# Int8 embedding quantization + reconstruction error audit
+# --------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+    (SELECT max(abs(CAST(x AS DOUBLE)))
+     FROM (SELECT unnest(embedding) AS x) z) AS amax
+  FROM embeddings),
+s AS (
+  SELECT e.vec_id, q.amax, q.amax / 127 AS scale, e.embedding
+  FROM embeddings e JOIN q USING (vec_id) WHERE q.amax > 0)
+SELECT vec_id,
+  amax,
+  (SELECT CAST(sum(CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS BIGINT)
+   FROM (SELECT unnest(embedding) AS x) z) AS q_sum,
+  (SELECT CAST(sum(abs(CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)))
+          AS BIGINT)
+   FROM (SELECT unnest(embedding) AS x) z) AS q_l1,
+  CAST((SELECT sum(CAST(round(e * e * 1e16) AS BIGINT)) FROM (
+           SELECT CAST(x AS DOUBLE)
+                  - round(CAST(x AS DOUBLE) / scale) * scale AS e
+           FROM (SELECT unnest(embedding) AS x) z0) z) AS DOUBLE)
+        / 64 / 1e16 AS mse
+FROM s
+"""
+
+
+@register("embedding_quantization", oracle=_QUANT_ORACLE)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit: per-vector absmax scale
+    (amax/127), quantized checksums, and reconstruction MSE — the
+    storage-compression step before shipping embeddings to an ANN
+    index (4x smaller than float32, which at 100 TB is the difference
+    between an index that fits in cluster RAM and one that doesn't).
+
+    Everything is per-row array arithmetic inside whole-stage codegen:
+    no shuffle, no UDF. Checksums (sum, L1) are exact BIGINTs; squared
+    errors are integer-quantized per element (1e-16 units) so the MSE
+    reduction is exact integer arithmetic — float-sum order never
+    matters (the registry's half-ulp-tie rule)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    amax = F.array_max(F.transform(x, F.abs))
+    e = emb.select("vec_id", x.alias("xs"), amax.alias("amax")).filter(
+        F.col("amax") > 0
+    )
+    scale = F.col("amax") / 127
+    q = F.transform(F.col("xs"), lambda v: F.round(v / scale).cast("long"))
+    # squared errors are quantized to integer 1e-16 units PER ELEMENT
+    # before the reduction: each element value is a chain of exact /
+    # correctly-rounded IEEE ops (identical across engines), but the
+    # float SUM is not order-stable across engines (DuckDB's aggregate
+    # is not strictly sequential) and a 1-ulp sum difference landed
+    # exactly on a 9-dp rounding tie. Integer sums are order-free.
+    err = F.transform(F.col("xs"), lambda v: v - F.round(v / scale) * scale)
+    err2 = F.transform(err, lambda e: F.round(e * e * 1e16).cast("long"))
+    zero = F.lit(0).cast("long")
+    return e.select(
+        "vec_id",
+        F.col("amax").alias("amax"),
+        F.aggregate(q, zero, lambda a, v: a + v).alias("q_sum"),
+        F.aggregate(q, zero, lambda a, v: a + F.abs(v)).alias("q_l1"),
+        # no final round(): the numerator is an identical exact BIGINT
+        # in both engines and /64/1e16 is correctly-rounded IEEE
+        # division of identical operands — bit-identical without it.
+        # (round(x, 9) itself diverges: DuckDB rounds via float
+        # multiply + nearbyint, Spark via exact decimal HALF_UP.)
+        (
+            F.aggregate(err2, zero, lambda a, v: a + v).cast("double")
+            / 64
+            / 1e16
+        ).alias("mse"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Write/compaction planner (file-sizing for the 100 TB sink)
+# --------------------------------------------------------------------------
+
+# test-scale target so sf0.01 produces multi-file plans; production would
+# pass ~512 MiB
+_TARGET_FILE_BYTES = 4096
+
+_WRITE_PLAN_ORACLE = f"""
+SELECT source, lang,
+  count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS est_bytes,
+  CAST((sum(n_chars) + {_TARGET_FILE_BYTES} - 1) // {_TARGET_FILE_BYTES}
+       AS BIGINT) AS n_files,
+  CAST((count(*) + (sum(n_chars) + {_TARGET_FILE_BYTES} - 1)
+        // {_TARGET_FILE_BYTES} - 1)
+       // ((sum(n_chars) + {_TARGET_FILE_BYTES} - 1) // {_TARGET_FILE_BYTES})
+       AS BIGINT) AS docs_per_file
+FROM documents GROUP BY 1, 2
+"""
+
+
+@register("write_plan", oracle=_WRITE_PLAN_ORACLE)
+def write_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction/write planner: per output partition (source, lang),
+    estimate bytes, target file count (ceil to a size budget), and
+    docs per file. This is the planning stage of a small-file-safe
+    dynamic-partition write: at 100 TB the repartition before the sink
+    uses exactly these counts (repartitionByRange on partition keys +
+    a within-partition bucket id = docs_per_file-sized files), instead
+    of one-file-per-task confetti. Pure integer arithmetic on one
+    narrow aggregate."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = F.lit(_TARGET_FILE_BYTES)
+    agg = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("est_bytes"),
+    )
+    n_files = F.floor((F.col("est_bytes") + t - 1) / t)
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "est_bytes",
+        n_files.alias("n_files"),
+        F.floor((F.col("n_docs") + n_files - 1) / n_files).alias("docs_per_file"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Generic as-of enrich on events (DuckDB native ASOF JOIN as the oracle)
+# --------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS view_us,
+         CAST(round(value * 100) AS BIGINT) AS view_cents
+  FROM events WHERE event_type = 'view'),
+p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.us - v.view_us AS wait_us, v.view_cents
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.us >= v.view_us
+"""
+
+
+@register("asof_enrich", oracle=_ASOF_ORACLE)
+def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrich: each purchase picks the latest view by the same
+    user at-or-before its timestamp — the generic form of the J1
+    iceberg machinery, oracle-checked against DuckDB's NATIVE ASOF
+    JOIN. Spark-side it is NOT a range join (which would degrade to
+    BroadcastNestedLoop): union-tag both sides, one window partitioned
+    by user ordered by (us, tag), and a running last_value(ignorenulls)
+    — one shuffle on user_id, linear per partition. Equal timestamps
+    match (view sorts before purchase at the same us), mirroring ASOF's
+    inclusive >=."""
+    e = load_table(spark, sf_dir, "events")
+    us = micros("ts")
+    cents = F.round(F.col("value") * 100).cast("long")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        us.alias("us"),
+        F.lit(0).alias("tag"),
+        us.alias("view_us"),
+        cents.alias("view_cents"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        us.alias("us"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("view_us"),
+        F.lit(None).cast("long").alias("view_cents"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = v.unionByName(p).select(
+        "event_id",
+        "user_id",
+        "us",
+        "tag",
+        F.last("view_us", ignorenulls=True).over(w).alias("lv_us"),
+        F.last("view_cents", ignorenulls=True).over(w).alias("lv_cents"),
+    )
+    return tagged.filter(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        (F.col("us") - F.col("lv_us")).alias("wait_us"),
+        F.col("lv_cents").alias("view_cents"),
+    )

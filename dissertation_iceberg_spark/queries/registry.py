@@ -57,6 +57,7 @@ def _ensure_loaded() -> None:
         return
     from dissertation_iceberg_spark.queries import (  # noqa: F401
         core,
+        corpus_ops,
         extensions,
         joins,
         llm_ops,

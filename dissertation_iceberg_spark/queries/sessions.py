@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dissertation_iceberg_spark.functions.time_bins import micros
 from dissertation_iceberg_spark.io import load_table
 from dissertation_iceberg_spark.operators import sessions as ss
 from dissertation_iceberg_spark.queries.registry import register
@@ -235,7 +236,7 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = (
         e.select(
             "event_type",
-            F.expr(f"unix_micros(ts) div {_GF_DELTA_US}").alias("bi"),
+            F.floor(micros("ts") / F.lit(_GF_DELTA_US)).alias("bi"),
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
         .groupBy("event_type", "bi")

@@ -27,7 +27,8 @@ def segment_window_counts(
     """Events joined to a (user_id, segment) static dim, counted per
     (segment, tumbling window). Identical code path on a batch frame
     (watermark skipped) — the test's batch twin."""
-    e = events
+    # NTZ -> LTZ (session tz pinned UTC): withWatermark requires it
+    e = events.withColumn("ts", F.col("ts").cast("timestamp"))
     if e.isStreaming:
         e = e.withWatermark("ts", watermark)
     joined = e.join(F.broadcast(segments), "user_id")

@@ -32,12 +32,13 @@ def attribution_join(
     v = views.select(
         F.col("user_id").alias("v_user"),
         F.col("event_id").alias("view_id"),
-        F.col("ts").alias("view_ts"),
+        # NTZ -> LTZ (session tz pinned UTC): withWatermark requires it
+        F.col("ts").cast("timestamp").alias("view_ts"),
     )
     p = purchases.select(
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
     )
     if v.isStreaming:

@@ -14,6 +14,7 @@ on user across the cluster, same as the batch shuffle.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.operators.sessions import sessionize
 
@@ -29,7 +30,11 @@ def streaming_sessions(
     """readStream frame -> watermarked gap-sessions (append-mode final
     sessions). On a batch frame this is exactly ``sessionize`` — which
     is how the test pins streaming output == batch output."""
-    df = events
+    # event time must be TIMESTAMP (LTZ): parquet written from pandas
+    # arrives as TIMESTAMP_NTZ, which withWatermark rejects; the cast
+    # reads the wall clock in the session tz (pinned UTC) and is a
+    # no-op for LTZ inputs
+    df = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if df.isStreaming:
         # session_window must range over the watermarked column itself
         df = df.withWatermark(ts_col, watermark)
