@@ -1,0 +1,133 @@
+"""Lakehouse write-path queries: CDC latest-state merge and z-order
+clustering — the table-maintenance operations a 100 TB corpus store
+runs continuously (compaction planning lives in
+``queries/corpus_ops.write_plan``).
+
+Both are exact integer/window arithmetic, so the DuckDB oracles match
+bit-for-bit with no float tricks needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dissertation_iceberg_spark.functions.time_bins import micros
+from dissertation_iceberg_spark.io import load_table
+from dissertation_iceberg_spark.queries.registry import register
+
+# --------------------------------------------------------------------------
+# CDC latest-state merge (MERGE INTO snapshot semantics)
+# --------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH log AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         event_type = 'error' AS is_delete,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY us DESC, event_id DESC) AS rn
+  FROM log)
+SELECT user_id, event_id AS last_event_id, us AS last_us, cents AS last_cents
+FROM ranked WHERE rn = 1 AND NOT is_delete
+"""
+
+
+@register("cdc_latest_state", oracle=_CDC_ORACLE)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge: collapse a keyed change log to its final snapshot —
+    latest row per key wins, keys whose latest op is a delete
+    ('error' events stand in for tombstones) drop out. This is MERGE
+    INTO / upsert-compaction semantics expressed as one row_number
+    window: a single shuffle on the key, no join against the base
+    table at all. At 100 TB the same plan incrementally folds a day's
+    change log into a snapshot partition; ties break on event_id so
+    replays are deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    log = e.select(
+        "user_id",
+        "event_id",
+        micros("ts").alias("us"),
+        (F.col("event_type") == "error").alias("is_delete"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & ~F.col("is_delete"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("us").alias("last_us"),
+            F.col("cents").alias("last_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering (data-skipping layout audit)
+# --------------------------------------------------------------------------
+
+_ZBITS = 8  # 8 bits per dimension -> 16-bit z-values, 256 clusters
+
+_Z_EXPR_DUCK = " + ".join(
+    f"(((u8 >> {i}) & 1) * 2 + ((d8 >> {i}) & 1)) * {4**i}"
+    for i in range(_ZBITS)
+)
+
+_ZORDER_ORACLE = f"""
+WITH base AS (
+  SELECT user_id % 256 AS u8,
+         (epoch_us(ts) // 86400000000) % 256 AS d8,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+z AS (SELECT {_Z_EXPR_DUCK} AS zval, u8, d8, cents FROM base)
+SELECT zval // 256 AS cluster_id,
+       count(*) AS n_events,
+       count(DISTINCT u8) AS n_user_buckets,
+       count(DISTINCT d8) AS n_day_buckets,
+       min(zval) AS z_min,
+       max(zval) AS z_max,
+       sum(cents) AS cents
+FROM z GROUP BY 1
+"""
+
+
+@register("zorder_clusters", oracle=_ZORDER_ORACLE)
+def zorder_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit: interleave 8 bits of the user
+    bucket with 8 bits of the day bucket and group rows into 256
+    z-ranges — the layout a clustered rewrite would sort by so scans
+    filtered on EITHER dimension skip ~sqrt of the files instead of
+    none. The per-cluster distinct counts are the locality evidence
+    (each z-range touches ≤16 buckets per dimension, not 256). Bit
+    interleaving is exact integer arithmetic (shift/and/multiply) —
+    identical in both engines; the whole query is map-side expressions
+    plus one 256-group aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        (F.col("user_id") % 256).alias("u8"),
+        (F.floor(micros("ts") / F.lit(86_400_000_000)) % 256).alias("d8"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    zval = None
+    for i in range(_ZBITS):
+        term = (
+            F.shiftright(F.col("u8"), i).bitwiseAND(F.lit(1)) * 2
+            + F.shiftright(F.col("d8"), i).bitwiseAND(F.lit(1))
+        ) * F.lit(4**i)
+        zval = term if zval is None else zval + term
+    z = base.select(zval.alias("zval"), "u8", "d8", "cents")
+    return (
+        z.groupBy(F.floor(F.col("zval") / 256).alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("u8").alias("n_user_buckets"),
+            F.countDistinct("d8").alias("n_day_buckets"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+            F.sum("cents").alias("cents"),
+        )
+    )

@@ -60,6 +60,7 @@ def _ensure_loaded() -> None:
         corpus_ops,
         extensions,
         joins,
+        lakehouse_ops,
         llm_ops,
         misc,
         ml_rolling,

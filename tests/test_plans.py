@@ -89,6 +89,7 @@ INTENTIONAL_BNLJ = {
     "tfidf_top_terms",  # broadcast 1-row corpus-size (N) frame
     "bm25_topk",  # broadcast 1-row (N, avgdl) corpus frame
     "mixture_weights",  # broadcast 1-row weight-total denominator
+    "unigram_logprob",  # broadcast 1-row (n_total, vocab) corpus frame
 }
 
 
@@ -223,3 +224,43 @@ def test_dim_stats_no_join(spark, sf_dir):
     p = _plan(spark, sf_dir, "embedding_dim_stats")
     assert "Join" not in p
     assert "Generate explode" in p or "Generate posexplode" in p
+
+
+def test_asof_enrich_is_window_not_join(spark, sf_dir):
+    """The generic events as-of (corpus_ops.asof_enrich) must compile
+    like J1: union + one user-partitioned window, never a range join
+    (which would be BroadcastNestedLoop on the interval predicate)."""
+    p = _plan(spark, sf_dir, "asof_enrich")
+    assert "Join" not in p
+    assert "Window" in p
+    assert "Union" in p
+
+
+def test_bpe_pairs_take_ordered(spark, sf_dir):
+    """Tokenizer-training pair argmax: per-partition heaps + driver
+    merge, not a global sort."""
+    p = _plan(spark, sf_dir, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p
+
+
+def test_quantization_no_shuffle(spark, sf_dir):
+    """int8 quantization audit is pure per-row array arithmetic: no
+    join, no window, and the only exchange is the spread()
+    repartition of the scan (parallelism, not data movement on a
+    key)."""
+    p = _plan(spark, sf_dir, "embedding_quantization")
+    assert p.count("Exchange") <= 1
+    assert "hashpartitioning" not in p
+    assert "Join" not in p
+    assert "Window" not in p
+
+
+def test_unigram_logprob_shuffle_shape(spark, sf_dir):
+    """Unigram-LM scoring: the vocab logprob table joins back on the
+    token key as a real equi-join (shuffle or broadcast hash), and the
+    only nested-loop is the broadcast 1-row corpus frame."""
+    p = _plan(spark, sf_dir, "unigram_logprob")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or p.count("BroadcastHashJoin") >= 1

@@ -547,3 +547,53 @@ def test_stream_static_join_matches_batch(spark, tmp_path):
     have = sealed.merge(got_s, on=cols, how="left", indicator=True)
     assert (have["_merge"] == "both").all()
     assert len(sealed) > 0 and len(got_s) > 0
+
+
+def test_streaming_topk_matches_batch(spark, tmp_path):
+    """Streaming top-k = watermarked window counts (append on close) +
+    bounded rank over the sink. Must equal the batch twin exactly on
+    every closed window."""
+    import pandas as pd
+    from dissertation_iceberg_spark.streaming.topk_stream import (
+        rank_topk,
+        window_key_counts,
+    )
+
+    src = str(tmp_path / "tk_src")
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = []
+    for h in range(12):  # two 6-hour windows of skewed type counts
+        for i, t in enumerate(["a", "b", "c", "d"]):
+            for r in range((h + i) % 4 + 1):
+                rows.append(
+                    {
+                        "ts": base + pd.Timedelta(hours=h, minutes=5 * r + i),
+                        "event_type": t,
+                    }
+                )
+    # far-future sentinel drives the final watermark past both windows;
+    # its own window stays open and must NOT emit
+    rows.append({"ts": base + pd.Timedelta(days=3), "event_type": "zz"})
+    spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.parquet(src)
+
+    batch = spark.read.parquet(src)
+    expect = rank_topk(window_key_counts(batch)).toPandas()
+    expect = expect[expect.event_type != "zz"]
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        window_key_counts(stream)
+        .writeStream.format("memory")
+        .queryName("tk_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = rank_topk(spark.table("tk_counts")).toPandas()
+
+    cols = ["window_start", "event_type", "n_events", "rnk"]
+    e = expect[cols].sort_values(cols).reset_index(drop=True)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(e, g)
+    assert (g.groupby("window_start").size() == 3).all()  # k=3 per window
