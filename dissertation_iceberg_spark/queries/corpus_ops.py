@@ -45,7 +45,7 @@ lp AS (
   FROM counts CROSS JOIN corpus)
 SELECT doc_id,
        count(*) AS n_tokens,
-       sum(lp_micro) AS lp_micro_sum,
+       CAST(sum(lp_micro) AS BIGINT) AS lp_micro_sum,
        round(CAST(sum(lp_micro) AS DOUBLE) / count(*) / 1e6, 6)
          AS mean_logprob
 FROM tok JOIN lp USING (term)

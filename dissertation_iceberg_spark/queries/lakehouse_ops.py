@@ -90,7 +90,7 @@ SELECT zval // 256 AS cluster_id,
        count(DISTINCT d8) AS n_day_buckets,
        min(zval) AS z_min,
        max(zval) AS z_max,
-       sum(cents) AS cents
+       CAST(sum(cents) AS BIGINT) AS cents
 FROM z GROUP BY 1
 """
 

@@ -444,7 +444,7 @@ c AS (
 SELECT lang,
        CAST(floor((cum - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS pack_id,
        count(*) AS n_docs,
-       sum(n_tokens) AS pack_tokens
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
 FROM c GROUP BY 1, 2
 """
 
@@ -799,7 +799,7 @@ SELECT lang,
             WHEN h IN ('c', 'd') THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM b GROUP BY 1, 2
 """
 

@@ -84,8 +84,8 @@ sel AS (
 SELECT day,
   round(sum(CASE WHEN is_top = 1 THEN gross ELSE 0 END)
       - sum(CASE WHEN is_bottom = 1 THEN gross ELSE 0 END), 6) AS pnl,
-  sum(CAST(is_top AS BIGINT)) AS n_top,
-  sum(CAST(is_bottom AS BIGINT)) AS n_bottom
+  CAST(sum(CAST(is_top AS BIGINT)) AS BIGINT) AS n_top,
+  CAST(sum(CAST(is_bottom AS BIGINT)) AS BIGINT) AS n_bottom
 FROM sel GROUP BY day
 """
 

@@ -25,6 +25,33 @@ def test_query_parity(name, spark, duck, sf_dir):
     assert ok, f"{name}: {msg}"
 
 
+@pytest.mark.parametrize(
+    "name", sorted(n for n in REGISTRY if REGISTRY[n].oracle is not None)
+)
+def test_oracle_has_no_widened_dtypes(name, duck):
+    """Driver's hasher compares dtypes: DuckDB silently widens
+    ``sum(BIGINT)`` to HUGEINT (int128) where Spark stays bigint, so an
+    uncast sum hash-mismatches even with equal values (round-2 verdict:
+    ``unigram_logprob``, ``zorder_clusters``). DESCRIBE every oracle and
+    reject HUGEINT / UHUGEINT / DECIMAL wider than 18 digits before the
+    driver can ever see one."""
+    import re
+
+    rows = duck.execute(f"DESCRIBE {REGISTRY[name].oracle}").fetchall()
+    bad = []
+    for col, ctype, *_ in rows:
+        t = ctype.upper()
+        if "HUGEINT" in t:
+            bad.append((col, ctype))
+        m = re.match(r"DECIMAL\((\d+)", t)
+        if m and int(m.group(1)) > 18:
+            bad.append((col, ctype))
+    assert not bad, (
+        f"{name}: oracle columns widened beyond 64-bit — wrap in "
+        f"CAST(... AS BIGINT/DOUBLE): {bad}"
+    )
+
+
 def test_registry_consistency():
     from __spark_entry__ import oracle_sql, queries
 
