@@ -123,8 +123,20 @@ def with_returns(
     last_col: str = "last_price",
     group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Within-bin log return + next-bin future return (W4 lead)."""
-    w = Window.partitionBy(*(group_cols or [])).orderBy(bin_col)
+    """Within-bin log return + next-bin future return (W4 lead).
+
+    The lead is partitioned by trading day (in addition to any group
+    cols): the reference operates on per-day LOBSTER files, so no
+    cross-day future return exists there either — and day-partitioning
+    removes the last unpartitioned WindowExec from the flagship plan
+    (at 100 TB an unpartitioned window funnels every bin through one
+    task). A bin label is the bin END, so the label at exactly
+    midnight belongs to the PREVIOUS day's data — day is derived from
+    (bin - 1 microsecond)."""
+    day = F.date_trunc(
+        "day", F.col(bin_col) - F.expr("INTERVAL 1 MICROSECOND")
+    )
+    w = Window.partitionBy(*(group_cols or []), day).orderBy(bin_col)
     # zero/negative prices (possible in raw feeds) must not evaluate
     # ln(): Spark ANSI and DuckDB both raise — guard, emit NULL
     log_ret = F.when(

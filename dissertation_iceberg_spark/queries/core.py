@@ -62,7 +62,9 @@ SELECT bin,
        round(first_price, 6) AS first_price,
        round(last_price, 6) AS last_price,
        round(log_ret, 6) AS log_ret,
-       round(lead(log_ret) OVER (ORDER BY bin), 6) AS fut_log_ret
+       round(lead(log_ret) OVER (
+           PARTITION BY date_trunc('day', bin - INTERVAL 1 MICROSECOND)
+           ORDER BY bin), 6) AS fut_log_ret
 FROM d ORDER BY bin
 """
 
@@ -115,7 +117,9 @@ SELECT user_id, bin,
        round(first_price, 6) AS first_price,
        round(last_price, 6) AS last_price,
        round(log_ret, 6) AS log_ret,
-       round(lead(log_ret) OVER (PARTITION BY user_id ORDER BY bin), 6)
+       round(lead(log_ret) OVER (
+           PARTITION BY user_id, date_trunc('day', bin - INTERVAL 1 MICROSECOND)
+           ORDER BY bin), 6)
            AS fut_log_ret
 FROM d
 """

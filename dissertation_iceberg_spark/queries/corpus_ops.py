@@ -66,7 +66,12 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles), and one doc-keyed exact integer sum. No collect, no UDF.
     Parity: logprob is rounded then scaled to BIGINT micro-units per
     TOKEN, so the cross-shuffle per-doc reduction is exact integer
-    arithmetic — float-sum order never matters."""
+    arithmetic — float-sum order never matters. Residual risk (accepted):
+    the per-term value itself depends on JVM Math.log and DuckDB
+    std::log agreeing after *1e6 rounding; a 1-ulp libm divergence
+    landing exactly on a .5 micro-unit tie would flip that term's
+    lp_micro (~1e-9 probability per vocab term — same half-ulp-tie
+    class the quantization docstring documents)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("term"))
     counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
@@ -175,7 +180,7 @@ SELECT vec_id,
            SELECT CAST(x AS DOUBLE)
                   - round(CAST(x AS DOUBLE) / scale) * scale AS e
            FROM (SELECT unnest(embedding) AS x) z0) z) AS DOUBLE)
-        / 64 / 1e16 AS mse
+        / len(embedding) / 1e16 AS mse
 FROM s
 """
 
@@ -220,9 +225,11 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         # division of identical operands — bit-identical without it.
         # (round(x, 9) itself diverges: DuckDB rounds via float
         # multiply + nearbyint, Spark via exact decimal HALF_UP.)
+        # divide by the actual vector length, not a hardcoded dim —
+        # silently wrong MSE if the embeddings fixture dim ever changes
         (
             F.aggregate(err2, zero, lambda a, v: a + v).cast("double")
-            / 64
+            / F.size(F.col("xs"))
             / 1e16
         ).alias("mse"),
     )
@@ -237,16 +244,20 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TARGET_FILE_BYTES = 4096
 
 _WRITE_PLAN_ORACLE = f"""
-SELECT source, lang,
-  count(*) AS n_docs,
-  CAST(sum(n_chars) AS BIGINT) AS est_bytes,
-  CAST((sum(n_chars) + {_TARGET_FILE_BYTES} - 1) // {_TARGET_FILE_BYTES}
-       AS BIGINT) AS n_files,
-  CAST((count(*) + (sum(n_chars) + {_TARGET_FILE_BYTES} - 1)
-        // {_TARGET_FILE_BYTES} - 1)
-       // ((sum(n_chars) + {_TARGET_FILE_BYTES} - 1) // {_TARGET_FILE_BYTES})
-       AS BIGINT) AS docs_per_file
-FROM documents GROUP BY 1, 2
+WITH agg AS (
+  SELECT source, lang,
+    count(*) AS n_docs,
+    CAST(sum(n_chars) AS BIGINT) AS est_bytes
+  FROM documents GROUP BY 1, 2),
+plan AS (
+  SELECT source, lang, n_docs, est_bytes,
+    greatest((est_bytes + {_TARGET_FILE_BYTES} - 1) // {_TARGET_FILE_BYTES}, 1)
+      AS n_files
+  FROM agg)
+SELECT source, lang, n_docs, est_bytes,
+  CAST(n_files AS BIGINT) AS n_files,
+  CAST((n_docs + n_files - 1) // n_files AS BIGINT) AS docs_per_file
+FROM plan
 """
 
 
@@ -266,7 +277,9 @@ def write_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("est_bytes"),
     )
-    n_files = F.floor((F.col("est_bytes") + t - 1) / t)
+    # clamp: a group whose docs are all empty (sum(n_chars)=0) still
+    # needs 1 output file, not a NULL docs_per_file from a 0 divisor
+    n_files = F.greatest(F.floor((F.col("est_bytes") + t - 1) / t), F.lit(1))
     return agg.select(
         "source",
         "lang",
@@ -283,9 +296,13 @@ def write_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ASOF_ORACLE = """
 WITH v AS (
-  SELECT user_id, epoch_us(ts) AS view_us,
-         CAST(round(value * 100) AS BIGINT) AS view_cents
-  FROM events WHERE event_type = 'view'),
+  SELECT user_id, view_us, max_by(view_cents, view_event_id) AS view_cents
+  FROM (
+    SELECT user_id, epoch_us(ts) AS view_us,
+           CAST(round(value * 100) AS BIGINT) AS view_cents,
+           event_id AS view_event_id
+    FROM events WHERE event_type = 'view')
+  GROUP BY 1, 2),
 p AS (
   SELECT event_id, user_id, epoch_us(ts) AS us
   FROM events WHERE event_type = 'purchase')
@@ -309,13 +326,22 @@ def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     us = micros("ts")
     cents = F.round(F.col("value") * 100).cast("long")
-    v = e.filter(F.col("event_type") == "view").select(
-        "user_id",
-        us.alias("us"),
-        F.lit(0).alias("tag"),
-        us.alias("view_us"),
-        cents.alias("view_cents"),
-        F.lit(None).cast("long").alias("event_id"),
+    # Two views by one user in the same microsecond would make both the
+    # window's F.last and the oracle ASOF's tie choice arbitrary — a
+    # latent parity flake. Dedupe to one view per (user_id, us) with a
+    # deterministic winner (max event_id) in BOTH engines first.
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", us.alias("us"))
+        .agg(F.max_by(cents, F.col("event_id")).alias("view_cents"))
+        .select(
+            "user_id",
+            "us",
+            F.lit(0).alias("tag"),
+            F.col("us").alias("view_us"),
+            "view_cents",
+            F.lit(None).cast("long").alias("event_id"),
+        )
     )
     p = e.filter(F.col("event_type") == "purchase").select(
         "user_id",

@@ -51,6 +51,25 @@ def test_densify_grid_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_flagship_windows_all_partitioned(spark, sf_dir):
+    """W4: the future-return lead is partitioned by trading day — an
+    unpartitioned Window funnels every bin of 100 TB through one task.
+    Spark prints partition-less window specs as 'Window [...], [expr ASC'
+    (no partition list between the function list and the order list)."""
+    import re
+
+    for name in ("oi_hourly_densified", "oi_per_key_densified"):
+        p = _plan(spark, sf_dir, name)
+        for line in p.splitlines():
+            m = re.search(r"\bWindow\s+(\[.*)", line)
+            if not m:
+                continue
+            # partitioned windows render three bracket groups:
+            # [funcs], [partition cols], [order]; unpartitioned only two
+            groups = re.findall(r"\[[^\[\]]*(?:\[[^\[\]]*\][^\[\]]*)*\]", m.group(1))
+            assert len(groups) >= 3, f"{name}: unpartitioned window: {line.strip()}"
+
+
 def test_jaccard_no_cartesian(spark, sf_dir):
     p = _plan(spark, sf_dir, "jaccard_near_dups")
     assert "CartesianProduct" not in p
