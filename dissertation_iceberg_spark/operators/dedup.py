@@ -117,11 +117,16 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
     """MinHash signature per doc: for each of ``num_hashes`` seeded hash
-    functions, the min over the doc's shingle set. Pure built-ins
-    (xxhash64 with seed via concat) — no UDF, one groupBy."""
+    functions, the min over the doc's shingle set. Pure built-ins —
+    no UDF, one groupBy. Hashes are the portable md5-derived 60-bit
+    family (functions/hashing.py) so a DuckDB oracle can replay the
+    exact signatures; swap xxhash64 back in there for a
+    single-engine deployment."""
+    from dissertation_iceberg_spark.functions.hashing import seeded_hash60
+
     sh = word_shingles(df, text_col, id_col, n)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        F.min(seeded_hash60(i, F.col("shingle"))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -133,8 +138,11 @@ def minhash_lsh_candidates(
     """Band the signature, hash each band, self-join on (band, hash).
 
     Docs colliding in >=1 band become candidate pairs (then verified
-    with exact Jaccard by the caller). Shuffle key = (band, band-hash):
-    bounded, skew-resistant via the stop-shingle cap upstream.
+    with exact Jaccard by the caller). Shuffle key = (band, band-key):
+    bounded, skew-resistant via the stop-shingle cap upstream. The
+    band key is the concatenated signature slice itself (collision ⇔
+    band equality, exactly) rather than a re-hash of it — same join
+    cardinality, and engine-portable for the oracle gate.
     """
     cols = [c for c in signatures.columns if c.startswith("mh_")]
     assert len(cols) >= bands * rows_per_band
@@ -142,7 +150,10 @@ def minhash_lsh_candidates(
     for b in range(bands):
         use = cols[b * rows_per_band : (b + 1) * rows_per_band]
         band_exprs.append(
-            F.struct(F.lit(b).alias("band"), F.hash(*[F.col(c) for c in use]).alias("bh"))
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", *[F.col(c) for c in use]).alias("bh"),
+            )
         )
     banded = signatures.select(
         "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
@@ -157,14 +168,20 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over whitespace tokens using xxhash64 bit votes.
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFrame:
+    """60-bit SimHash over whitespace tokens (token multiset bit votes).
 
     Implemented with higher-order array functions (no Python UDF):
-    for each bit position, sum +1/-1 votes across token hashes.
+    for each bit position, sum +1/-1 votes across token hashes. Token
+    hashes are the portable md5-derived 60-bit family
+    (functions/hashing.py), so the signature is oracle-replayable in
+    DuckDB and always non-negative (fits bits 0..59 of a signed 64-bit).
     """
+    from dissertation_iceberg_spark.functions.hashing import HASH_BITS, hash60
+
+    assert bits <= HASH_BITS
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: hash60(t))
     bit_cols = []
     for i in range(bits):
         vote = F.aggregate(
@@ -174,9 +191,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
             + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
         bit_cols.append(
-            F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)) * F.lit(2**i).cast("long")
-            if i < 63
-            else F.when(vote > 0, F.lit(-(2**63)).cast("long")).otherwise(F.lit(0))
+            F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0))
+            * F.lit(2**i).cast("long")
         )
     sig = bit_cols[0]
     for c in bit_cols[1:]:

@@ -71,6 +71,21 @@ def cosine_topk(
     )
 
 
+def lsh_plane_weights(tbl: int, plane: int, dim: int, seed: int = 42) -> list[int]:
+    """Deterministic integer hyperplane: weight d = md5-derived hash of
+    ``'{seed}:{tbl}:{plane}:{d}'`` mapped to [-1000, 1000]. Integer
+    weights (not gauss floats) make the projection EXACT integer
+    arithmetic once the vector is micro-quantized — the bucket sign can
+    never flip on a float half-ulp, in either engine. Uniform signs are
+    all sign-LSH needs; the magnitude distribution only perturbs recall
+    marginally vs gaussian planes (pinned by test_lsh_ann_recall)."""
+    from dissertation_iceberg_spark.functions.hashing import hash60_py
+
+    return [
+        hash60_py(f"{seed}:{tbl}:{plane}:{d}") % 2001 - 1000 for d in range(dim)
+    ]
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -86,21 +101,27 @@ def hyperplane_lsh_buckets(
     candidate pair needs to collide in ANY table, trading extra
     (cheap, equi-join) candidates for recall — the standard knob when
     single-table sign-LSH recall is too low. Hyperplanes are
-    deterministic tiny literals from the seed; projections are JVM-side
-    higher-order functions. Output: one row per (vector, table).
+    deterministic tiny integer literals (:func:`lsh_plane_weights`);
+    the projection Σ round(x·1e6)·w is an exact BIGINT fold, so bucket
+    ids are bit-reproducible across engines and the DuckDB oracle can
+    replay them. Output: one row per (vector, table).
     """
-    import random
-
-    rnd = random.Random(seed)
     rows = []
     for t in range(num_tables):
-        planes = [
-            [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
-        ]
         bucket = F.lit(0).cast("long")
-        for i, p in enumerate(planes):
-            plane = F.array(*[F.lit(x) for x in p])
-            proj = _dot(F.col(vec_col), plane)
+        for i in range(num_planes):
+            plane = F.array(
+                *[F.lit(w) for w in lsh_plane_weights(t, i, dim, seed)]
+            )
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    plane,
+                    lambda x, w: F.round(x.cast("double") * 1e6).cast("long") * w,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
             bucket = bucket + F.when(proj > 0, F.lit(2**i)).otherwise(F.lit(0))
         rows.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
     return df.select(

@@ -1,7 +1,9 @@
-"""Additional extension queries: embedding-cosine near-dup detection
-(oracle-matched) and rows-only entries for the operators whose hashes
-(xxhash64) or models have no DuckDB equivalent — the driver records the
-weaker rows-only check for these, by design.
+"""Additional extension queries: embedding-cosine near-dup detection,
+the SimHash/MinHash-LSH/hyperplane-LSH family (oracle-matched since
+round 3 via the portable md5-derived 60-bit hash family —
+functions/hashing.py), and rows-only entries for the operators whose
+models genuinely have no DuckDB equivalent (RandomForest, the
+driver-side PACF solve, the multimodal decode stand-in).
 """
 
 from __future__ import annotations
@@ -9,6 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dissertation_iceberg_spark.functions.hashing import (
+    hash60_sql,
+    seeded_hash60_sql,
+)
 from dissertation_iceberg_spark.io import load_table, lob_events, spread
 from dissertation_iceberg_spark.queries.registry import register
 
@@ -61,45 +67,177 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Rows-only entries (no DuckDB equivalent: xxhash64 / ML models / LSH)
+# SimHash / MinHash-LSH / hyperplane-LSH ANN — oracle-matched via the
+# portable md5-derived 60-bit hash family (functions/hashing.py)
 # --------------------------------------------------------------------------
 
+_SIMHASH_BITS = 60
 
-@register("simhash_signatures", oracle=None)
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents),
+th AS (SELECT doc_id, {hash60_sql("tok")} AS h FROM toks),
+votes AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN range({_SIMHASH_BITS}) r(i)
+  GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM votes GROUP BY 1)
+SELECT d.doc_id, coalesce(s.simhash, CAST(0 AS BIGINT)) AS simhash
+FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
+"""
+
+
+@register("simhash_signatures", oracle=_SIMHASH_ORACLE)
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (xxhash64 bit votes — no DuckDB
-    xxhash64, so rows-only; determinism is pytest-verified)."""
+    """60-bit SimHash per document: per-bit +1/-1 votes across the
+    token multiset's portable 60-bit hashes, all inside whole-stage
+    codegen (no shuffle at all — one map pass). Oracle replays the
+    identical hash and vote arithmetic in DuckDB."""
     from dissertation_iceberg_spark.operators.dedup import simhash
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     return simhash(docs, "text", "doc_id")
 
 
-@register("minhash_lsh_pairs", oracle=None)
+_MH_HASHES = 32
+_MH_BANDS = 8
+_MH_ROWS = 4
+
+_MINHASH_SHINGLES_SQL = """
+toks AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 2),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+    FROM toks))
+"""
+
+_MINHASH_LSH_ORACLE = f"""
+WITH {_MINHASH_SHINGLES_SQL},
+mh AS (
+  SELECT doc_id,
+         {", ".join(f"min({seeded_hash60_sql(i, 'shingle')}) AS mh_{i}" for i in range(_MH_HASHES))}
+  FROM sh GROUP BY 1),
+bands AS (
+  {" UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bk FROM mh".format(
+        b=b,
+        cols=", ".join(f"mh_{b * _MH_ROWS + r}" for r in range(_MH_ROWS)),
+    )
+    for b in range(_MH_BANDS)
+  )})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+"""
+
+
+@register("minhash_lsh_pairs", oracle=_MINHASH_LSH_ORACLE)
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (banded signatures; recall vs exact
-    Jaccard is pytest-verified)."""
+    """MinHash-LSH candidate pairs: 32 portable seeded min-hashes over
+    3-gram shingles, banded 8×4, pairs = docs sharing any band. The
+    oracle replays signatures and banding exactly in DuckDB; recall vs
+    exact Jaccard is additionally pytest-verified."""
     from dissertation_iceberg_spark.operators.dedup import (
         minhash_lsh_candidates,
         minhash_signatures,
     )
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=32)
-    return minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=_MH_HASHES)
+    return minhash_lsh_candidates(sigs, bands=_MH_BANDS, rows_per_band=_MH_ROWS)
 
 
-@register("lsh_ann_topk", oracle=None)
+_LSH_PLANES = 4
+_LSH_TABLES = 8
+_LSH_K = 3
+_LSH_QUERY_MOD = 50
+
+
+def _lsh_bucket_sql(tbl: int) -> str:
+    from dissertation_iceberg_spark.operators.similarity import lsh_plane_weights
+
+    terms = []
+    for p in range(_LSH_PLANES):
+        w = lsh_plane_weights(tbl, p, 64)
+        proj = (
+            "(SELECT CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) * w)"
+            " AS BIGINT)"
+            f" FROM (SELECT unnest(embedding) AS x, unnest({w}) AS w) z)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _lsh_ann_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_lsh_bucket_sql(t)} AS bucket FROM embeddings"
+        for t in range(_LSH_TABLES)
+    )
+    return f"""
+WITH b AS ({arms}),
+qb AS (SELECT vec_id AS qid, tbl, bucket FROM b WHERE vec_id % {_LSH_QUERY_MOD} = 0),
+cand AS (
+  SELECT DISTINCT qb.qid, b.vec_id AS neighbor_id
+  FROM b JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+  WHERE qb.qid <> b.vec_id),
+scored AS (
+  SELECT c.qid, c.neighbor_id,
+    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT unnest(q.embedding) AS x, unnest(e.embedding) AS y) z) AS dot,
+    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+     FROM (SELECT unnest(q.embedding) AS x) z) AS nq,
+    (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT unnest(e.embedding) AS y) z) AS ne
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.qid
+  JOIN embeddings e ON e.vec_id = c.neighbor_id)
+SELECT qid, neighbor_id,
+       round(dot / (sqrt(nq) * sqrt(ne)), 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY round(dot / (sqrt(nq) * sqrt(ne)), 6) DESC, neighbor_id)
+            AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= {_LSH_K}
+"""
+
+
+@register("lsh_ann_topk", oracle=_lsh_ann_oracle())
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k cosine neighbors via multi-table hyperplane
-    LSH — the ANN scale path (recall vs brute force pytest-verified)."""
+    LSH — the ANN scale path. Buckets come from exact-integer
+    projections against md5-derived integer planes
+    (operators/similarity.py:lsh_plane_weights), so the DuckDB oracle
+    replays candidate generation bit-for-bit; scoring reuses the
+    cosine_topk float path (6-dp rounded). Recall vs brute force is
+    additionally pytest-verified."""
     from dissertation_iceberg_spark.operators.similarity import lsh_cosine_topk
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+    queries = emb.filter(F.col("vec_id") % _LSH_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_cosine_topk(emb, queries, k=3, num_planes=4, num_tables=8)
+    out = lsh_cosine_topk(
+        emb, queries, k=_LSH_K, num_planes=_LSH_PLANES, num_tables=_LSH_TABLES
+    )
+    return out.select(
+        "qid", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rows-only entries (genuinely no SQL oracle: ML models, driver-side
+# PACF solve, multimodal decode stand-in)
+# --------------------------------------------------------------------------
 
 
 @register("ml_direction_predictions", oracle=None)

@@ -112,6 +112,118 @@ def portfolio_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Modified-Sharpe significance test (single_strategy_statistics.ipynb
+# cells 11-13): SR adjusted for skew/kurtosis (Mertens 2002 variance of
+# the SR estimator), z-stat and two-tailed normal p-value.
+# --------------------------------------------------------------------------
+
+# Abramowitz & Stegun 7.1.26-style tail polynomial for the normal CDF
+# (|error| < 7.5e-8, far inside the 6-dp output rounding). The SAME
+# literal expression runs in both engines, so parity does not depend on
+# the approximation's accuracy — only on identical IEEE evaluation.
+_NCDF_T = 0.2316419
+_NCDF_A = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_SQRT_2PI = 2.5066282746310002
+
+_SHARPE_TEST_ORACLE = f"""
+WITH p AS ({_PNL_SERIES_SQL}),
+m AS (SELECT count(*) AS n, avg(pnl) AS mu FROM p),
+c AS (
+  SELECT m.n, m.mu,
+         sum((p.pnl - m.mu) * (p.pnl - m.mu)) AS c2,
+         sum(pow(p.pnl - m.mu, 3)) AS c3,
+         sum(pow(p.pnl - m.mu, 4)) AS c4
+  FROM p, m GROUP BY m.n, m.mu),
+s AS (
+  SELECT n,
+         mu / sqrt(c2 / (n - 1)) AS sr,
+         (c3 / n) / pow(c2 / n, 1.5) AS g3,
+         (c4 / n) / pow(c2 / n, 2) AS g4
+  FROM c),
+z AS (
+  SELECT n, sr, g3, g4,
+         sr / sqrt((1 - g3 * sr + (g4 - 1) * (sr * sr) / 4) / (n - 1)) AS stat
+  FROM s),
+t AS (SELECT n, sr, stat, 1 / (1 + {_NCDF_T} * abs(stat)) AS u FROM z)
+SELECT CAST(n AS BIGINT) AS n_days,
+  round(sr * sqrt(252), 6) AS sharpe_ann,
+  round(stat, 6) AS sr_stat,
+  round(2 * (exp(-(abs(stat) * abs(stat)) / 2) / {_SQRT_2PI})
+          * (u * ({_NCDF_A[0]} + u * ({_NCDF_A[1]} + u * ({_NCDF_A[2]}
+             + u * ({_NCDF_A[3]} + u * {_NCDF_A[4]}))))), 6) AS p_value
+FROM t
+"""
+
+
+@register("sharpe_test", oracle=_SHARPE_TEST_ORACLE)
+def sharpe_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modified-Sharpe significance test
+    (single_strategy_statistics.ipynb cell 11 `sharpe_test`): per-period
+    SR = mu/std(ddof=1), population skew g3 and non-Fisher kurtosis g4,
+    z-stat = SR / sqrt((1 - g3*SR + (g4-1)*SR^2/4)/(T-1)), two-tailed
+    normal p-value, annualized SR = sqrt(252)*SR. The p-value uses
+    2*(1-Phi(|z|)) = 2*phi(|z|)*poly(t) — the tail form avoids the
+    1-Phi cancellation entirely.
+
+    Scale shape: identical to portfolio_statistics — daily PnL series
+    (one groupBy), 1-row moments frame broadcast back for two-pass
+    central sums, then pure scalar arithmetic on a single row."""
+    sel = cross_sectional_select(
+        _signals(spark, sf_dir), "day", "signal", "user_id", 0.2
+    )
+    p = sel.groupBy("day").agg(
+        (
+            F.sum(F.when(F.col("is_top") == 1, F.col("gross")).otherwise(0.0))
+            - F.sum(F.when(F.col("is_bottom") == 1, F.col("gross")).otherwise(0.0))
+        ).alias("pnl")
+    )
+    m = p.agg(F.count(F.lit(1)).alias("n"), F.avg("pnl").alias("mu"))
+    c = (
+        p.join(F.broadcast(m))
+        .groupBy("n", "mu")
+        .agg(
+            F.sum((F.col("pnl") - F.col("mu")) * (F.col("pnl") - F.col("mu"))).alias(
+                "c2"
+            ),
+            F.sum(F.pow(F.col("pnl") - F.col("mu"), 3)).alias("c3"),
+            F.sum(F.pow(F.col("pnl") - F.col("mu"), 4)).alias("c4"),
+        )
+    )
+    n = F.col("n")
+    s = c.select(
+        n,
+        (F.col("mu") / F.sqrt(F.col("c2") / (n - 1))).alias("sr"),
+        ((F.col("c3") / n) / F.pow(F.col("c2") / n, 1.5)).alias("g3"),
+        ((F.col("c4") / n) / F.pow(F.col("c2") / n, 2)).alias("g4"),
+    )
+    sr, g3, g4 = F.col("sr"), F.col("g3"), F.col("g4")
+    z = s.select(
+        n,
+        sr,
+        (
+            sr
+            / F.sqrt(
+                (F.lit(1.0) - g3 * sr + (g4 - 1) * (sr * sr) / 4) / (n - 1)
+            )
+        ).alias("stat"),
+    )
+    stat = F.col("stat")
+    u = 1 / (1 + _NCDF_T * F.abs(stat))
+    a0, a1, a2, a3, a4 = _NCDF_A
+    tail = (
+        2
+        * (F.exp(-(F.abs(stat) * F.abs(stat)) / 2) / _SQRT_2PI)
+        * (u * (a0 + u * (a1 + u * (a2 + u * (a3 + u * a4)))))
+    )
+    return z.select(
+        n.cast("long").alias("n_days"),
+        F.round(sr * F.sqrt(F.lit(252.0)), 6).alias("sharpe_ann"),
+        F.round(stat, 6).alias("sr_stat"),
+        F.round(tail, 6).alias("p_value"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Percentile sweep (iceberg_quantile.ipynb cell 3: p ∈ 0.05…0.4)
 # --------------------------------------------------------------------------
 

@@ -100,6 +100,7 @@ INTENTIONAL_BNLJ = {
     "embedding_near_dups",
     "quantile_filter",
     "portfolio_statistics",  # broadcast 1-row moments frame
+    "sharpe_test",  # broadcast 1-row moments frame (same machinery)
     "ivf_ann_topk",  # broadcast tiny centroid table (n_lists rows)
     "mann_whitney_u",  # broadcast 1-row min/max bounds (bucketed ranks)
     "anderson_ksamp",  # broadcast 1-row min/max bounds (bucketed ranks)
