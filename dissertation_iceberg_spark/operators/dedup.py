@@ -43,20 +43,45 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def word_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, with_size: bool = False
+) -> DataFrame:
     """(id, shingle) pairs of word n-grams, distinct per document.
 
     Tokenization: whitespace split, empties dropped — SQL-reproducible.
+    Per-document dedup runs MAP-SIDE via ``array_distinct`` BEFORE the
+    explode — a round-2 ``.distinct()`` here was a full
+    O(docs × shingles) shuffle doing the same work (per-doc uniqueness;
+    the key includes doc_id, so no cross-doc dedup was happening
+    anyway). ``with_size`` also emits the exact set size per row for
+    free (array length), which the Jaccard join needs — previously a
+    separate aggregation plus an O(docs) equi-join.
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     k = F.size(toks) - (n - 1)
-    shingles = F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle")
-    ).distinct()
+    # explode_outer + post-filter, NOT plain explode: the inner-explode
+    # optimizer rule infers a `size(arr) > 0` scan filter that inlines
+    # and re-evaluates the whole shingle-array expression below the
+    # repartition — i.e. serially, once per doc, before the parallel
+    # stage even starts. The outer form generates nothing to infer; the
+    # null-shingle rows (empty docs) are dropped by a cheap filter on
+    # the generated column, which cannot be pushed below the Generate.
+    base = df.select(F.col(id_col).alias("doc_id"), shingles.alias("__arr"))
+    if with_size:
+        out = base.select(
+            "doc_id",
+            F.size("__arr").alias("set_size"),
+            F.explode_outer("__arr").alias("shingle"),
+        )
+    else:
+        out = base.select("doc_id", F.explode_outer("__arr").alias("shingle"))
+    return out.filter(F.col("shingle").isNotNull())
 
 
 def jaccard_near_dup_pairs(
@@ -73,33 +98,62 @@ def jaccard_near_dup_pairs(
     |A∪B| = |A|+|B|−|A∩B|. ``max_shingle_freq`` drops shingles shared
     by too many docs (stop-shingles) — the knob that keeps candidate
     generation near-linear at 100 TB.
-    """
-    from pyspark.storagelevel import StorageLevel
 
-    # the shingle table feeds three consumers (both self-join sides +
-    # set sizes); persist so the explode+distinct shuffle runs once
-    sh = word_shingles(df, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    Round-3 shape (the round-2 bench regression fix): a POSTING-LIST
+    expansion, not a self-join. Round 2 scanned/computed the shingle
+    table twice (both join sides; lambda-bearing subtrees defeat
+    Spark's exchange reuse, which the old persist papered over) plus a
+    distinct shuffle, a sizes aggregate, and two O(pairs) size joins.
+    Now: ONE pass builds (shingle → sorted posting list of
+    (doc_id, set_size)) — set sizes computed map-side in
+    :func:`word_shingles` — then C(k,2) pairs per shingle expand
+    map-side from the array, then one pair-keyed count. Two shuffles
+    total (postings O(shingles), pairs O(candidates)); no join
+    operator at all, so nothing for the planner to broadcast (the old
+    plan broadcast the exploded table — an OOM at 100 TB).
+
+    Per-shingle expansion is O(df²); ``max_shingle_freq`` caps df (the
+    documented stop-shingle knob), which simultaneously bounds the
+    posting array, the pair fan-out, and reducer memory — at 100 TB
+    run with a cap (e.g. 256); uncapped df is measured ≤25 on the
+    driver fixtures. Length-ratio pruning (J ≥ t ⇒ t·|B| ≤ |A| ≤
+    |B|/t) drops hopeless pairs inside the array expansion, before
+    they ever hit the pair shuffle.
+    """
+    sh = word_shingles(df, text_col, id_col, n, with_size=True)
+    posts = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "set_size"))).alias("ps")
     )
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = (
-            sh.join(F.broadcast(freq.filter(F.col("df") <= max_shingle_freq)), "shingle")
-            .drop("df")
+        posts = posts.filter(F.size("ps") <= max_shingle_freq)
+    posts = posts.filter(F.size("ps") >= 2)
+    k = F.size("ps")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), k - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, k - 1),
+                lambda j: F.struct(
+                    F.col("ps")[i]["doc_id"].alias("id_a"),
+                    F.col("ps")[j]["doc_id"].alias("id_b"),
+                    F.col("ps")[i]["set_size"].alias("size_a"),
+                    F.col("ps")[j]["set_size"].alias("size_b"),
+                ),
+            ),
         )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    )
+    pruned = F.filter(
+        combos,
+        lambda c: (c["size_a"] >= threshold * c["size_b"])
+        & (c["size_b"] >= threshold * c["size_a"]),
+    )
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        posts.select(F.explode(pruned).alias("pr"))
+        .groupBy("pr.id_a", "pr.id_b", "pr.size_a", "pr.size_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
-        .withColumn(
+    return (
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter")
@@ -110,7 +164,6 @@ def jaccard_near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_inter", "jaccard")
     )
-    return out
 
 
 def minhash_signatures(

@@ -236,6 +236,8 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
       >= {JACCARD_THRESHOLD}
+  AND sa.sz >= {JACCARD_THRESHOLD} * sb.sz
+  AND sb.sz >= {JACCARD_THRESHOLD} * sa.sz
 """
 
 
