@@ -1,0 +1,195 @@
+"""Behavioral analytics over the event stream (round 3): ordered
+funnel conversion and cohort retention — the two workhorse queries of
+any event-analytics deployment, absent from the reference (its events
+are LOBSTER messages) but first-class for an engine that claims the
+clickstream/training-telemetry use case at 100 TB.
+
+Both are built on exact integer microsecond timestamps (micros()), so
+every step boundary and day offset is deterministic in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dissertation_iceberg_spark.functions.time_bins import micros
+from dissertation_iceberg_spark.io import load_table
+from dissertation_iceberg_spark.queries.registry import register
+
+# --------------------------------------------------------------------------
+# Ordered funnel: view -> click -> purchase (first-touch sequencing)
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+_FUNNEL_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s1 AS (
+  SELECT user_id, min(us) AS t1 FROM e
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(e.us) AS t2
+  FROM e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.us >= s1.t1
+  GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(e.us) AS t3
+  FROM e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.us >= s2.t2
+  GROUP BY 1),
+n AS (
+  SELECT (SELECT count(*) FROM s1) AS n1,
+         (SELECT count(*) FROM s2) AS n2,
+         (SELECT count(*) FROM s3) AS n3)
+SELECT CAST(1 AS BIGINT) AS step, '{_FUNNEL_STEPS[0]}' AS step_name,
+       CAST(n1 AS BIGINT) AS n_users,
+       round(1.0, 6) AS conv_from_prev,
+       round(1.0, 6) AS conv_from_first
+FROM n
+UNION ALL
+SELECT CAST(2 AS BIGINT), '{_FUNNEL_STEPS[1]}', CAST(n2 AS BIGINT),
+       round(CAST(n2 AS DOUBLE) / n1, 6), round(CAST(n2 AS DOUBLE) / n1, 6)
+FROM n
+UNION ALL
+SELECT CAST(3 AS BIGINT), '{_FUNNEL_STEPS[2]}', CAST(n3 AS BIGINT),
+       round(CAST(n3 AS DOUBLE) / n2, 6), round(CAST(n3 AS DOUBLE) / n1, 6)
+FROM n
+"""
+
+
+@register("funnel_conversion", oracle=_FUNNEL_ORACLE)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): a user converts at
+    step k only with a step-k event at-or-after their first step-(k-1)
+    conversion time — first-touch sequencing, the standard product
+    funnel semantics (not mere per-type existence).
+
+    Scale shape: each step is one filtered aggregate joined to the
+    previous step's O(users) frame ON user_id — every join and groupBy
+    shares the user_id key, so after the first exchange the chain is
+    co-partitioned (no re-shuffles; Catalyst reuses the partitioning),
+    and the final counts are three 1-row aggregates. No windows over
+    the raw stream, no collect_list of per-user event arrays (whose
+    skew a power user would dominate at 100 TB)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", micros("ts").alias("us")
+    )
+    s1 = (
+        e.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .where(F.col("us") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .where(F.col("us") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n3"))
+    n = n1.join(F.broadcast(n2)).join(F.broadcast(n3))
+    one = F.round(F.lit(1.0), 6)
+    rows = [
+        n.select(
+            F.lit(1).cast("long").alias("step"),
+            F.lit(_FUNNEL_STEPS[0]).alias("step_name"),
+            F.col("n1").cast("long").alias("n_users"),
+            one.alias("conv_from_prev"),
+            one.alias("conv_from_first"),
+        ),
+        n.select(
+            F.lit(2).cast("long").alias("step"),
+            F.lit(_FUNNEL_STEPS[1]).alias("step_name"),
+            F.col("n2").cast("long").alias("n_users"),
+            F.round(F.col("n2").cast("double") / F.col("n1"), 6).alias(
+                "conv_from_prev"
+            ),
+            F.round(F.col("n2").cast("double") / F.col("n1"), 6).alias(
+                "conv_from_first"
+            ),
+        ),
+        n.select(
+            F.lit(3).cast("long").alias("step"),
+            F.lit(_FUNNEL_STEPS[2]).alias("step_name"),
+            F.col("n3").cast("long").alias("n_users"),
+            F.round(F.col("n3").cast("double") / F.col("n2"), 6).alias(
+                "conv_from_prev"
+            ),
+            F.round(F.col("n3").cast("double") / F.col("n1"), 6).alias(
+                "conv_from_first"
+            ),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: first-seen-day cohorts x day offset
+# --------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1),
+sizes AS (
+  SELECT cohort_day, count(*) AS n_cohort FROM cohort GROUP BY 1)
+SELECT c.cohort_day,
+       CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+       count(*) AS n_active,
+       round(CAST(count(*) AS DOUBLE) / any_value(s.n_cohort), 6) AS retention
+FROM act a
+JOIN cohort c ON a.user_id = c.user_id
+JOIN sizes s ON c.cohort_day = s.cohort_day
+GROUP BY 1, 2
+"""
+
+
+@register("cohort_retention", oracle=_COHORT_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first active day,
+    activity counted per (cohort_day, day offset), retention = active
+    fraction of the cohort.
+
+    Scale shape: one distinct over (user, day) — the raw-stream
+    reduction, map-side combinable; one O(users) min-aggregate (same
+    user_id key, co-partitioned); cohort sizes are an O(days) frame
+    joined BROADCAST (days is bounded — ~365/year — no matter how many
+    users); final aggregate keys are (day, offset) — also bounded.
+    The only O(users)-keyed shuffle happens once."""
+    e = load_table(spark, sf_dir, "events")
+    act = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohort.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        act.join(cohort, "user_id")
+        .join(F.broadcast(sizes), "cohort_day")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.any_value(F.col("n_cohort")), 6
+            ).alias("retention"),
+        )
+    )

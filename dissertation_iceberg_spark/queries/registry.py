@@ -56,9 +56,11 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from dissertation_iceberg_spark.queries import (  # noqa: F401
+        behavior_ops,
         core,
         corpus_ops,
         extensions,
+        graph_ops,
         joins,
         lakehouse_ops,
         llm_ops,
@@ -67,6 +69,7 @@ def _ensure_loaded() -> None:
         oi_variants,
         regression,
         sessions,
+        sketch_ops,
         sqlops,
         strategy,
         strategy2,

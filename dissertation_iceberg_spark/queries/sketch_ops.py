@@ -1,0 +1,225 @@
+"""Probabilistic-sketch operators (round 3): count-min heavy-hitter
+estimation and a Bloom-filter membership audit — the bounded-state
+primitives a 100 TB pipeline uses where exact state would be
+unbounded (per-token counters, per-key membership). Both are built on
+the portable md5-derived hash family (functions/hashing.py), so the
+DuckDB oracles replay the sketches EXACTLY — estimates and all — not
+just their contracts.
+
+Complements the existing approx machinery: HLL approx distinct
+(vocab_stats' scale path) sketches cardinality; count-min sketches
+frequency; Bloom sketches membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dissertation_iceberg_spark.io import load_table, spread
+from dissertation_iceberg_spark.queries.registry import register
+
+_TOKENS = "list_filter(str_split(text, ' '), x -> x <> '')"
+
+
+def _seeded_hash_col(d, col):
+    """Portable 60-bit hash of ``d || ':' || col`` with a COLUMN seed
+    (the literal-seed variant lives in functions/hashing.py)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(d.cast("string"), F.lit(":"), col)), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _seeded_hash_sql(d_expr: str, expr: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({d_expr} AS VARCHAR) || ':' || {expr}),"
+        " 1, 15) AS BIGINT)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: heavy-hitter estimates vs exact counts
+# --------------------------------------------------------------------------
+
+_CM_DEPTH = 4
+_CM_WIDTH = 1024
+_CM_TOPK = 20
+
+_CM_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS}) AS tok FROM documents),
+cells AS (
+  SELECT r.d, {_seeded_hash_sql("r.d", "tok")} % {_CM_WIDTH} AS cell,
+         count(*) AS n
+  FROM toks CROSS JOIN range({_CM_DEPTH}) r(d)
+  GROUP BY 1, 2),
+top AS (
+  SELECT tok, count(*) AS true_n FROM toks
+  GROUP BY 1 ORDER BY true_n DESC, tok LIMIT {_CM_TOPK}),
+probes AS (
+  SELECT t.tok, t.true_n, r.d,
+         {_seeded_hash_sql("r.d", "t.tok")} % {_CM_WIDTH} AS cell
+  FROM top t CROSS JOIN range({_CM_DEPTH}) r(d))
+SELECT p.tok, CAST(any_value(p.true_n) AS BIGINT) AS true_n,
+       CAST(min(c.n) AS BIGINT) AS est_n,
+       CAST(min(c.n) - any_value(p.true_n) AS BIGINT) AS overcount
+FROM probes p JOIN cells c ON c.d = p.d AND c.cell = p.cell
+GROUP BY 1
+"""
+
+
+@register("countmin_heavy_hitters", oracle=_CM_ORACLE)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch audit: a {depth}x{width} counter sketch over
+    the token stream, read back for the exact top-{k} tokens —
+    est_n = min over rows of the hashed cell, overcount = collision
+    inflation (always >= 0; the count-min guarantee est >= true is
+    what makes it a safe pre-filter for heavy-hitter detection).
+
+    Scale shape: the sketch build is ONE map-side-combinable aggregate
+    whose key space is bounded at depth x width = {cells} cells
+    regardless of corpus size — partial maps never exceed that, and
+    the final sketch fits anywhere (this is the point of a sketch: at
+    100 TB the exact per-token groupBy shuffles O(vocab) rows, the
+    sketch shuffles O({cells})). The readout joins a broadcast
+    O(top-k x depth) probe frame against the sketch. The exact top-k
+    here is the audit baseline; production reads candidates straight
+    off the sketch.""".format(
+        depth=_CM_DEPTH, width=_CM_WIDTH, k=_CM_TOPK, cells=_CM_DEPTH * _CM_WIDTH
+    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("tok")
+    )
+    ds = F.array(*[F.lit(d) for d in range(_CM_DEPTH)])
+    cells = (
+        toks.select("tok", F.explode(ds).alias("d"))
+        .select(
+            "d",
+            (_seeded_hash_col(F.col("d"), F.col("tok")) % _CM_WIDTH).alias("cell"),
+        )
+        .groupBy("d", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("tok"))
+        .limit(_CM_TOPK)
+    )
+    probes = top.select("tok", "true_n", F.explode(ds).alias("d")).select(
+        "tok",
+        "true_n",
+        "d",
+        (_seeded_hash_col(F.col("d"), F.col("tok")) % _CM_WIDTH).alias("cell"),
+    )
+    return (
+        cells.join(F.broadcast(probes), ["d", "cell"])
+        .groupBy("tok")
+        .agg(
+            F.any_value("true_n").cast("long").alias("true_n"),
+            F.min("n").cast("long").alias("est_n"),
+            (F.min("n") - F.any_value("true_n")).cast("long").alias("overcount"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter: build on one source, probe per source (FPR audit)
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 16
+_BLOOM_K = 4
+_BLOOM_BUILD_SOURCE = "src0"  # driver fixture sources: src0..src19
+
+
+def _bloom_positions_sql(expr: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT {_seeded_hash_sql(str(i), expr)} % {_BLOOM_BITS} AS bit"
+        for i in range(_BLOOM_K)
+    )
+
+
+_BLOOM_ORACLE = f"""
+WITH keys AS (
+  SELECT doc_id, source, md5(text) AS fp FROM documents),
+bits AS (
+  SELECT DISTINCT ({_seeded_hash_sql("r.i", "fp")}) % {_BLOOM_BITS} AS bit
+  FROM keys CROSS JOIN range({_BLOOM_K}) r(i)
+  WHERE source = '{_BLOOM_BUILD_SOURCE}'),
+probe AS (
+  SELECT k.doc_id, k.source, r.i,
+         ({_seeded_hash_sql("r.i", "k.fp")}) % {_BLOOM_BITS} AS bit
+  FROM keys k CROSS JOIN range({_BLOOM_K}) r(i)),
+hits AS (
+  SELECT p.doc_id, any_value(p.source) AS source,
+         count(b.bit) AS n_set
+  FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+  GROUP BY 1)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_set = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       round(CAST(sum(CASE WHEN n_set = {_BLOOM_K} THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hit_rate
+FROM hits GROUP BY 1
+"""
+
+
+@register("bloom_membership_audit", oracle=_BLOOM_ORACLE)
+def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit: build a {k}-hash/{m}-bit filter
+    over one source's content fingerprints, probe every source —
+    the build source hits 100% (no false negatives, the Bloom
+    contract); other sources' hit rate IS the measured false-positive
+    rate, the number a pipeline uses to size m before trusting the
+    filter to gate a 100 TB anti-join.
+
+    Scale shape: the filter is BOUNDED state — at most {m} distinct
+    bit rows no matter how many build keys (the relational encoding of
+    an 8 KiB bitmap) — so it broadcasts to every probe task; the probe
+    is a per-row hash + broadcast membership join, one pass, no
+    shuffle of the probed corpus. The n_set = k readback mirrors the
+    bitmap AND.""".format(k=_BLOOM_K, m=_BLOOM_BITS)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    keys = docs.select("doc_id", "source", F.md5(F.col("text")).alias("fp"))
+    idx = F.array(*[F.lit(i) for i in range(_BLOOM_K)])
+    bits = (
+        keys.filter(F.col("source") == _BLOOM_BUILD_SOURCE)
+        .select(F.explode(idx).alias("i"), "fp")
+        .select(
+            (_seeded_hash_col(F.col("i"), F.col("fp")) % _BLOOM_BITS).alias("bit")
+        )
+        .distinct()
+        .withColumn("__set", F.lit(1))
+    )
+    probe = keys.select("doc_id", "source", "fp", F.explode(idx).alias("i")).select(
+        "doc_id",
+        "source",
+        (_seeded_hash_col(F.col("i"), F.col("fp")) % _BLOOM_BITS).alias("bit"),
+    )
+    hits = (
+        probe.join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.count("__set").alias("n_set"),
+        )
+    )
+    return hits.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_set") == _BLOOM_K).cast("int"))
+        .cast("long")
+        .alias("n_hits"),
+        F.round(
+            F.sum((F.col("n_set") == _BLOOM_K).cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hit_rate"),
+    )
