@@ -193,3 +193,101 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch revenue attribution (tolerance-bounded as-of)
+# --------------------------------------------------------------------------
+
+_ATTR_TOL_US = 1_800_000_000  # 30 minutes
+
+_ATTR_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, us, max_by(touch_type, event_id) AS touch_type
+  FROM (
+    SELECT user_id, epoch_us(ts) AS us, event_type AS touch_type, event_id
+    FROM events WHERE event_type IN ('click', 'view'))
+  GROUP BY 1, 2),
+p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT p.cents,
+         CASE WHEN t.us IS NOT NULL AND p.us - t.us <= {_ATTR_TOL_US}
+              THEN t.touch_type ELSE 'unattributed' END AS touch
+  FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.us >= t.us)
+SELECT touch,
+       count(*) AS n_purchases,
+       CAST(sum(cents) AS DOUBLE) / 100 AS revenue
+FROM j GROUP BY 1
+"""
+
+
+@register("lasttouch_attribution", oracle=_ATTR_ORACLE)
+def lasttouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the most
+    recent click/view by the same user within a 30-minute lookback;
+    purchases with no in-window touch are 'unattributed'. The
+    marketing-analytics cousin of the J1 as-of machinery, oracle-checked
+    against DuckDB's native ASOF JOIN + tolerance predicate.
+
+    Spark-side: the proven union+window formulation (one shuffle on
+    user_id, running last_value with ignorenulls — never a range join,
+    which would plan BroadcastNestedLoop). Touches are first deduped to
+    one per (user_id, us) with a deterministic max_by(event_id) winner
+    in BOTH engines — same tie discipline as asof_enrich. Revenue is
+    integer cents until the final division."""
+    e = load_table(spark, sf_dir, "events")
+    us = micros("ts")
+    cents = F.round(F.col("value") * 100).cast("long")
+    touches = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", us.alias("us"))
+        .agg(F.max_by(F.col("event_type"), F.col("event_id")).alias("touch_type"))
+        .select(
+            "user_id",
+            "us",
+            F.lit(0).alias("tag"),
+            F.col("us").alias("touch_us"),
+            "touch_type",
+            F.lit(None).cast("long").alias("cents"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        us.alias("us"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("touch_us"),
+        F.lit(None).cast("string").alias("touch_type"),
+        cents.alias("cents"),
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "tag")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    tagged = touches.unionByName(purchases).select(
+        "user_id",
+        "us",
+        "tag",
+        "cents",
+        F.last("touch_us", ignorenulls=True).over(w).alias("lt_us"),
+        F.last("touch_type", ignorenulls=True).over(w).alias("lt_type"),
+    )
+    attributed = tagged.filter(F.col("tag") == 1).select(
+        "cents",
+        F.when(
+            F.col("lt_us").isNotNull()
+            & ((F.col("us") - F.col("lt_us")) <= _ATTR_TOL_US),
+            F.col("lt_type"),
+        )
+        .otherwise(F.lit("unattributed"))
+        .alias("touch"),
+    )
+    return attributed.groupBy("touch").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        (F.sum("cents").cast("double") / 100).alias("revenue"),
+    )

@@ -338,3 +338,64 @@ def unreturned_orders_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(
         l, o.o_orderkey == l.l_orderkey, "left_anti"
     ).select("o_orderkey", "o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3-shape: top unshipped orders by revenue (round 3)
+# --------------------------------------------------------------------------
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1998-06-01"
+_Q3_TOPK = 10
+
+_Q3_ORACLE = f"""
+SELECT l.l_orderkey AS o_orderkey,
+       any_value(o.o_orderdate) AS o_orderdate,
+       any_value(o.o_orderpriority) AS o_orderpriority,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS DOUBLE) / 100 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_DATE}'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_DATE}'
+GROUP BY 1
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT {_Q3_TOPK}
+"""
+
+
+@register("top_unshipped_orders", oracle=_Q3_ORACLE)
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-{k} {segment}-segment orders placed before a
+    date whose lines ship after it, ranked by discounted revenue.
+
+    Scale shape: both date predicates and the segment filter reach the
+    parquet scans (PushedFilters); customer is the broadcast dim; the
+    one real shuffle is lineitem->orders on orderkey with map-side
+    partial aggregation; the final top-k is TakeOrderedAndProject
+    (per-partition heaps + driver merge, never a global sort). Revenue
+    is integer cents per line before the sum — bit-stable under any
+    aggregation order.""".format(k=_Q3_TOPK, segment=_Q3_SEGMENT)
+    cutoff = F.lit(_Q3_DATE).cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == _Q3_SEGMENT
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.any_value("o_orderdate").alias("o_orderdate"),
+            F.any_value("o_orderpriority").alias("o_orderpriority"),
+            (F.sum(cents).cast("double") / 100).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(_Q3_TOPK)
+    )

@@ -359,3 +359,31 @@ def test_cross_validated_rf(featured):
     stage = model.stages[-1]
     assert stage.getMaxDepth() in (4, 6)
     assert stage.getNumTrees in (25, 50) or stage.getNumTrees > 0
+
+
+def test_portable_hash_three_way_agreement(spark, duck):
+    """The portable 60-bit hash family must agree across Spark, DuckDB,
+    and Python (the three places it runs: operators, oracles, plane
+    literals)."""
+    from dissertation_iceberg_spark.functions.hashing import (
+        hash60,
+        hash60_py,
+        hash60_sql,
+        seeded_hash60,
+        seeded_hash60_sql,
+    )
+
+    payloads = ["hello", "a b c", "", "Zürich 🚀", "0:edge"]
+    sp = (
+        spark.createDataFrame([(p,) for p in payloads], ["s"])
+        .select("s", hash60(F.col("s")).alias("h"), seeded_hash60(7, F.col("s")).alias("h7"))
+        .toPandas()
+        .set_index("s")
+    )
+    for p in payloads:
+        du = duck.execute(
+            f"SELECT {hash60_sql('?')} AS h, {seeded_hash60_sql(7, '?')} AS h7",
+            [p, p],
+        ).fetchone()
+        assert int(sp.loc[p, "h"]) == int(du[0]) == hash60_py(p), p
+        assert int(sp.loc[p, "h7"]) == int(du[1]) == hash60_py(f"7:{p}"), p

@@ -125,6 +125,31 @@ def test_plan_red_flag_sweep(spark, sf_dir):
         assert "BatchEvalPython" not in p, name
 
 
+def test_q3_pushdown_broadcast_topk(spark, sf_dir):
+    """Q3 shape: date/segment filters reach the scans, customer dim is
+    broadcast, and the top-k compiles to TakeOrderedAndProject."""
+    p = _plan(spark, sf_dir, "top_unshipped_orders")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in p
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_pagerank_topk_take_ordered(spark, sf_dir):
+    p = _plan(spark, sf_dir, "pagerank_top_nodes")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_sketch_probe_joins_broadcast(spark, sf_dir):
+    """Sketch readouts join broadcast frames (probes / filter bits) —
+    the probed corpus must never shuffle for the membership check."""
+    for name in ("countmin_heavy_hitters", "bloom_membership_audit"):
+        p = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+
+
 def test_topk_is_take_ordered(spark, sf_dir):
     """O3: top-k must compile to TakeOrderedAndProject (per-partition
     top-k + driver merge), never a single-partition window."""

@@ -597,3 +597,67 @@ def test_streaming_topk_matches_batch(spark, tmp_path):
     g = got[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(e, g)
     assert (g.groupby("window_start").size() == 3).all()  # k=3 per window
+
+
+def test_streaming_countmin_matches_batch(spark, tmp_path):
+    """Streaming count-min cells (append on window close) must equal
+    the batch sketch of the same data exactly, and the readout must
+    respect the count-min bound (est >= true) per closed window."""
+    import pandas as pd
+    from dissertation_iceberg_spark.streaming.countmin_stream import (
+        sketch_estimate,
+        window_sketch_cells,
+    )
+
+    src = str(tmp_path / "cm_src")
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = []
+    for h in range(12):
+        for i, t in enumerate(["alpha", "beta", "gamma", "delta"]):
+            for r in range((h * (i + 1)) % 5 + 1):
+                rows.append(
+                    {"ts": base + pd.Timedelta(hours=h, minutes=3 * r + i),
+                     "event_type": t}
+                )
+    rows.append({"ts": base + pd.Timedelta(days=3), "event_type": "zz"})
+    spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.parquet(src)
+
+    batch = spark.read.parquet(src)
+    expect = window_sketch_cells(batch).toPandas()
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        window_sketch_cells(stream)
+        .writeStream.format("memory")
+        .queryName("cm_cells")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("cm_cells").toPandas()
+
+    cols = ["window_start", "d", "cell", "n"]
+    # streaming emits only closed windows; every emitted cell must match
+    # the batch twin bit-for-bit
+    merged = got[cols].merge(expect[cols], on=cols, how="left", indicator=True)
+    assert (merged["_merge"] == "both").all()
+    assert len(got) > 0
+
+    # readout: estimates over the sink's closed windows vs true counts
+    keys = spark.createDataFrame(
+        pd.DataFrame({"event_type": ["alpha", "beta", "gamma", "delta"]})
+    )
+    est = sketch_estimate(spark.table("cm_cells"), keys).toPandas()
+    true = (
+        window_sketch_cells(batch)  # same windows
+        .sparkSession.read.parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "true_n")
+        .toPandas()
+    )
+    m = est.merge(true, on=["window_start", "event_type"], how="inner")
+    assert len(m) > 0
+    assert (m.est_n >= m.true_n).all()
