@@ -399,3 +399,83 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(_Q3_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Range join via bucketing (round 3): interval containment WITHOUT the
+# BroadcastNestedLoopJoin a naive BETWEEN join plans
+# --------------------------------------------------------------------------
+
+_RJ_WINDOW_US = 3_600_000_000  # 1-hour post-purchase window
+_RJ_BIN_US = 3_600_000_000  # bucket width >= interval length => <=2 bins
+
+
+_RANGE_JOIN_ORACLE = f"""
+WITH p AS (
+  SELECT user_id, min(epoch_us(ts)) AS start_us
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+e AS (
+  SELECT user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'error')
+SELECT p.user_id, p.start_us,
+       count(e.us) AS n_errors
+FROM p LEFT JOIN e
+  ON e.user_id = p.user_id
+ AND e.us >= p.start_us AND e.us <= p.start_us + {_RJ_WINDOW_US}
+GROUP BY 1, 2
+"""
+
+
+@register("post_purchase_errors", oracle=_RANGE_JOIN_ORACLE)
+def post_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment (range join): count error events inside
+    each user's 1-hour window after their first purchase.
+
+    The naive formulation — join ON user AND ts BETWEEN lo AND hi —
+    gives Catalyst only a non-equi predicate beyond user_id, which on
+    a skewed user or a dimension-less variant degrades to
+    BroadcastNestedLoop. The scale pattern (used by every
+    production range-join implementation, and plan-asserted here):
+    bucket BOTH sides by a bin no smaller than the interval length,
+    explode each interval to the <=2 bins it overlaps, equi-join on
+    (user_id, bin) — shuffle-partitionable, AQE-skew-splittable — and
+    keep BETWEEN as a residual filter. Each event matches at most one
+    exploded bin of a given interval, so no post-join dedup is needed.
+    LEFT semantics survive the explode: an interval's unmatched bin
+    rows contribute zero to count(e.us)."""
+    from dissertation_iceberg_spark.functions.time_bins import micros
+
+    e = load_table(spark, sf_dir, "events")
+    us = micros("ts")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("start_us"))
+    )
+    bin_of = lambda c: F.floor(c / F.lit(_RJ_BIN_US))  # noqa: E731
+    p_bins = p.select(
+        "user_id",
+        "start_us",
+        F.explode(
+            F.sequence(
+                bin_of(F.col("start_us")),
+                bin_of(F.col("start_us") + _RJ_WINDOW_US),
+            )
+        ).alias("bin"),
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        us.alias("us"),
+        bin_of(us).alias("bin"),
+    )
+    j = p_bins.join(
+        err,
+        (F.col("user_id") == F.col("e_user"))
+        & (p_bins["bin"] == err["bin"])
+        & (F.col("us") >= F.col("start_us"))
+        & (F.col("us") <= F.col("start_us") + _RJ_WINDOW_US),
+        "left",
+    )
+    return j.groupBy("user_id", "start_us").agg(
+        F.count("us").alias("n_errors")
+    )

@@ -223,3 +223,159 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hit_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hash-priority reservoir: deterministic uniform k-sample
+# --------------------------------------------------------------------------
+
+_RES_K = 25
+
+_RESERVOIR_ORACLE = f"""
+SELECT doc_id, source, lang,
+       CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS priority
+FROM documents
+ORDER BY priority ASC, doc_id ASC
+LIMIT {_RES_K}
+"""
+
+
+@register("hash_reservoir_sample", oracle=_RESERVOIR_ORACLE)
+def hash_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed reservoir: the k documents with the
+    smallest content-hash priority — a uniform without-replacement
+    sample that is a pure function of content (reruns, backfills, and
+    engines agree; no RNG state, no seed-per-partition hazard — the
+    ORDER BY flavor of deterministic_sample's WHERE-prefix trick).
+
+    Scale shape: TakeOrderedAndProject — per-partition top-k heaps +
+    driver merge of k x partitions rows; a global sort never happens.
+    This is how 'sample k docs for eval' should run at 100 TB."""
+    from dissertation_iceberg_spark.functions.hashing import hash60
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            "doc_id", "source", "lang", hash60(F.col("text")).alias("priority")
+        )
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(_RES_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# Histogram quantile sketch: equi-width bins -> interpolated quantiles
+# --------------------------------------------------------------------------
+
+_HIST_BINS = 256
+_HIST_QS = (0.5, 0.9, 0.99)
+
+_HIST_ORACLE = f"""
+WITH b AS (
+  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+         count(*) AS n
+  FROM lineitem),
+h AS (
+  SELECT least(CAST(floor((l_extendedprice - b.lo) / ((b.hi - b.lo) / {_HIST_BINS}))
+               AS BIGINT), {_HIST_BINS - 1}) AS bin,
+         count(*) AS bin_n
+  FROM lineitem, b GROUP BY 1),
+c AS (
+  SELECT bin, bin_n,
+         sum(bin_n) OVER (ORDER BY bin) AS cum,
+         sum(bin_n) OVER (ORDER BY bin) - bin_n AS cum_prev
+  FROM h),
+q AS ({" UNION ALL ".join(f"SELECT {q} AS q" for q in _HIST_QS)}),
+t AS (SELECT q.q, ceil(q.q * b.n) AS target, b.lo, b.hi FROM q, b),
+pick AS (
+  SELECT t.q, t.lo, t.hi,
+         min_by(c.bin, c.bin) AS bin,
+         min_by(c.bin_n, c.bin) AS bin_n,
+         min_by(c.cum_prev, c.bin) AS cum_prev,
+         any_value(t.target) AS target
+  FROM t JOIN c ON c.cum >= t.target
+  GROUP BY 1, 2, 3)
+SELECT q,
+       round(lo + (CAST(bin AS DOUBLE)
+             + (CAST(target - cum_prev AS DOUBLE) / bin_n))
+             * ((hi - lo) / {_HIST_BINS}), 6) AS est
+FROM pick
+"""
+
+
+@register("histogram_quantiles", oracle=_HIST_ORACLE)
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram quantile sketch: one 256-bin counting pass
+    over lineitem prices, then P50/P90/P99 by linear interpolation
+    inside the covering bin — the fixed-state quantile estimate
+    (t-digest's simpler cousin) whose aggregation state is bounded at
+    {bins} cells at any data size, vs the exact distributed percentile
+    (percentile_battery) that shuffles order statistics.
+
+    Every input to the interpolation (bin index, bin count, exclusive
+    cumulative, ceil(q*N) target, global min/max) is an exact integer
+    or an identically-derived double in both engines, so the ESTIMATE
+    itself is oracle-matched, not just bounded. Accuracy vs the exact
+    percentile is pinned in tests/test_factors.py.""".format(bins=_HIST_BINS)
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / _HIST_BINS
+    h = (
+        li.join(F.broadcast(b))
+        .select(
+            F.least(
+                F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast(
+                    "long"
+                ),
+                F.lit(_HIST_BINS - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("bin_n"))
+    )
+    from pyspark.sql import Window as W
+
+    cw = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    c = h.select(
+        "bin",
+        "bin_n",
+        F.sum("bin_n").over(cw).alias("cum"),
+        (F.sum("bin_n").over(cw) - F.col("bin_n")).alias("cum_prev"),
+    )
+    qs = None
+    for q in _HIST_QS:
+        row = b.select(
+            F.lit(q).alias("q"),
+            F.ceil(F.lit(q) * F.col("n")).alias("target"),
+            "lo",
+            "hi",
+        )
+        qs = row if qs is None else qs.unionByName(row)
+    pick = (
+        c.join(F.broadcast(qs), F.col("cum") >= F.col("target"))
+        .groupBy("q", "lo", "hi")
+        .agg(
+            F.min_by("bin", "bin").alias("bin"),
+            F.min_by("bin_n", "bin").alias("bin_n"),
+            F.min_by("cum_prev", "bin").alias("cum_prev"),
+            F.any_value("target").alias("target"),
+        )
+    )
+    width_out = (F.col("hi") - F.col("lo")) / _HIST_BINS
+    return pick.select(
+        "q",
+        F.round(
+            F.col("lo")
+            + (
+                F.col("bin").cast("double")
+                + (F.col("target") - F.col("cum_prev")).cast("double")
+                / F.col("bin_n")
+            )
+            * width_out,
+            6,
+        ).alias("est"),
+    )

@@ -135,3 +135,19 @@ def test_hll_approx_distinct_within_tolerance(spark, sf_dir):
     assert len(got) > 0
     rel_err = (got.approx - got.exact).abs() / got.exact
     assert rel_err.max() < 0.05, got.to_string()
+
+
+def test_histogram_quantiles_close_to_exact(spark, duck, sf_dir):
+    """The 256-bin histogram estimate must land within 2% relative
+    error of the exact quantile on the lineitem price distribution."""
+    from dissertation_iceberg_spark.queries.sketch_ops import histogram_quantiles
+
+    est = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles(spark, sf_dir).collect()
+    }
+    for q, e in est.items():
+        exact = duck.execute(
+            f"SELECT quantile_cont(l_extendedprice, {q}) FROM lineitem"
+        ).fetchone()[0]
+        assert abs(e - exact) / abs(exact) < 0.02, (q, e, exact)

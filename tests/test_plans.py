@@ -150,10 +150,21 @@ def test_sketch_probe_joins_broadcast(spark, sf_dir):
         assert "SortMergeJoin" not in p, name
 
 
-def test_topk_is_take_ordered(spark, sf_dir):
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """Interval containment must plan as an equi join on (user, bin)
+    with the BETWEEN as residual — never a nested loop."""
+    p = _plan(spark, sf_dir, "post_purchase_errors")
+    assert "BroadcastNestedLoop" not in p
+    assert (
+        "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    )
+
+
+@pytest.mark.parametrize("name", ["topk_users", "hash_reservoir_sample"])
+def test_topk_is_take_ordered(spark, sf_dir, name):
     """O3: top-k must compile to TakeOrderedAndProject (per-partition
     top-k + driver merge), never a single-partition window."""
-    p = _plan(spark, sf_dir, "topk_users")
+    p = _plan(spark, sf_dir, name)
     assert "TakeOrderedAndProject" in p
     assert "Window" not in p
 
