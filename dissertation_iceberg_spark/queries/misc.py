@@ -427,3 +427,79 @@ def timeframe_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tf_order"
         ),
     ).orderBy("tf_order")
+
+
+# --------------------------------------------------------------------------
+# Table profiler (round 3): per-column stats battery in ONE scan
+# --------------------------------------------------------------------------
+
+_PROF_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _prof_oracle() -> str:
+    aggs = ["count(*) AS n_rows"]
+    for c in _PROF_COLS:
+        aggs += [
+            f"count({c}) AS {c}_nn",
+            f"count(DISTINCT {c}) AS {c}_nd",
+            f"min({c}) AS {c}_min",
+            f"max({c}) AS {c}_max",
+            f"CAST(sum(CAST(round({c} * 1e6) AS BIGINT)) AS BIGINT) AS {c}_sum",
+        ]
+    arms = [
+        f"""SELECT '{c}' AS col_name,
+       CAST(n_rows AS BIGINT) AS n,
+       CAST(n_rows - {c}_nn AS BIGINT) AS n_null,
+       CAST({c}_nd AS BIGINT) AS n_distinct,
+       {c}_min AS vmin, {c}_max AS vmax,
+       round(CAST({c}_sum AS DOUBLE) / 1e6 / {c}_nn, 6) AS vmean
+FROM a"""
+        for c in _PROF_COLS
+    ]
+    return f"WITH a AS (SELECT {', '.join(aggs)} FROM lineitem)\n" + "\nUNION ALL\n".join(arms)
+
+
+@register("table_profile", oracle=_prof_oracle())
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling battery: per numeric column of lineitem — row
+    count, null count, exact distinct count, min/max, and an exact
+    integer-scaled mean — the first query any pipeline runs against an
+    unknown 100 TB table.
+
+    ONE scan: every statistic for every column rides a single
+    aggregate (Spark plans the multi-column count(DISTINCT) set via
+    one Expand + two-phase aggregate — still a single pass over the
+    data, shuffling O(distinct values) per column, never rows). The
+    wide 1-row result is unpivoted to long form driver-side-free via
+    per-column projections of the same broadcast row. Means are summed
+    as 1e-6-unit BIGINTs, so the cross-engine value is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROF_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}_nn"),
+            F.countDistinct(c).alias(f"{c}_nd"),
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+            F.sum(F.round(F.col(c) * 1e6).cast("long")).alias(f"{c}_sum"),
+        ]
+    a = li.agg(*aggs)
+    arms = []
+    for c in _PROF_COLS:
+        arms.append(
+            a.select(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").cast("long").alias("n"),
+                (F.col("n_rows") - F.col(f"{c}_nn")).cast("long").alias("n_null"),
+                F.col(f"{c}_nd").cast("long").alias("n_distinct"),
+                F.col(f"{c}_min").alias("vmin"),
+                F.col(f"{c}_max").alias("vmax"),
+                F.round(
+                    F.col(f"{c}_sum").cast("double") / 1e6 / F.col(f"{c}_nn"), 6
+                ).alias("vmean"),
+            )
+        )
+    out = arms[0]
+    for r in arms[1:]:
+        out = out.unionByName(r)
+    return out

@@ -234,3 +234,89 @@ def test_chunking_reconstructs(spark, tokens):
         assert r["chunk_idx"] == i
         assert r["chunk_len"] == len(chunk)
         assert r["chunk_md5"] == hashlib.md5(" ".join(chunk).encode()).hexdigest()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdef ", min_size=1, max_size=30),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_countmin_never_undercounts(spark, texts):
+    """Count-min guarantee: for EVERY key, the sketch estimate is >=
+    the true count, on arbitrary token streams."""
+    from dissertation_iceberg_spark.queries.sketch_ops import (
+        _seeded_hash_col,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    toks = df.select(
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias(
+            "tok"
+        )
+    )
+    if toks.count() == 0:
+        return
+    ds = F.array(*[F.lit(d) for d in range(4)])
+    cells = (
+        toks.select("tok", F.explode(ds).alias("d"))
+        .select("d", (_seeded_hash_col(F.col("d"), F.col("tok")) % 64).alias("cell"))
+        .groupBy("d", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    true = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_n"))
+    probes = true.select("tok", "true_n", F.explode(ds).alias("d")).select(
+        "tok",
+        "true_n",
+        "d",
+        (_seeded_hash_col(F.col("d"), F.col("tok")) % 64).alias("cell"),
+    )
+    est = (
+        cells.join(probes, ["d", "cell"])
+        .groupBy("tok")
+        .agg(F.any_value("true_n").alias("true_n"), F.min("n").alias("est_n"))
+        .toPandas()
+    )
+    assert (est.est_n >= est.true_n).all()
+
+
+def test_funnel_counts_monotone(spark, sf_dir):
+    """Ordered funnel step counts can only shrink: n1 >= n2 >= n3."""
+    from dissertation_iceberg_spark.queries.behavior_ops import funnel_conversion
+
+    rows = {r["step"]: r["n_users"] for r in funnel_conversion(spark, sf_dir).collect()}
+    assert rows[1] >= rows[2] >= rows[3]
+
+
+def test_pagerank_rank_mass_bounded(spark, sf_dir):
+    """Damped PageRank keeps every rank within [base, base + d*total):
+    no node's integer rank can exceed the total injected mass, and the
+    floor divisions only ever lose mass (sum <= n * scale)."""
+    from dissertation_iceberg_spark.queries.graph_ops import (
+        _SCALE,
+        pagerank_top_nodes,
+    )
+
+    ranks = pagerank_top_nodes(spark, sf_dir).toPandas()
+    assert (ranks.rank_micro >= 150_000).all()
+    # top node can't hold more than the whole graph's mass
+    n_nodes = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey"
+    ).distinct().count() + spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey"
+    ).distinct().count()
+    assert ranks.rank_micro.max() <= n_nodes * _SCALE
+
+
+def test_bloom_no_false_negatives_property(spark, sf_dir):
+    """Bloom contract on the real fixture: the build source's hit rate
+    is exactly 1.0 (false negatives are impossible)."""
+    from dissertation_iceberg_spark.queries.sketch_ops import (
+        _BLOOM_BUILD_SOURCE,
+        bloom_membership_audit,
+    )
+
+    out = bloom_membership_audit(spark, sf_dir).toPandas().set_index("source")
+    assert out.loc[_BLOOM_BUILD_SOURCE, "hit_rate"] == 1.0
