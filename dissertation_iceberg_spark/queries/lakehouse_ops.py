@@ -131,3 +131,60 @@ def zorder_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time travel: snapshot reconstruction AS OF a point in time (round 3)
+# --------------------------------------------------------------------------
+
+# mid-range cutoff: the fixture's events span ~1 month from 2024-01-01
+_TT_ASOF = "2024-01-15 00:00:00"
+
+_TT_ORACLE = f"""
+WITH log AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         event_type = 'error' AS is_delete,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE ts <= TIMESTAMP '{_TT_ASOF}'),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY us DESC, event_id DESC) AS rn
+  FROM log)
+SELECT user_id, event_id AS last_event_id, us AS last_us, cents AS last_cents
+FROM ranked WHERE rn = 1 AND NOT is_delete
+"""
+
+
+@register("snapshot_time_travel", oracle=_TT_ORACLE)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: reconstruct the keyed table's state AS OF a past
+    timestamp from the change log — the query-level core of
+    Iceberg/Delta snapshot reads, expressed directly on the log: the
+    as-of filter + latest-row-per-key window + tombstone drop.
+
+    Scale shape: identical to cdc_latest_state (one key-partitioned
+    window, no base-table join) with one decisive addition — the AS OF
+    predicate is pushed to the parquet scan (PushedFilters on ts), so
+    a time-travel read over a date-partitioned 100 TB log prunes every
+    partition after the cutoff before any row moves."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_TT_ASOF).cast("timestamp")
+    log = e.filter(F.col("ts") <= cutoff).select(
+        "user_id",
+        "event_id",
+        micros("ts").alias("us"),
+        (F.col("event_type") == "error").alias("is_delete"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & ~F.col("is_delete"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("us").alias("last_us"),
+            F.col("cents").alias("last_cents"),
+        )
+    )

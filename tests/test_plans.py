@@ -150,6 +150,13 @@ def test_sketch_probe_joins_broadcast(spark, sf_dir):
         assert "SortMergeJoin" not in p, name
 
 
+def test_time_travel_asof_filter_pushdown(spark, sf_dir):
+    """The AS OF cutoff must reach the scan — that's what prunes a
+    date-partitioned 100 TB log before any row moves."""
+    p = _plan(spark, sf_dir, "snapshot_time_travel")
+    assert "PushedFilters: [IsNotNull(ts), LessThanOrEqual(ts," in p
+
+
 def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
     """Interval containment must plan as an equi join on (user, bin)
     with the BETWEEN as residual — never a nested loop."""
