@@ -1111,3 +1111,67 @@ def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yield_frac"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Mixture sampling (round 3): weights -> exact quotas -> deterministic
+# hash-rank selection (the executable form of mixture_weights)
+# --------------------------------------------------------------------------
+
+_MIXS_K = 200  # total docs to sample across sources
+
+_MIXS_ORACLE = f"""
+WITH w AS (
+  SELECT source,
+         CAST(round(sqrt(CAST(sum(n_chars) AS DOUBLE)) * 1e6) AS BIGINT) AS wq
+  FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(wq) AS BIGINT) AS tot FROM w),
+q AS (SELECT source, CAST((wq * {_MIXS_K}) // tot AS BIGINT) AS quota
+      FROM w, t),
+r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5(text), 1, 15) AS BIGINT), doc_id)
+         AS BIGINT) AS rn
+  FROM documents)
+SELECT r.doc_id, r.source, r.rn, q.quota
+FROM r JOIN q ON r.source = q.source
+WHERE r.rn <= q.quota
+"""
+
+
+@register("mixture_sample", oracle=_MIXS_ORACLE)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable mixture sampling: temperature weights (sqrt of
+    per-source chars) become exact integer quotas out of a fixed
+    budget, and each source contributes its quota of docs chosen by
+    smallest content hash — the deterministic version of weighted
+    corpus subsampling (reruns/backfills pick identical docs; no RNG).
+
+    Scale shape: one per-source aggregate (bounded keys), quota
+    arithmetic on a broadcast O(sources) frame, then ONE
+    source-partitioned window over the corpus — per-source rank, never
+    a global sort. Quota math is BIGINT floor division, so the split
+    is exact under any evaluation order."""
+    from dissertation_iceberg_spark.functions.hashing import hash60
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = docs.groupBy("source").agg(
+        F.round(F.sqrt(F.sum("n_chars").cast("double")) * 1e6)
+        .cast("long")
+        .alias("wq")
+    )
+    tot = w.agg(F.sum("wq").cast("long").alias("tot"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "source", F.expr(f"CAST((wq * {_MIXS_K}) DIV tot AS LONG)").alias("quota")
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(hash60(F.col("text")), F.col("doc_id"))
+    )
+    r = docs.select("doc_id", "source", rn.cast("long").alias("rn"))
+    return r.join(F.broadcast(q), "source").where(
+        F.col("rn") <= F.col("quota")
+    ).select("doc_id", "source", "rn", "quota")
