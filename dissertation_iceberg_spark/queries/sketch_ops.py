@@ -379,3 +379,119 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("est"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-gated decontamination: the two sketches composed into the
+# actual 100 TB pipeline step (cheap gate -> exact verify on survivors)
+# --------------------------------------------------------------------------
+
+_DECON_ORACLE = f"""
+WITH keys AS (
+  SELECT doc_id, source, md5(text) AS fp FROM documents),
+test_fps AS (
+  SELECT DISTINCT fp FROM keys WHERE source = '{_BLOOM_BUILD_SOURCE}'),
+bits AS (
+  SELECT DISTINCT ({_seeded_hash_sql("r.i", "fp")}) % {_BLOOM_BITS} AS bit
+  FROM test_fps CROSS JOIN range({_BLOOM_K}) r(i)),
+train AS (
+  SELECT doc_id, source, fp FROM keys
+  WHERE source <> '{_BLOOM_BUILD_SOURCE}'),
+probe AS (
+  SELECT t.doc_id, t.source, t.fp, r.i,
+         ({_seeded_hash_sql("r.i", "t.fp")}) % {_BLOOM_BITS} AS bit
+  FROM train t CROSS JOIN range({_BLOOM_K}) r(i)),
+gated AS (
+  SELECT p.doc_id, any_value(p.source) AS source, any_value(p.fp) AS fp
+  FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+  GROUP BY p.doc_id
+  HAVING count(b.bit) = {_BLOOM_K}),
+confirmed AS (
+  SELECT g.doc_id, g.source,
+         CASE WHEN tf.fp IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+  FROM gated g LEFT JOIN test_fps tf ON g.fp = tf.fp)
+SELECT t.source,
+       count(*) AS n_train_docs,
+       CAST(coalesce(any_value(s.n_gated), 0) AS BIGINT) AS n_gated,
+       CAST(coalesce(any_value(s.n_confirmed), 0) AS BIGINT) AS n_confirmed,
+       CAST(count(*) - coalesce(any_value(s.n_gated), 0) AS BIGINT)
+         AS n_skipped_exact_check
+FROM train t
+LEFT JOIN (
+  SELECT source, count(*) AS n_gated,
+         CAST(sum(is_dup) AS BIGINT) AS n_confirmed
+  FROM confirmed GROUP BY 1) s
+  ON t.source = s.source
+GROUP BY 1
+"""
+
+
+@register("bloom_gated_decontamination", oracle=_DECON_ORACLE)
+def bloom_gated_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination pipeline a 100 TB training-data build runs:
+    the held-out set's fingerprints become a Bloom filter; the full
+    training corpus passes through the broadcast gate ({k} hashes
+    against bounded bits — no shuffle); only gate survivors reach the
+    exact fingerprint anti-join. Per source: docs scanned, docs gated
+    through, exact-confirmed contaminants, and docs that SKIPPED the
+    expensive exact check — the measured Bloom win (at a 1e-4 FPR the
+    exact join sees ~0.01% of the corpus instead of 100%).
+
+    Composes bloom_membership_audit's gate with exact_dedup's
+    fingerprint equality; the Bloom no-false-negative contract makes
+    the gate SAFE (n_confirmed is exactly what an ungated anti-join
+    finds — pinned in tests/test_properties.py).""".format(k=_BLOOM_K)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    keys = docs.select("doc_id", "source", F.md5(F.col("text")).alias("fp"))
+    test_fps = (
+        keys.filter(F.col("source") == _BLOOM_BUILD_SOURCE).select("fp").distinct()
+    )
+    idx = F.array(*[F.lit(i) for i in range(_BLOOM_K)])
+    bits = (
+        test_fps.select(F.explode(idx).alias("i"), "fp")
+        .select(
+            (_seeded_hash_col(F.col("i"), F.col("fp")) % _BLOOM_BITS).alias("bit")
+        )
+        .distinct()
+        .withColumn("__set", F.lit(1))
+    )
+    train = keys.filter(F.col("source") != _BLOOM_BUILD_SOURCE)
+    probe = train.select("doc_id", "source", "fp", F.explode(idx).alias("i")).select(
+        "doc_id",
+        "source",
+        "fp",
+        (_seeded_hash_col(F.col("i"), F.col("fp")) % _BLOOM_BITS).alias("bit"),
+    )
+    gated = (
+        probe.join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.any_value("fp").alias("fp"),
+            F.count("__set").alias("n_set"),
+        )
+        .filter(F.col("n_set") == _BLOOM_K)
+    )
+    confirmed = gated.join(
+        F.broadcast(test_fps.withColumn("__dup", F.lit(1))), "fp", "left"
+    )
+    per_source = confirmed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_gated"),
+        F.sum(F.coalesce(F.col("__dup"), F.lit(0))).cast("long").alias("n_confirmed"),
+    )
+    return (
+        train.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_train_docs"))
+        .join(F.broadcast(per_source), "source", "left")
+        .select(
+            "source",
+            "n_train_docs",
+            F.coalesce(F.col("n_gated"), F.lit(0)).cast("long").alias("n_gated"),
+            F.coalesce(F.col("n_confirmed"), F.lit(0))
+            .cast("long")
+            .alias("n_confirmed"),
+            (F.col("n_train_docs") - F.coalesce(F.col("n_gated"), F.lit(0)))
+            .cast("long")
+            .alias("n_skipped_exact_check"),
+        )
+    )

@@ -320,3 +320,36 @@ def test_bloom_no_false_negatives_property(spark, sf_dir):
 
     out = bloom_membership_audit(spark, sf_dir).toPandas().set_index("source")
     assert out.loc[_BLOOM_BUILD_SOURCE, "hit_rate"] == 1.0
+
+
+def test_bloom_gate_is_safe(spark, sf_dir):
+    """The Bloom gate must be lossless for true duplicates: per-source
+    confirmed contaminants equal what an ungated exact fingerprint
+    join finds (no false negatives ever pass undetected)."""
+    from dissertation_iceberg_spark.queries.sketch_ops import (
+        _BLOOM_BUILD_SOURCE,
+        bloom_gated_decontamination,
+    )
+    from dissertation_iceberg_spark.io import load_table
+
+    got = (
+        bloom_gated_decontamination(spark, sf_dir)
+        .toPandas()
+        .set_index("source")["n_confirmed"]
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    test_fps = (
+        docs.filter(F.col("source") == _BLOOM_BUILD_SOURCE).select("fp").distinct()
+    )
+    exact = (
+        docs.filter(F.col("source") != _BLOOM_BUILD_SOURCE)
+        .join(test_fps, "fp")
+        .groupBy("source")
+        .count()
+        .toPandas()
+        .set_index("source")["count"]
+    )
+    for src, n in got.items():
+        assert n == exact.get(src, 0), (src, n, exact.get(src, 0))
