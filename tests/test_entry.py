@@ -23,3 +23,27 @@ def test_entry_runs(spark):
     bins = [r["bin"] for r in rows]
     deltas = {(b - a).total_seconds() for a, b in zip(bins, bins[1:])}
     assert deltas == {3600.0}
+
+
+def test_flagship_observe_metrics(spark, sf_dir):
+    """Pipeline observability: Observation metrics ride the flagship
+    plan for free (no second pass) and must agree with the materialized
+    result — the hook a production deployment uses for row-count /
+    freshness monitoring on a 100 TB job."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from dissertation_iceberg_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["oi_hourly_densified"].fn(spark, sf_dir)
+    obs = Observation("flagship")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_events").alias("n_events_total"),
+    )
+    rows = observed.collect()
+    got = obs.get
+    assert got["n_bins"] == len(rows)
+    assert got["n_events_total"] == sum(r["n_events"] for r in rows)
