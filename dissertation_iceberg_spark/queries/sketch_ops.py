@@ -285,7 +285,7 @@ c AS (
          sum(bin_n) OVER (ORDER BY bin) AS cum,
          sum(bin_n) OVER (ORDER BY bin) - bin_n AS cum_prev
   FROM h),
-q AS ({" UNION ALL ".join(f"SELECT {q} AS q" for q in _HIST_QS)}),
+q AS ({" UNION ALL ".join(f"SELECT CAST({q} AS DOUBLE) AS q" for q in _HIST_QS)}),
 t AS (SELECT q.q, ceil(q.q * b.n) AS target, b.lo, b.hi FROM q, b),
 pick AS (
   SELECT t.q, t.lo, t.hi,

@@ -231,7 +231,7 @@ _SWEEP_PS = (0.1, 0.2, 0.4)
 
 _SWEEP_ORACLE = "\nUNION ALL\n".join(
     f"""
-SELECT {p} AS percentile, CAST(count(*) AS BIGINT) AS n_days,
+SELECT CAST({p} AS DOUBLE) AS percentile, CAST(count(*) AS BIGINT) AS n_days,
        round(sum(pnl), 6) AS total_pnl,
        round(avg(pnl), 6) AS avg_daily_pnl
 FROM (
