@@ -29,14 +29,23 @@ def test_flagship_observe_metrics(spark, sf_dir):
     """Pipeline observability: Observation metrics ride the flagship
     plan for free (no second pass) and must agree with the materialized
     result — the hook a production deployment uses for row-count /
-    freshness monitoring on a 100 TB job."""
+    freshness monitoring on a 100 TB job.
+
+    Runs on an ISOLATED spark.newSession(): Spark 4.1's per-session
+    ObservationManager is not serializable, and once an Observation has
+    been registered, any LATER job whose closure captures the same
+    session object (e.g. RandomForest's training summary) fails closure
+    cleaning with NotSerializableException — observed as py4j errors in
+    unrelated ML tests. Isolating the observation on its own session
+    object keeps the shared test session clean."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     from dissertation_iceberg_spark.queries.registry import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
-    df = REGISTRY["oi_hourly_densified"].fn(spark, sf_dir)
+    s = spark.newSession()
+    df = REGISTRY["oi_hourly_densified"].fn(s, sf_dir)
     obs = Observation("flagship")
     observed = df.observe(
         obs,
