@@ -479,3 +479,74 @@ def post_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("user_id", "start_us").agg(
         F.count("us").alias("n_errors")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7-shape: bilateral trade volume between two nations by year
+# --------------------------------------------------------------------------
+
+_Q7_N1 = "NATION_19"
+_Q7_N2 = "NATION_3"
+
+_Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS DOUBLE) / 100 AS volume
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+   OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}')
+GROUP BY 1, 2, 3
+"""
+
+
+@register("nation_trade_volume", oracle=_Q7_ORACLE)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: yearly trade volume between two nations in both
+    directions — the same dimension joined twice under different roles
+    (supplier nation vs customer nation) with a disjunctive
+    cross-role predicate.
+
+    Scale shape: supplier, customer, and both nation aliases broadcast
+    (all dims); the only real shuffle is lineitem->orders on orderkey.
+    The OR predicate over the two role assignments cannot prune to a
+    single nation per side, but it evaluates post-broadcast-join as a
+    cheap row filter — no plan degradation. Volume is integer cents
+    per line before aggregation (bit-stable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    pair = (
+        (F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2)
+    ) | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(cents).cast("double") / 100).alias("volume"))
+    )
