@@ -50,6 +50,17 @@ def seeded_hash60_sql(seed: int, expr: str) -> str:
     return hash60_sql(f"'{seed}:' || {expr}")
 
 
+def seeded_hash60_col(seed_col: Column, col: Column) -> Column:
+    """Seeded variant with a COLUMN seed (sketch depth index etc.) —
+    same payload layout as :func:`seeded_hash60`."""
+    return hash60(F.concat(seed_col.cast("string"), F.lit(":"), col))
+
+
+def seeded_hash60_col_sql(seed_expr: str, expr: str) -> str:
+    """DuckDB rendering of :func:`seeded_hash60_col`."""
+    return hash60_sql(f"CAST({seed_expr} AS VARCHAR) || ':' || {expr}")
+
+
 def hash60_py(payload: str) -> int:
     """Driver-side replica (plane-weight literals, tests)."""
     return int(hashlib.md5(payload.encode("utf-8")).hexdigest()[:15], 16)

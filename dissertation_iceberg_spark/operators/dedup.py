@@ -59,9 +59,16 @@ def word_shingles(
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     k = F.size(toks) - (n - 1)
+    # guard k <= 0 (docs with fewer than n tokens): F.sequence(0, k-1)
+    # would produce a DESCENDING sequence ([0, -1, ...]) whose slice()
+    # call Spark rejects at runtime — emit an empty shingle array, so
+    # short docs flow through as the null row explode_outer drops
+    idx = F.when(k >= 1, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), k - 1),
+            idx,
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
@@ -119,39 +126,87 @@ def jaccard_near_dup_pairs(
     driver fixtures. Length-ratio pruning (J ≥ t ⇒ t·|B| ≤ |A| ≤
     |B|/t) drops hopeless pairs inside the array expansion, before
     they ever hit the pair shuffle.
+
+    Capped semantics: the Jaccard is computed ENTIRELY in the filtered
+    universe — when the cap drops a stop-shingle, it leaves both the
+    intersection counts and the per-doc set sizes (round-2 semantics;
+    mixing capped intersections with uncapped sizes would silently
+    deflate every score whose docs share stop-shingles). That requires
+    post-cap sizes, which only the capped path pays for: it rebuilds
+    sizes from the surviving postings and joins them onto the pair
+    aggregate (two O(pairs) equi-joins). The uncapped path keeps the
+    joinless one-pass shape with sizes riding the posting arrays.
     """
-    sh = word_shingles(df, text_col, id_col, n, with_size=True)
-    posts = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "set_size"))).alias("ps")
-    )
-    if max_shingle_freq is not None:
-        posts = posts.filter(F.size("ps") <= max_shingle_freq)
-    posts = posts.filter(F.size("ps") >= 2)
-    k = F.size("ps")
-    combos = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), k - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, k - 1),
-                lambda j: F.struct(
-                    F.col("ps")[i]["doc_id"].alias("id_a"),
-                    F.col("ps")[j]["doc_id"].alias("id_b"),
-                    F.col("ps")[i]["set_size"].alias("size_a"),
-                    F.col("ps")[j]["set_size"].alias("size_b"),
-                ),
-            ),
+    capped = max_shingle_freq is not None
+    sh = word_shingles(df, text_col, id_col, n, with_size=not capped)
+    if capped:
+        posts = sh.groupBy("shingle").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids")
+        ).filter(F.size("ids") <= max_shingle_freq)
+        # post-cap set sizes: how many SURVIVING shingles each doc has
+        sizes = (
+            posts.select(F.explode("ids").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("set_size"))
         )
-    )
-    pruned = F.filter(
-        combos,
-        lambda c: (c["size_a"] >= threshold * c["size_b"])
-        & (c["size_b"] >= threshold * c["size_a"]),
-    )
-    inter = (
-        posts.select(F.explode(pruned).alias("pr"))
-        .groupBy("pr.id_a", "pr.id_b", "pr.size_a", "pr.size_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+        posts = posts.filter(F.size("ids") >= 2)
+        k = F.size("ids")
+        combos = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), k - 2),
+                lambda i: F.transform(
+                    F.sequence(i + 1, k - 1),
+                    lambda j: F.struct(
+                        F.col("ids")[i].alias("id_a"),
+                        F.col("ids")[j].alias("id_b"),
+                    ),
+                ),
+            )
+        )
+        inter = (
+            posts.select(F.explode(combos).alias("pr"))
+            .groupBy("pr.id_a", "pr.id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sizes.select(
+            F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a")
+        )
+        sb = sizes.select(
+            F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b")
+        )
+        inter = inter.join(sa, "id_a").join(sb, "id_b").filter(
+            (F.col("size_a") >= threshold * F.col("size_b"))
+            & (F.col("size_b") >= threshold * F.col("size_a"))
+        )
+    else:
+        posts = sh.groupBy("shingle").agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "set_size"))).alias("ps")
+        ).filter(F.size("ps") >= 2)
+        k = F.size("ps")
+        combos = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), k - 2),
+                lambda i: F.transform(
+                    F.sequence(i + 1, k - 1),
+                    lambda j: F.struct(
+                        F.col("ps")[i]["doc_id"].alias("id_a"),
+                        F.col("ps")[j]["doc_id"].alias("id_b"),
+                        F.col("ps")[i]["set_size"].alias("size_a"),
+                        F.col("ps")[j]["set_size"].alias("size_b"),
+                    ),
+                ),
+            )
+        )
+        pruned = F.filter(
+            combos,
+            lambda c: (c["size_a"] >= threshold * c["size_b"])
+            & (c["size_b"] >= threshold * c["size_a"]),
+        )
+        inter = (
+            posts.select(F.explode(pruned).alias("pr"))
+            .groupBy("pr.id_a", "pr.id_b", "pr.size_a", "pr.size_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     return (
         inter.withColumn(
             "jaccard",
@@ -232,7 +287,12 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
     """
     from dissertation_iceberg_spark.functions.hashing import HASH_BITS, hash60
 
-    assert bits <= HASH_BITS
+    if not 1 <= bits <= HASH_BITS:
+        raise ValueError(
+            f"simhash supports 1..{HASH_BITS} bits (the md5-derived hash "
+            f"is {HASH_BITS} bits wide; the round-2 64-bit xxhash64 "
+            f"variant is gone), got {bits}"
+        )
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     hashes = F.transform(toks, lambda t: hash60(t))
     bit_cols = []

@@ -16,29 +16,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dissertation_iceberg_spark.functions.hashing import (
+    seeded_hash60_col,
+    seeded_hash60_col_sql,
+)
 from dissertation_iceberg_spark.io import load_table, spread
 from dissertation_iceberg_spark.queries.registry import register
 
 _TOKENS = "list_filter(str_split(text, ' '), x -> x <> '')"
 
 
-def _seeded_hash_col(d, col):
-    """Portable 60-bit hash of ``d || ':' || col`` with a COLUMN seed
-    (the literal-seed variant lives in functions/hashing.py)."""
-    return F.conv(
-        F.substring(
-            F.md5(F.concat(d.cast("string"), F.lit(":"), col)), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-
-
-def _seeded_hash_sql(d_expr: str, expr: str) -> str:
-    return (
-        f"CAST('0x' || substr(md5(CAST({d_expr} AS VARCHAR) || ':' || {expr}),"
-        " 1, 15) AS BIGINT)"
-    )
+# thin aliases over the shared family (functions/hashing.py) so a
+# digest swap there reaches the sketches and the streaming twin too
+_seeded_hash_col = seeded_hash60_col
+_seeded_hash_sql = seeded_hash60_col_sql
 
 
 # --------------------------------------------------------------------------

@@ -387,3 +387,60 @@ def test_portable_hash_three_way_agreement(spark, duck):
         ).fetchone()
         assert int(sp.loc[p, "h"]) == int(du[0]) == hash60_py(p), p
         assert int(sp.loc[p, "h7"]) == int(du[1]) == hash60_py(f"7:{p}"), p
+
+
+def test_word_shingles_short_docs_no_crash(spark):
+    """Docs with fewer than n tokens (or empty text) must yield zero
+    shingle rows, not a runtime slice() error (round-3 review fix:
+    F.sequence(0, k-1) with k <= 0 is a DESCENDING sequence)."""
+    from dissertation_iceberg_spark.operators.dedup import (
+        jaccard_near_dup_pairs,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "a b"), (3, "one two three four"), (4, "x")],
+        ["doc_id", "text"],
+    )
+    sh = word_shingles(docs, "text", "doc_id", n=3, with_size=True).toPandas()
+    assert set(sh.doc_id) == {3}  # only the >=3-token doc shingles
+    assert (sh.set_size == 2).all()
+    # end-to-end consumers survive short docs too
+    assert jaccard_near_dup_pairs(docs, "text", "doc_id", n=3).count() == 0
+
+
+def test_capped_jaccard_uses_filtered_universe(spark):
+    """With max_shingle_freq, BOTH intersections and set sizes live in
+    the filtered universe (round-2 semantics): docs overlapping only
+    via a capped stop-shingle still score on their surviving shingles."""
+    from dissertation_iceberg_spark.operators.dedup import jaccard_near_dup_pairs
+
+    # 'c1 c2 c3' is a stop-shingle shared by ALL four docs (df=4, capped
+    # at 3); docs 1/2 also share their remaining two shingles exactly
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c w c1 c2 c3"),
+            (2, "a b c w c1 c2 c3"),
+            (3, "p q r s c1 c2 c3"),
+            (4, "t u v x c1 c2 c3"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = jaccard_near_dup_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, max_shingle_freq=3
+    ).toPandas()
+    # docs 1-2: every surviving shingle identical -> jaccard 1.0 in the
+    # filtered universe (uncapped sizes would deflate this below 1.0)
+    row = out[(out.id_a == 1) & (out.id_b == 2)]
+    assert len(row) == 1 and row.jaccard.iloc[0] == 1.0
+    # docs overlapping ONLY via the capped stop-shingle never pair
+    assert not ((out.id_a == 3) | (out.id_b == 3)).any()
+
+
+def test_simhash_rejects_out_of_range_bits(spark, sf_dir):
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    with pytest.raises(ValueError, match="60 bits"):
+        simhash(docs, "text", "doc_id", bits=64)
