@@ -776,8 +776,13 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "toks",
             "n",
+            # guard n = 0: sequence(1, 0, step) throws 'Illegal sequence
+            # boundaries' — a token-less doc yields no chunks
             F.explode(
-                F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STEP))
+                F.when(
+                    F.col("n") >= 1,
+                    F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STEP)),
+                ).otherwise(F.array().cast("array<int>"))
             ).alias("start"),
         )
         .select(
@@ -950,8 +955,12 @@ def duplicate_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", t.alias("t"), F.size(t).alias("n"))
     ch = base.select(
         "doc_id",
+        # same empty-doc guard as chunk_documents (sequence throws)
         F.explode(
-            F.sequence(F.lit(1), F.col("n"), F.lit(DUP_CHUNK))
+            F.when(
+                F.col("n") >= 1,
+                F.sequence(F.lit(1), F.col("n"), F.lit(DUP_CHUNK)),
+            ).otherwise(F.array().cast("array<int>"))
         ).alias("s"),
         "t",
     ).select(
