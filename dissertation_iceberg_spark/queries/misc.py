@@ -503,3 +503,75 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in arms[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --------------------------------------------------------------------------
+# Shuffle-skew profiler (round 3): hot-key diagnosis before a join
+# --------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH counts AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_keys, max(c) AS max_c,
+         CAST(sum(c) AS BIGINT) AS n_rows
+  FROM counts),
+dist AS (SELECT c, count(*) AS f FROM counts GROUP BY 1),
+cum AS (
+  SELECT c, sum(f) OVER (ORDER BY c) AS cum FROM dist),
+med AS (
+  SELECT min(c) AS median_c FROM cum, stats
+  WHERE cum >= (stats.n_keys + 1) // 2)
+SELECT CAST(stats.n_keys AS BIGINT) AS n_keys,
+       CAST(stats.n_rows AS BIGINT) AS n_rows,
+       CAST(stats.max_c AS BIGINT) AS max_key_rows,
+       CAST(med.median_c AS BIGINT) AS median_key_rows,
+       round(CAST(stats.max_c AS DOUBLE) / med.median_c, 6) AS skew_ratio
+FROM stats, med
+"""
+
+
+@register("skew_profile", oracle=_SKEW_ORACLE)
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew profiler for a prospective join/agg key: per-key
+    row counts -> exact max and exact MEDIAN key weight -> skew ratio.
+    The number that decides, before launching a 100 TB join, whether
+    the key needs salting or AQE skew-split (ratio near 1 = balanced;
+    orders of magnitude = a hot key will straggle).
+
+    Scale shape: the per-key count is one map-side-combinable
+    aggregate; the median is NOT a global sort over keys — key counts
+    are grouped into their value DISTRIBUTION first (distinct count
+    values are bounded — long-tail corpora have millions of keys but
+    few distinct per-key counts), and the median is read off a tiny
+    cumulative window over that distribution."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_c"),
+        F.sum("c").cast("long").alias("n_rows"),
+    )
+    dist = counts.groupBy("c").agg(F.count(F.lit(1)).alias("f"))
+    from pyspark.sql import Window as W
+
+    cum = dist.select(
+        "c", F.sum("f").over(W.orderBy("c").rowsBetween(W.unboundedPreceding, 0)).alias("cum")
+    )
+    med = (
+        cum.join(F.broadcast(stats))
+        .filter(F.col("cum") >= F.expr("(n_keys + 1) DIV 2"))
+        .agg(F.min("c").alias("median_c"))
+    )
+    return (
+        stats.join(F.broadcast(med))
+        .select(
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("max_c").cast("long").alias("max_key_rows"),
+            F.col("median_c").cast("long").alias("median_key_rows"),
+            F.round(
+                F.col("max_c").cast("double") / F.col("median_c"), 6
+            ).alias("skew_ratio"),
+        )
+    )

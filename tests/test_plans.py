@@ -113,6 +113,7 @@ INTENTIONAL_BNLJ = {
     "funnel_conversion",  # broadcast 1-row step-count frames (n1 x n2 x n3)
     "histogram_quantiles",  # broadcast 1-row bounds + 3-row quantile targets
     "mixture_sample",  # broadcast 1-row weight-total frame (quota arithmetic)
+    "skew_profile",  # broadcast 1-row stats + 1-row median frames
 }
 
 
