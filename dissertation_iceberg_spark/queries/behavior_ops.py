@@ -196,6 +196,182 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Windowed funnel: each stage must land within a bounded gap
+# --------------------------------------------------------------------------
+
+_WFUNNEL_GAP_US = 86_400_000_000  # 24 hours between consecutive stages
+
+_WFUNNEL_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s1 AS (
+  SELECT user_id, min(us) AS t1 FROM e
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(e.us) AS t2
+  FROM e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}'
+    AND e.us >= s1.t1 AND e.us - s1.t1 <= {_WFUNNEL_GAP_US}
+  GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(e.us) AS t3
+  FROM e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}'
+    AND e.us >= s2.t2 AND e.us - s2.t2 <= {_WFUNNEL_GAP_US}
+  GROUP BY 1),
+n AS (
+  SELECT (SELECT count(*) FROM s1) AS n1,
+         (SELECT count(*) FROM s2) AS n2,
+         (SELECT count(*) FROM s3) AS n3)
+SELECT CAST(1 AS BIGINT) AS step, '{_FUNNEL_STEPS[0]}' AS step_name,
+       CAST(n1 AS BIGINT) AS n_users, round(1.0, 6) AS conv_from_prev
+FROM n
+UNION ALL
+SELECT CAST(2 AS BIGINT), '{_FUNNEL_STEPS[1]}', CAST(n2 AS BIGINT),
+       round(CAST(n2 AS DOUBLE) / n1, 6)
+FROM n
+UNION ALL
+SELECT CAST(3 AS BIGINT), '{_FUNNEL_STEPS[2]}', CAST(n3 AS BIGINT),
+       round(CAST(n3 AS DOUBLE) / n2, 6)
+FROM n
+"""
+
+
+@register("windowed_funnel", oracle=_WFUNNEL_ORACLE)
+def windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel: like funnel_conversion, but each stage must
+    occur within 24 h of the previous stage's conversion time — the
+    attribution-grade variant (an unbounded funnel credits a purchase
+    to a view from months earlier; real funnels expire).
+
+    Scale shape identical to funnel_conversion — user_id-keyed
+    filtered aggregates chained on a co-partitioned join key, final
+    counts are 1-row aggregates; the gap bound is a per-row predicate
+    on exact integer microseconds, free at any scale."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", micros("ts").alias("us")
+    )
+    s1 = (
+        e.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .where(
+            (F.col("us") >= F.col("t1"))
+            & (F.col("us") - F.col("t1") <= _WFUNNEL_GAP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .where(
+            (F.col("us") >= F.col("t2"))
+            & (F.col("us") - F.col("t2") <= _WFUNNEL_GAP_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    n = (
+        s1.agg(F.count(F.lit(1)).alias("n1"))
+        .join(F.broadcast(s2.agg(F.count(F.lit(1)).alias("n2"))))
+        .join(F.broadcast(s3.agg(F.count(F.lit(1)).alias("n3"))))
+    )
+    rows = [
+        n.select(
+            F.lit(1).cast("long").alias("step"),
+            F.lit(_FUNNEL_STEPS[0]).alias("step_name"),
+            F.col("n1").cast("long").alias("n_users"),
+            F.round(F.lit(1.0), 6).alias("conv_from_prev"),
+        ),
+        n.select(
+            F.lit(2).cast("long").alias("step"),
+            F.lit(_FUNNEL_STEPS[1]).alias("step_name"),
+            F.col("n2").cast("long").alias("n_users"),
+            F.round(F.col("n2").cast("double") / F.col("n1"), 6).alias(
+                "conv_from_prev"
+            ),
+        ),
+        n.select(
+            F.lit(3).cast("long").alias("step"),
+            F.lit(_FUNNEL_STEPS[2]).alias("step_name"),
+            F.col("n3").cast("long").alias("n_users"),
+            F.round(F.col("n3").cast("double") / F.col("n2"), 6).alias(
+                "conv_from_prev"
+            ),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Markov next-event transition matrix
+# --------------------------------------------------------------------------
+
+_TRANS_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+pairs AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY us, event_id) AS from_type,
+         event_type AS to_type
+  FROM e),
+cnt AS (
+  SELECT from_type, to_type, count(*) AS n_trans
+  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n_trans,
+       round(CAST(n_trans AS DOUBLE)
+             / sum(n_trans) OVER (PARTITION BY from_type), 6) AS p_next
+FROM cnt
+"""
+
+
+@register("event_transitions", oracle=_TRANS_ORACLE)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream:
+    per-user adjacent event-type pairs (ordered by exact microsecond
+    timestamp with event_id as the deterministic tiebreak), counted
+    and normalized into next-event probabilities — the path-analysis
+    primitive behind 'what do users do after an error?'.
+
+    Scale shape: ONE shuffle on user_id for the lag window (linear per
+    partition), then the pair counts collapse to at most
+    |event_types|^2 keys — map-side combinable to a bounded state, and
+    the normalizing window runs over that tiny frame, never the raw
+    stream. Survives any user-count scale; a single hot user is the
+    only skew axis and bounds at that user's event count."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", micros("ts").alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    cnt = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    norm = W.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.sum("n_trans").over(norm), 6
+        ).alias("p_next"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Last-touch revenue attribution (tolerance-bounded as-of)
 # --------------------------------------------------------------------------
 

@@ -67,6 +67,154 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SCD Type-2: versioned dimension build + point-in-time fact join
+# --------------------------------------------------------------------------
+
+_SCD2_VERSIONS_ORACLE = """
+WITH chg AS (
+  SELECT user_id, us, max_by(cents, event_id) AS cents
+  FROM (
+    SELECT user_id, epoch_us(ts) AS us, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'signup')
+  GROUP BY 1, 2)
+SELECT user_id,
+       CAST(row_number() OVER w AS BIGINT) AS version_no,
+       us AS valid_from_us,
+       lead(us) OVER w AS valid_to_us,
+       cents,
+       CAST(lead(us) OVER w IS NULL AS BIGINT) AS is_current
+FROM chg
+WINDOW w AS (PARTITION BY user_id ORDER BY us)
+"""
+
+
+@register("scd2_versions", oracle=_SCD2_VERSIONS_ORACLE)
+def scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: each 'signup' change event becomes
+    a version row with a [valid_from, valid_to) interval — valid_to is
+    the next change's timestamp (NULL = current) — the effective-dated
+    dimension shape every warehouse keeps for late-arriving fact
+    joins. Changes are first deduped to one per (user_id, us) with a
+    deterministic max_by(event_id) winner (same tie discipline as
+    asof_enrich), so version numbering is replay-stable.
+
+    Scale shape: one shuffle on the dimension key, then row_number +
+    lead over the same window spec (Catalyst evaluates both in a
+    single WindowExec pass). Dimension churn, not fact volume, drives
+    the cost — exactly what you want at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    chg = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", micros("ts").alias("us"))
+        .agg(
+            F.max_by(
+                F.round(F.col("value") * 100).cast("long"), F.col("event_id")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    return chg.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version_no"),
+        F.col("us").alias("valid_from_us"),
+        F.lead("us").over(w).alias("valid_to_us"),
+        "cents",
+        F.lead("us").over(w).isNull().cast("long").alias("is_current"),
+    )
+
+
+_SCD2_PIT_ORACLE = """
+WITH chg AS (
+  SELECT user_id, us, max_by(cents, event_id) AS cents
+  FROM (
+    SELECT user_id, epoch_us(ts) AS us, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'signup')
+  GROUP BY 1, 2),
+dim AS (
+  SELECT user_id, us AS valid_from_us,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY us)
+              AS BIGINT) AS version_no,
+         cents
+  FROM chg),
+fact AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS fact_cents
+  FROM events WHERE event_type = 'purchase')
+SELECT d.version_no,
+       count(*) AS n_purchases,
+       CAST(sum(f.fact_cents) AS BIGINT) AS revenue_cents,
+       CAST(sum(d.cents) AS BIGINT) AS version_cents_sum
+FROM fact f ASOF JOIN dim d
+  ON f.user_id = d.user_id AND f.us >= d.valid_from_us
+GROUP BY 1
+"""
+
+
+@register("scd2_pit_join", oracle=_SCD2_PIT_ORACLE)
+def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact join against the SCD2 dimension: each
+    purchase matches the version in effect at its timestamp (the one
+    whose [valid_from, valid_to) interval covers it), rolled up per
+    version number — the query that proves the effective-dated join is
+    an AS-OF, not an interval range join. Purchases before a user's
+    first version drop out (inner semantics), matching the oracle's
+    ASOF JOIN.
+
+    Spark-side: the proven union+window formulation — version rows and
+    facts interleave in ONE window partitioned by user_id ordered by
+    (us, tag), running last_value(ignorenulls) carries the in-effect
+    version onto each fact row. One shuffle, linear per partition;
+    never a BroadcastNestedLoop interval join."""
+    e = load_table(spark, sf_dir, "events")
+    us = micros("ts")
+    cents = F.round(F.col("value") * 100).cast("long")
+    chg = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", us.alias("us"))
+        .agg(F.max_by(cents, F.col("event_id")).alias("cents"))
+    )
+    vw = Window.partitionBy("user_id").orderBy("us")
+    dim = chg.select(
+        "user_id",
+        "us",
+        F.lit(0).alias("tag"),
+        F.row_number().over(vw).cast("long").alias("version_no"),
+        F.col("cents").alias("dim_cents"),
+        F.lit(None).cast("long").alias("fact_cents"),
+    )
+    fact = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        us.alias("us"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("version_no"),
+        F.lit(None).cast("long").alias("dim_cents"),
+        cents.alias("fact_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = dim.unionByName(fact).select(
+        "tag",
+        "fact_cents",
+        F.last("version_no", ignorenulls=True).over(w).alias("version_no"),
+        F.last("dim_cents", ignorenulls=True).over(w).alias("dim_cents"),
+    )
+    return (
+        tagged.filter((F.col("tag") == 1) & F.col("version_no").isNotNull())
+        .groupBy("version_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("fact_cents").cast("long").alias("revenue_cents"),
+            F.sum("dim_cents").cast("long").alias("version_cents_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Z-order clustering (data-skipping layout audit)
 # --------------------------------------------------------------------------
 

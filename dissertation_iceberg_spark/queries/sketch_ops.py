@@ -373,6 +373,123 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# HyperLogLog distinct sketch: per-language vocab cardinality estimate
+# --------------------------------------------------------------------------
+
+_HLL_B = 8  # bucket bits
+_HLL_M = 1 << _HLL_B  # 256 registers
+_HLL_WBITS = 60 - _HLL_B  # 52 payload bits per hash
+# harmonic-term scale: 2^(SHIFT - M_j) keeps every term integral
+# (M_j <= 53) while m * 2^SHIFT = 2^62 still fits signed 64-bit
+_HLL_SHIFT = 54
+# alpha_m for m >= 128 (Flajolet et al. 2007); computed in Python
+# doubles = the identical correctly-rounded chain DuckDB would fold,
+# embedded as a repr() literal so both engines parse the same double
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_NUM = _HLL_ALPHA * float(_HLL_M * _HLL_M) * float(1 << _HLL_SHIFT)
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT l_returnflag AS grp,
+         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hv,
+         l_orderkey AS k
+  FROM lineitem),
+rho AS (
+  SELECT grp, hv >> {_HLL_WBITS} AS bucket,
+         CASE WHEN (hv & {(1 << _HLL_WBITS) - 1}) = 0 THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS + 1}
+                   - length(format('{{:b}}', hv & {(1 << _HLL_WBITS) - 1}))
+         END AS r
+  FROM h),
+regs AS (
+  SELECT grp, bucket, max(r) AS m FROM rho GROUP BY 1, 2),
+s AS (
+  SELECT grp,
+         CAST(sum(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - m)) AS BIGINT)
+           + ({_HLL_M} - count(*)) * (CAST(1 AS BIGINT) << {_HLL_SHIFT})
+           AS s_scaled,
+         CAST({_HLL_M} - count(*) AS BIGINT) AS n_empty
+  FROM regs GROUP BY 1),
+exact AS (
+  SELECT grp, count(DISTINCT k) AS n_exact FROM h GROUP BY 1)
+SELECT s.grp, s.s_scaled, s.n_empty, e.n_exact,
+       round({_HLL_NUM!r} / CAST(s.s_scaled AS DOUBLE), 4) AS est,
+       round(({_HLL_NUM!r} / CAST(s.s_scaled AS DOUBLE) - e.n_exact)
+             / e.n_exact, 4) AS rel_err
+FROM s JOIN exact e USING (grp)
+"""
+
+
+@register("hll_distinct", oracle=_HLL_ORACLE)
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-order-key estimate per return flag,
+    audited against the exact distinct count (order keys per flag stay
+    well above the 2.5m raw-HLL floor at every fixture SF; the tiny
+    per-lang doc vocab would sit in linear-counting range, whose
+    m*ln(m/V) correction is a libm call that can diverge across
+    engines). Registers are derived from the portable 60-bit hash:
+    top {b} bits pick one of {m} buckets, the
+    remaining {w} bits' leading-zero run (+1) is the rank, the
+    register is the per-bucket max rank — so the DuckDB oracle replays
+    the SKETCH bit-for-bit, estimate included, not just its contract.
+
+    Parity trick for the harmonic mean: each bucket contributes
+    2^({sh} - M_j), an exact BIGINT (M_j <= {wp1}), and empty buckets
+    contribute 2^{sh} (m x 2^{sh} = 2^62 still fits int64) — the whole
+    denominator is ONE exact integer sum, so the only float op is a
+    single division of identical operands.
+    Leading zeros come from base-2 string length (conv/format), never
+    log2 (a libm call that can diverge at powers of two).
+
+    Scale shape: the sketch state is {m} registers per group no matter
+    the corpus size — the map-side partial aggregate is bounded at
+    groups x {m} cells, vs count(DISTINCT) whose shuffle is O(vocab).
+    The exact count here is the audit baseline; production drops it
+    and ships only the registers (mergeable across any partitioning:
+    max is associative-commutative).""".format(
+        b=_HLL_B, m=_HLL_M, w=_HLL_WBITS, wp1=_HLL_WBITS + 1, sh=_HLL_SHIFT
+    )
+    from dissertation_iceberg_spark.functions.hashing import hash60
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_orderkey").alias("k"),
+        hash60(F.col("l_orderkey").cast("string")).alias("hv"),
+    )
+    w = F.col("hv").bitwiseAND(F.lit((1 << _HLL_WBITS) - 1))
+    rho = h.select(
+        "grp",
+        F.shiftright("hv", _HLL_WBITS).alias("bucket"),
+        F.when(w == 0, F.lit(_HLL_WBITS + 1))
+        .otherwise(F.lit(_HLL_WBITS + 1) - F.length(F.conv(w, 10, 2)))
+        .alias("r"),
+    )
+    regs = rho.groupBy("grp", "bucket").agg(F.max("r").alias("m"))
+    s = regs.groupBy("grp").agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SHIFT} - m)"))
+            + (_HLL_M - F.count(F.lit(1)))
+            * F.lit(1 << _HLL_SHIFT).cast("long")
+        )
+        .cast("long")
+        .alias("s_scaled"),
+        (_HLL_M - F.count(F.lit(1))).cast("long").alias("n_empty"),
+    )
+    exact = h.groupBy("grp").agg(F.count_distinct("k").alias("n_exact"))
+    est = F.lit(_HLL_NUM) / F.col("s_scaled").cast("double")
+    return s.join(exact, "grp").select(
+        "grp",
+        "s_scaled",
+        "n_empty",
+        "n_exact",
+        F.round(est, 4).alias("est"),
+        F.round((est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Bloom-gated decontamination: the two sketches composed into the
 # actual 100 TB pipeline step (cheap gate -> exact verify on survivors)
 # --------------------------------------------------------------------------

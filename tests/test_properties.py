@@ -353,3 +353,119 @@ def test_bloom_gate_is_safe(spark, sf_dir):
     )
     for src, n in got.items():
         assert n == exact.get(src, 0), (src, n, exact.get(src, 0))
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    """HLL contract on the real fixture: the per-language estimate
+    lands within a few standard errors of the exact distinct count
+    (sigma = 1.04/sqrt(256) ~ 6.5%), and the register-sum invariants
+    hold (0 <= n_empty <= m, denominator <= m * 2^SHIFT)."""
+    from dissertation_iceberg_spark.queries.sketch_ops import (
+        _HLL_M,
+        _HLL_SHIFT,
+        hll_distinct,
+    )
+
+    out = hll_distinct(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert ((out.n_empty >= 0) & (out.n_empty <= _HLL_M)).all()
+    assert (out.s_scaled <= _HLL_M * (1 << _HLL_SHIFT)).all()
+    assert (out.s_scaled > 0).all()
+    # raw HLL needs cardinality above ~2.5m to skip the linear-counting
+    # regime — the query targets order keys per flag for exactly this
+    assert (out.n_exact >= 2.5 * _HLL_M).all()
+    # 4 sigma of the classic HLL standard error 1.04/sqrt(m)
+    assert (out.rel_err.abs() <= 4 * 1.04 / (_HLL_M**0.5)).all(), out
+
+
+def test_transition_probs_normalize(spark, sf_dir):
+    """Markov matrix invariants: outgoing probabilities sum to ~1 per
+    from-state (6-dp rounding x <= n_types terms of slack), and total
+    transitions = total events - one first-event per active user."""
+    from dissertation_iceberg_spark.queries.behavior_ops import event_transitions
+
+    out = event_transitions(spark, sf_dir).toPandas()
+    sums = out.groupby("from_type")["p_next"].sum()
+    n_types = out["to_type"].nunique()
+    assert ((sums - 1.0).abs() <= n_types * 5e-7 + 1e-9).all(), sums
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert out["n_trans"].sum() == n_events - n_users
+
+
+def test_windowed_funnel_tighter_than_unbounded(spark, sf_dir):
+    """The 24 h gap bound can only remove conversions: every windowed
+    step count <= the unbounded funnel's, and counts shrink down the
+    funnel."""
+    from dissertation_iceberg_spark.queries.behavior_ops import (
+        funnel_conversion,
+        windowed_funnel,
+    )
+
+    wf = {r["step"]: r["n_users"] for r in windowed_funnel(spark, sf_dir).collect()}
+    uf = {r["step"]: r["n_users"] for r in funnel_conversion(spark, sf_dir).collect()}
+    assert wf[1] == uf[1]  # stage 1 has no gap predicate
+    assert wf[2] <= uf[2] and wf[3] <= uf[3]
+    assert wf[1] >= wf[2] >= wf[3]
+
+
+def test_scd2_versions_tile_time(spark, sf_dir):
+    """SCD2 interval discipline per user: version numbers contiguous
+    from 1, intervals are [from, to) with to = next from (no gaps, no
+    overlap), and exactly one open (current) version."""
+    from dissertation_iceberg_spark.queries.lakehouse_ops import scd2_versions
+
+    out = (
+        scd2_versions(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "version_no"])
+    )
+    for _, g in out.groupby("user_id"):
+        assert list(g.version_no) == list(range(1, len(g) + 1))
+        assert g.is_current.sum() == 1 and g.iloc[-1].is_current == 1
+        # each closed interval's end is the next version's start
+        assert (
+            g.valid_to_us.iloc[:-1].astype("int64")
+            == g.valid_from_us.iloc[1:].astype("int64").values
+        ).all()
+        assert (g.valid_from_us.diff().iloc[1:] > 0).all()
+
+
+def test_scd2_pit_matches_interval_join(spark, sf_dir):
+    """The as-of window formulation must agree with the naive
+    interval-containment join (valid_from <= ts < valid_to) computed
+    in pandas from the versions table."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.functions.time_bins import micros
+    from dissertation_iceberg_spark.queries.lakehouse_ops import (
+        scd2_pit_join,
+        scd2_versions,
+    )
+
+    got = (
+        scd2_pit_join(spark, sf_dir)
+        .toPandas()
+        .set_index("version_no")
+        .sort_index()
+    )
+    dim = scd2_versions(spark, sf_dir).toPandas()
+    facts = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            micros("ts").alias("us"),
+            F.round(F.col("value") * 100).cast("long").alias("fact_cents"),
+        )
+        .toPandas()
+    )
+    m = facts.merge(dim, on="user_id")
+    hi = m.valid_to_us.fillna(np.iinfo(np.int64).max)
+    m = m[(m.us >= m.valid_from_us) & (m.us < hi)]
+    want = m.groupby("version_no").agg(
+        n_purchases=("fact_cents", "size"), revenue_cents=("fact_cents", "sum")
+    )
+    assert got["n_purchases"].to_dict() == want["n_purchases"].to_dict()
+    assert got["revenue_cents"].to_dict() == want["revenue_cents"].to_dict()
