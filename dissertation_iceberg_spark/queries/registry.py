@@ -73,6 +73,7 @@ def _ensure_loaded() -> None:
         sqlops,
         strategy,
         strategy2,
+        tpch_shapes,
         windows2,
     )
 

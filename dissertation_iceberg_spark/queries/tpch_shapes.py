@@ -1,0 +1,305 @@
+"""Hard TPC-H join shapes (round 3, second batch): Q21's correlated
+EXISTS/NOT-EXISTS pair, Q22's anti-join + global scalar threshold,
+Q2's min-per-group join-back, and Q16's distinct-count after an
+exclusion anti-join — the four classic shapes a query engine must
+plan well beyond plain equi-joins. Adapted to the driver's columns
+(no partsupp/commitdate/phone in the fixture): lineitem stands in as
+the part-supplier association and return flags as the lateness
+signal; the join/agg structure is the point.
+
+Money rides as integer cents; the Q22 threshold comparison is an
+integer cross-multiplication (cents * n > sum_cents), so no division
+ever happens before the final display columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dissertation_iceberg_spark.io import load_table
+from dissertation_iceberg_spark.queries.registry import register
+
+# --------------------------------------------------------------------------
+# Q21 shape: sole-blame suppliers (EXISTS + NOT EXISTS on the fact table)
+# --------------------------------------------------------------------------
+
+_Q21_TOPK = 10
+
+_Q21_ORACLE = f"""
+WITH l1 AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+FROM l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey
+LIMIT {_Q21_TOPK}
+"""
+
+
+@register("sole_blame_suppliers", oracle=_Q21_ORACLE)
+def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (reference inventory's hardest join pattern):
+    suppliers whose returned lineitem sits in a multi-supplier order
+    where NO other supplier's item was returned — one correlated
+    EXISTS (left-semi) and one NOT EXISTS (left-anti), both on the
+    fact table itself, then a broadcast dim join and top-k.
+
+    Scale shape: both the semi and the anti join are equi-joins on
+    l_orderkey with the supplier inequality as a residual predicate —
+    they shuffle on the SAME key as the probe side, so AQE plans one
+    exchange per side and co-partitions the chain; nothing is ever
+    nested-loop. The supplier dim broadcasts; the final top-k is
+    TakeOrderedAndProject. At 100 TB this is 3 fact-scale shuffles on
+    one key — the unavoidable minimum for this semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    )
+    survivors = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        survivors.join(
+            F.broadcast(sup.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(_Q21_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 shape: rich customers with no orders (anti-join + scalar threshold)
+# --------------------------------------------------------------------------
+
+# lapse cutoff: the fixture's orders span 1995-01..2001-08; customers
+# with no order at-or-after this date count as lapsed (every customer
+# has SOME order in the fixture, so Q22's no-orders-ever is degenerate)
+_Q22_CUTOFF = "1998-06-01 00:00:00"
+
+_Q22_ORACLE = f"""
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer),
+thr AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS sum_pos, count(*) AS n_pos
+  FROM c WHERE cents > 0),
+idle AS (
+  SELECT c.c_mktsegment, c.cents
+  FROM c, thr
+  WHERE c.cents * thr.n_pos > thr.sum_pos
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}'))
+SELECT c_mktsegment,
+       count(*) AS n_custs,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(cents) AS DOUBLE) / 100 AS total_acctbal
+FROM idle GROUP BY 1
+"""
+
+
+@register("idle_rich_customers", oracle=_Q22_ORACLE)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers whose balance exceeds the global
+    average positive balance but who have not ordered since the lapse
+    cutoff — a scalar aggregate threshold plus a NOT EXISTS anti-join
+    (date-filtered, since every fixture customer has some order),
+    rolled up per market segment.
+
+    Parity trick: the threshold compare is the integer
+    cross-multiplication cents * n_pos > sum_pos — the average is
+    never materialized as a float, so there is no division whose
+    rounding could flip a boundary customer between engines.
+
+    Scale shape: the 1-row threshold frame broadcasts; the anti-join
+    shuffles customer vs orders on custkey (orders pre-projected to
+    its join key only — column pruning reaches the scan); the final
+    rollup has |segments| keys. One fact-scale shuffle total."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    thr = c.filter(F.col("cents") > 0).agg(
+        F.sum("cents").cast("long").alias("sum_pos"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    idle = (
+        c.join(F.broadcast(thr))
+        .filter(F.col("cents") * F.col("n_pos") > F.col("sum_pos"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp")
+            ).select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        (F.sum("cents").cast("double") / 100).alias("total_acctbal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 shape: min-cost supplier per part (min-per-group + join-back)
+# --------------------------------------------------------------------------
+
+_Q2_MIN_SIZE = 40  # keep the audited part subset selective, like Q2's p_size
+
+_Q2_ORACLE = f"""
+WITH assoc AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2),
+best AS (
+  SELECT l_partkey, min(unit_cost) AS min_cost
+  FROM assoc GROUP BY 1)
+SELECT p.p_partkey, p.p_brand,
+       round(b.min_cost, 6) AS min_unit_cost,
+       count(*) AS n_tied,
+       CAST(min(a.l_suppkey) AS BIGINT) AS best_suppkey
+FROM part p
+JOIN best b ON p.p_partkey = b.l_partkey
+JOIN assoc a ON a.l_partkey = b.l_partkey AND a.unit_cost = b.min_cost
+WHERE p.p_size >= {_Q2_MIN_SIZE}
+GROUP BY 1, 2, 3
+"""
+
+
+@register("min_cost_supplier", oracle=_Q2_ORACLE)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each (large) part, the supplier offering the
+    minimum unit cost — the min-per-group + join-back-on-the-min
+    pattern (a correlated scalar subquery in the original), with ties
+    counted and broken deterministically by min suppkey.
+
+    The join-back equality is on a DOUBLE, which is safe here by
+    construction: both engines compute unit_cost as the same single
+    IEEE division of identical parquet doubles, and min() picks from
+    identical value sets — no accumulated arithmetic, so the equality
+    is exact. (The registry rule is 'no float equality after
+    re-associated arithmetic'; a one-op derived value is the allowed
+    case, same as cosine_topk's score ties.)
+
+    Scale shape: the (part, supplier) association collapses first
+    (map-side combinable), the per-part min is a second small
+    aggregate on the SAME key prefix — co-partitioned, no extra
+    exchange — and the join-back runs assoc-vs-best on l_partkey,
+    again the same key. The part dim broadcasts. One fact-scale
+    shuffle, everything downstream rides it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    assoc = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = assoc.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        part.filter(F.col("p_size") >= _Q2_MIN_SIZE)
+        .select("p_partkey", "p_brand")
+        .join(best, F.col("p_partkey") == F.col("l_partkey"))
+        .drop("l_partkey")
+        .join(
+            assoc,
+            (F.col("p_partkey") == F.col("l_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .groupBy("p_partkey", "p_brand", F.round("min_cost", 6).alias("min_unit_cost"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tied"),
+            F.min("l_suppkey").cast("long").alias("best_suppkey"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 shape: supplier diversity per part group (distinct after anti-join)
+# --------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+WITH excluded AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+assoc AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type,
+       count(DISTINCT a.l_suppkey) AS supplier_cnt,
+       count(*) AS n_assoc
+FROM assoc a
+JOIN part p ON a.l_partkey = p.p_partkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM excluded e WHERE e.s_suppkey = a.l_suppkey)
+GROUP BY 1, 2
+"""
+
+
+@register("supplier_diversity", oracle=_Q16_ORACLE)
+def supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct (non-excluded) suppliers
+    serve each part group — a distinct-pair reduction of the fact
+    table, an exclusion anti-join (negative-balance suppliers stand in
+    for Q16's complaints list), a dim join, and count(DISTINCT) per
+    group.
+
+    Scale shape: the fact table first collapses to distinct
+    (part, supplier) pairs — map-side combinable and the only
+    fact-scale shuffle; the exclusion list and the part dim both
+    broadcast (the exclusion side of a NOT IN is always the small
+    side); the final distinct-count runs over the already-collapsed
+    association, its expand keyed by bounded (brand, type) groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    excluded = sup.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    assoc = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(excluded), "l_suppkey", "left_anti")
+    )
+    return (
+        assoc.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.count_distinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_assoc"),
+        )
+    )

@@ -112,6 +112,7 @@ INTENTIONAL_BNLJ = {
     "unigram_logprob",  # broadcast 1-row (n_total, vocab) corpus frame
     "funnel_conversion",  # broadcast 1-row step-count frames (n1 x n2 x n3)
     "windowed_funnel",  # broadcast 1-row step-count frames (same machinery)
+    "idle_rich_customers",  # broadcast 1-row balance-threshold frame
     "histogram_quantiles",  # broadcast 1-row bounds + 3-row quantile targets
     "mixture_sample",  # broadcast 1-row weight-total frame (quota arithmetic)
     "skew_profile",  # broadcast 1-row stats + 1-row median frames
