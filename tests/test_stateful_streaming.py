@@ -661,3 +661,61 @@ def test_streaming_countmin_matches_batch(spark, tmp_path):
     m = est.merge(true, on=["window_start", "event_type"], how="inner")
     assert len(m) > 0
     assert (m.est_n >= m.true_n).all()
+
+
+def test_streaming_bloom_gate_matches_batch(spark, tmp_path):
+    """The streaming Bloom gate must equal the batch gate of the same
+    data row-for-row, and the no-false-negative contract must hold:
+    every row whose fingerprint IS in the build set gates through."""
+    import pandas as pd
+    from dissertation_iceberg_spark.streaming.bloom_stream import (
+        bloom_bits,
+        bloom_gate,
+    )
+
+    src = str(tmp_path / "bloom_src")
+    held = [f"heldout-{i}" for i in range(40)]
+    fresh = [f"fresh-{i}" for i in range(200)]
+    dups = held[::3]  # true contaminants in the stream
+    stream_rows = pd.DataFrame(
+        {"doc_id": range(len(fresh) + len(dups)), "text": fresh + dups}
+    )
+    spark.createDataFrame(stream_rows).coalesce(1).write.parquet(src)
+
+    build = spark.createDataFrame(pd.DataFrame({"text": held})).select(
+        F.md5("text").alias("fp")
+    )
+    bits = bloom_bits(build)
+
+    batch = spark.read.parquet(src).select(
+        "doc_id", "text", F.md5("text").alias("fp")
+    )
+    expect = bloom_gate(batch, bits).select("doc_id", "gate_hit").toPandas()
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+        .select("doc_id", "text", F.md5("text").alias("fp"))
+    )
+    q = (
+        bloom_gate(stream, bits)
+        .select("doc_id", "text", "gate_hit")
+        .writeStream.format("memory")
+        .queryName("bloom_gated")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("bloom_gated").toPandas()
+
+    assert len(got) == len(stream_rows)  # gate is a router, never a dropper
+    m = got[["doc_id", "gate_hit"]].merge(
+        expect, on="doc_id", suffixes=("_s", "_b")
+    )
+    assert (m.gate_hit_s == m.gate_hit_b).all()
+    # no false negatives: every true contaminant must gate through
+    assert got[got.text.isin(held)].gate_hit.all()
+    # the gate must actually gate: most fresh rows skip the exact check
+    fresh_rate = got[~got.text.isin(held)].gate_hit.mean()
+    assert fresh_rate < 0.5
