@@ -196,6 +196,102 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Market-basket affinity: co-purchased part pairs with lift
+# --------------------------------------------------------------------------
+
+_AFFINITY_TOPK = 25
+
+_AFFINITY_ORACLE = f"""
+WITH assoc AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM assoc),
+marg AS (
+  SELECT l_partkey, count(*) AS n_part FROM assoc GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+  FROM assoc a JOIN assoc b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2)
+SELECT p.part_a, p.part_b, p.n_both,
+       ma.n_part AS n_a, mb.n_part AS n_b,
+       round(CAST(p.n_both AS DOUBLE) * n.n_orders / ma.n_part / mb.n_part, 6)
+         AS lift
+FROM pairs p
+JOIN marg ma ON p.part_a = ma.l_partkey
+JOIN marg mb ON p.part_b = mb.l_partkey
+CROSS JOIN n
+ORDER BY n_both DESC, part_a, part_b
+LIMIT {_AFFINITY_TOPK}
+"""
+
+
+@register("copurchase_lift", oracle=_AFFINITY_ORACLE)
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the most co-purchased part pairs with
+    their lift (observed co-rate over the independence baseline) — the
+    'frequently bought together' primitive, and the edge-weight build
+    for the co-occurrence graph family (PageRank, clustering).
+
+    Scale shape: distinct (order, part) collapses first (map-side
+    combinable), then the pair expansion is a SELF equi-join on
+    l_orderkey — pairs per order are C(k,2) in that order's distinct
+    parts, so volume is sum-of-squares of basket sizes, linear for
+    bounded baskets (fixture max 13); a pathological mega-basket is
+    the skew axis and would be capped upstream exactly like the
+    Jaccard stop-shingle cap. Marginals are an O(parts) frame joined
+    after the pair count has already collapsed the volume; the 1-row
+    order count broadcasts; final top-k is TakeOrderedAndProject
+    (per-partition heaps, no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    assoc = li.select("l_orderkey", "l_partkey").distinct()
+    n = assoc.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    marg = assoc.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    b = assoc.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        assoc.join(
+            b,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("part_b")),
+        )
+        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pairs.join(
+            marg.select(
+                F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+            ),
+            "part_a",
+        )
+        .join(
+            marg.select(
+                F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+            ),
+            "part_b",
+        )
+        .join(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_orders")
+                / F.col("n_a")
+                / F.col("n_b"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), F.asc("part_a"), F.asc("part_b"))
+        .limit(_AFFINITY_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
 # Windowed funnel: each stage must land within a bounded gap
 # --------------------------------------------------------------------------
 

@@ -1184,3 +1184,143 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.join(F.broadcast(q), "source").where(
         F.col("rn") <= F.col("quota")
     ).select("doc_id", "source", "rn", "quota")
+
+
+# --------------------------------------------------------------------------
+# Naive Bayes language classifier (train + score in one relational plan)
+# --------------------------------------------------------------------------
+
+_NB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_TOKENS}) AS term FROM documents),
+counts AS (
+  SELECT lang, term, count(*) AS c FROM tok GROUP BY 1, 2),
+langs AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nd FROM langs),
+ltot AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n_l FROM counts GROUP BY 1),
+vocab AS (SELECT count(DISTINCT term) AS v FROM tok),
+grid AS (
+  SELECT t.term, l.lang,
+         CAST(round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                       / (lt.n_l + vocab.v)) * 1e6) AS BIGINT) AS lp_micro
+  FROM (SELECT DISTINCT term FROM tok) t
+  CROSS JOIN langs l
+  JOIN ltot lt ON l.lang = lt.lang
+  CROSS JOIN vocab
+  LEFT JOIN counts c ON c.term = t.term AND c.lang = l.lang),
+priors AS (
+  SELECT l.lang,
+         CAST(round(ln(CAST(l.n_docs AS DOUBLE) / t.nd) * 1e6) AS BIGINT)
+           AS prior_micro
+  FROM langs l CROSS JOIN tot t),
+scores AS (
+  SELECT tk.doc_id, g.lang AS cand,
+         CAST(sum(g.lp_micro) AS BIGINT) + any_value(p.prior_micro) AS score
+  FROM tok tk
+  JOIN grid g ON tk.term = g.term
+  JOIN priors p ON g.lang = p.lang
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT doc_id, cand, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand DESC) AS rn
+  FROM scores)
+SELECT d.doc_id, d.lang, r.cand AS pred_lang,
+       CAST(r.cand = d.lang AS BIGINT) AS is_correct,
+       r.score AS score_micro
+FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+WHERE r.rn = 1
+"""
+
+
+@register("nb_lang_classify", oracle=_NB_ORACLE)
+def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained AND scored
+    in one relational plan: per-(lang, term) add-one-smoothed token
+    log-likelihoods + doc-count priors, each document argmaxed over
+    candidate languages. The from-scratch relational twin of
+    ml.classification.NaiveBayes — every model parameter is a table,
+    so training is aggregation and inference is a join, with no
+    fit/transform boundary to ship a model through.
+
+    Parity: per-(term, lang) log-probs and priors are micro-scaled to
+    BIGINT at the point of the libm call (the registry's unigram rule),
+    so per-document evidence totals are exact integer sums; the argmax
+    breaks score ties on the language string — both engines rank
+    identically. Docs with zero tokens drop out in both engines.
+
+    Scale shape: the model is O(vocab x langs) — built map-side
+    combinable, and the smoothing grid joins the distinct-term frame
+    against a BROADCAST langs/totals frame; scoring is one token-keyed
+    equi-join (token stream vs model — hot stopword keys are AQE
+    skew-join territory, same profile as unigram_logprob) and one
+    (doc, lang)-keyed exact integer sum; the argmax window partitions
+    by doc_id over |langs| rows each. No driver loop, no UDF, no
+    iteration."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    counts = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    langs = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    nd = langs.agg(F.sum("n_docs").cast("long").alias("nd"))
+    ltot = counts.groupBy("lang").agg(F.sum("c").cast("long").alias("n_l"))
+    vocab = tok.select("term").distinct().agg(F.count(F.lit(1)).alias("v"))
+    lang_side = (
+        langs.join(ltot, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select("lang", "n_l", "v")
+    )
+    grid = (
+        tok.select("term")
+        .distinct()
+        .crossJoin(F.broadcast(lang_side))
+        .join(counts, ["term", "lang"], "left")
+        .select(
+            "term",
+            "lang",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_l") + F.col("v"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    priors = langs.crossJoin(F.broadcast(nd)).select(
+        "lang",
+        F.round(F.log(F.col("n_docs").cast("double") / F.col("nd")) * 1e6)
+        .cast("long")
+        .alias("prior_micro"),
+    )
+    scores = (
+        tok.select("doc_id", "term")
+        .join(grid, "term")
+        .join(F.broadcast(priors), "lang")
+        .groupBy("doc_id", F.col("lang").alias("cand"))
+        .agg(
+            (
+                F.sum("lp_micro").cast("long") + F.any_value("prior_micro")
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rw = W.partitionBy("doc_id").orderBy(F.desc("score"), F.desc("cand"))
+    best = (
+        scores.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand").alias("pred_lang"), "score")
+    )
+    return best.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "pred_lang",
+        (F.col("pred_lang") == F.col("lang")).cast("long").alias("is_correct"),
+        F.col("score").alias("score_micro"),
+    )

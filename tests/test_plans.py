@@ -113,6 +113,8 @@ INTENTIONAL_BNLJ = {
     "funnel_conversion",  # broadcast 1-row step-count frames (n1 x n2 x n3)
     "windowed_funnel",  # broadcast 1-row step-count frames (same machinery)
     "idle_rich_customers",  # broadcast 1-row balance-threshold frame
+    "copurchase_lift",  # broadcast 1-row order-count (lift denominator)
+    "nb_lang_classify",  # broadcast 1-row vocab-size + corpus-size frames
     "histogram_quantiles",  # broadcast 1-row bounds + 3-row quantile targets
     "mixture_sample",  # broadcast 1-row weight-total frame (quota arithmetic)
     "skew_profile",  # broadcast 1-row stats + 1-row median frames

@@ -719,3 +719,64 @@ def test_streaming_bloom_gate_matches_batch(spark, tmp_path):
     # the gate must actually gate: most fresh rows skip the exact check
     fresh_rate = got[~got.text.isin(held)].gate_hit.mean()
     assert fresh_rate < 0.5
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """Streaming HLL registers (append on window close) must equal the
+    batch sketch of the same data bit-for-bit, and the folded estimate
+    must track the true per-window distinct count within the classic
+    HLL error (generous 5-sigma bound for small windows)."""
+    import pandas as pd
+    from dissertation_iceberg_spark.queries.sketch_ops import _HLL_M
+    from dissertation_iceberg_spark.streaming.hll_stream import (
+        hll_estimate,
+        window_hll_registers,
+    )
+
+    src = str(tmp_path / "hll_src")
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = []
+    rid = 0
+    for h in range(12):
+        # h-th window block: ~700 distinct keys with repeats
+        for i in range(700):
+            key = h * 10_000 + (i * 37) % 690
+            rows.append(
+                {"ts": base + pd.Timedelta(hours=h, seconds=i), "user_id": key}
+            )
+            rid += 1
+    rows.append({"ts": base + pd.Timedelta(days=3), "user_id": 1})
+    spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.parquet(src)
+
+    batch = spark.read.parquet(src)
+    expect = window_hll_registers(batch).toPandas()
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        window_hll_registers(stream)
+        .writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("hll_regs").toPandas()
+
+    cols = ["window_start", "bucket", "m"]
+    merged = got[cols].merge(expect[cols], on=cols, how="left", indicator=True)
+    assert (merged["_merge"] == "both").all()
+    assert len(got) > 0
+
+    est = hll_estimate(spark.table("hll_regs")).toPandas()
+    true = (
+        batch.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count_distinct("user_id").alias("n_true"))
+        .select(F.col("w.start").alias("window_start"), "n_true")
+        .toPandas()
+    )
+    m = est.merge(true, on="window_start", how="inner")
+    assert len(m) > 0
+    sigma = 1.04 / (_HLL_M**0.5)
+    assert ((m.est - m.n_true).abs() / m.n_true <= 5 * sigma).all(), m
