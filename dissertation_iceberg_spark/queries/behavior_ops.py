@@ -563,3 +563,113 @@ def lasttouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         (F.sum("cents").cast("double") / 100).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Position-based multi-touch attribution (40/20/40 inside a lookback)
+# --------------------------------------------------------------------------
+
+_MT_TOL_US = 1_800_000_000  # 30-minute lookback, same horizon as last-touch
+_MT_BIN_US = 1_800_000_000  # bucket width >= lookback => <=2 bins/purchase
+
+_MT_ORACLE = f"""
+WITH p AS (
+  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT event_id AS t_id, user_id, epoch_us(ts) AS t_us,
+         event_type AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')),
+j AS (
+  SELECT p.p_id, t.t_id, t.t_us, t.touch_type
+  FROM p JOIN t
+    ON p.user_id = t.user_id
+   AND t.t_us <= p.p_us AND t.t_us >= p.p_us - {_MT_TOL_US}),
+r AS (
+  SELECT *, row_number() OVER w AS rn, count(*) OVER (PARTITION BY p_id) AS n
+  FROM j WINDOW w AS (PARTITION BY p_id ORDER BY t_us, t_id)),
+credit AS (
+  SELECT touch_type,
+         CASE WHEN n = 1 THEN 1000000
+              WHEN n = 2 THEN 500000
+              WHEN rn = 1 OR rn = n THEN 400000
+              ELSE CAST(round(200000.0 / (n - 2)) AS BIGINT)
+         END AS c
+  FROM r)
+SELECT touch_type,
+       count(*) AS n_touches,
+       CAST(sum(c) AS BIGINT) AS credit_micro
+FROM credit GROUP BY 1
+"""
+
+
+@register("position_attribution", oracle=_MT_ORACLE)
+def position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every
+    click/view in the 30-minute lookback before a purchase shares the
+    credit — 40% first touch, 40% last, 20% split across the middles
+    (100% / 50-50 for 1- and 2-touch paths). Credits are exact
+    integer micro-units; the only division (the middle split) is one
+    identically-rounded op per row, so per-type totals are exact
+    integer sums.
+
+    Scale shape: the purchase-x-touch pairing is the bucketed range
+    join (post_purchase_errors pattern) — both sides bucket by a bin
+    no smaller than the lookback, purchases explode to their <=2 bins,
+    equi-join on (user_id, bin) with BETWEEN residual — never a
+    nested loop (plan-asserted). Ranking partitions by purchase id:
+    per-partition row counts are bounded by touches-per-lookback, the
+    natural skew axis a production run would cap per user."""
+    e = load_table(spark, sf_dir, "events")
+    us = micros("ts")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        us.alias("p_us"),
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("t_user"),
+        us.alias("t_us"),
+        F.col("event_type").alias("touch_type"),
+    )
+    bin_of = lambda c: F.floor(c / F.lit(_MT_BIN_US))  # noqa: E731
+    p_bins = p.select(
+        "p_id",
+        "user_id",
+        "p_us",
+        F.explode(
+            F.sequence(bin_of(F.col("p_us") - _MT_TOL_US), bin_of(F.col("p_us")))
+        ).alias("bin"),
+    )
+    tb = t.withColumn("bin", bin_of(F.col("t_us")))
+    j = p_bins.join(
+        tb,
+        (F.col("user_id") == F.col("t_user"))
+        & (p_bins["bin"] == tb["bin"])
+        & (F.col("t_us") <= F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - _MT_TOL_US),
+    ).select("p_id", "t_id", "t_us", "touch_type")
+    from pyspark.sql import Window as W
+
+    rw = W.partitionBy("p_id").orderBy("t_us", "t_id")
+    nw = W.partitionBy("p_id")
+    r = j.select(
+        "touch_type",
+        F.row_number().over(rw).alias("rn"),
+        F.count(F.lit(1)).over(nw).alias("n"),
+    )
+    c = (
+        F.when(F.col("n") == 1, F.lit(1_000_000))
+        .when(F.col("n") == 2, F.lit(500_000))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(400_000))
+        .otherwise(F.round(F.lit(200000.0) / (F.col("n") - 2)).cast("long"))
+    )
+    return (
+        r.select("touch_type", c.alias("c"))
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("c").cast("long").alias("credit_micro"),
+        )
+    )

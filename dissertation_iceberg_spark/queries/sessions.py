@@ -292,3 +292,101 @@ def daily_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+# --------------------------------------------------------------------------
+# Session path mining: top event-type paths (first K events per session)
+# --------------------------------------------------------------------------
+
+_PATH_K = 5
+_PATH_TOPK = 20
+
+_PATHS_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w >= {_GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                               ORDER BY us, event_id) AS rn
+  FROM s),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY us, event_id) AS path
+  FROM r WHERE rn <= {_PATH_K}
+  GROUP BY 1, 2)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT {_PATH_TOPK}
+"""
+
+
+@register("session_paths", oracle=_PATHS_ORACLE)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the most common opening event-type
+    sequences (first {k} events of each gap-based session, joined with
+    '>') — the 'how do sessions start' view behind onboarding and
+    bot-detection analyses.
+
+    Scale shape: session ids come from the lag + cumulative-sum pair
+    on ONE user-keyed window (both evaluated in a single WindowExec
+    pass — this query needs per-event ids, which session_window's
+    hash-merge doesn't expose); the per-session row_number rides the
+    same partitioning. The path assembly collects at most {k} structs
+    per session — bounded by construction, not by data (the rn <= {k}
+    filter runs BEFORE the collect, so a bot session contributes {k}
+    rows like everyone else) — sorted in-array for determinism. The
+    final count keys on distinct paths (<= |types|^{k}, map-side
+    combinable) and the top-k is TakeOrderedAndProject.""".format(k=_PATH_K)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", micros("ts").alias("us")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    new_s = (
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) >= _GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s")
+    )
+    s = e.select("*", new_s).select(
+        "*",
+        F.sum("new_s")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    sw = W.partitionBy("user_id", "sid").orderBy("us", "event_id")
+    r = s.select("*", F.row_number().over(sw).alias("rn")).filter(
+        F.col("rn") <= _PATH_K
+    )
+    paths = (
+        r.groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("us", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(_PATH_TOPK)
+    )
