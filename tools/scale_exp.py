@@ -119,6 +119,77 @@ def main() -> None:
                           "input_rows": n_docs, "out_rows": pairs, "sec": round(t, 3)}))
         d.unpersist()
 
+        # key-scaled lineitem: replicas get disjoint orders/parts/
+        # suppliers, so basket sizes stay constant and pair volume must
+        # grow linearly (the copurchase scale claim under test)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"
+        )
+        l = replicate(
+            li,
+            r,
+            {
+                "l_orderkey": 10_000_000,
+                "l_partkey": 10_000_000,
+                "l_suppkey": 10_000_000,
+            },
+        ).drop("__rep").persist()
+        n_li = l.count()
+
+        def copurchase_pairs():
+            assoc = l.select("l_orderkey", "l_partkey").distinct()
+            b = assoc.select(
+                F.col("l_orderkey").alias("o2"),
+                F.col("l_partkey").alias("part_b"),
+            )
+            return (
+                assoc.join(
+                    b,
+                    (F.col("l_orderkey") == F.col("o2"))
+                    & (F.col("l_partkey") < F.col("part_b")),
+                )
+                .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+                .agg(F.count(F.lit(1)).alias("n_both"))
+            )
+
+        t, pairs = timed(copurchase_pairs, action="count")
+        print(json.dumps({"kernel": "copurchase", "factor": r,
+                          "input_rows": n_li, "out_rows": pairs,
+                          "sec": round(t, 3)}))
+
+        def q21_chain():
+            l1 = l.filter(F.col("l_returnflag") == "R").select(
+                "l_orderkey", "l_suppkey"
+            )
+            l2 = l.select(
+                F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+            )
+            l3 = l.filter(F.col("l_returnflag") == "R").select(
+                F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+            )
+            return (
+                l1.join(
+                    l2,
+                    (F.col("l_orderkey") == F.col("o2"))
+                    & (F.col("l_suppkey") != F.col("s2")),
+                    "left_semi",
+                )
+                .join(
+                    l3,
+                    (F.col("l_orderkey") == F.col("o3"))
+                    & (F.col("l_suppkey") != F.col("s3")),
+                    "left_anti",
+                )
+                .groupBy("l_suppkey")
+                .agg(F.count(F.lit(1)).alias("numwait"))
+            )
+
+        t, rows = timed(q21_chain, action="count")
+        print(json.dumps({"kernel": "q21_semi_anti", "factor": r,
+                          "input_rows": n_li, "out_rows": rows,
+                          "sec": round(t, 3)}))
+        l.unpersist()
+
         # block-shifted embeddings: replicas displaced along every axis
         e = replicate(emb, r, {"vec_id": 10_000_000})
         if r > 1:
