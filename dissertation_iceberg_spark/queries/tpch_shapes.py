@@ -303,3 +303,82 @@ def supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_assoc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Entity resolution: blocked fuzzy match over the part-name vocabulary
+# --------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 2
+
+_FUZZY_ORACLE = f"""
+WITH vocab AS (
+  SELECT p_name, count(*) AS n_parts
+  FROM part GROUP BY 1),
+b AS (
+  SELECT p_name, n_parts,
+         str_split(p_name, ' ')[-1] AS block,
+         length(p_name) AS ln
+  FROM vocab)
+SELECT a.p_name AS name_a, b2.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b2.p_name) AS BIGINT) AS dist,
+       a.n_parts AS n_a, b2.n_parts AS n_b
+FROM b a JOIN b b2
+  ON a.block = b2.block
+ AND a.p_name < b2.p_name
+ AND abs(a.ln - b2.ln) <= {_FUZZY_MAX_DIST}
+WHERE levenshtein(a.p_name, b2.p_name) <= {_FUZZY_MAX_DIST}
+"""
+
+
+@register("fuzzy_name_matches", oracle=_FUZZY_ORACLE)
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part catalog: name pairs within
+    Levenshtein distance {d}, candidate-blocked by shared last token
+    (the head noun) and a length band — the fuzzy-dedup step a product
+    catalog runs before canonicalizing listings ('cold bolt' vs 'old
+    bolt'), complementing the content-hash exact pass and the shingle
+    Jaccard pass with TYPO-class matching neither catches.
+
+    Scale shape: resolution runs on the DISTINCT attribute vocabulary
+    (collapsed first — vocab << rows, and per-name part counts come
+    along for free on the same aggregate), so the quadratic stage
+    never sees the fact table; blocking makes the candidate set
+    sum-of-squares over block sizes instead of |vocab|^2, with the
+    length band (|len diff| > d implies dist > d, a true bound — the
+    blocking key itself is the standard recall trade-off, documented)
+    pre-filtering before the O(len^2) edit-distance kernel runs.
+    Levenshtein is a JVM built-in (whole-stage codegen) with identical
+    classic-cost semantics in DuckDB — the oracle checks the distances
+    themselves.""".format(d=_FUZZY_MAX_DIST)
+    part = load_table(spark, sf_dir, "part")
+    vocab = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    b = vocab.select(
+        "p_name",
+        "n_parts",
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
+        F.length("p_name").alias("ln"),
+    )
+    right = b.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_b"),
+        F.col("block").alias("block_b"),
+        F.col("ln").alias("ln_b"),
+    )
+    return (
+        b.join(
+            right,
+            (F.col("block") == F.col("block_b"))
+            & (F.col("p_name") < F.col("name_b"))
+            & (F.abs(F.col("ln") - F.col("ln_b")) <= _FUZZY_MAX_DIST),
+        )
+        .withColumn("dist", F.levenshtein(F.col("p_name"), F.col("name_b")))
+        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
+        .select(
+            F.col("p_name").alias("name_a"),
+            "name_b",
+            F.col("dist").cast("long").alias("dist"),
+            F.col("n_parts").alias("n_a"),
+            "n_b",
+        )
+    )
