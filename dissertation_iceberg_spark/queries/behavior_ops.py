@@ -673,3 +673,103 @@ def position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("long").alias("credit_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Robust anomaly detection: MAD flags on daily event counts
+# --------------------------------------------------------------------------
+
+_MAD_K = 3  # flag |x - median| > K * MAD
+
+_MAD_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY c, day) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily),
+med AS (
+  SELECT event_type, c AS med, n
+  FROM r WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT d.event_type, d.day, d.c, m.med, m.n, abs(d.c - m.med) AS ad
+  FROM daily d JOIN med m ON d.event_type = m.event_type),
+rd AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ad, day) AS rn
+  FROM dev),
+mad AS (
+  SELECT event_type, ad AS mad FROM rd WHERE rn = (n + 1) // 2)
+SELECT d.event_type,
+       CAST(any_value(d.med) AS BIGINT) AS median_count,
+       CAST(any_value(m.mad) AS BIGINT) AS mad,
+       count(*) AS n_days,
+       CAST(sum(CASE WHEN d.ad > {_MAD_K} * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalous_days,
+       CAST(max(d.ad) AS BIGINT) AS max_abs_dev
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY 1
+"""
+
+
+@register("daily_anomaly_mad", oracle=_MAD_ORACLE)
+def daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on daily event volumes: per event
+    type, the median daily count, the median absolute deviation, and
+    the days flagged at |count - median| > {k}x MAD — the
+    outlier-immune volume monitor a pipeline alerts on (a z-score
+    monitor is blown up by the very spike it should flag; the MAD
+    breaks down only past 50% contamination).
+
+    Everything is exact integer order statistics: the median is the
+    lower median (order statistic at (n+1)/2 with day as tiebreak), so
+    there is no interpolation, no float, and both engines pick the
+    identical element. Scale shape: the raw stream reduces to
+    (type, day) counts in one map-side-combinable pass; every window
+    after that runs on the O(types x days) frame — bounded state at
+    any event volume (the documented already-aggregated-frame window
+    class).""".format(k=_MAD_K)
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tw = W.partitionBy("event_type")
+    rw = W.partitionBy("event_type").orderBy("c", "day")
+    r = daily.select(
+        "*",
+        F.row_number().over(rw).alias("rn"),
+        F.count(F.lit(1)).over(tw).alias("n"),
+    )
+    # integer lower-median rank: (n + 1) // 2
+    med = r.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
+        "event_type", F.col("c").alias("med"), "n"
+    )
+    dev = daily.join(med, "event_type").select(
+        "event_type",
+        "day",
+        "c",
+        "med",
+        "n",
+        F.abs(F.col("c") - F.col("med")).alias("ad"),
+    )
+    dw = W.partitionBy("event_type").orderBy("ad", "day")
+    mad = (
+        dev.select("*", F.row_number().over(dw).alias("rn"))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("ad").alias("mad"))
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").cast("long").alias("median_count"),
+            F.any_value("mad").cast("long").alias("mad"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum((F.col("ad") > _MAD_K * F.col("mad")).cast("int"))
+            .cast("long")
+            .alias("n_anomalous_days"),
+            F.max("ad").cast("long").alias("max_abs_dev"),
+        )
+    )

@@ -370,3 +370,106 @@ def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("us") - F.col("lv_us")).alias("wait_us"),
         F.col("lv_cents").alias("view_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram conditional-LM document scoring (second-order fluency signal)
+# --------------------------------------------------------------------------
+
+_BLM_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM base),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               j -> toks[j] || ' ' || toks[j + 1])) AS pair
+  FROM base WHERE len(toks) >= 2),
+pc AS (SELECT pair, count(*) AS c2 FROM pairs GROUP BY 1),
+ctx AS (
+  SELECT str_split(pair, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1
+  FROM pc GROUP BY 1),
+vocab AS (SELECT count(DISTINCT term) AS v FROM tok),
+lp AS (
+  SELECT pc.pair,
+         CAST(round(ln(CAST(pc.c2 + 1 AS DOUBLE) / (ctx.c1 + vocab.v)) * 1e6)
+              AS BIGINT) AS lp_micro
+  FROM pc
+  JOIN ctx ON str_split(pc.pair, ' ')[1] = ctx.w1
+  CROSS JOIN vocab)
+SELECT p.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(lp.lp_micro) AS BIGINT) AS lp_micro_sum,
+       round(CAST(sum(lp.lp_micro) AS DOUBLE) / count(*) / 1e6, 6)
+         AS mean_logprob
+FROM pairs p JOIN lp USING (pair)
+GROUP BY 1
+"""
+
+
+@register("bigram_logprob", oracle=_BLM_ORACLE)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-LM document scoring: add-one-smoothed
+    ln P(w2|w1) = ln((c(w1 w2)+1)/(c(w1)+V)) summed per document — the
+    second-order fluency signal that catches scrambled-word text the
+    unigram score cannot (same marginals, broken transitions). Pairs
+    ride as single space-joined strings so the pair key, the context
+    marginal, and the scoring join all share one representation.
+
+    Scale shape mirrors unigram_logprob one order up: pair counts are
+    map-side combinable; the context marginal re-aggregates the
+    ALREADY-COLLAPSED pair table (O(pair types), not O(tokens)); the
+    scoring join is pair-keyed — hot bigrams are AQE skew territory;
+    the per-doc reduction is an exact integer micro-unit sum (same
+    libm-at-the-edge risk class as unigram, documented there). Docs
+    with fewer than 2 tokens drop out in both engines."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    tok = base.select(F.explode("toks").alias("term"))
+    pairs = base.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(toks[i], ' ', toks[i + 1]))"
+            )
+        ).alias("pair"),
+    )
+    pc = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = (
+        pc.groupBy(F.split(F.col("pair"), " ").getItem(0).alias("w1"))
+        .agg(F.sum("c2").cast("long").alias("c1"))
+    )
+    vocab = tok.select("term").distinct().agg(F.count(F.lit(1)).alias("v"))
+    lp = (
+        pc.join(ctx, F.split(F.col("pair"), " ").getItem(0) == F.col("w1"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "pair",
+            F.round(
+                F.log(
+                    (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        pairs.join(lp, "pair")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").cast("long").alias("lp_micro_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "lp_micro_sum",
+            F.round(
+                F.col("lp_micro_sum").cast("double") / F.col("n_bigrams") / 1e6, 6
+            ).alias("mean_logprob"),
+        )
+    )

@@ -110,6 +110,7 @@ INTENTIONAL_BNLJ = {
     "bm25_topk",  # broadcast 1-row (N, avgdl) corpus frame
     "mixture_weights",  # broadcast 1-row weight-total denominator
     "unigram_logprob",  # broadcast 1-row (n_total, vocab) corpus frame
+    "bigram_logprob",  # broadcast 1-row vocab-size frame (same machinery)
     "funnel_conversion",  # broadcast 1-row step-count frames (n1 x n2 x n3)
     "windowed_funnel",  # broadcast 1-row step-count frames (same machinery)
     "idle_rich_customers",  # broadcast 1-row balance-threshold frame
