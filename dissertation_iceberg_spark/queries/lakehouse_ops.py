@@ -336,3 +336,196 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").alias("last_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff: keyed table state AS OF t1 vs AS OF t2 (CDC between reads)
+# --------------------------------------------------------------------------
+
+_DIFF_T1 = "2024-01-10 00:00:00"
+_DIFF_T2 = "2024-01-20 00:00:00"
+
+_DIFF_ORACLE = f"""
+WITH log AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, ts,
+         event_type = 'error' AS is_delete,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+s1 AS (
+  SELECT user_id, cents FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY us DESC, event_id DESC) AS rn
+    FROM log WHERE ts <= TIMESTAMP '{_DIFF_T1}')
+  WHERE rn = 1 AND NOT is_delete),
+s2 AS (
+  SELECT user_id, cents FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY us DESC, event_id DESC) AS rn
+    FROM log WHERE ts <= TIMESTAMP '{_DIFF_T2}')
+  WHERE rn = 1 AND NOT is_delete)
+SELECT CASE WHEN s1.user_id IS NULL THEN 'added'
+            WHEN s2.user_id IS NULL THEN 'deleted'
+            WHEN s1.cents <> s2.cents THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       count(*) AS n_keys,
+       CAST(sum(coalesce(s2.cents, 0) - coalesce(s1.cents, 0)) AS BIGINT)
+         AS cents_delta
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+GROUP BY 1
+"""
+
+
+@register("snapshot_diff", oracle=_DIFF_ORACLE)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the read side of a change data feed): reconstruct
+    the keyed state AS OF two timestamps and classify every key as
+    added / deleted / changed / unchanged, with the net value delta —
+    what an incremental consumer reads instead of re-scanning the
+    table. Pairs with snapshot_time_travel (one snapshot) and
+    cdc_latest_state (the current one).
+
+    Scale shape: both snapshots are the same one-window latest-row
+    reduction (cutoffs pushed to the scan), and the FULL OUTER join
+    keys on user_id — the SAME key as the windows, so the whole plan
+    rides one partitioning end-to-end; the classification rollup has 4
+    keys. An engine-native change feed would replace the two replays
+    with log segment reads between the timestamps — the consumer-side
+    contract (this output) is identical."""
+    e = load_table(spark, sf_dir, "events")
+
+    def snap(cutoff: str) -> DataFrame:
+        log = e.filter(F.col("ts") <= F.lit(cutoff).cast("timestamp")).select(
+            "user_id",
+            "event_id",
+            micros("ts").alias("us"),
+            (F.col("event_type") == "error").alias("is_delete"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("us"), F.desc("event_id")
+        )
+        return (
+            log.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & ~F.col("is_delete"))
+            .select("user_id", "cents")
+        )
+
+    s1 = snap(_DIFF_T1).select(
+        F.col("user_id").alias("k1"), F.col("cents").alias("c1")
+    )
+    s2 = snap(_DIFF_T2).select(
+        F.col("user_id").alias("k2"), F.col("cents").alias("c2")
+    )
+    j = s1.join(s2, F.col("k1") == F.col("k2"), "full_outer")
+    change = (
+        F.when(F.col("k1").isNull(), F.lit("added"))
+        .when(F.col("k2").isNull(), F.lit("deleted"))
+        .when(F.col("c1") != F.col("c2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.groupBy(change.alias("change")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(
+            F.coalesce(F.col("c2"), F.lit(0)) - F.coalesce(F.col("c1"), F.lit(0))
+        )
+        .cast("long")
+        .alias("cents_delta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# GDPR delete propagation audit (cascading erasure cost, per table)
+# --------------------------------------------------------------------------
+
+# deterministic deletion cohort: content-hash sampling of user ids
+# (~1/16 of users), the same zero-RNG discipline as deterministic_sample
+_GDPR_MOD = 16
+
+_GDPR_ORACLE = f"""
+WITH cohort AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+        % {_GDPR_MOD} = 0),
+ev AS (
+  SELECT count(*) AS n FROM events e
+  WHERE EXISTS (SELECT 1 FROM cohort c WHERE c.user_id = e.user_id)),
+co AS (
+  SELECT count(*) AS n FROM customer c
+  WHERE EXISTS (SELECT 1 FROM cohort g WHERE g.user_id = c.c_custkey)),
+od AS (
+  SELECT count(*) AS n FROM orders o
+  WHERE EXISTS (SELECT 1 FROM cohort g WHERE g.user_id = o.o_custkey)),
+li AS (
+  SELECT count(*) AS n FROM lineitem l
+  WHERE EXISTS (
+    SELECT 1 FROM orders o
+    JOIN cohort g ON o.o_custkey = g.user_id
+    WHERE o.o_orderkey = l.l_orderkey))
+SELECT 'events' AS tbl, CAST(n AS BIGINT) AS n_rows_to_purge FROM ev
+UNION ALL SELECT 'customer', CAST(n AS BIGINT) FROM co
+UNION ALL SELECT 'orders', CAST(n AS BIGINT) FROM od
+UNION ALL SELECT 'lineitem', CAST(n AS BIGINT) FROM li
+"""
+
+
+@register("gdpr_delete_audit", oracle=_GDPR_ORACLE)
+def gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact audit: for a deletion cohort (selected
+    by deterministic content-hash sampling — reproducible with zero
+    RNG state), count the rows each table must purge, following the
+    foreign-key cascade one hop deep (cohort -> orders -> lineitem).
+    This is the planning query a lakehouse runs before a delete-compact
+    cycle: purge volume decides between copy-on-write rewrites and
+    merge-on-read delete files per table.
+
+    Scale shape: the cohort is an O(users/{m}) key set — every probe
+    is a LEFT SEMI join against it (broadcast at this cohort size;
+    shuffle-semi beyond), so no fact table ever widens or moves more
+    than its join key; the lineitem hop semi-joins against the already
+    cohort-filtered orders keys. Counts are 1-row aggregates unioned
+    into the audit report.""".format(m=_GDPR_MOD)
+    from dissertation_iceberg_spark.functions.hashing import hash60
+
+    e = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cohort = (
+        e.select("user_id")
+        .distinct()
+        .filter(hash60(F.col("user_id").cast("string")) % _GDPR_MOD == 0)
+    )
+    ev_n = (
+        e.join(F.broadcast(cohort), "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    co_n = (
+        cust.join(
+            F.broadcast(cohort.select(F.col("user_id").alias("c_custkey"))),
+            "c_custkey",
+            "left_semi",
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    cohort_orders = orders.join(
+        F.broadcast(cohort.select(F.col("user_id").alias("o_custkey"))),
+        "o_custkey",
+        "left_semi",
+    )
+    od_n = cohort_orders.agg(F.count(F.lit(1)).alias("n"))
+    li_n = (
+        li.join(
+            cohort_orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_semi",
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = [
+        ev_n.select(F.lit("events").alias("tbl"), F.col("n").cast("long").alias("n_rows_to_purge")),
+        co_n.select(F.lit("customer").alias("tbl"), F.col("n").cast("long").alias("n_rows_to_purge")),
+        od_n.select(F.lit("orders").alias("tbl"), F.col("n").cast("long").alias("n_rows_to_purge")),
+        li_n.select(F.lit("lineitem").alias("tbl"), F.col("n").cast("long").alias("n_rows_to_purge")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
