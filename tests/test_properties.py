@@ -469,3 +469,80 @@ def test_scd2_pit_matches_interval_join(spark, sf_dir):
     )
     assert got["n_purchases"].to_dict() == want["n_purchases"].to_dict()
     assert got["revenue_cents"].to_dict() == want["revenue_cents"].to_dict()
+
+
+def test_mad_anomaly_invariants(spark, sf_dir):
+    """MAD detector invariants on the fixture: the median is a real
+    daily count (order statistic, not interpolation), MAD <= max
+    deviation, and flagged days never exceed n_days."""
+    from dissertation_iceberg_spark.queries.behavior_ops import daily_anomaly_mad
+
+    out = daily_anomaly_mad(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out.mad >= 0).all() and (out.mad <= out.max_abs_dev).all()
+    assert (out.n_anomalous_days <= out.n_days).all()
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .count()
+        .toPandas()
+    )
+    for _, row in out.iterrows():
+        counts = daily[daily.event_type == row.event_type]["count"]
+        assert row.median_count in set(counts)  # an actual order statistic
+        assert row.n_days == len(counts)
+
+
+def test_snapshot_diff_consistent_with_time_travel(spark, sf_dir):
+    """The diff's key accounting must reconcile with independent
+    snapshot reconstructions: |s1| = deleted + changed + unchanged and
+    |s2| = added + changed + unchanged."""
+    from dissertation_iceberg_spark.queries.lakehouse_ops import (
+        _DIFF_T1,
+        _DIFF_T2,
+        snapshot_diff,
+    )
+    from dissertation_iceberg_spark.functions.time_bins import micros
+
+    d = (
+        snapshot_diff(spark, sf_dir)
+        .toPandas()
+        .set_index("change")["n_keys"]
+        .to_dict()
+    )
+
+    def snap_count(cutoff):
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        from pyspark.sql import Window as W
+
+        log = e.filter(F.col("ts") <= F.lit(cutoff).cast("timestamp"))
+        w = W.partitionBy("user_id").orderBy(
+            F.desc(micros("ts")), F.desc("event_id")
+        )
+        return (
+            log.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+            .count()
+        )
+
+    n1, n2 = snap_count(_DIFF_T1), snap_count(_DIFF_T2)
+    assert n1 == d.get("deleted", 0) + d.get("changed", 0) + d.get("unchanged", 0)
+    assert n2 == d.get("added", 0) + d.get("changed", 0) + d.get("unchanged", 0)
+
+
+def test_gdpr_cascade_consistency(spark, sf_dir):
+    """The cascade must be internally consistent: lineitem purge rows
+    can only come from cohort orders, and every table's purge count is
+    bounded by its total row count."""
+    from dissertation_iceberg_spark.queries.lakehouse_ops import gdpr_delete_audit
+
+    out = (
+        gdpr_delete_audit(spark, sf_dir)
+        .toPandas()
+        .set_index("tbl")["n_rows_to_purge"]
+    )
+    for tbl in ["events", "customer", "orders", "lineitem"]:
+        total = spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
+        assert 0 <= out[tbl] <= total
+    # a cohort exists at every SF (hash-sampled ~1/16 of 150+ users)
+    assert out["events"] > 0
