@@ -382,3 +382,94 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (2D skyline): cheapest-per-size part catalog
+# --------------------------------------------------------------------------
+
+_SKY_BUCKETS = 256
+
+_SKYLINE_ORACLE = """
+SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""
+
+
+@register("pareto_frontier", oracle=_SKYLINE_ORACLE)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D Pareto frontier (skyline): parts not dominated on
+    (minimize retail price, maximize size) — 'no cheaper part is at
+    least as big'. The oracle is the textbook quadratic NOT EXISTS;
+    the Spark plan is the O(n log n) sweep, decomposed for scale: a
+    part is on the frontier iff its size equals its price level's max
+    AND strictly exceeds the running size-max over all cheaper levels.
+
+    The running max never becomes a global single-partition window
+    over the catalog: price levels bucket by width_bucket, the
+    exclusive cross-bucket prefix max is an O({b})-row window (the
+    bounded already-aggregated class), and within-bucket running
+    maxes partition by bucket — the same two-pass shape as the rank
+    statistics (functions/ranks.py). All comparisons are raw parquet
+    values (no arithmetic), so cross-engine equality is exact. Ties:
+    duplicate (price, size) rows dominate nothing strictly, so both
+    survive in both formulations.""".format(b=_SKY_BUCKETS)
+    from pyspark.sql import Window as W
+
+    part = load_table(spark, sf_dir, "part")
+    lv = part.groupBy("p_retailprice").agg(F.max("p_size").alias("lmax"))
+    bounds = lv.agg(
+        F.min("p_retailprice").alias("lo"), F.max("p_retailprice").alias("hi")
+    )
+    b = lv.join(F.broadcast(bounds)).withColumn(
+        "bkt",
+        F.least(
+            F.width_bucket(
+                F.col("p_retailprice"), F.col("lo"), F.col("hi"), _SKY_BUCKETS
+            ),
+            F.lit(_SKY_BUCKETS),
+        ),
+    )
+    bw = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    bmax = (
+        b.groupBy("bkt")
+        .agg(F.max("lmax").alias("bmax"))
+        .select("bkt", F.max("bmax").over(bw).alias("pre_bucket_max"))
+    )
+    iw = (
+        W.partitionBy("bkt")
+        .orderBy("p_retailprice")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    levels = (
+        b.select(
+            "p_retailprice",
+            "lmax",
+            "bkt",
+            F.max("lmax").over(iw).alias("in_bucket_prev"),
+        )
+        .join(F.broadcast(bmax), "bkt")
+        .select(
+            "p_retailprice",
+            "lmax",
+            F.greatest(
+                F.coalesce(F.col("pre_bucket_max"), F.lit(-(1 << 31))),
+                F.coalesce(F.col("in_bucket_prev"), F.lit(-(1 << 31))),
+            ).alias("prev_max"),
+        )
+    )
+    return (
+        part.join(levels, "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("lmax"))
+            & (F.col("p_size") > F.col("prev_max"))
+        )
+        .select(
+            "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
+        )
+    )
