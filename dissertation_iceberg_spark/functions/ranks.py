@@ -23,6 +23,8 @@ per-row ordering is ever needed.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -33,36 +35,44 @@ def bucketed_exclusive_cumsums(
     sum_cols: list[str],
     n_buckets: int = 1024,
     prefix: str = "cum_",
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Add exclusive global prefix sums of ``sum_cols`` in ``order_col``
-    order, using bucketed two-pass summation (no unpartitioned window
-    over the input frame).
+    """Add exclusive prefix sums of ``sum_cols`` in ``order_col`` order
+    — globally, or independently per ``group_cols`` group — using
+    bucketed two-pass summation (no unpartitioned window over the
+    input frame).
 
-    ``df`` must be UNIQUE on ``order_col`` (group first): with
-    duplicates, the within-bucket exclusive frame would split tie rows
-    nondeterministically.
+    ``df`` must be UNIQUE on (group_cols, order_col) (group first):
+    with duplicates, the within-bucket exclusive frame would split tie
+    rows nondeterministically. With ``group_cols``, bucket bounds come
+    from each group's own min/max, the offset window partitions by
+    group over O(groups x n_buckets) rows, and within-bucket windows
+    partition by (group, bucket) — every stage stays group-parallel.
     """
+    g = list(group_cols)
     oc = F.col(order_col)
-    stats = df.agg(
-        F.min(oc).alias("__vmin"), F.max(oc).alias("__vmax")
-    )
+    if g:
+        stats = df.groupBy(*g).agg(
+            F.min(oc).alias("__vmin"), F.max(oc).alias("__vmax")
+        )
+    else:
+        stats = df.agg(F.min(oc).alias("__vmin"), F.max(oc).alias("__vmax"))
     bucket = F.when(
         F.col("__vmax") > F.col("__vmin"),
         F.width_bucket(oc, F.col("__vmin"), F.col("__vmax"), F.lit(n_buckets)),
     ).otherwise(F.lit(1))
-    b = (
-        df.join(F.broadcast(stats))
-        .withColumn("__bucket", bucket)
-        .drop("__vmin", "__vmax")
-    )
-    totals = b.groupBy("__bucket").agg(
+    joined = df.join(F.broadcast(stats), g) if g else df.join(F.broadcast(stats))
+    b = joined.withColumn("__bucket", bucket).drop("__vmin", "__vmax")
+    totals = b.groupBy(*g, "__bucket").agg(
         *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
     )
     w_off = (
-        Window.orderBy("__bucket")
+        (Window.partitionBy(*g) if g else Window)
+        .orderBy("__bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
-    )  # O(n_buckets) rows: single-partition window is intentional
+    )  # O(n_buckets) rows per group: the accepted bounded-frame window
     offsets = totals.select(
+        *g,
         "__bucket",
         *[
             F.coalesce(F.sum(f"__t_{c}").over(w_off), F.lit(0)).alias(f"__o_{c}")
@@ -70,11 +80,11 @@ def bucketed_exclusive_cumsums(
         ],
     )
     w_in = (
-        Window.partitionBy("__bucket")
+        Window.partitionBy(*g, "__bucket")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    out = b.join(F.broadcast(offsets), "__bucket")
+    out = b.join(F.broadcast(offsets), [*g, "__bucket"])
     for c in sum_cols:
         out = out.withColumn(
             f"{prefix}{c}",

@@ -529,3 +529,62 @@ def gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --------------------------------------------------------------------------
+# Zone-map file-skipping audit (data-skipping effectiveness, per file)
+# --------------------------------------------------------------------------
+
+# probe predicate: a user-id range scan, the dimension day files are
+# NOT organized by — the interesting case for a skipping audit
+_SKIP_USER_LO = 40
+_SKIP_USER_HI = 60
+
+_SKIP_ORACLE = f"""
+WITH files AS (
+  SELECT date_trunc('day', ts) AS file_day,
+         count(*) AS n_rows,
+         min(user_id) AS u_min,
+         max(user_id) AS u_max
+  FROM events GROUP BY 1)
+SELECT file_day, n_rows, u_min, u_max,
+       CAST(u_max >= {_SKIP_USER_LO} AND u_min <= {_SKIP_USER_HI} AS BIGINT)
+         AS scanned
+FROM files
+"""
+
+
+@register("file_skipping_audit", oracle=_SKIP_ORACLE)
+def file_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file-skipping audit: simulate day-partitioned files,
+    compute each file's (min, max) zone map on user_id, and mark which
+    files a user-range predicate would actually scan — the
+    data-skipping effectiveness report behind every Iceberg/Delta
+    layout decision. On this layout the audit shows user-keyed scans
+    skip ~nothing (every day sees most users) — which is precisely the
+    evidence that justifies a z-order rewrite (zorder_clusters audits
+    the layout that fixes it; the two queries are the before/after
+    pair).
+
+    Scale shape: zone maps are one map-side-combinable aggregate per
+    file group (real deployments read them from manifest metadata —
+    zero data scan); the overlap classification is a per-row integer
+    predicate on the O(files) frame."""
+    e = load_table(spark, sf_dir, "events")
+    files = e.groupBy(F.date_trunc("day", F.col("ts")).alias("file_day")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+    )
+    return files.select(
+        "file_day",
+        "n_rows",
+        "u_min",
+        "u_max",
+        (
+            (F.col("u_max") >= _SKIP_USER_LO)
+            & (F.col("u_min") <= _SKIP_USER_HI)
+        )
+        .cast("long")
+        .alias("scanned"),
+    )

@@ -390,3 +390,67 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(_PATH_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted median per group (prefix-weight threshold, no global sort)
+# --------------------------------------------------------------------------
+
+_WMED_ORACLE = """
+WITH lv AS (
+  SELECT l_returnflag, l_extendedprice AS p,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+c AS (
+  SELECT *, sum(w) OVER (PARTITION BY l_returnflag ORDER BY p) AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lv)
+SELECT l_returnflag,
+       min(p) AS weighted_median,
+       CAST(max(tw) AS BIGINT) AS total_weight_cents
+FROM c WHERE 2 * cw >= tw
+GROUP BY 1
+"""
+
+
+@register("weighted_median", oracle=_WMED_ORACLE)
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price whose inclusive cumulative weight reaches half the group
+    total — the volume-centric 'typical price' (an unweighted median
+    over lineitems overweights penny orders). Weights are exact
+    integer centi-units, and the threshold test 2*cw >= tw is integer
+    — no float ever decides the pick, so both engines choose the
+    identical price level.
+
+    Scale shape: the raw table collapses to (flag, price) weight
+    levels first (map-side combinable); cumulative weights come from
+    the GROUPED bucketed two-pass machinery (functions/ranks.py with
+    group_cols) — per-group width buckets, an O(groups x buckets)
+    offset window, and within-(group, bucket) windows — never a
+    per-group ordered window over the full level frame, which for a
+    high-cardinality order column would bottleneck on the largest
+    group. The pick is one min_by over threshold survivors."""
+    from dissertation_iceberg_spark.functions.ranks import (
+        bucketed_exclusive_cumsums,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lv = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("p")).agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+        .cast("long")
+        .alias("w")
+    )
+    cum = bucketed_exclusive_cumsums(
+        lv, "p", ["w"], group_cols=["l_returnflag"]
+    ).withColumn("cw", F.col("cum_w") + F.col("w"))
+    tot = lv.groupBy("l_returnflag").agg(F.sum("w").cast("long").alias("tw"))
+    return (
+        cum.join(F.broadcast(tot), "l_returnflag")
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("p").alias("weighted_median"),
+            F.max("tw").cast("long").alias("total_weight_cents"),
+        )
+    )
