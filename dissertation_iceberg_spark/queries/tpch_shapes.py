@@ -473,3 +473,175 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q17 shape: small-quantity revenue (correlated per-group average)
+# --------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+WITH q AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+  FROM lineitem),
+a AS (
+  SELECT l_partkey, CAST(sum(qc) AS BIGINT) AS sum_qc, count(*) AS n
+  FROM q GROUP BY 1)
+SELECT count(*) AS n_small,
+       CAST(sum(q.pc) AS BIGINT) AS revenue_cents,
+       round(CAST(sum(q.pc) AS DOUBLE) / 100 / 7, 6) AS avg_yearly
+FROM q JOIN a ON q.l_partkey = a.l_partkey
+WHERE q.qc * 5 * a.n < a.sum_qc
+"""
+
+
+@register("small_quantity_revenue", oracle=_Q17_ORACLE)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in orders below 20% of their
+    part's average quantity — the correlated per-group average
+    (a scalar subquery per row in the original) expressed as one
+    aggregate + self-join on the group key.
+
+    Parity trick: quantity < avg/5 becomes the integer
+    cross-multiplication qc * 5 * n < sum_qc — the average is never a
+    float, so no boundary row can flip between engines. Scale shape:
+    the per-part sufficient statistics (sum, count) are one map-side
+    combinable aggregate; the join-back shuffles on the SAME l_partkey
+    as the aggregate, so the chain rides one exchange; the final
+    report is a 1-row sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+    )
+    a = q.groupBy("l_partkey").agg(
+        F.sum("qc").cast("long").alias("sum_qc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        q.join(a, "l_partkey")
+        .filter(F.col("qc") * 5 * F.col("n") < F.col("sum_qc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum("pc").cast("long").alias("revenue_cents"),
+            F.round(F.sum("pc").cast("double") / 100 / 7, 6).alias("avg_yearly"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape: important stock (group share above a total fraction)
+# --------------------------------------------------------------------------
+
+_Q11_FRACTION_DEN = 25  # keep nations holding > 1/25 of total value
+
+_Q11_ORACLE = f"""
+WITH v AS (
+  SELECT n.n_name,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1),
+t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total FROM v)
+SELECT v.n_name, v.value_cents,
+       round(CAST(v.value_cents AS DOUBLE) / t.total, 6) AS share
+FROM v, t
+WHERE v.value_cents * {_Q11_FRACTION_DEN} > t.total
+"""
+
+
+@register("important_stock", oracle=_Q11_ORACLE)
+def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: supplier nations holding more than 1/{d} of
+    total supplied value — a grouped sum filtered against a fraction
+    of the global total (a scalar subquery in the original).
+
+    Parity trick: the HAVING is value * {d} > total — exact integers,
+    no float threshold. Scale shape: one fact-scale aggregate keyed by
+    the broadcast-joined nation (bounded key space, map-side
+    combinable); the 1-row total broadcasts back over the O(nations)
+    frame. The share division happens only for display.""".format(
+        d=_Q11_FRACTION_DEN
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    v = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents")
+        )
+    )
+    t = v.agg(F.sum("value_cents").cast("long").alias("total"))
+    return (
+        v.join(F.broadcast(t))
+        .filter(F.col("value_cents") * _Q11_FRACTION_DEN > F.col("total"))
+        .select(
+            "n_name",
+            "value_cents",
+            F.round(
+                F.col("value_cents").cast("double") / F.col("total"), 6
+            ).alias("share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 shape: promo revenue share per ship month (conditional ratio)
+# --------------------------------------------------------------------------
+
+_Q14_ORACLE = """
+WITH j AS (
+  SELECT date_trunc('month', l.l_shipdate) AS ship_month,
+         p.p_type = 'PROMO' AS is_promo,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+              AS BIGINT) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+SELECT ship_month,
+       CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT)
+         AS promo_rev_e4,
+       CAST(sum(rev) AS BIGINT) AS total_rev_e4,
+       round(100.0 * sum(CASE WHEN is_promo THEN rev ELSE 0 END)
+             / sum(rev), 6) AS promo_share_pct
+FROM j GROUP BY 1
+"""
+
+
+@register("promo_revenue_share", oracle=_Q14_ORACLE)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the monthly share of revenue from promotional
+    parts — a conditional-sum ratio over a broadcast dim join, the
+    market-response metric shape.
+
+    Revenue rides as exact 1e-4-unit integers (price x (1-discount)
+    rounds once per row, identically in both engines), so both ratio
+    operands are exact and the single display division cannot drift.
+    Scale shape: broadcast part dim, one month-keyed
+    map-side-combinable aggregate — bounded output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li.l_partkey == part.p_partkey,
+    ).select(
+        F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"),
+        (F.col("p_type") == "PROMO").alias("is_promo"),
+        rev.alias("rev"),
+    )
+    promo = F.sum(F.when(F.col("is_promo"), F.col("rev")).otherwise(F.lit(0)))
+    return j.groupBy("ship_month").agg(
+        promo.cast("long").alias("promo_rev_e4"),
+        F.sum("rev").cast("long").alias("total_rev_e4"),
+        F.round(F.lit(100.0) * promo / F.sum("rev"), 6).alias("promo_share_pct"),
+    )

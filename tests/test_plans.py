@@ -117,6 +117,7 @@ INTENTIONAL_BNLJ = {
     "copurchase_lift",  # broadcast 1-row order-count (lift denominator)
     "nb_lang_classify",  # broadcast 1-row vocab-size + corpus-size frames
     "pareto_frontier",  # broadcast 1-row price-bounds frame
+    "important_stock",  # broadcast 1-row value-total frame
     "triangle_count",  # broadcast 1-row wedge/triangle/edge-count frames
     "histogram_quantiles",  # broadcast 1-row bounds + 3-row quantile targets
     "mixture_sample",  # broadcast 1-row weight-total frame (quota arithmetic)
