@@ -74,6 +74,7 @@ def _ensure_loaded() -> None:
         strategy,
         strategy2,
         tpch_shapes,
+        tpch_shapes2,
         windows2,
     )
 

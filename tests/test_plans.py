@@ -339,3 +339,45 @@ def test_unigram_logprob_shuffle_shape(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 1
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or p.count("BroadcastHashJoin") >= 1
+
+
+def test_q19_disjunction_reaches_both_scans(spark, sf_dir):
+    """Q19 shape: Catalyst must distribute the OR-of-ANDs so each
+    scan is pre-filtered — the part scan by the brand union, the
+    lineitem scan by the quantity-range union — instead of evaluating
+    the whole disjunction only after the join."""
+    p = _plan(spark, sf_dir, "disjunctive_brand_revenue")
+    # part scan: Or(Or(And(EqualTo(p_brand,...),...)...)) pushed
+    assert "EqualTo(p_brand" in p, "brand union must reach the part scan"
+    # lineitem scan: the quantity-range union pushed
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in p, (
+        "quantity union must reach the lineitem scan"
+    )
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q13_preaggregates_before_outer_join(spark, sf_dir):
+    """Q13 shape: the per-customer count collapses orders BEFORE the
+    outer join (combiner-backed partial aggregation), so the join is
+    dim x dim — the naive join-then-count would move the whole fact
+    table uncombined."""
+    p = _plan(spark, sf_dir, "order_count_distribution")
+    ha = p.index("HashAggregate")  # first (partial) aggregate...
+    jo = p.index("Join")  # ...must sit below the join in the plan tree
+    assert ha > jo or "partial_count" in p.split("Join")[-1], (
+        "orders must pre-aggregate under the outer join"
+    )
+    assert "CartesianProduct" not in p
+
+
+def test_q20_single_fact_scan(spark, sf_dir):
+    """Q20 shape: the per-part total is a window over the pair
+    aggregate, NOT a second aggregate joined back — Spark has no
+    common-subplan reuse, so the agg-then-join form scans the fact
+    table twice. One lineitem scan, one window, no self-join."""
+    p = _plan(spark, sf_dir, "dominant_part_suppliers")
+    assert p.count("lineitem.parquet") == 1, "fact table must scan once"
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
