@@ -73,6 +73,7 @@ def _ensure_loaded() -> None:
         sqlops,
         strategy,
         strategy2,
+        text_metrics,
         tpch_shapes,
         tpch_shapes2,
         windows2,

@@ -1,0 +1,292 @@
+"""Corpus-level text metrics (round 3, third session): the Zipf
+rank-frequency slope, n-gram diversity ratios, and character-level
+entropy — the corpus-health statistics a training-data pipeline
+monitors per ingest batch (skewed Zipf slope => boilerplate floods;
+collapsing trigram diversity => template spam; entropy drops =>
+encoding damage).
+
+Parity strategy (the repo's standard tricks): evidence sums ride as
+exact integers (log values in 1e-6 "micro-nat" units, one round per
+term, identical in both engines); the final slope/entropy arithmetic
+runs in IEEE double over those exact integers with the SAME expression
+shape on both sides, then rounds to 6 dp. The only cross-engine
+exposure is the half-ulp rounding-tie class on round(ln(k)*1e6)
+documented in corpus_ops.unigram_logprob — probability ~1e-9 per term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dissertation_iceberg_spark.io import load_table, spread
+from dissertation_iceberg_spark.queries.registry import register
+
+# --------------------------------------------------------------------------
+# Zipf slope: log-log OLS over the top-K rank-frequency curve
+# --------------------------------------------------------------------------
+
+_ZIPF_TOPK = 1000
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+counts AS (
+  SELECT tok, count(*) AS n FROM toks WHERE tok <> '' GROUP BY 1),
+top AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS r
+  FROM counts ORDER BY n DESC, tok LIMIT {_ZIPF_TOPK}),
+xy AS (
+  SELECT CAST(round(ln(r) * 1e6) AS BIGINT) AS x,
+         CAST(round(ln(n) * 1e6) AS BIGINT) AS y
+  FROM top),
+s AS (
+  SELECT count(*) AS n_terms,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM xy)
+SELECT n_terms,
+  round((CAST(n_terms AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        / (CAST(n_terms AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+    AS zipf_slope,
+  round(((CAST(sy AS DOUBLE)
+          - (CAST(n_terms AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (CAST(n_terms AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * CAST(sx AS DOUBLE))
+         / CAST(n_terms AS DOUBLE)) / 1e6, 6) AS intercept_ln,
+  round((CAST(n_terms AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        * (CAST(n_terms AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        / ((CAST(n_terms AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+           * (CAST(n_terms AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+    AS r2
+FROM s
+"""
+
+
+@register("zipf_slope", oracle=_ZIPF_ORACLE)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS of ln(frequency) on ln(rank) over the top
+    {k} vocabulary terms. A healthy natural-language corpus sits near
+    slope -1; template/boilerplate floods flatten the head and
+    machine-generated spam steepens it — the cheapest corpus-drift
+    alarm there is.
+
+    Scale shape: the vocab count is one fact-scale
+    map-side-combinable aggregate; the top-K is TakeOrderedAndProject
+    (per-partition heaps, no global sort); ranking and the OLS
+    moments run on the K-row frame (bounded window, like the repo's
+    other O(bounded) frames). Evidence sums are exact micro-nat
+    integers, so both engines feed IDENTICAL bigints into the one
+    display-only double expression.""".format(k=_ZIPF_TOPK)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(_ZIPF_TOPK)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok")))
+    )
+    xy = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * 1e6).cast("long").alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * 1e6).cast("long").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n_terms").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    denx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    slope = num / denx
+    return s.select(
+        "n_terms",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            ((F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / nd)
+            / 1e6,
+            6,
+        ).alias("intercept_ln"),
+        F.round(num * num / (denx * deny), 6).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram diversity: type-token ratio and distinct-trigram ratio per source
+# --------------------------------------------------------------------------
+
+_TRI_SEP = chr(31)  # unit separator — cannot appear in space-split tokens
+
+_DIVERSITY_ORACLE = f"""
+WITH t AS (
+  SELECT source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+uni AS (
+  SELECT source, count(*) AS n_unigrams,
+         count(DISTINCT tok) AS n_distinct_unigrams
+  FROM (SELECT source, unnest(toks) AS tok FROM t)
+  GROUP BY 1),
+tri AS (
+  SELECT source, count(*) AS n_trigrams,
+         count(DISTINCT g) AS n_distinct_trigrams
+  FROM (
+    SELECT source,
+           unnest(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> toks[i] || '{_TRI_SEP}' || toks[i + 1]
+                  || '{_TRI_SEP}' || toks[i + 2])) AS g
+    FROM t WHERE len(toks) >= 3)
+  GROUP BY 1)
+SELECT uni.source, n_unigrams, n_distinct_unigrams,
+       round(CAST(n_distinct_unigrams AS DOUBLE) / n_unigrams, 6) AS ttr,
+       n_trigrams, n_distinct_trigrams,
+       round(CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams, 6)
+         AS trigram_diversity
+FROM uni JOIN tri ON uni.source = tri.source
+"""
+
+
+@register("ngram_diversity", oracle=_DIVERSITY_ORACLE)
+def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity: type-token ratio (distinct
+    unigrams / unigrams) and distinct-trigram ratio — the standard
+    template-spam detector (near-duplicate boilerplate keeps TTR
+    steady but collapses trigram diversity toward 0).
+
+    Trigrams join tokens with the unit separator (cannot occur inside
+    a space-split token), so distinct-counting never aliases across
+    token boundaries. The <3-token guard mirrors DuckDB's empty
+    generate_series — Spark's F.sequence REVERSES when start > stop
+    (the repo's chunking bug class), hence the explicit when().
+
+    Scale shape: two explode->distinct-count aggregates keyed by the
+    bounded source dim; count(DISTINCT) plans as partial-distinct, so
+    the shuffle carries O(distinct) rows, not O(tokens); the final
+    join is dim x dim."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "source",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("toks"),
+    )
+    uni = (
+        t.select("source", F.explode("toks").alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_unigrams"),
+            F.countDistinct("tok").alias("n_distinct_unigrams"),
+        )
+    )
+    sz = F.size("toks")
+    grams = F.when(
+        sz >= 3,
+        F.transform(
+            F.sequence(F.lit(1), sz - 2),
+            lambda i: F.concat_ws(
+                _TRI_SEP,
+                F.element_at("toks", i),
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = (
+        t.select("source", F.explode(grams).alias("g"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.countDistinct("g").alias("n_distinct_trigrams"),
+        )
+    )
+    return uni.join(tri, "source").select(
+        "source",
+        "n_unigrams",
+        "n_distinct_unigrams",
+        F.round(
+            F.col("n_distinct_unigrams").cast("double") / F.col("n_unigrams"), 6
+        ).alias("ttr"),
+        "n_trigrams",
+        "n_distinct_trigrams",
+        F.round(
+            F.col("n_distinct_trigrams").cast("double") / F.col("n_trigrams"), 6
+        ).alias("trigram_diversity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Character entropy per source (encoding-damage / compression proxy)
+# --------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT source, unnest(string_split_regex(text, '')) AS ch
+  FROM documents),
+cc AS (
+  SELECT source, ch, count(*) AS n
+  FROM chars WHERE ch <> '' GROUP BY 1, 2),
+s AS (
+  SELECT source,
+         CAST(sum(n) AS BIGINT) AS n_chars,
+         count(*) AS n_distinct_chars,
+         CAST(sum(n * CAST(round(ln(n) * 1e6) AS BIGINT)) AS BIGINT)
+           AS s_micro
+  FROM cc GROUP BY 1)
+SELECT source, n_chars, n_distinct_chars,
+  round((round(ln(n_chars) * 1e6)
+         - CAST(s_micro AS DOUBLE) / n_chars) / 1e6, 6) AS entropy_nats
+FROM s
+"""
+
+
+@register("char_entropy", oracle=_ENTROPY_ORACLE)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of the character distribution per
+    source, via H = ln(N) - (1/N) * sum n_c ln n_c — the cheap
+    compression-ratio proxy: mojibake and binary contamination spike
+    it, template floods sink it.
+
+    The evidence sum S = sum(n_c * round(ln(n_c)*1e6)) is an exact
+    integer (micro-nats), so both engines agree bit-for-bit up to the
+    documented ln half-ulp tie; the single double division happens at
+    display. Scale shape: char histogram is a map-side-combinable
+    aggregate on the tiny (source x charset) key space — partial
+    aggregation collapses each 100 TB scan task to O(charset) rows
+    before any shuffle."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cc = (
+        docs.select("source", F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("source", "ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = cc.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(
+            F.col("n") * F.round(F.log(F.col("n").cast("double")) * 1e6).cast("long")
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    return s.select(
+        "source",
+        "n_chars",
+        "n_distinct_chars",
+        F.round(
+            (
+                F.round(F.log(F.col("n_chars").cast("double")) * 1e6)
+                - F.col("s_micro").cast("double") / F.col("n_chars")
+            )
+            / 1e6,
+            6,
+        ).alias("entropy_nats"),
+    )

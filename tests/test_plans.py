@@ -381,3 +381,12 @@ def test_q20_single_fact_scan(spark, sf_dir):
     assert "Window" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_zipf_topk_no_global_sort(spark, sf_dir):
+    """The vocab top-K must be TakeOrderedAndProject (per-partition
+    heaps); the only full Sort allowed is inside the bounded K-row
+    ranking window."""
+    p = _plan(spark, sf_dir, "zipf_slope")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p

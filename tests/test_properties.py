@@ -546,3 +546,70 @@ def test_gdpr_cascade_consistency(spark, sf_dir):
         assert 0 <= out[tbl] <= total
     # a cohort exists at every SF (hash-sampled ~1/16 of 150+ users)
     assert out["events"] > 0
+
+
+def test_zipf_fit_invariants(spark, sf_dir):
+    """Rank-frequency OLS must produce a negative slope (frequency
+    falls with rank by construction — ranks are ordered by count
+    desc) with r2 in [0, 1], over exactly min(K, vocab) terms."""
+    from dissertation_iceberg_spark.queries.text_metrics import (
+        _ZIPF_TOPK,
+        zipf_slope,
+    )
+
+    row = zipf_slope(spark, sf_dir).toPandas().iloc[0]
+    assert 0 < row["n_terms"] <= _ZIPF_TOPK
+    assert row["zipf_slope"] < 0
+    assert 0.0 <= row["r2"] <= 1.0
+    # intercept is ln(freq) at rank 1 — must be at least the slope-line
+    # value at the largest rank, and positive for any real corpus
+    assert row["intercept_ln"] > 0
+
+
+def test_diversity_ratios_bounded(spark, sf_dir):
+    """TTR and trigram diversity are proper ratios; distinct counts
+    never exceed totals; trigram count per source is exactly
+    sum(max(len-2, 0)) over its docs."""
+    from pyspark.sql import functions as F
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.text_metrics import ngram_diversity
+
+    out = ngram_diversity(spark, sf_dir).toPandas().set_index("source")
+    assert len(out) > 0
+    assert ((out["ttr"] > 0) & (out["ttr"] <= 1)).all()
+    assert (
+        (out["trigram_diversity"] > 0) & (out["trigram_diversity"] <= 1)
+    ).all()
+    assert (out["n_distinct_unigrams"] <= out["n_unigrams"]).all()
+    assert (out["n_distinct_trigrams"] <= out["n_trigrams"]).all()
+    expected = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.greatest(
+                F.size(F.filter(F.split("text", " "), lambda x: x != "")) - 2,
+                F.lit(0),
+            ).alias("k"),
+        )
+        .groupBy("source")
+        .agg(F.sum("k").alias("n_tri"))
+        .toPandas()
+        .set_index("source")["n_tri"]
+    )
+    for src, n in expected.items():
+        assert out.loc[src, "n_trigrams"] == n
+
+
+def test_char_entropy_bounds(spark, sf_dir):
+    """0 <= H <= ln(alphabet size) — the uniform-distribution cap —
+    for every source."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.queries.text_metrics import char_entropy
+
+    out = char_entropy(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["entropy_nats"] >= 0).all()
+    cap = np.log(out["n_distinct_chars"].astype("float64")) + 1e-6
+    assert (out["entropy_nats"] <= cap).all()
