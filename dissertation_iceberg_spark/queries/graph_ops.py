@@ -224,3 +224,133 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Degree-ordered triangle counting: the skew-proof orientation
+# --------------------------------------------------------------------------
+
+_TRI_DEG_ORACLE = f"""
+WITH assoc AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM assoc a JOIN assoc b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_WEIGHT}),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges)
+  GROUP BY 1),
+oriented AS (
+  SELECT CASE WHEN (da.d, e.pa) < (db.d, e.pb) THEN e.pa ELSE e.pb END AS src,
+         CASE WHEN (da.d, e.pa) < (db.d, e.pb) THEN e.pb ELSE e.pa END AS dst,
+         CASE WHEN (da.d, e.pa) < (db.d, e.pb) THEN db.d ELSE da.d END AS ddst
+  FROM edges e
+  JOIN deg da ON da.node = e.pa
+  JOIN deg db ON db.node = e.pb),
+outdeg AS (
+  SELECT src, count(*) AS od FROM oriented GROUP BY 1),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM oriented o1
+  JOIN oriented o2
+    ON o1.src = o2.src AND (o1.ddst, o1.dst) < (o2.ddst, o2.dst)
+  WHERE EXISTS (
+    SELECT 1 FROM oriented c
+    WHERE c.src = o1.dst AND c.dst = o2.dst))
+SELECT (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT max(d) FROM deg) AS max_degree,
+       (SELECT max(od) FROM outdeg) AS max_out_degree,
+       CAST(t.n_triangles AS BIGINT) AS n_triangles
+FROM tri t
+"""
+
+
+@register("triangle_count_oriented", oracle=_TRI_DEG_ORACLE)
+def triangle_count_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle counting — the at-scale variant of
+    triangle_count. Each strong edge points from its lower-(degree,
+    id) endpoint to the higher one, so every wedge is generated at its
+    LOWEST-degree apex: per-node fan-out is capped at O(sqrt(edges))
+    regardless of hub degree (a celebrity node with degree 10^6
+    generates zero wedges as apex — its neighbors, each of far lower
+    degree, generate them instead). The id-only orientation in
+    triangle_count is the oracle-trivial baseline; this is the one
+    you run on 100 TB. Both must return the same n_triangles — pinned
+    in tests/test_properties.py.
+
+    The wedge pair-ordering and the closing-edge lookup both follow
+    the SAME (degree, id) total order, so each triangle is counted
+    exactly once, from its unique lowest-apex wedge. max_out_degree
+    vs max_degree in the output row is the measured skew cap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    assoc = li.select("l_orderkey", "l_partkey").distinct()
+    b = assoc.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        assoc.join(
+            b,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("pb")),
+        )
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _TRI_MIN_WEIGHT)
+        .select("pa", "pb")
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("na"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("nb"), F.col("d").alias("db"))
+    a_first = F.struct(F.col("da"), F.col("pa")) < F.struct(
+        F.col("db"), F.col("pb")
+    )
+    oriented = (
+        edges.join(da, F.col("pa") == F.col("na"))
+        .join(db, F.col("pb") == F.col("nb"))
+        .select(
+            F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+        )
+    )
+    outdeg = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    o2 = oriented.select(
+        F.col("src").alias("s2"), F.col("dst").alias("d2"), F.col("ddst").alias("dd2")
+    )
+    closing = oriented.select(
+        F.col("src").alias("cs"), F.col("dst").alias("cd")
+    )
+    tri = (
+        oriented.join(o2, F.col("src") == F.col("s2"))
+        .filter(
+            F.struct(F.col("ddst"), F.col("dst"))
+            < F.struct(F.col("dd2"), F.col("d2"))
+        )
+        .join(
+            closing,
+            (F.col("cs") == F.col("dst")) & (F.col("cd") == F.col("d2")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    summary = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    dmax = deg.agg(F.max("d").alias("max_degree"))
+    omax = outdeg.agg(F.max("od").alias("max_out_degree"))
+    return (
+        summary.join(F.broadcast(dmax))
+        .join(F.broadcast(omax))
+        .join(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "max_degree",
+            "max_out_degree",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+        )
+    )

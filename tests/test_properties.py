@@ -613,3 +613,19 @@ def test_char_entropy_bounds(spark, sf_dir):
     assert (out["entropy_nats"] >= 0).all()
     cap = np.log(out["n_distinct_chars"].astype("float64")) + 1e-6
     assert (out["entropy_nats"] <= cap).all()
+
+
+def test_oriented_triangle_count_matches_baseline(spark, sf_dir):
+    """Degree-ordered orientation must count exactly the same
+    triangles as the id-ordered baseline, and its wedge fan-out cap
+    (max out-degree) can never exceed the raw max degree."""
+    from dissertation_iceberg_spark.queries.graph_ops import (
+        triangle_count,
+        triangle_count_oriented,
+    )
+
+    base = triangle_count(spark, sf_dir).toPandas().iloc[0]
+    orient = triangle_count_oriented(spark, sf_dir).toPandas().iloc[0]
+    assert orient["n_triangles"] == base["n_triangles"]
+    assert orient["n_edges"] == base["n_edges"]
+    assert orient["max_out_degree"] <= orient["max_degree"]
