@@ -603,3 +603,124 @@ def bloom_gated_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_skipped_exact_check"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic t-digest: arcsine-scale (k1) quantile centroids
+# --------------------------------------------------------------------------
+
+_TD_PREBINS = 1024  # value-space pre-buckets (pass 2 state)
+_TD_K = 64  # centroids
+_TD_PI_MICRO = 3_141_593  # round(pi * 1e6)
+
+_TDIGEST_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+b AS (SELECT min(c) AS lo, max(c) AS hi, count(*) AS n FROM v),
+h AS (
+  SELECT least((v.c - b.lo) * {_TD_PREBINS} // (b.hi - b.lo + 1),
+               {_TD_PREBINS - 1}) AS bin,
+         count(*) AS bin_n,
+         CAST(sum(v.c) AS BIGINT) AS bin_sum,
+         min(v.c) AS bin_lo, max(v.c) AS bin_hi
+  FROM v, b GROUP BY 1),
+c AS (
+  SELECT h.*, b.n,
+         sum(bin_n) OVER (ORDER BY bin) - bin_n AS cum_prev
+  FROM h, b),
+assigned AS (
+  SELECT least(({_TD_K} * CAST(round((asin(
+             CAST(2 * cum_prev + bin_n - n AS DOUBLE) / n)
+             + pi() / 2) * 1e6) AS BIGINT)) // {_TD_PI_MICRO},
+           {_TD_K - 1}) AS centroid,
+         bin_n, bin_sum, bin_lo, bin_hi
+  FROM c)
+SELECT centroid,
+       CAST(sum(bin_n) AS BIGINT) AS n,
+       CAST(sum(bin_sum) AS BIGINT) AS sum_cents,
+       min(bin_lo) AS lo_cents, max(bin_hi) AS hi_cents,
+       round(CAST(sum(bin_sum) AS DOUBLE) / sum(bin_n) / 100, 6)
+         AS mean_price
+FROM assigned GROUP BY 1
+"""
+
+
+@register("tdigest_centroids", oracle=_TDIGEST_ORACLE)
+def tdigest_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic t-digest: quantile centroids on the k1 (arcsine)
+    scale — fine resolution at the tails, coarse in the middle — with
+    NONE of the classic algorithm's insertion-order sensitivity.
+    Construction: (1) exact global (min, max, count); (2) one
+    {p}-cell equi-width counting pass (n, sum, min, max per cell);
+    (3) each cell's midpoint CDF position q maps to centroid
+    floor(K * (asin(2q-1) + pi/2) / pi) — cells merge into at most
+    {k} centroids, tail cells mapping near-injectively (asin slope
+    diverges at q=0,1) and middle cells many-to-one.
+
+    Mergeability (the point of a t-digest): per-cell and per-centroid
+    states are (n, sum, min, max) — associative integer sums, so
+    shards/days/engines combine by addition, bit-reproducibly at any
+    parallelism. Every arithmetic step is integer except the single
+    asin, micro-rounded once per CELL (1024 of them, not per row) —
+    the documented half-ulp tie class. Scale shape: two fact scans
+    with O({p}) aggregation state; everything after is driver-scale.
+    Accuracy vs exact percentiles is pinned in
+    tests/test_properties.py.""".format(p=_TD_PREBINS, k=_TD_K)
+    import math
+
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"))
+    b = v.agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    h = (
+        v.join(F.broadcast(b))
+        .select(
+            "c",
+            "n",
+            ((F.col("c") - F.col("lo")) * _TD_PREBINS).cast("long").alias("num"),
+            (F.col("hi") - F.col("lo") + 1).alias("den"),
+        )
+        .select(
+            "c",
+            "n",
+            F.expr(f"least(num div den, {_TD_PREBINS - 1})").alias("bin"),
+        )
+        .groupBy("bin", "n")
+        .agg(
+            F.count(F.lit(1)).alias("bin_n"),
+            F.sum("c").cast("long").alias("bin_sum"),
+            F.min("c").alias("bin_lo"),
+            F.max("c").alias("bin_hi"),
+        )
+    )
+    cw = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    c = h.withColumn("cum_prev", F.sum("bin_n").over(cw) - F.col("bin_n"))
+    arg = (2 * F.col("cum_prev") + F.col("bin_n") - F.col("n")).cast(
+        "double"
+    ) / F.col("n")
+    asin_micro = F.round((F.asin(arg) + F.lit(math.pi / 2)) * 1e6).cast("long")
+    return (
+        c.withColumn("asin_micro", asin_micro)
+        .select(
+            F.expr(
+                f"least(({_TD_K} * asin_micro) div {_TD_PI_MICRO}, {_TD_K - 1})"
+            ).alias("centroid"),
+            "bin_n",
+            "bin_sum",
+            "bin_lo",
+            "bin_hi",
+        )
+        .groupBy("centroid")
+        .agg(
+            F.sum("bin_n").cast("long").alias("n"),
+            F.sum("bin_sum").cast("long").alias("sum_cents"),
+            F.min("bin_lo").alias("lo_cents"),
+            F.max("bin_hi").alias("hi_cents"),
+            F.round(
+                F.sum("bin_sum").cast("double") / F.sum("bin_n") / 100, 6
+            ).alias("mean_price"),
+        )
+    )

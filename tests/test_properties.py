@@ -629,3 +629,53 @@ def test_oriented_triangle_count_matches_baseline(spark, sf_dir):
     assert orient["n_triangles"] == base["n_triangles"]
     assert orient["n_edges"] == base["n_edges"]
     assert orient["max_out_degree"] <= orient["max_degree"]
+
+
+def test_tdigest_centroid_invariants(spark, sf_dir):
+    """The deterministic t-digest must (a) conserve mass and sum,
+    (b) produce at most K non-overlapping value ranges in centroid
+    order, (c) resolve the tails finer than the middle (the k1-scale
+    property), and (d) read back extreme quantiles with rank error
+    below 1/K (tails) / 2/K (median)."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.sketch_ops import (
+        _TD_K,
+        tdigest_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    td = (
+        tdigest_centroids(spark, sf_dir)
+        .toPandas()
+        .sort_values("centroid")
+        .reset_index(drop=True)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("s"),
+    ).collect()[0]
+    assert len(td) <= _TD_K
+    assert td["n"].sum() == exact["n"]
+    assert td["sum_cents"].sum() == exact["s"]
+    # ordered, non-overlapping value ranges
+    assert (td["lo_cents"] <= td["hi_cents"]).all()
+    assert (td["hi_cents"].to_numpy()[:-1] <= td["lo_cents"].to_numpy()[1:]).all()
+    # tail resolution: extreme centroids hold fewer points than the
+    # median-coverage centroid
+    mid = td.iloc[(td["centroid"] - _TD_K // 2).abs().idxmin()]["n"]
+    assert td.iloc[0]["n"] < mid and td.iloc[-1]["n"] < mid
+    # quantile readout: pick the centroid covering rank q*N, compare
+    # its mean against the exact empirical quantile by RANK error
+    vals = np.sort(
+        li.select(F.col("l_extendedprice").alias("v")).toPandas()["v"].to_numpy()
+    )
+    cum = td["n"].cumsum().to_numpy()
+    N = int(td["n"].sum())
+    for q, tol in [(0.01, 1 / _TD_K), (0.5, 2 / _TD_K), (0.99, 1 / _TD_K)]:
+        i = int(np.searchsorted(cum, q * N))
+        est = td["mean_price"].iloc[min(i, len(td) - 1)]
+        rank_err = abs(np.searchsorted(vals, est * 1.0) - q * N) / N
+        assert rank_err <= tol, (q, rank_err, tol)
