@@ -780,3 +780,104 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
     assert len(m) > 0
     sigma = 1.04 / (_HLL_M**0.5)
     assert ((m.est - m.n_true).abs() / m.n_true <= 5 * sigma).all(), m
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path):
+    """Streaming U-shaped attribution: every emitted per-touch credit
+    equals the batch computation, every purchase sealed by the
+    watermark is emitted, and per-type totals reconcile with the
+    batch position_attribution query."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.behavior_ops import (
+        position_attribution,
+    )
+    from dissertation_iceberg_spark.streaming.attribution_stream import (
+        _credit,
+        streaming_position_attribution,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    lb_us = 30 * 60 * 1_000_000
+    e = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_type").isin("purchase", "click", "view"))
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+    pdf = e.toPandas().sort_values(["us", "event_id"]).reset_index(drop=True)
+
+    # expected per-touch credits, straight from the definition
+    expected = []
+    touches = pdf[pdf.event_type != "purchase"]
+    for p in pdf[pdf.event_type == "purchase"].itertuples():
+        w = touches[
+            (touches.user_id == p.user_id)
+            & (touches.us >= p.us - lb_us)
+            & (touches.us <= p.us)
+        ].sort_values(["us", "event_id"])
+        n = len(w)
+        for rank, t in enumerate(w.itertuples(), start=1):
+            expected.append(
+                (p.user_id, p.event_id, t.event_id, t.event_type, _credit(rank, n))
+            )
+    exp = pd.DataFrame(
+        expected, columns=["user_id", "p_id", "t_id", "touch_type", "credit_micro"]
+    )
+
+    # anchor: per-type totals == the batch query's registered output
+    batch = position_attribution(spark, sf).toPandas().set_index("touch_type")
+    for ty, grp in exp.groupby("touch_type"):
+        assert batch.loc[ty, "credit_micro"] == grp.credit_micro.sum()
+        assert batch.loc[ty, "n_touches"] == len(grp)
+
+    # four time-ordered chunks -> watermark advances between batches
+    bounds = np.quantile(pdf.us.to_numpy(), [0.25, 0.5, 0.75]).astype("int64")
+    src = str(tmp_path / "attr_src")
+    chunks = [
+        pdf[pdf.us <= bounds[0]],
+        pdf[(pdf.us > bounds[0]) & (pdf.us <= bounds[1])],
+        pdf[(pdf.us > bounds[1]) & (pdf.us <= bounds[2])],
+        pdf[pdf.us > bounds[2]],
+    ]
+    for i, c in enumerate(chunks):
+        spark.createDataFrame(c.drop(columns=["us"])).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+    paths = [f"{src}/f{i}" for i in range(4)]
+    schema = spark.read.parquet(*paths).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        streaming_position_attribution(stream, lookback_us=lb_us, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("attr_out").toPandas()
+
+    key = ["user_id", "p_id", "t_id", "touch_type", "credit_micro"]
+    merged = got[key].merge(exp[key], on=key, how="left", indicator=True)
+    # 1) nothing invented: every emitted credit is a batch credit
+    assert (merged["_merge"] == "both").all(), "streaming emitted non-batch credit"
+    # 2) no duplicates
+    assert not got[key].duplicated().any()
+    # 3) completeness: purchases sealed under the watermark the first
+    # three chunks advanced to must be fully emitted
+    wm_us = int(bounds[2]) - lb_us
+    sealed_p = pdf[(pdf.event_type == "purchase") & (pdf.us < wm_us)].event_id
+    sealed_exp = exp[exp.p_id.isin(set(sealed_p))]
+    have = sealed_exp[key].merge(got[key], on=key, how="left", indicator=True)
+    assert (have["_merge"] == "both").all(), "sealed purchase credit missing"
