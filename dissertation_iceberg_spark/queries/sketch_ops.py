@@ -724,3 +724,75 @@ def tdigest_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted reservoir (A-ES): exponential-race sampling by integer priority
+# --------------------------------------------------------------------------
+
+_WRES_K = 30
+_TWO60 = 1 << 60  # hash60 range
+
+_WRES_ORACLE = f"""
+WITH p AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_quantity) AS BIGINT) AS w,
+         CAST(round(-ln(
+             (CAST('0x' || substr(md5(
+                 CAST(l_orderkey AS VARCHAR) || ':'
+                 || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) + 1)
+             / {_TWO60}.0) * 1e6) AS BIGINT) AS lp_micro
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber, w,
+       (lp_micro * 1000) // w AS priority
+FROM p
+ORDER BY priority, l_orderkey, l_linenumber
+LIMIT {_WRES_K}
+"""
+
+
+@register("weighted_reservoir_sample", oracle=_WRES_ORACLE)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted without-replacement reservoir (Efraimidis-Spirtsis
+    A-ES, exponential-race form): each line draws an exponential key
+    e = -ln(u)/w from its content hash and the k SMALLEST keys win —
+    inclusion probability proportional to weight (quantity), with no
+    RNG state and no seed-per-partition hazard (the weighted sibling
+    of hash_reservoir_sample).
+
+    Cross-engine-stable priority (the form round 2's ROADMAP asked
+    for): u = (hash60 + 1) / 2^60 is one IEEE division of identical
+    integers; -ln(u) is micro-rounded ONCE (1e-6 grain — the repo's
+    accepted half-ulp tie class, window ~1e-8); everything after is
+    exact integer arithmetic: priority = (lp_micro * 1000) div w,
+    restoring sub-micro resolution under the integer division.
+    Naively rounding at 1e-12 grain instead would put ~1% of rows
+    inside the cross-libm tie window — the trap that kept this
+    operator out of rounds 1-2.
+
+    Scale shape: per-row expressions + TakeOrderedAndProject
+    (per-partition heaps, driver merge of k x partitions rows); no
+    shuffle, no sort. Weight bias and partitioning-invariance pinned
+    in tests/test_properties.py."""
+    from dissertation_iceberg_spark.functions.hashing import hash60
+
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    key = F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))
+    u = (hash60(key) + 1).cast("double") / F.lit(float(_TWO60))
+    lp_micro = F.round(-F.log(u) * 1e6).cast("long")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_quantity")).cast("long").alias("w"),
+            lp_micro.alias("lp_micro"),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "w",
+            F.expr("(lp_micro * 1000) div w").alias("priority"),
+        )
+        .orderBy("priority", "l_orderkey", "l_linenumber")
+        .limit(_WRES_K)
+    )

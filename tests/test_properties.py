@@ -679,3 +679,32 @@ def test_tdigest_centroid_invariants(spark, sf_dir):
         est = td["mean_price"].iloc[min(i, len(td) - 1)]
         rank_err = abs(np.searchsorted(vals, est * 1.0) - q * N) / N
         assert rank_err <= tol, (q, rank_err, tol)
+
+
+def test_weighted_reservoir_bias_and_stability(spark, sf_dir):
+    """A-ES sample must (a) be exactly K rows, (b) favor heavy rows —
+    sample mean weight above population mean — and (c) be a pure
+    function of content: identical under any repartitioning."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.sketch_ops import (
+        _WRES_K,
+        weighted_reservoir_sample,
+    )
+    from pyspark.sql import functions as F
+
+    out = weighted_reservoir_sample(spark, sf_dir).toPandas()
+    assert len(out) == _WRES_K
+    pop_mean = (
+        load_table(spark, sf_dir, "lineitem")
+        .agg(F.avg(F.round("l_quantity")).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert out["w"].mean() > pop_mean, (out["w"].mean(), pop_mean)
+    # partitioning invariance: same priorities from a different layout
+    li = load_table(spark, sf_dir, "lineitem").repartition(13, "l_suppkey")
+    li.createOrReplaceTempView("__wres_alt")
+    again = weighted_reservoir_sample(spark, sf_dir).toPandas()
+    key = ["l_orderkey", "l_linenumber", "priority"]
+    assert out[key].sort_values(key).reset_index(drop=True).equals(
+        again[key].sort_values(key).reset_index(drop=True)
+    )
