@@ -773,3 +773,101 @@ def daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ad").cast("long").alias("max_abs_dev"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-decay attribution: exponential credit over the purchase lookback
+# --------------------------------------------------------------------------
+
+_TD_TAU_US = 600_000_000  # 10-minute decay constant
+
+_TDECAY_ORACLE = f"""
+WITH p AS (
+  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT event_id AS t_id, user_id, epoch_us(ts) AS t_us,
+         event_type AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')),
+j AS (
+  SELECT t.touch_type,
+         CAST(round(exp(-(CAST(p.p_us - t.t_us AS DOUBLE) / {_TD_TAU_US}))
+                    * 1e6) AS BIGINT) AS w
+  FROM p JOIN t
+    ON p.user_id = t.user_id
+   AND t.t_us <= p.p_us AND t.t_us >= p.p_us - {_MT_TOL_US}),
+agg AS (
+  SELECT touch_type, count(*) AS n_touches,
+         CAST(sum(w) AS BIGINT) AS decay_credit_micro
+  FROM j GROUP BY 1),
+tot AS (SELECT CAST(sum(decay_credit_micro) AS BIGINT) AS total FROM agg)
+SELECT a.touch_type, a.n_touches, a.decay_credit_micro,
+       round(CAST(a.decay_credit_micro AS DOUBLE) / t.total, 6) AS credit_share
+FROM agg a, tot t
+"""
+
+
+@register("timedecay_attribution", oracle=_TDECAY_ORACLE)
+def timedecay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every touch in the
+    30-minute lookback earns exp(-age/tau) credit (tau = 10 min) —
+    the recency-weighted sibling of position_attribution (U-shape)
+    and lasttouch_attribution (winner-take-all), completing the three
+    standard attribution kernels.
+
+    Parity: the decay weight is micro-rounded ONCE per touch from an
+    exactly-agreed double (integer age / integer tau), so per-type
+    credit totals are exact integer sums; only the display share
+    divides, against a broadcast 1-row total of exact integers. Scale
+    shape: the same bucketed range join as the U-shape query (<=2
+    bins per purchase, equi-join on (user, bin) with BETWEEN
+    residual, never a nested loop), but NO per-purchase window at all
+    — the credit is per-pair, so the whole thing is join +
+    map-side-combinable aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    us = micros("ts")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("p_us")
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        us.alias("t_us"),
+        F.col("event_type").alias("touch_type"),
+    )
+    bin_of = lambda c: F.floor(c / F.lit(_MT_BIN_US))  # noqa: E731
+    p_bins = p.select(
+        "user_id",
+        "p_us",
+        F.explode(
+            F.sequence(bin_of(F.col("p_us") - _MT_TOL_US), bin_of(F.col("p_us")))
+        ).alias("bin"),
+    )
+    tb = t.withColumn("bin", bin_of(F.col("t_us")))
+    w = F.round(
+        F.exp(-((F.col("p_us") - F.col("t_us")).cast("double") / _TD_TAU_US))
+        * 1e6
+    ).cast("long")
+    agg = (
+        p_bins.join(
+            tb,
+            (F.col("user_id") == F.col("t_user"))
+            & (p_bins["bin"] == tb["bin"])
+            & (F.col("t_us") <= F.col("p_us"))
+            & (F.col("t_us") >= F.col("p_us") - _MT_TOL_US),
+        )
+        .select("touch_type", w.alias("w"))
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("w").cast("long").alias("decay_credit_micro"),
+        )
+    )
+    tot = agg.agg(F.sum("decay_credit_micro").cast("long").alias("total"))
+    return agg.join(F.broadcast(tot)).select(
+        "touch_type",
+        "n_touches",
+        "decay_credit_micro",
+        F.round(
+            F.col("decay_credit_micro").cast("double") / F.col("total"), 6
+        ).alias("credit_share"),
+    )

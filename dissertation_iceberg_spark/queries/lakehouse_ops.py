@@ -588,3 +588,88 @@ def file_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("scanned"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance: base state (+) delta == recompute
+# --------------------------------------------------------------------------
+
+_IAM_T1 = "2024-01-10 00:00:00"  # base materialization cutoff
+_IAM_T2 = "2024-01-20 00:00:00"  # delta horizon
+
+# the oracle RECOMPUTES from scratch over ts <= T2 — hash-matching it
+# proves the incremental base (+) delta path is exactly equivalent
+_IAM_ORACLE = f"""
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       max(epoch_us(ts)) AS last_us
+FROM events
+WHERE ts <= TIMESTAMP '{_IAM_T2}'
+GROUP BY 1
+"""
+
+
+@register("incremental_agg_merge", oracle=_IAM_ORACLE)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a keyed aggregate: a
+    materialized per-user state (count, sum, max) built from the log
+    up to T1, merged with the (T1, T2] delta batch by a FULL OUTER
+    combine — counts and sums add, max takes greatest. The ORACLE
+    recomputes the aggregate from scratch over ts <= T2, so the
+    driver's hash gate itself proves base (+) delta == recompute:
+    the algebraic property that lets a 100 TB pipeline fold each
+    day's partition into yesterday's rollup instead of rescanning
+    history.
+
+    Scale shape: the base would be a stored table in production (here
+    both sides prune their scan range via pushed timestamp filters);
+    only the DELTA pays a fact-scale aggregate at merge time, and the
+    outer join keys on user_id — the same key as both aggregates, so
+    AQE rides one partitioning end-to-end. All state is
+    integer-additive (the mergeability contract every incremental
+    aggregate needs; avg/stddev would ride as (sum, count) /
+    (sum, sum2, count) pairs)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def agg_range(lo: str | None, hi: str) -> DataFrame:
+        f = F.col("ts") <= F.lit(hi).cast("timestamp")
+        if lo is not None:
+            f = f & (F.col("ts") > F.lit(lo).cast("timestamp"))
+        return (
+            e.filter(f)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("long")
+                .alias("sum_cents"),
+                F.max(micros("ts")).alias("last_us"),
+            )
+        )
+
+    base = agg_range(None, _IAM_T1).select(
+        F.col("user_id").alias("bk"),
+        F.col("n_events").alias("bn"),
+        F.col("sum_cents").alias("bs"),
+        F.col("last_us").alias("bl"),
+    )
+    delta = agg_range(_IAM_T1, _IAM_T2).select(
+        F.col("user_id").alias("dk"),
+        F.col("n_events").alias("dn"),
+        F.col("sum_cents").alias("ds"),
+        F.col("last_us").alias("dl"),
+    )
+    return (
+        base.join(delta, F.col("bk") == F.col("dk"), "full_outer")
+        .select(
+            F.coalesce(F.col("bk"), F.col("dk")).alias("user_id"),
+            (F.coalesce(F.col("bn"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+            .cast("long")
+            .alias("n_events"),
+            (F.coalesce(F.col("bs"), F.lit(0)) + F.coalesce(F.col("ds"), F.lit(0)))
+            .cast("long")
+            .alias("sum_cents"),
+            F.greatest(F.col("bl"), F.col("dl")).alias("last_us"),
+        )
+    )

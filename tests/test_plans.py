@@ -122,6 +122,7 @@ INTENTIONAL_BNLJ = {
     "histogram_quantiles",  # broadcast 1-row bounds + 3-row quantile targets
     "mixture_sample",  # broadcast 1-row weight-total frame (quota arithmetic)
     "skew_profile",  # broadcast 1-row stats + 1-row median frames
+    "timedecay_attribution",  # broadcast 1-row credit-total denominator
 }
 
 

@@ -708,3 +708,22 @@ def test_weighted_reservoir_bias_and_stability(spark, sf_dir):
     assert out[key].sort_values(key).reset_index(drop=True).equals(
         again[key].sort_values(key).reset_index(drop=True)
     )
+
+
+def test_attribution_kernels_reconcile(spark, sf_dir):
+    """The three attribution kernels must agree on the touch universe:
+    time-decay and U-shape see identical per-type touch counts (same
+    lookback join), decay credit is bounded by n_touches micro-units
+    (w <= 1e6 per touch), and shares sum to 1."""
+    from dissertation_iceberg_spark.queries.behavior_ops import (
+        position_attribution,
+        timedecay_attribution,
+    )
+
+    td = timedecay_attribution(spark, sf_dir).toPandas().set_index("touch_type")
+    pos = position_attribution(spark, sf_dir).toPandas().set_index("touch_type")
+    assert set(td.index) == set(pos.index)
+    for ty in td.index:
+        assert td.loc[ty, "n_touches"] == pos.loc[ty, "n_touches"]
+        assert 0 < td.loc[ty, "decay_credit_micro"] <= td.loc[ty, "n_touches"] * 1_000_000
+    assert abs(td["credit_share"].sum() - 1.0) < 1e-5
