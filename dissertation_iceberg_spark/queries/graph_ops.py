@@ -354,3 +354,89 @@ def triangle_count_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_triangles").cast("long").alias("n_triangles"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-source BFS: hop distances over the bipartite co-purchase graph
+# --------------------------------------------------------------------------
+
+_BFS_HOPS = 3
+_BFS_SEED_MOD = 100  # seeds: part nodes with l_partkey % 100 == 0
+
+
+def _bfs_iter_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + 1 AS dist
+    FROM edges e JOIN {prev} p ON e.src = p.node)
+  GROUP BY 1)"""
+
+
+_BFS_ORACLE = f"""
+WITH edges AS ({_EDGES_SQL}),
+d0 AS (
+  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+  FROM edges WHERE src % 2 = 0 AND (src // 2) % {_BFS_SEED_MOD} = 0),
+{",".join(_bfs_iter_sql(f"d{i}", f"d{i + 1}") for i in range(_BFS_HOPS))}
+SELECT dist, count(*) AS n_nodes,
+       CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_parts,
+       CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suppliers
+FROM d{_BFS_HOPS} GROUP BY 1
+"""
+
+
+@register("bfs_reachability", oracle=_BFS_ORACLE)
+def bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: hop distance from the seed set (every 100th
+    part) over the undirected part-supplier graph, {h} iterations —
+    the reachability/impact-radius kernel (recall cascades, supplier
+    blast-radius) and, with PageRank and connected components, the
+    third iterative-join workload class.
+
+    Determinism: distances are small exact integers and each
+    iteration is frontier-join + min — associative, replayed verbatim
+    by the oracle's unrolled CTEs. Scale shape per hop: one equi-join
+    of the edge list against the O(reached) distance frame + one
+    map-side-combinable min by node; edges never move partitions
+    across iterations (same join key each hop — AQE reuses the
+    exchange). The output is the O(hops) distance histogram split by
+    node type.""".format(h=_BFS_HOPS)
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges = fwd.unionByName(rev)
+    dist = (
+        edges.select("src")
+        .distinct()
+        .filter(
+            (F.col("src") % 2 == 0)
+            & (F.expr("(src div 2)") % _BFS_SEED_MOD == 0)
+        )
+        .select(F.col("src").alias("node"), F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(_BFS_HOPS):
+        grown = edges.join(dist, edges["src"] == dist["node"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(grown)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return dist.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_parts"),
+        F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_suppliers"),
+    )

@@ -796,3 +796,168 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "l_orderkey", "l_linenumber")
         .limit(_WRES_K)
     )
+
+
+# --------------------------------------------------------------------------
+# t-digest quantile readout: sketch -> interpolated P50/P90/P99
+# --------------------------------------------------------------------------
+
+_TDQ_QS = (0.5, 0.9, 0.99)
+
+_TDQ_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+b AS (SELECT min(c) AS lo, max(c) AS hi, count(*) AS n FROM v),
+h AS (
+  SELECT least((v.c - b.lo) * {_TD_PREBINS} // (b.hi - b.lo + 1),
+               {_TD_PREBINS - 1}) AS bin,
+         count(*) AS bin_n,
+         min(v.c) AS bin_lo, max(v.c) AS bin_hi
+  FROM v, b GROUP BY 1),
+c AS (
+  SELECT h.*, b.n,
+         sum(bin_n) OVER (ORDER BY bin) - bin_n AS cum_prev
+  FROM h, b),
+assigned AS (
+  SELECT least(({_TD_K} * CAST(round((asin(
+             CAST(2 * cum_prev + bin_n - n AS DOUBLE) / n)
+             + pi() / 2) * 1e6) AS BIGINT)) // {_TD_PI_MICRO},
+           {_TD_K - 1}) AS centroid,
+         bin_n, bin_lo, bin_hi
+  FROM c),
+cent AS (
+  SELECT centroid, CAST(sum(bin_n) AS BIGINT) AS cn,
+         min(bin_lo) AS clo, max(bin_hi) AS chi
+  FROM assigned GROUP BY 1),
+cc AS (
+  SELECT cent.*,
+         sum(cn) OVER (ORDER BY centroid) AS cum,
+         sum(cn) OVER (ORDER BY centroid) - cn AS cum_prev
+  FROM cent),
+q AS ({" UNION ALL ".join(f"SELECT CAST({q} AS DOUBLE) AS q" for q in _TDQ_QS)}),
+t AS (SELECT q.q, CAST(ceil(q.q * b.n) AS BIGINT) AS target FROM q, b),
+pick AS (
+  SELECT t.q,
+         min_by(cc.centroid, cc.centroid) AS centroid,
+         min_by(cc.cn, cc.centroid) AS cn,
+         min_by(cc.clo, cc.centroid) AS clo,
+         min_by(cc.chi, cc.centroid) AS chi,
+         min_by(cc.cum_prev, cc.centroid) AS cum_prev,
+         any_value(t.target) AS target
+  FROM t JOIN cc ON cc.cum >= t.target
+  GROUP BY 1)
+SELECT q, centroid,
+       round((CAST(clo AS DOUBLE)
+              + CAST(target - cum_prev AS DOUBLE) / cn
+                * CAST(chi - clo AS DOUBLE)) / 100, 6) AS est_price
+FROM pick
+"""
+
+
+@register("tdigest_quantile_readout", oracle=_TDQ_ORACLE)
+def tdigest_quantile_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t-digest's purpose, end-to-end and fully oracle-checked:
+    build the arcsine-scale centroids (tdigest_centroids machinery)
+    and read P50/P90/P99 back by locating the covering centroid
+    (first cumulative count >= ceil(q*N)) and interpolating inside
+    its [min, max] value span. Tail quantiles land in the narrow tail
+    centroids — the accuracy edge over the equi-width
+    histogram_quantiles readout at the same state budget.
+
+    Every interpolation input (centroid counts, exclusive cumulative,
+    target rank, centroid value bounds) is an exact integer in both
+    engines, so the ESTIMATE is hash-matched, not just bounded."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"))
+    b = v.agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    h = (
+        v.join(F.broadcast(b))
+        .select(
+            "c",
+            "n",
+            ((F.col("c") - F.col("lo")) * _TD_PREBINS).cast("long").alias("num"),
+            (F.col("hi") - F.col("lo") + 1).alias("den"),
+        )
+        .select(
+            "c",
+            "n",
+            F.expr(f"least(num div den, {_TD_PREBINS - 1})").alias("bin"),
+        )
+        .groupBy("bin", "n")
+        .agg(
+            F.count(F.lit(1)).alias("bin_n"),
+            F.min("c").alias("bin_lo"),
+            F.max("c").alias("bin_hi"),
+        )
+    )
+    cw = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    c = h.withColumn("cum_prev", F.sum("bin_n").over(cw) - F.col("bin_n"))
+    arg = (2 * F.col("cum_prev") + F.col("bin_n") - F.col("n")).cast(
+        "double"
+    ) / F.col("n")
+    asin_micro = F.round((F.asin(arg) + F.lit(math.pi / 2)) * 1e6).cast("long")
+    cent = (
+        c.withColumn("asin_micro", asin_micro)
+        .select(
+            F.expr(
+                f"least(({_TD_K} * asin_micro) div {_TD_PI_MICRO}, {_TD_K - 1})"
+            ).alias("centroid"),
+            "bin_n",
+            "bin_lo",
+            "bin_hi",
+        )
+        .groupBy("centroid")
+        .agg(
+            F.sum("bin_n").cast("long").alias("cn"),
+            F.min("bin_lo").alias("clo"),
+            F.max("bin_hi").alias("chi"),
+        )
+    )
+    ccw = W.orderBy("centroid").rowsBetween(W.unboundedPreceding, 0)
+    cc = cent.select(
+        "centroid",
+        "cn",
+        "clo",
+        "chi",
+        F.sum("cn").over(ccw).alias("cum"),
+        (F.sum("cn").over(ccw) - F.col("cn")).alias("cum_prev"),
+    )
+    qs = None
+    for q in _TDQ_QS:
+        row = b.select(
+            F.lit(q).alias("q"),
+            F.ceil(F.lit(q) * F.col("n")).cast("long").alias("target"),
+        )
+        qs = row if qs is None else qs.unionByName(row)
+    pick = (
+        cc.join(F.broadcast(qs), F.col("cum") >= F.col("target"))
+        .groupBy("q")
+        .agg(
+            F.min_by("centroid", "centroid").alias("centroid"),
+            F.min_by("cn", "centroid").alias("cn"),
+            F.min_by("clo", "centroid").alias("clo"),
+            F.min_by("chi", "centroid").alias("chi"),
+            F.min_by("cum_prev", "centroid").alias("cum_prev"),
+            F.any_value("target").alias("target"),
+        )
+    )
+    return pick.select(
+        "q",
+        "centroid",
+        F.round(
+            (
+                F.col("clo").cast("double")
+                + (F.col("target") - F.col("cum_prev")).cast("double")
+                / F.col("cn")
+                * (F.col("chi") - F.col("clo")).cast("double")
+            )
+            / 100,
+            6,
+        ).alias("est_price"),
+    )

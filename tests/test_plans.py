@@ -123,6 +123,9 @@ INTENTIONAL_BNLJ = {
     "mixture_sample",  # broadcast 1-row weight-total frame (quota arithmetic)
     "skew_profile",  # broadcast 1-row stats + 1-row median frames
     "timedecay_attribution",  # broadcast 1-row credit-total denominator
+    "tdigest_quantile_readout",  # broadcast 3-row quantile targets
+    "tdigest_centroids",  # broadcast 1-row (min, max, n) bounds frame
+    "triangle_count_oriented",  # broadcast 1-row degree/triangle frames
 }
 
 
