@@ -871,3 +871,69 @@ def timedecay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("decay_credit_micro").cast("double") / F.col("total"), 6
         ).alias("credit_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM scoring: recency/frequency/monetary quintiles per purchasing user
+# --------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT user_id,
+         max(epoch_us(ts)) AS last_us,
+         count(*) AS n_purchases,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT user_id, last_us, n_purchases, cents,
+       ntile(5) OVER (ORDER BY last_us, user_id) AS r_score,
+       ntile(5) OVER (ORDER BY n_purchases, user_id) AS f_score,
+       ntile(5) OVER (ORDER BY cents, user_id) AS m_score,
+       ntile(5) OVER (ORDER BY last_us, user_id) * 100
+       + ntile(5) OVER (ORDER BY n_purchases, user_id) * 10
+       + ntile(5) OVER (ORDER BY cents, user_id) AS rfm
+FROM base
+"""
+
+
+@register("rfm_scores", oracle=_RFM_ORACLE)
+def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring: recency / frequency / monetary quintiles
+    (5 = most recent / most frequent / highest spend) plus the
+    combined 111-555 segment code — the standard behavioral
+    segmentation readout over the purchase log.
+
+    Determinism: every metric is an exact integer and each ntile
+    orders by (metric, user_id), so bucket boundaries cannot drift
+    between engines. Scale shape: the per-user rollup is one
+    fact-scale map-side-combinable aggregate; the three ntiles rank
+    the O(users) dim frame (Spark plans all three in ONE Window pass
+    per sort order). A 100 TB deployment would swap the exact global
+    ntile for approx percentile boundaries broadcast from
+    histogram_quantiles-style sketches — same output contract."""
+    e = load_table(spark, sf_dir, "events")
+    base = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(micros("ts")).alias("last_us"),
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    r = F.ntile(5).over(W.orderBy("last_us", "user_id"))
+    f = F.ntile(5).over(W.orderBy("n_purchases", "user_id"))
+    m = F.ntile(5).over(W.orderBy("cents", "user_id"))
+    return base.select(
+        "user_id",
+        "last_us",
+        "n_purchases",
+        "cents",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+        (r * 100 + f * 10 + m).alias("rfm"),
+    )

@@ -673,3 +673,60 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("bl"), F.col("dl")).alias("last_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit: orphan rates across every FK edge
+# --------------------------------------------------------------------------
+
+_FK_EDGES = (
+    ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey -> nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+_FK_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{label}' AS fk_edge,
+       (SELECT count(*) FROM {child}) AS n_child,
+       (SELECT count(*) FROM {child} c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})) AS n_orphans"""
+    for label, child, fk, parent, pk in _FK_EDGES
+)
+
+
+@register("fk_integrity_audit", oracle=_FK_ORACLE)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign-key
+    edge of the star schema — the data-quality gate a lakehouse runs
+    after each ingest batch (alongside table_profile's per-column
+    stats and the zone-map/compaction planners). All-zero orphans on
+    the driver fixture; the query's job is to PROVE that cheaply at
+    every batch.
+
+    Scale shape: each edge is a LEFT ANTI equi-join counted to one
+    row — dims broadcast, so the three lineitem edges are scans with
+    broadcast probes (no fact shuffle); the six one-row results union
+    into the report. At 100 TB the audit cost is one pass per child
+    table, amortizable by auditing only the new partitions."""
+    out = None
+    for label, child, fk, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        row = (
+            c.select(F.col(fk))
+            .join(F.broadcast(p), F.col(fk) == F.col(pk), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .join(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_child"))))
+            .select(
+                F.lit(label).alias("fk_edge"),
+                "n_child",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
