@@ -937,3 +937,48 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.alias("m_score"),
         (r * 100 + f * 10 + m).alias("rfm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cumulative unique users per day (growth accounting)
+# --------------------------------------------------------------------------
+
+_CUM_UNIQ_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS first_day
+  FROM events GROUP BY 1),
+daily AS (
+  SELECT first_day AS day, count(*) AS n_new FROM first_seen GROUP BY 1)
+SELECT day, n_new,
+       CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_unique_users
+FROM daily
+"""
+
+
+@register("cumulative_unique_users", oracle=_CUM_UNIQ_ORACLE)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: new users per day and the cumulative unique
+    count — the classic "distinct users to date" series that a naive
+    plan computes as one count(DISTINCT) PER DAY over an ever-growing
+    prefix (quadratic re-scans). The right shape: distinct collapses
+    to min(first_day) per user ONCE, then a daily count and one
+    cumulative sum over the O(days) frame.
+
+    Scale: one fact-scale map-side-combinable min per user, one
+    O(users) -> O(days) rollup, one bounded window. The quadratic
+    prefix-scan family never appears."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    from pyspark.sql import Window as W
+
+    cw = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "n_new",
+        F.sum("n_new").over(cw).cast("long").alias("cum_unique_users"),
+    )

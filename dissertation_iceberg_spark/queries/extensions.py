@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dissertation_iceberg_spark.functions.hashing import (
     hash60_sql,
@@ -613,4 +614,155 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(v).alias("min_val"),
             F.max(v).alias("max_val"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (round 3): per-subspace integer k-means codebooks
+# --------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64 dims -> 8 x 8)
+PQ_D = 8  # dims per subspace
+PQ_K = 16  # codewords per subspace -> 8 x 4 bits = 4 bytes/vector
+
+_PQ_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT)) AS qv
+  FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS pos),
+xe AS (
+  SELECT vec_id, (pos - 1) // {PQ_D} AS sub, pos, qv[pos] AS x
+  FROM q, idx),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw, qv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {PQ_K})),
+c0 AS (
+  SELECT (pos - 1) // {PQ_D} AS sub, cw, pos, qv[pos] AS s,
+         CAST(1 AS BIGINT) AS n
+  FROM seeds, idx),
+d1 AS (
+  SELECT xe.vec_id, xe.sub, c0.cw, c0.n,
+         sum((xe.x * c0.n - c0.s) * (xe.x * c0.n - c0.s)) AS num
+  FROM xe JOIN c0 ON xe.sub = c0.sub AND xe.pos = c0.pos
+  GROUP BY 1, 2, 3, 4),
+a1 AS (
+  SELECT vec_id, sub, cw FROM (
+    SELECT vec_id, sub, cw,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY CAST(num AS DOUBLE)/(n*n), cw) AS rn
+    FROM d1) WHERE rn = 1),
+c1 AS (
+  SELECT a1.sub, a1.cw, xe.pos, sum(xe.x) AS s, count(*) AS n
+  FROM a1 JOIN xe ON a1.vec_id = xe.vec_id AND a1.sub = xe.sub
+  GROUP BY 1, 2, 3),
+d2 AS (
+  SELECT xe.vec_id, xe.sub, c1.cw, c1.n,
+         sum((xe.x * c1.n - c1.s) * (xe.x * c1.n - c1.s)) AS num
+  FROM xe JOIN c1 ON xe.sub = c1.sub AND xe.pos = c1.pos
+  GROUP BY 1, 2, 3, 4),
+a2 AS (
+  SELECT vec_id, sub, cw, n, num FROM (
+    SELECT vec_id, sub, cw, n, num,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY CAST(num AS DOUBLE)/(n*n), cw) AS rn
+    FROM d2) WHERE rn = 1)
+SELECT sub, cw, count(*) AS n_vecs,
+       round(sum(CAST(num AS DOUBLE) / (n * n)) / 1e8 / count(*), 6)
+         AS mean_sq_dist
+FROM a2 GROUP BY 1, 2
+"""
+
+
+@register("pq_codebooks", oracle=_PQ_ORACLE)
+def pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: split the 64-dim embedding into {m}
+    orthogonal {d}-dim subspaces and learn a {k}-codeword k-means
+    codebook in each (one Lloyd refinement from deterministic seeds) —
+    encoding every vector as {m} x log2({k}) bits = 4 bytes, a 64x
+    compression over float32. PQ codes under the IVF router
+    (ivf_ann_topk) is the standard 100 TB ANN memory layout (IVF-PQ):
+    the residual rerank reads 4-byte codes, not raw vectors.
+
+    Determinism is the kmeans_cluster_stats recipe per subspace:
+    integer-quantized components, centroids as un-normalized (sum, n)
+    pairs, distances compared as exact-int numerator over n^2 with a
+    single correctly-rounded double division, argmin tie-broken by
+    codeword id — bit-identical at any parallelism, oracle replays
+    the iteration verbatim. Output: per-(subspace, codeword)
+    population and distortion — the codebook-health table (empty
+    codewords / fat codewords => re-seed).
+
+    Scale shape: each Lloyd pass is one equi-join of the long-form
+    (vec, sub, pos) frame against the O({m} x {k} x {d}) codebook +
+    one map-side-combinable argmin/sum — codebooks broadcast; vectors
+    never pairwise-join.""".format(m=PQ_M, d=PQ_D, k=PQ_K)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * KM_SCALE).cast("long"),
+        ).alias("qv"),
+    )
+    xe = q.select(
+        "vec_id",
+        F.posexplode("qv").alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        F.expr(f"pos0 div {PQ_D}").alias("sub"),
+        (F.col("pos0") + 1).alias("pos"),
+        "x",
+    )
+    seeds = (
+        q.orderBy("vec_id")
+        .limit(PQ_K)
+        .withColumn(
+            "cw",
+            F.row_number().over(Window.orderBy("vec_id")) - 1,
+        )
+    )
+    c0 = seeds.select(
+        "cw", F.posexplode("qv").alias("pos0", "s")
+    ).select(
+        F.expr(f"pos0 div {PQ_D}").alias("sub"),
+        "cw",
+        (F.col("pos0") + 1).alias("pos"),
+        "s",
+        F.lit(1).cast("long").alias("n"),
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        e = F.col("x") * F.col("n") - F.col("s")
+        d = (
+            xe.join(F.broadcast(cent), ["sub", "pos"])
+            .groupBy("vec_id", "sub", "cw", "n")
+            .agg(F.sum(e * e).alias("num"))
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy(
+            F.col("num").cast("double") / (F.col("n") * F.col("n")),
+            F.col("cw"),
+        )
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    a1 = assign(c0).select("vec_id", "sub", "cw")
+    c1 = (
+        a1.join(xe, ["vec_id", "sub"])
+        .groupBy("sub", "cw", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    a2 = assign(c1)
+    return a2.groupBy("sub", "cw").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.col("num").cast("double") / (F.col("n") * F.col("n")))
+            / 1e8
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_sq_dist"),
     )

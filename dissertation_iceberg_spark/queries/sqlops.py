@@ -243,3 +243,60 @@ def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         (F.sum("cents") / F.lit(1e2)).alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Salted two-stage aggregation: the hot-key mitigation, oracle-identical
+# --------------------------------------------------------------------------
+
+_SALT_BUCKETS = 16
+_SALT_TOPK = 25
+
+
+_SALTED_ORACLE = f"""
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY 1
+ORDER BY n_events DESC, user_id
+LIMIT {_SALT_TOPK}
+"""
+
+
+@register("salted_topk_users", oracle=_SALTED_ORACLE)
+def salted_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation: pre-aggregate on
+    (user_id, salt = event_id % {b}) so a hot key's rows land on {b}
+    reducers, then merge the {b} partials per key — the manual skew
+    mitigation for pre-AQE engines and for aggregations AQE's skew
+    handling doesn't cover (AQE splits skewed JOIN partitions, not
+    aggregate build sides). The oracle is the PLAIN aggregate:
+    hash-matching proves salting is semantically invisible, which is
+    the whole point — counts and integer sums re-merge losslessly
+    (any associative state does: (sum, count), min/max, sketches).
+
+    Scale: stage 1 shuffles (key x salt) — hot keys spread {b}-ways;
+    stage 2 shuffles O(distinct keys x {b}) partials, tiny by
+    comparison. Top-k is TakeOrderedAndProject.""".format(b=_SALT_BUCKETS)
+    e = load_table(spark, sf_dir, "events")
+    stage1 = (
+        e.select(
+            "user_id",
+            (F.col("event_id") % _SALT_BUCKETS).alias("salt"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("cents").cast("long").alias("pc"),
+        )
+    )
+    return (
+        stage1.groupBy("user_id")
+        .agg(
+            F.sum("pn").cast("long").alias("n_events"),
+            F.sum("pc").cast("long").alias("cents"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(_SALT_TOPK)
+    )

@@ -290,3 +290,84 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_nats"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pairwise source vocabulary overlap (corpus-mixture diagnostics)
+# --------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH vs AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+sizes AS (SELECT source, count(*) AS vsize FROM vs GROUP BY 1),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM vs a JOIN vs b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT s.source_a, s.source_b, s.n_shared,
+       round(CAST(s.n_shared AS DOUBLE) / least(x.vsize, y.vsize), 6)
+         AS overlap_coeff,
+       round(CAST(s.n_shared AS DOUBLE)
+             / (x.vsize + y.vsize - s.n_shared), 6) AS jaccard
+FROM shared s
+JOIN sizes x ON s.source_a = x.source
+JOIN sizes y ON s.source_b = y.source
+"""
+
+
+@register("source_vocab_overlap", oracle=_OVERLAP_ORACLE)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources (Szymkiewicz-
+    Simpson coefficient + Jaccard) — the mixture diagnostic that
+    flags near-duplicate source feeds before they double-count in
+    training-mixture weights (pairs with mixture_weights and
+    per_source_contamination).
+
+    Scale shape: the vocab collapses to distinct (source, token)
+    FIRST (partial-distinct shuffle of O(distinct) rows, not
+    O(tokens)); the pair expansion is the inverted-index equi-join on
+    token — each token contributes only its own source-pair
+    combinations, bounded by sources^2, never a corpus-size
+    cartesian; size frames broadcast. Output is O(sources^2) rows."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vs = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = vs.groupBy("source").agg(F.count(F.lit(1)).alias("vsize"))
+    b = vs.select(F.col("source").alias("source_b"), F.col("tok").alias("tok_b"))
+    shared = (
+        vs.join(
+            b,
+            (F.col("tok") == F.col("tok_b"))
+            & (F.col("source") < F.col("source_b")),
+        )
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sx = sizes.select(F.col("source").alias("sa"), F.col("vsize").alias("va"))
+    sy = sizes.select(F.col("source").alias("sb"), F.col("vsize").alias("vb"))
+    return (
+        shared.join(F.broadcast(sx), F.col("source_a") == F.col("sa"))
+        .join(F.broadcast(sy), F.col("source_b") == F.col("sb"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least(F.col("va"), F.col("vb")),
+                6,
+            ).alias("overlap_coeff"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("va") + F.col("vb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -29,6 +29,14 @@ from dissertation_iceberg_spark.session import get_spark  # noqa: E402
 
 BEST_OF = 2
 
+# SCALE_KERNELS=tri_oriented,tdigest_build limits a run to named
+# kernels (re-measuring one kernel without paying for the others)
+ONLY = {k for k in os.environ.get("SCALE_KERNELS", "").split(",") if k}
+
+
+def _want(name: str) -> bool:
+    return not ONLY or name in ONLY
+
 
 def replicate(df: DataFrame, factor: int, shifts: dict[str, int]) -> DataFrame:
     """factor copies with id columns shifted per replica (single scan:
@@ -82,21 +90,25 @@ def main() -> None:
         ).drop("__rep").persist()
         n_ev = ev.count()
 
-        t, rows = timed(lambda: oi_pipeline(ev, 3600, group_cols=["user_id"]))
-        print(json.dumps({"kernel": "oi_pipeline", "factor": r,
-                          "input_rows": n_ev, "out_rows": rows, "sec": round(t, 3)}))
+        if _want("oi_pipeline"):
+            t, rows = timed(lambda: oi_pipeline(ev, 3600, group_cols=["user_id"]))
+            print(json.dumps({"kernel": "oi_pipeline", "factor": r,
+                              "input_rows": n_ev, "out_rows": rows,
+                              "sec": round(t, 3)}))
 
-        t, rows = timed(
-            lambda: asof_next_within(
-                ev,
-                probe_pred=F.col("event_type") == "purchase",
-                match_pred=F.col("event_type") == "signup",
-                by_cols=["user_id"],
-                tolerance_us=120_000_000,
-            ).filter(F.col("event_type") == "purchase")
-        )
-        print(json.dumps({"kernel": "asof_tag", "factor": r,
-                          "input_rows": n_ev, "out_rows": rows, "sec": round(t, 3)}))
+        if _want("asof_tag"):
+            t, rows = timed(
+                lambda: asof_next_within(
+                    ev,
+                    probe_pred=F.col("event_type") == "purchase",
+                    match_pred=F.col("event_type") == "signup",
+                    by_cols=["user_id"],
+                    tolerance_us=120_000_000,
+                ).filter(F.col("event_type") == "purchase")
+            )
+            print(json.dumps({"kernel": "asof_tag", "factor": r,
+                              "input_rows": n_ev, "out_rows": rows,
+                              "sec": round(t, 3)}))
         ev.unpersist()
 
         # block-disjoint replica text: every word prefixed with the
@@ -109,21 +121,26 @@ def main() -> None:
                 F.concat(pfx, F.regexp_replace(
                     F.col("text"), " ", F.concat(F.lit(" "), pfx))),
             )
-        d = d.drop("__rep").persist()
-        n_docs = d.count()
-        t, pairs = timed(
-            lambda: jaccard_near_dup_pairs(d, "text", "doc_id", n=3, threshold=0.8),
-            action="count",
-        )
-        print(json.dumps({"kernel": "jaccard", "factor": r,
-                          "input_rows": n_docs, "out_rows": pairs, "sec": round(t, 3)}))
-        d.unpersist()
+        if _want("jaccard"):
+            d = d.drop("__rep").persist()
+            n_docs = d.count()
+            t, pairs = timed(
+                lambda: jaccard_near_dup_pairs(
+                    d, "text", "doc_id", n=3, threshold=0.8
+                ),
+                action="count",
+            )
+            print(json.dumps({"kernel": "jaccard", "factor": r,
+                              "input_rows": n_docs, "out_rows": pairs,
+                              "sec": round(t, 3)}))
+            d.unpersist()
 
         # key-scaled lineitem: replicas get disjoint orders/parts/
         # suppliers, so basket sizes stay constant and pair volume must
         # grow linearly (the copurchase scale claim under test)
         li = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"
+            "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+            "l_extendedprice",
         )
         l = replicate(
             li,
@@ -152,10 +169,11 @@ def main() -> None:
                 .agg(F.count(F.lit(1)).alias("n_both"))
             )
 
-        t, pairs = timed(copurchase_pairs, action="count")
-        print(json.dumps({"kernel": "copurchase", "factor": r,
-                          "input_rows": n_li, "out_rows": pairs,
-                          "sec": round(t, 3)}))
+        if _want("copurchase"):
+            t, pairs = timed(copurchase_pairs, action="count")
+            print(json.dumps({"kernel": "copurchase", "factor": r,
+                              "input_rows": n_li, "out_rows": pairs,
+                              "sec": round(t, 3)}))
 
         def q21_chain():
             l1 = l.filter(F.col("l_returnflag") == "R").select(
@@ -184,13 +202,130 @@ def main() -> None:
                 .agg(F.count(F.lit(1)).alias("numwait"))
             )
 
-        t, rows = timed(q21_chain, action="count")
-        print(json.dumps({"kernel": "q21_semi_anti", "factor": r,
-                          "input_rows": n_li, "out_rows": rows,
-                          "sec": round(t, 3)}))
+        if _want("q21_semi_anti"):
+            t, rows = timed(q21_chain, action="count")
+            print(json.dumps({"kernel": "q21_semi_anti", "factor": r,
+                              "input_rows": n_li, "out_rows": rows,
+                              "sec": round(t, 3)}))
+
+        def tri_oriented():
+            # degree-ordered triangle counting (graph_ops
+            # triangle_count_oriented): strong-edge build + orientation
+            # + wedge/closing joins; replicas are key-disjoint
+            # subgraphs, so edges AND triangles scale linearly
+            assoc = l.select("l_orderkey", "l_partkey").distinct()
+            b2 = assoc.select(
+                F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb")
+            )
+            edges = (
+                assoc.join(
+                    b2,
+                    (F.col("l_orderkey") == F.col("o2"))
+                    & (F.col("l_partkey") < F.col("pb")),
+                )
+                .groupBy(F.col("l_partkey").alias("pa"), "pb")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") >= 2)
+                .select("pa", "pb")
+            )
+            deg = (
+                edges.select(F.col("pa").alias("node"))
+                .unionAll(edges.select(F.col("pb").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            da = deg.select(F.col("node").alias("na"), F.col("d").alias("da"))
+            db = deg.select(F.col("node").alias("nb"), F.col("d").alias("db"))
+            a_first = F.struct(F.col("da"), F.col("pa")) < F.struct(
+                F.col("db"), F.col("pb")
+            )
+            oriented = (
+                edges.join(da, F.col("pa") == F.col("na"))
+                .join(db, F.col("pb") == F.col("nb"))
+                .select(
+                    F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+                    F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+                    F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+                )
+            )
+            o2 = oriented.select(
+                F.col("src").alias("s2"),
+                F.col("dst").alias("d2"),
+                F.col("ddst").alias("dd2"),
+            )
+            closing = oriented.select(
+                F.col("src").alias("cs"), F.col("dst").alias("cd")
+            )
+            return (
+                oriented.join(o2, F.col("src") == F.col("s2"))
+                .filter(
+                    F.struct(F.col("ddst"), F.col("dst"))
+                    < F.struct(F.col("dd2"), F.col("d2"))
+                )
+                .join(
+                    closing,
+                    (F.col("cs") == F.col("dst")) & (F.col("cd") == F.col("d2")),
+                    "left_semi",
+                )
+            )
+
+        if _want("tri_oriented"):
+            t, tris = timed(tri_oriented, action="count")
+            print(json.dumps({"kernel": "tri_oriented", "factor": r,
+                              "input_rows": n_li, "out_rows": tris,
+                              "sec": round(t, 3)}))
+
+        def tdigest_build():
+            # sketch_ops.tdigest_centroids: fixed 1024-cell agg state
+            # regardless of input rows -> time should scale with the
+            # scan, output pinned at <= 64 centroids
+            from pyspark.sql import Window as W
+            import math
+
+            v = l.select(
+                F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+            )
+            b = v.agg(
+                F.min("c").alias("lo"),
+                F.max("c").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            h = (
+                v.join(F.broadcast(b))
+                .select(
+                    "c",
+                    "n",
+                    ((F.col("c") - F.col("lo")) * 1024).cast("long").alias("num"),
+                    (F.col("hi") - F.col("lo") + 1).alias("den"),
+                )
+                .select("c", "n", F.expr("least(num div den, 1023)").alias("bin"))
+                .groupBy("bin", "n")
+                .agg(F.count(F.lit(1)).alias("bin_n"))
+            )
+            cw = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+            c = h.withColumn("cum_prev", F.sum("bin_n").over(cw) - F.col("bin_n"))
+            arg = (2 * F.col("cum_prev") + F.col("bin_n") - F.col("n")).cast(
+                "double"
+            ) / F.col("n")
+            am = F.round((F.asin(arg) + F.lit(math.pi / 2)) * 1e6).cast("long")
+            return (
+                c.withColumn("asin_micro", am)
+                .select(F.expr("least((64 * asin_micro) div 3141593, 63)").alias("ct"),
+                        "bin_n")
+                .groupBy("ct")
+                .agg(F.sum("bin_n").alias("n"))
+            )
+
+        if _want("tdigest_build"):
+            t, cents = timed(tdigest_build, action="count")
+            print(json.dumps({"kernel": "tdigest_build", "factor": r,
+                              "input_rows": n_li, "out_rows": cents,
+                              "sec": round(t, 3)}))
         l.unpersist()
 
         # block-shifted embeddings: replicas displaced along every axis
+        if not _want("ivf_probe"):
+            continue
         e = replicate(emb, r, {"vec_id": 10_000_000})
         if r > 1:
             e = e.withColumn(
