@@ -766,3 +766,153 @@ def pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_sq_dist"),
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation harness: recall@k + MRR of the ANN scale path
+# graded against exact brute-force ground truth
+# --------------------------------------------------------------------------
+
+_EVAL_K = 3
+
+
+def _retrieval_eval_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_lsh_bucket_sql(t)} AS bucket FROM embeddings"
+        for t in range(_LSH_TABLES)
+    )
+    score = """
+    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT unnest(q.embedding) AS x, unnest(e.embedding) AS y) z) AS dot,
+    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+     FROM (SELECT unnest(q.embedding) AS x) z) AS nq,
+    (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT unnest(e.embedding) AS y) z) AS ne"""
+    return f"""
+WITH b AS ({arms}),
+qb AS (SELECT vec_id AS qid, tbl, bucket FROM b
+       WHERE vec_id % {_LSH_QUERY_MOD} = 0),
+cand AS (
+  SELECT DISTINCT qb.qid, b.vec_id AS neighbor_id
+  FROM b JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+  WHERE qb.qid <> b.vec_id),
+scored_a AS (
+  SELECT c.qid, c.neighbor_id, {score}
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.qid
+  JOIN embeddings e ON e.vec_id = c.neighbor_id),
+approx AS (
+  SELECT qid, neighbor_id,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY round(dot / (sqrt(nq) * sqrt(ne)), 6) DESC, neighbor_id)
+           AS rnk
+  FROM scored_a
+  QUALIFY rnk <= {_EVAL_K}),
+scored_t AS (
+  SELECT q.vec_id AS qid, e.vec_id AS neighbor_id, {score}
+  FROM embeddings e,
+       (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % {_LSH_QUERY_MOD} = 0) q
+  WHERE e.vec_id <> q.vec_id),
+truth AS (
+  SELECT qid, neighbor_id,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY round(dot / (sqrt(nq) * sqrt(ne)), 6) DESC, neighbor_id)
+           AS rnk
+  FROM scored_t
+  QUALIFY rnk <= {_EVAL_K}),
+hits AS (
+  SELECT t.qid, count(*) AS n_hits
+  FROM truth t JOIN approx a
+    ON t.qid = a.qid AND t.neighbor_id = a.neighbor_id
+  GROUP BY 1),
+fr AS (
+  SELECT t.qid, a.rnk AS ftr
+  FROM truth t LEFT JOIN approx a
+    ON t.qid = a.qid AND t.neighbor_id = a.neighbor_id
+  WHERE t.rnk = 1)
+SELECT q.vec_id AS qid,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / CAST({_EVAL_K} AS DOUBLE), 6)
+         AS recall_at_k,
+       CAST(coalesce(fr.ftr, 0) AS BIGINT) AS first_true_rank,
+       round(CASE WHEN fr.ftr IS NULL THEN 0.0 ELSE 1.0 / fr.ftr END, 6)
+         AS reciprocal_rank
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % {_LSH_QUERY_MOD} = 0) q
+LEFT JOIN hits h ON q.vec_id = h.qid
+LEFT JOIN fr ON q.vec_id = fr.qid
+"""
+
+
+@register("retrieval_eval", oracle=_retrieval_eval_oracle())
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality harness: grade the LSH ANN scale path against
+    exact brute-force ground truth, per query — recall@k (|approx-top-k
+    ∩ true-top-k| / k), the approx rank of the TRUE nearest neighbor,
+    and its reciprocal rank (mean over queries = MRR). This is the
+    eval loop every ANN deployment runs before flipping traffic from
+    exact to approximate search; per-query rows (not one aggregate)
+    so regressions localize to specific queries.
+
+    Exactness: the ground-truth arm is the documented brute-force
+    oracle baseline (cosine_topk: BNLJ over a BOUNDED query sample —
+    eval grades a sample by construction, never the full corpus); the
+    approx arm replays the exact-integer LSH bucketing, so BOTH
+    engines derive identical candidate sets, identical 6-dp cosines,
+    identical (cosine DESC, id) ranks. Metric arithmetic is small-int
+    division (n/3, 1/rank) — bit-identical doubles in both engines.
+
+    Scale: the approx arm is the production shape (equi-join on
+    (table, bucket)); ground truth over the sample costs one corpus
+    scan per eval. Hit-counting joins O(queries × k) rows."""
+    from dissertation_iceberg_spark.operators.similarity import (
+        cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % _LSH_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = cosine_topk(emb, queries, k=_EVAL_K)
+    approx = lsh_cosine_topk(
+        emb,
+        queries,
+        k=_EVAL_K,
+        num_planes=_LSH_PLANES,
+        num_tables=_LSH_TABLES,
+    ).select("qid", "neighbor_id", "rnk")
+    hits = (
+        truth.select("qid", "neighbor_id")
+        .join(approx.select("qid", "neighbor_id"), ["qid", "neighbor_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    fr = (
+        truth.filter(F.col("rnk") == 1)
+        .select("qid", "neighbor_id")
+        .join(
+            approx.withColumnRenamed("rnk", "ftr"),
+            ["qid", "neighbor_id"],
+            "left",
+        )
+        .select("qid", "ftr")
+    )
+    base = queries.select(F.col("query_id").alias("qid"))
+    return (
+        base.join(hits, "qid", "left")
+        .join(fr, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(float(_EVAL_K)), 6
+            ).alias("recall_at_k"),
+            F.coalesce("ftr", F.lit(0)).cast("long").alias("first_true_rank"),
+            F.round(
+                F.when(F.col("ftr").isNotNull(), F.lit(1.0) / F.col("ftr"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("reciprocal_rank"),
+        )
+    )

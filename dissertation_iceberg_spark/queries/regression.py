@@ -221,3 +221,134 @@ def clop_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intraday_ret"),
     )
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen robust slope (Theil's incomplete split-pairing form)
+# --------------------------------------------------------------------------
+
+_TS_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY l_returnflag,
+             CAST(round(l_quantity * 100) AS BIGINT),
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+           ORDER BY l_orderkey, l_linenumber) AS tb
+  FROM lineitem),
+r AS (
+  SELECT flag, qc, cents,
+         row_number() OVER (PARTITION BY flag
+           ORDER BY (qc * 16777216 + cents) * 1048576 + tb) AS rn,
+         count(*) OVER (PARTITION BY flag) AS n
+  FROM v),
+pairs AS (
+  SELECT a.flag, b.cents - a.cents AS num, b.qc - a.qc AS den
+  FROM r a JOIN r b
+    ON a.flag = b.flag AND b.rn = a.rn + a.n // 2
+  WHERE a.n >= 2 AND b.qc > a.qc),
+lv AS (
+  SELECT flag, CAST(num AS DOUBLE) / den AS slope, count(*) AS w
+  FROM pairs GROUP BY 1, 2),
+c AS (
+  SELECT *, sum(w) OVER (PARTITION BY flag ORDER BY slope) AS cw,
+         sum(w) OVER (PARTITION BY flag) AS tw
+  FROM lv)
+SELECT flag, round(min(slope), 6) AS theil_slope,
+       CAST(max(tw) AS BIGINT) AS n_pairs
+FROM c WHERE 2 * cw >= tw
+GROUP BY 1
+"""
+
+
+@register("theil_sen_slope", oracle=_TS_ORACLE)
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope of extendedprice on quantity per return
+    flag, in Theil's INCOMPLETE (split-pairing) form: rank each group
+    by (quantity, order, line), pair rank r with rank r + n//2, and
+    take the median pair slope — a consistent robust-slope estimator
+    (50% breakdown of the complete form drops to 25%, the standard
+    trade) that costs O(n) pairs instead of the complete estimator's
+    O(n^2), the difference between feasible and not at 100 TB.
+
+    Determinism: the rank key is (qc, cents, tb) packed into one
+    bigint, where tb numbers duplicates WITHIN a (flag, qc, cents)
+    level — the driver's synthetic lineitem does NOT enforce the
+    (orderkey, linenumber) PK, so no natural column is unique. Rows
+    sharing (qc, cents) are exchangeable: a pair's (num, den) depends
+    only on those two values, so the slope MULTISET (hence the median)
+    is invariant to how either engine breaks full ties. Pair slopes
+    are exact-integer numerator/denominator with ONE identical double
+    division per distinct pair level; the median is the lower weighted
+    median (integer threshold 2*cw >= tw) over collapsed slope levels
+    — no float comparison an engine could tie-break differently.
+
+    Scale shape: ranks via the grouped bucketed two-pass cumsum
+    machinery (functions/ranks.py), NOT a per-group ordered window
+    over the fact frame; pairing is one equi-join on (flag, rank);
+    the median reuses the weighted_median prefix-threshold pick over
+    O(distinct slopes) levels. No stage sorts row-scale data."""
+    from dissertation_iceberg_spark.functions.ranks import (
+        bucketed_exclusive_cumsums,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tbw = Window.partitionBy("flag", "qc", "cents").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    base = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .withColumn("tb", F.row_number().over(tbw))
+        .select(
+            "flag",
+            "qc",
+            "cents",
+            ((F.col("qc") * F.lit(16777216) + F.col("cents")) * F.lit(1048576)
+             + F.col("tb")).alias("qkey"),
+            F.lit(1).alias("one"),
+        )
+    )
+    ranked = bucketed_exclusive_cumsums(
+        base, "qkey", ["one"], group_cols=["flag"]
+    ).withColumn("rn", F.col("cum_one") + 1)
+    n = base.groupBy("flag").agg(F.count(F.lit(1)).alias("n"))
+    a = ranked.join(F.broadcast(n), "flag").filter(F.col("n") >= 2)
+    b = ranked.select(
+        "flag",
+        F.col("rn").alias("rn2"),
+        F.col("qc").alias("qc2"),
+        F.col("cents").alias("cents2"),
+    )
+    pairs = (
+        a.withColumn("rn2", F.col("rn") + F.expr("n div 2"))
+        .join(b, ["flag", "rn2"])
+        .filter(F.col("qc2") > F.col("qc"))
+        .select(
+            "flag",
+            (F.col("cents2") - F.col("cents")).alias("num"),
+            (F.col("qc2") - F.col("qc")).alias("den"),
+        )
+    )
+    lv = pairs.groupBy(
+        "flag", (F.col("num").cast("double") / F.col("den")).alias("slope")
+    ).agg(F.count(F.lit(1)).alias("w"))
+    cum = bucketed_exclusive_cumsums(
+        lv, "slope", ["w"], group_cols=["flag"]
+    ).withColumn("cw", F.col("cum_w") + F.col("w"))
+    tot = lv.groupBy("flag").agg(F.sum("w").cast("long").alias("tw"))
+    return (
+        cum.join(F.broadcast(tot), "flag")
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.round(F.min("slope"), 6).alias("theil_slope"),
+            F.max("tw").cast("long").alias("n_pairs"),
+        )
+    )

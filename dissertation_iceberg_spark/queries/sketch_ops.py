@@ -961,3 +961,127 @@ def tdigest_quantile_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("est_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped t-digest: one digest PER KEY (per-source doc-length centroids)
+# --------------------------------------------------------------------------
+
+_GTD_PREBINS = 256  # per-group value-space pre-buckets
+_GTD_K = 32  # centroids per group
+
+_GROUPED_TDIGEST_ORACLE = f"""
+WITH v AS (SELECT source, n_chars AS c FROM documents),
+b AS (
+  SELECT source, min(c) AS lo, max(c) AS hi, count(*) AS n
+  FROM v GROUP BY 1),
+h AS (
+  SELECT v.source,
+         least((v.c - b.lo) * {_GTD_PREBINS} // (b.hi - b.lo + 1),
+               {_GTD_PREBINS - 1}) AS bin,
+         count(*) AS bin_n,
+         CAST(sum(v.c) AS BIGINT) AS bin_sum,
+         min(v.c) AS bin_lo, max(v.c) AS bin_hi
+  FROM v JOIN b ON v.source = b.source GROUP BY 1, 2),
+c AS (
+  SELECT h.*, b.n,
+         sum(bin_n) OVER (PARTITION BY h.source ORDER BY bin) - bin_n
+           AS cum_prev
+  FROM h JOIN b ON h.source = b.source),
+assigned AS (
+  SELECT source,
+         least(({_GTD_K} * CAST(round((asin(
+             CAST(2 * cum_prev + bin_n - n AS DOUBLE) / n)
+             + pi() / 2) * 1e6) AS BIGINT)) // {_TD_PI_MICRO},
+           {_GTD_K - 1}) AS centroid,
+         bin_n, bin_sum, bin_lo, bin_hi
+  FROM c)
+SELECT source, centroid,
+       CAST(sum(bin_n) AS BIGINT) AS n,
+       CAST(sum(bin_sum) AS BIGINT) AS sum_chars,
+       min(bin_lo) AS lo_chars, max(bin_hi) AS hi_chars,
+       round(CAST(sum(bin_sum) AS DOUBLE) / sum(bin_n), 6) AS mean_chars
+FROM assigned GROUP BY 1, 2
+"""
+
+
+@register("grouped_tdigest", oracle=_GROUPED_TDIGEST_ORACLE)
+def grouped_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped t-digest: ONE deterministic k1-scale digest PER KEY
+    (per-source document-length centroids) — the per-key centroid
+    table that powers "p99 length by source" dashboards and per-source
+    length-drift alerts without ever sorting the corpus. Same
+    construction as tdigest_centroids with every step group-local:
+    per-group exact (min, max, n); per-(group, cell) counting state;
+    cumulative window PARTITIONED BY group (no single-partition frame
+    — this is the windowed/grouped form the global digest can't give);
+    asin micro-rounded once per (group, cell).
+
+    Mergeability per key: states are (n, sum, min, max) integer sums —
+    shards/days combine by addition per (source, centroid),
+    bit-reproducibly at any parallelism. Scale shape: two fact scans
+    with O(groups × {p}) state, window frames are O({p}) rows per
+    group; output O(groups × {k}).""".format(p=_GTD_PREBINS, k=_GTD_K)
+    import math
+
+    from pyspark.sql import Window as W
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    v = docs.select("source", F.col("n_chars").alias("c"))
+    b = v.groupBy("source").agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    h = (
+        v.join(F.broadcast(b), "source")
+        .select(
+            "source",
+            "c",
+            "n",
+            ((F.col("c") - F.col("lo")) * _GTD_PREBINS).cast("long").alias("num"),
+            (F.col("hi") - F.col("lo") + 1).alias("den"),
+        )
+        .select(
+            "source",
+            "c",
+            "n",
+            F.expr(f"least(num div den, {_GTD_PREBINS - 1})").alias("bin"),
+        )
+        .groupBy("source", "bin", "n")
+        .agg(
+            F.count(F.lit(1)).alias("bin_n"),
+            F.sum("c").cast("long").alias("bin_sum"),
+            F.min("c").alias("bin_lo"),
+            F.max("c").alias("bin_hi"),
+        )
+    )
+    cw = (
+        W.partitionBy("source").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = h.withColumn("cum_prev", F.sum("bin_n").over(cw) - F.col("bin_n"))
+    arg = (2 * F.col("cum_prev") + F.col("bin_n") - F.col("n")).cast(
+        "double"
+    ) / F.col("n")
+    asin_micro = F.round((F.asin(arg) + F.lit(math.pi / 2)) * 1e6).cast("long")
+    return (
+        c.withColumn("asin_micro", asin_micro)
+        .select(
+            "source",
+            F.expr(
+                f"least(({_GTD_K} * asin_micro) div {_TD_PI_MICRO}, {_GTD_K - 1})"
+            ).alias("centroid"),
+            "bin_n",
+            "bin_sum",
+            "bin_lo",
+            "bin_hi",
+        )
+        .groupBy("source", "centroid")
+        .agg(
+            F.sum("bin_n").cast("long").alias("n"),
+            F.sum("bin_sum").cast("long").alias("sum_chars"),
+            F.min("bin_lo").alias("lo_chars"),
+            F.max("bin_hi").alias("hi_chars"),
+            F.round(F.sum("bin_sum").cast("double") / F.sum("bin_n"), 6).alias(
+                "mean_chars"
+            ),
+        )
+    )

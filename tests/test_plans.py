@@ -126,6 +126,7 @@ INTENTIONAL_BNLJ = {
     "tdigest_quantile_readout",  # broadcast 3-row quantile targets
     "tdigest_centroids",  # broadcast 1-row (min, max, n) bounds frame
     "triangle_count_oriented",  # broadcast 1-row degree/triangle frames
+    "retrieval_eval",  # ground-truth arm IS the documented brute-force baseline
     "fk_integrity_audit",  # broadcast 1-row child-count frame per FK edge
 }
 
