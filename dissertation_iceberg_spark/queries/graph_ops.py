@@ -440,3 +440,116 @@ def bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_suppliers"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition: iterative peeling trace on the strong graph
+# --------------------------------------------------------------------------
+
+_KCORE_K = 6
+_KCORE_PEELS = 4
+
+
+def _kcore_peel_sql(prev: str, out: str) -> str:
+    return f"""
+k{out} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS d FROM (
+      SELECT pa AS node FROM {prev} UNION ALL SELECT pb AS node FROM {prev}) u
+    GROUP BY 1) dd WHERE d >= {_KCORE_K}),
+{out} AS MATERIALIZED (
+  SELECT e.pa, e.pb FROM {prev} e
+  JOIN k{out} x ON e.pa = x.node
+  JOIN k{out} y ON e.pb = y.node)"""
+
+
+def _kcore_stats_sql(i: int) -> str:
+    return f"""SELECT {i} AS peel,
+       CAST((SELECT count(*) FROM e{i}) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM
+             (SELECT pa AS node FROM e{i} UNION SELECT pb FROM e{i}) nn)
+            AS BIGINT) AS n_nodes"""
+
+
+_KCORE_ORACLE = f"""
+WITH assoc AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM assoc a JOIN assoc b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_WEIGHT}),
+{",".join(_kcore_peel_sql(f"e{i}", f"e{i + 1}") for i in range(_KCORE_PEELS))}
+{" UNION ALL ".join(_kcore_stats_sql(i) for i in range(_KCORE_PEELS + 1))}
+"""
+
+
+@register("kcore_decomposition", oracle=_KCORE_ORACLE)
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling on the strong
+    co-purchase graph (same edges as triangle_count): repeatedly drop
+    nodes with degree < {k} and the edges they carry. Output is the
+    peeling TRACE — (peel, n_edges, n_nodes) after each of {r} rounds
+    — the convergence audit that tells an entity-graph pipeline how
+    deep the cohesive core is and whether more peels are needed
+    (trace flat ⇒ fixpoint reached). The {k}-core is the standard
+    "dense cohort" extractor before community detection and a spam/
+    bot-ring signal in co-occurrence graphs.
+
+    Determinism: peeling is pure integer degree arithmetic — no
+    floats, no tie-breaks (a node is in or out), so any engine and
+    any parallelism reach the same edge set; the oracle unrolls the
+    same {r} peels as CTEs. Fixed peel count (not while-loop
+    convergence) precisely so the oracle can unroll it.
+
+    Scale shape per peel: one map-side-combinable degree count over
+    the live edge list + two semi-joins (edges ⋉ surviving nodes on
+    each endpoint) — edges shuffle on their endpoint keys, the
+    surviving-node frame is O(nodes). Per-peel stats are tiny
+    aggregates unioned at the end; nothing sorts.""".format(
+        k=_KCORE_K, r=_KCORE_PEELS
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    assoc = li.select("l_orderkey", "l_partkey").distinct()
+    b = assoc.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        assoc.join(b, (F.col("l_orderkey") == F.col("okey"))
+                   & (F.col("l_partkey") < F.col("pb")))
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_WEIGHT)
+        .select("pa", "pb")
+    )
+
+    def stats(e: DataFrame, i: int) -> DataFrame:
+        nodes = e.select(F.col("pa").alias("node")).union(
+            e.select(F.col("pb").alias("node"))
+        ).distinct()
+        return e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).join(
+            nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        ).select(F.lit(i).alias("peel"), "n_edges", "n_nodes")
+
+    edges = edges.persist()
+    out = [stats(edges, 0)]
+    cur = edges
+    for i in range(1, _KCORE_PEELS + 1):
+        deg = (
+            cur.select(F.col("pa").alias("node"))
+            .union(cur.select(F.col("pb").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "pa"), "pa", "left_semi")
+            .join(keep.withColumnRenamed("node", "pb"), "pb", "left_semi")
+            .select("pa", "pb")
+            .persist()
+        )
+        out.append(stats(cur, i))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

@@ -575,3 +575,68 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (fraud / synthetic-data smell test)
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_BENFORD_EXP = {d: round(_math.log10(1 + 1 / d), 6) for d in range(1, 10)}
+
+_BENFORD_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                     AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT c.digit, CAST(c.n AS BIGINT) AS n_orders,
+       round(CAST(c.n AS DOUBLE) / t.total, 6) AS obs_freq,
+       CAST(CASE c.digit
+         {" ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_EXP.items())}
+       END AS DOUBLE) AS benford_freq
+FROM c, t
+"""
+
+
+@register("benford_digit_audit", oracle=_BENFORD_ORACLE)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    forensic data-quality screen: naturally occurring multiplicative
+    amounts follow P(d) = log10(1 + 1/d); fabricated or uniformly
+    synthesized values do not (the driver's synthetic prices indeed
+    deviate — that's the signal a generator audit wants). Output:
+    observed vs Benford frequency per leading digit.
+
+    Determinism: the leading digit comes from the DECIMAL STRING of
+    exact integer cents — never floor(log10(x)) whose half-ulp at
+    powers of ten flips digits between libms. Expected frequencies are
+    Python-computed literals injected into both engines; the one
+    display division per digit divides identical exact integers.
+
+    Scale shape: one scan, map-side-combinable 9-group count, 1-row
+    total broadcast. Nothing else."""
+    ords = load_table(spark, sf_dir, "orders")
+    d = ords.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    exp = F.element_at(
+        F.array(*[F.lit(_BENFORD_EXP[dd]) for dd in range(1, 10)]),
+        F.col("digit").cast("int"),
+    )
+    return c.join(F.broadcast(t)).select(
+        "digit",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("obs_freq"),
+        exp.alias("benford_freq"),
+    )

@@ -1085,3 +1085,93 @@ def grouped_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic Poisson bootstrap: replicate means for a CI, no RNG state
+# --------------------------------------------------------------------------
+
+_BOOT_B = 48  # bootstrap replicates
+# Poisson(1) CDF thresholds scaled to the hash60 range [0, 2^60):
+# weight = #{k : u >= c_k}, truncated at 8 (tail mass ~1e-5 dropped
+# identically in both engines). Computed once in Python; injected as
+# literals on BOTH sides so no runtime float ever decides a weight.
+_POIS1_CDF60 = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+)
+
+_BOOT_ORACLE = f"""
+WITH x AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+expanded AS (
+  SELECT b.b, x.cents,
+         CAST(len(list_filter({list(_POIS1_CDF60)},
+              c -> {seeded_hash60_col_sql("b.b", "CAST(x.o_orderkey AS VARCHAR)")} >= c))
+              AS BIGINT) AS w
+  FROM x CROSS JOIN range({_BOOT_B}) b(b))
+SELECT b AS replicate,
+       CAST(sum(w) AS BIGINT) AS n_eff,
+       round(CAST(sum(w * cents) AS DOUBLE) / sum(w) / 100, 6) AS boot_mean
+FROM expanded GROUP BY 1
+"""
+
+
+@register("poisson_bootstrap_means", oracle=_BOOT_ORACLE)
+def poisson_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean order value: {b} replicate means
+    whose spread IS the sampling distribution (percentiles of this
+    column are the CI). The Poisson(1) trick is THE distributed
+    bootstrap — classic resampling needs n draws from a shared
+    counter, but Poisson weights are independent PER ROW, so each
+    executor weights its rows with no coordination, exactly what a
+    100 TB bootstrap needs.
+
+    Zero RNG state: replicate b's weight for a row is derived from the
+    portable 60-bit hash of (order key, b) against Poisson(1) CDF
+    thresholds precomputed in Python and injected as integer literals
+    in BOTH engines — reproducible across engines, partitions, and
+    reruns; no seed array ships anywhere. Weighted sums are exact
+    integer cents; the single display division per replicate is
+    identical small-int arithmetic.
+
+    Scale shape: one fact scan exploded ×{b} with a map-side-
+    combinable (replicate) aggregation — state is O({b}) rows per
+    task, the shuffle carries {b} partials per task. Rows with
+    duplicate keys share weights (the driver's synthetic orders does
+    not enforce the o_orderkey PK) — harmless: weights stay
+    Poisson(1)-marginal and both engines agree row-by-row.""".format(
+        b=_BOOT_B
+    )
+    ords = load_table(spark, sf_dir, "orders")
+    x = ords.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    u = seeded_hash60_col(F.col("b"), F.col("o_orderkey").cast("string"))
+    thresholds = F.array(*[F.lit(c).cast("long") for c in _POIS1_CDF60])
+    expanded = (
+        x.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))))
+        .withColumn("u", u)
+        .withColumn(
+            "w",
+            F.size(F.filter(thresholds, lambda c: F.col("u") >= c)).cast("long"),
+        )
+    )
+    return expanded.groupBy(F.col("b").alias("replicate")).agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        F.round(
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / F.sum("w")
+            / 100,
+            6,
+        ).alias("boot_mean"),
+    )

@@ -127,6 +127,8 @@ INTENTIONAL_BNLJ = {
     "tdigest_centroids",  # broadcast 1-row (min, max, n) bounds frame
     "triangle_count_oriented",  # broadcast 1-row degree/triangle frames
     "retrieval_eval",  # ground-truth arm IS the documented brute-force baseline
+    "kcore_decomposition",  # per-peel 1-row stats frames joined keylessly
+    "benford_digit_audit",  # broadcast 1-row total (9-group frame)
     "fk_integrity_audit",  # broadcast 1-row child-count frame per FK edge
 }
 
