@@ -982,3 +982,101 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(cw).cast("long").alias("cum_unique_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# Calibration bins (reliability diagram) for a deterministic propensity
+# --------------------------------------------------------------------------
+
+_CAL_SPLIT = "2024-01-16 00:00:00"
+_CAL_BINS = 10
+
+
+_CALIBRATION_ORACLE = f"""
+WITH hist AS (
+  SELECT user_id,
+         count(*) AS n_ev,
+         count(*) FILTER (event_type = 'purchase') AS n_p
+  FROM events WHERE ts < TIMESTAMP '{_CAL_SPLIT}'
+  GROUP BY 1),
+fut AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '{_CAL_SPLIT}' AND event_type = 'purchase'),
+scored AS (
+  SELECT h.user_id,
+         (h.n_p * 1000000) // h.n_ev AS s_micro,
+         CASE WHEN f.user_id IS NULL THEN 0 ELSE 1 END AS y
+  FROM hist h LEFT JOIN fut f ON h.user_id = f.user_id)
+SELECT least(s_micro // {1_000_000 // _CAL_BINS}, {_CAL_BINS - 1}) AS bin,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(sum(s_micro) AS DOUBLE) / count(*) / 1e6, 6)
+         AS mean_predicted,
+       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS observed_rate
+FROM scored GROUP BY 1
+"""
+
+
+@register("calibration_bins", oracle=_CALIBRATION_ORACLE)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (calibration bins) for a propensity score:
+    score every user by their FIRST-half purchase fraction, observe
+    whether they purchase in the SECOND half, and compare mean
+    predicted vs observed rate per score decile — the standard
+    model-calibration readout (points on the diagonal = calibrated),
+    here over a deterministic baseline propensity so the whole eval
+    is oracle-checkable end to end. The same shape grades any real
+    model's scores at 100 TB: scores and outcomes are both columns;
+    the eval is one aggregation.
+
+    Determinism: the score is the exact integer micro-fraction
+    (n_purchases * 1e6) div n_events — never a float ratio that two
+    engines could bucket differently at a decile edge; bins are
+    integer floor-division with a top-edge clamp; the two display
+    divisions per bin divide identical exact integers.
+
+    Scale shape: one grouped count over the history window, one
+    distinct-semi over the future window, one broadcast-size LEFT
+    join on user, one {b}-group aggregation. Temporal split pushes
+    down to the scan as a timestamp predicate.""".format(b=_CAL_BINS)
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(_CAL_SPLIT).cast("timestamp")
+    hist = (
+        e.filter(F.col("ts") < split)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.count_if(F.col("event_type") == "purchase").alias("n_p"),
+        )
+    )
+    fut = (
+        e.filter((F.col("ts") >= split) & (F.col("event_type") == "purchase"))
+        .select("user_id")
+        .distinct()
+        .withColumn("y", F.lit(1))
+    )
+    scored = (
+        hist.join(fut, "user_id", "left")
+        .select(
+            F.expr("(n_p * 1000000) div n_ev").alias("s_micro"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    return (
+        scored.select(
+            F.expr(
+                f"least(s_micro div {1_000_000 // _CAL_BINS}, {_CAL_BINS - 1})"
+            ).alias("bin"),
+            "s_micro",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(
+                F.sum("s_micro").cast("double") / F.count(F.lit(1)) / 1e6, 6
+            ).alias("mean_predicted"),
+            F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias(
+                "observed_rate"
+            ),
+        )
+    )

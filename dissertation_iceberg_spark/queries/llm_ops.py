@@ -1324,3 +1324,130 @@ def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pred_lang") == F.col("lang")).cast("long").alias("is_correct"),
         F.col("score").alias("score_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus-prep pipeline: dedup -> quality gates -> mixture
+# quotas -> deterministic selection, audited per source in ONE query
+# --------------------------------------------------------------------------
+
+_PIPE_K = 150  # total docs selected across sources
+
+_PIPE_ORACLE = f"""
+WITH b AS MATERIALIZED (
+  SELECT doc_id, source, n_chars, text,
+         len(list_filter(str_split(text, ' '), x -> x <> '')) AS nt,
+         len(list_distinct(list_filter(str_split(text, ' '), x -> x <> '')))
+           AS nu,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+  FROM documents),
+elig AS MATERIALIZED (
+  SELECT doc_id, source, n_chars, text, nt
+  FROM b
+  WHERE nt >= 30 AND nu * 100 >= nt * 35 AND doc_id = canon),
+w AS (
+  SELECT source,
+         CAST(round(sqrt(CAST(sum(n_chars) AS DOUBLE)) * 1e6) AS BIGINT) AS wq
+  FROM elig GROUP BY 1),
+t AS (SELECT CAST(sum(wq) AS BIGINT) AS tot FROM w),
+q AS (SELECT source, CAST((wq * {_PIPE_K}) // tot AS BIGINT) AS quota
+      FROM w, t),
+r AS (
+  SELECT doc_id, source, nt,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5(text), 1, 15) AS BIGINT), doc_id)
+         AS BIGINT) AS rn
+  FROM elig),
+sel AS (
+  SELECT r.* FROM r JOIN q ON r.source = q.source WHERE r.rn <= q.quota),
+ec AS (SELECT source, count(*) AS n_eligible FROM elig GROUP BY 1)
+SELECT ec.source, CAST(ec.n_eligible AS BIGINT) AS n_eligible,
+       q.quota,
+       CAST(count(sel.doc_id) AS BIGINT) AS n_selected,
+       CAST(coalesce(sum(sel.nt), 0) AS BIGINT) AS selected_tokens
+FROM ec
+JOIN q ON ec.source = q.source
+LEFT JOIN sel ON sel.source = ec.source
+GROUP BY 1, 2, 3
+"""
+
+
+@register("corpus_prep_pipeline", oracle=_PIPE_ORACLE)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-prep flow COMPOSED in one declarative plan —
+    exact-dedup canonicalization, quality gates (min tokens, lexical
+    diversity), temperature mixture quotas over the SURVIVING corpus,
+    deterministic hash-rank selection — emitting the per-source audit
+    (eligible, quota, selected, selected token mass) a training-data
+    build publishes per snapshot. The point over the piecewise
+    queries (quality_funnel, mixture_weights, mixture_sample): gates
+    feed weights feed quotas feed selection inside ONE Catalyst plan,
+    so the optimizer sees the whole pipeline (single scan fans into
+    the gate/weight branches; no intermediate tables are written).
+
+    Determinism end to end: dedup canon = min doc_id per md5; gates
+    compare via integer cross-multiplication; quotas are exact integer
+    floor-division of 1e6-scaled sqrt weights; selection ranks by the
+    portable 60-bit content hash with doc_id tiebreak. The only
+    libm call (sqrt) is micro-rounded once per SOURCE.
+
+    Scale shape: one scan computes tokens + the md5-window canon
+    (shuffle on content hash — the dedup shuffle); eligibility is a
+    filter; weights/quotas are O(sources) broadcast; selection is the
+    per-source hash-rank top-quota (windowed rank per source, a
+    bounded 1e6-row-per-source frame at any SF via quota << group
+    size; heavy-group guards live in mixture_sample's docstring)."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = tx.tokens(F.col("text"))
+    b = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "text",
+        F.size(t).alias("nt"),
+        F.size(F.array_distinct(t)).alias("nu"),
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("canon"),
+    )
+    elig = b.filter(
+        (F.col("nt") >= 30)
+        & (F.col("nu") * 100 >= F.col("nt") * 35)
+        & (F.col("doc_id") == F.col("canon"))
+    ).select("doc_id", "source", "n_chars", "text", "nt")
+    w = elig.groupBy("source").agg(
+        F.round(F.sqrt(F.sum("n_chars").cast("double")) * 1e6)
+        .cast("long")
+        .alias("wq")
+    )
+    tot = w.agg(F.sum("wq").cast("long").alias("tot"))
+    q = w.join(F.broadcast(tot)).select(
+        "source", F.expr(f"(wq * {_PIPE_K}) div tot").cast("long").alias("quota")
+    )
+    from dissertation_iceberg_spark.functions.hashing import hash60
+
+    rw = Window.partitionBy("source").orderBy(hash60(F.col("text")), "doc_id")
+    r = elig.select(
+        "doc_id", "source", "nt", F.row_number().over(rw).cast("long").alias("rn")
+    )
+    sel = r.join(F.broadcast(q), "source").filter(F.col("rn") <= F.col("quota"))
+    ec = elig.groupBy("source").agg(F.count(F.lit(1)).alias("n_eligible"))
+    return (
+        ec.join(F.broadcast(q), "source")
+        .join(
+            sel.groupBy("source").agg(
+                F.count(F.lit(1)).alias("ns"),
+                F.sum("nt").alias("st"),
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            F.col("n_eligible").cast("long").alias("n_eligible"),
+            "quota",
+            F.coalesce("ns", F.lit(0)).cast("long").alias("n_selected"),
+            F.coalesce("st", F.lit(0)).cast("long").alias("selected_tokens"),
+        )
+    )

@@ -129,6 +129,7 @@ INTENTIONAL_BNLJ = {
     "retrieval_eval",  # ground-truth arm IS the documented brute-force baseline
     "kcore_decomposition",  # per-peel 1-row stats frames joined keylessly
     "benford_digit_audit",  # broadcast 1-row total (9-group frame)
+    "corpus_prep_pipeline",  # broadcast 1-row weight-total (quota arithmetic)
     "fk_integrity_audit",  # broadcast 1-row child-count frame per FK edge
 }
 
