@@ -881,3 +881,69 @@ def test_streaming_attribution_matches_batch(spark, tmp_path):
     sealed_exp = exp[exp.p_id.isin(set(sealed_p))]
     have = sealed_exp[key].merge(got[key], on=key, how="left", indicator=True)
     assert (have["_merge"] == "both").all(), "sealed purchase credit missing"
+
+
+def test_streaming_tdigest_matches_batch(spark, tmp_path):
+    """Streaming fixed-bounds t-digest cells (append on window close)
+    must equal the batch twin bit-for-bit; finalized per-window
+    quantile estimates must bracket the exact empirical quantile
+    within the digest's rank resolution."""
+    import numpy as np
+    import pandas as pd
+    from dissertation_iceberg_spark.streaming.tdigest_stream import (
+        TDS_K,
+        tdigest_finalize,
+        tdigest_window_quantiles,
+        window_tdigest_cells,
+    )
+
+    src = str(tmp_path / "tds_src")
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rng = np.random.RandomState(7)
+    rows = []
+    for h in range(12):
+        vals = np.round(rng.lognormal(3.0, 1.0, 800) + 0.01, 2)
+        for i, v in enumerate(vals):
+            rows.append(
+                {
+                    "ts": base + pd.Timedelta(hours=h, seconds=int(i)),
+                    "value": float(v),
+                }
+            )
+    rows.append({"ts": base + pd.Timedelta(days=3), "value": 1.0})
+    spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.parquet(src)
+
+    batch = spark.read.parquet(src)
+    expect = window_tdigest_cells(batch).toPandas()
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        window_tdigest_cells(stream)
+        .writeStream.format("memory")
+        .queryName("tds_cells")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("tds_cells").toPandas()
+
+    cols = ["window_start", "cell", "n", "sum_c", "min_c", "max_c"]
+    merged = got[cols].merge(expect[cols], on=cols, how="left", indicator=True)
+    assert (merged["_merge"] == "both").all()
+    assert len(got) > 0
+
+    cents = tdigest_finalize(spark.table("tds_cells"))
+    est = tdigest_window_quantiles(cents).toPandas()
+    assert len(est) > 0
+
+    df = pd.DataFrame(rows)
+    df["w"] = df.ts.dt.floor("6h")
+    for (_, r) in est.iterrows():
+        vals = df[df.w == r.window_start].value.to_numpy()
+        if len(vals) == 0:
+            continue
+        lo_q = max(0.0, r.q - 3.0 / TDS_K)
+        hi_q = min(1.0, r.q + 3.0 / TDS_K)
+        lo_v, hi_v = np.quantile(vals, [lo_q, hi_q])
+        assert lo_v - 2.0 <= r.est_value <= hi_v + 2.0, (r, lo_v, hi_v)
