@@ -640,3 +640,92 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("obs_freq"),
         exp.alias("benford_freq"),
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA over the hourly series: integer fold, recursive-CTE oracle
+# --------------------------------------------------------------------------
+
+_EWMA_A_NUM = 200  # alpha = 0.2 as 200/1000
+_EWMA_DEN = 1000
+
+_EWMA_ORACLE = f"""
+WITH RECURSIVE h AS (
+  SELECT date_trunc('hour', ts) AS bin,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+idx AS (
+  SELECT bin, cents,
+         row_number() OVER (ORDER BY bin) AS i
+  FROM h),
+rec AS (
+  SELECT i, bin, cents, cents AS y FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.i, idx.bin, idx.cents,
+         ({_EWMA_A_NUM} * idx.cents + {_EWMA_DEN - _EWMA_A_NUM} * rec.y)
+           // {_EWMA_DEN}
+  FROM idx JOIN rec ON idx.i = rec.i + 1)
+SELECT bin, cents, CAST(y AS BIGINT) AS ewma_cents
+FROM rec
+"""
+
+
+@register("ewma_hourly_value", oracle=_EWMA_ORACLE)
+def ewma_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of hourly event value —
+    the dashboard smoother every metrics pipeline carries. EWMA is
+    inherently sequential (y_t = a·x_t + (1-a)·y_{t-1}), which is
+    exactly why it belongs in the suite: the RIGHT distributed shape
+    is fact-scale reduction FIRST (hourly integer-cents sums,
+    map-side combinable), then the recurrence as an ordered fold over
+    the O(bins) series — sequential work proportional to bins, never
+    to rows. The fold is Spark's higher-order F.aggregate over the
+    collected bin array (single tiny task); the oracle replays it as
+    a recursive CTE.
+
+    Determinism: the recurrence runs in exact integer cents with
+    floor division each step (alpha = 200/1000) — no float state to
+    drift, so both engines produce bit-identical series at any
+    parallelism of the upstream aggregation.
+
+    Scale: one scan + one O(bins) array fold. At 100 TB the hourly
+    frame is still just 8,760 rows/year — the fold is driver-scale
+    by construction; a per-key EWMA variant would partition the fold
+    per key (same arithmetic inside groupBy.agg of sorted structs).
+    """
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("bin")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    series = h.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("bin"), F.col("cents")))
+        ).alias("s")
+    )
+    def step(acc, x):
+        # floor((a)/1000.0) == a div 1000 exactly for 0 <= a < 2^52:
+        # double division is correctly rounded and the true quotient
+        # k + r/1000 (r <= 999) can never round across the next integer
+        prev = F.coalesce(F.try_element_at(acc, F.lit(-1)), x.getField("cents"))
+        a = (
+            F.lit(_EWMA_A_NUM) * x.getField("cents")
+            + F.lit(_EWMA_DEN - _EWMA_A_NUM) * prev
+        )
+        y = F.floor(a / F.lit(float(_EWMA_DEN))).cast("long")
+        return F.concat(acc, F.array(y))
+
+    folded = series.select(
+        F.posexplode(
+            F.aggregate(
+                "s", F.expr("CAST(array() AS ARRAY<BIGINT>)"), step
+            ).alias("y")
+        ).alias("pos0", "ewma_cents"),
+        F.col("s"),
+    )
+    return folded.select(
+        F.element_at("s", F.col("pos0") + 1).getField("bin").alias("bin"),
+        F.element_at("s", F.col("pos0") + 1).getField("cents").alias("cents"),
+        F.col("ewma_cents").cast("long").alias("ewma_cents"),
+    )

@@ -371,3 +371,98 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source KL divergence from the corpus unigram distribution
+# --------------------------------------------------------------------------
+
+_KL_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(list_filter(str_split(text, ' '), x -> x <> ''))
+           AS term
+  FROM documents),
+sw AS (SELECT source, term, count(*) AS n_sw FROM toks GROUP BY 1, 2),
+w AS (SELECT term, CAST(sum(n_sw) AS BIGINT) AS n_w FROM sw GROUP BY 1),
+s AS (SELECT source, CAST(sum(n_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+t AS (SELECT CAST(sum(n_w) AS BIGINT) AS n FROM w),
+terms AS (
+  SELECT sw.source, sw.n_sw,
+         CAST(round(ln(CAST(sw.n_sw AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(round(ln(CAST(s.n_s AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(round(ln(CAST(w.n_w AS DOUBLE)) * 1e6) AS BIGINT)
+           + CAST(round(ln(CAST(t.n AS DOUBLE)) * 1e6) AS BIGINT) AS lr_micro
+  FROM sw JOIN w ON sw.term = w.term
+  JOIN s ON sw.source = s.source, t)
+SELECT source,
+       CAST(sum(n_sw * lr_micro) AS BIGINT) AS kl_evidence_micro,
+       round(CAST(sum(n_sw * lr_micro) AS DOUBLE)
+             / any_value(s.n_s) / 1e6, 6) AS kl_nats
+FROM terms JOIN s USING (source)
+GROUP BY 1
+"""
+
+
+@register("source_kl_divergence", oracle=_KL_ORACLE)
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    corpus distribution — the mixture-health number that quantifies
+    HOW different a source's token usage is (complements
+    source_vocab_overlap's set view with a mass view): KL(P_s ‖ P_c)
+    = Σ_w p_s(w)·ln(p_s(w)/p_c(w)). High-KL sources dominate mixture
+    re-weighting decisions; near-zero KL flags redundant feeds.
+
+    Exactness: expand the log-ratio to ln(n_sw)−ln(n_s)−ln(n_w)+ln(n)
+    and micro-round each ln ONCE per distinct argument — after that
+    the per-source reduction Σ n_sw·lr_micro is exact integer
+    arithmetic (order-free across shuffles); the single display
+    division per source divides exact integers. Same documented
+    half-ulp libm-tie residual class as unigram_logprob.
+
+    Scale shape: one token-keyed count (map-side combinable), the
+    corpus marginal re-aggregated from the ALREADY-COLLAPSED
+    (source, term) table (O(term types), never O(tokens)), one
+    term-keyed equi-join (hot stopwords = AQE skew-join territory),
+    one O(sources) rollup. No collect, no UDF, no sort."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("term"),
+    )
+    sw = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n_sw"))
+    w = sw.groupBy("term").agg(F.sum("n_sw").cast("long").alias("n_w"))
+    s = sw.groupBy("source").agg(F.sum("n_sw").cast("long").alias("n_s"))
+    t = w.agg(F.sum("n_w").cast("long").alias("n"))
+
+    def ln_micro(c):
+        return F.round(F.log(c.cast("double")) * 1e6).cast("long")
+
+    terms = (
+        sw.join(w, "term")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_sw",
+            "n_s",
+            (
+                ln_micro(F.col("n_sw"))
+                - ln_micro(F.col("n_s"))
+                - ln_micro(F.col("n_w"))
+                + ln_micro(F.col("n"))
+            ).alias("lr_micro"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.sum(F.col("n_sw") * F.col("lr_micro"))
+        .cast("long")
+        .alias("kl_evidence_micro"),
+        F.round(
+            F.sum(F.col("n_sw") * F.col("lr_micro")).cast("double")
+            / F.any_value("n_s")
+            / 1e6,
+            6,
+        ).alias("kl_nats"),
+    )

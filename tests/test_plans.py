@@ -130,6 +130,7 @@ INTENTIONAL_BNLJ = {
     "kcore_decomposition",  # per-peel 1-row stats frames joined keylessly
     "benford_digit_audit",  # broadcast 1-row total (9-group frame)
     "corpus_prep_pipeline",  # broadcast 1-row weight-total (quota arithmetic)
+    "source_kl_divergence",  # broadcast 1-row corpus-total frame
     "fk_integrity_audit",  # broadcast 1-row child-count frame per FK edge
 }
 
