@@ -1451,3 +1451,124 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("st", F.lit(0)).cast("long").alias("selected_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Split leakage audit: near-dup pairs that CROSS train/val/test
+# --------------------------------------------------------------------------
+
+_LEAK_ORACLE = f"""
+WITH pairs AS ({_JACCARD_ORACLE}),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5(text), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+              WHEN substring(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT least(a.split, b.split) AS split_a,
+       greatest(a.split, b.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_near_dup_pairs,
+       CAST(count(*) FILTER (a.split <> b.split) AS BIGINT)
+         AS n_leaking
+FROM pairs p
+JOIN sp a ON p.id_a = a.doc_id
+JOIN sp b ON p.id_b = b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("split_leakage_audit", oracle=_LEAK_ORACLE)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test LEAKAGE audit: near-duplicate pairs whose two
+    docs landed in DIFFERENT splits — the eval-integrity check every
+    LLM data build runs before trusting held-out numbers (a test doc
+    whose near-twin sits in train is a leaked answer key). Composes
+    the deterministic hash split (stratified_split) with the shingle
+    inverted-index near-dup kernel (jaccard_near_dups) and rolls up
+    pair counts per unordered split pair; off-diagonal rows with
+    n_leaking > 0 are the defect list.
+
+    Scale shape: the dominant cost IS the near-dup kernel (inverted
+    index, stop-shingle capped, no cartesian — measured linear at
+    100×, SCALE.md); split assignment adds one md5 per doc and two
+    broadcast-size joins onto the O(pairs) frame. Rollup output is at
+    most 6 rows. Determinism: split = content-hash prefix (identical
+    in both engines); pair set = the oracle-matched jaccard kernel."""
+    from dissertation_iceberg_spark.operators.dedup import (
+        jaccard_near_dup_pairs,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_near_dup_pairs(
+        docs, "text", "doc_id", n=JACCARD_N, threshold=JACCARD_THRESHOLD
+    )
+    h = F.substring(F.md5("text"), 1, 1)
+    sp = docs.select(
+        "doc_id",
+        F.when(h.between("0", "b"), "train")
+        .when(h.isin("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("spl_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("spl_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("spl_a", "spl_b").alias("split_a"),
+            F.greatest("spl_a", "spl_b").alias("split_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_near_dup_pairs"),
+            F.count_if(F.col("spl_a") != F.col("spl_b"))
+            .cast("long")
+            .alias("n_leaking"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic k-fold assignment + per-fold stats (CV plumbing)
+# --------------------------------------------------------------------------
+
+_CV_FOLDS = 5
+
+from dissertation_iceberg_spark.functions.hashing import hash60_sql as _h60sql
+
+_CV_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, lang, n_chars,
+         {_h60sql("text")} % {_CV_FOLDS} AS fold
+  FROM documents)
+SELECT fold, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM f GROUP BY 1, 2
+"""
+
+
+@register("cv_fold_stats", oracle=_CV_ORACLE)
+def cv_fold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (fold =
+    content-hash mod k) with the per-(fold, language) balance audit a
+    CV harness publishes before training — skewed folds invalidate
+    the variance estimate, so the audit IS the operator. Hash-based
+    folds are the only scheme that survives re-partitioning,
+    backfills, and engine swaps (row_number folds do not).
+
+    Scale: one scan, one map-side-combinable (k × langs)-group
+    aggregate. Assignment is pure codegen (md5-derived integer mod).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    from dissertation_iceberg_spark.functions.hashing import hash60
+
+    f = docs.select(
+        "lang",
+        "n_chars",
+        (hash60(F.col("text")) % _CV_FOLDS).alias("fold"),
+    )
+    return f.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
