@@ -916,3 +916,104 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reciprocal_rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding centroid drift vs the corpus centroid
+# --------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+WITH idx AS (SELECT unnest(range(1, 65)) AS pos),
+ex AS (
+  SELECT e.label, idx.pos,
+         CAST(round(CAST(e.embedding[idx.pos] AS DOUBLE) * 1e6) AS BIGINT)
+           AS q
+  FROM embeddings e, idx),
+lc AS (
+  SELECT label, pos, CAST(sum(q) AS BIGINT) AS s
+  FROM ex GROUP BY 1, 2),
+la AS (
+  SELECT label, list(s ORDER BY pos) AS v FROM lc GROUP BY 1),
+g AS (
+  SELECT list(s ORDER BY pos) AS v
+  FROM (SELECT pos, CAST(sum(s) AS BIGINT) AS s FROM lc GROUP BY 1)),
+n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+SELECT la.label, CAST(n.n_vecs AS BIGINT) AS n_vecs,
+       round(
+         (SELECT sum(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+          FROM (SELECT unnest(la.v) AS a, unnest(g.v) AS b) z)
+         / (sqrt((SELECT sum(CAST(a AS DOUBLE) * CAST(a AS DOUBLE))
+                  FROM (SELECT unnest(la.v) AS a) z))
+            * sqrt((SELECT sum(CAST(b AS DOUBLE) * CAST(b AS DOUBLE))
+                    FROM (SELECT unnest(g.v) AS b) z))), 6)
+         AS cosine_to_corpus
+FROM la JOIN n ON la.label = n.label, g
+"""
+
+
+@register("label_centroid_drift", oracle=_CENTROID_ORACLE)
+def label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: cosine between each label's mean
+    embedding and the corpus mean — the cheap first alarm that one
+    slice of the corpus occupies different territory than the rest
+    (new crawl source, encoder version change, contamination). The
+    cosine of the SUM vectors equals the cosine of the means (the
+    1/n scaling cancels), so no division happens before the final
+    readout.
+
+    Determinism: components quantize to exact 1e-6-unit integers once
+    per element; per-(label, dim) and corpus sums are exact integer
+    aggregation (shuffle-order-free); the final cosine multiplies the
+    exact sums as doubles in FIXED dim order (a 64-term positional
+    fold, same sequential shape both engines) — the one documented
+    float stage, rounded to 6 dp on both sides.
+
+    Scale shape: one explode to (label, dim) → map-side-combinable
+    sums; corpus vector re-aggregates the ALREADY-COLLAPSED
+    O(labels × 64) frame; centroids collect to O(labels) array rows;
+    the 1-row corpus array broadcasts. Vectors never pairwise-join.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x").cast("double") * 1e6).cast("long").alias("q"),
+    )
+    lc = ex.groupBy("label", "pos").agg(F.sum("q").cast("long").alias("s"))
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "s"))),
+        lambda t: t.getField("s"),
+    )
+    la = lc.groupBy("label").agg(arr.alias("v"))
+    g = (
+        lc.groupBy("pos")
+        .agg(F.sum("s").cast("long").alias("s"))
+        .agg(arr.alias("gv"))
+    )
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return (
+        la.join(n, "label")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "label",
+            "n_vecs",
+            F.round(
+                dot(F.col("v"), F.col("gv"))
+                / (
+                    F.sqrt(dot(F.col("v"), F.col("v")))
+                    * F.sqrt(dot(F.col("gv"), F.col("gv")))
+                ),
+                6,
+            ).alias("cosine_to_corpus"),
+        )
+    )

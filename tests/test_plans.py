@@ -131,6 +131,7 @@ INTENTIONAL_BNLJ = {
     "benford_digit_audit",  # broadcast 1-row total (9-group frame)
     "corpus_prep_pipeline",  # broadcast 1-row weight-total (quota arithmetic)
     "source_kl_divergence",  # broadcast 1-row corpus-total frame
+    "label_centroid_drift",  # broadcast 1-row corpus-centroid array
     "fk_integrity_audit",  # broadcast 1-row child-count frame per FK edge
 }
 
