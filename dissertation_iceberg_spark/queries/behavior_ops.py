@@ -10,7 +10,7 @@ every step boundary and day offset is deterministic in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.functions.time_bins import micros
@@ -1079,4 +1079,123 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "observed_rate"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day active users (sliding DISTINCT) via interval deltas
+# --------------------------------------------------------------------------
+
+_WAU_DAYS = 7
+
+_WAU_ORACLE = f"""
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+spine AS (
+  SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+  FROM act),
+wau AS (
+  SELECT s.day, count(DISTINCT a.user_id) AS wau
+  FROM spine s JOIN act a
+    ON a.day <= s.day AND a.day > s.day - INTERVAL {_WAU_DAYS} DAY
+  GROUP BY 1),
+dau AS (SELECT day, count(*) AS dau FROM act GROUP BY 1)
+SELECT s.day,
+       CAST(coalesce(d.dau, 0) AS BIGINT) AS dau,
+       CAST(coalesce(w.wau, 0) AS BIGINT) AS wau,
+       round(CAST(coalesce(d.dau, 0) AS DOUBLE)
+             / nullif(coalesce(w.wau, 0), 0), 6) AS stickiness
+FROM spine s
+LEFT JOIN dau d ON s.day = d.day
+LEFT JOIN wau w ON s.day = w.day
+"""
+
+
+@register("rolling_wau", oracle=_WAU_ORACLE)
+def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (the WAU curve) + DAU and
+    the DAU/WAU stickiness ratio — the growth-team staple that is
+    secretly a SLIDING COUNT DISTINCT, which naive plans compute by
+    re-scanning a 7-day window per day (quadratic re-reads, or a
+    distinct inside a window frame Spark doesn't even support). The
+    scalable identity: a user is active in the window ending at day w
+    iff w falls in the union of intervals [d, d+6] over their
+    activity days — so merge each user's intervals (segment starts
+    where the gap to the previous activity day >= 7), emit +1 at each
+    merged start and -1 after its end, and one cumulative sum over
+    the O(days) delta spine yields every day's WAU simultaneously.
+    The fact table is scanned ONCE.
+
+    Determinism: all integer counts; the only division is the final
+    display ratio of two exact integers. Per-user windows order by
+    activity day (distinct per user, so unique — no tie to break).
+
+    Scale shape: user-day dedup (map-side combinable) → per-user lag
+    over tiny frames (bounded by the user's distinct days) → segment
+    min/max agg → O(days) delta rollup + one cumulative window over
+    the day spine (30–365 rows at any SF). The oracle is the honest
+    quadratic day×activity join."""
+    e = load_table(spark, sf_dir, "events")
+    act = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    uw = Window.partitionBy("user_id").orderBy("day")
+    seg = (
+        act.withColumn("prev", F.lag("day").over(uw))
+        .withColumn(
+            "is_start",
+            (
+                F.col("prev").isNull()
+                | (F.datediff("day", "prev") >= _WAU_DAYS)
+            ).cast("int"),
+        )
+        .withColumn(
+            "seg_id",
+            F.sum("is_start").over(
+                uw.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "seg_id")
+        .agg(
+            F.min("day").alias("seg_start"),
+            F.date_add(F.max("day").cast("date"), _WAU_DAYS).alias("seg_after"),
+        )
+    )
+    deltas = seg.select(
+        F.col("seg_start").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        seg.select(
+            F.col("seg_after").cast("timestamp").alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    dsum = deltas.groupBy("day").agg(F.sum("delta").alias("delta"))
+    bounds = act.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("lo").cast("date"),
+                F.col("hi").cast("date"),
+            )
+        ).alias("d")
+    ).select(F.col("d").cast("timestamp").alias("day"))
+    cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dau = act.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    merged = (
+        spine.join(dsum, "day", "left")
+        .select("day", F.coalesce("delta", F.lit(0)).alias("delta"))
+        .withColumn("wau", F.sum("delta").over(cum))
+        .join(dau, "day", "left")
+    )
+    return merged.select(
+        "day",
+        F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        F.round(
+            F.coalesce("dau", F.lit(0)).cast("double")
+            / F.nullif(F.col("wau").cast("long"), F.lit(0)),
+            6,
+        ).alias("stickiness"),
     )
