@@ -729,3 +729,179 @@ def ewma_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("s", F.col("pos0") + 1).getField("cents").alias("cents"),
         F.col("ewma_cents").cast("long").alias("ewma_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Column profile: the per-column data-quality audit, long-form
+# --------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(o_orderkey) AS BIGINT) AS nn_key,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_key,
+         CAST(min(o_orderkey) AS BIGINT) AS min_key,
+         CAST(max(o_orderkey) AS BIGINT) AS max_key,
+         CAST(count(o_custkey) AS BIGINT) AS nn_cust,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+         CAST(min(o_custkey) AS BIGINT) AS min_cust,
+         CAST(max(o_custkey) AS BIGINT) AS max_cust,
+         CAST(count(o_totalprice) AS BIGINT) AS nn_price,
+         CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd_price,
+         CAST(min(round(o_totalprice * 100)) AS BIGINT) AS min_price,
+         CAST(max(round(o_totalprice * 100)) AS BIGINT) AS max_price,
+         CAST(count(o_orderstatus) AS BIGINT) AS nn_stat,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_stat
+  FROM orders)
+SELECT 'o_orderkey' AS col, n, nn_key AS n_nonnull, nd_key AS n_distinct,
+       min_key AS min_i, max_key AS max_i FROM s
+UNION ALL
+SELECT 'o_custkey', n, nn_cust, nd_cust, min_cust, max_cust FROM s
+UNION ALL
+SELECT 'o_totalprice_cents', n, nn_price, nd_price, min_price, max_price FROM s
+UNION ALL
+SELECT 'o_orderstatus', n, nn_stat, nd_stat,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM s
+"""
+
+
+@register("table_profile", oracle=_PROFILE_ORACLE)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form column profile of the orders table — row count,
+    non-null count, exact distinct count, min/max per column — the
+    audit every ingestion batch publishes (null-rate spikes and
+    min/max excursions are the first schema-drift alarms). Long form
+    (one row per column) so downstream alerting diffs profiles across
+    batches by key, not by schema.
+
+    Scale shape: ONE scan computes every per-column aggregate in a
+    single Aggregate node (count/min/max are map-side combinable;
+    the count(DISTINCT ...)s expand via Spark's standard expand-node
+    rewrite — the documented cost of exact profiling; swap in the
+    HLL sketch family (hll_distinct) when approximate is acceptable
+    at 100 TB). The long-form pivot is a 1-row explode at the end."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("o_orderkey").cast("long").alias("nn_key"),
+        F.count_distinct("o_orderkey").cast("long").alias("nd_key"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+        F.count("o_custkey").cast("long").alias("nn_cust"),
+        F.count_distinct("o_custkey").cast("long").alias("nd_cust"),
+        F.min("o_custkey").cast("long").alias("min_cust"),
+        F.max("o_custkey").cast("long").alias("max_cust"),
+        F.count("o_totalprice").cast("long").alias("nn_price"),
+        F.count_distinct("o_totalprice").cast("long").alias("nd_price"),
+        F.min(F.round(F.col("o_totalprice") * 100)).cast("long").alias("min_price"),
+        F.max(F.round(F.col("o_totalprice") * 100)).cast("long").alias("max_price"),
+        F.count("o_orderstatus").cast("long").alias("nn_stat"),
+        F.count_distinct("o_orderstatus").cast("long").alias("nd_stat"),
+    )
+    row = lambda col, nn, nd, mi, mx: F.struct(  # noqa: E731
+        F.lit(col).alias("col"),
+        F.col(nn).alias("n_nonnull"),
+        F.col(nd).alias("n_distinct"),
+        (F.col(mi) if mi else F.lit(None)).cast("long").alias("min_i"),
+        (F.col(mx) if mx else F.lit(None)).cast("long").alias("max_i"),
+    )
+    return s.select(
+        F.explode(
+            F.array(
+                row("o_orderkey", "nn_key", "nd_key", "min_key", "max_key"),
+                row("o_custkey", "nn_cust", "nd_cust", "min_cust", "max_cust"),
+                row(
+                    "o_totalprice_cents",
+                    "nn_price",
+                    "nd_price",
+                    "min_price",
+                    "max_price",
+                ),
+                row("o_orderstatus", "nn_stat", "nd_stat", None, None),
+            )
+        ).alias("r"),
+        "n",
+    ).select(
+        F.col("r.col").alias("col"),
+        "n",
+        F.col("r.n_nonnull").alias("n_nonnull"),
+        F.col("r.n_distinct").alias("n_distinct"),
+        F.col("r.min_i").alias("min_i"),
+        F.col("r.max_i").alias("max_i"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped EWMA: the per-key fold variant (partitioned, not driver-scale)
+# --------------------------------------------------------------------------
+
+_GEWMA_ORACLE = f"""
+WITH RECURSIVE h AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT event_type, day, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM h),
+rec AS (
+  SELECT event_type, i, day, cents, cents AS y FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.event_type, idx.i, idx.day, idx.cents,
+         ({_EWMA_A_NUM} * idx.cents + {_EWMA_DEN - _EWMA_A_NUM} * rec.y)
+           // {_EWMA_DEN}
+  FROM idx JOIN rec
+    ON idx.event_type = rec.event_type AND idx.i = rec.i + 1)
+SELECT event_type, day, cents, CAST(y AS BIGINT) AS ewma_cents
+FROM rec
+"""
+
+
+@register("ewma_daily_by_type", oracle=_GEWMA_ORACLE)
+def ewma_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key EWMA (daily value smoothed within each event type) —
+    the GROUPED form of ewma_hourly_value, delivering the claim in
+    its docstring: the same exact-integer fold, but partitioned per
+    key inside groupBy.agg, so a million keys fold in parallel with
+    no single collection point anywhere. This is how per-entity
+    smoothing (per ticker, per user segment, per model) actually runs
+    at 100 TB: fact-scale reduction to (key, day) integer sums, then
+    an O(days) fold per key.
+
+    Determinism: identical integer recurrence (alpha 200/1000, floor
+    division — the floor(a/1000.0) == a div 1000 proof in
+    ewma_hourly_value applies); fold order fixed by array_sort on the
+    (day, cents) struct."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    series = h.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("s")
+    )
+
+    def step(acc, x):
+        prev = F.coalesce(F.try_element_at(acc, F.lit(-1)), x.getField("cents"))
+        a = (
+            F.lit(_EWMA_A_NUM) * x.getField("cents")
+            + F.lit(_EWMA_DEN - _EWMA_A_NUM) * prev
+        )
+        return F.concat(acc, F.array(F.floor(a / F.lit(float(_EWMA_DEN))).cast("long")))
+
+    folded = series.select(
+        "event_type",
+        "s",
+        F.posexplode(
+            F.aggregate("s", F.expr("CAST(array() AS ARRAY<BIGINT>)"), step)
+        ).alias("pos0", "ewma_cents"),
+    )
+    return folded.select(
+        "event_type",
+        F.element_at("s", F.col("pos0") + 1).getField("day").alias("day"),
+        F.element_at("s", F.col("pos0") + 1).getField("cents").alias("cents"),
+        F.col("ewma_cents").cast("long").alias("ewma_cents"),
+    )
