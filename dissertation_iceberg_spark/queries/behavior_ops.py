@@ -1199,3 +1199,93 @@ def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("stickiness"),
     )
+
+
+# --------------------------------------------------------------------------
+# Signup -> first-purchase conversion latency quantiles (exact, bucketed)
+# --------------------------------------------------------------------------
+
+_LAT_QS = (50, 90, 99)  # percent
+
+_LATENCY_ORACLE = f"""
+WITH su AS (
+  SELECT user_id, min(epoch_us(ts)) AS s_us FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+pu AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.s_us
+  GROUP BY 1),
+lat AS (
+  SELECT su.user_id, (pu.p_us - su.s_us) // 1000000 AS lat_s
+  FROM su JOIN pu ON su.user_id = pu.user_id),
+lv AS (SELECT lat_s, count(*) AS w FROM lat GROUP BY 1),
+c AS (
+  SELECT *, sum(w) OVER (ORDER BY lat_s) AS cw,
+         sum(w) OVER () AS tw
+  FROM lv),
+q AS ({" UNION ALL ".join(f"SELECT CAST({p} AS BIGINT) AS pct" for p in _LAT_QS)})
+SELECT q.pct,
+       min(c.lat_s) AS latency_s,
+       CAST(max(c.tw) AS BIGINT) AS n_converted
+FROM q JOIN c ON c.cw * 100 >= q.pct * c.tw
+GROUP BY 1
+"""
+
+
+@register("conversion_latency_quantiles", oracle=_LATENCY_ORACLE)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase latency percentiles (p50/p90/p99) — the
+    activation-speed KPI. Latency = first purchase at-or-after the
+    user's first signup, in whole seconds of exact µs arithmetic; the
+    percentile is the inclusive-prefix pick (smallest latency whose
+    cumulative user count reaches pct% — the integer threshold
+    cw*100 >= pct*tw, so no float decides a boundary user).
+
+    Scale shape: two filtered min-aggregations (map-side combinable)
+    + one user-keyed equi-join; latencies collapse to O(distinct
+    seconds) weighted levels, cumulated by the bucketed two-pass
+    machinery (no ordered window over the user frame); the pick is a
+    3-row broadcast join. Same family as weighted_median /
+    theil_sen_slope."""
+    from dissertation_iceberg_spark.functions.ranks import (
+        bucketed_exclusive_cumsums,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    us = micros(F.col("ts"))
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("s_us"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("p_us"))
+        .join(su, "user_id")
+        .filter(F.col("p_us") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("p_us"))
+    )
+    lat = su.join(pu, "user_id").select(
+        F.expr("(p_us - s_us) div 1000000").alias("lat_s")
+    )
+    lv = lat.groupBy("lat_s").agg(F.count(F.lit(1)).alias("w"))
+    cum = bucketed_exclusive_cumsums(lv, "lat_s", ["w"]).withColumn(
+        "cw", F.col("cum_w") + F.col("w")
+    )
+    tot = lv.agg(F.sum("w").cast("long").alias("tw"))
+    qs = None
+    for p in _LAT_QS:
+        row = tot.select(
+            F.lit(p).cast("long").alias("pct"), F.col("tw")
+        )
+        qs = row if qs is None else qs.unionByName(row)
+    return (
+        cum.join(F.broadcast(qs), F.col("cw") * 100 >= F.col("pct") * F.col("tw"))
+        .groupBy("pct")
+        .agg(
+            F.min("lat_s").alias("latency_s"),
+            F.max("tw").cast("long").alias("n_converted"),
+        )
+    )

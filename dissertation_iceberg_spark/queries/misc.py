@@ -905,3 +905,110 @@ def ewma_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("s", F.col("pos0") + 1).getField("cents").alias("cents"),
         F.col("ewma_cents").cast("long").alias("ewma_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint scan over the daily series (integer fold)
+# --------------------------------------------------------------------------
+
+_CUSUM_K_NUM = 50  # slack k = 0.05 * target, as 50/1000 of target
+_CUSUM_DEN = 1000
+
+_CUSUM_ORACLE = f"""
+WITH RECURSIVE h AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS target FROM h),
+idx AS (
+  SELECT day, cents, row_number() OVER (ORDER BY day) AS i FROM h),
+rec AS (
+  SELECT i, day, cents,
+         greatest(CAST(0 AS BIGINT),
+           cents - t.target - (t.target * {_CUSUM_K_NUM}) // {_CUSUM_DEN})
+           AS cpos,
+         greatest(CAST(0 AS BIGINT),
+           t.target - cents - (t.target * {_CUSUM_K_NUM}) // {_CUSUM_DEN})
+           AS cneg
+  FROM idx, t WHERE i = 1
+  UNION ALL
+  SELECT idx.i, idx.day, idx.cents,
+         greatest(CAST(0 AS BIGINT),
+           rec.cpos + idx.cents - t.target
+             - (t.target * {_CUSUM_K_NUM}) // {_CUSUM_DEN}),
+         greatest(CAST(0 AS BIGINT),
+           rec.cneg + t.target - idx.cents
+             - (t.target * {_CUSUM_K_NUM}) // {_CUSUM_DEN})
+  FROM idx JOIN rec ON idx.i = rec.i + 1, t)
+SELECT day, cents,
+       CAST(cpos AS BIGINT) AS cusum_pos,
+       CAST(cneg AS BIGINT) AS cusum_neg
+FROM rec
+"""
+
+
+@register("cusum_changepoints", oracle=_CUSUM_ORACLE)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM scan over the daily value series — the
+    classical sequential changepoint statistic (S⁺ accumulates
+    excursions above target+slack, S⁻ below; a persistent level shift
+    drives one side up linearly while noise resets to 0). Emitting
+    the full trajectory (not just alarms) lets the consumer pick
+    their own decision threshold h.
+
+    The recurrence is sequential BY DEFINITION — the right
+    distributed shape is the same as the EWMA family: fact-scale
+    reduction to O(days) integer sums, then the fold over the tiny
+    ordered frame (here via one per-row max(0, ...) chain replayed as
+    a recursive CTE in the oracle; the Spark side folds the collected
+    array). Target = global daily mean (integer floor), slack = 5%
+    of target — all exact integers; no float enters the state.
+    """
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    t = h.agg(
+        F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias("target")
+    )
+    series = h.crossJoin(F.broadcast(t)).groupBy("target").agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("s")
+    )
+    slack = F.expr(f"(target * {_CUSUM_K_NUM}) div {_CUSUM_DEN}")
+    series = series.withColumn("slack", slack)
+
+    def step(acc, x):
+        prev_p = F.coalesce(
+            F.try_element_at(acc, F.lit(-1)).getField("p"), F.lit(0).cast("long")
+        )
+        prev_n = F.coalesce(
+            F.try_element_at(acc, F.lit(-1)).getField("n"), F.lit(0).cast("long")
+        )
+        zero = F.lit(0).cast("long")
+        p = F.greatest(
+            zero,
+            prev_p + x.getField("cents") - F.col("target") - F.col("slack"),
+        )
+        n = F.greatest(
+            zero,
+            prev_n + F.col("target") - x.getField("cents") - F.col("slack"),
+        )
+        return F.concat(acc, F.array(F.struct(p.alias("p"), n.alias("n"))))
+
+    init = F.expr(
+        "CAST(array() AS ARRAY<STRUCT<p: BIGINT, n: BIGINT>>)"
+    )
+    folded = series.select(
+        "s",
+        F.posexplode(F.aggregate("s", init, step)).alias("pos0", "c"),
+    )
+    return folded.select(
+        F.element_at("s", F.col("pos0") + 1).getField("day").alias("day"),
+        F.element_at("s", F.col("pos0") + 1).getField("cents").alias("cents"),
+        F.col("c.p").cast("long").alias("cusum_pos"),
+        F.col("c.n").cast("long").alias("cusum_neg"),
+    )

@@ -132,6 +132,8 @@ INTENTIONAL_BNLJ = {
     "corpus_prep_pipeline",  # broadcast 1-row weight-total (quota arithmetic)
     "source_kl_divergence",  # broadcast 1-row corpus-total frame
     "label_centroid_drift",  # broadcast 1-row corpus-centroid array
+    "conversion_latency_quantiles",  # broadcast 3-row percentile targets
+    "cusum_changepoints",  # broadcast 1-row target frame (array fold)
     "fk_integrity_audit",  # broadcast 1-row child-count frame per FK edge
 }
 
