@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
         sessions,
         sketch_ops,
         sqlops,
+        stats_tests,
         strategy,
         strategy2,
         text_metrics,

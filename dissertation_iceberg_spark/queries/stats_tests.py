@@ -1,0 +1,625 @@
+"""Statistical-test / evaluation queries: risk analytics (max
+drawdown), contingency testing (chi-square), ranking-model evaluation
+(ROC AUC via rank sums), survival analysis (Kaplan-Meier), A/B testing
+(two-proportion z), and positional-index IR (phrase search, PMI
+collocations).
+
+Reference provenance: extends the reference's strategy-evaluation and
+direction-analysis statistics families (`trading_strategy.py:398-470`
+PnL evaluation, `direction_analysis.ipynb cells 75-80` rank tests) with
+the standard evaluation battery a user of that pipeline reaches for
+next; the IR entries extend the text/posting-list family
+(SURVEY.md §2 extension surface).
+
+Parity tricks (see registry docstring): money rides as integer cents,
+per-cell/per-term log and chi-square contributions are micro-rounded to
+BIGINT once and summed exactly, rank sums use the bucketed two-pass
+cumsum machinery (functions/ranks.py) so no per-row global sort exists,
+and every bounded window frame is O(days | distinct durations), never
+row-scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dissertation_iceberg_spark.io import load_table
+from dissertation_iceberg_spark.operators import text as tx
+from dissertation_iceberg_spark.operators.strategy import cross_sectional_select
+from dissertation_iceberg_spark.queries.registry import register
+from dissertation_iceberg_spark.queries.strategy import _SIGNAL_SQL, _signals
+
+_TOKENS = "list_filter(str_split(text, ' '), x -> x <> '')"
+
+# --------------------------------------------------------------------------
+# Max drawdown of the portfolio PnL curve
+# --------------------------------------------------------------------------
+
+_PNL_SERIES_SQL = f"""
+WITH sig AS ({_SIGNAL_SQL}),
+sel AS (
+  SELECT *,
+    CASE WHEN row_number() OVER w <= floor(count(*) OVER (PARTITION BY day) * 0.2)
+          AND signal > 0 THEN 1 ELSE 0 END AS is_top,
+    CASE WHEN row_number() OVER w > count(*) OVER (PARTITION BY day)
+                 - floor(count(*) OVER (PARTITION BY day) * 0.2)
+          AND signal < 0 THEN 1 ELSE 0 END AS is_bottom
+  FROM sig
+  WINDOW w AS (PARTITION BY day ORDER BY signal DESC, user_id ASC))
+SELECT day,
+  sum(CASE WHEN is_top = 1 THEN gross ELSE 0 END)
+    - sum(CASE WHEN is_bottom = 1 THEN gross ELSE 0 END) AS pnl
+FROM sel GROUP BY day
+"""
+
+_MDD_ORACLE = f"""
+WITH p AS ({_PNL_SERIES_SQL}),
+c AS (SELECT day, CAST(round(pnl * 100) AS BIGINT) AS cents FROM p),
+cum AS (SELECT day, sum(cents) OVER (ORDER BY day) AS cum_c FROM c),
+dd AS (SELECT day, max(cum_c) OVER (ORDER BY day) - cum_c AS dd_c FROM cum),
+m AS (SELECT max(dd_c) AS max_dd FROM dd)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_days,
+  round(CAST(max_dd AS DOUBLE) / 100.0, 6) AS max_drawdown,
+  (SELECT min(day) FROM dd WHERE dd_c = (SELECT max_dd FROM m)) AS trough_day,
+  round(CAST((SELECT sum(cents) FROM c) AS DOUBLE) / 100.0, 6) AS final_pnl
+FROM m
+"""
+
+
+@register("max_drawdown", oracle=_MDD_ORACLE)
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-to-trough max drawdown of the cumulative portfolio PnL
+    curve (the risk statistic the reference's Sharpe/PPT battery
+    stops short of — `portfolio_strategy_statistics.ipynb cell 6`
+    evaluates the same daily PnL series).
+
+    Scale shape: the heavy lifting (per-day cross-sectional select +
+    PnL) is the existing parallel path; drawdown itself runs on the
+    O(days) daily frame — a bounded single-partition window by
+    construction. All arithmetic in integer cents: running sums,
+    running max, and the drawdown are exact bigints on both engines;
+    the earliest-day tiebreak pins the trough row."""
+    sel = cross_sectional_select(
+        _signals(spark, sf_dir), "day", "signal", "user_id", 0.2
+    )
+    p = sel.groupBy("day").agg(
+        (
+            F.sum(F.when(F.col("is_top") == 1, F.col("gross")).otherwise(0.0))
+            - F.sum(F.when(F.col("is_bottom") == 1, F.col("gross")).otherwise(0.0))
+        ).alias("pnl")
+    )
+    c = p.select("day", F.round(F.col("pnl") * 100).cast("long").alias("cents"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = c.select(
+        "day",
+        "cents",
+        (F.max(F.sum("cents").over(w)).over(w) - F.sum("cents").over(w)).alias(
+            "dd_c"
+        ),
+    )
+    peak = dd.agg(F.max("dd_c").alias("max_dd"))
+    trough = (
+        dd.join(F.broadcast(peak), dd["dd_c"] == peak["max_dd"])
+        .agg(F.min("day").alias("trough_day"), F.max("max_dd").alias("max_dd"))
+    )
+    totals = c.agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("cents").alias("total_c")
+    )
+    return (
+        totals.crossJoin(F.broadcast(trough))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round(F.col("max_dd").cast("double") / 100.0, 6).alias(
+                "max_drawdown"
+            ),
+            "trough_day",
+            F.round(F.col("total_c").cast("double") / 100.0, 6).alias(
+                "final_pnl"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Chi-square test of independence (priority x status contingency)
+# --------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH cell AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st, count(*) AS obs
+  FROM orders GROUP BY 1, 2),
+rt AS (SELECT pri, sum(obs) AS r_tot FROM cell GROUP BY 1),
+ct AS (SELECT st, sum(obs) AS c_tot FROM cell GROUP BY 1),
+tot AS (SELECT sum(obs) AS n FROM cell),
+term AS (
+  SELECT CAST(round(
+      CAST((obs * n - r_tot * c_tot) AS DOUBLE)
+      * CAST((obs * n - r_tot * c_tot) AS DOUBLE)
+      / (CAST(n AS DOUBLE) * r_tot * c_tot) * 1e6) AS BIGINT) AS t_micro
+  FROM cell JOIN rt USING (pri) JOIN ct USING (st) CROSS JOIN tot)
+SELECT
+  (SELECT CAST(n AS BIGINT) FROM tot) AS n,
+  (SELECT CAST(count(*) AS BIGINT) FROM rt) AS n_rows,
+  (SELECT CAST(count(*) AS BIGINT) FROM ct) AS n_cols,
+  (SELECT CAST((count(*) - 1) AS BIGINT) FROM rt)
+    * (SELECT CAST((count(*) - 1) AS BIGINT) FROM ct) AS dof,
+  round(CAST(sum(t_micro) AS DOUBLE) / 1e6, 6) AS chi2
+FROM term
+"""
+
+
+@register("chi_square_independence", oracle=_CHI2_ORACLE)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence over the (order priority x
+    order status) contingency table — the categorical sibling of the
+    reference's direction-analysis rank tests
+    (`direction_analysis.ipynb cells 75-80`).
+
+    Scale shape: one map-side-combinable groupBy collapses the fact
+    table to O(r x c) cells; marginals re-aggregate the collapsed
+    cells and broadcast back. Parity: the numerator (obs*n − rt*ct) is
+    computed in exact bigints (≲5e12 at sf0.1, well inside int64),
+    each cell's chi-square contribution is micro-rounded once, and the
+    final statistic is an exact integer sum."""
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rt = cell.groupBy("pri").agg(F.sum("obs").alias("r_tot"))
+    ct = cell.groupBy("st").agg(F.sum("obs").alias("c_tot"))
+    tot = cell.agg(F.sum("obs").alias("n"))
+    num = F.col("obs") * F.col("n") - F.col("r_tot") * F.col("c_tot")
+    term = (
+        cell.join(F.broadcast(rt), "pri")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                num.cast("double")
+                * num.cast("double")
+                / (F.col("n").cast("double") * F.col("r_tot") * F.col("c_tot"))
+                * 1e6
+            )
+            .cast("long")
+            .alias("t_micro")
+        )
+    )
+    dims = rt.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+        ct.agg(F.count(F.lit(1)).alias("n_cols"))
+    )
+    return (
+        term.agg(F.sum("t_micro").alias("chi2_micro"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_cols").cast("long").alias("n_cols"),
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.round(F.col("chi2_micro").cast("double") / 1e6, 6).alias("chi2"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ROC AUC via rank sums (Mann-Whitney identity)
+# --------------------------------------------------------------------------
+
+_POS, _NEG = "purchase", "click"
+
+_AUC_ORACLE = f"""
+WITH s AS (
+  SELECT value, event_type FROM events
+  WHERE event_type IN ('{_POS}', '{_NEG}')),
+r AS (
+  SELECT event_type,
+         rank() OVER (ORDER BY value)
+           + (count(*) OVER (PARTITION BY value) - 1) / 2e0 AS avg_rank
+  FROM s),
+agg AS (
+  SELECT
+    sum(CASE WHEN event_type = '{_POS}' THEN avg_rank ELSE 0 END) AS r1,
+    sum(CASE WHEN event_type = '{_POS}' THEN 1 ELSE 0 END) AS n_pos,
+    sum(CASE WHEN event_type = '{_NEG}' THEN 1 ELSE 0 END) AS n_neg
+  FROM r)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+  round((r1 - n_pos * (n_pos + 1) / 2e0) / (n_pos * n_neg), 6) AS auc,
+  round(2e0 * (r1 - n_pos * (n_pos + 1) / 2e0) / (n_pos * n_neg) - 1e0, 6)
+    AS gini
+FROM agg
+"""
+
+
+@register("roc_auc", oracle=_AUC_ORACLE)
+def roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of `value` as a score separating positive events from
+    negative ones, via the rank-sum (Mann-Whitney) identity
+    AUC = (R1 − n1(n1+1)/2)/(n1·n0) with average ranks for ties — the
+    evaluation statistic for the reference's direction classifier
+    (`prediction_ML_pipeline.py:330-360` scores its RF with AUC).
+
+    Scale shape: identical to `mann_whitney_u` — groupBy(value) first,
+    then bucketed two-pass exclusive cumsums over the distinct-value
+    frame (functions/ranks.py); no per-row global sort anywhere.
+    Integer-multiplicity × half-integer rank products are exact in
+    doubles below 2^53."""
+    from dissertation_iceberg_spark.functions.ranks import (
+        bucketed_exclusive_cumsums,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_POS, _NEG)
+    )
+    dv = e.groupBy("value").agg(
+        F.count(F.lit(1)).alias("lj"),
+        F.sum(F.when(F.col("event_type") == _POS, 1).otherwise(0)).alias("f1"),
+    )
+    cum = bucketed_exclusive_cumsums(dv, "value", ["lj"])
+    avg_rank = F.col("cum_lj") + (F.col("lj") + 1) / 2.0
+    agg = cum.agg(
+        F.sum(F.col("f1") * avg_rank).alias("r1"),
+        F.sum("f1").alias("n_pos"),
+        F.sum(F.col("lj") - F.col("f1")).alias("n_neg"),
+    )
+    n1, n0, r1 = F.col("n_pos"), F.col("n_neg"), F.col("r1")
+    auc = (r1 - n1 * (n1 + 1) / 2.0) / (n1 * n0)
+    return agg.select(
+        n1.cast("long").alias("n_pos"),
+        n0.cast("long").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(2.0 * auc - 1.0, 6).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival curve (time to first purchase)
+# --------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+    min(date_trunc('day', ts)) AS t0,
+    min(CASE WHEN event_type = 'purchase' THEN date_trunc('day', ts) END)
+      AS tp,
+    max(date_trunc('day', ts)) AS tend
+  FROM events GROUP BY 1),
+dur AS (
+  SELECT user_id,
+    date_diff('day', t0, coalesce(tp, tend)) AS t_day,
+    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM u),
+grp AS (
+  SELECT t_day, sum(ev) AS d, sum(1 - ev) AS c FROM dur GROUP BY 1),
+risk AS (
+  SELECT t_day, d, c,
+    (SELECT count(*) FROM dur)
+      - coalesce(sum(d + c) OVER (ORDER BY t_day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM grp),
+lm AS (
+  SELECT t_day, d, c, n_risk,
+    CASE WHEN d < n_risk THEN
+      CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk) * 1e6) AS BIGINT)
+    ELSE CAST(-1000000000000 AS BIGINT) END AS lm_micro
+  FROM risk)
+SELECT CAST(t_day AS BIGINT) AS t_day,
+  CAST(n_risk AS BIGINT) AS n_risk,
+  CAST(d AS BIGINT) AS n_event,
+  CAST(c AS BIGINT) AS n_censored,
+  round(exp(CAST(sum(lm_micro) OVER (ORDER BY t_day) AS DOUBLE) / 1e6), 6)
+    AS surv
+FROM lm
+"""
+
+
+@register("kaplan_meier", oracle=_KM_ORACLE)
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase at day
+    granularity, with right-censoring at each user's last observed
+    event — the survival-analysis view of the conversion-latency
+    quantiles already in the registry.
+
+    Scale shape: one user-keyed aggregation (map-side combinable)
+    collapses the event stream; everything after runs on the O(distinct
+    durations) frame (≤ observation-window days), a bounded
+    single-partition window by construction. Parity: d, c, n_risk are
+    exact integers; each factor's ln((n−d)/n) is micro-rounded once and
+    the survival product becomes an exact integer cumsum (d = n_risk
+    terminal bucket pinned to a −1e12 sentinel → surv 0 on both
+    engines)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    u = e.groupBy("user_id").agg(
+        F.min(day).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", day)).alias("tp"),
+        F.max(day).alias("tend"),
+    )
+    dur = u.select(
+        F.datediff(F.coalesce(F.col("tp"), F.col("tend")), F.col("t0")).alias(
+            "t_day"
+        ),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    n_users = dur.agg(F.count(F.lit(1)).alias("n_users"))
+    grp = dur.groupBy("t_day").agg(
+        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
+    )
+    w_prev = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, 0)
+    risk = grp.crossJoin(F.broadcast(n_users)).select(
+        "t_day",
+        "d",
+        "c",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    lm = risk.select(
+        "t_day",
+        "d",
+        "c",
+        "n_risk",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk")
+                )
+                * 1e6
+            ).cast("long"),
+        )
+        .otherwise(F.lit(-1000000000000).cast("long"))
+        .alias("lm_micro"),
+    )
+    return lm.select(
+        F.col("t_day").cast("long").alias("t_day"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_event"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.round(
+            F.exp(F.sum("lm_micro").over(w_cum).cast("double") / 1e6), 6
+        ).alias("surv"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test (A/B arms by user-id parity)
+# --------------------------------------------------------------------------
+
+_AB_ORACLE = """
+WITH u AS (
+  SELECT event_id % 2 AS arm,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events),
+a AS (
+  SELECT
+    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+    sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS c1,
+    sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS c0
+  FROM u)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+  CAST(c1 AS BIGINT) AS conv1, CAST(c0 AS BIGINT) AS conv0,
+  round(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+  round(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+  round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+        / sqrt((CAST(c1 + c0 AS DOUBLE) / (n1 + n0))
+               * (1e0 - CAST(c1 + c0 AS DOUBLE) / (n1 + n0))
+               * (1e0 / n1 + 1e0 / n0)), 6) AS z_score
+FROM a
+"""
+
+
+@register("two_proportion_ztest", oracle=_AB_ORACLE)
+def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for per-event purchase rate between A/B
+    arms assigned by event-id parity (pooled-variance normal
+    approximation) — the experimentation primitive beside the
+    propensity-calibration bins already in the registry. (Event-level
+    rather than user-level: the tiny-SF fixtures have ~15 users, all
+    of whom purchase, which degenerates the user-level pooled
+    variance to zero.)
+
+    Scale shape: a single global 4-counter reduce — fully map-side.
+    Parity: every input to the z formula is an exact integer; the
+    final expression is one deterministic double evaluation on a
+    single row."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.select(
+        (F.col("event_id") % 2).alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    a = u.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias(
+            "c0"
+        ),
+    )
+    n1, n0, c1, c0 = (F.col(x) for x in ("n1", "n0", "c1", "c0"))
+    p1 = c1.cast("double") / n1
+    p0 = c0.cast("double") / n0
+    pp = (c1 + c0).cast("double") / (n1 + n0)
+    z = (p1 - p0) / F.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n0))
+    return a.select(
+        n1.cast("long").alias("n1"),
+        n0.cast("long").alias("n0"),
+        c1.cast("long").alias("conv1"),
+        c0.cast("long").alias("conv0"),
+        F.round(p1, 6).alias("rate1"),
+        F.round(p0, 6).alias("rate0"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Positional phrase search ("hash join") via posting-list adjacency
+# --------------------------------------------------------------------------
+
+_PHRASE = ("hash", "join")
+
+_PHRASE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest({_TOKENS}) AS term,
+    unnest(range(1, len({_TOKENS}) + 1)) AS pos
+  FROM documents)
+SELECT t1.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM tok t1 JOIN tok t2
+  ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+WHERE t1.term = '{_PHRASE[0]}' AND t2.term = '{_PHRASE[1]}'
+GROUP BY 1
+"""
+
+
+@register("phrase_search", oracle=_PHRASE_ORACLE)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query ("{0} {1}") via positional posting lists:
+    each query term's postings are a filtered slice of the token table
+    and the phrase is an equi-join on (doc_id, adjacent position) —
+    the positional-index primitive behind the BM25/posting-shard
+    entries already in the registry.
+
+    Scale shape: tokenization is map-side (posexplode, no shuffle);
+    both posting slices are term-filtered BEFORE the join, so the
+    shuffle carries only the two terms' postings, keyed on
+    (doc_id, pos) — never the full token table. Longer phrases chain
+    the same join. All outputs are exact integers.""".format(*_PHRASE)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tx.tokens(F.col("text"))).alias("pos", "term")
+    )
+    t1 = tok.filter(F.col("term") == _PHRASE[0]).select(
+        "doc_id", (F.col("pos") + 1).alias("next_pos")
+    )
+    t2 = tok.filter(F.col("term") == _PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("next_pos")
+    )
+    return (
+        t1.join(t2, ["doc_id", "next_pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+# --------------------------------------------------------------------------
+# PMI collocations over document co-occurrence
+# --------------------------------------------------------------------------
+
+_PMI_MIN_DF = 2
+_PMI_TOPK = 20
+
+_PMI_ORACLE = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest({_TOKENS}) AS term FROM documents)),
+dfq AS (
+  SELECT term, count(*) AS dfreq FROM dt GROUP BY 1
+  HAVING count(*) >= {_PMI_MIN_DF}),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.term AS t1, b.term AS t2, count(*) AS c12
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2),
+scored AS (
+  SELECT t1, t2, c12,
+    CAST(round(ln(CAST(c12 AS DOUBLE) * n_docs / (f1.dfreq * f2.dfreq)) * 1e6)
+         AS BIGINT) AS pmi_micro
+  FROM pairs
+  JOIN dfq f1 ON pairs.t1 = f1.term
+  JOIN dfq f2 ON pairs.t2 = f2.term
+  CROSS JOIN nd)
+SELECT t1, t2, CAST(c12 AS BIGINT) AS c12, pmi_micro,
+  round(CAST(pmi_micro AS DOUBLE) / 1e6, 6) AS pmi
+FROM scored
+ORDER BY pmi_micro DESC, t1, t2 LIMIT {_PMI_TOPK}
+"""
+
+
+@register("pmi_collocations", oracle=_PMI_ORACLE)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{0} document-level PMI collocations:
+    PMI(a,b) = ln(P(a,b)/(P(a)P(b))) over per-document co-occurrence
+    of distinct terms — the collocation/phrase-mining sibling of the
+    registry's bigram and n-gram-diversity entries.
+
+    Scale shape: the doc-term table is deduped map-side first; the
+    pair join is doc-keyed with per-doc fan-out bounded by the distinct
+    vocabulary a document can contain (and a min-df floor drops
+    singleton terms before scoring). Pair counts collapse
+    map-side-combinably to O(V^2) rows. Parity: counts are exact
+    integers, PMI is micro-rounded once per PAIR, and the top-k is a
+    TakeOrdered heap with a (pmi, pair) total-order tiebreak — no
+    global sort.""".format(_PMI_TOPK)
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
+    ).distinct()
+    dfq = (
+        dt.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") >= _PMI_MIN_DF)
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("t1"), F.col("b.term").alias("t2")
+        )
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    f1 = dfq.select(
+        F.col("term").alias("t1"), F.col("dfreq").alias("df1")
+    )
+    f2 = dfq.select(
+        F.col("term").alias("t2"), F.col("dfreq").alias("df2")
+    )
+    scored = (
+        pairs.join(F.broadcast(f1), "t1")
+        .join(F.broadcast(f2), "t2")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "t1",
+            "t2",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("df1") * F.col("df2"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("pmi_micro").desc(), F.col("t1").asc(), F.col("t2").asc()
+        )
+        .limit(_PMI_TOPK)
+        .select(
+            "t1",
+            "t2",
+            F.col("c12").cast("long").alias("c12"),
+            "pmi_micro",
+            F.round(F.col("pmi_micro").cast("double") / 1e6, 6).alias("pmi"),
+        )
+    )

@@ -135,6 +135,11 @@ INTENTIONAL_BNLJ = {
     "conversion_latency_quantiles",  # broadcast 3-row percentile targets
     "cusum_changepoints",  # broadcast 1-row target frame (array fold)
     "fk_integrity_audit",  # broadcast 1-row child-count frame per FK edge
+    "chi_square_independence",  # broadcast 1-row grand-total + dims frames
+    "max_drawdown",  # broadcast 1-row peak frame over the O(days) series
+    "kaplan_meier",  # broadcast 1-row user-count (at-risk denominator)
+    "roc_auc",  # broadcast 1-row min/max bounds (bucketed ranks)
+    "pmi_collocations",  # broadcast 1-row corpus-size (N) frame
 }
 
 
