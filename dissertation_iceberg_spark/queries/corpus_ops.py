@@ -473,3 +473,128 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney bigram document scoring (smoothed conditional LM)
+# --------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount; 3/4 is exact in binary floating point
+
+_KN_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               j -> toks[j] || ' ' || toks[j + 1])) AS pair
+  FROM base WHERE len(toks) >= 2),
+pc AS (SELECT pair, count(*) AS c2 FROM pairs GROUP BY 1),
+ctx AS (
+  SELECT str_split(pair, ' ')[1] AS w1,
+         CAST(sum(c2) AS BIGINT) AS c1,
+         count(*) AS n1p_fwd
+  FROM pc GROUP BY 1),
+cont AS (
+  SELECT str_split(pair, ' ')[2] AS w2, count(*) AS n1p_rev
+  FROM pc GROUP BY 1),
+types AS (SELECT count(*) AS n_types FROM pc),
+lp AS (
+  SELECT pc.pair,
+         CAST(round(ln(
+             (pc.c2 - {_KN_D}) / ctx.c1
+             + {_KN_D} * ctx.n1p_fwd / ctx.c1
+               * (CAST(cont.n1p_rev AS DOUBLE) / types.n_types)
+           ) * 1e6) AS BIGINT) AS lp_micro
+  FROM pc
+  JOIN ctx ON str_split(pc.pair, ' ')[1] = ctx.w1
+  JOIN cont ON str_split(pc.pair, ' ')[2] = cont.w2
+  CROSS JOIN types)
+SELECT p.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(lp.lp_micro) AS BIGINT) AS lp_micro_sum,
+       round(CAST(sum(lp.lp_micro) AS DOUBLE) / count(*) / 1e6, 6)
+         AS mean_logprob
+FROM pairs p JOIN lp USING (pair)
+GROUP BY 1
+"""
+
+
+@register("kneser_ney_bigram", oracle=_KN_ORACLE)
+def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney-smoothed bigram document scoring:
+    P(w2|w1) = (c(w1 w2) − D)/c(w1) + D·N1+(w1,·)/c(w1) · Pcont(w2),
+    Pcont(w2) = N1+(·,w2)/|bigram types|, D = 0.75 — the
+    industry-standard n-gram smoothing (continuation counts demote
+    words that only ever follow one context, e.g. "Francisco").
+    Documents are scored over their OWN bigrams, so every scored pair
+    has c ≥ 1 and the discounted term never needs a max(·,0) clamp.
+
+    Scale shape identical to `bigram_logprob`: every marginal
+    (forward-context totals+types, reverse continuation types, global
+    type count) re-aggregates the already-collapsed O(pair types)
+    table, never the token stream; the scoring join is pair-keyed; the
+    per-doc reduction is an exact integer micro-unit sum. D=3/4 is
+    binary-exact so the per-pair double expression is engine-stable
+    (same accepted half-ulp libm class as the other LM scores)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    pairs = base.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(toks[i], ' ', toks[i + 1]))"
+            )
+        ).alias("pair"),
+    )
+    pc = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("c2"))
+    w1 = F.split(F.col("pair"), " ").getItem(0)
+    w2 = F.split(F.col("pair"), " ").getItem(1)
+    ctx = pc.groupBy(w1.alias("w1")).agg(
+        F.sum("c2").cast("long").alias("c1"),
+        F.count(F.lit(1)).alias("n1p_fwd"),
+    )
+    cont = pc.groupBy(w2.alias("w2")).agg(
+        F.count(F.lit(1)).alias("n1p_rev")
+    )
+    types = pc.agg(F.count(F.lit(1)).alias("n_types"))
+    lp = (
+        pc.join(ctx, w1 == F.col("w1"))
+        .join(cont, w2 == F.col("w2"))
+        .crossJoin(F.broadcast(types))
+        .select(
+            "pair",
+            F.round(
+                F.log(
+                    (F.col("c2") - F.lit(_KN_D)) / F.col("c1")
+                    + F.lit(_KN_D)
+                    * F.col("n1p_fwd")
+                    / F.col("c1")
+                    * (
+                        F.col("n1p_rev").cast("double")
+                        / F.col("n_types")
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        pairs.join(lp, "pair")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").cast("long").alias("lp_micro_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "lp_micro_sum",
+            F.round(
+                F.col("lp_micro_sum").cast("double") / F.col("n_bigrams") / 1e6, 6
+            ).alias("mean_logprob"),
+        )
+    )

@@ -730,3 +730,83 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# Range-partition planner (balanced boundaries for a cluster total sort)
+# --------------------------------------------------------------------------
+
+_RANGE_N_PARTS = 8
+
+_RANGE_PLAN_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+dv AS (SELECT cents, count(*) AS cnt FROM c GROUP BY 1),
+cum AS (
+  SELECT cents, cnt, sum(cnt) OVER (ORDER BY cents) AS inc_cum FROM dv),
+n AS (SELECT count(*) AS n_rows FROM c),
+t AS (
+  SELECT k, CAST(ceil(k * n_rows / {_RANGE_N_PARTS}e0) AS BIGINT) AS target
+  FROM range(1, {_RANGE_N_PARTS}) r(k) CROSS JOIN n)
+SELECT CAST(k AS BIGINT) AS k, target,
+  min(cents) AS boundary_cents,
+  CAST(min(inc_cum) AS BIGINT) AS cum_at_boundary
+FROM t JOIN cum ON cum.inc_cum >= t.target
+GROUP BY 1, 2
+"""
+
+
+@register("range_partition_plan", oracle=_RANGE_PLAN_ORACLE)
+def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition boundary planner: the k/{0} quantile split
+    points of order value that a cluster total sort (or a sorted-table
+    write) would range-partition on, each with its exact target rank
+    and achieved cumulative row count — what Spark's RangePartitioner
+    estimates by sampling, computed exactly so the plan is
+    deterministic and auditable (skewed boundaries surface as
+    cum_at_boundary far past target).
+
+    Scale shape: collapse to distinct values first (map-side
+    combinable), inclusive prefix sums via the bucketed two-pass
+    cumsum machinery (functions/ranks.py — NO global per-row sort),
+    then each of the {1} boundary targets probes the O(distinct)
+    cumulative table through a broadcast nested-loop on ≤{1} rows and
+    a min-aggregation picks the first crossing. Integer cents + exact
+    integer ranks throughout.""".format(_RANGE_N_PARTS, _RANGE_N_PARTS - 1)
+    from dissertation_iceberg_spark.functions.ranks import (
+        bucketed_exclusive_cumsums,
+    )
+
+    c = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    dv = c.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = bucketed_exclusive_cumsums(dv, "cents", ["cnt"]).select(
+        "cents", (F.col("cum_cnt") + F.col("cnt")).alias("inc_cum")
+    )
+    n = c.agg(F.count(F.lit(1)).alias("n_rows"))
+    t = (
+        spark.range(1, _RANGE_N_PARTS)
+        .toDF("k")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "k",
+            F.ceil(F.col("k") * F.col("n_rows") / float(_RANGE_N_PARTS))
+            .cast("long")
+            .alias("target"),
+        )
+    )
+    return (
+        cum.join(F.broadcast(t), cum["inc_cum"] >= t["target"])
+        .groupBy("k", "target")
+        .agg(
+            F.min("cents").alias("boundary_cents"),
+            F.min("inc_cum").cast("long").alias("cum_at_boundary"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "target",
+            "boundary_cents",
+            "cum_at_boundary",
+        )
+    )

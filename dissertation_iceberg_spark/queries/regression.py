@@ -352,3 +352,81 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tw").cast("long").alias("n_pairs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Ridge regression via the same Gram kernel (L2-regularized variant)
+# --------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = "1e2"  # scientific notation: DOUBLE literal in both engines
+
+_RIDGE_FINAL = {
+    "n": "CAST(f AS BIGINT)",
+    "lambda_l2": f"round({_RIDGE_LAMBDA}, 6)",
+    "beta1_ridge": "round(beta1, 6)",
+    "beta2_ridge": "round(beta2, 6)",
+    "intercept_ridge": "round(intercept, 6)",
+}
+
+
+def _ridge_oracle() -> str:
+    stats = ", ".join(f"{expr} AS {k}" for k, expr in _STATS_SQL.items())
+    betas = ", ".join(f"{expr} AS {k}" for k, expr in _BETA.items())
+    finals = ", ".join(f"{expr} AS {k}" for k, expr in _RIDGE_FINAL.items())
+    lam = _RIDGE_LAMBDA
+    return f"""
+WITH inp AS ({_OLS2_INPUT_SQL}),
+g AS (SELECT l_returnflag, {stats} FROM inp GROUP BY l_returnflag),
+g2 AS (SELECT l_returnflag, a + {lam} AS a, b, c, d + {lam} AS d,
+              e2, f, p, q, r, syy FROM g),
+s AS (SELECT *, {betas} FROM g2)
+SELECT l_returnflag, {finals} FROM s
+"""
+
+
+@register("ridge_gram", oracle=_ridge_oracle())
+def ridge_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge (L2-regularized) regression price ~ discount + tax per
+    return flag: identical one-pass Gram sufficient statistics as
+    `ols2_gram`, with λ added to the feature diagonal of the normal
+    equations before the SAME closed-form Cramer solve — the intercept
+    row stays unpenalized (minimizing ‖y−Xβ−c‖² + λ‖β‖² yields
+    (G + λ·diag(1,1,0))θ = X'y, no centering needed). The shrinkage
+    path a cluster-scale hyperparameter sweep would grid over λ; each
+    λ reuses the same cached Gram — training cost is ONE scan
+    regardless of grid size.
+
+    Parity: sufficient statistics are exact integer-scaled sums; λ is
+    a binary-exact scientific-notation literal; the solve is the same
+    formula-string expression tree evaluated by both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    inp = li.select(
+        "l_returnflag",
+        F.round(F.col("l_discount") * 100).cast("long").alias("x1c"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("x2c"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("yc"),
+    )
+    g = inp.groupBy("l_returnflag").agg(
+        *[F.expr(expr).alias(k) for k, expr in _STATS_SQL.items()]
+    )
+    lam = F.expr(_RIDGE_LAMBDA)
+    g2 = g.select(
+        "l_returnflag",
+        (F.col("a") + lam).alias("a"),
+        "b",
+        "c",
+        (F.col("d") + lam).alias("d"),
+        "e2",
+        "f",
+        "p",
+        "q",
+        "r",
+        "syy",
+    )
+    s = g2.select(
+        "*", *[F.expr(expr).alias(k) for k, expr in _BETA.items()]
+    )
+    return s.select(
+        "l_returnflag",
+        *[F.expr(expr).alias(k) for k, expr in _RIDGE_FINAL.items()],
+    )

@@ -623,3 +623,53 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pmi_micro").cast("double") / 1e6, 6).alias("pmi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix (classifier evaluation on labeled data)
+# --------------------------------------------------------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    from dissertation_iceberg_spark.queries.llm_ops import _lang_oracle
+
+    return f"""
+WITH pred AS ({_lang_oracle()})
+SELECT d.lang AS true_lang, pred.pred_lang,
+  CAST(count(*) AS BIGINT) AS n,
+  round(CAST(count(*) AS DOUBLE)
+        / sum(count(*)) OVER (PARTITION BY d.lang), 6) AS row_rate
+FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("langid_confusion", oracle=_langid_confusion_oracle())
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language identifier against
+    the labeled `lang` column, with per-true-language recall rates —
+    the evaluation harness for the registry's `lang_id` entry (the
+    reference evaluates its direction classifier the same way,
+    `prediction_ML_pipeline.py:330-360`).
+
+    Scale shape: prediction is map-side (stopword-profile vote, no
+    shuffle); one (true, pred)-keyed count aggregation; the row-rate
+    window runs on the O(langs^2) confusion frame. Counts are exact
+    integers; each rate is one deterministic double division."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = tx.lang_id(docs, "text", "doc_id").select("doc_id", "pred_lang")
+    cm = (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("true_lang")
+    return cm.select(
+        "true_lang",
+        "pred_lang",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias(
+            "row_rate"
+        ),
+    )

@@ -140,6 +140,8 @@ INTENTIONAL_BNLJ = {
     "kaplan_meier",  # broadcast 1-row user-count (at-risk denominator)
     "roc_auc",  # broadcast 1-row min/max bounds (bucketed ranks)
     "pmi_collocations",  # broadcast 1-row corpus-size (N) frame
+    "kneser_ney_bigram",  # broadcast 1-row bigram-type-count frame
+    "range_partition_plan",  # broadcast ≤7-row boundary-target probes
 }
 
 
