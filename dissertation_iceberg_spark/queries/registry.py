@@ -77,6 +77,7 @@ def _ensure_loaded() -> None:
         text_metrics,
         tpch_shapes,
         tpch_shapes2,
+        tpch_shapes3,
         windows2,
     )
 

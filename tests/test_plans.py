@@ -142,6 +142,7 @@ INTENTIONAL_BNLJ = {
     "pmi_collocations",  # broadcast 1-row corpus-size (N) frame
     "kneser_ney_bigram",  # broadcast 1-row bigram-type-count frame
     "range_partition_plan",  # broadcast ≤7-row boundary-target probes
+    "top_supplier",  # broadcast 1-row max-revenue frame (Q15 view max)
 }
 
 
@@ -410,3 +411,43 @@ def test_zipf_topk_no_global_sort(spark, sf_dir):
     p = _plan(spark, sf_dir, "zipf_slope")
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_q6_pure_scan_agg_pushdown(spark, sf_dir):
+    """Q6 shape: no join anywhere, and the date + quantity predicates
+    reach the parquet scan."""
+    p = _plan(spark, sf_dir, "forecast_revenue_change")
+    assert "Join" not in p
+    assert "PushedFilters" in p
+    # PushedFilters rendering truncates; the shipdate bound is visible
+    # and the quantity predicate shows in the pushed IsNotNull + the
+    # data filter
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "IsNotNull(l_quantity)" in p
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    """Q4 shape: the EXISTS must compile to a semi join (no row
+    duplication), with the quarter filter pushed to the orders scan."""
+    p = _plan(spark, sf_dir, "order_priority_check")
+    assert "LeftSemi" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir):
+    p = _plan(spark, sf_dir, "returned_item_revenue")
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(l_returnflag,R)" in p
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """Q18 shape: the quantity rollup must sit UNDER the orders join —
+    HashAggregate appears before any join when reading bottom-up from
+    the lineitem scan."""
+    p = _plan(spark, sf_dir, "large_volume_customers")
+    # the quantity rollup's subtree must contain the lineitem scan with
+    # no join in between (tree prints parent-first, so the agg line
+    # precedes its scan and any Join between them would be a regression)
+    pos_agg = p.index("HashAggregate(keys=[l_orderkey")
+    pos_scan = p.index("lineitem.parquet", pos_agg)
+    assert "Join" not in p[pos_agg:pos_scan]
