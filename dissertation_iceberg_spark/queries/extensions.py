@@ -625,7 +625,7 @@ PQ_M = 8  # subspaces (64 dims -> 8 x 8)
 PQ_D = 8  # dims per subspace
 PQ_K = 16  # codewords per subspace -> 8 x 4 bits = 4 bytes/vector
 
-_PQ_ORACLE = f"""
+_PQ_CTES = f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -667,7 +667,9 @@ a2 AS (
     SELECT vec_id, sub, cw, n, num,
            row_number() OVER (PARTITION BY vec_id, sub
                               ORDER BY CAST(num AS DOUBLE)/(n*n), cw) AS rn
-    FROM d2) WHERE rn = 1)
+    FROM d2) WHERE rn = 1)"""
+
+_PQ_ORACLE = f"""{_PQ_CTES}
 SELECT sub, cw, count(*) AS n_vecs,
        round(sum(CAST(num AS DOUBLE) / (n * n)) / 1e8 / count(*), 6)
          AS mean_sq_dist
@@ -675,29 +677,11 @@ FROM a2 GROUP BY 1, 2
 """
 
 
-@register("pq_codebooks", oracle=_PQ_ORACLE)
-def pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization: split the 64-dim embedding into {m}
-    orthogonal {d}-dim subspaces and learn a {k}-codeword k-means
-    codebook in each (one Lloyd refinement from deterministic seeds) —
-    encoding every vector as {m} x log2({k}) bits = 4 bytes, a 64x
-    compression over float32. PQ codes under the IVF router
-    (ivf_ann_topk) is the standard 100 TB ANN memory layout (IVF-PQ):
-    the residual rerank reads 4-byte codes, not raw vectors.
-
-    Determinism is the kmeans_cluster_stats recipe per subspace:
-    integer-quantized components, centroids as un-normalized (sum, n)
-    pairs, distances compared as exact-int numerator over n^2 with a
-    single correctly-rounded double division, argmin tie-broken by
-    codeword id — bit-identical at any parallelism, oracle replays
-    the iteration verbatim. Output: per-(subspace, codeword)
-    population and distortion — the codebook-health table (empty
-    codewords / fat codewords => re-seed).
-
-    Scale shape: each Lloyd pass is one equi-join of the long-form
-    (vec, sub, pos) frame against the O({m} x {k} x {d}) codebook +
-    one map-side-combinable argmin/sum — codebooks broadcast; vectors
-    never pairwise-join.""".format(m=PQ_M, d=PQ_D, k=PQ_K)
+def _pq_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared PQ trainer: returns (xe, a2) — the long-form quantized
+    (vec, sub, pos, x) frame and the final assignment table carrying
+    (vec_id, sub, cw, n, num) after one Lloyd refinement. Consumed by
+    `pq_codebooks` (codebook health) and `pq_adc_topk` (ADC search)."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     q = emb.select(
         "vec_id",
@@ -757,6 +741,33 @@ def pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
     )
     a2 = assign(c1)
+    return xe, a2
+
+
+@register("pq_codebooks", oracle=_PQ_ORACLE)
+def pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: split the 64-dim embedding into {m}
+    orthogonal {d}-dim subspaces and learn a {k}-codeword k-means
+    codebook in each (one Lloyd refinement from deterministic seeds) —
+    encoding every vector as {m} x log2({k}) bits = 4 bytes, a 64x
+    compression over float32. PQ codes under the IVF router
+    (ivf_ann_topk) is the standard 100 TB ANN memory layout (IVF-PQ):
+    the residual rerank reads 4-byte codes, not raw vectors.
+
+    Determinism is the kmeans_cluster_stats recipe per subspace:
+    integer-quantized components, centroids as un-normalized (sum, n)
+    pairs, distances compared as exact-int numerator over n^2 with a
+    single correctly-rounded double division, argmin tie-broken by
+    codeword id — bit-identical at any parallelism, oracle replays
+    the iteration verbatim. Output: per-(subspace, codeword)
+    population and distortion — the codebook-health table (empty
+    codewords / fat codewords => re-seed).
+
+    Scale shape: each Lloyd pass is one equi-join of the long-form
+    (vec, sub, pos) frame against the O({m} x {k} x {d}) codebook +
+    one map-side-combinable argmin/sum — codebooks broadcast; vectors
+    never pairwise-join.""".format(m=PQ_M, d=PQ_D, k=PQ_K)
+    _, a2 = _pq_fit(spark, sf_dir)
     return a2.groupBy("sub", "cw").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(
@@ -1015,5 +1026,110 @@ def label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("cosine_to_corpus"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PQ asymmetric-distance (ADC) top-k search over the learned codebooks
+# --------------------------------------------------------------------------
+
+PQ_ADC_QUERY_MOD = 250
+PQ_ADC_K = 5
+
+_PQ_ADC_ORACLE = f"""{_PQ_CTES},
+c2 AS (
+  SELECT a2.sub, a2.cw, xe.pos, sum(xe.x) AS s, count(*) AS n
+  FROM a2 JOIN xe ON a2.vec_id = xe.vec_id AND a2.sub = xe.sub
+  GROUP BY 1, 2, 3),
+qxe AS (
+  SELECT vec_id AS qid, sub, pos, x FROM xe
+  WHERE vec_id % {PQ_ADC_QUERY_MOD} = 0),
+dtab AS (
+  SELECT qxe.qid, c2.sub, c2.cw, c2.n,
+         sum((qxe.x * c2.n - c2.s) * (qxe.x * c2.n - c2.s)) AS num
+  FROM qxe JOIN c2 ON qxe.sub = c2.sub AND qxe.pos = c2.pos
+  GROUP BY 1, 2, 3, 4),
+dmicro AS (
+  SELECT qid, sub, cw,
+         CAST(round(CAST(num AS DOUBLE) / (n * n) / 1e8 * 1e6) AS BIGINT)
+           AS d_micro
+  FROM dtab),
+adc AS (
+  SELECT d.qid, a2.vec_id AS neighbor_id,
+         CAST(sum(d.d_micro) AS BIGINT) AS adc_micro
+  FROM a2 JOIN dmicro d ON a2.sub = d.sub AND a2.cw = d.cw
+  WHERE a2.vec_id <> d.qid
+  GROUP BY 1, 2)
+SELECT qid, neighbor_id, adc_micro,
+  round(CAST(adc_micro AS DOUBLE) / 1e6, 6) AS adc_dist,
+  CAST(row_number() OVER (PARTITION BY qid
+       ORDER BY adc_micro, neighbor_id) AS BIGINT) AS rnk
+FROM adc
+QUALIFY rnk <= {PQ_ADC_K}
+"""
+
+
+@register("pq_adc_topk", oracle=_PQ_ADC_ORACLE)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-{k} search: queries build a
+    per-(subspace, codeword) distance table against the trained
+    codebook centroids, and every database vector's distance is then a
+    table LOOKUP summed over its {m} 4-bit codes — the IVF-PQ scan
+    kernel (Jégou et al., PAMI 2011) that reads 4-byte codes instead
+    of 256-byte float vectors at 100 TB.
+
+    Scale shape: the distance table is O(queries x {m} x {k_cw}) and
+    BROADCASTS to the code table — the per-vector scan is a map-side
+    hash-join + an 8-row map-side-combinable sum; database vectors are
+    never pairwise-joined against queries in float space. Parity: the
+    codebook is the deterministic integer `_pq_fit` output; per-sub
+    lookup distances are exact-integer numerators micro-rounded ONCE,
+    so each ADC sum is an exact 8-term integer sum; ranks tie-break on
+    neighbor id.""".format(m=PQ_M, k=PQ_ADC_K, k_cw=PQ_K)
+    xe, a2 = _pq_fit(spark, sf_dir)
+    c2 = (
+        a2.join(xe, ["vec_id", "sub"])
+        .groupBy("sub", "cw", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    qxe = xe.filter(F.col("vec_id") % PQ_ADC_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), "sub", "pos", "x"
+    )
+    e = F.col("x") * F.col("n") - F.col("s")
+    dtab = (
+        qxe.join(F.broadcast(c2), ["sub", "pos"])
+        .groupBy("qid", "sub", "cw", "n")
+        .agg(F.sum(e * e).alias("num"))
+    )
+    dmicro = dtab.select(
+        "qid",
+        "sub",
+        "cw",
+        F.round(
+            F.col("num").cast("double") / (F.col("n") * F.col("n")) / 1e8 * 1e6
+        )
+        .cast("long")
+        .alias("d_micro"),
+    )
+    adc = (
+        a2.select("vec_id", "sub", "cw")
+        .join(F.broadcast(dmicro), ["sub", "cw"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d_micro").cast("long").alias("adc_micro"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc_micro", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= PQ_ADC_K)
+        .select(
+            "qid",
+            "neighbor_id",
+            "adc_micro",
+            F.round(F.col("adc_micro").cast("double") / 1e6, 6).alias(
+                "adc_dist"
+            ),
+            "rnk",
         )
     )

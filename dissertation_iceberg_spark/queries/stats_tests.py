@@ -673,3 +673,198 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_rate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# VaR / CVaR (expected shortfall) of the daily PnL distribution
+# --------------------------------------------------------------------------
+
+_VAR_ALPHA_PCT = 5  # 95% VaR
+
+_VAR_ORACLE = f"""
+WITH p AS ({_PNL_SERIES_SQL}),
+c AS (SELECT day, CAST(round(pnl * 100) AS BIGINT) AS cents FROM p),
+n AS (SELECT count(*) AS n_days FROM c),
+r AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, day) AS rn FROM c),
+k AS (SELECT CAST(ceil(n_days * {_VAR_ALPHA_PCT} / 100e0) AS BIGINT) AS k,
+             n_days FROM n)
+SELECT CAST(n_days AS BIGINT) AS n_days, k,
+  round(CAST(max(cents) AS DOUBLE) / 100.0, 6) AS var_95,
+  round(CAST(sum(cents) AS DOUBLE) / k / 100.0, 6) AS cvar_95
+FROM r CROSS JOIN k WHERE rn <= k GROUP BY n_days, k
+"""
+
+
+@register("var_cvar", oracle=_VAR_ORACLE)
+def var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Value-at-Risk and CVaR (expected shortfall) of the daily
+    portfolio PnL: the k = ceil(0.05·n) worst days define VaR (their
+    max) and CVaR (their mean) as exact order statistics — no
+    interpolation, matching the lower-tail convention the registry's
+    MAD/median entries pin. Completes the risk battery beside
+    `max_drawdown` and the Sharpe tests.
+
+    Scale shape: the PnL series is O(days); ranking runs on that
+    bounded frame with a (cents, day) total-order tiebreak. Integer
+    cents throughout; CVaR's only division happens once on exact
+    integer sums."""
+    sel = cross_sectional_select(
+        _signals(spark, sf_dir), "day", "signal", "user_id", 0.2
+    )
+    p = sel.groupBy("day").agg(
+        (
+            F.sum(F.when(F.col("is_top") == 1, F.col("gross")).otherwise(0.0))
+            - F.sum(F.when(F.col("is_bottom") == 1, F.col("gross")).otherwise(0.0))
+        ).alias("pnl")
+    )
+    c = p.select("day", F.round(F.col("pnl") * 100).cast("long").alias("cents"))
+    n = c.agg(F.count(F.lit(1)).alias("n_days"))
+    r = c.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "day")).alias("rn"),
+    )
+    k = n.select(
+        F.ceil(F.col("n_days") * _VAR_ALPHA_PCT / 100.0)
+        .cast("long")
+        .alias("k"),
+        "n_days",
+    )
+    return (
+        r.crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("n_days", "k")
+        .agg(
+            F.round(F.max("cents").cast("double") / 100.0, 6).alias("var_95"),
+            F.round(
+                F.sum("cents").cast("double") / F.first("k") / 100.0, 6
+            ).alias("cvar_95"),
+        )
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            "k",
+            "var_95",
+            "cvar_95",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Common-neighbor link prediction on the part co-purchase graph
+# --------------------------------------------------------------------------
+
+_LP_TOPK = 20
+
+_LP_ORACLE = f"""
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+edges AS (
+  SELECT u, v FROM e0
+  UNION ALL
+  SELECT v AS u, u AS v FROM e0),
+deg AS (SELECT u, count(*) AS d FROM edges GROUP BY 1),
+wedge AS (
+  SELECT e1.v AS a, e2.v AS b, count(*) AS cn
+  FROM edges e1 JOIN edges e2
+    ON e1.u = e2.u AND e1.v < e2.v
+  GROUP BY 1, 2),
+cand AS (
+  SELECT w.a, w.b, w.cn FROM wedge w
+  LEFT JOIN e0 ON w.a = e0.u AND w.b = e0.v
+  WHERE e0.u IS NULL),
+scored AS (
+  SELECT a, b, cn,
+    CAST(round(CAST(cn AS DOUBLE) / (da.d + db.d - cn) * 1e6) AS BIGINT)
+      AS jaccard_micro
+  FROM cand JOIN deg da ON cand.a = da.u JOIN deg db ON cand.b = db.u)
+SELECT a AS part_a, b AS part_b, CAST(cn AS BIGINT) AS common_neighbors,
+  jaccard_micro,
+  round(CAST(jaccard_micro AS DOUBLE) / 1e6, 6) AS jaccard
+FROM scored
+ORDER BY jaccard_micro DESC, cn DESC, a, b LIMIT {_LP_TOPK}
+"""
+
+
+@register("link_prediction_cn", oracle=_LP_ORACLE)
+def link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{0} predicted links on the part co-purchase graph:
+    non-adjacent part pairs ranked by neighborhood Jaccard
+    |N(a)∩N(b)| / |N(a)∪N(b)| — the classic common-neighbors
+    recommender, one hop beyond the registry's co-purchase lift entry.
+
+    Scale shape: co-purchase edges dedupe map-side with per-order
+    fan-out bounded by order width (≤7 lines in TPC-H-shaped data);
+    the wedge join is hub-keyed — the same shape the degree-ordered
+    triangle entry caps at O(√E) per node when hubs appear; existing
+    edges drop out via a LEFT ANTI join BEFORE scoring; top-k is a
+    TakeOrdered heap with a full total-order tiebreak. Counts and
+    degrees are exact integers; Jaccard is micro-rounded once per
+    pair.""".format(_LP_TOPK)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    e0 = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedge = (
+        e1.join(e2, "u")
+        .filter(F.col("e1.v") < F.col("e2.v"))
+        .groupBy(F.col("e1.v").alias("a"), F.col("e2.v").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = wedge.join(
+        e0,
+        (wedge["a"] == e0["u"]) & (wedge["b"] == e0["v"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    scored = (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn"))
+                * 1e6
+            )
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("jaccard_micro").desc(),
+            F.col("cn").desc(),
+            F.col("a").asc(),
+            F.col("b").asc(),
+        )
+        .limit(_LP_TOPK)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            "jaccard_micro",
+            F.round(F.col("jaccard_micro").cast("double") / 1e6, 6).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -143,6 +143,7 @@ INTENTIONAL_BNLJ = {
     "kneser_ney_bigram",  # broadcast 1-row bigram-type-count frame
     "range_partition_plan",  # broadcast ≤7-row boundary-target probes
     "top_supplier",  # broadcast 1-row max-revenue frame (Q15 view max)
+    "var_cvar",  # broadcast 1-row tail-size (k) frame over O(days) rows
 }
 
 
