@@ -868,3 +868,156 @@ def link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of customer revenue concentration
+# --------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey, CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+dv AS (SELECT cents, count(*) AS f FROM rev GROUP BY 1),
+cum AS (
+  SELECT cents, f,
+    coalesce(sum(f) OVER (ORDER BY cents
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_f
+  FROM dv),
+t AS (
+  SELECT CAST(sum(f) AS BIGINT) AS n,
+         CAST(sum(f * cents) AS BIGINT) AS s,
+         CAST(sum(f * cents * (2 * cum_f + f + 1)) AS BIGINT) AS tw
+  FROM cum)
+SELECT n,
+  round(CAST(s AS DOUBLE) / n / 100.0, 6) AS mean_revenue,
+  round(CAST(tw AS DOUBLE) / (CAST(n AS DOUBLE) * s)
+        - (n + 1e0) / n, 6) AS gini
+FROM t
+"""
+
+
+@register("gini_concentration", oracle=_GINI_ORACLE)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue concentration — the
+    inequality statistic behind 'what fraction of spend comes from the
+    top sliver' (the same lens the corpus mixture-weights entry applies
+    to training-data sources). Uses the rank-weighted identity
+    G = Σ f·v·(2·cum+f+1) / (n·S) − (n+1)/n over DISTINCT revenue
+    levels with tie-exact average ranks.
+
+    Scale shape: one custkey rollup (map-side combinable), collapse to
+    distinct revenue levels, then the bucketed two-pass cumsum
+    machinery (functions/ranks.py) — no per-row global sort. The
+    rank-weighted total is a single exact BIGINT sum (integer cents ×
+    integer ranks); only the final two divisions are doubles."""
+    from dissertation_iceberg_spark.functions.ranks import (
+        bucketed_exclusive_cumsums,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("cents")
+    )
+    dv = rev.groupBy("cents").agg(F.count(F.lit(1)).alias("f"))
+    cum = bucketed_exclusive_cumsums(dv, "cents", ["f"])
+    t = cum.agg(
+        F.sum("f").cast("long").alias("n"),
+        F.sum(F.col("f") * F.col("cents")).cast("long").alias("s"),
+        F.sum(
+            F.col("f")
+            * F.col("cents")
+            * (2 * F.col("cum_f") + F.col("f") + 1)
+        )
+        .cast("long")
+        .alias("tw"),
+    )
+    return t.select(
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n") / 100.0, 6).alias(
+            "mean_revenue"
+        ),
+        F.round(
+            F.col("tw").cast("double")
+            / (F.col("n").cast("double") * F.col("s"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Herfindahl-Hirschman market concentration per nation
+# --------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT s_nationkey, l_suppkey,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS c2
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2),
+tot AS (SELECT s_nationkey, CAST(sum(c2) AS BIGINT) AS s,
+               count(*) AS n_suppliers
+        FROM rev GROUP BY 1),
+sq AS (
+  SELECT rev.s_nationkey,
+    sum(CAST(round(CAST(c2 AS DOUBLE) / s * 1e6) AS BIGINT)
+        * CAST(round(CAST(c2 AS DOUBLE) / s * 1e6) AS BIGINT)) AS hhi_pico
+  FROM rev JOIN tot USING (s_nationkey) GROUP BY 1)
+SELECT n_name,
+  CAST(n_suppliers AS BIGINT) AS n_suppliers,
+  round(CAST(hhi_pico AS DOUBLE) / 1e12, 6) AS hhi
+FROM sq
+JOIN tot USING (s_nationkey)
+JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+@register("market_concentration_hhi", oracle=_HHI_ORACLE)
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    nation: HHI = Σ share² over each nation's suppliers (1/n =
+    perfectly competitive, 1 = monopoly) — the market-structure
+    companion to `gini_concentration`.
+
+    Scale shape: one (nation, supplier) rollup with the supplier dim
+    broadcast, nation totals re-aggregate the collapsed O(suppliers)
+    frame, shares square map-side. Parity: revenue rides as exact
+    integer cents²; each share is micro-rounded ONCE and squared in
+    exact BIGINTs (pico-units), so the per-nation sum is
+    order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev_c2 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(rev_c2).cast("long").alias("c2"))
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("c2").cast("long").alias("s"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    share_micro = F.round(F.col("c2").cast("double") / F.col("s") * 1e6).cast(
+        "long"
+    )
+    sq = (
+        rev.join(F.broadcast(tot), "s_nationkey")
+        .groupBy("s_nationkey")
+        .agg(F.sum(share_micro * share_micro).alias("hhi_pico"))
+    )
+    return (
+        sq.join(F.broadcast(tot), "s_nationkey")
+        .join(
+            F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select(
+            "n_name",
+            F.col("n_suppliers").cast("long").alias("n_suppliers"),
+            F.round(F.col("hhi_pico").cast("double") / 1e12, 6).alias("hhi"),
+        )
+    )

@@ -444,3 +444,48 @@ def test_simhash_rejects_out_of_range_bits(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(5)
     with pytest.raises(ValueError, match="60 bits"):
         simhash(docs, "text", "doc_id", bits=64)
+
+
+def test_streaming_abtest_matches_batch(spark, sf_dir, tmp_path):
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.streaming.abtest_stream import (
+        streaming_abtest,
+    )
+
+    src = str(tmp_path / "abtest_src")
+    out_name = "abtest_stream_out"
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        (F.col("event_id") % 2).alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(
+        src
+    )
+    q = (
+        streaming_abtest(stream, 86400)
+        .writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table(out_name)
+        .toPandas()
+        .sort_values("win_end")
+        .reset_index(drop=True)
+    )
+    want = (
+        streaming_abtest(spark.read.parquet(src), 86400)
+        .toPandas()
+        .sort_values("win_end")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert (got.n1 + got.n0).sum() == ev.count()
