@@ -144,6 +144,7 @@ INTENTIONAL_BNLJ = {
     "range_partition_plan",  # broadcast ≤7-row boundary-target probes
     "top_supplier",  # broadcast 1-row max-revenue frame (Q15 view max)
     "var_cvar",  # broadcast 1-row tail-size (k) frame over O(days) rows
+    "gini_concentration",  # broadcast 1-row min/max bounds (bucketed ranks)
 }
 
 
