@@ -810,3 +810,81 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_at_boundary",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Column-encoding advisor (dictionary/RLE planning for a sorted rewrite)
+# --------------------------------------------------------------------------
+
+_ENC_ORACLE = """
+WITH n AS (SELECT count(*) AS n_rows FROM lineitem),
+per AS (
+  SELECT 'l_returnflag' AS col_name, count(DISTINCT l_returnflag) AS n_distinct
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', count(DISTINCT l_linestatus) FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', count(DISTINCT l_suppkey) FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', count(DISTINCT l_partkey) FROM lineitem)
+SELECT col_name,
+  (SELECT CAST(n_rows AS BIGINT) FROM n) AS n_rows,
+  CAST(n_distinct AS BIGINT) AS n_distinct,
+  round(CAST(n_distinct AS DOUBLE) / (SELECT n_rows FROM n), 6)
+    AS distinct_ratio,
+  CAST(CASE WHEN ceil(ln(n_distinct + 1) / ln(2e0)) < 1
+            THEN 1 ELSE ceil(ln(n_distinct + 1) / ln(2e0)) END AS BIGINT)
+    AS dict_bits,
+  CASE WHEN n_distinct * 20 < (SELECT n_rows FROM n)
+       THEN 'dictionary+rle' ELSE 'plain' END AS recommendation
+FROM per
+"""
+
+
+@register("encoding_advisor", oracle=_ENC_ORACLE)
+def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-encoding advisor for a sorted table rewrite: per-column
+    distinct counts, the dictionary index width they imply, and a
+    dictionary/RLE recommendation when cardinality is <5% of rows —
+    the planning read that precedes the z-order/compaction entries
+    (a column worth sorting by is exactly one whose dictionary+RLE
+    run count collapses).
+
+    Scale shape: each count-distinct is one map-side-combinable
+    aggregation over a single scanned column (Spark rewrites
+    count(DISTINCT) into a two-stage expand+agg; at 100 TB the
+    approx HLL entry `hll_distinct` is the cheap pre-screen). All
+    outputs are exact integers plus one deterministic division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.agg(F.count(F.lit(1)).alias("n_rows"))
+    parts = []
+    for col_name in ("l_returnflag", "l_linestatus", "l_suppkey", "l_partkey"):
+        parts.append(
+            li.agg(
+                F.lit(col_name).alias("col_name"),
+                F.countDistinct(col_name).alias("n_distinct"),
+            )
+        )
+    per = parts[0]
+    for p in parts[1:]:
+        per = per.unionByName(p)
+    dict_bits = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.log(F.col("n_distinct") + 1) / F.log(F.lit(2.0))).cast(
+            "long"
+        ),
+    )
+    return per.crossJoin(F.broadcast(n)).select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round(
+            F.col("n_distinct").cast("double") / F.col("n_rows"), 6
+        ).alias("distinct_ratio"),
+        dict_bits.alias("dict_bits"),
+        F.when(
+            F.col("n_distinct") * 20 < F.col("n_rows"), "dictionary+rle"
+        )
+        .otherwise("plain")
+        .alias("recommendation"),
+    )

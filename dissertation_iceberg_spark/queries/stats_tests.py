@@ -1021,3 +1021,120 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("hhi_pico").cast("double") / 1e12, 6).alias("hhi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Population Stability Index (distribution drift between two periods)
+# --------------------------------------------------------------------------
+
+_PSI_BINS = 10
+
+_PSI_ORACLE = f"""
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,
+         min(value) AS vmin, max(value) AS vmax
+  FROM events),
+e AS (
+  SELECT CASE WHEN epoch_us(ts) * 2 < t0 + t1 THEN 0 ELSE 1 END AS period,
+    CAST(CASE WHEN value >= vmax THEN {_PSI_BINS}
+         ELSE floor((value - vmin) / (vmax - vmin) * {_PSI_BINS}) + 1
+         END AS BIGINT) AS bin
+  FROM events CROSS JOIN b),
+grid AS (
+  SELECT unnest(range(1, {_PSI_BINS} + 1)) AS bin),
+c AS (
+  SELECT grid.bin,
+    coalesce(sum(CASE WHEN period = 0 THEN 1 END), 0) AS c0,
+    coalesce(sum(CASE WHEN period = 1 THEN 1 END), 0) AS c1
+  FROM grid LEFT JOIN e ON grid.bin = e.bin GROUP BY 1),
+n AS (SELECT sum(c0) AS n0, sum(c1) AS n1 FROM c),
+terms AS (
+  SELECT bin, c0, c1,
+    CAST(round(
+      (CAST(c0 + 1 AS DOUBLE) / (n0 + {_PSI_BINS})
+       - CAST(c1 + 1 AS DOUBLE) / (n1 + {_PSI_BINS}))
+      * ln((CAST(c0 + 1 AS DOUBLE) / (n0 + {_PSI_BINS}))
+           / (CAST(c1 + 1 AS DOUBLE) / (n1 + {_PSI_BINS})))
+      * 1e6) AS BIGINT) AS psi_micro
+  FROM c CROSS JOIN n)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(c0 AS BIGINT) AS n_ref,
+  CAST(c1 AS BIGINT) AS n_cur, psi_micro,
+  round(CAST(sum(psi_micro) OVER () AS DOUBLE) / 1e6, 6) AS psi_total
+FROM terms
+"""
+
+
+@register("psi_drift", oracle=_PSI_ORACLE)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the `value` distribution between
+    the first and second halves of the observation window — the
+    industry-standard model-monitoring drift score (PSI > 0.2 =
+    retrain), completing the drift family beside the per-source KL and
+    centroid-drift entries. Add-one smoothing keeps every bin's share
+    strictly positive, so no epsilon clamps.
+
+    Scale shape: one 1-row bounds reduce broadcasts back (bin edges
+    and the period midpoint are global constants); binning +
+    per-(period, bin) counts are map-side combinable; the PSI terms
+    live on the O(bins) frame with a densifying grid join so empty
+    bins still contribute. Counts are exact integers; each bin's PSI
+    term is micro-rounded once and the total is an exact integer
+    sum."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = e.agg(
+        F.min(us).alias("t0"),
+        F.max(us).alias("t1"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    binned = e.crossJoin(F.broadcast(b)).select(
+        F.when(us * 2 < F.col("t0") + F.col("t1"), 0).otherwise(1).alias(
+            "period"
+        ),
+        F.when(F.col("value") >= F.col("vmax"), F.lit(_PSI_BINS))
+        .otherwise(
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * _PSI_BINS
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    grid = spark.range(1, _PSI_BINS + 1).toDF("bin")
+    c = (
+        grid.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("period") == 0, 1)), F.lit(0)
+            ).alias("c0"),
+            F.coalesce(
+                F.sum(F.when(F.col("period") == 1, 1)), F.lit(0)
+            ).alias("c1"),
+        )
+    )
+    n = c.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    p0 = (F.col("c0") + 1).cast("double") / (F.col("n0") + _PSI_BINS)
+    p1 = (F.col("c1") + 1).cast("double") / (F.col("n1") + _PSI_BINS)
+    terms = c.crossJoin(F.broadcast(n)).select(
+        "bin",
+        "c0",
+        "c1",
+        F.round((p0 - p1) * F.log(p0 / p1) * 1e6).cast("long").alias(
+            "psi_micro"
+        ),
+    )
+    w = Window.partitionBy()
+    return terms.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("c0").cast("long").alias("n_ref"),
+        F.col("c1").cast("long").alias("n_cur"),
+        "psi_micro",
+        F.round(F.sum("psi_micro").over(w).cast("double") / 1e6, 6).alias(
+            "psi_total"
+        ),
+    )

@@ -145,6 +145,8 @@ INTENTIONAL_BNLJ = {
     "top_supplier",  # broadcast 1-row max-revenue frame (Q15 view max)
     "var_cvar",  # broadcast 1-row tail-size (k) frame over O(days) rows
     "gini_concentration",  # broadcast 1-row min/max bounds (bucketed ranks)
+    "encoding_advisor",  # broadcast 1-row row-count frame (4-row advice table)
+    "psi_drift",  # broadcast 1-row bounds + totals frames (O(bins) terms)
 }
 
 
