@@ -727,3 +727,185 @@ def test_attribution_kernels_reconcile(spark, sf_dir):
         assert td.loc[ty, "n_touches"] == pos.loc[ty, "n_touches"]
         assert 0 < td.loc[ty, "decay_credit_micro"] <= td.loc[ty, "n_touches"] * 1_000_000
     assert abs(td["credit_share"].sum() - 1.0) < 1e-5
+
+
+def test_km_survival_monotone_and_bounded(spark, sf_dir):
+    """Kaplan-Meier invariants: survival starts ≤ 1, never increases,
+    at-risk counts telescope exactly by d + c."""
+    from dissertation_iceberg_spark.queries.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+    km = (
+        REGISTRY["kaplan_meier"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("t_day")
+        .reset_index(drop=True)
+    )
+    assert (km.surv <= 1.0 + 1e-9).all()
+    assert (km.surv.diff().dropna() <= 1e-9).all(), "survival must not rise"
+    expected_next = km.n_risk - km.n_event - km.n_censored
+    assert (expected_next.iloc[:-1].values == km.n_risk.iloc[1:].values).all()
+
+
+def test_risk_battery_consistency(spark, sf_dir):
+    """CVaR is at least as severe as VaR (mean of the tail ≤ its max);
+    max drawdown is nonnegative and ≥ |final - peak| implied bound."""
+    from dissertation_iceberg_spark.queries.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+    vc = REGISTRY["var_cvar"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert vc.cvar_95 <= vc.var_95 + 1e-9
+    md = REGISTRY["max_drawdown"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert md.max_drawdown >= -1e-9
+
+
+def test_auc_complement_symmetry(spark, sf_dir):
+    """Swapping the positive and negative classes must give 1 − AUC
+    (the rank-sum identity's mirror)."""
+    from dissertation_iceberg_spark.functions.ranks import (
+        bucketed_exclusive_cumsums,
+    )
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+    from dissertation_iceberg_spark.queries.stats_tests import _NEG, _POS
+
+    _ensure_loaded()
+    auc = REGISTRY["roc_auc"].fn(spark, sf_dir).toPandas().iloc[0]
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_POS, _NEG)
+    )
+    dv = e.groupBy("value").agg(
+        F.count(F.lit(1)).alias("lj"),
+        F.sum(F.when(F.col("event_type") == _NEG, 1).otherwise(0)).alias("f1"),
+    )
+    cum = bucketed_exclusive_cumsums(dv, "value", ["lj"])
+    avg_rank = F.col("cum_lj") + (F.col("lj") + 1) / 2.0
+    agg = cum.agg(
+        F.sum(F.col("f1") * avg_rank).alias("r1"),
+        F.sum("f1").alias("n1"),
+        F.sum(F.col("lj") - F.col("f1")).alias("n2"),
+    ).toPandas().iloc[0]
+    auc_swapped = (agg.r1 - agg.n1 * (agg.n1 + 1) / 2.0) / (agg.n1 * agg.n2)
+    assert abs((1.0 - auc_swapped) - auc.auc) < 1e-6
+    assert abs(auc.gini - (2 * auc.auc - 1)) < 1e-6
+
+
+def test_gini_hhi_bounds(spark, sf_dir):
+    """Gini ∈ [0, 1); every per-nation HHI ∈ [1/n_suppliers, 1]."""
+    from dissertation_iceberg_spark.queries.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+    g = REGISTRY["gini_concentration"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert 0.0 <= g.gini < 1.0
+    hhi = REGISTRY["market_concentration_hhi"].fn(spark, sf_dir).toPandas()
+    assert ((hhi.hhi >= 1.0 / hhi.n_suppliers - 1e-6) & (hhi.hhi <= 1.0 + 1e-6)).all()
+
+
+def test_psi_antisymmetry(spark, sf_dir):
+    """PSI is symmetric under swapping reference/current periods (each
+    term flips both factors' signs), so the total is period-order
+    invariant; and every per-bin count pair must cover all events."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+    psi = REGISTRY["psi_drift"].fn(spark, sf_dir).toPandas()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert int(psi.n_ref.sum() + psi.n_cur.sum()) == n_events
+    assert (psi.psi_total >= -1e-9).all()
+    assert psi.psi_total.nunique() == 1
+
+
+def test_chi2_zero_on_independent_margins(spark, sf_dir):
+    """The chi-square kernel must return ~0 when fed a perfectly
+    independent synthetic contingency (obs = rt*ct/n for every cell)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [(r, c, 10 * (r + 1) * (c + 1)) for r in range(3) for c in range(4)],
+        columns=["r", "c", "obs"],
+    )
+    cell = spark.createDataFrame(pdf)
+    rt = cell.groupBy("r").agg(F.sum("obs").alias("r_tot"))
+    ct = cell.groupBy("c").agg(F.sum("obs").alias("c_tot"))
+    tot = cell.agg(F.sum("obs").alias("n"))
+    num = F.col("obs") * F.col("n") - F.col("r_tot") * F.col("c_tot")
+    chi2 = (
+        cell.join(rt, "r")
+        .join(ct, "c")
+        .crossJoin(tot)
+        .agg(
+            F.sum(
+                num.cast("double")
+                * num.cast("double")
+                / (F.col("n").cast("double") * F.col("r_tot") * F.col("c_tot"))
+            ).alias("chi2")
+        )
+        .toPandas()
+        .iloc[0]
+        .chi2
+    )
+    assert abs(chi2) < 1e-9
+
+
+def test_kneser_ney_probabilities_normalize(spark, sf_dir):
+    """For every observed context w1, Σ_w2 P_KN(w2|w1) over OBSERVED
+    continuations must be ≤ 1 (the leftover mass backs off to unseen
+    words) and > 0."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.operators import text as tx
+    from dissertation_iceberg_spark.queries.corpus_ops import _KN_D
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(tx.tokens(F.col("text")).alias("toks"))
+    pairs = base.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(toks[i], ' ', toks[i + 1]))"
+            )
+        ).alias("pair")
+    )
+    pc = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("c2"))
+    w1 = F.split(F.col("pair"), " ").getItem(0)
+    w2 = F.split(F.col("pair"), " ").getItem(1)
+    ctx = pc.groupBy(w1.alias("w1")).agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = pc.groupBy(w2.alias("w2")).agg(F.count(F.lit(1)).alias("n1p_rev"))
+    types = pc.agg(F.count(F.lit(1)).alias("n_types"))
+    p = (
+        pc.join(ctx, w1 == F.col("w1"))
+        .join(cont, w2 == F.col("w2"))
+        .crossJoin(types)
+        .select(
+            "w1",
+            (
+                (F.col("c2") - F.lit(_KN_D)) / F.col("c1")
+                + F.lit(_KN_D)
+                * F.col("n1p_fwd")
+                / F.col("c1")
+                * (F.col("n1p_rev").cast("double") / F.col("n_types"))
+            ).alias("p"),
+        )
+    )
+    sums = p.groupBy("w1").agg(F.sum("p").alias("mass")).toPandas()
+    assert (sums.mass > 0).all()
+    assert (sums.mass <= 1.0 + 1e-9).all()
