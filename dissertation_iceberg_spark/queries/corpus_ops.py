@@ -598,3 +598,190 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-training loop (3 greedy merge iterations, exact semantics)
+# --------------------------------------------------------------------------
+
+_BPE_ITERS = 3
+
+
+def _bpe_iteration_ctes(i: int, prev: str) -> str:
+    """One BPE merge iteration as a DuckDB CTE chain: count adjacent
+    pairs in ``prev``, pick the argmax (count desc, pair asc), then
+    greedy left-to-right non-overlapping merge via run-parity: within
+    each maximal run of consecutive matches, odd (1-based) positions
+    merge and the following token is absorbed."""
+    return f"""
+pairs{i} AS (
+  SELECT toks[j] AS a, toks[j + 1] AS b, count(*) AS n_pairs
+  FROM {prev}, LATERAL unnest(range(1, len(toks))) u(j)
+  WHERE len(toks) >= 2
+  GROUP BY 1, 2),
+best{i} AS (
+  SELECT a, b, n_pairs FROM pairs{i}
+  ORDER BY n_pairs DESC, a, b LIMIT 1),
+tok{i} AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM {prev}),
+m{i} AS (
+  SELECT doc_id, pos, tok,
+    coalesce(tok = (SELECT a FROM best{i})
+             AND lead(tok) OVER w = (SELECT b FROM best{i}), false) AS m
+  FROM tok{i} WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+r{i} AS (
+  SELECT *, m AND NOT coalesce(lag(m) OVER w, false) AS new_run
+  FROM m{i} WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+s{i} AS (
+  SELECT *, sum(CASE WHEN new_run THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM r{i}),
+x{i} AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, run_id
+                               ORDER BY pos) AS idx,
+            m AND (row_number() OVER (PARTITION BY doc_id, run_id
+                                      ORDER BY pos) % 2 = 1) AS do_merge
+  FROM s{i}),
+y{i} AS (
+  SELECT *, coalesce(lag(do_merge) OVER
+              (PARTITION BY doc_id ORDER BY pos), false) AS absorbed
+  FROM x{i}),
+seq{i} AS (
+  SELECT doc_id,
+    list(CASE WHEN do_merge
+         THEN (SELECT a FROM best{i}) || '_' || (SELECT b FROM best{i})
+         ELSE tok END ORDER BY pos) AS toks
+  FROM y{i} WHERE NOT absorbed GROUP BY doc_id)"""
+
+
+def _bpe_oracle() -> str:
+    ctes = [
+        f"seq0 AS (SELECT doc_id, {_TOKENS} AS toks FROM documents)"
+    ]
+    selects = []
+    for i in range(1, _BPE_ITERS + 1):
+        ctes.append(_bpe_iteration_ctes(i, f"seq{i - 1}"))
+        selects.append(
+            f"""SELECT CAST({i} AS BIGINT) AS iteration,
+  (SELECT a || ' ' || b FROM best{i}) AS merged_pair,
+  (SELECT CAST(n_pairs AS BIGINT) FROM best{i}) AS pair_count,
+  (SELECT CAST(sum(len(toks)) AS BIGINT) FROM seq{i}) AS tokens_after"""
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _bpe_merge_once(seq: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One greedy BPE merge over (doc_id, toks): returns (best-pair
+    1-row frame, merged sequence frame). Every window partitions by
+    doc_id — fully parallel; the argmax pair broadcasts back."""
+    pairs = (
+        seq.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS a, toks[i + 1] AS b))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    best = pairs.orderBy(
+        F.col("n_pairs").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(1)
+    tok = seq.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    t = (
+        tok.crossJoin(F.broadcast(best))
+        .withColumn(
+            "m",
+            F.coalesce(
+                (F.col("tok") == F.col("a"))
+                & (F.lead("tok").over(wdoc) == F.col("b")),
+                F.lit(False),
+            ),
+        )
+        .withColumn(
+            "new_run",
+            F.col("m") & ~F.coalesce(F.lag("m").over(wdoc), F.lit(False)),
+        )
+        .withColumn(
+            "run_id", F.sum(F.col("new_run").cast("int")).over(wdoc)
+        )
+    )
+    wrun = Window.partitionBy("doc_id", "run_id").orderBy("pos")
+    t = t.withColumn(
+        "do_merge", F.col("m") & (F.row_number().over(wrun) % 2 == 1)
+    ).withColumn(
+        "absorbed",
+        F.coalesce(F.lag("do_merge").over(wdoc), F.lit(False)),
+    )
+    merged = (
+        t.filter(~F.col("absorbed"))
+        .select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.col("do_merge"),
+                F.concat(F.col("a"), F.lit("_"), F.col("b")),
+            )
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, tok))),"
+                " s -> s.tok)"
+            ).alias("toks")
+        )
+    )
+    return best, merged
+
+
+@register("bpe_merge_training", oracle=_bpe_oracle())
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training loop: {n} greedy merge iterations at the
+    word level — each round counts adjacent pairs, merges the argmax
+    pair left-to-right non-overlapping everywhere in the corpus, and
+    recounts. Output is the merge table itself (the tokenizer
+    artifact): per iteration the merged pair, its count at selection,
+    and the corpus token count after merging. Generalizes the
+    single-step `bpe_pair_counts` into the real training recurrence.
+
+    Exact greedy semantics without any sequential scan: matches at
+    overlapping positions only arise in same-token runs (A=B), and
+    greedy left-to-right = keeping the odd (1-based) positions of each
+    maximal run of consecutive matches — expressed as islands +
+    run-parity with windows PARTITIONED BY doc (fully parallel;
+    pytest pins [a a a] -> [a_a, a]). The argmax pair is a broadcast
+    1-row frame with a (count desc, pair) total-order tiebreak; pair
+    counts are map-side-combinable integer aggregations; sequences
+    rebuild via per-doc sorted collect_list. Each iteration is one
+    bounded pipeline — {n} iterations = {n} chained pipelines, the
+    same shape at 100 TB (BPE training runs on a sampled shard in
+    practice; the plumbing is identical).""".format(n=_BPE_ITERS)
+    seq = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", tx.tokens(F.col("text")).alias("toks")
+    )
+    stats = None
+    for i in range(1, _BPE_ITERS + 1):
+        best, seq = _bpe_merge_once(seq)
+        seq = seq.persist()
+        n_after = seq.agg(
+            F.sum(F.size("toks")).cast("long").alias("tokens_after")
+        )
+        row = best.crossJoin(F.broadcast(n_after)).select(
+            F.lit(i).cast("long").alias("iteration"),
+            F.concat(F.col("a"), F.lit(" "), F.col("b")).alias(
+                "merged_pair"
+            ),
+            F.col("n_pairs").cast("long").alias("pair_count"),
+            "tokens_after",
+        )
+        stats = row if stats is None else stats.unionByName(row)
+    return stats

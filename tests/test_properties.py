@@ -909,3 +909,31 @@ def test_kneser_ney_probabilities_normalize(spark, sf_dir):
     sums = p.groupBy("w1").agg(F.sum("p").alias("mass")).toPandas()
     assert (sums.mass > 0).all()
     assert (sums.mass <= 1.0 + 1e-9).all()
+
+
+def test_bpe_greedy_merge_overlap_semantics(spark):
+    """Greedy left-to-right BPE merge: [a a a] -> [a_a, a] (first match
+    wins, second overlapping match skipped), runs of even length merge
+    fully, and boundaries never match across documents."""
+    from dissertation_iceberg_spark.queries.corpus_ops import _bpe_merge_once
+
+    seq = spark.createDataFrame(
+        [
+            (0, ["a", "a", "a", "b", "c"]),
+            (1, ["a", "a", "b", "a", "a"]),
+            (2, ["x"]),
+            (3, ["a", "a", "a", "a"]),
+        ],
+        "doc_id long, toks array<string>",
+    )
+    best, merged = _bpe_merge_once(seq)
+    b = best.toPandas().iloc[0]
+    assert (b.a, b.b) == ("a", "a") and b.n_pairs == 7
+    got = {
+        r.doc_id: list(r.toks)
+        for r in merged.collect()
+    }
+    assert got[0] == ["a_a", "a", "b", "c"]
+    assert got[1] == ["a_a", "b", "a_a"]
+    assert 2 not in got or got[2] == ["x"]  # single-token doc: no pairs
+    assert got[3] == ["a_a", "a_a"]
