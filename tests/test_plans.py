@@ -147,6 +147,7 @@ INTENTIONAL_BNLJ = {
     "gini_concentration",  # broadcast 1-row min/max bounds (bucketed ranks)
     "encoding_advisor",  # broadcast 1-row row-count frame (4-row advice table)
     "psi_drift",  # broadcast 1-row bounds + totals frames (O(bins) terms)
+    "bpe_merge_training",  # broadcast 1-row argmax-pair frame per iteration
 }
 
 
