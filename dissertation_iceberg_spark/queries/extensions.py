@@ -1133,3 +1133,185 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining for contrastive training pairs (label-blocked)
+# --------------------------------------------------------------------------
+
+_HN_QUERY_MOD = 100
+
+_HN_SCORE_SQL = """
+    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT unnest(q.embedding) AS x, unnest(e.embedding) AS y) z) AS dot,
+    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+     FROM (SELECT unnest(q.embedding) AS x) z) AS nq,
+    (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT unnest(e.embedding) AS y) z) AS ne"""
+
+_HN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE vec_id % {_HN_QUERY_MOD} = 0),
+scored AS (
+  SELECT q.vec_id AS qid, q.label AS q_label,
+         e.vec_id AS cid, e.label AS c_label,
+         {_HN_SCORE_SQL}
+  FROM q JOIN embeddings e ON q.vec_id <> e.vec_id),
+cos AS (
+  SELECT qid, q_label, cid, c_label,
+         round(dot / (sqrt(nq) * sqrt(ne)), 6) AS cosine
+  FROM scored),
+pos AS (
+  SELECT qid, cid AS pos_id, cosine AS pos_cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, cid) AS rn
+  FROM cos WHERE q_label = c_label),
+neg AS (
+  SELECT qid, cid AS neg_id, cosine AS neg_cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, cid) AS rn
+  FROM cos WHERE q_label <> c_label)
+SELECT qid, pos_id, pos_cos, neg_id, neg_cos,
+       round(pos_cos - neg_cos, 6) AS margin
+FROM pos JOIN neg USING (qid)
+WHERE pos.rn = 1 AND neg.rn = 1
+"""
+
+
+@register("hard_negative_mining", oracle=_HN_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining: for each query vector, the most
+    similar SAME-label vector (positive) and the most similar
+    OTHER-label vector (hard negative), plus the margin — the data-prep
+    step for contrastive/triplet finetuning (hard negatives are the
+    pairs worth training on).
+
+    Scale shape: queries fan out over the tiny label dim (one row per
+    (query, label), |labels| ≈ 10) and the candidate join is an
+    EQUI-join on label — unlike the documented brute-force baselines,
+    every shuffle here is label-keyed, so at 100 TB the corpus
+    partitions by label and each query only meets its blocked
+    candidates (swap the label key for an IVF cell id and this same
+    plan is IVF-blocked mining). Cosines round to 6 dp before ranking
+    with id tiebreaks — the cosine_topk determinism recipe."""
+    from dissertation_iceberg_spark.operators.similarity import _dot, _norm2
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") % _HN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("q_label"),
+    )
+    labels = emb.select(F.col("label").alias("c_label")).distinct()
+    ql = q.crossJoin(F.broadcast(labels))
+    cand = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        F.col("label").alias("c_label"),
+    )
+    cos = (
+        ql.join(cand, "c_label")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "q_label",
+            "cid",
+            "c_label",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (
+                    F.sqrt(_norm2(F.col("qvec")))
+                    * F.sqrt(_norm2(F.col("cvec")))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("cid").asc()
+    )
+    pos = (
+        cos.filter(F.col("q_label") == F.col("c_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("cid").alias("pos_id"), F.col("cosine").alias("pos_cos"))
+    )
+    neg = (
+        cos.filter(F.col("q_label") != F.col("c_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("cid").alias("neg_id"), F.col("cosine").alias("neg_cos"))
+    )
+    return pos.join(neg, "qid").select(
+        "qid",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding prefix-energy audit (is dimension truncation viable?)
+# --------------------------------------------------------------------------
+
+_ENERGY_PREFIXES = (8, 16, 32, 64)
+
+_ENERGY_ORACLE = f"""
+WITH x AS (
+  SELECT (u.i - 1) AS dim,
+         CAST(round(CAST(u.v AS DOUBLE) * 1e4) AS BIGINT) AS q
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS i) u),
+d AS (SELECT dim, sum(q * q) AS e FROM x GROUP BY 1),
+tot AS (SELECT sum(e) AS te FROM d),
+p AS (
+  SELECT k, sum(CASE WHEN dim < k THEN e ELSE 0 END) AS pe
+  FROM d CROSS JOIN (SELECT unnest([{", ".join(str(k) for k in _ENERGY_PREFIXES)}]) AS k)
+  GROUP BY 1)
+SELECT CAST(k AS BIGINT) AS prefix_dims,
+  CAST(pe AS BIGINT) AS prefix_energy_q2,
+  round(CAST(pe AS DOUBLE) / te, 6) AS energy_ratio
+FROM p CROSS JOIN tot
+"""
+
+
+@register("embedding_prefix_energy", oracle=_ENERGY_ORACLE)
+def embedding_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-energy audit: the fraction of total squared mass carried
+    by the first 8/16/32/64 dimensions — the go/no-go read for
+    dimension-truncated (Matryoshka-style) ANN, where searching a
+    prefix cuts memory and compute by the same factor.
+
+    Scale shape: one posexplode + a 64-group map-side-combinable sum;
+    the prefix rollup runs on the O(dims) frame. Components quantize
+    to integer 1e4-units once, so every energy sum is an exact
+    BIGINT."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    x = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim",
+        F.round(F.col("v").cast("double") * 1e4).cast("long").alias("q"),
+    )
+    d = x.groupBy("dim").agg(F.sum(F.col("q") * F.col("q")).alias("e"))
+    tot = d.agg(F.sum("e").alias("te"))
+    ks = spark.createDataFrame(
+        [(k,) for k in _ENERGY_PREFIXES], "k int"
+    )
+    p = (
+        d.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("dim") < F.col("k"), F.col("e")).otherwise(0))
+            .alias("pe")
+        )
+    )
+    return p.crossJoin(F.broadcast(tot)).select(
+        F.col("k").cast("long").alias("prefix_dims"),
+        F.col("pe").cast("long").alias("prefix_energy_q2"),
+        F.round(F.col("pe").cast("double") / F.col("te"), 6).alias(
+            "energy_ratio"
+        ),
+    )

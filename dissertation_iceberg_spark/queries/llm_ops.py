@@ -1572,3 +1572,71 @@ def cv_fold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Shared n-gram spans (exact-substring dedup signal, Lee et al. 2022)
+# --------------------------------------------------------------------------
+
+_SPAN_N = 8
+_SPAN_TOPK = 20
+
+_SPAN_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+    concat_ws(' ', toks[j], toks[j+1], toks[j+2], toks[j+3],
+                   toks[j+4], toks[j+5], toks[j+6], toks[j+7]) AS gram
+  FROM base, LATERAL unnest(range(1, len(toks) - {_SPAN_N} + 2)) u(j)
+  WHERE len(toks) >= {_SPAN_N})
+SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+FROM grams GROUP BY 1
+HAVING count(*) >= 2
+ORDER BY n_docs DESC, gram LIMIT {_SPAN_TOPK}
+"""
+
+
+@register("shared_ngram_spans", oracle=_SPAN_ORACLE)
+def shared_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal: the top {k} {n}-gram spans
+    appearing in two or more distinct documents — the word-level
+    analogue of Lee et al. (2022) suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better");
+    spans surfacing here are boilerplate/template text a substring
+    scrubber would cut.
+
+    Scale shape: {n}-grams emit map-side from each document's token
+    array (zero shuffle until the count), per-doc DISTINCT collapses
+    repeated spans before the exchange, the (gram)-keyed count is
+    map-side combinable, and the top-k is a TakeOrdered heap with a
+    (count, gram) total-order tiebreak. At 100 TB the gram key is the
+    classic skew candidate — boilerplate headers — which is exactly
+    what AQE skew-split handles; a rolling-hash of the gram (the
+    registry's `rolling_hash` entry) would shrink shuffle bytes 10×
+    without changing this plan.""".format(k=_SPAN_TOPK, n=_SPAN_N)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    grams = (
+        base.filter(F.size("toks") >= _SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {_SPAN_N}),"
+                    " i -> concat_ws(' ', slice(toks, i + 1, "
+                    f"{_SPAN_N})))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("gram").asc())
+        .limit(_SPAN_TOPK)
+        .select("gram", F.col("n_docs").cast("long").alias("n_docs"))
+    )

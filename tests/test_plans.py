@@ -148,6 +148,7 @@ INTENTIONAL_BNLJ = {
     "encoding_advisor",  # broadcast 1-row row-count frame (4-row advice table)
     "psi_drift",  # broadcast 1-row bounds + totals frames (O(bins) terms)
     "bpe_merge_training",  # broadcast 1-row argmax-pair frame per iteration
+    "embedding_prefix_energy",  # broadcast 4-row prefix grid + 1-row total
 }
 
 
