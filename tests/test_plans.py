@@ -149,6 +149,7 @@ INTENTIONAL_BNLJ = {
     "psi_drift",  # broadcast 1-row bounds + totals frames (O(bins) terms)
     "bpe_merge_training",  # broadcast 1-row argmax-pair frame per iteration
     "embedding_prefix_energy",  # broadcast 4-row prefix grid + 1-row total
+    "hard_negative_mining",  # broadcast ~10-row label-dim fan-out
 }
 
 
