@@ -1138,3 +1138,153 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_total"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (MAPE/bias of the lag-7 predictor)
+# --------------------------------------------------------------------------
+
+_SNAIVE_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS actual
+  FROM events GROUP BY 1, 2),
+pred AS (
+  SELECT *, lag(actual, 7) OVER (PARTITION BY event_type ORDER BY day)
+              AS predicted
+  FROM daily),
+scored AS (
+  SELECT event_type, actual, predicted,
+    CAST(round(abs(actual - predicted) / CAST(actual AS DOUBLE) * 1e6)
+         AS BIGINT) AS ape_micro
+  FROM pred WHERE predicted IS NOT NULL AND actual > 0)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_scored,
+  round(CAST(sum(ape_micro) AS DOUBLE) / count(*) / 1e6, 6) AS mape,
+  CAST(sum(actual - predicted) AS BIGINT) AS bias
+FROM scored GROUP BY 1
+"""
+
+
+@register("seasonal_naive_backtest", oracle=_SNAIVE_ORACLE)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict each day's
+    event volume with the same weekday last week): per-event-type MAPE
+    and additive bias — the baseline every real forecaster must beat,
+    and the evaluation harness shape for any of them.
+
+    Scale shape: the stream collapses to the O(types × days) daily
+    frame map-side-combinably; the lag-7 window partitions by type
+    over that bounded frame. Absolute percentage errors are
+    micro-rounded per day then summed exactly; bias is a pure integer
+    sum."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("actual"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pred = daily.withColumn("predicted", F.lag("actual", 7).over(w))
+    scored = pred.filter(
+        F.col("predicted").isNotNull() & (F.col("actual") > 0)
+    ).select(
+        "event_type",
+        "actual",
+        "predicted",
+        F.round(
+            F.abs(F.col("actual") - F.col("predicted"))
+            / F.col("actual").cast("double")
+            * 1e6
+        )
+        .cast("long")
+        .alias("ape_micro"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.round(
+            F.sum("ape_micro").cast("double") / F.count(F.lit(1)) / 1e6, 6
+        ).alias("mape"),
+        F.sum(F.col("actual") - F.col("predicted"))
+        .cast("long")
+        .alias("bias"),
+    )
+
+
+# --------------------------------------------------------------------------
+# VWAP execution quality (slippage vs the part's volume-weighted price)
+# --------------------------------------------------------------------------
+
+_VWAP_ORACLE = """
+WITH lines AS (
+  SELECT l_partkey,
+    CAST(round(l_extendedprice * 100 / l_quantity) AS BIGINT) AS unit_cents,
+    CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem WHERE l_quantity > 0),
+vw AS (
+  SELECT l_partkey,
+    CAST(count(*) AS BIGINT) AS n_lines,
+    CAST(sum(qty) AS BIGINT) AS total_qty,
+    CAST(round(CAST(sum(unit_cents * qty) AS DOUBLE) / sum(qty) * 1e4)
+         AS BIGINT) AS vwap_c4
+  FROM lines GROUP BY 1),
+slip AS (
+  SELECT lines.l_partkey, n_lines, total_qty, vwap_c4,
+    sum(qty * (unit_cents * 10000 - vwap_c4)) AS slip_c4
+  FROM lines JOIN vw USING (l_partkey)
+  GROUP BY 1, 2, 3, 4)
+SELECT l_partkey, n_lines, total_qty,
+  round(CAST(vwap_c4 AS DOUBLE) / 1e6, 6) AS vwap,
+  round(CAST(slip_c4 AS DOUBLE) / 1e6, 6) AS slippage
+FROM slip
+"""
+
+
+@register("vwap_slippage", oracle=_VWAP_ORACLE)
+def vwap_slippage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execution-quality readout: per part, the volume-weighted average
+    unit price and the total signed slippage of individual lines
+    against it (Σ qty·(price − VWAP)) — the TCA (transaction-cost
+    analysis) statistic the reference's strategy-evaluation layer
+    implies but never computes (`trading_strategy.py` PnL uses raw
+    fills).
+
+    Scale shape: two part-keyed aggregations over the same collapsed
+    line frame (map-side combinable; one shuffle key). Parity: unit
+    prices round to integer cents once; the VWAP rounds to integer
+    1e-4-cent units once; slippage is then an exact BIGINT sum (by
+    construction it telescopes to ≈0 up to the VWAP rounding
+    remainder — a built-in self-check)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    lines = li.select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100 / F.col("l_quantity"))
+        .cast("long")
+        .alias("unit_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    vw = lines.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.round(
+            F.sum(F.col("unit_cents") * F.col("qty")).cast("double")
+            / F.sum("qty")
+            * 1e4
+        )
+        .cast("long")
+        .alias("vwap_c4"),
+    )
+    slip = (
+        lines.join(vw, "l_partkey")
+        .groupBy("l_partkey", "n_lines", "total_qty", "vwap_c4")
+        .agg(
+            F.sum(
+                F.col("qty")
+                * (F.col("unit_cents") * 10000 - F.col("vwap_c4"))
+            ).alias("slip_c4")
+        )
+    )
+    return slip.select(
+        "l_partkey",
+        "n_lines",
+        "total_qty",
+        F.round(F.col("vwap_c4").cast("double") / 1e6, 6).alias("vwap"),
+        F.round(F.col("slip_c4").cast("double") / 1e6, 6).alias("slippage"),
+    )
