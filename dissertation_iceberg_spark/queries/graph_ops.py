@@ -553,3 +553,120 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+# --------------------------------------------------------------------------
+# Personalized PageRank from a brand seed set (related-entity discovery)
+# --------------------------------------------------------------------------
+
+_PPR_BRAND = "Brand#13"
+_PPR_ITERS = 3
+_PPR_TOPK = 30
+
+
+def _ppr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT node, CAST(sum(r) AS BIGINT) AS r FROM (
+    SELECT e.dst AS node,
+           ({_DAMP_NUM} * CAST(sum({prev}.r // deg.d) AS BIGINT))
+             // {_DAMP_DEN} AS r
+    FROM edges e
+    JOIN {prev} ON e.src = {prev}.node
+    JOIN deg ON deg.src = e.src
+    GROUP BY 1
+    UNION ALL
+    SELECT node, r FROM q) GROUP BY 1)"""
+
+
+_PPR_ORACLE = f"""
+WITH edges AS ({_EDGES_SQL}),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+seeds AS (
+  SELECT p_partkey * 2 AS node FROM part WHERE p_brand = '{_PPR_BRAND}'),
+ns AS (SELECT count(*) AS n_seeds FROM seeds),
+q AS (
+  SELECT node,
+    CAST((({_DAMP_DEN} - {_DAMP_NUM}) * ({_SCALE} // n_seeds))
+         // {_DAMP_DEN} AS BIGINT) AS r
+  FROM seeds CROSS JOIN ns),
+r0 AS (SELECT node, CAST({_SCALE} // n_seeds AS BIGINT) AS r
+       FROM seeds CROSS JOIN ns),
+{",".join(_ppr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(_PPR_ITERS))}
+SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       node // 2 AS node_key,
+       r AS rank_micro
+FROM r{_PPR_ITERS}
+ORDER BY r DESC, node ASC
+LIMIT {_PPR_TOPK}
+"""
+
+
+@register("personalized_pagerank", oracle=_PPR_ORACLE)
+def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded on one brand's parts: the restart
+    mass teleports only to the seed set (r = (1−d)·q + d·P·r), so high
+    ranks mean "close to {brand} in the co-purchase graph" — the
+    related-entity / recommendation primitive, versus the global
+    centrality of `pagerank_top_nodes`.
+
+    Scale shape: identical per-iteration join (edges never move; the
+    rank frontier is SPARSE — only nodes reached within k hops of the
+    seeds carry rank, so early iterations shuffle far fewer rows than
+    the global variant). Same integer determinism recipe: micro-unit
+    ranks, floor divisions, damping as an integer ratio; the oracle
+    unrolls the iterations with the seed restart as a UNION ALL
+    branch.""".format(brand=_PPR_BRAND)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges = fwd.unionByName(rev)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    seeds = part.filter(F.col("p_brand") == _PPR_BRAND).select(
+        (F.col("p_partkey") * 2).alias("node")
+    )
+    ns = seeds.agg(F.count(F.lit(1)).alias("n_seeds"))
+    q = seeds.crossJoin(F.broadcast(ns)).select(
+        "node",
+        F.expr(
+            f"(({_DAMP_DEN} - {_DAMP_NUM}) * ({_SCALE} DIV n_seeds))"
+            f" DIV {_DAMP_DEN}"
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    ranks = seeds.crossJoin(F.broadcast(ns)).select(
+        "node", F.expr(f"{_SCALE} DIV n_seeds").cast("long").alias("r")
+    )
+    for _ in range(_PPR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select("dst", F.expr("r DIV d").alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.expr(f"({_DAMP_NUM} * sum(c)) DIV {_DAMP_DEN}")
+                .cast("long")
+                .alias("r")
+            )
+        )
+        ranks = (
+            contrib.unionByName(q)
+            .groupBy("node")
+            .agg(F.sum("r").cast("long").alias("r"))
+        )
+    return (
+        ranks.orderBy(F.desc("r"), F.asc("node"))
+        .limit(_PPR_TOPK)
+        .select(
+            F.when(F.col("node") % 2 == 0, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node DIV 2").alias("node_key"),
+            F.col("r").alias("rank_micro"),
+        )
+    )
