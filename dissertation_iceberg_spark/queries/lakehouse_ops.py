@@ -888,3 +888,177 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("plain")
         .alias("recommendation"),
     )
+
+
+# --------------------------------------------------------------------------
+# Join-size estimation from per-key histograms (CBO-style, with skew)
+# --------------------------------------------------------------------------
+
+_JSE_ORACLE = """
+WITH co AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+cc AS (SELECT c_custkey AS k, count(*) AS c FROM customer GROUP BY 1),
+co_li AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+oo AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+e1 AS (
+  SELECT CAST(sum(co.c * cc.c) AS BIGINT) AS est,
+         CAST(max(co.c * cc.c) AS BIGINT) AS max_key
+  FROM co JOIN cc USING (k)),
+e2 AS (
+  SELECT CAST(sum(co_li.c * oo.c) AS BIGINT) AS est,
+         CAST(max(co_li.c * oo.c) AS BIGINT) AS max_key
+  FROM co_li JOIN oo USING (k)),
+a1 AS (SELECT count(*) AS actual
+       FROM orders JOIN customer ON o_custkey = c_custkey),
+a2 AS (SELECT count(*) AS actual
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT 'customer_orders' AS join_edge, est, max_key,
+       CAST(actual AS BIGINT) AS actual
+FROM e1 CROSS JOIN a1
+UNION ALL
+SELECT 'orders_lineitem', est, max_key, CAST(actual AS BIGINT)
+FROM e2 CROSS JOIN a2
+"""
+
+
+@register("join_size_estimate", oracle=_JSE_ORACLE)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBO-style join-cardinality estimation from per-key count
+    histograms: |A ⋈ B| = Σ_k cA(k)·cB(k), plus the max single-key
+    contribution (the skew red flag AQE skew-join would split) —
+    verified against the actual join count in the same result (for
+    exact histograms the estimate is an identity; with sketched
+    histograms at 100 TB it becomes the planner estimate this query's
+    shape validates).
+
+    Scale shape: two map-side-combinable per-key rollups per edge plus
+    one O(distinct keys) equi-join — the estimate never materializes
+    the join; the verification arm does (and exists only to pin the
+    identity). All counts exact BIGINTs."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def edge(name, left, lk, right, rk):
+        lh = left.groupBy(F.col(lk).alias("k")).agg(
+            F.count(F.lit(1)).alias("cl")
+        )
+        rh = right.groupBy(F.col(rk).alias("k")).agg(
+            F.count(F.lit(1)).alias("cr")
+        )
+        est = lh.join(rh, "k").agg(
+            F.sum(F.col("cl") * F.col("cr")).cast("long").alias("est"),
+            F.max(F.col("cl") * F.col("cr")).cast("long").alias("max_key"),
+        )
+        actual = (
+            left.join(right, F.col(lk) == F.col(rk))
+            .agg(F.count(F.lit(1)).cast("long").alias("actual"))
+        )
+        return est.crossJoin(F.broadcast(actual)).select(
+            F.lit(name).alias("join_edge"), "est", "max_key", "actual"
+        )
+
+    return edge("customer_orders", o, "o_custkey", c, "c_custkey").unionByName(
+        edge("orders_lineitem", li, "l_orderkey", o, "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Constraint mining (deequ-style data-quality suggestion pass)
+# --------------------------------------------------------------------------
+
+_CM_NUMERIC = ("o_orderkey", "o_custkey", "o_totalprice")
+_CM_STRING = ("o_orderstatus", "o_orderpriority")
+
+
+def _cm_oracle() -> str:
+    arms = []
+    for c in _CM_NUMERIC:
+        arms.append(f"""
+SELECT '{c}' AS col_name, count(*) AS n_rows,
+  count(*) - count({c}) AS n_nulls,
+  count(DISTINCT {c}) AS n_distinct,
+  CAST(round(min({c}) * 1e6) AS BIGINT) AS min_micro,
+  CAST(round(max({c}) * 1e6) AS BIGINT) AS max_micro
+FROM orders""")
+    for c in _CM_STRING:
+        arms.append(f"""
+SELECT '{c}', count(*), count(*) - count({c}),
+  count(DISTINCT {c}), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM orders""")
+    union = " UNION ALL ".join(arms)
+    return f"""
+WITH per AS ({union})
+SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(n_nulls AS BIGINT) AS n_nulls,
+  CAST(n_distinct AS BIGINT) AS n_distinct,
+  min_micro, max_micro,
+  concat_ws(',',
+    CASE WHEN n_nulls = 0 THEN 'not_null' END,
+    CASE WHEN n_distinct = n_rows - n_nulls THEN 'unique' END,
+    CASE WHEN n_distinct <= 10 THEN 'low_cardinality' END)
+    AS suggested
+FROM per
+"""
+
+
+@register("constraint_suggestions", oracle=_cm_oracle())
+def constraint_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint mining over the orders table: per-column
+    row/null/distinct counts, numeric bounds in integer micro-units,
+    and the constraints the profile supports (not_null, unique,
+    low_cardinality) — the suggestion pass that seeds a data-quality
+    gate; `fk_integrity_audit` then checks the relational constraints
+    this pass can't see.
+
+    Scale shape: one aggregation pass per column over a single scanned
+    column each (count-distinct rewrites into Spark's two-stage
+    expand); the advice table is O(columns). Numeric bounds
+    micro-round once so no raw double crosses the engine boundary."""
+    o = load_table(spark, sf_dir, "orders")
+    parts = []
+    for c in _CM_NUMERIC:
+        parts.append(
+            o.agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.round(F.min(c).cast("double") * 1e6)
+                .cast("long")
+                .alias("min_micro"),
+                F.round(F.max(c).cast("double") * 1e6)
+                .cast("long")
+                .alias("max_micro"),
+            )
+        )
+    for c in _CM_STRING:
+        parts.append(
+            o.agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.lit(None).cast("long").alias("min_micro"),
+                F.lit(None).cast("long").alias("max_micro"),
+            )
+        )
+    per = parts[0]
+    for p in parts[1:]:
+        per = per.unionByName(p)
+    return per.select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_micro",
+        "max_micro",
+        F.concat_ws(
+            ",",
+            F.when(F.col("n_nulls") == 0, "not_null"),
+            F.when(
+                F.col("n_distinct") == F.col("n_rows") - F.col("n_nulls"),
+                "unique",
+            ),
+            F.when(F.col("n_distinct") <= 10, "low_cardinality"),
+        ).alias("suggested"),
+    )

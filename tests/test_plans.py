@@ -150,6 +150,7 @@ INTENTIONAL_BNLJ = {
     "bpe_merge_training",  # broadcast 1-row argmax-pair frame per iteration
     "embedding_prefix_energy",  # broadcast 4-row prefix grid + 1-row total
     "hard_negative_mining",  # broadcast ~10-row label-dim fan-out
+    "join_size_estimate",  # broadcast 1-row actual-count verification arm
 }
 
 
