@@ -151,6 +151,7 @@ INTENTIONAL_BNLJ = {
     "embedding_prefix_energy",  # broadcast 4-row prefix grid + 1-row total
     "hard_negative_mining",  # broadcast ~10-row label-dim fan-out
     "join_size_estimate",  # broadcast 1-row actual-count verification arm
+    "personalized_pagerank",  # broadcast 1-row seed-count (restart mass)
 }
 
 
