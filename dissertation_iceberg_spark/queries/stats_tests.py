@@ -1288,3 +1288,136 @@ def vwap_slippage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("vwap_c4").cast("double") / 1e6, 6).alias("vwap"),
         F.round(F.col("slip_c4").cast("double") / 1e6, 6).alias("slippage"),
     )
+
+
+# --------------------------------------------------------------------------
+# Trimmed and winsorized means (robust location, exact order statistics)
+# --------------------------------------------------------------------------
+
+_TRIM_PCT = 5  # percent trimmed/winsorized from EACH tail
+
+_TRIM_ORACLE = f"""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+dv AS (
+  SELECT event_type, cents, count(*) AS f FROM v GROUP BY 1, 2),
+cum AS (
+  SELECT *,
+    coalesce(sum(f) OVER w, 0) AS cum_f
+  FROM dv
+  WINDOW w AS (PARTITION BY event_type ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+g AS (
+  SELECT event_type, CAST(sum(f) AS BIGINT) AS n,
+         CAST(sum(f * cents) AS BIGINT) AS s
+  FROM dv GROUP BY 1),
+k AS (SELECT *, CAST(floor(n * {_TRIM_PCT} / 100e0) AS BIGINT) AS k FROM g),
+tails AS (
+  SELECT cum.event_type,
+    CAST(sum(cents * greatest(0, least(f, k.k - cum_f))) AS BIGINT)
+      AS bot_sum,
+    CAST(sum(cents * greatest(0, least(f, k.k - (k.n - cum_f - f))))
+         AS BIGINT) AS top_sum,
+    min(CASE WHEN cum_f + f >= k.k + 1 THEN cents END) AS v_low,
+    max(CASE WHEN k.n - cum_f >= k.k + 1 THEN cents END) AS v_high
+  FROM cum JOIN k ON cum.event_type = k.event_type
+  GROUP BY 1)
+SELECT k.event_type, n, k,
+  round(CAST(s AS DOUBLE) / n / 100.0, 6) AS mean_value,
+  round(CAST(s - bot_sum - top_sum AS DOUBLE) / (n - 2 * k) / 100.0, 6)
+    AS trimmed_mean,
+  round(CAST(s - bot_sum - top_sum + k * v_low + k * v_high AS DOUBLE)
+        / n / 100.0, 6) AS winsorized_mean
+FROM k JOIN tails ON k.event_type = tails.event_type
+"""
+
+
+@register("trimmed_winsorized_means", oracle=_TRIM_ORACLE)
+def trimmed_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type {p}%-trimmed and {p}%-winsorized means as EXACT
+    order statistics: each tail's k = floor(n·{p}/100) smallest/largest
+    values are summed via clamped per-distinct-value contributions
+    (cents · clamp(k − rank_below, 0, f)) — ties straddling the cut
+    contribute exactly their partial count — and the winsorized
+    replacement values are the (k+1)-th order statistics from each
+    end. The robust-location companions to the MAD/median battery.
+
+    Scale shape: collapse to distinct (type, cents) first, then the
+    GROUPED bucketed two-pass cumsum machinery (functions/ranks.py,
+    group_cols) — no per-row sort, every window either group-parallel
+    or over bounded bucket frames. All tail sums are exact BIGINTs;
+    the three divisions happen once per group."""
+    from dissertation_iceberg_spark.functions.ranks import (
+        bucketed_exclusive_cumsums,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    dv = v.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("f"))
+    cum = bucketed_exclusive_cumsums(
+        dv, "cents", ["f"], group_cols=["event_type"]
+    )
+    g = dv.groupBy("event_type").agg(
+        F.sum("f").cast("long").alias("n"),
+        F.sum(F.col("f") * F.col("cents")).cast("long").alias("s"),
+    )
+    k = g.select(
+        "event_type",
+        "n",
+        "s",
+        F.floor(F.col("n") * _TRIM_PCT / 100.0).cast("long").alias("k"),
+    )
+    j = cum.join(F.broadcast(k), "event_type")
+    bot_c = F.col("cents") * F.greatest(
+        F.lit(0), F.least(F.col("f"), F.col("k") - F.col("cum_f"))
+    )
+    top_c = F.col("cents") * F.greatest(
+        F.lit(0),
+        F.least(
+            F.col("f"),
+            F.col("k") - (F.col("n") - F.col("cum_f") - F.col("f")),
+        ),
+    )
+    tails = j.groupBy("event_type").agg(
+        F.sum(bot_c).cast("long").alias("bot_sum"),
+        F.sum(top_c).cast("long").alias("top_sum"),
+        F.min(
+            F.when(
+                F.col("cum_f") + F.col("f") >= F.col("k") + 1, F.col("cents")
+            )
+        ).alias("v_low"),
+        F.max(
+            F.when(
+                F.col("n") - F.col("cum_f") >= F.col("k") + 1, F.col("cents")
+            )
+        ).alias("v_high"),
+    )
+    return k.join(tails, "event_type").select(
+        "event_type",
+        "n",
+        "k",
+        F.round(F.col("s").cast("double") / F.col("n") / 100.0, 6).alias(
+            "mean_value"
+        ),
+        F.round(
+            (F.col("s") - F.col("bot_sum") - F.col("top_sum")).cast("double")
+            / (F.col("n") - 2 * F.col("k"))
+            / 100.0,
+            6,
+        ).alias("trimmed_mean"),
+        F.round(
+            (
+                F.col("s")
+                - F.col("bot_sum")
+                - F.col("top_sum")
+                + F.col("k") * F.col("v_low")
+                + F.col("k") * F.col("v_high")
+            ).cast("double")
+            / F.col("n")
+            / 100.0,
+            6,
+        ).alias("winsorized_mean"),
+    )
