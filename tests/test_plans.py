@@ -460,3 +460,38 @@ def test_q18_aggregates_before_join(spark, sf_dir):
     pos_agg = p.index("HashAggregate(keys=[l_orderkey")
     pos_scan = p.index("lineitem.parquet", pos_agg)
     assert "Join" not in p[pos_agg:pos_scan]
+
+
+def test_phrase_search_equijoin_on_postings(spark, sf_dir):
+    """Phrase search must be an equi-join on (doc_id, position), never
+    a nested loop over the token table."""
+    p = _plan(spark, sf_dir, "phrase_search")
+    assert "BroadcastHashJoin [doc_id" in p or "SortMergeJoin [doc_id" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_pq_adc_scan_is_hash_join_on_codes(spark, sf_dir):
+    """ADC search: the distance table joins the code table on
+    (sub, cw) as a broadcast hash join — the per-vector work is a
+    lookup, not a float-space pairwise join."""
+    p = _plan(spark, sf_dir, "pq_adc_topk")
+    assert "BroadcastHashJoin [sub" in p
+    assert "CartesianProduct" not in p
+
+
+def test_hard_negative_mining_label_blocked(spark, sf_dir):
+    """Candidate generation must be an equi-join on the label block
+    key (hash join on c_label), never an all-pairs nested loop over
+    the corpus."""
+    p = _plan(spark, sf_dir, "hard_negative_mining")
+    assert "BroadcastHashJoin [c_label" in p or "SortMergeJoin [c_label" in p
+
+
+def test_link_prediction_wedge_and_anti(spark, sf_dir):
+    """Link prediction: wedge join is hub-keyed, the existing-edge
+    filter compiles to a LeftAnti join, and the top-k is a heap."""
+    p = _plan(spark, sf_dir, "link_prediction_cn")
+    assert "LeftAnti" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
