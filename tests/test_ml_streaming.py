@@ -489,3 +489,54 @@ def test_streaming_abtest_matches_batch(spark, sf_dir, tmp_path):
     )
     pd.testing.assert_frame_equal(got, want)
     assert (got.n1 + got.n0).sum() == ev.count()
+
+
+def test_streaming_cdc_matches_batch_twin(spark, sf_dir, tmp_path):
+    """The streaming CDC snapshot must equal the batch
+    cdc_latest_state registry entry (after filtering tombstones and
+    aligning columns)."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+    from dissertation_iceberg_spark.streaming.cdc_stream import (
+        streaming_cdc_latest,
+    )
+
+    _ensure_loaded()
+    src = str(tmp_path / "cdc_src")
+    out_name = "cdc_stream_out"
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(
+        src
+    )
+    q = (
+        streaming_cdc_latest(stream)
+        .writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table(out_name)
+        .filter(F.col("is_delete") == 0)
+        .drop("is_delete")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        REGISTRY["cdc_latest_state"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
