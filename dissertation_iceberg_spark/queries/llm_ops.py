@@ -1640,3 +1640,61 @@ def shared_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_SPAN_TOPK)
         .select("gram", F.col("n_docs").cast("long").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Survivorship merge (golden-record construction over duplicate groups)
+# --------------------------------------------------------------------------
+
+_SURV_ORACLE = """
+SELECT md5(concat_ws(' ',
+         list_filter(str_split(text, ' '), x -> x <> '')[1],
+         list_filter(str_split(text, ' '), x -> x <> '')[2],
+         list_filter(str_split(text, ' '), x -> x <> '')[3]))
+       AS fingerprint,
+  CAST(count(*) AS BIGINT) AS n_members,
+  min(doc_id) AS golden_id,
+  min_by(lang, doc_id) AS lang,
+  max_by(source, n_chars * 100000000 - doc_id) AS richest_source,
+  CAST(max(n_chars) AS BIGINT) AS max_chars,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+@register("survivorship_merge", oracle=_SURV_ORACLE)
+def survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record construction (MDM survivorship) over
+    prefix-blocked candidate groups (3-token prefix fingerprint — the
+    standard cheap blocking key for near-dup record linkage; exact
+    dedup is the degenerate full-text block): per fingerprint the
+    canonical id (min), the earliest member's language, the source of
+    the RICHEST member (max n_chars, ties to the lower doc_id), and
+    size stats — the merge step that follows candidate grouping when
+    duplicates must collapse to one record instead of just being
+    counted.
+
+    Scale shape: one fingerprint-keyed aggregation; every
+    survivorship rule is a min/max/max_by with a pinned total-order
+    tiebreak, so the golden record is shuffle-order invariant — the
+    property that makes the merge idempotent under reprocessing."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = tx.tokens(F.col("text"))
+    prefix = F.concat_ws(
+        " ", toks.getItem(0), toks.getItem(1), toks.getItem(2)
+    )
+    return (
+        docs.groupBy(F.md5(prefix).alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("doc_id").alias("golden_id"),
+            F.min_by("lang", F.col("doc_id")).alias("lang"),
+            F.max_by(
+                "source", F.col("n_chars") * 100000000 - F.col("doc_id")
+            ).alias("richest_source"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )

@@ -1421,3 +1421,80 @@ def trimmed_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("winsorized_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# TWAP (time-weighted average price) per user-day
+# --------------------------------------------------------------------------
+
+_TWAP_ORACLE = """
+WITH o AS (
+  SELECT user_id, date_trunc('day', ts) AS day, epoch_us(ts) AS us,
+         event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+d AS (
+  SELECT user_id, day, cents,
+    lead(us) OVER w - us AS dt_us
+  FROM o WINDOW w AS (PARTITION BY user_id, day ORDER BY us, event_id)),
+agg AS (
+  SELECT user_id, day,
+    CAST(count(*) AS BIGINT) AS n_obs,
+    CAST(sum(cents * dt_us) AS BIGINT) AS wsum,
+    CAST(sum(dt_us) AS BIGINT) AS span_us
+  FROM d WHERE dt_us IS NOT NULL AND dt_us > 0
+  GROUP BY 1, 2)
+SELECT user_id, day, n_obs, span_us,
+  round(CAST(wsum AS DOUBLE) / span_us / 100.0, 6) AS twap
+FROM agg
+"""
+
+
+@register("twap_user_day", oracle=_TWAP_ORACLE)
+def twap_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per (user, day): each observation's
+    value holds until the next observation, so the day's average
+    weights every level by its holding time in microseconds — the TWAP
+    companion to `vwap_slippage`'s volume weighting (reference
+    context: the midprice resampling in `SPY_returns.py` is the
+    uniform-grid special case of this). Zero-duration repeats and each
+    day's final observation carry no weight, matching the
+    right-open-holding convention.
+
+    Scale shape: one lead window partitioned by (user, day) — fully
+    parallel — then a map-side-combinable keyed sum. Weighted sums are
+    exact BIGINTs (cents × µs < 2^63 at any plausible day span); one
+    division per key at the end."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    o = e.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        us.alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("us", "event_id")
+    d = o.select(
+        "user_id",
+        "day",
+        "cents",
+        (F.lead("us").over(w) - F.col("us")).alias("dt_us"),
+    )
+    return (
+        d.filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum(F.col("cents") * F.col("dt_us")).cast("long").alias("wsum"),
+            F.sum("dt_us").cast("long").alias("span_us"),
+        )
+        .select(
+            "user_id",
+            "day",
+            "n_obs",
+            "span_us",
+            F.round(
+                F.col("wsum").cast("double") / F.col("span_us") / 100.0, 6
+            ).alias("twap"),
+        )
+    )
