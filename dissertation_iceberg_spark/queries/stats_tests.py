@@ -1498,3 +1498,254 @@ def twap_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Burstiness: Fano factor of daily counts + interarrival CV
+# --------------------------------------------------------------------------
+
+_BURST_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2),
+dstat AS (
+  SELECT event_type, count(*) AS n_days, avg(c) AS mu,
+         sum((c - mu2) * (c - mu2)) AS css
+  FROM daily JOIN (
+    SELECT event_type AS et2, avg(c) AS mu2 FROM daily GROUP BY 1) m
+    ON event_type = et2
+  GROUP BY 1, mu2),
+ia AS (
+  SELECT event_type,
+    lead(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY
+      epoch_us(ts), event_id) - epoch_us(ts) AS gap_us
+  FROM events),
+istat AS (
+  SELECT ia.event_type, count(*) AS n_gaps, avg(gap_us) AS gmu,
+         sum((gap_us - gmu2) * (gap_us - gmu2)) AS gss
+  FROM ia JOIN (
+    SELECT event_type AS et2, avg(gap_us) AS gmu2 FROM ia
+    WHERE gap_us IS NOT NULL GROUP BY 1) m ON ia.event_type = et2
+  WHERE gap_us IS NOT NULL
+  GROUP BY 1, gmu2)
+SELECT d.event_type,
+  CAST(n_days AS BIGINT) AS n_days,
+  round(css / (n_days - 1) / mu, 6) AS fano_daily,
+  CAST(n_gaps AS BIGINT) AS n_gaps,
+  round(sqrt(gss / (n_gaps - 1)) / gmu, 6) AS interarrival_cv
+FROM dstat d JOIN istat i ON d.event_type = i.event_type
+"""
+
+
+@register("burstiness_stats", oracle=_BURST_ORACLE)
+def burstiness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness monitor per event type: the Fano factor of daily
+    counts (variance/mean — 1 for a Poisson process, ≫1 = bursty) and
+    the coefficient of variation of inter-arrival times (again 1 for
+    exponential gaps) — the pair of dispersion diagnostics that
+    separates organic traffic from batch-loaded or bot traffic.
+
+    Scale shape: daily counts collapse map-side; the interarrival
+    lead partitions by event type (parallel across types; within-type
+    order is the event stream's own). Both second moments use the
+    TWO-PASS central-sum recipe (mean broadcast back) the registry's
+    moment battery standardized — raw power sums lose digits to
+    cancellation at these magnitudes. Counts and gaps are exact
+    integers."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dmu = daily.groupBy("event_type").agg(F.avg("c").alias("mu2"))
+    dstat = (
+        daily.join(F.broadcast(dmu), "event_type")
+        .groupBy("event_type", "mu2")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(
+                (F.col("c") - F.col("mu2")) * (F.col("c") - F.col("mu2"))
+            ).alias("css"),
+        )
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("event_type").orderBy(us, F.col("event_id"))
+    ia = e.select(
+        "event_type", (F.lead(us).over(w) - us).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    gmu = ia.groupBy("event_type").agg(F.avg("gap_us").alias("gmu2"))
+    istat = (
+        ia.join(F.broadcast(gmu), "event_type")
+        .groupBy("event_type", "gmu2")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum(
+                (F.col("gap_us") - F.col("gmu2"))
+                * (F.col("gap_us") - F.col("gmu2"))
+            ).alias("gss"),
+        )
+    )
+    return (
+        dstat.join(istat, "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round(
+                F.col("css") / (F.col("n_days") - 1) / F.col("mu2"), 6
+            ).alias("fano_daily"),
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            F.round(
+                F.sqrt(F.col("gss") / (F.col("n_gaps") - 1)) / F.col("gmu2"),
+                6,
+            ).alias("interarrival_cv"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Error rates with Wilson 95% confidence intervals (per day)
+# --------------------------------------------------------------------------
+
+_WILSON_Z2 = "3.8416e0"  # z^2 for z = 1.96, exact double literal
+
+_WILSON_ORACLE = f"""
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+    count(*) AS n,
+    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+  FROM events GROUP BY 1)
+SELECT day, CAST(n AS BIGINT) AS n, CAST(errs AS BIGINT) AS errs,
+  round(CAST(errs AS DOUBLE) / n, 6) AS rate,
+  round((CAST(errs AS DOUBLE) / n + {_WILSON_Z2} / (2 * n)
+         - sqrt({_WILSON_Z2}) * sqrt(CAST(errs AS DOUBLE) / n
+             * (1 - CAST(errs AS DOUBLE) / n) / n
+             + {_WILSON_Z2} / (4e0 * n * n)))
+        / (1 + {_WILSON_Z2} / n), 6) AS wilson_lo,
+  round((CAST(errs AS DOUBLE) / n + {_WILSON_Z2} / (2 * n)
+         + sqrt({_WILSON_Z2}) * sqrt(CAST(errs AS DOUBLE) / n
+             * (1 - CAST(errs AS DOUBLE) / n) / n
+             + {_WILSON_Z2} / (4e0 * n * n)))
+        / (1 + {_WILSON_Z2} / n), 6) AS wilson_hi
+FROM d
+"""
+
+
+@register("wilson_error_rates", oracle=_WILSON_ORACLE)
+def wilson_error_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error-event rate with Wilson-score 95% confidence bounds —
+    the interval that behaves at small n and rates near 0/1 where the
+    normal approximation fails; the SLO-dashboard companion to the
+    drift and anomaly monitors.
+
+    Scale shape: one map-side-combinable daily rollup; the interval
+    formula evaluates per O(days) row from exact integer counts with
+    z² as a binary-exact scientific-notation literal shared by both
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "errs"
+        ),
+    )
+    z2 = F.expr(_WILSON_Z2)
+    n = F.col("n")
+    p = F.col("errs").cast("double") / n
+    half = F.sqrt(z2) * F.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))
+    center = p + z2 / (2 * n)
+    denom = 1 + z2 / n
+    return d.select(
+        "day",
+        n.cast("long").alias("n"),
+        F.col("errs").cast("long").alias("errs"),
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lorenz decile curve (cumulative revenue share by customer decile)
+# --------------------------------------------------------------------------
+
+_LORENZ_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey, CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+dv AS (SELECT cents, count(*) AS f FROM rev GROUP BY 1),
+cum AS (
+  SELECT cents, f,
+    coalesce(sum(f) OVER w, 0) AS cum_f,
+    coalesce(sum(f * cents) OVER w, 0) AS cum_s
+  FROM dv WINDOW w AS (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+tot AS (SELECT CAST(sum(f) AS BIGINT) AS n,
+               CAST(sum(f * cents) AS BIGINT) AS s FROM dv),
+dec AS (
+  SELECT d, CAST(floor(n * d / 10e0) AS BIGINT) AS cut, n, s
+  FROM range(1, 11) r(d) CROSS JOIN tot),
+shares AS (
+  SELECT d, cut, s,
+    max(cum_s + least(greatest(cut - cum_f, 0), f) * cents) AS s_below
+  FROM dec JOIN cum ON true
+  GROUP BY 1, 2, 3)
+SELECT CAST(d AS BIGINT) AS decile, CAST(cut AS BIGINT) AS n_customers,
+  CAST(s_below AS BIGINT) AS cents_below,
+  round(CAST(s_below AS DOUBLE) / s, 6) AS cum_share
+FROM shares
+"""
+
+
+@register("lorenz_deciles", oracle=_LORENZ_ORACLE)
+def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve read out at customer deciles: cumulative
+    revenue share held by the bottom d/10 of customers — the curve
+    whose area `gini_concentration` summarizes, with the same
+    tie-exact convention (a decile cut falling inside a tied revenue
+    level takes exactly its pro-rata member count).
+
+    Scale shape: distinct-revenue-level cumsums via the bucketed
+    two-pass machinery, then ten broadcast decile targets probe the
+    O(distinct) frame; the per-decile tail contribution is the same
+    clamped integer form as the trimmed-means kernel. Exact BIGINTs
+    until the final share division."""
+    from dissertation_iceberg_spark.functions.ranks import (
+        bucketed_exclusive_cumsums,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("cents")
+    )
+    dv = rev.groupBy("cents").agg(F.count(F.lit(1)).alias("f"))
+    dv = dv.withColumn("fc", F.col("f") * F.col("cents"))
+    cum = bucketed_exclusive_cumsums(dv, "cents", ["f", "fc"])
+    tot = dv.agg(
+        F.sum("f").cast("long").alias("n"),
+        F.sum("fc").cast("long").alias("s"),
+    )
+    dec = (
+        spark.range(1, 11)
+        .toDF("d")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.floor(F.col("n") * F.col("d") / 10.0).cast("long").alias("cut"),
+            "s",
+        )
+    )
+    below = F.col("cum_fc") + F.least(
+        F.greatest(F.col("cut") - F.col("cum_f"), F.lit(0)), F.col("f")
+    ) * F.col("cents")
+    shares = (
+        cum.crossJoin(F.broadcast(dec))
+        .groupBy("d", "cut", "s")
+        .agg(F.max(below).alias("s_below"))
+    )
+    return shares.select(
+        F.col("d").cast("long").alias("decile"),
+        F.col("cut").cast("long").alias("n_customers"),
+        F.col("s_below").cast("long").alias("cents_below"),
+        F.round(F.col("s_below").cast("double") / F.col("s"), 6).alias(
+            "cum_share"
+        ),
+    )

@@ -152,6 +152,7 @@ INTENTIONAL_BNLJ = {
     "hard_negative_mining",  # broadcast ~10-row label-dim fan-out
     "join_size_estimate",  # broadcast 1-row actual-count verification arm
     "personalized_pagerank",  # broadcast 1-row seed-count (restart mass)
+    "lorenz_deciles",  # broadcast 10-row decile targets + bounds frames
 }
 
 
