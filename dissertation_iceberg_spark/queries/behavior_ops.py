@@ -1289,3 +1289,88 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tw").cast("long").alias("n_converted"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve (cumulative revenue per signup cohort by age)
+# --------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY 1),
+spend AS (
+  SELECT f.cohort_day,
+    date_diff('day', f.cohort_day, date_trunc('day', e.ts)) // 7 AS age_week,
+    CAST(round(e.value * 100) AS BIGINT) AS cents
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'),
+wk AS (
+  SELECT cohort_day, age_week,
+    CAST(sum(cents) AS BIGINT) AS week_cents,
+    CAST(count(*) AS BIGINT) AS n_purchases
+  FROM spend GROUP BY 1, 2),
+size_ AS (
+  SELECT cohort_day, count(*) AS cohort_users FROM first_seen GROUP BY 1)
+SELECT wk.cohort_day, CAST(age_week AS BIGINT) AS age_week,
+  CAST(cohort_users AS BIGINT) AS cohort_users,
+  n_purchases,
+  CAST(sum(week_cents) OVER (PARTITION BY wk.cohort_day ORDER BY age_week)
+       AS BIGINT) AS cum_cents,
+  round(CAST(sum(week_cents) OVER (PARTITION BY wk.cohort_day
+                                   ORDER BY age_week) AS DOUBLE)
+        / cohort_users / 100.0, 6) AS ltv_per_user
+FROM wk JOIN size_ ON wk.cohort_day = size_.cohort_day
+"""
+
+
+@register("cohort_ltv_curve", oracle=_LTV_ORACLE)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative purchase revenue per
+    signup cohort by age week, normalized per cohort member — the
+    monetized extension of the retention matrix already in the
+    registry (same cohort keying, money instead of presence).
+
+    Scale shape: first-seen is one user-keyed min; spend joins facts
+    to it on the user key (bucketable); the weekly rollup is map-side
+    combinable and the cumulative window runs per cohort over the
+    O(weeks) bounded frame. Revenue rides as integer cents; the only
+    division normalizes by cohort size at the end."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    first_seen = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort_day",
+            F.floor(
+                F.datediff(day, F.col("cohort_day")) / 7
+            ).alias("age_week"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    wk = spend.groupBy("cohort_day", "age_week").agg(
+        F.sum("cents").cast("long").alias("week_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+    )
+    size = first_seen.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    w = Window.partitionBy("cohort_day").orderBy("age_week")
+    return (
+        wk.join(size, "cohort_day")
+        .select(
+            "cohort_day",
+            F.col("age_week").cast("long").alias("age_week"),
+            F.col("cohort_users").cast("long").alias("cohort_users"),
+            "n_purchases",
+            F.sum("week_cents").over(w).cast("long").alias("cum_cents"),
+            F.round(
+                F.sum("week_cents").over(w).cast("double")
+                / F.col("cohort_users")
+                / 100.0,
+                6,
+            ).alias("ltv_per_user"),
+        )
+    )

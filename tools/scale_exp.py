@@ -323,6 +323,114 @@ def main() -> None:
                               "sec": round(t, 3)}))
         l.unpersist()
 
+        # grouped-rank machinery at scale: the trimmed/winsorized-means
+        # kernel (distinct-value collapse + grouped bucketed cumsums +
+        # clamped tail sums) over key-scaled events — the claim under
+        # test is that cost tracks the DISTINCT-VALUE frame, not rows
+        if _want("trim_means"):
+            ev2 = replicate(
+                load_table(spark, sf_dir, "events").select(
+                    "event_type", "value"
+                ),
+                r,
+                {},
+            ).drop("__rep").persist()
+            n_ev2 = ev2.count()
+
+            def trim_means():
+                from dissertation_iceberg_spark.functions.ranks import (
+                    bucketed_exclusive_cumsums,
+                )
+
+                v = ev2.select(
+                    "event_type",
+                    F.round(F.col("value") * 100).cast("long").alias("cents"),
+                )
+                dv = v.groupBy("event_type", "cents").agg(
+                    F.count(F.lit(1)).alias("f")
+                )
+                cum = bucketed_exclusive_cumsums(
+                    dv, "cents", ["f"], group_cols=["event_type"]
+                )
+                g = dv.groupBy("event_type").agg(
+                    F.sum("f").cast("long").alias("n"),
+                    F.sum(F.col("f") * F.col("cents")).cast("long").alias("s"),
+                )
+                k = g.select(
+                    "event_type", "n", "s",
+                    F.floor(F.col("n") * 0.05).cast("long").alias("k"),
+                )
+                j = cum.join(F.broadcast(k), "event_type")
+                bot = F.col("cents") * F.greatest(
+                    F.lit(0), F.least(F.col("f"), F.col("k") - F.col("cum_f"))
+                )
+                return j.groupBy("event_type").agg(
+                    F.sum(bot).alias("bot_sum")
+                )
+
+            t, rows = timed(trim_means, action="count")
+            print(json.dumps({"kernel": "trim_means", "factor": r,
+                              "input_rows": n_ev2, "out_rows": rows,
+                              "sec": round(t, 3)}))
+            ev2.unpersist()
+
+        # PQ-ADC scan at scale: codebook + distance table FIXED (fit is
+        # offline), code table replicated with shifted ids — the claim
+        # under test is that the scan is linear map-side work
+        if _want("adc_scan"):
+            from dissertation_iceberg_spark.queries.extensions import _pq_fit
+
+            xe1, a21 = _pq_fit(spark, sf_dir)
+            codes1 = a21.select("vec_id", "sub", "cw")
+            c2 = (
+                a21.join(xe1, ["vec_id", "sub"])
+                .groupBy("sub", "cw", "pos")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            )
+            qxe = xe1.filter(F.col("vec_id") % 250 == 0).select(
+                F.col("vec_id").alias("qid"), "sub", "pos", "x"
+            )
+            err = F.col("x") * F.col("n") - F.col("s")
+            dmicro = (
+                qxe.join(F.broadcast(c2), ["sub", "pos"])
+                .groupBy("qid", "sub", "cw", "n")
+                .agg(F.sum(err * err).alias("num"))
+                .select(
+                    "qid", "sub", "cw",
+                    F.round(
+                        F.col("num").cast("double")
+                        / (F.col("n") * F.col("n")) / 1e8 * 1e6
+                    ).cast("long").alias("d_micro"),
+                )
+                .persist()
+            )
+            dmicro.count()
+            codes = replicate(
+                codes1, r, {"vec_id": 10_000_000}
+            ).drop("__rep").persist()
+            n_codes = codes.count()
+
+            def adc_scan():
+                from pyspark.sql import Window as W
+
+                adc = (
+                    codes.join(F.broadcast(dmicro), ["sub", "cw"])
+                    .filter(F.col("vec_id") != F.col("qid"))
+                    .groupBy("qid", F.col("vec_id").alias("neighbor_id"))
+                    .agg(F.sum("d_micro").cast("long").alias("adc_micro"))
+                )
+                w = W.partitionBy("qid").orderBy("adc_micro", "neighbor_id")
+                return adc.withColumn(
+                    "rnk", F.row_number().over(w)
+                ).filter(F.col("rnk") <= 5)
+
+            t, rows = timed(adc_scan, action="count")
+            print(json.dumps({"kernel": "adc_scan", "factor": r,
+                              "input_rows": n_codes, "out_rows": rows,
+                              "sec": round(t, 3)}))
+            codes.unpersist()
+            dmicro.unpersist()
+
         # block-shifted embeddings: replicas displaced along every axis
         if not _want("ivf_probe"):
             continue
