@@ -1062,3 +1062,64 @@ def constraint_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_distinct") <= 10, "low_cardinality"),
         ).alias("suggested"),
     )
+
+
+# --------------------------------------------------------------------------
+# JSON schema profiling (semi-structured column introspection)
+# --------------------------------------------------------------------------
+
+_JSON_PROFILE_ORACLE = """
+WITH k AS (
+  SELECT unnest(json_keys(props)) AS key_name, props FROM events
+  WHERE props IS NOT NULL),
+v AS (
+  SELECT key_name,
+    json_extract_string(props, '$.' || key_name) AS sval
+  FROM k)
+SELECT key_name,
+  CAST(count(*) AS BIGINT) AS n_present,
+  CAST(sum(CASE WHEN TRY_CAST(sval AS BIGINT) IS NOT NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_integer,
+  CAST(count(DISTINCT sval) AS BIGINT) AS n_distinct,
+  CAST(min(TRY_CAST(sval AS BIGINT)) AS BIGINT) AS min_int,
+  CAST(max(TRY_CAST(sval AS BIGINT)) AS BIGINT) AS max_int
+FROM v GROUP BY 1
+"""
+
+
+@register("json_schema_profile", oracle=_JSON_PROFILE_ORACLE)
+def json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema inference over the semi-structured `props` JSON column:
+    per discovered key, presence count, how many values parse as
+    integers, distinct cardinality, and integer bounds — the
+    profiling pass that decides which JSON paths deserve promotion to
+    real columns (the 'schematize the hot paths' lakehouse
+    migration).
+
+    Scale shape: key discovery and value extraction are per-row JVM
+    expressions (json_object_keys + get_json_object, no Python);
+    everything aggregates map-side-combinably by key name. At 100 TB
+    the key-name groupBy has tiny cardinality, so the shuffle carries
+    only partial counters."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull()
+    )
+    k = e.select(
+        F.explode(F.json_object_keys("props")).alias("key_name"), "props"
+    )
+    v = k.select(
+        "key_name",
+        F.expr(
+            "get_json_object(props, concat('$.', key_name))"
+        ).alias("sval"),
+    )
+    ival = F.expr("try_cast(sval AS BIGINT)")
+    return v.groupBy("key_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.sum(F.when(ival.isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_integer"),
+        F.countDistinct("sval").cast("long").alias("n_distinct"),
+        F.min(ival).cast("long").alias("min_int"),
+        F.max(ival).cast("long").alias("max_int"),
+    )
