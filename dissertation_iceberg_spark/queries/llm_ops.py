@@ -9,7 +9,7 @@ final 6-dp rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.io import load_table, spread
@@ -1697,4 +1697,138 @@ def survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
         .filter(F.col("n_members") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# Greedy mixture optimizer (quality-ranked token budget allocation)
+# --------------------------------------------------------------------------
+
+_MIXOPT_BUDGET_PCT = 50
+
+_TOKS_SQL = "list_filter(str_split(text, ' '), x -> x <> '')"
+
+_MIXOPT_ORACLE = f"""
+WITH per AS (
+  SELECT source,
+    CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS toks,
+    CAST(round(avg(CAST(n_chars AS DOUBLE) / len({_TOKS_SQL})) * 1e6)
+         AS BIGINT) AS quality_micro
+  FROM documents WHERE len({_TOKS_SQL}) > 0
+  GROUP BY 1),
+tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total_toks FROM per),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY quality_micro DESC, source) AS rnk,
+    coalesce(sum(toks) OVER (ORDER BY quality_micro DESC, source
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM per),
+b AS (SELECT CAST(total_toks * {_MIXOPT_BUDGET_PCT} // 100 AS BIGINT)
+        AS budget FROM tot)
+SELECT source, CAST(rnk AS BIGINT) AS rnk, quality_micro, toks,
+  CAST(greatest(least(toks, budget - cum_before), 0) AS BIGINT) AS taken
+FROM ranked CROSS JOIN b
+"""
+
+
+@register("mixture_optimizer", oracle=_MIXOPT_ORACLE)
+def mixture_optimizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget allocator: sources ranked by a quality
+    proxy (mean chars-per-token — longer words ≈ richer text in the
+    fixtures), then filled in rank order until {p}% of corpus tokens
+    are spent; the straddling source takes exactly its clamped
+    remainder. The deterministic skeleton of quality-weighted data
+    mixing (swap in any quality model; the allocation plan is this
+    same clamped prefix-sum).
+
+    Scale shape: one source-keyed rollup (map-side combinable), a
+    1-row total broadcast, and ranking over the O(sources) frame —
+    the clamped-contribution kernel shared with the trimmed-means and
+    Lorenz entries. Token counts are exact BIGINTs; quality is
+    micro-rounded once before ranking with a source tiebreak.""".format(
+        p=_MIXOPT_BUDGET_PCT
+    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = tx.tokens(F.col("text"))
+    per = (
+        docs.filter(F.size(toks) > 0)
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(toks)).cast("long").alias("toks"),
+            F.round(
+                F.avg(F.col("n_chars").cast("double") / F.size(toks)) * 1e6
+            )
+            .cast("long")
+            .alias("quality_micro"),
+        )
+    )
+    tot = per.agg(F.sum("toks").cast("long").alias("total_toks"))
+    w = Window.orderBy(F.col("quality_micro").desc(), F.col("source").asc())
+    ranked = per.select(
+        "*",
+        F.row_number().over(w).alias("rnk"),
+        F.coalesce(
+            F.sum("toks").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    b = tot.select(
+        F.expr(f"total_toks * {_MIXOPT_BUDGET_PCT} DIV 100")
+        .cast("long")
+        .alias("budget")
+    )
+    return ranked.crossJoin(F.broadcast(b)).select(
+        "source",
+        F.col("rnk").cast("long").alias("rnk"),
+        "quality_micro",
+        "toks",
+        F.greatest(
+            F.least(F.col("toks"), F.col("budget") - F.col("cum_before")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("taken"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility by language (BPE-regex vs whitespace tokens)
+# --------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = f"""
+SELECT lang,
+  CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS ws_tokens,
+  CAST(sum(len(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS BIGINT)
+    AS bpe_tokens,
+  round(CAST(sum(len(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS DOUBLE)
+        / sum(len({_TOKS_SQL})), 6) AS fertility
+FROM documents
+WHERE len({_TOKS_SQL}) > 0
+GROUP BY 1
+"""
+
+
+@register("tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-style regex tokens per
+    whitespace word — the compression-efficiency metric that decides
+    whether a tokenizer underserves a language (high fertility =
+    more tokens per word = costlier training and inference for that
+    language's text).
+
+    Scale shape: both token counts are per-row JVM expressions (split
+    + regexp_extract_all), aggregated map-side-combinably by the tiny
+    lang key. Counts exact; one division per language."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = tx.tokens(F.col("text"))
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)"))
+    return (
+        docs.filter(F.size(toks) > 0)
+        .groupBy("lang")
+        .agg(
+            F.sum(F.size(toks)).cast("long").alias("ws_tokens"),
+            F.sum(bpe).cast("long").alias("bpe_tokens"),
+            F.round(
+                F.sum(bpe).cast("double") / F.sum(F.size(toks)), 6
+            ).alias("fertility"),
+        )
     )

@@ -153,6 +153,7 @@ INTENTIONAL_BNLJ = {
     "join_size_estimate",  # broadcast 1-row actual-count verification arm
     "personalized_pagerank",  # broadcast 1-row seed-count (restart mass)
     "lorenz_deciles",  # broadcast 10-row decile targets + bounds frames
+    "mixture_optimizer",  # broadcast 1-row token-budget frame
 }
 
 
