@@ -1832,3 +1832,78 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Differentially-private count release (Laplace mechanism shape)
+# --------------------------------------------------------------------------
+
+_DP_EPS = "1e0"  # epsilon; b = sensitivity/eps = 1
+
+
+def _dp_oracle() -> str:
+    from dissertation_iceberg_spark.functions.hashing import hash60_sql
+
+    h = hash60_sql("event_type || ':dp'")
+    return f"""
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS true_count
+  FROM events GROUP BY 1),
+n AS (
+  SELECT *,
+    2e0 * ({h} / 1152921504606846976e0) - 1e0 AS u2
+  FROM c)
+SELECT event_type, true_count,
+  CAST(round(-(1e0 / {_DP_EPS})
+       * CASE WHEN u2 >= 0 THEN 1e0 ELSE -1e0 END
+       * ln(1e0 - abs(u2)) * 1e6) AS BIGINT) AS noise_micro,
+  true_count + CAST(round(-(1e0 / {_DP_EPS})
+       * CASE WHEN u2 >= 0 THEN 1e0 ELSE -1e0 END
+       * ln(1e0 - abs(u2))) AS BIGINT) AS noisy_count
+FROM n
+"""
+
+
+@register("dp_noisy_counts", oracle=_dp_oracle())
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism count release (ε = 1, sensitivity 1): per
+    event type the true count plus Laplace(1/ε) noise via inverse-CDF
+    sampling — the differential-privacy aggregation shape. The
+    uniform driving the inverse CDF is the portable md5-derived hash
+    of the group key, which makes this a DETERMINISTIC test harness
+    of the mechanism's dataflow (production swaps in a secure RNG at
+    exactly this expression; nothing else changes — true_count is
+    emitted here only so the oracle can audit the noise).
+
+    Scale shape: one map-side-combinable count plus per-group scalar
+    expressions. The hash-uniform is an exact-integer/2^60 division
+    (correctly rounded identically in both engines); the Laplace
+    transform micro-rounds once."""
+    from dissertation_iceberg_spark.functions.hashing import hash60
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    u2 = (
+        2.0
+        * (
+            hash60(F.concat(F.col("event_type"), F.lit(":dp")))
+            / F.lit(1152921504606846976.0)
+        )
+        - 1.0
+    )
+    eps = F.expr(_DP_EPS)
+    lap = (
+        -(1.0 / eps)
+        * F.when(u2 >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(1.0 - F.abs(u2))
+    )
+    return c.select(
+        "event_type",
+        "true_count",
+        F.round(lap * 1e6).cast("long").alias("noise_micro"),
+        (F.col("true_count") + F.round(lap).cast("long")).alias(
+            "noisy_count"
+        ),
+    )
