@@ -29,9 +29,27 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def _doc_of(fn) -> str:
+    """Docstring of ``fn`` — falling back to the first triple-quoted
+    literal in its source for functions that build their doc with
+    ``\"\"\"...\"\"\".format(...)`` (an expression, so ``__doc__`` is
+    None)."""
+    if fn.__doc__:
+        return fn.__doc__
+    import inspect
+    import re
+
+    try:
+        src = inspect.getsource(fn)
+    except OSError:
+        return ""
+    m = re.search(r'"""(.*?)"""', src, re.S)
+    return m.group(1) if m else ""
+
+
 def register(name: str, oracle: str | None):
     def deco(fn):
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=_doc_of(fn))
         return fn
 
     return deco
