@@ -300,3 +300,39 @@ def salted_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(_SALT_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Dialect-portable SQL: ONE statement executed verbatim by both engines
+# --------------------------------------------------------------------------
+
+_SHARED_SHIPPING_SQL = """
+SELECT l_returnflag,
+  date_trunc('month', l_shipdate) AS ship_month,
+  CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS gross_cents,
+  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        / 100.0, 6) AS gross
+FROM lineitem
+GROUP BY l_returnflag, date_trunc('month', l_shipdate)
+"""
+
+
+@register("sql_shared_shipping_report", oracle=_SHARED_SHIPPING_SQL)
+def sql_shared_shipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly gross by return flag — implemented as ``spark.sql`` over
+    registered temp views executing the EXACT string the DuckDB oracle
+    runs (the dialect-portable subset: date_trunc, CAST, round,
+    integer-cent sums). Demonstrates the engine's SQL-first surface:
+    every other registry entry builds the plan with the DataFrame API;
+    this one proves the same catalog/views route works and that the
+    repo's parity conventions define a portable SQL dialect.
+
+    Scale shape: Catalyst plans the string identically to the
+    DataFrame equivalent — pushdown, partial aggregation, one shuffle
+    on the (flag, month) key."""
+    from dissertation_iceberg_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_SHIPPING_SQL)
