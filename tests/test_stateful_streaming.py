@@ -947,3 +947,76 @@ def test_streaming_tdigest_matches_batch(spark, tmp_path):
         hi_q = min(1.0, r.q + 3.0 / TDS_K)
         lo_v, hi_v = np.quantile(vals, [lo_q, hi_q])
         assert lo_v - 2.0 <= r.est_value <= hi_v + 2.0, (r, lo_v, hi_v)
+
+
+def test_checkpoint_restart_no_duplicates(spark, sf_dir, tmp_path):
+    """Operational recovery: an OI stream with a checkpoint processes
+    half the input, stops, more data arrives, a NEW query restarts
+    from the same checkpoint — the parquet sink must end up exactly
+    equal to the batch kernel over the full input (no dropped or
+    duplicated bins)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dissertation_iceberg_spark.io import lob_events
+    from dissertation_iceberg_spark.streaming.oi_stream import streaming_oi
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    lob = lob_events(spark, sf_dir).select("ts", "direction", "size")
+    half1 = lob.filter(F.col("ts") < F.lit("2024-01-15"))
+    half2 = lob.filter(F.col("ts") >= F.lit("2024-01-15"))
+    if half1.count() == 0 or half2.count() == 0:
+        # split on the median day instead if the fixture window moved
+        mid = lob.selectExpr("percentile_approx(ts, 0.5) AS m").first().m
+        half1 = lob.filter(F.col("ts") < F.lit(mid))
+        half2 = lob.filter(F.col("ts") >= F.lit(mid))
+    half1.write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_oi(stream, 3600, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    # late chunk arrives while the query is DOWN; restart resumes from
+    # the checkpoint and must process only the new files
+    half2.write.mode("append").parquet(src)
+    run_once()
+
+    got = (
+        spark.read.parquet(sink)
+        .select("bin", F.round("order_imbalance", 6).alias("oi"), "n_events")
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    want = (
+        streaming_oi(spark.read.parquet(src), 3600)
+        .select("bin", F.round("order_imbalance", 6).alias("oi"), "n_events")
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    # append-mode with a 0s watermark emits each closed window once;
+    # the restart must not re-emit windows already written. The FINAL
+    # window never closes (the watermark stops at max event time), so
+    # the sink legitimately holds every bin except the last open one.
+    assert got.bin.is_unique
+    still_open = want[~want.bin.isin(got.bin)]
+    assert len(still_open) <= 1
+    if len(still_open) == 1:
+        assert still_open.bin.iloc[0] == want.bin.max()
+    closed = want[want.bin.isin(got.bin)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, closed)
