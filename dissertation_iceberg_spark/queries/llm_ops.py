@@ -1907,3 +1907,70 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "noisy_count"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup gate (today's batch vs the historical fingerprint set)
+# --------------------------------------------------------------------------
+
+_INC_DEDUP_ORACLE = """
+WITH base AS (
+  SELECT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0),
+delta AS (
+  SELECT doc_id, md5(text) AS fp, n_chars FROM documents
+  WHERE doc_id % 5 = 0),
+flagged AS (
+  SELECT d.doc_id, d.n_chars,
+    CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+  FROM delta d LEFT JOIN (SELECT DISTINCT fp FROM base) b ON d.fp = b.fp)
+SELECT
+  CAST(count(*) AS BIGINT) AS delta_docs,
+  CAST(sum(is_dup) AS BIGINT) AS dup_docs,
+  CAST(sum(CASE WHEN is_dup = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+    AS new_chars,
+  round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6) AS dup_rate
+FROM flagged
+"""
+
+
+@register("incremental_dedup_gate", oracle=_INC_DEDUP_ORACLE)
+def incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup gate: today's batch (a deterministic
+    1/5 slice stands in for the delta) checked against the historical
+    fingerprint set — the daily-ingestion shape where only the DELTA
+    is fingerprint-probed, never the full corpus re-deduped. Reports
+    batch size, duplicate hits, surviving characters, and the dup
+    rate (the drift alarm for a scraper re-crawling old pages).
+
+    Scale shape: the history side reduces to distinct fingerprints
+    (16-byte keys) BEFORE the join; the probe is a fingerprint-keyed
+    equi-join, delta-sized — at 100 TB the history fingerprints live
+    as a bucketed table and the probe co-locates (or a Bloom
+    pre-filter drops the obvious non-dups before the shuffle, the
+    registry's bloom_gated_decontamination pattern)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    delta = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.md5("text").alias("fp"), "n_chars"
+    )
+    flagged = delta.join(
+        base.withColumn("hit", F.lit(1)), "fp", "left"
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("hit"), F.lit(0)).alias("is_dup"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("delta_docs"),
+        F.sum("is_dup").cast("long").alias("dup_docs"),
+        F.sum(F.when(F.col("is_dup") == 0, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("new_chars"),
+        F.round(F.sum("is_dup").cast("double") / F.count(F.lit(1)), 6).alias(
+            "dup_rate"
+        ),
+    )
