@@ -1828,3 +1828,217 @@ def cycle_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             pct(99).alias("p99_days"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences (two-arm, pre/post design)
+# --------------------------------------------------------------------------
+
+_DID_ORACLE = """
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events),
+cells AS (
+  SELECT event_id % 2 AS treated,
+    CASE WHEN epoch_us(ts) * 2 < t0 + t1 THEN 0 ELSE 1 END AS post,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events CROSS JOIN b),
+m AS (
+  SELECT treated, post, count(*) AS n, sum(cents) AS s
+  FROM cells GROUP BY 1, 2),
+c AS (
+  SELECT cells.treated, cells.post, m.n,
+    sum((cents - CAST(m.s AS DOUBLE) / m.n)
+        * (cents - CAST(m.s AS DOUBLE) / m.n)) AS css
+  FROM cells JOIN m ON cells.treated = m.treated AND cells.post = m.post
+  GROUP BY 1, 2, 3),
+wide AS (
+  SELECT
+    max(CASE WHEN treated = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS t_post,
+    max(CASE WHEN treated = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS t_pre,
+    max(CASE WHEN treated = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS c_post,
+    max(CASE WHEN treated = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS c_pre
+  FROM m),
+sev AS (
+  SELECT sum(css) / (sum(n) - 4) AS pooled_var,
+         sum(1e0 / n) AS inv_n FROM (
+    SELECT c.n, c.css FROM c))
+SELECT
+  round(t_pre / 100.0, 6) AS treated_pre,
+  round(t_post / 100.0, 6) AS treated_post,
+  round(c_pre / 100.0, 6) AS control_pre,
+  round(c_post / 100.0, 6) AS control_post,
+  round(((t_post - t_pre) - (c_post - c_pre)) / 100.0, 6) AS did_effect,
+  round(sqrt(pooled_var * inv_n) / 100.0, 6) AS did_se,
+  round(((t_post - t_pre) - (c_post - c_pre))
+        / sqrt(pooled_var * inv_n), 6) AS t_stat
+FROM wide CROSS JOIN sev
+"""
+
+
+@register("diff_in_diff", oracle=_DID_ORACLE)
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator over the 2×2 (arm ×
+    pre/post-midpoint) design: the treated arm's change minus the
+    control arm's change, with the pooled-variance standard error and
+    t-statistic — the causal-inference workhorse one level above the
+    registry's two-proportion A/B test (it nets out shared time
+    trends).
+
+    Scale shape: one 4-cell integer rollup plus a second two-pass
+    central-sum pass for the pooled variance (means broadcast back —
+    the registry's moment recipe); the estimator evaluates on one
+    row. Values ride as integer cents; each cell mean divides
+    once."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = e.agg(F.min(us).alias("t0"), F.max(us).alias("t1"))
+    cells = e.crossJoin(F.broadcast(b)).select(
+        (F.col("event_id") % 2).alias("treated"),
+        F.when(us * 2 < F.col("t0") + F.col("t1"), 0).otherwise(1).alias(
+            "post"
+        ),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    m = cells.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    c = (
+        cells.join(F.broadcast(m), ["treated", "post"])
+        .groupBy("treated", "post", "n")
+        .agg(
+            F.sum(
+                (F.col("cents") - mu) * (F.col("cents") - mu)
+            ).alias("css")
+        )
+    )
+    wide = m.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("treated") == t) & (F.col("post") == p), mu
+                )
+            ).alias(name)
+            for name, t, p in [
+                ("t_post", 1, 1),
+                ("t_pre", 1, 0),
+                ("c_post", 0, 1),
+                ("c_pre", 0, 0),
+            ]
+        ]
+    )
+    sev = c.agg(
+        (F.sum("css") / (F.sum("n") - 4)).alias("pooled_var"),
+        F.sum(1.0 / F.col("n")).alias("inv_n"),
+    )
+    did = (F.col("t_post") - F.col("t_pre")) - (
+        F.col("c_post") - F.col("c_pre")
+    )
+    se = F.sqrt(F.col("pooled_var") * F.col("inv_n"))
+    return wide.crossJoin(F.broadcast(sev)).select(
+        F.round(F.col("t_pre") / 100.0, 6).alias("treated_pre"),
+        F.round(F.col("t_post") / 100.0, 6).alias("treated_post"),
+        F.round(F.col("c_pre") / 100.0, 6).alias("control_pre"),
+        F.round(F.col("c_post") / 100.0, 6).alias("control_post"),
+        F.round(did / 100.0, 6).alias("did_effect"),
+        F.round(se / 100.0, 6).alias("did_se"),
+        F.round(did / se, 6).alias("t_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Price indices (Laspeyres / Paasche / Fisher) by ship month
+# --------------------------------------------------------------------------
+
+_PIDX_ORACLE = """
+WITH pm AS (
+  SELECT l_partkey, date_trunc('month', l_shipdate) AS month,
+    CAST(round(sum(l_extendedprice * 100) / sum(l_quantity)) AS BIGINT)
+      AS price_c,
+    CAST(sum(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_quantity > 0
+  GROUP BY 1, 2),
+base AS (
+  SELECT l_partkey, price_c AS p0, qty AS q0 FROM pm
+  WHERE month = (SELECT min(month) FROM pm)),
+joined AS (
+  SELECT pm.month, pm.l_partkey, pm.price_c AS pt, pm.qty AS qt,
+         base.p0, base.q0
+  FROM pm JOIN base USING (l_partkey)
+  WHERE pm.month > (SELECT min(month) FROM pm)),
+agg AS (
+  SELECT month,
+    CAST(count(*) AS BIGINT) AS n_parts,
+    CAST(sum(pt * q0) AS BIGINT) AS ptq0,
+    CAST(sum(p0 * q0) AS BIGINT) AS p0q0,
+    CAST(sum(pt * qt) AS BIGINT) AS ptqt,
+    CAST(sum(p0 * qt) AS BIGINT) AS p0qt
+  FROM joined GROUP BY 1)
+SELECT month, n_parts,
+  round(CAST(ptq0 AS DOUBLE) / p0q0, 6) AS laspeyres,
+  round(CAST(ptqt AS DOUBLE) / p0qt, 6) AS paasche,
+  round(sqrt((CAST(ptq0 AS DOUBLE) / p0q0)
+             * (CAST(ptqt AS DOUBLE) / p0qt)), 6) AS fisher
+FROM agg
+"""
+
+
+@register("price_indices", oracle=_PIDX_ORACLE)
+def price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres (base-quantity weighted), Paasche (current-quantity
+    weighted), and Fisher (geometric mean) price indices per ship
+    month against the first month's basket — the index-number family
+    behind every inflation/price-tracking dashboard, restricted to
+    parts present in both the base and the comparison month (matched
+    basket).
+
+    Scale shape: one (part, month) rollup (map-side combinable), the
+    base-month slice joins back on the part key (bucketable), and the
+    four weighted sums are exact BIGINT products of month-level
+    integer unit prices (rounded once per (part, month)) and integer
+    quantities."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 0
+    )
+    pm = li.groupBy(
+        "l_partkey", F.date_trunc("month", F.col("l_shipdate")).alias("month")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * 100) / F.sum("l_quantity")
+        )
+        .cast("long")
+        .alias("price_c"),
+        F.sum("l_quantity").cast("long").alias("qty"),
+    )
+    m0 = pm.agg(F.min("month").alias("m0"))
+    base = (
+        pm.crossJoin(F.broadcast(m0))
+        .filter(F.col("month") == F.col("m0"))
+        .select(
+            "l_partkey",
+            F.col("price_c").alias("p0"),
+            F.col("qty").alias("q0"),
+        )
+    )
+    joined = (
+        pm.crossJoin(F.broadcast(m0))
+        .filter(F.col("month") > F.col("m0"))
+        .join(base, "l_partkey")
+    )
+    agg = joined.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.col("price_c") * F.col("q0")).cast("long").alias("ptq0"),
+        F.sum(F.col("p0") * F.col("q0")).cast("long").alias("p0q0"),
+        F.sum(F.col("price_c") * F.col("qty")).cast("long").alias("ptqt"),
+        F.sum(F.col("p0") * F.col("qty")).cast("long").alias("p0qt"),
+    )
+    lasp = F.col("ptq0").cast("double") / F.col("p0q0")
+    paas = F.col("ptqt").cast("double") / F.col("p0qt")
+    return agg.select(
+        "month",
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )

@@ -154,6 +154,8 @@ INTENTIONAL_BNLJ = {
     "personalized_pagerank",  # broadcast 1-row seed-count (restart mass)
     "lorenz_deciles",  # broadcast 10-row decile targets + bounds frames
     "mixture_optimizer",  # broadcast 1-row token-budget frame
+    "diff_in_diff",  # broadcast 1-row time-bounds + 4-cell frames
+    "price_indices",  # broadcast 1-row base-month frame
 }
 
 
