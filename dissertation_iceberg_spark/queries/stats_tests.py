@@ -2042,3 +2042,222 @@ def price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(paas, 6).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) daily monitor
+# --------------------------------------------------------------------------
+
+_SRM_ORACLE = """
+SELECT date_trunc('day', ts) AS day,
+  CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+  round(CAST((sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+              - sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)) AS DOUBLE)
+        * (sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+           - sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END))
+        / count(*), 6) AS srm_chi2,
+  CAST(CASE WHEN
+    CAST((sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+          - sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)) AS DOUBLE)
+    * (sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+       - sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END))
+    / count(*) > 3.841 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM events GROUP BY 1
+"""
+
+
+@register("srm_check", oracle=_SRM_ORACLE)
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily sample-ratio-mismatch monitor for a 50/50 split:
+    χ² = (n1−n0)²/n against the 3.841 critical value (p<.05, 1 dof) —
+    the assignment-integrity alarm every experimentation platform
+    runs before trusting any treatment effect (SRM means the
+    randomizer, logging, or filtering is biased).
+
+    Scale shape: one map-side-combinable daily conditional count; the
+    statistic is one deterministic expression per O(days) row from
+    exact integers."""
+    e = load_table(spark, sf_dir, "events")
+    n1 = F.sum(F.when(F.col("event_id") % 2 == 1, 1).otherwise(0))
+    n0 = F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0))
+    d = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        n1.cast("long").alias("n1"),
+        n0.cast("long").alias("n0"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    chi2 = (
+        (F.col("n1") - F.col("n0")).cast("double")
+        * (F.col("n1") - F.col("n0"))
+        / F.col("n")
+    )
+    return d.select(
+        "day",
+        "n1",
+        "n0",
+        F.round(chi2, 6).alias("srm_chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).cast("long").alias("srm_flag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance reduction (pre-period covariate adjustment)
+# --------------------------------------------------------------------------
+
+_CUPED_ORACLE = """
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events),
+u AS (
+  SELECT user_id, user_id % 2 AS arm,
+    CAST(sum(CASE WHEN epoch_us(ts) * 2 < t0 + t1
+             THEN round(value * 100) ELSE 0 END) AS BIGINT) AS pre_c,
+    CAST(sum(CASE WHEN epoch_us(ts) * 2 >= t0 + t1
+             THEN round(value * 100) ELSE 0 END) AS BIGINT) AS post_c
+  FROM events CROSS JOIN b GROUP BY 1, 2),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(pre_c) AS BIGINT) AS sx, CAST(sum(post_c) AS BIGINT) AS sy,
+    CAST(sum(pre_c * pre_c) AS BIGINT) AS sxx,
+    CAST(sum(pre_c * post_c) AS BIGINT) AS sxy,
+    CAST(sum(post_c * post_c) AS BIGINT) AS syy,
+    CAST(sum(CASE WHEN arm = 1 THEN post_c ELSE 0 END) AS BIGINT) AS sy1,
+    CAST(sum(CASE WHEN arm = 1 THEN pre_c ELSE 0 END) AS BIGINT) AS sx1,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN arm = 0 THEN post_c ELSE 0 END) AS BIGINT) AS sy0,
+    CAST(sum(CASE WHEN arm = 0 THEN pre_c ELSE 0 END) AS BIGINT) AS sx0,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+  FROM u),
+k AS (
+  SELECT *,
+    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS theta,
+    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS var_post
+  FROM s)
+SELECT n, round(theta, 6) AS theta,
+  round(var_post / 1e4, 6) AS var_post,
+  round((((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+    - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+      * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)) / (n - 1))
+    / 1e4, 6) AS var_adjusted,
+  round(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+       * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+       / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+       / (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n), 6)
+    AS var_reduction,
+  round((CAST(sy1 AS DOUBLE) / n1
+         - theta * (CAST(sx1 AS DOUBLE) / n1 - CAST(sx AS DOUBLE) / n))
+        / 100.0, 6) AS treated_adj_mean,
+  round((CAST(sy0 AS DOUBLE) / n0
+         - theta * (CAST(sx0 AS DOUBLE) / n0 - CAST(sx AS DOUBLE) / n))
+        / 100.0, 6) AS control_adj_mean
+FROM k
+"""
+
+
+@register("cuped_adjustment", oracle=_CUPED_ORACLE)
+def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment using pre-experiment data):
+    θ = cov(pre, post)/var(pre) over per-user pre/post-midpoint spend,
+    arm means adjusted by θ·(pre − mean(pre)), and the variance
+    reduction var(adj)/var(post) achieved — the industry-standard
+    sensitivity boost for A/B metrics (Deng et al., WSDM 2013).
+    var(adj) comes from the moment identity
+    var(post) − cov²/var(pre); no second pass over users.
+
+    Scale shape: one user-keyed rollup, then a single 12-counter
+    global reduce whose every sum is an EXACT BIGINT (cents and
+    cents² products stay inside int64 at the fixture scales); every
+    double expression evaluates once on one row, so no float
+    reduction ever crosses a shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = e.agg(F.min(us).alias("t0"), F.max(us).alias("t1"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    u = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("user_id", (F.col("user_id") % 2).alias("arm"))
+        .agg(
+            F.sum(
+                F.when(us * 2 < F.col("t0") + F.col("t1"), cents).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("pre_c"),
+            F.sum(
+                F.when(us * 2 >= F.col("t0") + F.col("t1"), cents).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("post_c"),
+        )
+    )
+    arm1 = F.col("arm") == 1
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pre_c").cast("long").alias("sx"),
+        F.sum("post_c").cast("long").alias("sy"),
+        F.sum(F.col("pre_c") * F.col("pre_c")).cast("long").alias("sxx"),
+        F.sum(F.col("pre_c") * F.col("post_c")).cast("long").alias("sxy"),
+        F.sum(F.col("post_c") * F.col("post_c")).cast("long").alias("syy"),
+        F.sum(F.when(arm1, F.col("post_c")).otherwise(0))
+        .cast("long")
+        .alias("sy1"),
+        F.sum(F.when(arm1, F.col("pre_c")).otherwise(0))
+        .cast("long")
+        .alias("sx1"),
+        F.sum(F.when(arm1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~arm1, F.col("post_c")).otherwise(0))
+        .cast("long")
+        .alias("sy0"),
+        F.sum(F.when(~arm1, F.col("pre_c")).otherwise(0))
+        .cast("long")
+        .alias("sx0"),
+        F.sum(F.when(~arm1, 1).otherwise(0)).cast("long").alias("n0"),
+    )
+    n = F.col("n")
+    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ) / n
+    varx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ) / n
+    vary = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ) / n
+    theta = cov / varx
+    var_post = vary / (n - 1)
+    var_adj = (vary - cov * cov / varx) / (n - 1)
+    return s.select(
+        "n",
+        F.round(theta, 6).alias("theta"),
+        F.round(var_post / 1e4, 6).alias("var_post"),
+        F.round(var_adj / 1e4, 6).alias("var_adjusted"),
+        F.round((cov * cov / varx) / vary, 6).alias("var_reduction"),
+        F.round(
+            (
+                F.col("sy1").cast("double") / F.col("n1")
+                - theta
+                * (
+                    F.col("sx1").cast("double") / F.col("n1")
+                    - F.col("sx").cast("double") / n
+                )
+            )
+            / 100.0,
+            6,
+        ).alias("treated_adj_mean"),
+        F.round(
+            (
+                F.col("sy0").cast("double") / F.col("n0")
+                - theta
+                * (
+                    F.col("sx0").cast("double") / F.col("n0")
+                    - F.col("sx").cast("double") / n
+                )
+            )
+            / 100.0,
+            6,
+        ).alias("control_adj_mean"),
+    )

@@ -156,6 +156,7 @@ INTENTIONAL_BNLJ = {
     "mixture_optimizer",  # broadcast 1-row token-budget frame
     "diff_in_diff",  # broadcast 1-row time-bounds + 4-cell frames
     "price_indices",  # broadcast 1-row base-month frame
+    "cuped_adjustment",  # broadcast 1-row time-bounds frame
 }
 
 
