@@ -2261,3 +2261,164 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("control_adj_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA (value ~ event_type)
+# --------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(cents * cents) AS BIGINT) AS ss
+  FROM v GROUP BY 1),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS n_tot,
+         CAST(sum(s) AS BIGINT) AS s_tot,
+         CAST(sum(ss) AS BIGINT) AS ss_tot,
+         sum(CAST(s AS DOUBLE) * s / n) AS sum_grp
+  FROM g)
+SELECT k, n_tot,
+  round((sum_grp - CAST(s_tot AS DOUBLE) * s_tot / n_tot) / 1e4, 6)
+    AS ss_between,
+  round((CAST(ss_tot AS DOUBLE) - sum_grp) / 1e4, 6) AS ss_within,
+  round(((sum_grp - CAST(s_tot AS DOUBLE) * s_tot / n_tot) / (k - 1))
+        / ((CAST(ss_tot AS DOUBLE) - sum_grp) / (n_tot - k)), 6)
+    AS f_stat,
+  round((sum_grp - CAST(s_tot AS DOUBLE) * s_tot / n_tot)
+        / (CAST(ss_tot AS DOUBLE) - CAST(s_tot AS DOUBLE) * s_tot / n_tot),
+        6) AS eta_squared
+FROM t
+"""
+
+
+@register("one_way_anova", oracle=_ANOVA_ORACLE)
+def one_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of `value` across event types: between/within
+    sums of squares, the F statistic, and η² (variance explained) —
+    the k-group mean-difference test completing the battery beside
+    the two-group t/z/Mann-Whitney and the k-sample Anderson-Darling.
+
+    Scale shape: per-group (n, Σx, Σx²) are EXACT BIGINT map-side
+    sums; the k-row reduce and every double expression evaluate once
+    on one row — no float reduction crosses a shuffle (the only
+    cross-group float sum, Σ s²/n, spans k ≈ 5 rows on a single
+    partition)."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
+    )
+    t = g.coalesce(1).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("s").cast("long").alias("s_tot"),
+        F.sum("ss").cast("long").alias("ss_tot"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias(
+            "sum_grp"
+        ),
+    )
+    grand = F.col("s_tot").cast("double") * F.col("s_tot") / F.col("n_tot")
+    ss_b = F.col("sum_grp") - grand
+    ss_w = F.col("ss_tot").cast("double") - F.col("sum_grp")
+    return t.select(
+        "k",
+        "n_tot",
+        F.round(ss_b / 1e4, 6).alias("ss_between"),
+        F.round(ss_w / 1e4, 6).alias("ss_within"),
+        F.round(
+            (ss_b / (F.col("k") - 1)) / (ss_w / (F.col("n_tot") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(
+            ss_b / (F.col("ss_tot").cast("double") - grand), 6
+        ).alias("eta_squared"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Experiment power planning: minimum detectable effect (MDE)
+# --------------------------------------------------------------------------
+
+_MDE_Z = "2.8016e0"  # z_{alpha/2} + z_{beta} for alpha=.05, power=.80
+
+_MDE_ORACLE = f"""
+WITH u AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+    CAST(sum(round(value * 100)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_unit_days,
+    CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+    CAST(sum(cents) AS BIGINT) AS sx,
+    CAST(sum(cents * cents) AS BIGINT) AS sxx
+  FROM u),
+k AS (
+  SELECT *,
+    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_unit_days)
+      / (n_unit_days - 1) AS var_c,
+    CAST(n_unit_days AS DOUBLE) / n_days AS units_per_day
+  FROM s)
+SELECT n_unit_days, n_days,
+  round(CAST(sx AS DOUBLE) / n_unit_days / 100.0, 6) AS mean_value,
+  round(sqrt(var_c) / 100.0, 6) AS std_value,
+  round({_MDE_Z} * sqrt(2e0 * var_c / (units_per_day * 7e0 / 2e0))
+        / 100.0, 6) AS mde_1wk,
+  round({_MDE_Z} * sqrt(2e0 * var_c / (units_per_day * 28e0 / 2e0))
+        / 100.0, 6) AS mde_4wk
+FROM k
+"""
+
+
+@register("power_mde", oracle=_MDE_ORACLE)
+def power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planning: the minimum detectable effect on
+    per-user-day spend at α=.05 / 80% power for 1- and 4-week runs,
+    from the observed unit variance and accrual rate —
+    MDE = (z_{{α/2}}+z_β)·√(2σ²/(n/arm)). The planning readout that
+    precedes every A/B test the battery's analyzers (z, CUPED, DiD)
+    would evaluate.
+
+    Scale shape: one (user, day) rollup, then a single 4-counter
+    reduce with exact BIGINT power sums; the z-sum constant is a
+    shared binary-exact literal and all double math evaluates once on
+    one row."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents"))
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_unit_days"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("sxx"),
+    )
+    n = F.col("n_unit_days")
+    var_c = (
+        F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n
+    ) / (n - 1)
+    upd = n.cast("double") / F.col("n_days")
+    z = F.expr(_MDE_Z)
+    return s.select(
+        "n_unit_days",
+        "n_days",
+        F.round(F.col("sx").cast("double") / n / 100.0, 6).alias(
+            "mean_value"
+        ),
+        F.round(F.sqrt(var_c) / 100.0, 6).alias("std_value"),
+        F.round(
+            z * F.sqrt(2.0 * var_c / (upd * 7.0 / 2.0)) / 100.0, 6
+        ).alias("mde_1wk"),
+        F.round(
+            z * F.sqrt(2.0 * var_c / (upd * 28.0 / 2.0)) / 100.0, 6
+        ).alias("mde_4wk"),
+    )
