@@ -1974,3 +1974,85 @@ def incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_rate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Normalization-aware dedup (how much aggressive normalization unlocks)
+# --------------------------------------------------------------------------
+
+_NORM_DEDUP_ORACLE = """
+WITH n AS (
+  SELECT doc_id,
+    md5(text) AS raw_fp,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '0', 'g'),
+                            ' +', ' ', 'g'))) AS norm_fp
+  FROM documents),
+raw_g AS (SELECT raw_fp, count(*) AS c FROM n GROUP BY 1),
+norm_g AS (SELECT norm_fp, count(*) AS c FROM n GROUP BY 1)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM n) AS n_docs,
+  (SELECT CAST(count(*) AS BIGINT) FROM raw_g) AS raw_groups,
+  (SELECT CAST(count(*) AS BIGINT) FROM norm_g) AS norm_groups,
+  CAST(coalesce((SELECT sum(c - 1) FROM raw_g WHERE c >= 2), 0) AS BIGINT)
+    AS raw_redundant,
+  CAST(coalesce((SELECT sum(c - 1) FROM norm_g WHERE c >= 2), 0) AS BIGINT)
+    AS norm_redundant
+"""
+
+
+@register("normalized_dedup_gain", oracle=_NORM_DEDUP_ORACLE)
+def normalized_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware dedup audit: duplicate groups under the raw
+    fingerprint vs under an aggressive normalization (lowercase, digit
+    masking, whitespace collapse) — the measurement that decides
+    whether normalization belongs in the dedup key (norm_redundant −
+    raw_redundant = extra documents a normalized pass would drop;
+    near-miss duplicates differing only in case/numbers/spacing).
+
+    Scale shape: both fingerprints compute map-side in one scan; two
+    16-byte-keyed counts. The normalization chain is regexp_replace +
+    lower + trim — identical semantics in both engines (global
+    replacement, POSIX classes avoided)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "0"),
+            " +",
+            " ",
+        )
+    )
+    n = docs.select(
+        "doc_id",
+        F.md5("text").alias("raw_fp"),
+        F.md5(norm).alias("norm_fp"),
+    )
+    raw_g = n.groupBy("raw_fp").agg(F.count(F.lit(1)).alias("c"))
+    norm_g = n.groupBy("norm_fp").agg(F.count(F.lit(1)).alias("c"))
+    stats = n.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    rg = raw_g.agg(
+        F.count(F.lit(1)).cast("long").alias("raw_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") >= 2, F.col("c") - 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("raw_redundant"),
+    )
+    ng = norm_g.agg(
+        F.count(F.lit(1)).cast("long").alias("norm_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") >= 2, F.col("c") - 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("norm_redundant"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(rg))
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "n_docs",
+            "raw_groups",
+            "norm_groups",
+            "raw_redundant",
+            "norm_redundant",
+        )
+    )

@@ -2422,3 +2422,139 @@ def power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             z * F.sqrt(2.0 * var_c / (upd * 28.0 / 2.0)) / 100.0, 6
         ).alias("mde_4wk"),
     )
+
+
+# --------------------------------------------------------------------------
+# SPC individuals control chart (3-sigma via moving range)
+# --------------------------------------------------------------------------
+
+_SPC_ORACLE = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+    CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1),
+mr AS (
+  SELECT day, x,
+    abs(x - lag(x) OVER (ORDER BY day)) AS mrange
+  FROM d),
+lim AS (
+  SELECT avg(CAST(x AS DOUBLE)) AS xbar,
+         avg(CAST(mrange AS DOUBLE)) AS mrbar
+  FROM mr)
+SELECT day, x,
+  CAST(mrange AS BIGINT) AS moving_range,
+  round(xbar, 6) AS center,
+  round(xbar + 2.66e0 * mrbar, 6) AS ucl,
+  round(xbar - 2.66e0 * mrbar, 6) AS lcl,
+  CAST(CASE WHEN x > xbar + 2.66e0 * mrbar
+             OR x < xbar - 2.66e0 * mrbar THEN 1 ELSE 0 END AS BIGINT)
+    AS out_of_control
+FROM mr CROSS JOIN lim
+"""
+
+
+@register("spc_control_chart", oracle=_SPC_ORACLE)
+def spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Individuals (I-MR) statistical process control chart over daily
+    event volume: center line, 3σ control limits estimated from the
+    average moving range (2.66 = 3/d2 for n=2), and out-of-control
+    flags — the Shewhart-chart monitor complementing the MAD and
+    CUSUM anomaly entries (SPC catches shifts; MAD catches spikes;
+    CUSUM catches drifts).
+
+    Scale shape: daily counts collapse map-side; the moving range is
+    one lag over the O(days) frame and the limits are a broadcast
+    1-row reduce. Counts exact; limits evaluate once per row."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.orderBy("day")
+    mr = d.select(
+        "day", "x", F.abs(F.col("x") - F.lag("x").over(w)).alias("mrange")
+    )
+    lim = mr.agg(
+        F.avg(F.col("x").cast("double")).alias("xbar"),
+        F.avg(F.col("mrange").cast("double")).alias("mrbar"),
+    )
+    ucl = F.col("xbar") + 2.66 * F.col("mrbar")
+    lcl = F.col("xbar") - 2.66 * F.col("mrbar")
+    return mr.crossJoin(F.broadcast(lim)).select(
+        "day",
+        "x",
+        F.col("mrange").cast("long").alias("moving_range"),
+        F.round(F.col("xbar"), 6).alias("center"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        F.when((F.col("x") > ucl) | (F.col("x") < lcl), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("out_of_control"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ABC inventory classification (cumulative revenue share classes)
+# --------------------------------------------------------------------------
+
+_ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS c2
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(sum(c2) AS BIGINT) AS s FROM rev),
+r AS (
+  SELECT l_partkey, c2,
+    sum(c2) OVER (ORDER BY c2 DESC, l_partkey) AS cum_c2
+  FROM rev),
+cls AS (
+  SELECT l_partkey, c2,
+    CASE WHEN cum_c2 * 100 <= s * 80 THEN 'A'
+         WHEN cum_c2 * 100 <= s * 95 THEN 'B'
+         ELSE 'C' END AS abc
+  FROM r CROSS JOIN tot)
+SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+  round(CAST(sum(c2) AS DOUBLE) / 1e4, 6) AS revenue,
+  round(CAST(sum(c2) AS DOUBLE) / (SELECT s FROM tot), 6) AS revenue_share
+FROM cls GROUP BY 1
+"""
+
+
+@register("abc_classification", oracle=_ABC_ORACLE)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    = the head covering 80% of cumulative revenue, B to 95%, C the
+    tail — the operational readout of the Lorenz/Pareto machinery
+    (which parts deserve tight stock control).
+
+    Scale shape: one part-keyed rollup, then a cumulative window over
+    the O(parts) frame (at 100 TB: the bucketed-cumsum machinery —
+    this query keeps the plain window because the class CUT depends
+    on exact integer cumulative comparisons, cum·100 ≤ s·k, which the
+    bucketed form reproduces identically). Class boundaries compare
+    exact BIGINTs — no share rounding can flip a part's class."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_c2 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(rev_c2).cast("long").alias("c2"))
+    tot = rev.agg(F.sum("c2").cast("long").alias("s"))
+    w = Window.orderBy(F.col("c2").desc(), F.col("l_partkey").asc())
+    r = rev.select("l_partkey", "c2", F.sum("c2").over(w).alias("cum_c2"))
+    cls = r.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "c2",
+        "s",
+        F.when(F.col("cum_c2") * 100 <= F.col("s") * 80, "A")
+        .when(F.col("cum_c2") * 100 <= F.col("s") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return cls.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(F.sum("c2").cast("double") / 1e4, 6).alias("revenue"),
+        F.round(F.sum("c2").cast("double") / F.first("s"), 6).alias(
+            "revenue_share"
+        ),
+    )

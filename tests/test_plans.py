@@ -157,6 +157,9 @@ INTENTIONAL_BNLJ = {
     "diff_in_diff",  # broadcast 1-row time-bounds + 4-cell frames
     "price_indices",  # broadcast 1-row base-month frame
     "cuped_adjustment",  # broadcast 1-row time-bounds frame
+    "spc_control_chart",  # broadcast 1-row control-limit frame
+    "abc_classification",  # broadcast 1-row revenue-total frame
+    "normalized_dedup_gain",  # broadcast 1-row group-count frames
 }
 
 
