@@ -2056,3 +2056,94 @@ def normalized_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "norm_redundant",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Distinctive terms per source: log-odds with informative Dirichlet prior
+# --------------------------------------------------------------------------
+
+_SALIENCY_TOPK = 5
+_SALIENCY_MU = "1e2"  # prior strength (pseudo-token mass per source)
+
+_SALIENCY_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS_SQL}) AS term FROM documents),
+st AS (SELECT source, term, count(*) AS y FROM tok GROUP BY 1, 2),
+stot AS (SELECT source, CAST(sum(y) AS BIGINT) AS n FROM st GROUP BY 1),
+ct AS (SELECT term, CAST(sum(y) AS BIGINT) AS yw FROM st GROUP BY 1),
+tot AS (SELECT CAST(sum(y) AS BIGINT) AS nn FROM st),
+z AS (
+  SELECT st.source, st.term,
+    CAST(st.y AS BIGINT) AS y,
+    (ln((st.y + {_SALIENCY_MU} * ct.yw / tot.nn)
+        / (stot.n - st.y + {_SALIENCY_MU}
+           - {_SALIENCY_MU} * ct.yw / tot.nn))
+     - ln(((ct.yw - st.y) + {_SALIENCY_MU} * ct.yw / tot.nn)
+          / ((tot.nn - stot.n) - (ct.yw - st.y) + {_SALIENCY_MU}
+             - {_SALIENCY_MU} * ct.yw / tot.nn)))
+    / sqrt(1e0 / (st.y + {_SALIENCY_MU} * ct.yw / tot.nn)
+           + 1e0 / ((ct.yw - st.y) + {_SALIENCY_MU} * ct.yw / tot.nn))
+      AS zval
+  FROM st
+  JOIN stot ON st.source = stot.source
+  JOIN ct ON st.term = ct.term
+  CROSS JOIN tot)
+SELECT source, term, y,
+  round(zval, 6) AS z_score,
+  CAST(row_number() OVER (PARTITION BY source
+       ORDER BY round(zval, 6) DESC, term) AS BIGINT) AS rnk
+FROM z
+QUALIFY rnk <= {_SALIENCY_TOPK}
+"""
+
+
+@register("source_term_saliency", oracle=_SALIENCY_ORACLE)
+def source_term_saliency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} distinctive terms per source by log-odds z-score with
+    an informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    "Fightin' Words") — source-vs-rest odds shrunk toward corpus
+    frequencies, the statistically-sound alternative to raw TF-IDF
+    for "what vocabulary makes this slice different" (the lens a
+    corpus curator points at a suspicious source).
+
+    Scale shape: term counts collapse map-side; the source and corpus
+    marginals re-aggregate the ALREADY-COLLAPSED (source, term) frame;
+    the scoring join is term-keyed. Every z evaluates per-row from
+    exact integers (no cross-row float reduction); ranking uses the
+    ROUNDED score with a term tiebreak — the cosine_topk determinism
+    recipe.""".format(k=_SALIENCY_TOPK)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("y"))
+    stot = st.groupBy("source").agg(F.sum("y").cast("long").alias("n"))
+    ct = st.groupBy("term").agg(F.sum("y").cast("long").alias("yw"))
+    tot = st.agg(F.sum("y").cast("long").alias("nn"))
+    mu = F.expr(_SALIENCY_MU)
+    j = (
+        st.join(stot, "source")
+        .join(ct, "term")
+        .crossJoin(F.broadcast(tot))
+    )
+    a_w = mu * F.col("yw") / F.col("nn")
+    y, n_s = F.col("y"), F.col("n")
+    y_rest = F.col("yw") - y
+    n_rest = F.col("nn") - n_s
+    delta = F.log(
+        (y + a_w) / (n_s - y + mu - a_w)
+    ) - F.log((y_rest + a_w) / (n_rest - y_rest + mu - a_w))
+    z = delta / F.sqrt(1.0 / (y + a_w) + 1.0 / (y_rest + a_w))
+    scored = j.select(
+        "source",
+        "term",
+        y.cast("long").alias("y"),
+        F.round(z, 6).alias("z_score"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("z_score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _SALIENCY_TOPK)
+    )

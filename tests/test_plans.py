@@ -160,6 +160,7 @@ INTENTIONAL_BNLJ = {
     "spc_control_chart",  # broadcast 1-row control-limit frame
     "abc_classification",  # broadcast 1-row revenue-total frame
     "normalized_dedup_gain",  # broadcast 1-row group-count frames
+    "source_term_saliency",  # broadcast 1-row corpus-total frame
 }
 
 
