@@ -1374,3 +1374,71 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_user"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Audience overlap matrix (user-set Jaccard between event types)
+# --------------------------------------------------------------------------
+
+_AUDIENCE_ORACLE = """
+WITH ut AS (
+  SELECT DISTINCT event_type, user_id FROM events),
+sz AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS both_n
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b,
+  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+  CAST(both_n AS BIGINT) AS n_both,
+  round(CAST(both_n AS DOUBLE) / (sa.n + sb.n - both_n), 6) AS jaccard
+FROM inter
+JOIN sz sa ON type_a = sa.event_type
+JOIN sz sb ON type_b = sb.event_type
+"""
+
+
+@register("audience_overlap", oracle=_AUDIENCE_ORACLE)
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: Jaccard similarity of the user sets
+    behind each pair of event types — the segment-overlap readout
+    behind "should these audiences be one campaign" (and, at corpus
+    scale, the same kernel as source-audience dedup).
+
+    Scale shape: the (type, user) incidence dedupes map-side; the
+    pair intersection is a user-keyed equi-join with per-user fan-out
+    bounded by the event-type count (~5); sizes broadcast back onto
+    the O(types²) matrix. All counts exact."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("event_type", "user_id").distinct()
+    sz = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("both_n"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("both_n").cast("long").alias("n_both"),
+            F.round(
+                F.col("both_n").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("both_n")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

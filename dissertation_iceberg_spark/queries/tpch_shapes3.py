@@ -337,3 +337,71 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Open-order backlog aging (operational fulfillment report)
+# --------------------------------------------------------------------------
+
+_AGING_ORACLE = """
+WITH mx AS (SELECT max(o_orderdate) AS asof_d FROM orders),
+open_o AS (
+  SELECT o_orderkey, o_orderpriority,
+    date_diff('day', o_orderdate, asof_d) AS age_days,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders CROSS JOIN mx WHERE o_orderstatus = 'O'),
+bucketed AS (
+  SELECT o_orderpriority,
+    CASE WHEN age_days < 30 THEN '0-29'
+         WHEN age_days < 90 THEN '30-89'
+         WHEN age_days < 365 THEN '90-364'
+         ELSE '365+' END AS age_bucket,
+    cents
+  FROM open_o)
+SELECT o_orderpriority, age_bucket,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(CAST(sum(cents) AS DOUBLE) / 100.0, 6) AS open_value
+FROM bucketed GROUP BY 1, 2
+"""
+
+
+@register("order_backlog_aging", oracle=_AGING_ORACLE)
+def order_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: orders still in status 'O' bucketed
+    by age (against the latest order date) per priority, with the
+    money at stake — the fulfillment-operations report that pairs
+    with the cycle-time percentile SLA view.
+
+    Scale shape: status filter pushes to the scan, the as-of date is
+    a broadcast 1-row max, bucketing is a map-side CASE, and the
+    rollup is map-side combinable over O(priorities × buckets)
+    groups. Integer cents; day ages exact."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("asof_d"))
+    open_o = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("asof_d"), F.col("o_orderdate")).alias(
+                "age_days"
+            ),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") < 30, "0-29")
+        .when(F.col("age_days") < 90, "30-89")
+        .when(F.col("age_days") < 365, "90-364")
+        .otherwise("365+")
+    )
+    return (
+        open_o.select("o_orderpriority", bucket.alias("age_bucket"), "cents")
+        .groupBy("o_orderpriority", "age_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("cents").cast("double") / 100.0, 6).alias(
+                "open_value"
+            ),
+        )
+    )

@@ -161,6 +161,7 @@ INTENTIONAL_BNLJ = {
     "abc_classification",  # broadcast 1-row revenue-total frame
     "normalized_dedup_gain",  # broadcast 1-row group-count frames
     "source_term_saliency",  # broadcast 1-row corpus-total frame
+    "order_backlog_aging",  # broadcast 1-row as-of-date frame
 }
 
 
