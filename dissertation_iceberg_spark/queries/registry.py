@@ -82,6 +82,7 @@ def _ensure_loaded() -> None:
         joins,
         lakehouse_ops,
         llm_ops,
+        microstructure,
         misc,
         ml_rolling,
         oi_variants,
