@@ -2558,3 +2558,140 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Isotonic calibration (PAVA) over score bins — exact minimax form
+# --------------------------------------------------------------------------
+
+_ISO_BIN_CENTS = 2_000  # $20-wide score bins
+_ISO_MAX_BIN = 15
+
+_ISO_ORACLE = f"""
+WITH ev AS (
+  SELECT least(CAST(round(value * 100) AS BIGINT) // {_ISO_BIN_CENTS},
+               {_ISO_MAX_BIN}) AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+b0 AS (
+  SELECT bin, CAST(sum(y) AS BIGINT) AS num, count(*) AS den
+  FROM ev GROUP BY 1),
+b AS (
+  SELECT bin, num, den,
+         row_number() OVER (ORDER BY bin) AS idx,
+         CAST(sum(num) OVER (ORDER BY bin) AS BIGINT) AS p_cum,
+         CAST(sum(den) OVER (ORDER BY bin) AS BIGINT) AS n_cum
+  FROM b0),
+pairs AS (
+  SELECT k.idx AS k_idx, k.p_cum AS pk, k.n_cum AS nk,
+         unnest(generate_series(1, k.idx)) AS j_idx
+  FROM b k),
+ivals AS (
+  SELECT p.j_idx, p.k_idx,
+         CAST(round(CAST(p.pk - (j.p_cum - j.num) AS DOUBLE)
+                    / (p.nk - (j.n_cum - j.den)) * 1e6) AS BIGINT)
+           AS mean_micro
+  FROM pairs p JOIN b j ON p.j_idx = j.idx),
+cover AS (
+  SELECT j_idx, mean_micro, unnest(generate_series(j_idx, k_idx)) AS i
+  FROM ivals),
+inner_min AS (
+  SELECT i, j_idx, CAST(min(mean_micro) AS BIGINT) AS m
+  FROM cover GROUP BY 1, 2),
+iso AS (
+  SELECT i, CAST(max(m) AS BIGINT) AS iso_micro FROM inner_min GROUP BY 1)
+SELECT b.bin, b.den AS n, b.num AS n_pos,
+       CAST(round(CAST(b.num AS DOUBLE) / b.den * 1e6) AS BIGINT) / 1e6
+         AS p_raw,
+       iso.iso_micro / 1e6 AS p_iso
+FROM iso JOIN b ON iso.i = b.idx
+"""
+
+
+@register("isotonic_calibration", oracle=_ISO_ORACLE)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (PAVA) of the purchase rate on the value
+    score, over fixed-width score bins — the calibration-curve fit
+    that turns a monotone-in-score model output into calibrated
+    probabilities (pairs with calibration_bins, which reads the raw
+    reliability diagram this query rectifies).
+
+    Instead of the sequential pool-adjacent-violators sweep (which
+    doesn't distribute), this uses PAVA's exact minimax
+    characterization: iso[i] = max_{{j<=i}} min_{{k>=i}}
+    weightedmean(y, bins j..k) — every interval mean comes from
+    prefix sums, interval membership is EXPLODED (generate_series)
+    rather than range-joined, so the whole plan is equi-joins and
+    grouped min/max aggs: no BNLJ, no iteration, no driver loop.
+
+    Exactness: bin counts are exact integers; each interval mean is
+    ONE double division of exact integers micro-rounded to BIGINT;
+    the minimax then runs in pure integer arithmetic, making the fit
+    bit-identical across engines and partitionings.
+
+    Scale shape: the fact scan collapses to O(bins) in one map-side
+    aggregate; everything downstream is O(bins²)=O(256) rows wide and
+    O(bins³)≈4k exploded rows — constant, independent of data size."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.least(
+            F.floor(
+                F.round(F.col("value") * 100).cast("long") / _ISO_BIN_CENTS
+            ),
+            F.lit(_ISO_MAX_BIN),
+        ).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b0 = ev.groupBy("bin").agg(
+        F.sum("y").cast("long").alias("num"), F.count(F.lit(1)).alias("den")
+    )
+    w = Window.orderBy("bin")
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b = b0.select(
+        "bin",
+        "num",
+        "den",
+        F.row_number().over(w).alias("idx"),
+        F.sum("num").over(wc).cast("long").alias("p_cum"),
+        F.sum("den").over(wc).cast("long").alias("n_cum"),
+    )
+    pairs = b.select(
+        F.col("idx").alias("k_idx"),
+        F.col("p_cum").alias("pk"),
+        F.col("n_cum").alias("nk"),
+        F.explode(F.sequence(F.lit(1), F.col("idx"))).alias("j_idx"),
+    )
+    j = b.select(
+        F.col("idx").alias("j_idx"),
+        (F.col("p_cum") - F.col("num")).alias("pj1"),
+        (F.col("n_cum") - F.col("den")).alias("nj1"),
+    )
+    ivals = pairs.join(j, "j_idx").select(
+        "j_idx",
+        "k_idx",
+        F.round(
+            (F.col("pk") - F.col("pj1")).cast("double")
+            / (F.col("nk") - F.col("nj1"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("mean_micro"),
+    )
+    cover = ivals.select(
+        "j_idx",
+        "mean_micro",
+        F.explode(F.sequence(F.col("j_idx"), F.col("k_idx"))).alias("i"),
+    )
+    inner_min = cover.groupBy("i", "j_idx").agg(
+        F.min("mean_micro").cast("long").alias("m")
+    )
+    iso = inner_min.groupBy("i").agg(F.max("m").cast("long").alias("iso_micro"))
+    return iso.join(b, iso["i"] == b["idx"]).select(
+        "bin",
+        F.col("den").alias("n"),
+        F.col("num").alias("n_pos"),
+        (
+            F.round(F.col("num").cast("double") / F.col("den") * 1e6).cast("long")
+            / 1e6
+        ).alias("p_raw"),
+        (F.col("iso_micro") / 1e6).alias("p_iso"),
+    )
