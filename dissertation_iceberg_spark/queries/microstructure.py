@@ -894,3 +894,462 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(var_s > 0, _r6(z)).alias("mk_z"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis of the hourly OI series
+# --------------------------------------------------------------------------
+
+_HURST_SIZES = (8, 16, 32, 64)
+_HURST_DELTA = 3600
+
+
+def _hurst_oracle() -> str:
+    from dissertation_iceberg_spark.queries.oi_variants import _oi_cents_sql
+
+    size_blocks = "\nUNION ALL\n".join(
+        f"""
+SELECT {m} AS m, count(*) AS n_blocks,
+       CAST(sum(rs_micro) AS BIGINT) AS rs_micro_sum
+FROM (
+  SELECT blk,
+         CAST(round(CAST(max(dev) - min(dev) AS DOUBLE)
+                    / sqrt({m} * CAST(sum(x * x) AS BIGINT)
+                           - CAST(max(cum) AS BIGINT) * max(cum)) * 1e6)
+              AS BIGINT) AS rs_micro
+  FROM (
+    SELECT rn // {m} AS blk, x,
+           CAST(sum(x) OVER (PARTITION BY rn // {m} ORDER BY rn
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           {m} * CAST(sum(x) OVER (PARTITION BY rn // {m} ORDER BY rn
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             - (rn % {m} + 1)
+               * CAST(sum(x) OVER (PARTITION BY rn // {m}) AS BIGINT) AS dev
+    FROM z WHERE rn < (SELECT count(*) FROM z) // {m} * {m})
+  GROUP BY 1
+  HAVING {m} * CAST(sum(x * x) AS BIGINT)
+         - CAST(max(cum) AS BIGINT) * max(cum) > 0) b{m}
+"""
+        for m in _HURST_SIZES
+    )
+    return f"""
+WITH lob AS ({EVENTS_LOB_SQL}),
+b AS (
+  SELECT {bin_end_sql("ts", _HURST_DELTA)} AS bin,
+         {_oi_cents_sql("TRUE")} AS oi
+  FROM lob GROUP BY 1),
+grid AS (
+  SELECT unnest(generate_series((SELECT min(bin) FROM b),
+                                (SELECT max(bin) FROM b),
+                                INTERVAL {_HURST_DELTA} SECOND)) AS bin),
+z AS (
+  SELECT CAST(round(coalesce(b.oi, 0) * 1e6) AS BIGINT) AS x,
+         row_number() OVER (ORDER BY g.bin) - 1 AS rn
+  FROM grid g LEFT JOIN b ON g.bin = b.bin),
+sizes AS ({size_blocks}),
+xy AS (
+  SELECT m, n_blocks,
+         CAST(round(CAST(rs_micro_sum AS DOUBLE) / n_blocks) AS BIGINT) / 1e6
+           AS mean_rs,
+         CAST(round(ln(CAST(m AS DOUBLE)) * 1e6) AS BIGINT) AS lx,
+         CAST(round(ln(CAST(rs_micro_sum AS DOUBLE) / n_blocks / 1e6) * 1e6)
+              AS BIGINT) AS ly
+  FROM sizes WHERE rs_micro_sum > 0)
+SELECT m, n_blocks, mean_rs,
+  {_R6_SQL.format(
+      x="(CAST(count(*) OVER () AS DOUBLE) * sum(CAST(lx AS DOUBLE) * ly)"
+        " OVER () - CAST(sum(lx) OVER () AS DOUBLE) * sum(ly) OVER ())"
+        " / (CAST(count(*) OVER () AS DOUBLE)"
+        " * sum(CAST(lx AS DOUBLE) * lx) OVER ()"
+        " - CAST(sum(lx) OVER () AS DOUBLE) * sum(lx) OVER ())")}
+    AS hurst
+FROM xy
+"""
+
+
+@register("hurst_exponent", oracle=_hurst_oracle())
+def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the hourly OI series by rescaled-range (R/S)
+    analysis: split the densified series into blocks of m ∈ {8,16,32,
+    64}, compute each block's range-of-cumulative-deviations over its
+    standard deviation, average per size, and fit ln(R/S) on ln(m) —
+    H≈0.5 random walk, H>0.5 persistent (momentum), H<0.5
+    anti-persistent (the bid-ask-bounce signature Roll's model
+    predicts). Complements variance_ratio with a multi-scale view.
+
+    Exactness: with x in exact micro-units, m·cum_k − k·tot is an
+    exact integer cumulative deviation (the block mean never
+    materializes as a double), and m·Σx² − tot² is an exact integer
+    m²·variance — so each block's R/S is int/sqrt(int), micro-rounded
+    once; per-size means are exact integer sums; the final log-log
+    OLS consumes micro-rounded lns. Bit-stable across engines up to
+    the documented ln half-ulp tie class.
+
+    Scale shape: fact-scale work is the binned aggregate; the series
+    frame is O(bins) (720 rows at sf0.1 — documented bounded
+    single-partition class, like oi_acf/ljung_box); block windows are
+    keyed by block id so even a years-long series would shard."""
+    from dissertation_iceberg_spark.operators.order_imbalance import densify
+    from dissertation_iceberg_spark.queries.oi_variants import _oi_cents
+
+    lob = _lob_cents(spark, sf_dir)
+    d, c = F.col("direction"), F.col("cents")
+    b = (
+        lob.withColumn("bin", bin_end("ts", _HURST_DELTA))
+        .groupBy("bin")
+        .agg(_oi_cents(d, c, F.lit(True)).alias("oi"))
+    )
+    z = (
+        densify(b, _HURST_DELTA, zero_fill=("oi",))
+        .select(
+            F.round(F.col("oi") * 1e6).cast("long").alias("x"),
+            (F.row_number().over(Window.orderBy("bin")) - 1).alias("rn"),
+        )
+        .withColumn("n_total", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    parts = []
+    for m in _HURST_SIZES:
+        zm = z.filter(F.col("rn") < F.floor(F.col("n_total") / m) * m)
+        blk = (F.col("rn") / m).cast("long").alias("blk")
+        wcum = (
+            Window.partitionBy((F.col("rn") / m).cast("long"))
+            .orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wall = Window.partitionBy((F.col("rn") / m).cast("long"))
+        rows = zm.select(
+            blk,
+            "x",
+            F.sum("x").over(wcum).cast("long").alias("cum"),
+            (
+                m * F.sum("x").over(wcum).cast("long")
+                - (F.col("rn") % m + 1) * F.sum("x").over(wall).cast("long")
+            ).alias("dev"),
+        )
+        g = rows.groupBy("blk").agg(
+            (F.max("dev") - F.min("dev")).alias("rng"),
+            (
+                m * F.sum(F.col("x") * F.col("x")).cast("long")
+                - F.max("cum").cast("long") * F.max("cum")
+            ).alias("m2var"),
+        )
+        rs = g.filter(F.col("m2var") > 0).select(
+            F.round(
+                F.col("rng").cast("double") / F.sqrt(F.col("m2var")) * 1e6
+            )
+            .cast("long")
+            .alias("rs_micro")
+        )
+        parts.append(
+            rs.agg(
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum("rs_micro").cast("long").alias("rs_micro_sum"),
+            ).select(F.lit(m).alias("m"), "*")
+        )
+    sizes = parts[0]
+    for p in parts[1:]:
+        sizes = sizes.unionByName(p)
+    xy = sizes.filter(F.col("rs_micro_sum") > 0).select(
+        "m",
+        "n_blocks",
+        (
+            F.round(F.col("rs_micro_sum").cast("double") / F.col("n_blocks"))
+            .cast("long")
+            / 1e6
+        ).alias("mean_rs"),
+        F.round(F.log(F.col("m").cast("double")) * 1e6)
+        .cast("long")
+        .alias("lx"),
+        F.round(
+            F.log(
+                F.col("rs_micro_sum").cast("double") / F.col("n_blocks") / 1e6
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("ly"),
+    )
+    wg = Window.partitionBy()
+    nd = F.count(F.lit(1)).over(wg).cast("double")
+    sx = F.sum("lx").over(wg)
+    sy = F.sum("ly").over(wg)
+    sxy = F.sum(F.col("lx").cast("double") * F.col("ly")).over(wg)
+    sxx = F.sum(F.col("lx").cast("double") * F.col("lx")).over(wg)
+    slope = (nd * sxy - sx.cast("double") * sy) / (
+        nd * sxx - sx.cast("double") * sx
+    )
+    return xy.select("m", "n_blocks", "mean_rs", _r6(slope).alias("hurst"))
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-b between daily flow value and daily event count
+# --------------------------------------------------------------------------
+
+_TAU_ORACLE = f"""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum({_CENTS}) AS BIGINT) AS x, count(*) AS y
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS disc
+  FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1),
+tx AS (
+  SELECT event_type, CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n1
+  FROM (SELECT event_type, count(*) AS t FROM d GROUP BY event_type, x) q
+  GROUP BY 1),
+ty AS (
+  SELECT event_type, CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n2
+  FROM (SELECT event_type, count(*) AS t FROM d GROUP BY event_type, y) q
+  GROUP BY 1),
+n AS (SELECT event_type, count(*) AS n_days FROM d GROUP BY 1),
+j AS (
+  SELECT n.event_type, n.n_days, p.c, p.disc, tx.n1, ty.n2,
+         n.n_days * (n.n_days - 1) / 2 AS n0
+  FROM n JOIN p ON n.event_type = p.event_type
+  JOIN tx ON n.event_type = tx.event_type
+  JOIN ty ON n.event_type = ty.event_type)
+SELECT event_type, n_days, c AS n_concordant, disc AS n_discordant,
+       CASE WHEN n0 - n1 > 0 AND n0 - n2 > 0 THEN
+         {_R6_SQL.format(
+             x="CAST(c - disc AS DOUBLE)"
+               " / sqrt(CAST(n0 - n1 AS DOUBLE) * (n0 - n2))")}
+       END AS tau_b
+FROM j
+"""
+
+
+@register("kendall_tau_flow", oracle=_TAU_ORACLE)
+def kendall_tau_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between daily dollar flow and
+    daily event count, per event type: (C - D) / sqrt((n0-T_x)(n0-
+    T_y)) with tie corrections on both margins — the outlier-robust
+    companion to the Pearson `correlation` query (a single fat-finger
+    day can flip Pearson's sign; it moves tau by one pair).
+
+    Exactness: concordance tests are products of exact integer
+    differences; C, D and both tie terms are exact integer counts;
+    the single sqrt/divide is display-only and identical both sides.
+
+    Scale shape: the fact scan collapses to O(types × days) in one
+    map-side aggregate; the O(days²) pair join runs per type on that
+    bounded frame (calendar-bounded, not data-bounded — same argument
+    as mann_kendall_trend)."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("x"),
+            F.count(F.lit(1)).alias("y"),
+        )
+    )
+    a = d.select(
+        "event_type",
+        F.col("day").alias("day_a"),
+        F.col("x").alias("x_a"),
+        F.col("y").alias("y_a"),
+    )
+    b = d.select(
+        "event_type",
+        F.col("day").alias("day_b"),
+        F.col("x").alias("x_b"),
+        F.col("y").alias("y_b"),
+    )
+    prod = (F.col("x_b") - F.col("x_a")) * (F.col("y_b") - F.col("y_a"))
+    p = (
+        a.join(b, "event_type")
+        .filter(F.col("day_a") < F.col("day_b"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).cast("long").alias("c"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).cast("long").alias("disc"),
+        )
+    )
+
+    def tie_term(col, alias):
+        return (
+            d.groupBy("event_type", col)
+            .agg(F.count(F.lit(1)).alias("t"))
+            .groupBy("event_type")
+            .agg(
+                F.sum(F.col("t") * (F.col("t") - 1) / 2)
+                .cast("long")
+                .alias(alias)
+            )
+        )
+
+    tx = tie_term("x", "n1")
+    ty = tie_term("y", "n2")
+    n = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    j = (
+        n.join(p, "event_type")
+        .join(tx, "event_type")
+        .join(ty, "event_type")
+        .withColumn("n0", (F.col("n_days") * (F.col("n_days") - 1) / 2).cast("long"))
+    )
+    tau = (F.col("c") - F.col("disc")).cast("double") / F.sqrt(
+        (F.col("n0") - F.col("n1")).cast("double") * (F.col("n0") - F.col("n2"))
+    )
+    return j.select(
+        "event_type",
+        "n_days",
+        F.col("c").alias("n_concordant"),
+        F.col("disc").alias("n_discordant"),
+        F.when(
+            (F.col("n0") - F.col("n1") > 0) & (F.col("n0") - F.col("n2") > 0),
+            _r6(tau),
+        ).alias("tau_b"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Granger causality (lag-1) between hourly OI and hourly log returns
+# --------------------------------------------------------------------------
+
+_GC_DELTA = 3600
+
+
+def _gc_oracle() -> str:
+    from dissertation_iceberg_spark.queries.oi_variants import _oi_cents_sql
+
+    def block(tag: str, y: str, v: str) -> str:
+        return f"""
+SELECT '{tag}' AS direction, n,
+  {_R6_SQL.format(x="(syv * suu - syu * suv) / (suu * svv - suv * suv)")}
+    AS beta_cross,
+  {_R6_SQL.format(
+      x="((syy - syu * syu / suu)"
+        " - (syy - (syu * syu * svv - 2 * syu * syv * suv"
+        "          + syv * syv * suu) / (suu * svv - suv * suv)))"
+        " * (n - 3)"
+        " / (syy - (syu * syu * svv - 2 * syu * syv * suv"
+        "          + syv * syv * suu) / (suu * svv - suv * suv))")}
+    AS f_stat
+FROM (
+  SELECT count(*) AS n,
+         CAST(sum({y} * {y}) AS DOUBLE)
+           - CAST(sum({y}) AS DOUBLE) * sum({y}) / count(*) AS syy,
+         CAST(sum({y} * u_{tag}) AS DOUBLE)
+           - CAST(sum({y}) AS DOUBLE) * sum(u_{tag}) / count(*) AS syu,
+         CAST(sum({y} * {v}) AS DOUBLE)
+           - CAST(sum({y}) AS DOUBLE) * sum({v}) / count(*) AS syv,
+         CAST(sum(u_{tag} * u_{tag}) AS DOUBLE)
+           - CAST(sum(u_{tag}) AS DOUBLE) * sum(u_{tag}) / count(*) AS suu,
+         CAST(sum(u_{tag} * {v}) AS DOUBLE)
+           - CAST(sum(u_{tag}) AS DOUBLE) * sum({v}) / count(*) AS suv,
+         CAST(sum({v} * {v}) AS DOUBLE)
+           - CAST(sum({v}) AS DOUBLE) * sum({v}) / count(*) AS svv
+  FROM l WHERE u_{tag} IS NOT NULL AND {v} IS NOT NULL) s
+WHERE suu > 0 AND (suu * svv - suv * suv) <> 0
+"""
+
+    return f"""
+WITH lob AS ({EVENTS_LOB_SQL}),
+b AS (
+  SELECT {bin_end_sql("ts", _GC_DELTA)} AS bin,
+         CAST(round({_oi_cents_sql("TRUE")} * 1e6) AS BIGINT) AS oi_micro,
+         {_LN_MICRO_SQL.format(x="max_by(" + _CENTS + ", event_id)")}
+           - {_LN_MICRO_SQL.format(x="min_by(" + _CENTS + ", event_id)")}
+           AS r_micro
+  FROM lob GROUP BY 1),
+l AS (
+  SELECT oi_micro, r_micro,
+         lag(r_micro) OVER (ORDER BY bin) AS u_oi_to_ret,
+         lag(oi_micro) OVER (ORDER BY bin) AS lag_oi,
+         lag(oi_micro) OVER (ORDER BY bin) AS u_ret_to_oi,
+         lag(r_micro) OVER (ORDER BY bin) AS lag_r
+  FROM b)
+{block("oi_to_ret", "r_micro", "lag_oi")}
+UNION ALL
+{block("ret_to_oi", "oi_micro", "lag_r")}
+"""
+
+
+@register("granger_oi_returns", oracle=_gc_oracle())
+def granger_oi_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality F-tests between the hourly OI series
+    and hourly intra-bin log returns, both directions: does lagged OI
+    improve the AR(1) return forecast (the order-flow-predicts-
+    returns hypothesis the reference's strategy chapter trades on),
+    and vice versa. F = (RSS_restricted - RSS_full)·(n-3)/RSS_full
+    with the 2-predictor OLS solved in closed form (2×2 inverse) —
+    no iteration, no driver-side solve.
+
+    Exactness: both series are exact micro-ints on observed hourly
+    bins; every raw moment (Σy², Σyu, …) is an exact BIGINT; centered
+    moments and the determinant expression are one identical double
+    expression per engine. Degenerate variance/determinant rows drop
+    on both sides.
+
+    Scale shape: one map-side binned aggregate at fact scale, then
+    lags + moments on the O(bins) frame (720 rows at sf0.1; bounded
+    single-partition class, like oi_acf)."""
+    from dissertation_iceberg_spark.queries.oi_variants import _oi_cents
+
+    lob = _lob_cents(spark, sf_dir)
+    d, c = F.col("direction"), F.col("cents")
+    b = (
+        lob.withColumn("bin", bin_end("ts", _GC_DELTA))
+        .groupBy("bin")
+        .agg(
+            F.round(_oi_cents(d, c, F.lit(True)) * 1e6)
+            .cast("long")
+            .alias("oi_micro"),
+            (
+                _ln_micro(F.max_by("cents", "event_id"))
+                - _ln_micro(F.min_by("cents", "event_id"))
+            ).alias("r_micro"),
+        )
+    )
+    w = Window.orderBy("bin")
+    l = b.select(
+        "oi_micro",
+        "r_micro",
+        F.lag("r_micro").over(w).alias("lag_r"),
+        F.lag("oi_micro").over(w).alias("lag_oi"),
+    )
+
+    def block(tag: str, y: str, u: str, v: str) -> DataFrame:
+        rows = l.filter(F.col(u).isNotNull() & F.col(v).isNotNull())
+        s = rows.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.col(a) * F.col(bb)).cast("long").alias(f"s_{a}_{bb}")
+                for a, bb in [(y, y), (y, u), (y, v), (u, u), (u, v), (v, v)]
+            ],
+            F.sum(y).cast("long").alias("sy"),
+            F.sum(u).cast("long").alias("su"),
+            F.sum(v).cast("long").alias("sv"),
+        )
+        nd = F.col("n").cast("double")
+
+        def cen(raw, a, bb):
+            return F.col(raw).cast("double") - F.col(a).cast("double") * F.col(
+                bb
+            ) / nd
+
+        syy = cen(f"s_{y}_{y}", "sy", "sy")
+        syu = cen(f"s_{y}_{u}", "sy", "su")
+        syv = cen(f"s_{y}_{v}", "sy", "sv")
+        suu = cen(f"s_{u}_{u}", "su", "su")
+        suv = cen(f"s_{u}_{v}", "su", "sv")
+        svv = cen(f"s_{v}_{v}", "sv", "sv")
+        det = suu * svv - suv * suv
+        rss_r = syy - syu * syu / suu
+        rss_u = syy - (syu * syu * svv - 2 * syu * syv * suv + syv * syv * suu) / det
+        return s.filter((suu > 0) & (det != 0)).select(
+            F.lit(tag).alias("direction"),
+            "n",
+            _r6((syv * suu - syu * suv) / det).alias("beta_cross"),
+            _r6((rss_r - rss_u) * (F.col("n") - 3) / rss_u).alias("f_stat"),
+        )
+
+    return block("oi_to_ret", "r_micro", "lag_r", "lag_oi").unionByName(
+        block("ret_to_oi", "oi_micro", "lag_oi", "lag_r")
+    )

@@ -1020,3 +1020,121 @@ def test_checkpoint_restart_no_duplicates(spark, sf_dir, tmp_path):
         assert still_open.bin.iloc[0] == want.bin.max()
     closed = want[want.bin.isin(got.bin)].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, closed)
+
+
+def test_streaming_vpin_matches_batch(spark, tmp_path):
+    """Streaming volume-clock VPIN buckets: every emitted sealed
+    bucket is bit-equal to the definitional pandas replay of the
+    batch kernel, no duplicates, every bucket sealed under the
+    chunk-3 watermark is emitted, and the full replay reconciles with
+    the registered batch vpin query's totals."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import lob_events
+    from dissertation_iceberg_spark.queries.microstructure import (
+        _VPIN_BUCKET_CENTS,
+        vpin,
+    )
+    from dissertation_iceberg_spark.streaming.vpin_stream import (
+        streaming_vpin_buckets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    delay_us = 30 * 60 * 1_000_000
+    e = lob_events(spark, sf).select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "direction",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    pdf = e.toPandas().sort_values(["us", "event_id"]).reset_index(drop=True)
+    pdf["cents"] = (pdf.value * 100).round().astype("int64")
+
+    def replay(rows):
+        """Definitional per-user volume clock -> (sealed, open) buckets."""
+        sealed, open_b = [], {}
+        clocks = {}
+        for r in rows.itertuples():
+            cum, ob, buy, sell = clocks.get(r.user_id, (0, -1, 0, 0))
+            cum += r.cents
+            b = (cum - 1) // _VPIN_BUCKET_CENTS
+            if ob == -1:
+                ob = b
+            elif b != ob:
+                sealed.append((r.user_id, ob, buy, sell))
+                ob, buy, sell = b, 0, 0
+            if r.direction == 1:
+                buy += r.cents
+            else:
+                sell += r.cents
+            clocks[r.user_id] = (cum, ob, buy, sell)
+        for uid, (cum, ob, buy, sell) in clocks.items():
+            if ob != -1:
+                open_b[uid] = (uid, ob, buy, sell)
+        return sealed, open_b
+
+    full_sealed, full_open = replay(pdf)
+    cols = ["user_id", "bucket", "buy_cents", "sell_cents"]
+    exp = pd.DataFrame(full_sealed, columns=cols)
+
+    # anchor: replay (sealed + open) == registered batch query totals
+    batch = vpin(spark, sf).toPandas().set_index("user_id")
+    all_rows = pd.concat(
+        [exp, pd.DataFrame(list(full_open.values()), columns=cols)]
+    )
+    all_rows["imb"] = (all_rows.buy_cents - all_rows.sell_cents).abs()
+    all_rows["vol"] = all_rows.buy_cents + all_rows.sell_cents
+    agg = all_rows.groupby("user_id").agg(
+        n_buckets=("bucket", "count"), imb=("imb", "sum"), vol=("vol", "sum")
+    )
+    for uid, row in agg.iterrows():
+        assert batch.loc[uid, "n_buckets"] == row.n_buckets
+        assert batch.loc[uid, "imb_cents"] == row.imb
+        assert batch.loc[uid, "vol_cents"] == row.vol
+
+    # four time-ordered chunks -> watermark advances between batches
+    bounds = np.quantile(pdf.us.to_numpy(), [0.25, 0.5, 0.75]).astype("int64")
+    src = str(tmp_path / "vpin_src")
+    chunks = [
+        pdf[pdf.us <= bounds[0]],
+        pdf[(pdf.us > bounds[0]) & (pdf.us <= bounds[1])],
+        pdf[(pdf.us > bounds[1]) & (pdf.us <= bounds[2])],
+        pdf[pdf.us > bounds[2]],
+    ]
+    for i, c in enumerate(chunks):
+        spark.createDataFrame(
+            c.drop(columns=["us", "cents"])
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+    paths = [f"{src}/f{i}" for i in range(4)]
+    schema = spark.read.parquet(*paths).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        streaming_vpin_buckets(
+            stream, bucket_cents=_VPIN_BUCKET_CENTS, watermark="30 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName("vpin_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("vpin_out").toPandas()
+
+    merged = got[cols].merge(exp[cols], on=cols, how="left", indicator=True)
+    # 1) nothing invented: every emitted bucket is a definitional one
+    assert (merged["_merge"] == "both").all(), "streaming emitted non-batch bucket"
+    # 2) no duplicates
+    assert not got[["user_id", "bucket"]].duplicated().any()
+    # 3) completeness: buckets sealed under the chunk-3 watermark
+    wm_us = int(bounds[2]) - delay_us
+    sealed_pref, _ = replay(pdf[pdf.us < wm_us])
+    exp_pref = pd.DataFrame(sealed_pref, columns=cols)
+    have = exp_pref.merge(got[cols], on=cols, how="left", indicator=True)
+    assert (have["_merge"] == "both").all(), "sealed bucket missing"
