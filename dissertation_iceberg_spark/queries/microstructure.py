@@ -1353,3 +1353,231 @@ def granger_oi_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return block("oi_to_ret", "r_micro", "lag_r", "lag_oi").unionByName(
         block("ret_to_oi", "oi_micro", "lag_oi", "lag_r")
     )
+
+
+# --------------------------------------------------------------------------
+# Corwin-Schultz high-low spread estimator
+# --------------------------------------------------------------------------
+
+_CS_K = "(3.0 - 2.0 * sqrt(2.0))"
+
+_CS_ORACLE = f"""
+WITH lob AS (SELECT user_id, ts, {_CENTS} AS cents
+             FROM ({EVENTS_LOB_SQL}) e WHERE {_CENTS} > 0),
+d AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(max(cents) AS BIGINT) AS hi, CAST(min(cents) AS BIGINT) AS lo
+  FROM lob GROUP BY 1, 2),
+p AS (
+  SELECT user_id,
+         {_LN_MICRO_SQL.format(x="hi")} - {_LN_MICRO_SQL.format(x="lo")}
+           AS hl,
+         lag({_LN_MICRO_SQL.format(x="hi")} - {_LN_MICRO_SQL.format(x="lo")})
+           OVER w AS hl_prev,
+         {_LN_MICRO_SQL.format(x="greatest(hi, lag(hi) OVER w)")}
+           - {_LN_MICRO_SQL.format(x="least(lo, lag(lo) OVER w)")} AS hl2
+  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+s AS (
+  SELECT user_id,
+         (CAST(hl AS DOUBLE) * hl + CAST(hl_prev AS DOUBLE) * hl_prev) / 1e12
+           AS beta,
+         CAST(hl2 AS DOUBLE) * hl2 / 1e12 AS gamma
+  FROM p WHERE hl_prev IS NOT NULL),
+a AS (
+  SELECT user_id,
+         (sqrt(2 * beta) - sqrt(beta)) / {_CS_K} - sqrt(gamma / {_CS_K})
+           AS alpha
+  FROM s),
+m AS (
+  SELECT user_id,
+         CAST(round(2 * (exp(alpha) - 1) / (1 + exp(alpha)) * 1e6) AS BIGINT)
+           AS s_micro
+  FROM a)
+SELECT user_id, count(*) AS n_pairs,
+       {_R6_SQL.format(x="CAST(sum(s_micro) AS DOUBLE) / count(*) / 1e6")}
+         AS cs_spread,
+       {_R6_SQL.format(
+           x="CAST(sum(greatest(s_micro, 0)) AS DOUBLE) / count(*) / 1e6")}
+         AS cs_spread_clamped
+FROM m GROUP BY 1
+"""
+
+
+@register("corwin_schultz_spread", oracle=_CS_ORACLE)
+def corwin_schultz_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corwin-Schultz (2012) bid-ask spread estimator per ticker-
+    analog, from daily high/low ranges: β (sum of two single-day
+    squared log ranges), γ (the two-day squared log range), α =
+    (√(2β)-√β)/(3-2√2) - √(γ/(3-2√2)), S = 2(eᵅ-1)/(1+eᵅ), averaged
+    over consecutive-day pairs — the standard low-frequency spread
+    proxy (reported raw and with the customary negative-spread clamp;
+    complements roll_spread's autocovariance route).
+
+    Exactness: daily highs/lows are exact cents; each log range is a
+    micro-int difference, so β and γ are exact micro² integers scaled
+    once; per-pair S is one identical sqrt/exp double expression
+    micro-rounded to BIGINT, and the per-key mean sums exact
+    integers. Residual: the documented half-ulp libm tie class, now
+    including exp().
+
+    Scale shape: one (key, day) map-side aggregate, one per-key lag
+    window over O(days), one per-key rollup. Nothing global."""
+    lob = _lob_cents(spark, sf_dir).filter(F.col("cents") > 0)
+    d = lob.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.max("cents").cast("long").alias("hi"),
+        F.min("cents").cast("long").alias("lo"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    hl = _ln_micro(F.col("hi")) - _ln_micro(F.col("lo"))
+    p = d.select(
+        "user_id",
+        hl.alias("hl"),
+        F.lag(hl).over(w).alias("hl_prev"),
+        (
+            _ln_micro(F.greatest(F.col("hi"), F.lag("hi").over(w)))
+            - _ln_micro(F.least(F.col("lo"), F.lag("lo").over(w)))
+        ).alias("hl2"),
+    ).filter(F.col("hl_prev").isNotNull())
+    beta = (
+        F.col("hl").cast("double") * F.col("hl")
+        + F.col("hl_prev").cast("double") * F.col("hl_prev")
+    ) / 1e12
+    gamma = F.col("hl2").cast("double") * F.col("hl2") / 1e12
+    k = 3.0 - 2.0 * math.sqrt(2.0)
+    alpha = (F.sqrt(2 * beta) - F.sqrt(beta)) / k - F.sqrt(gamma / k)
+    m = p.select(
+        "user_id",
+        F.round(2 * (F.exp(alpha) - 1) / (1 + F.exp(alpha)) * 1e6)
+        .cast("long")
+        .alias("s_micro"),
+    )
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _r6(F.sum("s_micro").cast("double") / F.count(F.lit(1)) / 1e6).alias(
+            "cs_spread"
+        ),
+        _r6(
+            F.sum(F.greatest(F.col("s_micro"), F.lit(0))).cast("double")
+            / F.count(F.lit(1))
+            / 1e6
+        ).alias("cs_spread_clamped"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-frequency periodogram (harmonic analysis) of the hourly OI series
+# --------------------------------------------------------------------------
+
+_PG_KS = (1, 2, 3, 4, 5, 6)
+_PG_DELTA = 3600
+
+
+def _pg_oracle() -> str:
+    from dissertation_iceberg_spark.queries.oi_variants import _oi_cents_sql
+
+    k_blocks = "\nUNION ALL\n".join(
+        f"""
+SELECT {k} AS k,
+       CAST(max(n) AS BIGINT) AS n_series,
+       CAST(sum(x * CAST(round(cos(2 * pi() * {k} * rn / n) * 1e6) AS BIGINT))
+            AS BIGINT) AS sc_pico,
+       CAST(sum(x * CAST(round(sin(2 * pi() * {k} * rn / n) * 1e6) AS BIGINT))
+            AS BIGINT) AS ss_pico
+FROM z
+"""
+        for k in _PG_KS
+    )
+    return f"""
+WITH lob AS ({EVENTS_LOB_SQL}),
+b AS (
+  SELECT {bin_end_sql("ts", _PG_DELTA)} AS bin,
+         {_oi_cents_sql("TRUE")} AS oi
+  FROM lob GROUP BY 1),
+grid AS (
+  SELECT unnest(generate_series((SELECT min(bin) FROM b),
+                                (SELECT max(bin) FROM b),
+                                INTERVAL {_PG_DELTA} SECOND)) AS bin),
+z AS (
+  SELECT CAST(round(coalesce(b.oi, 0) * 1e6) AS BIGINT) AS x,
+         row_number() OVER (ORDER BY g.bin) - 1 AS rn,
+         count(*) OVER () AS n
+  FROM grid g LEFT JOIN b ON g.bin = b.bin),
+ks AS ({k_blocks})
+SELECT k, n_series,
+  {_R6_SQL.format(x="CAST(n_series AS DOUBLE) / k")} AS period_hours,
+  {_R6_SQL.format(
+      x="((CAST(sc_pico AS DOUBLE) / 1e12) * (CAST(sc_pico AS DOUBLE) / 1e12)"
+        " + (CAST(ss_pico AS DOUBLE) / 1e12) * (CAST(ss_pico AS DOUBLE) / 1e12))"
+        " / n_series * 1e3")} AS power_x1e3
+FROM ks
+"""
+
+
+@register("oi_periodogram", oracle=_pg_oracle())
+def oi_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram of the densified hourly OI series at the first six
+    Fourier frequencies: I(f_k) = |Σ_t x_t e^(-2πikt/n)|² / n — the
+    spectral companion to oi_acf/ljung_box that localizes WHICH cycle
+    (period n/k hours) carries the autocorrelated energy the
+    portmanteau test only detects in aggregate. Reported ×1e3 so
+    sf-scale OI power survives 6-dp display rounding.
+
+    Exactness: cos/sin coefficients are micro-rounded ONCE per (k, t)
+    — identical in both engines up to the documented libm half-ulp
+    tie class — making each Σ x·c an exact pico-unit BIGINT; the
+    squared magnitudes are display-only doubles. The raw (non-
+    demeaned) periodogram is computed; at k ≥ 1 the mean leaks only
+    through coefficient rounding (≤1e-6 per term), documented here.
+
+    Scale shape: fact work is the binned aggregate; the trig sums run
+    over the O(bins) frame once per k (6 passes over ≤720 rows at
+    sf0.1 — bounded single-partition class, like oi_acf)."""
+    from dissertation_iceberg_spark.operators.order_imbalance import densify
+    from dissertation_iceberg_spark.queries.oi_variants import _oi_cents
+
+    lob = _lob_cents(spark, sf_dir)
+    d, c = F.col("direction"), F.col("cents")
+    b = (
+        lob.withColumn("bin", bin_end("ts", _PG_DELTA))
+        .groupBy("bin")
+        .agg(_oi_cents(d, c, F.lit(True)).alias("oi"))
+    )
+    z = densify(b, _PG_DELTA, zero_fill=("oi",)).select(
+        F.round(F.col("oi") * 1e6).cast("long").alias("x"),
+        (F.row_number().over(Window.orderBy("bin")) - 1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    two_pi = 2 * math.pi
+    parts = []
+    for k in _PG_KS:
+        theta = two_pi * k * F.col("rn") / F.col("n")
+        parts.append(
+            z.agg(
+                F.max("n").cast("long").alias("n_series"),
+                F.sum(
+                    F.col("x") * F.round(F.cos(theta) * 1e6).cast("long")
+                )
+                .cast("long")
+                .alias("sc_pico"),
+                F.sum(
+                    F.col("x") * F.round(F.sin(theta) * 1e6).cast("long")
+                )
+                .cast("long")
+                .alias("ss_pico"),
+            ).select(F.lit(k).alias("k"), "*")
+        )
+    ks = parts[0]
+    for p in parts[1:]:
+        ks = ks.unionByName(p)
+    sc = F.col("sc_pico").cast("double") / 1e12
+    ss = F.col("ss_pico").cast("double") / 1e12
+    return ks.select(
+        "k",
+        "n_series",
+        _r6(F.col("n_series").cast("double") / F.col("k")).alias(
+            "period_hours"
+        ),
+        _r6((sc * sc + ss * ss) / F.col("n_series") * 1e3).alias("power_x1e3"),
+    )

@@ -13,10 +13,12 @@ frequency; Bloom sketches membership.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.functions.hashing import (
+    hash60,
+    hash60_sql,
     seeded_hash60_col,
     seeded_hash60_col_sql,
 )
@@ -1174,4 +1176,231 @@ def poisson_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100,
             6,
         ).alias("boot_mean"),
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with mergeable set operations
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_H = 1 << 60  # hash domain size (hash60 is uniform on [0, 2^60))
+
+_KMV_EST_SQL = (
+    "CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE)"
+    " ELSE ({k} - 1) * CAST({h} AS DOUBLE) / {theta} END"
+)
+
+_KMV_ORACLE = f"""
+WITH vs AS (
+  SELECT DISTINCT event_type, user_id FROM events),
+vh AS (
+  SELECT DISTINCT event_type,
+         {hash60_sql("'u' || CAST(user_id AS VARCHAR)")} AS hv
+  FROM vs),
+nx AS (SELECT event_type, count(*) AS n_exact FROM vh GROUP BY 1),
+kmv AS (
+  SELECT event_type, hv FROM (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+    FROM vh) q WHERE rk <= {_KMV_K}),
+te AS (
+  SELECT event_type, count(*) AS n_kept, CAST(max(hv) AS BIGINT) AS theta
+  FROM kmv GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM nx a JOIN nx b ON a.event_type < b.event_type),
+m0 AS (
+  SELECT p.ta, p.tb, k.hv, 1 AS a, 0 AS b
+  FROM pairs p JOIN kmv k ON k.event_type = p.ta
+  UNION ALL
+  SELECT p.ta, p.tb, k.hv, 0 AS a, 1 AS b
+  FROM pairs p JOIN kmv k ON k.event_type = p.tb),
+m AS (
+  SELECT ta, tb, hv, max(a) AS in_a, max(b) AS in_b
+  FROM m0 GROUP BY 1, 2, 3),
+mk AS (
+  SELECT ta, tb, hv, in_a, in_b FROM (
+    SELECT ta, tb, hv, in_a, in_b,
+           row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rk
+    FROM m) q WHERE rk <= {_KMV_K}),
+g AS (
+  SELECT ta, tb, count(*) AS n_kept_u, CAST(max(hv) AS BIGINT) AS theta_u,
+         CAST(sum(in_a * in_b) AS BIGINT) AS rho
+  FROM mk GROUP BY 1, 2),
+ex0 AS (
+  SELECT p.ta, p.tb, v.hv, 1 AS a, 0 AS b
+  FROM pairs p JOIN vh v ON v.event_type = p.ta
+  UNION ALL
+  SELECT p.ta, p.tb, v.hv, 0 AS a, 1 AS b
+  FROM pairs p JOIN vh v ON v.event_type = p.tb),
+ex AS (
+  SELECT ta, tb, count(*) AS exact_union,
+         CAST(sum(in_both) AS BIGINT) AS exact_intersect
+  FROM (SELECT ta, tb, hv, max(a) * max(b) AS in_both
+        FROM ex0 GROUP BY 1, 2, 3) q
+  GROUP BY 1, 2)
+SELECT g.ta AS type_a, g.tb AS type_b,
+       na.n_exact AS n_exact_a, nb.n_exact AS n_exact_b,
+       CAST(round(({_KMV_EST_SQL.format(
+           n="ea.n_kept", k=_KMV_K, h=_KMV_H, theta="ea.theta")}) * 1e6)
+            AS BIGINT) / 1e6 AS est_a,
+       CAST(round(({_KMV_EST_SQL.format(
+           n="eb.n_kept", k=_KMV_K, h=_KMV_H, theta="eb.theta")}) * 1e6)
+            AS BIGINT) / 1e6 AS est_b,
+       ex.exact_union,
+       CAST(round(({_KMV_EST_SQL.format(
+           n="g.n_kept_u", k=_KMV_K, h=_KMV_H, theta="g.theta_u")}) * 1e6)
+            AS BIGINT) / 1e6 AS est_union,
+       ex.exact_intersect,
+       CAST(round((CASE WHEN g.n_kept_u < {_KMV_K}
+                        THEN CAST(g.rho AS DOUBLE)
+                        ELSE CAST(g.rho AS DOUBLE) / {_KMV_K}
+                             * (({_KMV_K} - 1) * CAST({_KMV_H} AS DOUBLE)
+                                / g.theta_u) END) * 1e6)
+            AS BIGINT) / 1e6 AS est_intersect
+FROM g
+JOIN nx na ON g.ta = na.event_type
+JOIN nx nb ON g.tb = nb.event_type
+JOIN te ea ON g.ta = ea.event_type
+JOIN te eb ON g.tb = eb.event_type
+JOIN ex ON g.ta = ex.ta AND g.tb = ex.tb
+"""
+
+
+@register("kmv_setops", oracle=_KMV_ORACLE)
+def kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch with mergeable set
+    operations over the per-event-type user sets: each set keeps its
+    K={k} smallest portable 60-bit hashes; distinct estimate
+    (K-1)·H/θ_K; union sketches MERGE by re-taking the K smallest of
+    the combined minima (the property HLL lacks: KMV unions stay
+    KMVs); intersections count survivors present in both input
+    sketches (any union-minimum in A∩B is necessarily among both
+    sides' kept minima, so membership needs no second pass over the
+    data). Exact union/intersection ride along as accuracy columns —
+    the sketch-vs-truth readout a 100 TB profiler samples.
+
+    Exactness: everything up to the display estimates is integer
+    (hashes, minima, ranks, counts); sets smaller than K degrade to
+    exact counts by convention. The estimate divisions are identical
+    double expressions, micro-rounded.
+
+    Scale shape: per-set minima come from one partial-distinct
+    aggregate + per-key TopK window (O(distinct) shuffle rows, K rows
+    kept per set); everything pairwise runs on O(types² · K) rows.
+    The type-pair grid is a broadcast ≤types² nested-loop (allow-
+    listed, like the repo's other bounded grids).""".format(k=_KMV_K)
+    ev = load_table(spark, sf_dir, "events")
+    vs = ev.select("event_type", "user_id").distinct()
+    vh = vs.select(
+        "event_type",
+        hash60(F.concat(F.lit("u"), F.col("user_id").cast("string"))).alias(
+            "hv"
+        ),
+    ).distinct()
+    nx = vh.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    wk = Window.partitionBy("event_type").orderBy("hv")
+    kmv = (
+        vh.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _KMV_K)
+        .drop("rk")
+    )
+    te = kmv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("hv").cast("long").alias("theta")
+    )
+    ta = nx.select(F.col("event_type").alias("ta"))
+    tb = nx.select(F.col("event_type").alias("tb"))
+    pairs = ta.join(F.broadcast(tb), F.col("ta") < F.col("tb"))
+    m0 = (
+        pairs.join(kmv, kmv["event_type"] == pairs["ta"])
+        .select("ta", "tb", "hv", F.lit(1).alias("a"), F.lit(0).alias("b"))
+        .unionByName(
+            pairs.join(kmv, kmv["event_type"] == pairs["tb"]).select(
+                "ta", "tb", "hv", F.lit(0).alias("a"), F.lit(1).alias("b")
+            )
+        )
+    )
+    m = m0.groupBy("ta", "tb", "hv").agg(
+        F.max("a").alias("in_a"), F.max("b").alias("in_b")
+    )
+    wu = Window.partitionBy("ta", "tb").orderBy("hv")
+    mk = (
+        m.withColumn("rk", F.row_number().over(wu))
+        .filter(F.col("rk") <= _KMV_K)
+    )
+    g = mk.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n_kept_u"),
+        F.max("hv").cast("long").alias("theta_u"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("rho"),
+    )
+    ex0 = (
+        pairs.join(vh, vh["event_type"] == pairs["ta"])
+        .select("ta", "tb", "hv", F.lit(1).alias("a"), F.lit(0).alias("b"))
+        .unionByName(
+            pairs.join(vh, vh["event_type"] == pairs["tb"]).select(
+                "ta", "tb", "hv", F.lit(0).alias("a"), F.lit(1).alias("b")
+            )
+        )
+    )
+    ex = (
+        ex0.groupBy("ta", "tb", "hv")
+        .agg((F.max("a") * F.max("b")).alias("in_both"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum("in_both").cast("long").alias("exact_intersect"),
+        )
+    )
+
+    def est(n, theta):
+        return F.when(n < _KMV_K, n.cast("double")).otherwise(
+            (_KMV_K - 1) * float(_KMV_H) / theta
+        )
+
+    def r6(col):
+        return F.round(col * 1e6).cast("long") / 1e6
+
+    ea = te.select(
+        F.col("event_type").alias("ta"),
+        F.col("n_kept").alias("nk_a"),
+        F.col("theta").alias("th_a"),
+    )
+    eb = te.select(
+        F.col("event_type").alias("tb"),
+        F.col("n_kept").alias("nk_b"),
+        F.col("theta").alias("th_b"),
+    )
+    na = nx.select(
+        F.col("event_type").alias("ta"), F.col("n_exact").alias("n_exact_a")
+    )
+    nb = nx.select(
+        F.col("event_type").alias("tb"), F.col("n_exact").alias("n_exact_b")
+    )
+    est_u = est(F.col("n_kept_u"), F.col("theta_u"))
+    est_i = F.when(
+        F.col("n_kept_u") < _KMV_K, F.col("rho").cast("double")
+    ).otherwise(
+        F.col("rho").cast("double")
+        / _KMV_K
+        * ((_KMV_K - 1) * float(_KMV_H) / F.col("theta_u"))
+    )
+    return (
+        g.join(F.broadcast(na), "ta")
+        .join(F.broadcast(nb), "tb")
+        .join(F.broadcast(ea), "ta")
+        .join(F.broadcast(eb), "tb")
+        .join(ex, ["ta", "tb"])
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "n_exact_a",
+            "n_exact_b",
+            r6(est(F.col("nk_a"), F.col("th_a"))).alias("est_a"),
+            r6(est(F.col("nk_b"), F.col("th_b"))).alias("est_b"),
+            "exact_union",
+            r6(est_u).alias("est_union"),
+            "exact_intersect",
+            r6(est_i).alias("est_intersect"),
+        )
     )

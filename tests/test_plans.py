@@ -162,6 +162,7 @@ INTENTIONAL_BNLJ = {
     "normalized_dedup_gain",  # broadcast 1-row group-count frames
     "source_term_saliency",  # broadcast 1-row corpus-total frame
     "order_backlog_aging",  # broadcast 1-row as-of-date frame
+    "kmv_setops",  # broadcast ≤types² pair grid (bounded type-dim self-join)
 }
 
 

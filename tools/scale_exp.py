@@ -109,6 +109,75 @@ def main() -> None:
             print(json.dumps({"kernel": "asof_tag", "factor": r,
                               "input_rows": n_ev, "out_rows": rows,
                               "sec": round(t, 3)}))
+
+        if _want("vpin_clock"):
+            # per-key volume clock: the one per-key ORDERED running sum
+            # (microstructure.vpin) — measures whether the sequential
+            # dependency stays confined to its key partition at 100x keys
+            from pyspark.sql import Window
+
+            def vpin_clock():
+                cents = F.round(F.col("value") * 100).cast("long")
+                wcum = (
+                    Window.partitionBy("user_id")
+                    .orderBy("event_id")
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                c = ev.select(
+                    "user_id", "direction", cents.alias("cents"),
+                    F.sum(cents).over(wcum).cast("long").alias("cum"),
+                )
+                b = (
+                    c.select(
+                        "user_id",
+                        F.floor((F.col("cum") - 1) / 500_000).alias("bucket"),
+                        "direction", "cents",
+                    )
+                    .groupBy("user_id", "bucket")
+                    .agg(
+                        F.sum(F.when(F.col("direction") == 1, F.col("cents"))
+                              .otherwise(0)).alias("buy"),
+                        F.sum(F.when(F.col("direction") == -1, F.col("cents"))
+                              .otherwise(0)).alias("sell"),
+                    )
+                )
+                return b.groupBy("user_id").agg(
+                    F.count(F.lit(1)).alias("n_buckets"),
+                    (F.sum(F.abs(F.col("buy") - F.col("sell")))
+                     / F.sum(F.col("buy") + F.col("sell"))).alias("vpin"),
+                )
+
+            t, rows = timed(vpin_clock)
+            print(json.dumps({"kernel": "vpin_clock", "factor": r,
+                              "input_rows": n_ev, "out_rows": rows,
+                              "sec": round(t, 3)}))
+
+        if _want("roll_spread"):
+            # per-key double-lag window + moment agg (microstructure.
+            # roll_spread): pure per-key state, output O(keys)
+            from pyspark.sql import Window
+
+            def roll_kernel():
+                w = Window.partitionBy("user_id").orderBy("event_id")
+                cents = F.round(F.col("value") * 100).cast("long")
+                d = ev.select(
+                    "user_id", "event_id",
+                    (cents - F.lag(cents).over(w)).alias("dp"),
+                ).withColumn("dp1", F.lag("dp").over(w))
+                return (
+                    d.filter(F.col("dp").isNotNull() & F.col("dp1").isNotNull())
+                    .groupBy("user_id")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.col("dp") * F.col("dp1")).alias("sxy"),
+                        F.sum("dp").alias("sx"), F.sum("dp1").alias("sy"),
+                    )
+                )
+
+            t, rows = timed(roll_kernel)
+            print(json.dumps({"kernel": "roll_spread", "factor": r,
+                              "input_rows": n_ev, "out_rows": rows,
+                              "sec": round(t, 3)}))
         ev.unpersist()
 
         # block-disjoint replica text: every word prefixed with the
