@@ -765,8 +765,8 @@ SELECT 'o_orderstatus', n, nn_stat, nd_stat,
 """
 
 
-@register("table_profile", oracle=_PROFILE_ORACLE)
-def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("orders_profile", oracle=_PROFILE_ORACLE)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form column profile of the orders table — row count,
     non-null count, exact distinct count, min/max per column — the
     audit every ingestion batch publishes (null-rate spikes and

@@ -49,6 +49,13 @@ def _doc_of(fn) -> str:
 
 def register(name: str, oracle: str | None):
     def deco(fn):
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(existing: {REGISTRY[name].fn.__module__}."
+                f"{REGISTRY[name].fn.__qualname__}, "
+                f"new: {fn.__module__}.{fn.__qualname__})"
+            )
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=_doc_of(fn))
         return fn
 
