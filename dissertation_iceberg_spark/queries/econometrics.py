@@ -1,0 +1,594 @@
+"""Time-series econometrics battery (round 3, sixth session).
+
+The reference dissertation's timeseries chapter (timeseries_analysis
+.ipynb) stops at ACF/PACF and stationarity eyeballing before the
+strategy regressions; this module adds the formal tests that chapter
+cites: the Augmented Dickey-Fuller unit-root test (the stationarity
+gate before any ACF is trusted), Engle's ARCH-LM test (volatility
+clustering — the reason realized/bipower vol is in the battery at
+all), Newey-West HAC standard errors for the OI→return predictive
+regression (`trading_strategy.py:155-210` runs that regression with
+plain OLS errors; autocorrelated hourly residuals understate them),
+and the Sortino/Calmar risk ratios that complete the Sharpe/PPT/
+max-drawdown evaluation family (`portfolio_strategy_statistics.ipynb
+cell 6`).
+
+Parity strategy (repo standard, see queries/registry.py): prices ride
+as integer cents, log-prices/returns micro-round ONCE to BIGINT, every
+cross-shuffle reduction is an exact integer sum, and doubles appear
+only in final per-group display expressions written identically in
+both engines. Closed-form OLS throughout — the 2-regressor-with-
+constant solve is the same centered-moment 2×2 inverse the Granger
+query uses; no iteration, no driver-side math.
+
+Scale shape: ADF and ARCH-LM partition per ticker-analog key (the
+same per-ticker layout a 1000-executor LOBSTER deployment shuffles by
+exactly once); the Newey-West and Sortino entries run their final
+window on O(hourly bins) / O(days) frames — calendar-bounded,
+never row-scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dissertation_iceberg_spark.functions.time_bins import bin_end, bin_end_sql
+from dissertation_iceberg_spark.io import load_table, lob_events
+from dissertation_iceberg_spark.queries.microstructure import (
+    _CENTS,
+    _LN_MICRO_SQL,
+    _R6_SQL,
+    _ln_micro,
+    _r6,
+)
+from dissertation_iceberg_spark.queries.registry import register
+from dissertation_iceberg_spark.queries.sqlgen import EVENTS_LOB_SQL
+
+_HOUR = 3600
+
+# Per-key hourly close log-price series (micro-nats): the common frame
+# for ADF and ARCH-LM. Bars with a non-positive close drop (no ln).
+_CLOSE_SQL = f"""
+SELECT user_id, {bin_end_sql("ts", _HOUR)} AS bin,
+       {_LN_MICRO_SQL.format(x="max_by(" + _CENTS + ", event_id)")} AS y
+FROM ({EVENTS_LOB_SQL}) e
+WHERE {_CENTS} > 0
+GROUP BY 1, 2
+"""
+
+
+def _close_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lob = lob_events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return (
+        lob.filter(F.col("cents") > 0)
+        .withColumn("bin", bin_end("ts", _HOUR))
+        .groupBy("user_id", "bin")
+        .agg(_ln_micro(F.max_by("cents", "event_id")).alias("y"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Augmented Dickey-Fuller unit-root test, one lag augmentation + constant
+# --------------------------------------------------------------------------
+
+_ADF_ORACLE = f"""
+WITH b AS ({_CLOSE_SQL}),
+l AS (
+  SELECT user_id,
+         y - lag(y) OVER w AS dy,
+         lag(y) OVER w AS u,
+         lag(y) OVER w - lag(y, 2) OVER w AS v
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY bin)),
+s AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(dy * dy) AS BIGINT) AS s_yy,
+         CAST(sum(dy * u) AS BIGINT) AS s_yu,
+         CAST(sum(dy * v) AS BIGINT) AS s_yv,
+         CAST(sum(u * u) AS BIGINT) AS s_uu,
+         CAST(sum(u * v) AS BIGINT) AS s_uv,
+         CAST(sum(v * v) AS BIGINT) AS s_vv,
+         CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(u) AS BIGINT) AS su,
+         CAST(sum(v) AS BIGINT) AS sv
+  FROM l WHERE dy IS NOT NULL AND u IS NOT NULL AND v IS NOT NULL
+  GROUP BY 1),
+c AS (
+  SELECT user_id, n,
+         CAST(s_yy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy,
+         CAST(s_yu AS DOUBLE) - CAST(sy AS DOUBLE) * su / n AS syu,
+         CAST(s_yv AS DOUBLE) - CAST(sy AS DOUBLE) * sv / n AS syv,
+         CAST(s_uu AS DOUBLE) - CAST(su AS DOUBLE) * su / n AS suu,
+         CAST(s_uv AS DOUBLE) - CAST(su AS DOUBLE) * sv / n AS suv,
+         CAST(s_vv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n AS svv
+  FROM s),
+f AS (
+  SELECT user_id, n,
+         (syu * svv - syv * suv) / (suu * svv - suv * suv) AS rho,
+         (syy - (syu * syu * svv - 2 * syu * syv * suv + syv * syv * suu)
+                / (suu * svv - suv * suv)) AS rss,
+         suu * svv - suv * suv AS det, svv
+  FROM c
+  WHERE n > 3 AND suu > 0 AND svv > 0
+    AND (suu * svv - suv * suv) <> 0)
+SELECT user_id, n,
+       {_R6_SQL.format(x="rho")} AS rho,
+       {_R6_SQL.format(x="rho / sqrt(rss / (n - 3) * svv / det)")} AS adf_t
+FROM f WHERE rss > 0
+"""
+
+
+@register("adf_test", oracle=_ADF_ORACLE)
+def adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented Dickey-Fuller unit-root test per ticker-analog:
+    Δy_t = α + ρ·y_{t-1} + φ·Δy_{t-1} + ε over the hourly close
+    log-price series, reporting ρ̂ and the DF t-statistic
+    ρ̂/se(ρ̂) (compare to the -2.86 5% critical value; reference
+    timeseries_analysis.ipynb motivates exactly this stationarity
+    gate before its ACF work).
+
+    Closed form: the constant is absorbed by centering; the
+    2-regressor solve inverts the centered 2×2 Gram exactly as
+    granger_oi_returns does, and se(ρ̂)² = s²·(X'X)⁻¹_uu =
+    (RSS/(n-3))·svv/det.
+
+    Exactness: y is the micro-rounded ln of an exact integer cents
+    close (deterministic last event via max_by(event_id)); all nine
+    raw moments are exact BIGINT sums, so both engines feed identical
+    integers into one display-only double expression. Integer
+    headroom: |y| ≤ ~1.4e7 micro-nats, y² ≤ 2e14, safe past 4e4
+    bins/key.
+
+    Scale shape: one map-side per-(key,hour) aggregate at fact scale,
+    per-key lag windows, then a map-side-combinable per-key moment
+    aggregate — the whole test is two shuffles on the ticker key."""
+    b = _close_series(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("bin")
+    l = b.select(
+        "user_id",
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+        F.lag("y").over(w).alias("u"),
+        (F.lag("y").over(w) - F.lag("y", 2).over(w)).alias("v"),
+    ).filter(
+        F.col("dy").isNotNull() & F.col("u").isNotNull() & F.col("v").isNotNull()
+    )
+    s = l.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.col(a) * F.col(bb)).cast("long").alias(f"s_{a}{bb}")
+            for a, bb in [
+                ("dy", "dy"), ("dy", "u"), ("dy", "v"),
+                ("u", "u"), ("u", "v"), ("v", "v"),
+            ]
+        ],
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum("u").cast("long").alias("su"),
+        F.sum("v").cast("long").alias("sv"),
+    )
+    nd = F.col("n").cast("double")
+
+    def cen(raw, a, bb):
+        return F.col(raw).cast("double") - F.col(a).cast("double") * F.col(bb) / nd
+
+    syy = cen("s_dydy", "sy", "sy")
+    syu = cen("s_dyu", "sy", "su")
+    syv = cen("s_dyv", "sy", "sv")
+    suu = cen("s_uu", "su", "su")
+    suv = cen("s_uv", "su", "sv")
+    svv = cen("s_vv", "sv", "sv")
+    det = suu * svv - suv * suv
+    rho = (syu * svv - syv * suv) / det
+    rss = syy - (syu * syu * svv - 2 * syu * syv * suv + syv * syv * suu) / det
+    return (
+        s.filter((F.col("n") > 3) & (suu > 0) & (svv > 0) & (det != 0))
+        .filter(rss > 0)
+        .select(
+            "user_id",
+            "n",
+            _r6(rho).alias("rho"),
+            _r6(
+                rho / F.sqrt(rss / (nd - 3) * svv / det)
+            ).alias("adf_t"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Engle's ARCH-LM test (1 lag) on hourly close-to-close returns
+# --------------------------------------------------------------------------
+
+def _arch_oracle() -> str:
+    return f"""
+WITH b AS ({_CLOSE_SQL}),
+r AS (
+  SELECT user_id, bin,
+         y - lag(y) OVER (PARTITION BY user_id ORDER BY bin) AS r
+  FROM b),
+x0 AS (
+  SELECT user_id, bin, (r * r) // 1000000 AS x
+  FROM r WHERE r IS NOT NULL),
+l AS (
+  SELECT user_id, x,
+         lag(x) OVER (PARTITION BY user_id ORDER BY bin) AS u
+  FROM x0),
+s AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(x * x) AS BIGINT) AS s_xx,
+         CAST(sum(x * u) AS BIGINT) AS s_xu,
+         CAST(sum(u * u) AS BIGINT) AS s_uu,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(u) AS BIGINT) AS su
+  FROM l WHERE u IS NOT NULL GROUP BY 1),
+c AS (
+  SELECT user_id, n,
+         CAST(s_xx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxx,
+         CAST(s_xu AS DOUBLE) - CAST(sx AS DOUBLE) * su / n AS sxu,
+         CAST(s_uu AS DOUBLE) - CAST(su AS DOUBLE) * su / n AS suu
+  FROM s WHERE n > 2)
+SELECT user_id, n,
+       {_R6_SQL.format(x="sxu * sxu / (sxx * suu)")} AS r2,
+       {_R6_SQL.format(x="n * sxu * sxu / (sxx * suu)")} AS lm_stat
+FROM c WHERE sxx > 0 AND suu > 0
+"""
+
+
+@register("arch_lm_test", oracle=_arch_oracle())
+def arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle's ARCH-LM test (1 lag) per ticker-analog: regress the
+    squared hourly close-to-close return on its own lag; LM = n·R² is
+    asymptotically χ²(1) under no-ARCH. Significant LM = volatility
+    clustering — the precondition for the realized/bipower family
+    being informative at all (reference provenance: the volatility
+    discussion around timeseries_analysis.ipynb).
+
+    Exactness: r is an exact micro-nat BIGINT difference; the squared
+    series is floor-divided by 1e6 back to micro units (integer op in
+    DuckDB ``//``; in Spark ``floor(x/1e6)`` on a < 2^53 product is
+    exact — same argument as ewma_hourly_value's floor-div note), so
+    Σx², Σxu, Σu² stay inside BIGINT: x ≤ ~1.1e8 at the fixture's
+    extreme hourly swings, x² ≤ 1.2e16, safe to ~700 bins/key.
+
+    Scale shape: identical to adf_test — two shuffles on the ticker
+    key, everything map-side-combinable."""
+    b = _close_series(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("bin")
+    r = b.select(
+        "user_id", "bin", (F.col("y") - F.lag("y").over(w)).alias("r")
+    ).filter(F.col("r").isNotNull())
+    x0 = r.select(
+        "user_id",
+        "bin",
+        F.floor((F.col("r") * F.col("r")) / F.lit(1e6)).cast("long").alias("x"),
+    )
+    l = x0.select("user_id", "x", F.lag("x").over(w).alias("u")).filter(
+        F.col("u").isNotNull()
+    )
+    s = l.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s_xx"),
+        F.sum(F.col("x") * F.col("u")).cast("long").alias("s_xu"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("s_uu"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("u").cast("long").alias("su"),
+    )
+    nd = F.col("n").cast("double")
+    sxx = F.col("s_xx").cast("double") - F.col("sx").cast("double") * F.col("sx") / nd
+    sxu = F.col("s_xu").cast("double") - F.col("sx").cast("double") * F.col("su") / nd
+    suu = F.col("s_uu").cast("double") - F.col("su").cast("double") * F.col("su") / nd
+    r2 = sxu * sxu / (sxx * suu)
+    return (
+        s.filter((F.col("n") > 2) & (sxx > 0) & (suu > 0))
+        .select(
+            "user_id",
+            "n",
+            _r6(r2).alias("r2"),
+            _r6(nd * r2).alias("lm_stat"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Newey-West HAC standard errors for the hourly OI -> return regression
+# --------------------------------------------------------------------------
+
+_NW_L = 4  # Bartlett truncation lag (~ n^(1/4) at 720 hourly bins)
+
+
+def _nw_series_sql() -> str:
+    from dissertation_iceberg_spark.queries.oi_variants import _oi_cents_sql
+
+    return f"""
+SELECT {bin_end_sql("ts", _HOUR)} AS bin,
+       CAST(round({_oi_cents_sql("TRUE")} * 1e6) AS BIGINT) AS oi,
+       {_LN_MICRO_SQL.format(x="max_by(" + _CENTS + ", event_id)")}
+         - {_LN_MICRO_SQL.format(x="min_by(" + _CENTS + ", event_id)")} AS r
+FROM ({EVENTS_LOB_SQL}) e
+WHERE {_CENTS} > 0
+GROUP BY 1
+"""
+
+
+def _nw_oracle() -> str:
+    wsum = " + ".join(
+        f"{1 - l / (_NW_L + 1)} * g{l}" for l in range(1, _NW_L + 1)
+    )
+    lagdefs = ",\n         ".join(
+        f"lag(s, {l}) OVER (ORDER BY bin) AS s{l}"
+        for l in range(1, _NW_L + 1)
+    )
+    glags = ",\n         ".join(
+        f"CAST(sum(s * s{l}) AS BIGINT) AS g{l}" for l in range(1, _NW_L + 1)
+    )
+    return f"""
+WITH b AS ({_nw_series_sql()}),
+l AS (
+  SELECT bin, r AS y, lag(oi) OVER (ORDER BY bin) AS x FROM b),
+d AS (SELECT bin, y, x FROM l WHERE x IS NOT NULL),
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS s_xx,
+         CAST(sum(x * y) AS BIGINT) AS s_xy,
+         CAST(sum(y * y) AS BIGINT) AS s_yy
+  FROM d),
+cf AS (
+  SELECT n, sx, sy, s_yy,
+         CAST(s_xx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxx,
+         CAST(s_xy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS sxy,
+         CAST(s_yy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy
+  FROM m),
+co AS (
+  SELECT n, sxx, sxy, syy,
+         sxy / sxx AS b,
+         (CAST(sy AS DOUBLE) - sxy / sxx * sx) / n AS a,
+         CAST(sx AS DOUBLE) / n AS mx
+  FROM cf WHERE sxx > 0),
+sc AS (
+  SELECT d.bin,
+         CAST(round((CAST(y AS DOUBLE) - a - b * x) * (x - mx) / 1e6)
+              AS BIGINT) AS s
+  FROM d CROSS JOIN co),
+sl AS (
+  SELECT s,
+         {lagdefs}
+  FROM sc),
+g AS (
+  SELECT count(*) AS n_s,
+         CAST(sum(s * s) AS BIGINT) AS g0,
+         {glags}
+  FROM sl),
+f AS (
+  SELECT co.n, co.b, co.sxx / 1e12 AS sxxn,
+         (co.syy - co.sxy * co.sxy / co.sxx) / 1e12 AS rss,
+         (CAST(g0 AS DOUBLE) + 2 * ({wsum})) / 1e12 AS s_hac
+  FROM co CROSS JOIN g)
+SELECT n,
+  {_R6_SQL.format(x="b")} AS beta,
+  {_R6_SQL.format(x="sqrt(rss / (n - 2) / sxxn)")} AS se_ols,
+  {_R6_SQL.format(x="sqrt(s_hac) / sxxn")} AS se_nw,
+  {_R6_SQL.format(x="b / (sqrt(s_hac) / sxxn)")} AS t_nw
+FROM f WHERE rss > 0 AND s_hac > 0
+"""
+
+
+@register("newey_west_ols", oracle=_nw_oracle())
+def newey_west_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West HAC standard errors for the hourly OI→next-hour
+    return predictive regression — the reference runs this regression
+    with plain OLS errors (`trading_strategy.py:155-210`); hourly
+    order-flow residuals are autocorrelated, so the OLS se understates
+    and the HAC sandwich se(b)² = S/(Σx̃²)² with Bartlett weights
+    S = γ₀ + 2Σ_{l≤4}(1−l/5)γ_l, γ_l = Σ s_t·s_{t−l}, s_t = ê_t·x̃_t
+    is the textbook correction.
+
+    Two-pass shape: (1) exact integer moments → the OLS (a, b, x̄)
+     1-row frame, broadcast back; (2) scores s_t micro-rounded ONCE to
+    BIGINT, then the γ_l lag products are exact integer sums — the
+    only doubles are (a, b, x̄), derived identically in both engines
+    from identical integers, and the final display expressions.
+
+    Scale shape: one map-side binned aggregate at fact scale; scores
+    and the five lag products live on the O(bins) frame (720 rows at
+    sf0.1 — bounded single-partition class, like oi_acf). The 1-row
+    coefficient broadcast is an intentional BNLJ."""
+    from dissertation_iceberg_spark.queries.oi_variants import _oi_cents
+
+    lob = lob_events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    b = (
+        lob.filter(F.col("cents") > 0)
+        .withColumn("bin", bin_end("ts", _HOUR))
+        .groupBy("bin")
+        .agg(
+            F.round(
+                _oi_cents(F.col("direction"), F.col("cents"), F.lit(True)) * 1e6
+            )
+            .cast("long")
+            .alias("oi"),
+            (
+                _ln_micro(F.max_by("cents", "event_id"))
+                - _ln_micro(F.min_by("cents", "event_id"))
+            ).alias("r"),
+        )
+    )
+    wb = Window.orderBy("bin")
+    d = (
+        b.select("bin", F.col("r").alias("y"), F.lag("oi").over(wb).alias("x"))
+        .filter(F.col("x").isNotNull())
+    )
+    m = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s_xx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("s_xy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s_yy"),
+    )
+    nd = F.col("n").cast("double")
+    sxx = F.col("s_xx").cast("double") - F.col("sx").cast("double") * F.col("sx") / nd
+    sxy = F.col("s_xy").cast("double") - F.col("sx").cast("double") * F.col("sy") / nd
+    syy = F.col("s_yy").cast("double") - F.col("sy").cast("double") * F.col("sy") / nd
+    co = m.filter(sxx > 0).select(
+        "n", "sx", "sy",
+        sxx.alias("sxx"), sxy.alias("sxy"), syy.alias("syy"),
+        (sxy / sxx).alias("b"),
+        ((F.col("sy").cast("double") - sxy / sxx * F.col("sx")) / nd).alias("a"),
+        (F.col("sx").cast("double") / nd).alias("mx"),
+    )
+    sc = d.crossJoin(F.broadcast(co.select("a", "b", "mx"))).select(
+        "bin",
+        F.round(
+            (F.col("y").cast("double") - F.col("a") - F.col("b") * F.col("x"))
+            * (F.col("x") - F.col("mx"))
+            / 1e6
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    g = sc.select(
+        "s",
+        *[F.lag("s", l).over(wb).alias(f"s{l}") for l in range(1, _NW_L + 1)],
+    ).agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("g0"),
+        *[
+            F.sum(F.col("s") * F.col(f"s{l}")).cast("long").alias(f"g{l}")
+            for l in range(1, _NW_L + 1)
+        ],
+    )
+    s_hac = (
+        F.col("g0").cast("double")
+        + 2
+        * sum(
+            (
+                F.lit(1 - l / (_NW_L + 1)) * F.col(f"g{l}").cast("double")
+                for l in range(1, _NW_L + 1)
+            ),
+            F.lit(0.0),
+        )
+    ) / 1e12
+    out = co.crossJoin(F.broadcast(g)).select(
+        "n",
+        (F.col("sxx") / 1e12).alias("sxxn"),
+        ((F.col("syy") - F.col("sxy") * F.col("sxy") / F.col("sxx")) / 1e12).alias(
+            "rss"
+        ),
+        s_hac.alias("s_hac"),
+        F.col("b").alias("bb"),
+    )
+    return out.filter((F.col("rss") > 0) & (F.col("s_hac") > 0)).select(
+        "n",
+        _r6(F.col("bb")).alias("beta"),
+        _r6(F.sqrt(F.col("rss") / (F.col("n").cast("double") - 2) / F.col("sxxn"))).alias(
+            "se_ols"
+        ),
+        _r6(F.sqrt(F.col("s_hac")) / F.col("sxxn")).alias("se_nw"),
+        _r6(F.col("bb") / (F.sqrt(F.col("s_hac")) / F.col("sxxn"))).alias("t_nw"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sortino and Calmar ratios of the daily portfolio PnL curve
+# --------------------------------------------------------------------------
+
+
+def _sortino_oracle() -> str:
+    from dissertation_iceberg_spark.queries.stats_tests import _PNL_SERIES_SQL
+
+    return f"""
+WITH p AS ({_PNL_SERIES_SQL}),
+c AS (SELECT day, CAST(round(pnl * 100) AS BIGINT) AS cents FROM p),
+cum AS (SELECT day, sum(cents) OVER (ORDER BY day) AS cum_c FROM c),
+ddrow AS (SELECT max(cum_c) OVER (ORDER BY day) - cum_c AS dd_c FROM cum),
+dd AS (SELECT max(dd_c) AS max_dd FROM ddrow),
+m AS (
+  SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_c,
+         CAST(sum((least(cents, 0) * least(cents, 0)) // 10000) AS BIGINT)
+           AS ds_sq
+  FROM c),
+x AS (
+  SELECT n, sum_c, ds_sq, (SELECT max_dd FROM dd) AS max_dd FROM m)
+SELECT CAST(n AS BIGINT) AS n_days,
+  {_R6_SQL.format(x="CAST(sum_c AS DOUBLE) / n / 100")} AS mean_daily,
+  {_R6_SQL.format(x="sqrt(CAST(ds_sq AS DOUBLE) / n)")} AS downside_dev,
+  CASE WHEN ds_sq > 0 THEN
+    {_R6_SQL.format(
+        x="CAST(sum_c AS DOUBLE) / n / 100"
+          " / sqrt(CAST(ds_sq AS DOUBLE) / n) * sqrt(252)")}
+  END AS sortino_ann,
+  {_R6_SQL.format(x="CAST(max_dd AS DOUBLE) / 100")} AS max_drawdown,
+  CASE WHEN max_dd > 0 THEN
+    {_R6_SQL.format(
+        x="CAST(sum_c AS DOUBLE) / n / 100 * 252"
+          " / (CAST(max_dd AS DOUBLE) / 100)")}
+  END AS calmar
+FROM x
+"""
+
+
+@register("sortino_calmar", oracle=_sortino_oracle())
+def sortino_calmar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sortino and Calmar ratios of the daily long-short portfolio
+    PnL — the downside-risk companions to the Sharpe/PPT battery
+    (reference `portfolio_strategy_statistics.ipynb cell 6` evaluates
+    the same daily series): Sortino = mean / downside semideviation
+    (target 0) · √252; Calmar = annualized mean / max drawdown.
+
+    Exactness: daily PnL rides as integer cents (exact by
+    construction of the signal pipeline); the downside squares are
+    floor-divided to whole dollar² units in BIGINT (integer op both
+    engines — cents² < 2^53 keeps the Spark floor exact, same
+    argument as arch_lm_test); drawdown reuses max_drawdown's exact
+    integer running-max machinery. The ratios are display-only
+    doubles over identical integers.
+
+    Scale shape: the heavy lifting (per-day cross-sectional select)
+    is the existing parallel path; everything after runs on the
+    O(days) daily frame — bounded single-partition class. The two
+    1-row frames combine via an intentional broadcast."""
+    from dissertation_iceberg_spark.operators.strategy import (
+        cross_sectional_select,
+    )
+    from dissertation_iceberg_spark.queries.strategy import _signals
+
+    sel = cross_sectional_select(
+        _signals(spark, sf_dir), "day", "signal", "user_id", 0.2
+    )
+    p = sel.groupBy("day").agg(
+        (
+            F.sum(F.when(F.col("is_top") == 1, F.col("gross")).otherwise(0.0))
+            - F.sum(F.when(F.col("is_bottom") == 1, F.col("gross")).otherwise(0.0))
+        ).alias("pnl")
+    )
+    c = p.select("day", F.round(F.col("pnl") * 100).cast("long").alias("cents"))
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = c.select(
+        (F.max(F.sum("cents").over(wd)).over(wd) - F.sum("cents").over(wd)).alias(
+            "dd_c"
+        )
+    ).agg(F.max("dd_c").alias("max_dd"))
+    neg = F.least(F.col("cents"), F.lit(0))
+    m = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("sum_c"),
+        F.sum(F.floor((neg * neg) / F.lit(1e4)).cast("long"))
+        .cast("long")
+        .alias("ds_sq"),
+    )
+    x = m.crossJoin(F.broadcast(dd))
+    nd = F.col("n").cast("double")
+    mean_d = F.col("sum_c").cast("double") / nd / 100
+    ddev = F.sqrt(F.col("ds_sq").cast("double") / nd)
+    mddd = F.col("max_dd").cast("double") / 100
+    return x.select(
+        F.col("n").cast("long").alias("n_days"),
+        _r6(mean_d).alias("mean_daily"),
+        _r6(ddev).alias("downside_dev"),
+        F.when(F.col("ds_sq") > 0, _r6(mean_d / ddev * F.sqrt(F.lit(252.0)))).alias(
+            "sortino_ann"
+        ),
+        _r6(mddd).alias("max_drawdown"),
+        F.when(F.col("max_dd") > 0, _r6(mean_d * 252 / mddd)).alias("calmar"),
+    )

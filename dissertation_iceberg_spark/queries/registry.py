@@ -84,6 +84,7 @@ def _ensure_loaded() -> None:
         behavior_ops,
         core,
         corpus_ops,
+        econometrics,
         extensions,
         graph_ops,
         joins,

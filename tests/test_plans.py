@@ -163,6 +163,8 @@ INTENTIONAL_BNLJ = {
     "source_term_saliency",  # broadcast 1-row corpus-total frame
     "order_backlog_aging",  # broadcast 1-row as-of-date frame
     "kmv_setops",  # broadcast ≤types² pair grid (bounded type-dim self-join)
+    "newey_west_ols",  # broadcast 1-row OLS coefficient frame
+    "sortino_calmar",  # broadcast 1-row drawdown frame
 }
 
 
