@@ -87,6 +87,7 @@ def _ensure_loaded() -> None:
         econometrics,
         extensions,
         graph_ops,
+        intervals,
         joins,
         lakehouse_ops,
         llm_ops,

@@ -508,3 +508,31 @@ def test_link_prediction_wedge_and_anti(spark, sf_dir):
     assert "LeftAnti" in p
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_interval_overlap_is_banded_equi_join(spark, sf_dir):
+    """Range join via band blocking: the overlap self-join must be an
+    equi-join on (customer, band) with the overlap predicate as a
+    residual — never a nested-loop/cartesian theta join."""
+    p = _plan(spark, sf_dir, "interval_overlap_pairs")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_salted_join_shuffles_on_salt(spark, sf_dir):
+    """Skew mitigation: the salted join must stay a shuffle join on
+    (key, salt) — a broadcast would defeat the demonstration."""
+    p = _plan(spark, sf_dir, "salted_skew_join")
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p
+
+
+def test_sweepline_windows_are_customer_partitioned(spark, sf_dir):
+    """The concurrency cumsum must run per customer key; an
+    unpartitioned window would funnel all boundary days through one
+    task."""
+    p = _plan(spark, sf_dir, "max_concurrent_intervals")
+    for line in p.splitlines():
+        if "windowspecdefinition" in line:
+            assert "ck#" in line.split("windowspecdefinition", 1)[1], line
