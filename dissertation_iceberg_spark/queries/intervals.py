@@ -89,6 +89,41 @@ FROM p GROUP BY 1
 """
 
 
+def banded_overlap_pairs(
+    iv: DataFrame, band_days: int = _BAND_DAYS
+) -> DataFrame:
+    """Band-blocked interval overlap self-join on (ck, band): emits one
+    row per overlapping (ok, ok2) pair within a group, with s/e/s2/e2
+    riding along. See :func:`interval_overlap_pairs` for the full
+    operator story; ``tools/scale_exp.py`` measures this kernel
+    key-scaled at 1×/10×/100×."""
+    b = F.explode(
+        F.sequence(
+            F.floor(F.col("s") / band_days), F.floor(F.col("e") / band_days)
+        )
+    ).alias("band")
+    left = iv.select("ok", "ck", "s", "e", b)
+    right = left.select(
+        F.col("ok").alias("ok2"),
+        F.col("ck").alias("ck2"),
+        F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+        F.col("band").alias("band2"),
+    )
+    return left.join(
+        right,
+        (F.col("ck") == F.col("ck2"))
+        & (F.col("band") == F.col("band2"))
+        & (F.col("ok") < F.col("ok2"))
+        & (F.col("s") <= F.col("e2"))
+        & (F.col("s2") <= F.col("e"))
+        & (
+            F.col("band")
+            == F.floor(F.greatest(F.col("s"), F.col("s2")) / band_days)
+        ),
+    )
+
+
 @register("interval_overlap_pairs", oracle=_OVERLAP_ORACLE)
 def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/interval overlap self-join: per customer, the number of
@@ -111,30 +146,7 @@ def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity: endpoints are exact integer epoch-days in both engines;
     the oracle states the plain quadratic semantics, the Spark side
     must reproduce it exactly through the banding."""
-    iv = _intervals(spark, sf_dir)
-    b = F.explode(
-        F.sequence(F.floor(F.col("s") / _BAND_DAYS), F.floor(F.col("e") / _BAND_DAYS))
-    ).alias("band")
-    left = iv.select("ok", "ck", "s", "e", b)
-    right = left.select(
-        F.col("ok").alias("ok2"),
-        F.col("ck").alias("ck2"),
-        F.col("s").alias("s2"),
-        F.col("e").alias("e2"),
-        F.col("band").alias("band2"),
-    )
-    pairs = left.join(
-        right,
-        (F.col("ck") == F.col("ck2"))
-        & (F.col("band") == F.col("band2"))
-        & (F.col("ok") < F.col("ok2"))
-        & (F.col("s") <= F.col("e2"))
-        & (F.col("s2") <= F.col("e"))
-        & (
-            F.col("band")
-            == F.floor(F.greatest(F.col("s"), F.col("s2")) / _BAND_DAYS)
-        ),
-    )
+    pairs = banded_overlap_pairs(_intervals(spark, sf_dir))
     od = F.least(F.col("e"), F.col("e2")) - F.greatest(F.col("s"), F.col("s2")) + 1
     return pairs.groupBy(F.col("ck").alias("o_custkey")).agg(
         F.count(F.lit(1)).alias("n_overlap_pairs"),

@@ -277,6 +277,34 @@ def main() -> None:
                               "input_rows": n_li, "out_rows": rows,
                               "sec": round(t, 3)}))
 
+        if _want("interval_band"):
+            # band-blocked interval overlap join (queries/intervals.py):
+            # replicas get disjoint customers with constant per-customer
+            # order counts, so overlapping pairs must grow linearly —
+            # the banding claim under test (a naive theta join would be
+            # quadratic in ANY per-customer history growth)
+            from dissertation_iceberg_spark.queries.intervals import (
+                _intervals,
+                banded_overlap_pairs,
+            )
+
+            iv0 = _intervals(spark, sf_dir)
+            ivr = replicate(
+                iv0, r, {"ok": 10_000_000, "ck": 10_000_000}
+            ).drop("__rep").persist()
+            n_iv = ivr.count()
+            t, pairs = timed(
+                lambda: banded_overlap_pairs(ivr)
+                .groupBy("ck")
+                .agg(F.count(F.lit(1)).alias("n_pairs")),
+                action="count",
+            )
+            n_pairs = banded_overlap_pairs(ivr).count()
+            print(json.dumps({"kernel": "interval_band", "factor": r,
+                              "input_rows": n_iv, "out_rows": pairs,
+                              "cand_pairs": n_pairs, "sec": round(t, 3)}))
+            ivr.unpersist()
+
         def tri_oriented():
             # degree-ordered triangle counting (graph_ops
             # triangle_count_oriented): strong-edge build + orientation
