@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.io import load_table
 from dissertation_iceberg_spark.operators import text as tx
+from dissertation_iceberg_spark.queries.microstructure import _R6_SQL, _r6
 from dissertation_iceberg_spark.operators.strategy import cross_sectional_select
 from dissertation_iceberg_spark.queries.registry import register
 from dissertation_iceberg_spark.queries.strategy import _SIGNAL_SQL, _signals
@@ -2694,4 +2695,183 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("p_raw"),
         (F.col("iso_micro") / 1e6).alias("p_iso"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over a per-cell mean-shift z battery
+# --------------------------------------------------------------------------
+
+# Abramowitz-Stegun 26.2.17 normal-CDF tail polynomial (|error| < 7.5e-8),
+# written in identical Horner form in both engines.
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_INV_SQRT_2PI = 0.3989422804014327
+
+_BH_ALPHA_MICRO = 50000  # alpha = 0.05 in exact micro-units
+
+_BH_ORACLE = f"""
+WITH src AS (
+  SELECT event_type, user_id % 10 AS bucket,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_g, CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM src),
+cell AS (
+  SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_c,
+         CAST(sum(c) AS BIGINT) AS cs1
+  FROM src GROUP BY 1, 2),
+z AS (
+  SELECT event_type, bucket, n_c,
+         (CAST(cs1 AS DOUBLE) / n_c - CAST(s1 AS DOUBLE) / n_g)
+           * sqrt(CAST(n_c AS DOUBLE))
+           / sqrt((CAST(n_g AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                  / (CAST(n_g AS DOUBLE) * (n_g - 1))) AS zv
+  FROM cell CROSS JOIN g),
+p AS (
+  SELECT event_type, bucket, n_c, zv,
+         CAST(round(least(1e0,
+           2 * {_INV_SQRT_2PI!r} * exp(-abs(zv) * abs(zv) / 2)
+             * ((1e0 / (1e0 + 0.2316419 * abs(zv)))
+                * ({_AS_B[0]!r} + (1e0 / (1e0 + 0.2316419 * abs(zv)))
+                  * ({_AS_B[1]!r} + (1e0 / (1e0 + 0.2316419 * abs(zv)))
+                    * ({_AS_B[2]!r} + (1e0 / (1e0 + 0.2316419 * abs(zv)))
+                      * ({_AS_B[3]!r} + (1e0 / (1e0 + 0.2316419 * abs(zv)))
+                        * {_AS_B[4]!r})))))
+         ) * 1e6) AS BIGINT) AS p_micro
+  FROM z),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY p_micro, event_type, bucket) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM p),
+q AS (
+  SELECT *,
+         min(least(1e0, CAST(p_micro AS DOUBLE) * m / (i * 1e6)))
+           OVER (ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS qv,
+         max(CASE WHEN p_micro * m <= {_BH_ALPHA_MICRO} * i THEN i ELSE 0 END)
+           OVER () AS i_star
+  FROM r)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket, n_c AS n_events,
+       {_R6_SQL.format(x="zv")} AS z_score,
+       p_micro, CAST(i AS BIGINT) AS p_rank,
+       {_R6_SQL.format(x="qv")} AS q_value,
+       CAST(CASE WHEN i <= i_star THEN 1 ELSE 0 END AS BIGINT) AS rejected
+FROM q
+"""
+
+
+def _norm_p_two_sided(zv):
+    """Two-sided normal p-value 2*(1-Phi(|z|)) via the A-S 26.2.17
+    polynomial — exp + Horner arithmetic only, so both engines
+    evaluate the identical IEEE expression tree."""
+    az = F.abs(zv)
+    t = 1.0 / (1.0 + 0.2316419 * az)
+    poly = t * (
+        _AS_B[0]
+        + t * (_AS_B[1] + t * (_AS_B[2] + t * (_AS_B[3] + t * _AS_B[4])))
+    )
+    return F.least(
+        F.lit(1.0), 2 * _INV_SQRT_2PI * F.exp(-az * az / 2) * poly
+    )
+
+
+@register("bh_fdr_battery", oracle=_BH_ORACLE)
+def bh_fdr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a battery of per-cell
+    mean-shift hypotheses: each (event_type, user-decile) cell gets a
+    one-sample z-test of its mean value against the global mean
+    (global-variance normalized), then the p-values are BH-adjusted —
+    step-up rejection at FDR alpha=0.05 plus monotone q-values. The
+    multiple-testing layer every per-segment metrics dashboard needs
+    once it fires 60 tests per refresh; complements the single-test
+    entries (two_proportion_ztest, one_way_anova, mann_whitney_u).
+
+    Scale shape: one fact-scale integer reduction per cell (map-side
+    combinable) + a 1-row global-moments frame (broadcast; BNLJ
+    allowlisted); the BH sort/cummin windows run on the O(#hypotheses)
+    frame — 60 rows here, bounded by segmentation cardinality, never
+    row-scale.
+
+    Parity: all test inputs are exact integer sums (n*S2 - S1^2
+    variance form); z and the A-S 26.2.17 normal-CDF polynomial are
+    single deterministic double expressions mirrored in Horner form,
+    micro-rounded ONCE into p_micro BIGINT. The BH step-up comparison
+    p_(i) <= alpha*i/m runs in exact integer arithmetic
+    (p_micro*m <= 50000*i), so rejection decisions cannot drift; the
+    q-value reverse cummin is a min over identical doubles
+    (order-insensitive). Residual risk: the accepted half-ulp libm
+    class on exp() at 1e-6 rounding grain."""
+    e = load_table(spark, sf_dir, "events")
+    src = e.select(
+        "event_type",
+        (F.col("user_id") % 10).alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    g = src.agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    cell = src.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_c"), F.sum("c").cast("long").alias("cs1")
+    )
+    zc = cell.crossJoin(F.broadcast(g))
+    n_c = F.col("n_c").cast("double")
+    n_g = F.col("n_g").cast("double")
+    var_g = (n_g * F.col("s2") - F.col("s1").cast("double") * F.col("s1")) / (
+        n_g * (F.col("n_g") - 1)
+    )
+    zv = (
+        (F.col("cs1").cast("double") / F.col("n_c") - F.col("s1").cast("double") / F.col("n_g"))
+        * F.sqrt(n_c)
+        / F.sqrt(var_g)
+    )
+    p = zc.select(
+        "event_type",
+        "bucket",
+        "n_c",
+        zv.alias("zv"),
+        F.round(_norm_p_two_sided(zv) * 1e6).cast("long").alias("p_micro"),
+    )
+    w_rank = Window.orderBy("p_micro", "event_type", "bucket")
+    w_all = Window.partitionBy()
+    r = p.select(
+        "*",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("m"),
+    )
+    w_rev = Window.orderBy("i").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    q = r.select(
+        "*",
+        F.min(
+            F.least(
+                F.lit(1.0),
+                F.col("p_micro").cast("double") * F.col("m") / (F.col("i") * F.lit(1e6)),
+            )
+        )
+        .over(w_rev)
+        .alias("qv"),
+        F.max(
+            F.when(
+                F.col("p_micro") * F.col("m") <= _BH_ALPHA_MICRO * F.col("i"),
+                F.col("i"),
+            ).otherwise(F.lit(0))
+        )
+        .over(w_all)
+        .alias("i_star"),
+    )
+    return q.select(
+        "event_type",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_c").cast("long").alias("n_events"),
+        _r6(F.col("zv")).alias("z_score"),
+        "p_micro",
+        F.col("i").cast("long").alias("p_rank"),
+        _r6(F.col("qv")).alias("q_value"),
+        F.when(F.col("i") <= F.col("i_star"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rejected"),
     )

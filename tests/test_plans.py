@@ -116,6 +116,8 @@ INTENTIONAL_BNLJ = {
     "idle_rich_customers",  # broadcast 1-row balance-threshold frame
     "copurchase_lift",  # broadcast 1-row order-count (lift denominator)
     "nb_lang_classify",  # broadcast 1-row vocab-size + corpus-size frames
+    "ledoit_wolf_cov",  # broadcast k-row type grid + 1-row scalar frames
+    "bh_fdr_battery",  # broadcast 1-row global-moments frame
     "pareto_frontier",  # broadcast 1-row price-bounds frame
     "important_stock",  # broadcast 1-row value-total frame
     "triangle_count",  # broadcast 1-row wedge/triangle/edge-count frames
