@@ -466,3 +466,116 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kl_nats"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source quantile normalization (batch-effect correction)
+# --------------------------------------------------------------------------
+
+_QNORM_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, n_chars AS v FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d),
+ranked AS (
+  SELECT doc_id, source, v,
+         row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS r,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+  FROM d),
+keyed AS (
+  SELECT source, v, n_s,
+         CAST(ceil(CAST(r AS DOUBLE) * n_total / n_s) AS BIGINT) AS k
+  FROM ranked CROSS JOIN n),
+pooled AS (
+  SELECT v, count(*) AS f,
+         CAST(sum(count(*)) OVER (ORDER BY v) AS BIGINT) AS cum
+  FROM d GROUP BY v),
+rankmap AS (
+  SELECT unnest(range(cum - f + 1, cum + 1)) AS k, v AS pooled_v
+  FROM pooled)
+SELECT keyed.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(keyed.v) AS BIGINT) AS sum_raw,
+       CAST(sum(rankmap.pooled_v) AS BIGINT) AS sum_qnorm,
+       round(CAST(sum(keyed.v) AS DOUBLE) / count(*), 6) AS mean_raw,
+       round(CAST(sum(rankmap.pooled_v) AS DOUBLE) / count(*), 6)
+         AS mean_qnorm
+FROM keyed JOIN rankmap ON keyed.k = rankmap.k
+GROUP BY 1
+"""
+
+
+@register("quantile_normalize_sources", oracle=_QNORM_ORACLE)
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of the document-length
+    distribution: each doc's value is replaced by the POOLED order
+    statistic at its within-source quantile (rank r of n_s maps to
+    pooled rank ceil(r*N/n_s)), the microarray-style batch-effect
+    correction that makes per-source quality scores comparable before
+    mixture weighting (a crawler source that systematically truncates
+    pages would otherwise dominate any global length filter). Emits
+    per-source before/after sums and means — after normalization every
+    source draws from the same pooled distribution.
+
+    Scale shape: the within-source rank is a source-partitioned window
+    (bounded partitions, no global sort); the pooled distribution is a
+    distinct-VALUE frame (O(distinct lengths) window — value-domain
+    bounded, not row-scale) exploded into an O(N) dense rank->value
+    map that equi-joins on the integer rank key. Two shuffles (rank
+    map build, k-keyed join), both linear; nothing collects.
+
+    Parity: values and ranks are exact integers end-to-end; ceil of
+    the double quantile product is the only float step and both
+    engines evaluate the identical expression (r*N/n_s exact in double
+    well past these magnitudes); sums are exact BIGINT, means a final
+    display division."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("v")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    w_src = Window.partitionBy("source").orderBy("v", "doc_id")
+    ranked = d.select(
+        "source",
+        "v",
+        F.row_number().over(w_src).alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("n_s"),
+    )
+    keyed = ranked.crossJoin(F.broadcast(n)).select(
+        "source",
+        "v",
+        F.ceil(F.col("r").cast("double") * F.col("n_total") / F.col("n_s"))
+        .cast("long")
+        .alias("k"),
+    )
+    pooled = (
+        d.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(
+            "v",
+            "f",
+            F.sum("f").over(Window.orderBy("v")).cast("long").alias("cum"),
+        )
+    )
+    rankmap = pooled.select(
+        F.explode(
+            F.sequence(F.col("cum") - F.col("f") + 1, F.col("cum"))
+        ).alias("k"),
+        F.col("v").alias("pooled_v"),
+    )
+    return (
+        keyed.join(rankmap, "k")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("v").cast("long").alias("sum_raw"),
+            F.sum("pooled_v").cast("long").alias("sum_qnorm"),
+            F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_raw"
+            ),
+            F.round(
+                F.sum("pooled_v").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_qnorm"),
+        )
+    )

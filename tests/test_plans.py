@@ -118,6 +118,7 @@ INTENTIONAL_BNLJ = {
     "nb_lang_classify",  # broadcast 1-row vocab-size + corpus-size frames
     "ledoit_wolf_cov",  # broadcast k-row type grid + 1-row scalar frames
     "bh_fdr_battery",  # broadcast 1-row global-moments frame
+    "quantile_normalize_sources",  # broadcast 1-row pooled-count frame
     "pareto_frontier",  # broadcast 1-row price-bounds frame
     "important_stock",  # broadcast 1-row value-total frame
     "triangle_count",  # broadcast 1-row wedge/triangle/edge-count frames
