@@ -1315,3 +1315,186 @@ def embedding_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "energy_ratio"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# PCA via deterministic integer-quantized power iteration
+# --------------------------------------------------------------------------
+
+PCA_VSCALE = 10_000  # iteration-state quantization grid
+PCA_ITERS = 3
+
+# portable floor division: both engines' % truncates toward the
+# dividend's sign, so ((a % b) + b) % b is the nonnegative remainder
+# and the remaining quotient divides exactly (any int-div rounding
+# mode then agrees).
+_FD = "(({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b})"
+_FD_SPARK = "(({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) div ({b})"
+
+
+def _pca_iter_sql(k: int) -> str:
+    """One unrolled power-iteration CTE pair (w{k}, v{k}) from v{k-1}."""
+    fd = _FD.format(a="w", b="t")
+    return f"""
+w{k} AS (
+  SELECT g.i AS pos, CAST(sum(g.g * v{k - 1}.v) AS BIGINT) AS w
+  FROM g JOIN v{k - 1} ON g.j = v{k - 1}.j GROUP BY 1),
+v{k} AS (
+  SELECT pos AS j, {fd} AS v
+  FROM w{k} CROSS JOIN (
+    SELECT greatest(max(abs(w)) // {PCA_VSCALE}, 1) AS t FROM w{k}))"""
+
+
+_PCA_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT)) AS qv
+  FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS pos),
+xe AS (SELECT vec_id, pos, qv[pos] AS x FROM q, idx),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+mu AS (SELECT pos, CAST(sum(x) AS BIGINT) AS s FROM xe GROUP BY 1),
+mh AS (
+  SELECT pos, {_FD.format(a="2 * s + n", b="2 * n")} AS m
+  FROM mu CROSS JOIN nn),
+y AS (
+  SELECT xe.vec_id, xe.pos, xe.x - mh.m AS y
+  FROM xe JOIN mh ON xe.pos = mh.pos),
+g AS (
+  SELECT a.pos AS i, b.pos AS j, CAST(sum(a.y * b.y) AS BIGINT) AS g
+  FROM y a JOIN y b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+v0 AS (SELECT pos AS j, CAST({PCA_VSCALE} AS BIGINT) AS v FROM idx),
+{",".join(_pca_iter_sql(k) for k in range(1, PCA_ITERS + 1))},
+vtv AS (SELECT CAST(sum(v * v) AS BIGINT) AS vtv FROM v{PCA_ITERS}),
+tr AS (SELECT CAST(sum(g) AS BIGINT) AS tr FROM g WHERE i = j),
+num AS (
+  SELECT CAST(sum(CAST(va.v * g.g AS HUGEINT) * vb.v) AS DOUBLE) AS num
+  FROM g JOIN v{PCA_ITERS} va ON g.i = va.j
+         JOIN v{PCA_ITERS} vb ON g.j = vb.j)
+SELECT CAST(v{PCA_ITERS}.j AS BIGINT) AS pos,
+       CAST(round((CAST(v{PCA_ITERS}.v AS DOUBLE)
+                   / sqrt(CAST(vtv.vtv AS DOUBLE))) * 1e6) AS BIGINT) / 1e6
+         AS pc1_component,
+       CAST(round((num.num / vtv.vtv / nn.n / 1e8) * 1e6) AS BIGINT) / 1e6
+         AS eigenvalue,
+       CAST(round((num.num / vtv.vtv / tr.tr) * 1e6) AS BIGINT) / 1e6
+         AS variance_share
+FROM v{PCA_ITERS} CROSS JOIN vtv CROSS JOIN tr CROSS JOIN num CROSS JOIN nn
+"""
+
+
+@register("pca_power_iteration", oracle=_PCA_ORACLE)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal component of the embedding corpus via
+    distributed power iteration: centered integer Gram matrix ->
+    PCA_ITERS fixed matvec+renormalize iterations -> unit PC1
+    components, Rayleigh-quotient eigenvalue, and explained-variance
+    share. The dimensionality-reduction primitive of embedding-space
+    curation (dedup whitening, drift monitoring, compression choice —
+    complements pq_codebooks and embedding_prefix_energy).
+
+    Scale shape: the only fact-scale work is the Gram build — one
+    vec_id-keyed self-join fanning each (vec, dim) row into d pair
+    terms, then a map-side-combinable (i, j) integer sum to a d x d
+    frame (d=64 -> 4096 rows). Every iteration is a broadcast 64-row
+    vector joined to that d^2 frame: O(d^2) work per step, zero
+    fact-scale shuffles, no driver collect, no linalg library.
+
+    Parity (the kmeans_cluster_stats recipe applied to linear
+    algebra): embeddings quantize once to the 1e-4 grid; the centering
+    mean is rounded TO the grid with portable floor-div round-half-up
+    ((2s+n) fdiv 2n), so the Gram is an exact BIGINT matrix; each
+    iteration renormalizes by max|w| via portable floor division
+    (nonnegative-remainder identity, exact in both engines); the
+    Rayleigh numerator v'Gv runs in 128-bit (Spark decimal(38,0),
+    DuckDB HUGEINT). The ONLY doubles are the three final display
+    expressions. Bit-identical on any partitioning; the oracle unrolls
+    the iterations as CTEs. Headroom: |w| <= d*max|G|*VSCALE ~ 1e18 at
+    50k vectors — above that, drop VSCALE a decade."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1e4).cast("long"),
+    )
+    xe = emb.select("vec_id", qv.alias("qv")).select(
+        "vec_id", F.posexplode("qv").alias("pos0", "x")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "x")
+    nn = xe.select("vec_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    mu = xe.groupBy("pos").agg(F.sum("x").cast("long").alias("s"))
+    mh = mu.crossJoin(F.broadcast(nn)).select(
+        "pos", F.expr(_FD_SPARK.format(a="2 * s + n", b="2 * n")).alias("m")
+    )
+    y = xe.join(F.broadcast(mh), "pos").select(
+        "vec_id", "pos", (F.col("x") - F.col("m")).alias("y")
+    )
+    a = y.select("vec_id", F.col("pos").alias("i"), F.col("y").alias("ya"))
+    b = y.select("vec_id", F.col("pos").alias("j"), F.col("y").alias("yb"))
+    g = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ya") * F.col("yb")).cast("long").alias("g"))
+    )
+    v = mh.select(F.col("pos").alias("j"), F.lit(PCA_VSCALE).cast("long").alias("v"))
+    for _ in range(PCA_ITERS):
+        w = (
+            g.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("w"))
+        )
+        t = w.agg(
+            F.expr(f"greatest(max(abs(w)) div {PCA_VSCALE}, 1)")
+            .cast("long")
+            .alias("t")
+        )
+        v = w.crossJoin(F.broadcast(t)).select(
+            F.col("i").alias("j"),
+            F.expr(_FD_SPARK.format(a="w", b="t")).alias("v"),
+        )
+    vtv = v.agg(F.sum(F.col("v") * F.col("v")).cast("long").alias("vtv"))
+    tr = g.filter(F.col("i") == F.col("j")).agg(
+        F.sum("g").cast("long").alias("tr")
+    )
+    va = v.select(F.col("j").alias("i"), F.col("v").alias("via"))
+    vb = v.select("j", F.col("v").alias("vjb"))
+    num = (
+        g.join(F.broadcast(va), "i")
+        .join(F.broadcast(vb), "j")
+        .agg(
+            F.sum(
+                (F.col("via") * F.col("g")).cast("decimal(38,0)") * F.col("vjb")
+            )
+            .cast("double")
+            .alias("num")
+        )
+    )
+    out = (
+        v.crossJoin(F.broadcast(vtv))
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(nn))
+    )
+    return out.select(
+        F.col("j").cast("long").alias("pos"),
+        (
+            F.round(
+                (F.col("v").cast("double") / F.sqrt(F.col("vtv").cast("double")))
+                * 1e6
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("pc1_component"),
+        (
+            F.round(
+                (F.col("num") / F.col("vtv") / F.col("n") / F.lit(1e8)) * 1e6
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("eigenvalue"),
+        (
+            F.round((F.col("num") / F.col("vtv") / F.col("tr")) * 1e6).cast(
+                "long"
+            )
+            / F.lit(1e6)
+        ).alias("variance_share"),
+    )
