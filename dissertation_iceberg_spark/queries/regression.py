@@ -430,3 +430,168 @@ def ridge_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         *[F.expr(expr).alias(k) for k, expr in _RIDGE_FINAL.items()],
     )
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction interval with held-out coverage audit
+# --------------------------------------------------------------------------
+
+_CONF_ALPHA = 0.1  # target 90% coverage
+
+_CONF_ORACLE = f"""
+WITH src AS (
+  SELECT l_orderkey * 8 + l_linenumber AS rid,
+         (l_orderkey * 8 + l_linenumber) % 4 AS part,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+beta AS (
+  SELECT (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b1,
+         (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+           / n AS b0,
+         n AS n_train
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM src WHERE part <= 1)),
+cal AS (
+  SELECT CAST(round(abs(y - (b0 + b1 * x))) AS BIGINT) AS r
+  FROM src CROSS JOIN beta WHERE part = 2),
+ncal AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+rv AS (
+  SELECT r, CAST(sum(count(*)) OVER (ORDER BY r) AS BIGINT) AS cum
+  FROM cal GROUP BY r),
+qhat AS (
+  SELECT min(r) AS q_cents FROM rv CROSS JOIN ncal
+  WHERE cum >= CAST(ceil((n_cal + 1) * (1e0 - {_CONF_ALPHA!r})) AS BIGINT)),
+test AS (
+  SELECT count(*) AS n_test,
+         sum(CASE WHEN CAST(round(abs(y - (b0 + b1 * x))) AS BIGINT)
+                       <= q_cents
+             THEN 1 ELSE 0 END) AS n_cov
+  FROM src CROSS JOIN beta CROSS JOIN qhat WHERE part = 3)
+SELECT beta.n_train,
+       ncal.n_cal,
+       CAST(test.n_test AS BIGINT) AS n_test,
+       CAST(round(beta.b0 * 1e6) AS BIGINT) / 1e6 AS beta0_cents,
+       CAST(round(beta.b1 * 1e6) AS BIGINT) / 1e6 AS beta1_cents,
+       qhat.q_cents AS q_hat_cents,
+       CAST(round((CAST(test.n_cov AS DOUBLE) / test.n_test) * 1e6)
+            AS BIGINT) / 1e6 AS coverage
+FROM beta CROSS JOIN ncal CROSS JOIN qhat CROSS JOIN test
+"""
+
+
+@register("conformal_interval", oracle=_CONF_ORACLE)
+def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the price-on-quantity
+    regression: OLS fit on the train split, conformal quantile q_hat =
+    the ceil((n+1)(1-alpha)) order statistic of absolute calibration
+    residuals, then an honest COVERAGE AUDIT on a disjoint test split
+    (finite-sample guarantee: coverage >= 1-alpha regardless of model
+    quality). The distribution-free uncertainty layer a production
+    scoring pipeline wraps around any point predictor; complements
+    calibration_bins (classification) with the regression analogue.
+
+    Splits are deterministic by row-id modulus (train 0-1, calibration
+    2, test 3) — the stratified_split convention.
+
+    Scale shape: three disjoint single-pass integer reductions over
+    the fact scan plus one distinct-VALUE cumulative frame for the
+    order statistic (residuals rounded to whole cents => value-domain
+    bounded, no row-scale sort — the repo's standard order-statistic
+    recipe); every scalar (betas, n, q_hat) rides a broadcast 1-row
+    frame (BNLJ allowlisted).
+
+    Parity: OLS inputs are exact integer sums; betas and residuals
+    are single identical double expressions; residuals round ONCE to
+    BIGINT cents before ranking and comparison, so the quantile pick
+    and the coverage count are exact integer logic. Residual risk:
+    the accepted half-ulp tie class on round(|y - yhat|)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        ((F.col("l_orderkey") * 8 + F.col("l_linenumber")) % 4).alias("part"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    tr = src.filter(F.col("part") <= 1).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    b1 = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    beta = tr.select(
+        b1.alias("b1"),
+        ((F.col("sy").cast("double") - b1 * F.col("sx")) / F.col("n")).alias(
+            "b0"
+        ),
+        F.col("n").alias("n_train"),
+    )
+    resid = F.round(
+        F.abs(F.col("y") - (F.col("b0") + F.col("b1") * F.col("x")))
+    ).cast("long")
+    cal = (
+        src.filter(F.col("part") == 2)
+        .crossJoin(F.broadcast(beta))
+        .select(resid.alias("r"))
+    )
+    ncal = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    rv = (
+        cal.groupBy("r")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(
+            "r",
+            F.sum("f").over(Window.orderBy("r")).cast("long").alias("cum"),
+        )
+    )
+    qhat = (
+        rv.crossJoin(F.broadcast(ncal))
+        .filter(
+            F.col("cum")
+            >= F.ceil((F.col("n_cal") + 1) * (1.0 - _CONF_ALPHA)).cast("long")
+        )
+        .agg(F.min("r").alias("q_cents"))
+    )
+    test = (
+        src.filter(F.col("part") == 3)
+        .crossJoin(F.broadcast(beta))
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(resid <= F.col("q_cents"), 1).otherwise(0)).alias(
+                "n_cov"
+            ),
+        )
+    )
+    out = (
+        beta.crossJoin(F.broadcast(ncal))
+        .crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(test))
+    )
+    return out.select(
+        "n_train",
+        "n_cal",
+        F.col("n_test").cast("long").alias("n_test"),
+        (F.round(F.col("b0") * 1e6).cast("long") / F.lit(1e6)).alias(
+            "beta0_cents"
+        ),
+        (F.round(F.col("b1") * 1e6).cast("long") / F.lit(1e6)).alias(
+            "beta1_cents"
+        ),
+        F.col("q_cents").alias("q_hat_cents"),
+        (
+            F.round(
+                (F.col("n_cov").cast("double") / F.col("n_test")) * 1e6
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("coverage"),
+    )
