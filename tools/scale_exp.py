@@ -474,6 +474,42 @@ def main() -> None:
         # PQ-ADC scan at scale: codebook + distance table FIXED (fit is
         # offline), code table replicated with shifted ids — the claim
         # under test is that the scan is linear map-side work
+        if _want("gram_build"):
+            # centered integer Gram build (pca_power_iteration): the
+            # only fact-scale stage of the PCA kernel — vec_id-keyed
+            # self-join fanning each (vec, dim) row into d pair terms,
+            # map-side-combinable (i, j) sum. Output is d^2 = 4096
+            # rows at EVERY factor; time should track input linearly.
+            from dissertation_iceberg_spark.io import load_table as _lt
+
+            emb0 = _lt(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+            embr = replicate(emb0, r, {"vec_id": 10_000_000}).drop("__rep")
+            qvx = F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * 1e4).cast("long"),
+            )
+            xeg = embr.select("vec_id", qvx.alias("qv")).select(
+                "vec_id", F.posexplode("qv").alias("pos", "x")
+            ).persist()
+            n_xe = xeg.count()
+
+            def gram_build():
+                ga = xeg.select("vec_id", F.col("pos").alias("i"),
+                                F.col("x").alias("xa"))
+                gb = xeg.select("vec_id", F.col("pos").alias("j"),
+                                F.col("x").alias("xb"))
+                return (
+                    ga.join(gb, "vec_id")
+                    .groupBy("i", "j")
+                    .agg(F.sum(F.col("xa") * F.col("xb")).alias("g"))
+                )
+
+            t, rows = timed(gram_build, action="count")
+            print(json.dumps({"kernel": "gram_build", "factor": r,
+                              "input_rows": n_xe, "out_rows": rows,
+                              "sec": round(t, 3)}))
+            xeg.unpersist()
+
         if _want("adc_scan"):
             from dissertation_iceberg_spark.queries.extensions import _pq_fit
 
