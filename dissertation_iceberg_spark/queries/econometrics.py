@@ -807,3 +807,110 @@ def ledoit_wolf_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(shrink).alias("shrinkage"),
         _r6(shrink * mu_diag + (1 - shrink) * s_dol).alias("cov_shrunk"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank-correlation matrix over daily value by event type
+# --------------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = """
+WITH cell AS (
+  SELECT date_trunc('day', ts) AS day, event_type AS et,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM cell),
+types AS (SELECT DISTINCT et FROM cell),
+x AS (
+  SELECT g.day, g.et, COALESCE(c.cents, 0) AS cents
+  FROM (SELECT day, et FROM days CROSS JOIN types) g
+  LEFT JOIN cell c ON g.day = c.day AND g.et = c.et),
+r AS (
+  SELECT day, et,
+         CAST(row_number() OVER (PARTITION BY et ORDER BY cents, day)
+              AS BIGINT) AS rk
+  FROM x),
+p AS (
+  SELECT a.et AS type_a, b.et AS type_b,
+         CAST(count(*) AS BIGINT) AS t,
+         CAST(sum(a.rk) AS BIGINT) AS sa, CAST(sum(b.rk) AS BIGINT) AS sb,
+         CAST(sum(a.rk * a.rk) AS BIGINT) AS saa,
+         CAST(sum(b.rk * b.rk) AS BIGINT) AS sbb,
+         CAST(sum(a.rk * b.rk) AS BIGINT) AS sab
+  FROM r a JOIN r b ON a.day = b.day GROUP BY 1, 2)
+SELECT type_a, type_b, t AS n_days,
+       CAST(round((
+         (CAST(t AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+         / sqrt((CAST(t AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+                * (CAST(t AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb))
+       ) * 1e6) AS BIGINT) / 1e6 AS spearman_rho
+FROM p
+"""
+
+
+@register("spearman_matrix", oracle=_SPEARMAN_ORACLE)
+def spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank-correlation matrix over the densified daily-value
+    series of every event-type pair — the monotone-association
+    companion to ledoit_wolf_cov's linear covariance on the identical
+    (day, type) frame (and to kendall_tau_flow's concordance form;
+    Spearman is the cheap O(T log T)-per-key member of the family).
+    Rank ties break deterministically by day (documented, mirrored in
+    the oracle), so every downstream sum is over exact integer ranks.
+
+    Scale shape: one fact-scale integer reduction to the (day, type)
+    grid, per-type window ranks (bounded partitions), then the
+    day-keyed k-fanout self-join and a k^2-cell exact integer
+    aggregate. Nothing row-scale past the first groupBy.
+
+    Parity: ranks are exact integers, all five pair sums are exact
+    BIGINT, and rho is one identical double expression, 6-dp
+    integer-rounded."""
+    e = load_table(spark, sf_dir, "events")
+    cell = (
+        e.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type").alias("et"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("day", "et")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    days = cell.select("day").distinct()
+    types = cell.select("et").distinct()
+    x = (
+        days.crossJoin(F.broadcast(types))
+        .join(cell, ["day", "et"], "left")
+        .select("day", "et", F.coalesce("cents", F.lit(0)).alias("cents"))
+    )
+    w = Window.partitionBy("et").orderBy("cents", "day")
+    r = x.select(
+        "day", "et", F.row_number().over(w).cast("long").alias("rk")
+    )
+    a = r.select("day", F.col("et").alias("type_a"), F.col("rk").alias("ra"))
+    b = r.select("day", F.col("et").alias("type_b"), F.col("rk").alias("rb"))
+    p = (
+        a.join(b, "day")
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("t"),
+            F.sum("ra").cast("long").alias("sa"),
+            F.sum("rb").cast("long").alias("sb"),
+            F.sum(F.col("ra") * F.col("ra")).cast("long").alias("saa"),
+            F.sum(F.col("rb") * F.col("rb")).cast("long").alias("sbb"),
+            F.sum(F.col("ra") * F.col("rb")).cast("long").alias("sab"),
+        )
+    )
+    td = F.col("t").cast("double")
+    num = td * F.col("sab") - F.col("sa").cast("double") * F.col("sb")
+    den = F.sqrt(
+        (td * F.col("saa") - F.col("sa").cast("double") * F.col("sa"))
+        * (td * F.col("sbb") - F.col("sb").cast("double") * F.col("sb"))
+    )
+    return p.select(
+        "type_a",
+        "type_b",
+        F.col("t").alias("n_days"),
+        (F.round((num / den) * 1e6).cast("long") / F.lit(1e6)).alias(
+            "spearman_rho"
+        ),
+    )

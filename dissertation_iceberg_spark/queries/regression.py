@@ -595,3 +595,189 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("coverage"),
     )
+
+
+# --------------------------------------------------------------------------
+# Huber one-step robust regression (W-estimator with MAD scale)
+# --------------------------------------------------------------------------
+
+_HUBER_K = 1.9941097  # 1.345 * 1.4826 (Huber c on the MAD scale)
+
+_HUBER_ORACLE = f"""
+WITH src AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+s0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM src),
+beta AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b1,
+         (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+           / n AS b0
+  FROM s0),
+res AS (
+  SELECT x, y,
+         CAST(round(abs(y - (b0 + b1 * x))) AS BIGINT) AS r
+  FROM src CROSS JOIN beta),
+rv AS (
+  SELECT r, CAST(sum(count(*)) OVER (ORDER BY r) AS BIGINT) AS cum
+  FROM res GROUP BY r),
+mad AS (
+  SELECT min(r) AS mad_c FROM rv CROSS JOIN beta
+  WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT)),
+cc AS (
+  SELECT CAST(round({_HUBER_K!r} * mad_c) AS BIGINT) AS c FROM mad),
+wts AS (
+  SELECT x, y,
+         CASE WHEN r <= c THEN CAST(1000000 AS BIGINT)
+              ELSE CAST(round(CAST(c AS DOUBLE) * 1e6 / r) AS BIGINT)
+         END AS w
+  FROM res CROSS JOIN cc),
+s1 AS (
+  SELECT CAST(sum(w) AS BIGINT) AS sw,
+         CAST(sum(w * x) AS BIGINT) AS swx,
+         CAST(CAST(sum(CAST(w AS HUGEINT) * y) AS HUGEINT) AS DOUBLE) AS swy,
+         CAST(CAST(sum(CAST(w * x AS HUGEINT) * y) AS HUGEINT) AS DOUBLE)
+           AS swxy,
+         CAST(sum(w * x * x) AS BIGINT) AS swxx
+  FROM wts)
+SELECT beta.n AS n_rows, mad.mad_c AS mad_cents, cc.c AS huber_c_cents,
+       CAST(round(beta.b0 * 1e6) AS BIGINT) / 1e6 AS beta0_ols,
+       CAST(round(beta.b1 * 1e6) AS BIGINT) / 1e6 AS beta1_ols,
+       CAST(round((
+         (s1.swy
+          - CAST(s1.swx AS DOUBLE)
+            * ((CAST(s1.sw AS DOUBLE) * s1.swxy
+                - CAST(s1.swx AS DOUBLE) * s1.swy)
+               / (CAST(s1.sw AS DOUBLE) * s1.swxx
+                  - CAST(s1.swx AS DOUBLE) * s1.swx)))
+         / CAST(s1.sw AS DOUBLE)
+       ) * 1e6) AS BIGINT) / 1e6 AS beta0_huber,
+       CAST(round((
+         (CAST(s1.sw AS DOUBLE) * s1.swxy
+          - CAST(s1.swx AS DOUBLE) * s1.swy)
+         / (CAST(s1.sw AS DOUBLE) * s1.swxx
+            - CAST(s1.swx AS DOUBLE) * s1.swx)
+       ) * 1e6) AS BIGINT) / 1e6 AS beta1_huber
+FROM beta CROSS JOIN mad CROSS JOIN cc CROSS JOIN s1
+"""
+
+
+@register("huber_regression", oracle=_HUBER_ORACLE)
+def huber_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step Huber W-estimator for price-on-quantity: OLS fit ->
+    MAD residual scale -> Huber weights w = min(1, c/|r|) with
+    c = 1.345 * 1.4826 * MAD -> weighted re-fit. Bounds the influence
+    of gross price outliers that drag plain OLS (complements
+    theil_sen_slope's pure-rank route with the classical M-estimation
+    one); one reweight step is the standard scalable form — each
+    further IRLS step would be one more identical pass.
+
+    Scale shape: three single-pass fact reductions (OLS sums, residual
+    value histogram, weighted sums) plus the distinct-value cumulative
+    frame for the MAD order statistic (residuals rounded to whole
+    cents — value-domain bounded, no row-scale sort). Scalars ride
+    broadcast 1-row frames (BNLJ allowlisted).
+
+    Parity: every reduction is an exact integer sum — weights are
+    micro-quantized BIGINT (round(c*1e6/|r|)), and the two weighted
+    sums whose terms exceed int64 (w*y, w*x*y) run in 128-bit (Spark
+    decimal(38,0), DuckDB HUGEINT). Betas are identical single double
+    expressions over the exact sums. Residual risk: the accepted
+    half-ulp tie class on round(|r|) and round(c*1e6/|r|)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    s0 = src.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    b1 = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    beta = s0.select(
+        "n",
+        b1.alias("b1"),
+        ((F.col("sy").cast("double") - b1 * F.col("sx")) / F.col("n")).alias(
+            "b0"
+        ),
+    )
+    res = src.crossJoin(F.broadcast(beta)).select(
+        "x",
+        "y",
+        "n",
+        F.round(F.abs(F.col("y") - (F.col("b0") + F.col("b1") * F.col("x"))))
+        .cast("long")
+        .alias("r"),
+    )
+    rv = (
+        res.groupBy("r")
+        .agg(F.count(F.lit(1)).alias("f"), F.first("n").alias("n"))
+        .select(
+            "r",
+            "n",
+            F.sum("f").over(Window.orderBy("r")).cast("long").alias("cum"),
+        )
+    )
+    mad = rv.filter(
+        F.col("cum") >= F.ceil(0.5 * F.col("n")).cast("long")
+    ).agg(F.min("r").alias("mad_c"))
+    cc = mad.select(
+        "mad_c",
+        F.round(F.lit(_HUBER_K) * F.col("mad_c")).cast("long").alias("c"),
+    )
+    wts = res.crossJoin(F.broadcast(cc)).select(
+        "x",
+        "y",
+        F.when(F.col("r") <= F.col("c"), F.lit(1_000_000).cast("long"))
+        .otherwise(
+            F.round(F.col("c").cast("double") * 1e6 / F.col("r")).cast("long")
+        )
+        .alias("w"),
+    )
+    dec = "decimal(38,0)"
+    s1 = wts.agg(
+        F.sum("w").cast("long").alias("sw"),
+        F.sum(F.col("w") * F.col("x")).cast("long").alias("swx"),
+        F.sum(F.col("w").cast(dec) * F.col("y")).cast("double").alias("swy"),
+        F.sum((F.col("w") * F.col("x")).cast(dec) * F.col("y"))
+        .cast("double")
+        .alias("swxy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).cast("long").alias("swxx"),
+    )
+    out = (
+        beta.crossJoin(F.broadcast(mad))
+        .crossJoin(F.broadcast(cc.select("c")))
+        .crossJoin(F.broadcast(s1))
+    )
+    swd = F.col("sw").cast("double")
+    b1h = (swd * F.col("swxy") - F.col("swx").cast("double") * F.col("swy")) / (
+        swd * F.col("swxx") - F.col("swx").cast("double") * F.col("swx")
+    )
+    b0h = (F.col("swy") - F.col("swx").cast("double") * b1h) / swd
+    return out.select(
+        F.col("n").alias("n_rows"),
+        F.col("mad_c").alias("mad_cents"),
+        F.col("c").alias("huber_c_cents"),
+        (F.round(F.col("b0") * 1e6).cast("long") / F.lit(1e6)).alias(
+            "beta0_ols"
+        ),
+        (F.round(F.col("b1") * 1e6).cast("long") / F.lit(1e6)).alias(
+            "beta1_ols"
+        ),
+        (F.round(b0h * 1e6).cast("long") / F.lit(1e6)).alias("beta0_huber"),
+        (F.round(b1h * 1e6).cast("long") / F.lit(1e6)).alias("beta1_huber"),
+    )

@@ -121,6 +121,8 @@ INTENTIONAL_BNLJ = {
     "quantile_normalize_sources",  # broadcast 1-row pooled-count frame
     "pca_power_iteration",  # broadcast 64-row vector + 1-row scalar frames
     "conformal_interval",  # broadcast 1-row beta/quantile/count frames
+    "huber_regression",  # broadcast 1-row beta/MAD/weighted-sum frames
+    "spearman_matrix",  # broadcast k-row type grid (densify cross join)
     "pareto_frontier",  # broadcast 1-row price-bounds frame
     "important_stock",  # broadcast 1-row value-total frame
     "triangle_count",  # broadcast 1-row wedge/triangle/edge-count frames
