@@ -1394,6 +1394,15 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation (dedup whitening, drift monitoring, compression choice —
     complements pq_codebooks and embedding_prefix_energy).
 
+    Convergence honesty: the iterate approaches the dominant
+    eigenvector at rate (lambda2/lambda1)^t, so PCA_ITERS is a knob —
+    the synthetic fixture's near-flat spectrum (ratio ~1.07) converges
+    slowly, and the pinned property (tests/test_properties.py) is
+    exact replay parity with an independent single-node integer
+    implementation plus the Rayleigh bound, not eigen-convergence on
+    gapless data. Each extra iteration costs one O(d^2) broadcast
+    join — nothing fact-scale.
+
     Scale shape: the only fact-scale work is the Gram build — one
     vec_id-keyed self-join fanning each (vec, dim) row into d pair
     terms, then a map-side-combinable (i, j) integer sum to a d x d

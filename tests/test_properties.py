@@ -937,3 +937,201 @@ def test_bpe_greedy_merge_overlap_semantics(spark):
     assert got[1] == ["a_a", "b", "a_a"]
     assert 2 not in got or got[2] == ["x"]  # single-token doc: no pairs
     assert got[3] == ["a_a", "a_a"]
+
+
+# --------------------------------------------------------------------------
+# Round-3 seventh-session additions: linear-algebra / robust-stats props
+# --------------------------------------------------------------------------
+
+
+def test_pca_matches_numpy_replay(spark, sf_dir):
+    """pca_power_iteration is the distributed twin of an independent
+    single-node numpy replay of the SAME integer iteration (exact
+    floor-div semantics), and its variance share respects the Rayleigh
+    bound share <= lambda_max / trace from numpy's exact eigh. (The
+    synthetic embeddings have a nearly flat spectrum — lambda1/lambda2
+    ~ 1.07 — so eigen-CONVERGENCE in 3 steps is not a property of any
+    correct implementation; exact replay is the right pin.)"""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.extensions import (
+        PCA_ITERS,
+        PCA_VSCALE,
+        pca_power_iteration,
+    )
+
+    rows = pca_power_iteration(spark, sf_dir).orderBy("pos").collect()
+    v_spark = np.array([r["pc1_component"] for r in rows])
+    share = rows[0]["variance_share"]
+
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    q = np.round(emb * 1e4).astype(np.int64)
+    n = q.shape[0]
+    m = (2 * q.sum(axis=0) + n) // (2 * n)  # floor-div round-half-up
+    y = q - m
+    g = y.T @ y
+    v = np.full(64, PCA_VSCALE, dtype=np.int64)
+    for _ in range(PCA_ITERS):
+        w = g @ v
+        t = max(int(np.max(np.abs(w))) // PCA_VSCALE, 1)
+        v = w // t  # numpy // floors, matching the portable fd
+    unit = v / np.sqrt(float(v @ v))
+    assert np.allclose(v_spark, np.round(unit * 1e6) / 1e6, atol=2e-6)
+
+    evals = np.linalg.eigvalsh(g.astype(np.float64))
+    assert 0 < share <= evals[-1] / np.trace(g) + 1e-6
+
+
+def test_ledoit_wolf_matches_numpy(spark, sf_dir):
+    """ledoit_wolf_cov's shrinkage intensity and shrunk matrix agree
+    with a direct numpy evaluation of the LW2004 formulas on the same
+    integer daily-cents grid."""
+    import numpy as np
+    import pandas as pd
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.econometrics import (
+        ledoit_wolf_cov,
+    )
+
+    out = ledoit_wolf_cov(spark, sf_dir).toPandas()
+
+    e = load_table(spark, sf_dir, "events").toPandas()
+    e["day"] = pd.to_datetime(e["ts"]).dt.floor("d")
+    e["c"] = (e["value"] * 100).round().astype("int64")
+    grid = (
+        e.groupby(["day", "event_type"])["c"]
+        .sum()
+        .unstack(fill_value=0)
+        .sort_index(axis=1)
+    )
+    x = grid.to_numpy(dtype=np.float64)
+    t, k = x.shape
+    d = x - x.mean(axis=0)
+    s = d.T @ d / t
+    mu = np.trace(s) / k
+    d2 = ((s - mu * np.eye(k)) ** 2).sum() / k
+    b2bar = sum(((np.outer(r, r) - s) ** 2).sum() for r in d) / (k * t * t)
+    shrink = min(b2bar, d2) / d2
+    sh = out.set_index(["type_a", "type_b"])
+    cols = list(grid.columns)
+    for i, ta in enumerate(cols):
+        for j, tb in enumerate(cols):
+            row = sh.loc[(ta, tb)]
+            assert abs(row["cov_sample"] - s[i, j] / 1e4) < max(
+                1e-4, abs(s[i, j]) * 1e-6
+            )
+            assert abs(row["shrinkage"] - shrink) < 1e-5
+
+
+def test_huber_bounds_outlier_influence(spark, sf_dir):
+    """Injecting one gross price outlier moves the Huber slope far
+    less than the OLS slope — the bounded-influence property that
+    motivates the estimator."""
+    import pandas as pd
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries import registry
+
+    fn = registry.all_queries()["huber_regression"]
+    base = fn(spark, sf_dir).collect()[0]
+
+    li = load_table(spark, sf_dir, "lineitem")
+    spike = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "l_orderkey": [999_999_999],
+                "l_linenumber": [1],
+                "l_quantity": [50.0],
+                "l_extendedprice": [5e9],
+            }
+        )
+    )
+    poisoned = li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    ).unionByName(spike)
+
+    import dissertation_iceberg_spark.queries.regression as rg
+    from unittest import mock
+
+    with mock.patch.object(rg, "load_table", lambda s, d, n: poisoned):
+        pois = rg.huber_regression(spark, sf_dir).collect()[0]
+
+    ols_move = abs(pois["beta1_ols"] - base["beta1_ols"])
+    huber_move = abs(pois["beta1_huber"] - base["beta1_huber"])
+    assert huber_move < ols_move / 10
+
+
+def test_conformal_coverage_guarantee(spark, sf_dir):
+    """Split-conformal coverage on the held-out test split respects
+    the finite-sample guarantee (>= 1 - alpha - slack for the modest
+    test-split size)."""
+    from dissertation_iceberg_spark.queries import registry
+
+    row = registry.all_queries()["conformal_interval"](spark, sf_dir).collect()[0]
+    n_test = row["n_test"]
+    slack = 3.0 * (0.1 * 0.9 / n_test) ** 0.5  # ~3 sigma binomial
+    assert row["coverage"] >= 0.9 - slack
+    assert row["q_hat_cents"] > 0
+
+
+def test_bh_qvalues_monotone_and_bounded(spark, sf_dir):
+    """BH q-values are monotone nondecreasing in the p-value rank,
+    within [0, 1], and every rejected hypothesis has q <= alpha."""
+    from dissertation_iceberg_spark.queries import registry
+
+    rows = (
+        registry.all_queries()["bh_fdr_battery"](spark, sf_dir)
+        .orderBy("p_rank")
+        .collect()
+    )
+    qs = [r["q_value"] for r in rows]
+    assert all(0 <= q <= 1 for q in qs)
+    assert all(a <= b + 1e-9 for a, b in zip(qs, qs[1:]))
+    for r in rows:
+        if r["rejected"]:
+            assert r["q_value"] <= 0.05 + 1e-9
+
+
+def test_spearman_matrix_properties(spark, sf_dir):
+    """Spearman matrix is symmetric with a unit diagonal and values
+    in [-1, 1]."""
+    from dissertation_iceberg_spark.queries import registry
+
+    rows = registry.all_queries()["spearman_matrix"](spark, sf_dir).collect()
+    m = {(r["type_a"], r["type_b"]): r["spearman_rho"] for r in rows}
+    for (a, b), v in m.items():
+        assert -1 - 1e-9 <= v <= 1 + 1e-9
+        assert abs(v - m[(b, a)]) < 1e-9
+        if a == b:
+            assert abs(v - 1.0) < 1e-9
+
+
+def test_quantile_normalize_concentrates_sources(spark, sf_dir):
+    """Quantile normalization pulls per-source means toward the pooled
+    distribution: the cross-source spread of mean_qnorm is strictly
+    smaller than the spread of mean_raw, and total mass is approximately
+    conserved (sources sample the same pooled distribution, so totals
+    drift only by discretization at the rank mapping)."""
+    import statistics
+
+    from dissertation_iceberg_spark.queries import registry
+
+    rows = registry.all_queries()["quantile_normalize_sources"](
+        spark, sf_dir
+    ).collect()
+    raw = [r["mean_raw"] for r in rows]
+    qn = [r["mean_qnorm"] for r in rows]
+    assert statistics.pstdev(qn) < statistics.pstdev(raw)
+    tot_raw = sum(r["sum_raw"] for r in rows)
+    tot_qn = sum(r["sum_qnorm"] for r in rows)
+    assert abs(tot_qn - tot_raw) < 0.05 * tot_raw
