@@ -579,3 +579,140 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_qnorm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pairwise Jensen-Shannon divergence between source unigram mixtures
+# --------------------------------------------------------------------------
+
+_LN2_MICRO = 693147  # round(ln(2) * 1e6)
+
+_JS_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(str_split(text, ' '), x -> x <> ''))
+           AS term
+  FROM documents),
+sw AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+       FROM toks GROUP BY 1, 2),
+s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+pair AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.n AS na, b.n AS nb, sa.n_s AS tot_a, sb.n_s AS tot_b
+  FROM sw a JOIN sw b ON a.term = b.term AND a.source < b.source
+  JOIN s sa ON a.source = sa.source
+  JOIN s sb ON b.source = sb.source),
+ev AS (
+  SELECT source_a, source_b, any_value(tot_a) AS tot_a,
+         any_value(tot_b) AS tot_b,
+         CAST(sum(na) AS BIGINT) AS shared_a,
+         CAST(sum(nb) AS BIGINT) AS shared_b,
+         CAST(sum(na * (
+           CAST(round(ln(CAST(2 * na * tot_b AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(round(ln(CAST(na * tot_b + nb * tot_a AS DOUBLE)) * 1e6)
+                  AS BIGINT))) AS BIGINT) AS ev_a,
+         CAST(sum(nb * (
+           CAST(round(ln(CAST(2 * nb * tot_a AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(round(ln(CAST(na * tot_b + nb * tot_a AS DOUBLE)) * 1e6)
+                  AS BIGINT))) AS BIGINT) AS ev_b
+  FROM pair GROUP BY 1, 2)
+SELECT source_a, source_b,
+       CAST(round((
+         (CAST(ev_a + (tot_a - shared_a) * {_LN2_MICRO} AS DOUBLE)
+            / tot_a
+          + CAST(ev_b + (tot_b - shared_b) * {_LN2_MICRO} AS DOUBLE)
+            / tot_b) / 2 / 1e6
+       ) * 1e6) AS BIGINT) / 1e6 AS js_nats
+FROM ev
+"""
+
+
+@register("source_js_divergence", oracle=_JS_ORACLE)
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    unigram distributions — the SYMMETRIC, bounded ([0, ln 2])
+    companion to source_kl_divergence's source-vs-corpus view; the
+    standard pairwise-redundancy matrix for mixture design (a near-0
+    JS pair is the same feed twice; near-ln2 pairs are disjoint
+    domains).
+
+    Key identity that keeps this join INNER, not outer: a term present
+    only in source a has m = p_a/2, so its contribution is exactly
+    p_a*ln2 — the one-sided mass folds into the closed form
+    (tot_a - shared_a)*ln2 and only SHARED terms need the pair join.
+
+    Scale shape: one token reduction to (source, term), a term-keyed
+    self-join (fanout bounded by sources-per-term <= k; AQE skew-join
+    handles stopword keys), and a k^2-cell exact integer aggregate.
+
+    Parity: per-term log arguments are exact integer products
+    (na*tot_b etc.), micro-rounded once, multiplied by integer counts
+    and summed exactly; the one display expression divides exact
+    integers. Same half-ulp libm residual class as
+    source_kl_divergence."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("term"),
+    )
+    sw = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    s = sw.groupBy("source").agg(F.sum("n").cast("long").alias("n_s"))
+    a = sw.select(
+        F.col("source").alias("source_a"), "term", F.col("n").alias("na")
+    )
+    b = sw.select(
+        F.col("source").alias("source_b"), "term", F.col("n").alias("nb")
+    )
+    sa = s.select(F.col("source").alias("source_a"), F.col("n_s").alias("tot_a"))
+    sb = s.select(F.col("source").alias("source_b"), F.col("n_s").alias("tot_b"))
+    pair = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+    )
+
+    def lnm(c):
+        return F.round(F.log(c.cast("double")) * 1e6).cast("long")
+
+    mden = F.col("na") * F.col("tot_b") + F.col("nb") * F.col("tot_a")
+    ev = pair.groupBy("source_a", "source_b").agg(
+        F.any_value("tot_a").alias("tot_a"),
+        F.any_value("tot_b").alias("tot_b"),
+        F.sum("na").cast("long").alias("shared_a"),
+        F.sum("nb").cast("long").alias("shared_b"),
+        F.sum(
+            F.col("na") * (lnm(2 * F.col("na") * F.col("tot_b")) - lnm(mden))
+        )
+        .cast("long")
+        .alias("ev_a"),
+        F.sum(
+            F.col("nb") * (lnm(2 * F.col("nb") * F.col("tot_a")) - lnm(mden))
+        )
+        .cast("long")
+        .alias("ev_b"),
+    )
+    js = (
+        (
+            (
+                F.col("ev_a")
+                + (F.col("tot_a") - F.col("shared_a")) * _LN2_MICRO
+            ).cast("double")
+            / F.col("tot_a")
+            + (
+                F.col("ev_b")
+                + (F.col("tot_b") - F.col("shared_b")) * _LN2_MICRO
+            ).cast("double")
+            / F.col("tot_b")
+        )
+        / 2
+        / F.lit(1e6)
+    )
+    return ev.select(
+        "source_a",
+        "source_b",
+        (F.round(js * 1e6).cast("long") / F.lit(1e6)).alias("js_nats"),
+    )

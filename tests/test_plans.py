@@ -123,6 +123,7 @@ INTENTIONAL_BNLJ = {
     "conformal_interval",  # broadcast 1-row beta/quantile/count frames
     "huber_regression",  # broadcast 1-row beta/MAD/weighted-sum frames
     "spearman_matrix",  # broadcast k-row type grid (densify cross join)
+    "markov_attribution",  # broadcast 1-row effect-total frame
     "pareto_frontier",  # broadcast 1-row price-bounds frame
     "important_stock",  # broadcast 1-row value-total frame
     "triangle_count",  # broadcast 1-row wedge/triangle/edge-count frames
