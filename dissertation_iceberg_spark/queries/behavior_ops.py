@@ -1703,3 +1703,209 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("attribution_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact Shapley-value attribution over the channel-subset lattice
+# --------------------------------------------------------------------------
+
+_SHAP_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS journey
+  FROM events),
+jconv AS (
+  SELECT user_id, journey,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM ev GROUP BY 1, 2),
+jch AS (
+  SELECT DISTINCT user_id, journey, event_type AS channel
+  FROM ev WHERE event_type <> 'purchase'),
+ch AS (
+  SELECT channel,
+         row_number() OVER (ORDER BY channel) - 1 AS idx
+  FROM (SELECT DISTINCT channel FROM jch)),
+kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ch),
+jmask AS (
+  SELECT j.user_id, j.journey,
+         CAST(sum(1 << ch.idx) AS BIGINT) AS mask
+  FROM jch j JOIN ch ON j.channel = ch.channel
+  GROUP BY 1, 2),
+v AS (
+  SELECT m.mask, CAST(count(*) AS BIGINT) AS n,
+         CAST(round(CAST(sum(c.conv) AS DOUBLE) * 1e6 / count(*)) AS BIGINT)
+           AS v_micro
+  FROM jmask m JOIN jconv c
+    ON m.user_id = c.user_id AND m.journey = c.journey
+  GROUP BY 1),
+allm AS (
+  SELECT unnest(range(0, (1 << k))) AS mask FROM kk),
+vf AS (
+  SELECT allm.mask, COALESCE(v.v_micro, 0) AS v_micro
+  FROM allm LEFT JOIN v ON allm.mask = v.mask),
+pairs AS (
+  SELECT ch.channel, vf.mask, vf.v_micro AS v1, v2.v_micro AS v2, kk.k,
+         bit_count(vf.mask) AS sz
+  FROM ch CROSS JOIN kk
+  JOIN vf ON (vf.mask & (1 << ch.idx)) = 0
+  JOIN vf v2 ON v2.mask = vf.mask + (1 << ch.idx)),
+phi AS (
+  SELECT channel, any_value(k) AS k,
+         CAST(sum(factorial(CAST(sz AS INTEGER)) * factorial(CAST(k - 1 - sz AS INTEGER)) * (v2 - v1))
+              AS BIGINT) AS phi_num
+  FROM pairs GROUP BY 1),
+touch AS (
+  SELECT ch.channel, CAST(count(*) AS BIGINT) AS n_touched
+  FROM jmask JOIN ch ON (jmask.mask & (1 << ch.idx)) <> 0
+  GROUP BY 1),
+tot AS (SELECT CAST(sum(phi_num) AS BIGINT) AS tot_num FROM phi)
+SELECT phi.channel, touch.n_touched,
+       CAST(round((CAST(phi.phi_num AS DOUBLE) / factorial(CAST(phi.k AS INTEGER)) / 1e6)
+                  * 1e6) AS BIGINT) / 1e6 AS shapley_value,
+       CAST(round((CASE WHEN tot.tot_num <> 0
+                   THEN CAST(phi.phi_num AS DOUBLE) / tot.tot_num
+                   ELSE 0 END) * 1e6) AS BIGINT) / 1e6
+         AS attribution_share
+FROM phi JOIN touch ON phi.channel = touch.channel CROSS JOIN tot
+"""
+
+
+@register("shapley_attribution", oracle=_SHAP_ORACLE)
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over the channel-subset
+    lattice: each journey's touched-channel SET becomes a bitmask,
+    coalition value v(S) = conversion rate of journeys with mask
+    exactly S (unobserved coalitions 0, v(empty) := 0), and each
+    channel's credit is the exact Shapley sum
+    phi_c = sum_S |S|!(k-|S|-1)!/k! * (v(S+c) - v(S)) — the
+    game-theoretic gold standard the Markov removal effect
+    approximates (k channels is small, so the 2^k lattice is exact and
+    cheap; sampling permutations is only needed when k is large).
+    Efficiency identity sum phi_c = v(grand coalition) holds by
+    construction and is pinned in tests.
+
+    Scale shape: journey masks come from user-partitioned windows and
+    one integer groupBy (fact-scale, map-side combinable); everything
+    after lives on the O(2^k) coalition frame — the subset lattice
+    join is (k x 2^k) rows of exact bit arithmetic.
+
+    Parity: coalition values micro-round ONCE (round(conv*1e6/n) of
+    exact integers); the Shapley sum is exact integer factorial-weight
+    arithmetic (both engines' factorial/bit_count/shifts on BIGINT);
+    the two display divisions are single double expressions."""
+    e0 = load_table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = e0.select(
+        "user_id",
+        "event_type",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1)).over(
+                w_u.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("journey"),
+    )
+    jconv = ev.groupBy("user_id", "journey").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    jch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("user_id", "journey", F.col("event_type").alias("channel"))
+        .distinct()
+    )
+    ch = jch.select("channel").distinct().select(
+        "channel",
+        (F.row_number().over(Window.orderBy("channel")) - 1).alias("idx"),
+    )
+    kk = ch.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    jmask = (
+        jch.join(F.broadcast(ch), "channel")
+        .groupBy("user_id", "journey")
+        .agg(F.sum(F.expr("shiftleft(1, idx)")).cast("long").alias("mask"))
+    )
+    v = (
+        jmask.join(jconv, ["user_id", "journey"])
+        .groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum("conv").cast("double") * 1e6 / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("v_micro"),
+        )
+    )
+    allm = kk.select(
+        F.explode(
+            F.sequence(F.lit(0), F.expr("shiftleft(1, CAST(k AS INT)) - 1"))
+        ).alias("mask")
+    )
+    vf = allm.join(F.broadcast(v.select("mask", "v_micro")), "mask", "left").select(
+        "mask", F.coalesce("v_micro", F.lit(0)).alias("v_micro")
+    )
+    v2 = vf.select(F.col("mask").alias("mask2"), F.col("v_micro").alias("v2"))
+    pairs = (
+        ch.crossJoin(F.broadcast(kk))
+        .join(
+            F.broadcast(vf),
+            F.expr("(mask & shiftleft(1, idx)) = 0"),
+        )
+        .withColumn("mask2", F.expr("mask + shiftleft(1, idx)"))
+        .join(F.broadcast(v2), "mask2")
+        .select(
+            "channel",
+            "k",
+            F.expr("bit_count(mask)").alias("sz"),
+            (F.col("v2") - F.col("v_micro")).alias("marg"),
+        )
+    )
+    phi = pairs.groupBy("channel").agg(
+        F.any_value("k").alias("k"),
+        F.sum(
+            F.factorial(F.col("sz").cast("int"))
+            * F.factorial((F.col("k") - 1 - F.col("sz")).cast("int"))
+            * F.col("marg")
+        )
+        .cast("long")
+        .alias("phi_num"),
+    )
+    touch = (
+        jmask.crossJoin(F.broadcast(ch))
+        .filter(F.expr("(mask & shiftleft(1, idx)) <> 0"))
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_touched"))
+    )
+    tot = phi.agg(F.sum("phi_num").cast("long").alias("tot_num"))
+    out = phi.join(touch, "channel").crossJoin(F.broadcast(tot))
+    return out.select(
+        "channel",
+        "n_touched",
+        (
+            F.round(
+                (
+                    F.col("phi_num").cast("double")
+                    / F.factorial(F.col("k").cast("int"))
+                    / F.lit(1e6)
+                )
+                * 1e6
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("shapley_value"),
+        (
+            F.round(
+                F.when(
+                    F.col("tot_num") != 0,
+                    F.col("phi_num").cast("double") / F.col("tot_num"),
+                ).otherwise(F.lit(0.0))
+                * 1e6
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("attribution_share"),
+    )

@@ -124,6 +124,7 @@ INTENTIONAL_BNLJ = {
     "huber_regression",  # broadcast 1-row beta/MAD/weighted-sum frames
     "spearman_matrix",  # broadcast k-row type grid (densify cross join)
     "markov_attribution",  # broadcast 1-row effect-total frame
+    "shapley_attribution",  # broadcast 2^k coalition lattice + 1-row frames
     "pareto_frontier",  # broadcast 1-row price-bounds frame
     "important_stock",  # broadcast 1-row value-total frame
     "triangle_count",  # broadcast 1-row wedge/triangle/edge-count frames

@@ -1135,3 +1135,49 @@ def test_quantile_normalize_concentrates_sources(spark, sf_dir):
     tot_raw = sum(r["sum_raw"] for r in rows)
     tot_qn = sum(r["sum_qnorm"] for r in rows)
     assert abs(tot_qn - tot_raw) < 0.05 * tot_raw
+
+
+def test_shapley_efficiency_identity(spark, sf_dir):
+    """Exact Shapley credits satisfy the efficiency axiom: they sum to
+    v(grand coalition) - v(empty) (v(empty) := 0), reproduced
+    independently from the journey masks."""
+    from dissertation_iceberg_spark.queries import registry
+
+    rows = registry.all_queries()["shapley_attribution"](spark, sf_dir).collect()
+    total_phi = sum(r["shapley_value"] for r in rows)
+
+    import pandas as pd
+
+    from dissertation_iceberg_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "events").toPandas()
+    e = e.sort_values(["user_id", "ts", "event_id"])
+    e["journey"] = (
+        (e["event_type"] == "purchase")
+        .groupby(e["user_id"])
+        .transform(lambda s: s.shift(1, fill_value=False).cumsum())
+    )
+    grp = e.groupby(["user_id", "journey"])
+    conv = grp["event_type"].apply(lambda s: (s == "purchase").any())
+    chans = grp["event_type"].apply(
+        lambda s: frozenset(x for x in s if x != "purchase")
+    )
+    allch = sorted(set().union(*chans))
+    full = frozenset(allch)
+    mask_full = (chans == full) & (chans != frozenset())
+    v_grand = conv[mask_full].mean() if mask_full.any() else 0.0
+    v_grand_micro = round(v_grand * 1e6) / 1e6
+    assert abs(total_phi - v_grand_micro) < 1e-3
+
+
+def test_markov_attribution_shares_normalize(spark, sf_dir):
+    """Markov removal-effect shares are nonnegative and sum to 1, and
+    every removal can only reduce conversion probability."""
+    from dissertation_iceberg_spark.queries import registry
+
+    rows = registry.all_queries()["markov_attribution"](spark, sf_dir).collect()
+    shares = [r["attribution_share"] for r in rows]
+    assert all(s >= 0 for s in shares)
+    assert abs(sum(shares) - 1.0) < 1e-4
+    for r in rows:
+        assert r["p_conv_removed"] <= r["p_conv_base"] + 1e-9
