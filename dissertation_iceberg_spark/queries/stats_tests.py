@@ -2875,3 +2875,179 @@ def bh_fdr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rejected"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mutual-information feature ranking against the event-type label
+# --------------------------------------------------------------------------
+
+_MI_FEATURES_SQL = """
+  SELECT 'value_mag' AS feature,
+         CAST(floor(log10(CAST(round(value * 100) AS BIGINT) + 1))
+              AS VARCHAR) AS x,
+         event_type AS y
+  FROM events
+  UNION ALL
+  SELECT 'hour_q', CAST(CAST(extract(hour FROM ts) AS BIGINT) // 6
+                        AS VARCHAR), event_type
+  FROM events
+  UNION ALL
+  SELECT 'weekend', CASE WHEN CAST(extract(isodow FROM ts) AS BIGINT) >= 6
+                         THEN '1' ELSE '0' END, event_type
+  FROM events
+  UNION ALL
+  SELECT 'user_decile', CAST(user_id % 10 AS VARCHAR), event_type
+  FROM events
+"""
+
+_MI_ORACLE = f"""
+WITH f AS ({_MI_FEATURES_SQL}),
+xy AS (SELECT feature, x, y, CAST(count(*) AS BIGINT) AS n_xy
+       FROM f GROUP BY 1, 2, 3),
+xs AS (SELECT feature, x, CAST(sum(n_xy) AS BIGINT) AS n_x
+       FROM xy GROUP BY 1, 2),
+ys AS (SELECT feature, y, CAST(sum(n_xy) AS BIGINT) AS n_y
+       FROM xy GROUP BY 1, 2),
+ns AS (SELECT feature, CAST(sum(n_xy) AS BIGINT) AS n FROM xy GROUP BY 1),
+ev AS (
+  SELECT xy.feature,
+         CAST(sum(n_xy * (
+           CAST(round(ln(CAST(n_xy AS DOUBLE)) * 1e6) AS BIGINT)
+           + CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(round(ln(CAST(n_x AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(round(ln(CAST(n_y AS DOUBLE)) * 1e6) AS BIGINT)))
+           AS BIGINT) AS mi_ev,
+         any_value(n) AS n,
+         CAST(count(DISTINCT xy.x) AS BIGINT) AS n_levels
+  FROM xy
+  JOIN xs ON xy.feature = xs.feature AND xy.x = xs.x
+  JOIN ys ON xy.feature = ys.feature AND xy.y = ys.y
+  JOIN ns ON xy.feature = ns.feature
+  GROUP BY 1),
+hy AS (
+  SELECT ys.feature,
+         CAST(sum(n_y * (
+           CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(round(ln(CAST(n_y AS DOUBLE)) * 1e6) AS BIGINT)))
+           AS BIGINT) AS hy_ev
+  FROM ys JOIN ns ON ys.feature = ns.feature GROUP BY 1)
+SELECT ev.feature, ev.n_levels,
+       CAST(round((CAST(ev.mi_ev AS DOUBLE) / ev.n / 1e6) * 1e6) AS BIGINT)
+         / 1e6 AS mi_nats,
+       CAST(round((CASE WHEN hy.hy_ev > 0
+                   THEN CAST(ev.mi_ev AS DOUBLE) / hy.hy_ev ELSE 0 END)
+                  * 1e6) AS BIGINT) / 1e6 AS nmi
+FROM ev JOIN hy ON ev.feature = hy.feature
+"""
+
+
+@register("mi_feature_ranking", oracle=_MI_ORACLE)
+def mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking against the event-type
+    label: four discretized candidate features (value magnitude
+    decade, 6-hour day quarter, weekend flag, user decile) scored by
+    I(X;Y) in nats plus the label-entropy-normalized NMI — the
+    model-free feature-selection screen that complements
+    chi_square_independence (MI ranks by information, chi-square tests
+    significance). All four features flow through ONE generic
+    (feature, x, y) pipeline, so adding a feature is one UNION arm.
+
+    Scale shape: a single union scan reduced to (feature, x, y) cell
+    counts (map-side combinable; cells bounded by levels x labels),
+    then marginal equi-joins on the O(cells) frame.
+
+    Parity: the standard micro-nat evidence trick — each ln of an
+    exact integer count rounds ONCE to BIGINT, the per-cell evidence
+    n_xy * (...) sums exactly, and the two display divisions are
+    single double expressions (same half-ulp libm residual class as
+    unigram_logprob)."""
+    e0 = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    feats = [
+        e0.select(
+            F.lit("value_mag").alias("feature"),
+            F.floor(F.log10((cents + 1).cast("double")))
+            .cast("string")
+            .alias("x"),
+            F.col("event_type").alias("y"),
+        ),
+        e0.select(
+            F.lit("hour_q").alias("feature"),
+            F.expr("CAST(CAST(extract(hour FROM ts) AS BIGINT) div 6 AS STRING)").alias("x"),
+            F.col("event_type").alias("y"),
+        ),
+        e0.select(
+            F.lit("weekend").alias("feature"),
+            F.when(F.expr("extract(dayofweek_iso FROM ts)") >= 6, "1")
+            .otherwise("0")
+            .alias("x"),
+            F.col("event_type").alias("y"),
+        ),
+        e0.select(
+            F.lit("user_decile").alias("feature"),
+            (F.col("user_id") % 10).cast("string").alias("x"),
+            F.col("event_type").alias("y"),
+        ),
+    ]
+    f = feats[0]
+    for part in feats[1:]:
+        f = f.unionByName(part)
+    xy = f.groupBy("feature", "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
+    )
+    xs = xy.groupBy("feature", "x").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    ys = xy.groupBy("feature", "y").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    ns = xy.groupBy("feature").agg(F.sum("n_xy").cast("long").alias("n"))
+
+    def lnm(c):
+        return F.round(F.log(c.cast("double")) * 1e6).cast("long")
+
+    ev = (
+        xy.join(xs, ["feature", "x"])
+        .join(ys, ["feature", "y"])
+        .join(F.broadcast(ns), "feature")
+        .groupBy("feature")
+        .agg(
+            F.sum(
+                F.col("n_xy")
+                * (
+                    lnm(F.col("n_xy"))
+                    + lnm(F.col("n"))
+                    - lnm(F.col("n_x"))
+                    - lnm(F.col("n_y"))
+                )
+            )
+            .cast("long")
+            .alias("mi_ev"),
+            F.any_value("n").alias("n"),
+            F.countDistinct("x").cast("long").alias("n_levels"),
+        )
+    )
+    hy = (
+        ys.join(F.broadcast(ns), "feature")
+        .groupBy("feature")
+        .agg(
+            F.sum(F.col("n_y") * (lnm(F.col("n")) - lnm(F.col("n_y"))))
+            .cast("long")
+            .alias("hy_ev")
+        )
+    )
+    return ev.join(hy, "feature").select(
+        "feature",
+        "n_levels",
+        (
+            F.round((F.col("mi_ev").cast("double") / F.col("n") / 1e6) * 1e6)
+            .cast("long")
+            / F.lit(1e6)
+        ).alias("mi_nats"),
+        (
+            F.round(
+                F.when(
+                    F.col("hy_ev") > 0,
+                    F.col("mi_ev").cast("double") / F.col("hy_ev"),
+                ).otherwise(F.lit(0.0))
+                * 1e6
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("nmi"),
+    )
