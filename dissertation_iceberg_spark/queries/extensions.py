@@ -1507,3 +1507,120 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("variance_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Silhouette score per embedding label (cluster-quality audit)
+# --------------------------------------------------------------------------
+
+_SIL_ORACLE = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT)) AS qv
+  FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS pos),
+xe AS (SELECT vec_id, label, pos, qv[pos] AS x FROM q, idx),
+cent AS (
+  SELECT label AS c, pos, CAST(sum(x) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM xe GROUP BY 1, 2),
+d AS (
+  SELECT xe.vec_id, any_value(xe.label) AS label, cent.c, cent.n,
+         CAST(sum((xe.x * cent.n - cent.s) * (xe.x * cent.n - cent.s))
+              AS BIGINT) AS num
+  FROM xe JOIN cent ON xe.pos = cent.pos
+  GROUP BY xe.vec_id, cent.c, cent.n),
+ab AS (
+  SELECT vec_id, label,
+         min(CASE WHEN c = label
+                  THEN sqrt(CAST(num AS DOUBLE)) / n END) AS a,
+         min(CASE WHEN c <> label
+                  THEN sqrt(CAST(num AS DOUBLE)) / n END) AS b
+  FROM d GROUP BY 1, 2),
+s AS (
+  SELECT vec_id, label,
+         CAST(round(((b - a) / greatest(a, b)) * 1e6) AS BIGINT) AS s_micro
+  FROM ab WHERE greatest(a, b) > 0)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(s_micro) AS BIGINT) AS sil_evidence_micro,
+       CAST(round((CAST(sum(s_micro) AS DOUBLE) / count(*) / 1e6) * 1e6)
+            AS BIGINT) / 1e6 AS mean_silhouette
+FROM s GROUP BY 1
+"""
+
+
+@register("silhouette_by_label", oracle=_SIL_ORACLE)
+def silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean silhouette of the embedding corpus against the
+    LABEL centroids (simplified/medoid-free silhouette: a = distance
+    to own centroid, b = nearest other centroid) — the cluster-quality
+    audit that closes the clustering loop (kmeans_cluster_stats
+    reports inertia/purity; silhouette says whether the labels are
+    geometrically separable at all). Near-zero or negative means flag
+    label noise or encoder drift slices for re-curation.
+
+    Scale shape: the kmeans recipe — one (label, pos) integer-sum
+    reduction for centroids (k x 64 rows, broadcast), one
+    vector-by-centroid distance aggregate (fanout k per (vec, dim)
+    row, map-side combinable), per-vector min over k, then a per-label
+    exact integer mean. No pairwise vector join anywhere (true
+    silhouette's O(n^2) pair term is exactly what doesn't survive
+    100 TB; the centroid form is the standard scalable surrogate,
+    stated in the name).
+
+    Parity: quantized components make every distance numerator an
+    exact BIGINT ((x*n - s)^2 over common denominator n^2); a, b and
+    the silhouette ratio are identical double expressions; s_i
+    micro-rounds ONCE so the per-label mean is an exact integer sum.
+    Residual: accepted half-ulp class on sqrt/division ties."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1e4).cast("long"),
+    )
+    xe = emb.select("vec_id", "label", qv.alias("qv")).select(
+        "vec_id",
+        "label",
+        F.posexplode("qv").alias("pos0", "x"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "x")
+    cent = xe.groupBy(F.col("label").alias("c"), "pos").agg(
+        F.sum("x").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    err = F.col("x") * F.col("n") - F.col("s")
+    d = (
+        xe.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "c", "n")
+        .agg(
+            F.any_value("label").alias("label"),
+            F.sum(err * err).cast("long").alias("num"),
+        )
+    )
+    dist = F.sqrt(F.col("num").cast("double")) / F.col("n")
+    ab = d.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("c") == F.col("label"), dist)).alias("a"),
+        F.min(F.when(F.col("c") != F.col("label"), dist)).alias("b"),
+    )
+    s = ab.filter(F.greatest(F.col("a"), F.col("b")) > 0).select(
+        "label",
+        F.round(
+            (F.col("b") - F.col("a"))
+            / F.greatest(F.col("a"), F.col("b"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    return s.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("s_micro").cast("long").alias("sil_evidence_micro"),
+        (
+            F.round(
+                (F.sum("s_micro").cast("double") / F.count(F.lit(1)) / 1e6)
+                * 1e6
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("mean_silhouette"),
+    )
