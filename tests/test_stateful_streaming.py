@@ -1138,3 +1138,83 @@ def test_streaming_vpin_matches_batch(spark, tmp_path):
     exp_pref = pd.DataFrame(sealed_pref, columns=cols)
     have = exp_pref.merge(got[cols], on=cols, how="left", indicator=True)
     assert (have["_merge"] == "both").all(), "sealed bucket missing"
+
+
+def test_streaming_ewma_anomalies_match_batch(spark, tmp_path):
+    """Streaming daily EWMA monitor: every sealed (event_type, day)
+    row is bit-equal to the batch ewma_daily_by_type fold, anomaly
+    flags reproduce the exact integer comparison, and only
+    watermark-sealed days are emitted."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.misc import ewma_daily_by_type
+    from dissertation_iceberg_spark.streaming.anomaly_stream import (
+        streaming_daily_ewma_anomalies,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    src = str(tmp_path / "anom_src")
+    pdf = e.toPandas().sort_values("ts").reset_index(drop=True)
+    n = len(pdf)
+    chunks = [
+        pdf.iloc[: n // 3],
+        pdf.iloc[n // 3 : 2 * n // 3],
+        pdf.iloc[2 * n // 3 :],
+    ]
+    for i, c in enumerate(chunks):
+        spark.createDataFrame(c).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        streaming_daily_ewma_anomalies(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_anom")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("ewma_anom").toPandas()
+    assert len(got) > 0
+    assert not got.duplicated(["event_type", "day_us"]).any()
+
+    batch = ewma_daily_by_type(spark, sf).toPandas()
+    batch["day_us"] = (
+        pd.to_datetime(batch["day"]).astype("int64") // 1000
+    )
+    bidx = batch.set_index(["event_type", "day_us"])
+
+    # every sealed emission matches the batch fold bit-for-bit
+    for r in got.itertuples():
+        b = bidx.loc[(r.event_type, r.day_us)]
+        assert int(b["cents"]) == r.cents
+        assert int(b["ewma_cents"]) == r.ewma_cents
+
+    # anomaly flags reproduce the integer comparison vs prior EWMA
+    bsorted = batch.sort_values(["event_type", "day_us"])
+    expect_flags = {}
+    for et, grp in bsorted.groupby("event_type"):
+        prev = None
+        for r in grp.itertuples():
+            if prev is None:
+                expect_flags[(et, r.day_us)] = 0
+            else:
+                c = int(r.cents)
+                expect_flags[(et, r.day_us)] = int(
+                    c > 2 * prev or 2 * c < prev
+                )
+            prev = int(r.ewma_cents)
+    for r in got.itertuples():
+        assert expect_flags[(r.event_type, r.day_us)] == r.anomaly
+
+    # the stream's final watermark cannot seal the last day: emitted
+    # days must be a strict prefix of the batch day set per type
+    last_day = batch.groupby("event_type")["day_us"].max()
+    for et, grp in got.groupby("event_type"):
+        assert grp["day_us"].max() < last_day[et]
