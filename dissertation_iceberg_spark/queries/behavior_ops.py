@@ -1909,3 +1909,136 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("attribution_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Week-over-week top-k churn (leaderboard stability)
+# --------------------------------------------------------------------------
+
+_CHURN_K = 20
+_WEEK_US = 7 * 86_400_000_000
+
+_CHURN_ORACLE = f"""
+WITH wk AS (
+  SELECT epoch_us(date_trunc('week', ts)) AS week_us, user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+rk AS (
+  SELECT week_us, user_id, cents,
+         CAST(row_number() OVER (PARTITION BY week_us
+                                 ORDER BY cents DESC, user_id) AS BIGINT)
+           AS rnk
+  FROM wk),
+tk AS (SELECT * FROM rk WHERE rnk <= {_CHURN_K}),
+sz AS (SELECT week_us, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+met AS (
+  SELECT a.week_us,
+         CAST(count(*) AS BIGINT) AS retained,
+         CAST(sum(abs(a.rnk - b.rnk)) AS BIGINT) AS disp_sum
+  FROM tk a JOIN tk b
+    ON b.week_us = a.week_us + {_WEEK_US} AND a.user_id = b.user_id
+  GROUP BY 1)
+SELECT CAST(make_timestamp(sa.week_us) AS TIMESTAMP) AS week_start,
+       sa.n AS n_curr, sb.n AS n_next,
+       COALESCE(met.retained, 0) AS retained,
+       CAST(round((CAST(COALESCE(met.retained, 0) AS DOUBLE)
+                   / (sa.n + sb.n - COALESCE(met.retained, 0))) * 1e6)
+            AS BIGINT) / 1e6 AS jaccard,
+       CASE WHEN COALESCE(met.retained, 0) > 0
+            THEN CAST(round((CAST(met.disp_sum AS DOUBLE) / met.retained)
+                            * 1e6) AS BIGINT) / 1e6 END
+         AS mean_rank_displacement
+FROM sz sa
+JOIN sz sb ON sb.week_us = sa.week_us + {_WEEK_US}
+LEFT JOIN met ON met.week_us = sa.week_us
+"""
+
+
+@register("topk_churn", oracle=_CHURN_ORACLE)
+def topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week churn of the top-{k} user leaderboard (by total
+    event value): retained membership, Jaccard stability of the two
+    top-k sets, and mean absolute rank displacement among retained
+    users — the leaderboard-volatility monitor that tells a curation
+    or growth team whether week-on-week movement is organic or a
+    pipeline regression (complements rolling_top_performers' windowed
+    view with set-level metrics).
+
+    Scale shape: fact rows reduce to (week, user) integer cells
+    (map-side combinable); ranking is a week-partitioned window over
+    those cells (bounded by users-per-week; at extreme cardinality
+    swap in the salted two-stage top-k of salted_topk_users — same
+    downstream frame); everything after lives on O(weeks x k) rows
+    joined week-to-next-week by exact integer epoch arithmetic.
+
+    Parity: ranks break ties by user_id (total order); weeks ride as
+    exact epoch-microsecond integers through the joins and convert to
+    timestamps only at display; all counts/displacements are exact
+    BIGINT with single-double display divisions."""
+    e0 = load_table(spark, sf_dir, "events")
+    wk = (
+        e0.select(
+            F.unix_micros(F.date_trunc("week", F.col("ts"))).alias("week_us"),
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("week_us", "user_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("week_us").orderBy(
+        F.col("cents").desc(), F.col("user_id")
+    )
+    tk = wk.select(
+        "week_us",
+        "user_id",
+        "cents",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    ).filter(F.col("rnk") <= _CHURN_K)
+    sz = tk.groupBy("week_us").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    b = tk.select(
+        (F.col("week_us") - _WEEK_US).alias("week_us"),
+        "user_id",
+        F.col("rnk").alias("rnk_next"),
+    )
+    met = (
+        tk.join(b, ["week_us", "user_id"])
+        .groupBy("week_us")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("retained"),
+            F.sum(F.abs(F.col("rnk") - F.col("rnk_next")))
+            .cast("long")
+            .alias("disp_sum"),
+        )
+    )
+    sb = sz.select(
+        (F.col("week_us") - _WEEK_US).alias("week_us"),
+        F.col("n").alias("n_next"),
+    )
+    out = (
+        sz.join(sb, "week_us")
+        .join(met, "week_us", "left")
+        .select(
+            "week_us",
+            F.col("n").alias("n_curr"),
+            "n_next",
+            F.coalesce("retained", F.lit(0)).cast("long").alias("retained"),
+            "disp_sum",
+        )
+    )
+    jac = F.col("retained").cast("double") / (
+        F.col("n_curr") + F.col("n_next") - F.col("retained")
+    )
+    return out.select(
+        F.timestamp_micros(F.col("week_us")).alias("week_start"),
+        "n_curr",
+        "n_next",
+        "retained",
+        (F.round(jac * 1e6).cast("long") / F.lit(1e6)).alias("jaccard"),
+        F.when(
+            F.col("retained") > 0,
+            F.round(
+                (F.col("disp_sum").cast("double") / F.col("retained")) * 1e6
+            ).cast("long")
+            / F.lit(1e6),
+        ).alias("mean_rank_displacement"),
+    )
