@@ -2042,3 +2042,118 @@ def topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6),
         ).alias("mean_rank_displacement"),
     )
+
+
+# --------------------------------------------------------------------------
+# Transition entropy rate (sequence predictability)
+# --------------------------------------------------------------------------
+
+_TER_ORACLE = """
+WITH seqd AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events),
+tr AS (
+  SELECT prev AS x, event_type AS y, CAST(count(*) AS BIGINT) AS n_xy
+  FROM seqd WHERE prev IS NOT NULL GROUP BY 1, 2),
+xs AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM tr GROUP BY 1),
+ys AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM tr GROUP BY 1),
+ns AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM tr),
+hc AS (
+  SELECT CAST(sum(n_xy * (
+           CAST(round(ln(CAST(n_x AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(round(ln(CAST(n_xy AS DOUBLE)) * 1e6) AS BIGINT)))
+           AS BIGINT) AS hcond_ev
+  FROM tr JOIN xs ON tr.x = xs.x),
+hm AS (
+  SELECT CAST(sum(n_y * (
+           CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(round(ln(CAST(n_y AS DOUBLE)) * 1e6) AS BIGINT)))
+           AS BIGINT) AS hmarg_ev
+  FROM ys CROSS JOIN ns)
+SELECT ns.n AS n_transitions,
+       CAST(round((CAST(hc.hcond_ev AS DOUBLE) / ns.n / 1e6) * 1e6)
+            AS BIGINT) / 1e6 AS entropy_rate_nats,
+       CAST(round((CAST(hm.hmarg_ev AS DOUBLE) / ns.n / 1e6) * 1e6)
+            AS BIGINT) / 1e6 AS marginal_entropy_nats,
+       CAST(round((CASE WHEN hm.hmarg_ev > 0
+                   THEN 1e0 - CAST(hc.hcond_ev AS DOUBLE) / hm.hmarg_ev
+                   ELSE 0 END) * 1e6) AS BIGINT) / 1e6
+         AS predictability_gain
+FROM hc CROSS JOIN hm CROSS JOIN ns
+"""
+
+
+@register("transition_entropy_rate", oracle=_TER_ORACLE)
+def transition_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order entropy rate of the per-user event stream:
+    H(next | prev) over the transition counts, beside the marginal
+    H(next) and the predictability gain 1 - H(next|prev)/H(next) — the
+    information-theoretic summary of event_transitions (how much the
+    Markov structure actually buys a sequence model / next-event
+    cache; gain ~0 means transitions are noise).
+
+    Scale shape: one user-partitioned lag window reduced to the
+    O(types^2) transition frame; everything after is exact integer
+    arithmetic on that constant-size frame.
+
+    Parity: the micro-nat evidence recipe — H(Y|X) evidence is
+    sum n_xy*(ln(n_x) - ln(n_xy)) with each ln of an exact count
+    rounded once; display divisions are single double expressions
+    (half-ulp libm residual class)."""
+    e0 = load_table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e0.select(
+            F.lag("event_type").over(w_u).alias("x"),
+            F.col("event_type").alias("y"),
+        )
+        .filter(F.col("x").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    )
+    xs = tr.groupBy("x").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    ys = tr.groupBy("y").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    ns = tr.agg(F.sum("n_xy").cast("long").alias("n"))
+
+    def lnm(c):
+        return F.round(F.log(c.cast("double")) * 1e6).cast("long")
+
+    hc = (
+        tr.join(F.broadcast(xs), "x")
+        .agg(
+            F.sum(F.col("n_xy") * (lnm(F.col("n_x")) - lnm(F.col("n_xy"))))
+            .cast("long")
+            .alias("hcond_ev")
+        )
+    )
+    hm = ys.crossJoin(F.broadcast(ns)).agg(
+        F.sum(F.col("n_y") * (lnm(F.col("n")) - lnm(F.col("n_y"))))
+        .cast("long")
+        .alias("hmarg_ev")
+    )
+    out = hc.crossJoin(F.broadcast(hm)).crossJoin(F.broadcast(ns))
+    return out.select(
+        F.col("n").alias("n_transitions"),
+        (
+            F.round((F.col("hcond_ev").cast("double") / F.col("n") / 1e6) * 1e6)
+            .cast("long")
+            / F.lit(1e6)
+        ).alias("entropy_rate_nats"),
+        (
+            F.round((F.col("hmarg_ev").cast("double") / F.col("n") / 1e6) * 1e6)
+            .cast("long")
+            / F.lit(1e6)
+        ).alias("marginal_entropy_nats"),
+        (
+            F.round(
+                F.when(
+                    F.col("hmarg_ev") > 0,
+                    1.0 - F.col("hcond_ev").cast("double") / F.col("hmarg_ev"),
+                ).otherwise(F.lit(0.0))
+                * 1e6
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("predictability_gain"),
+    )

@@ -126,6 +126,7 @@ INTENTIONAL_BNLJ = {
     "markov_attribution",  # broadcast 1-row effect-total frame
     "shapley_attribution",  # broadcast 2^k coalition lattice + 1-row frames
     "degree_assortativity",  # broadcast 1-row node-count frame
+    "transition_entropy_rate",  # broadcast 1-row total + evidence frames
     "pareto_frontier",  # broadcast 1-row price-bounds frame
     "important_stock",  # broadcast 1-row value-total frame
     "triangle_count",  # broadcast 1-row wedge/triangle/edge-count frames
