@@ -2157,3 +2157,116 @@ def transition_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("predictability_gain"),
     )
+
+
+# --------------------------------------------------------------------------
+# Empirical-Bayes beta-binomial rate shrinkage
+# --------------------------------------------------------------------------
+
+_EB_R6 = "CAST(round(({x}) * 1e6) AS BIGINT) / 1e6"
+
+_EB_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS n_purch
+  FROM events GROUP BY 1),
+q AS (
+  SELECT user_id, n_events, n_purch,
+         CAST(round(CAST(n_purch AS DOUBLE) / n_events * 1e6) AS BIGINT) AS rq
+  FROM per_user),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(rq) AS BIGINT) AS srq,
+         CAST(sum(rq * rq) AS BIGINT) AS srq2
+  FROM q),
+prior AS (
+  SELECT k, srq, srq2,
+         CAST(srq AS DOUBLE) / k / 1e6 AS m,
+         (CAST(srq2 AS DOUBLE) - CAST(srq AS DOUBLE) * srq / k)
+           / (k - 1) / 1e12 AS v
+  FROM mom),
+ab AS (
+  SELECT CASE WHEN v > 0 AND v < m * (1 - m)
+              THEN m * (m * (1 - m) / v - 1) ELSE 1.0 END AS alpha,
+         CASE WHEN v > 0 AND v < m * (1 - m)
+              THEN (1 - m) * (m * (1 - m) / v - 1) ELSE 1.0 END AS beta
+  FROM prior)
+SELECT user_id, n_events, n_purch,
+  {_EB_R6.format(x="CAST(n_purch AS DOUBLE) / n_events")} AS raw_rate,
+  {_EB_R6.format(x="(n_purch + alpha) / (n_events + alpha + beta)")}
+    AS shrunk_rate,
+  {_EB_R6.format(x="alpha")} AS prior_alpha,
+  {_EB_R6.format(x="beta")} AS prior_beta
+FROM q CROSS JOIN ab
+"""
+
+
+@register("eb_rate_shrinkage", oracle=_EB_ORACLE)
+def eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-user purchase rates under a
+    beta-binomial model: a method-of-moments Beta(α, β) prior fit to
+    the cross-user rate distribution, then each user's posterior mean
+    (x+α)/(n+α+β) — the standard CTR-smoothing estimator that keeps a
+    3-event user from looking like a 100 % converter.  Degenerate
+    moments (v ≤ 0 or v ≥ m(1−m)) fall back to the uniform Beta(1,1).
+
+    Scale shape: one map-side-combinable per-user aggregate; rates are
+    quantized once to integer 1e-6 grain so the cross-user moment sums
+    (Σr, Σr²) are exact BIGINTs (headroom to ~1e6 users at this grain;
+    the sums, not the raw doubles, cross the shuffle), and the fitted
+    α, β live in a broadcast 1-row frame.  Posterior means are pure
+    per-row arithmetic — no second shuffle.
+    """
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("long")
+            .alias("n_purch"),
+        )
+    )
+    q = per_user.withColumn(
+        "rq",
+        F.round(
+            F.col("n_purch").cast("double") / F.col("n_events") * 1e6
+        ).cast("long"),
+    )
+    mom = q.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("rq").cast("long").alias("srq"),
+        F.sum(F.col("rq") * F.col("rq")).cast("long").alias("srq2"),
+    )
+    m = F.col("srq").cast("double") / F.col("k") / 1e6
+    v = (
+        (
+            F.col("srq2").cast("double")
+            - F.col("srq").cast("double") * F.col("srq") / F.col("k")
+        )
+        / (F.col("k") - 1)
+        / 1e12
+    )
+    ok = (v > 0) & (v < m * (1 - m))
+    scale = m * (1 - m) / v - 1
+    ab = mom.select(
+        F.when(ok, m * scale).otherwise(F.lit(1.0)).alias("alpha"),
+        F.when(ok, (1 - m) * scale).otherwise(F.lit(1.0)).alias("beta"),
+    )
+    r6 = lambda c: F.round(c * 1e6).cast("long") / 1e6  # noqa: E731
+    return q.join(F.broadcast(ab)).select(
+        "user_id",
+        "n_events",
+        "n_purch",
+        r6(F.col("n_purch").cast("double") / F.col("n_events")).alias(
+            "raw_rate"
+        ),
+        r6(
+            (F.col("n_purch") + F.col("alpha"))
+            / (F.col("n_events") + F.col("alpha") + F.col("beta"))
+        ).alias("shrunk_rate"),
+        r6(F.col("alpha")).alias("prior_alpha"),
+        r6(F.col("beta")).alias("prior_beta"),
+    )

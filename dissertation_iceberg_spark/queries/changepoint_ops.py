@@ -1,0 +1,268 @@
+"""Change-point detection over the daily event-value series (round 3):
+the Pettitt rank test and a standardized CUSUM (Brownian-bridge)
+statistic — the two standard "did the level shift, and when?"
+monitors a data-quality pipeline runs over its daily metrics.  Absent
+from the reference (closest relative: its seasonality/daily-sum
+descriptive stats), first-class for a 100 TB telemetry engine.
+
+Both queries share one fact-scale stage — the per-day (sum, count)
+aggregate in exact integer cents, map-side combinable — and do all
+test arithmetic on the O(days) frame that falls out of it (30 rows at
+any SF here; O(history length) generally, never row-scale).  Daily
+means are quantized once to integer 1e-4 grain so every cumulative
+sum and squared-deviation sum is an exact BIGINT in both engines;
+doubles appear only in the final normalized statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dissertation_iceberg_spark.io import load_table, spread
+from dissertation_iceberg_spark.queries.registry import register
+
+_R6_SQL = "CAST(round(({x}) * 1e6) AS BIGINT) / 1e6"
+
+# Daily-mean quantization grain (1e-4 of a value unit).  Deviations
+# D_t = n*x_q - sum(x_q) stay ~ n * 2e5, so sum(D^2) fits BIGINT for
+# any history up to ~1e4 years of days — 1e6 grain would not.
+_Q = 10_000
+
+
+def _r6(col):
+    return F.round(col * 1e6).cast("long") / 1e6
+
+
+# Shared day frame: day, exact quantized daily mean of `value`.
+_DAILY_SQL = f"""
+  SELECT date_trunc('day', ts) AS day,
+         CAST(round(sum(CAST(round(value * 100) AS BIGINT))
+                    / CAST(count(*) AS DOUBLE) / 100 * {_Q}) AS BIGINT) AS xq
+  FROM events GROUP BY 1
+"""
+
+
+def _daily_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, sf_dir, "events"))
+    return e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            / F.count(F.lit(1)).cast("double")
+            / 100
+            * _Q
+        )
+        .cast("long")
+        .alias("xq")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pettitt change-point test
+# --------------------------------------------------------------------------
+
+_PETTITT_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+ranked AS (
+  SELECT day, xq,
+         CAST(row_number() OVER (ORDER BY xq, day) AS BIGINT) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM daily),
+curve AS (
+  SELECT day, xq, n,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+         CAST(sum(rk) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS srk
+  FROM ranked),
+u AS (
+  SELECT day, xq, n, t, 2 * srk - t * (n + 1) AS u_t FROM curve),
+k0 AS (
+  SELECT day, xq, n, t, CAST(u_t AS BIGINT) AS u_t,
+         max(abs(u_t)) OVER () AS k_stat
+  FROM u),
+k AS (
+  SELECT day, xq, n, t, u_t, k_stat,
+         min(CASE WHEN abs(u_t) = k_stat THEN day END) OVER () AS cp_day
+  FROM k0)
+SELECT day, {_R6_SQL.format(x=f"CAST(xq AS DOUBLE) / {_Q}")} AS daily_mean,
+       u_t, CAST(k_stat AS BIGINT) AS k_stat,
+       {_R6_SQL.format(x="2 * exp(-6.0 * k_stat * k_stat / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))")} AS p_value,
+       CAST(day = cp_day AS BIGINT) AS is_changepoint
+FROM k
+"""
+
+
+@register("pettitt_changepoint", oracle=_PETTITT_ORACLE)
+def pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt (1979) nonparametric change-point test over the daily
+    mean event value: U_t = 2·S_t − t(n+1) from the rank cumsum, the
+    change point at argmax|U_t| (earliest day on ties), and the
+    approximate significance p ≈ 2·exp(−6K²/(n³+n²)).
+
+    Scale shape: one map-side-combinable daily aggregate; ranks,
+    cumsums and the max all run on the O(days) frame (30 rows here —
+    the same accepted unpartitioned-window class as SCALE.md's
+    O(bins) frames).  Ranks and U_t are exact integers; the only
+    doubles are the final displayed mean and p-value.
+    """
+    daily = _daily_frame(spark, sf_dir)
+    ranked = daily.select(
+        "day",
+        "xq",
+        F.row_number()
+        .over(Window.orderBy("xq", "day"))
+        .cast("long")
+        .alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("n"),
+    )
+    wday = Window.orderBy("day")
+    curve = ranked.select(
+        "day",
+        "xq",
+        "n",
+        F.row_number().over(wday).cast("long").alias("t"),
+        F.sum("rk")
+        .over(wday.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("srk"),
+    )
+    u = curve.select(
+        "day",
+        "xq",
+        "n",
+        (2 * F.col("srk") - F.col("t") * (F.col("n") + 1)).alias("u_t"),
+    )
+    wall = Window.partitionBy()
+    k = u.select(
+        "day",
+        "xq",
+        "n",
+        F.col("u_t").cast("long").alias("u_t"),
+        F.max(F.abs("u_t")).over(wall).alias("k_stat"),
+        F.min(
+            F.when(
+                F.abs("u_t") == F.max(F.abs("u_t")).over(wall), F.col("day")
+            )
+        )
+        .over(wall)
+        .alias("cp_day"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k_stat").cast("double")
+    return k.select(
+        "day",
+        _r6(F.col("xq").cast("double") / _Q).alias("daily_mean"),
+        "u_t",
+        F.col("k_stat").cast("long").alias("k_stat"),
+        _r6(2 * F.exp(-6.0 * kd * kd / (nd * nd * nd + nd * nd))).alias(
+            "p_value"
+        ),
+        (F.col("day") == F.col("cp_day")).cast("long").alias("is_changepoint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Standardized CUSUM (Brownian bridge)
+# --------------------------------------------------------------------------
+
+_CUSUM_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+base AS (
+  SELECT day, xq,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(xq) OVER () AS BIGINT) AS sx
+  FROM daily),
+dev AS (
+  SELECT day, xq, n, n * xq - sx AS d FROM base),
+curve AS (
+  SELECT day, xq, n, CAST(d AS BIGINT) AS d,
+         CAST(sum(d) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs,
+         CAST(sum(d * d) OVER () AS BIGINT) AS sdd
+  FROM dev),
+b AS (
+  SELECT day, xq, n,
+         cs / sqrt(CAST(n AS DOUBLE) * sdd / (n - 1)) AS bridge
+  FROM curve),
+k0 AS (
+  SELECT day, xq, n, bridge, max(abs(bridge)) OVER () AS k_stat
+  FROM b),
+k AS (
+  SELECT day, xq, n, bridge, k_stat,
+         min(CASE WHEN abs(bridge) = k_stat THEN day END) OVER () AS cp_day
+  FROM k0)
+SELECT day, {_R6_SQL.format(x=f"CAST(xq AS DOUBLE) / {_Q}")} AS daily_mean,
+       {_R6_SQL.format(x="bridge")} AS bridge,
+       {_R6_SQL.format(x="k_stat")} AS k_stat,
+       {_R6_SQL.format(x="2 * exp(-2.0 * k_stat * k_stat)")} AS p_value,
+       CAST(day = cp_day AS BIGINT) AS is_changepoint
+FROM k
+"""
+
+
+@register("cusum_changepoint", oracle=_CUSUM_ORACLE)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized CUSUM of daily means as a Brownian-bridge
+    statistic: B_t = CS_t / √(n·ΣD²/(n−1)) with D_t the exact integer
+    scaled deviation n·x_t − Σx, change point at argmax|B_t|, and the
+    first-term Kolmogorov approximation p ≈ 2·exp(−2K²).
+
+    Scale shape: identical to pettitt_changepoint — one fact-scale
+    daily aggregate, then exact-integer cumsums (CS_t, ΣD²) on the
+    O(days) frame; no raw-double sum crosses an engine boundary, so
+    the bridge values are bit-identical in both engines.
+    """
+    daily = _daily_frame(spark, sf_dir)
+    wall = Window.partitionBy()
+    base = daily.select(
+        "day",
+        "xq",
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum("xq").over(wall).cast("long").alias("sx"),
+    )
+    dev = base.select(
+        "day", "xq", "n", (F.col("n") * F.col("xq") - F.col("sx")).alias("d")
+    )
+    wday = Window.orderBy("day")
+    curve = dev.select(
+        "day",
+        "xq",
+        "n",
+        F.sum("d")
+        .over(wday.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cs"),
+        F.sum(F.col("d") * F.col("d")).over(wall).cast("long").alias("sdd"),
+    )
+    bridge = F.col("cs") / F.sqrt(
+        F.col("n").cast("double") * F.col("sdd") / (F.col("n") - 1)
+    )
+    b = curve.select("day", "xq", "n", bridge.alias("bridge"))
+    k = b.select(
+        "day",
+        "xq",
+        "n",
+        "bridge",
+        F.max(F.abs("bridge")).over(wall).alias("k_stat"),
+        F.min(
+            F.when(
+                F.abs("bridge") == F.max(F.abs("bridge")).over(wall),
+                F.col("day"),
+            )
+        )
+        .over(wall)
+        .alias("cp_day"),
+    )
+    return k.select(
+        "day",
+        _r6(F.col("xq").cast("double") / _Q).alias("daily_mean"),
+        _r6(F.col("bridge")).alias("bridge"),
+        _r6(F.col("k_stat")).alias("k_stat"),
+        _r6(2 * F.exp(-2.0 * F.col("k_stat") * F.col("k_stat"))).alias(
+            "p_value"
+        ),
+        (F.col("day") == F.col("cp_day")).cast("long").alias("is_changepoint"),
+    )

@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dissertation_iceberg_spark.io import load_table
+from dissertation_iceberg_spark.functions.time_bins import micros
+from dissertation_iceberg_spark.io import load_table, spread
 from dissertation_iceberg_spark.queries.registry import register
 
 _EPOCH = "1970-01-01"
@@ -358,4 +359,108 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").cast("long").alias("value_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Nearest-event temporal join (bidirectional as-of)
+# --------------------------------------------------------------------------
+
+_NEAREST_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS k
+  FROM events WHERE event_type IN ('click', 'purchase')),
+w AS (
+  SELECT event_id, user_id, us, k,
+         max(CASE WHEN k = 0 THEN us END) OVER (
+           PARTITION BY user_id ORDER BY us, k, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_us,
+         min(CASE WHEN k = 0 THEN us END) OVER (
+           PARTITION BY user_id ORDER BY us, k, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us
+  FROM e)
+SELECT event_id, user_id, us,
+  CAST(us - prev_us AS BIGINT) AS prev_dus,
+  CAST(next_us - us AS BIGINT) AS next_dus,
+  CAST(least(coalesce(us - prev_us, next_us - us),
+             coalesce(next_us - us, us - prev_us)) AS BIGINT) AS nearest_dus,
+  CASE
+    WHEN prev_us IS NULL AND next_us IS NULL THEN 'none'
+    WHEN next_us IS NULL THEN 'prev'
+    WHEN prev_us IS NULL THEN 'next'
+    WHEN us - prev_us <= next_us - us THEN 'prev'
+    ELSE 'next' END AS direction
+FROM w WHERE k = 1
+"""
+
+
+@register("nearest_event_join", oracle=_NEAREST_ORACLE)
+def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional as-of ("nearest-neighbor in time") join: each
+    purchase is matched to its temporally nearest click for the same
+    user — backward OR forward, whichever is closer (ties prefer
+    backward, the classic attribution convention).  Generalizes the
+    backward-only as-of (operators/iceberg.py:31) the same way
+    pandas' merge_asof(direction='nearest') generalizes 'backward'.
+
+    Scale shape: no join at all — the two streams are unioned and
+    resolved with two frame-bounded windows per user (prev = running
+    max of click-times, next = reversed running min), exactly the
+    union-window as-of pattern that made iceberg_tag O(n).  One
+    shuffle on user_id; ordering (us, kind, event_id) is total, so a
+    click at the purchase's own microsecond deterministically counts
+    as 'prev' in both engines.
+    """
+    e = (
+        spread(load_table(spark, sf_dir, "events"))
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            micros("ts").alias("us"),
+            F.when(F.col("event_type") == "click", F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("k"),
+        )
+    )
+    order = [F.col("us"), F.col("k"), F.col("event_id")]
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_us = F.when(F.col("k") == 0, F.col("us"))
+    w = e.select(
+        "event_id",
+        "user_id",
+        "us",
+        "k",
+        F.max(click_us).over(wprev).alias("prev_us"),
+        F.min(click_us).over(wnext).alias("next_us"),
+    )
+    prev_d = F.col("us") - F.col("prev_us")
+    next_d = F.col("next_us") - F.col("us")
+    return w.filter(F.col("k") == 1).select(
+        "event_id",
+        "user_id",
+        "us",
+        prev_d.cast("long").alias("prev_dus"),
+        next_d.cast("long").alias("next_dus"),
+        F.least(F.coalesce(prev_d, next_d), F.coalesce(next_d, prev_d))
+        .cast("long")
+        .alias("nearest_dus"),
+        F.when(
+            F.col("prev_us").isNull() & F.col("next_us").isNull(), "none"
+        )
+        .when(F.col("next_us").isNull(), "prev")
+        .when(F.col("prev_us").isNull(), "next")
+        .when(prev_d <= next_d, "prev")
+        .otherwise("next")
+        .alias("direction"),
     )

@@ -82,8 +82,10 @@ def _ensure_loaded() -> None:
         return
     from dissertation_iceberg_spark.queries import (  # noqa: F401
         behavior_ops,
+        changepoint_ops,
         core,
         corpus_ops,
+        distribution_fits,
         econometrics,
         extensions,
         graph_ops,

@@ -128,6 +128,8 @@ INTENTIONAL_BNLJ = {
     "degree_assortativity",  # broadcast 1-row node-count frame
     "transition_entropy_rate",  # broadcast 1-row total + evidence frames
     "pareto_frontier",  # broadcast 1-row price-bounds frame
+    "good_turing",  # broadcast 1-row corpus-token-total frame
+    "eb_rate_shrinkage",  # broadcast 1-row fitted (alpha, beta) prior frame
     "important_stock",  # broadcast 1-row value-total frame
     "triangle_count",  # broadcast 1-row wedge/triangle/edge-count frames
     "histogram_quantiles",  # broadcast 1-row bounds + 3-row quantile targets

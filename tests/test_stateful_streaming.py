@@ -1218,3 +1218,76 @@ def test_streaming_ewma_anomalies_match_batch(spark, tmp_path):
     last_day = batch.groupby("event_type")["day_us"].max()
     for et, grp in got.groupby("event_type"):
         assert grp["day_us"].max() < last_day[et]
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Streaming first-touch funnel: every emitted (user, step) row is
+    bit-equal to the batch chained-min twin, each step is emitted at
+    most once, the per-user prefix invariant holds (step k implies
+    step k-1), and everything sealed by the final watermark is
+    present."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.streaming.funnel_stream import (
+        FUNNEL_STEPS,
+        batch_funnel_steps,
+        streaming_funnel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    src = str(tmp_path / "funnel_src")
+    pdf = e.toPandas().sort_values("ts").reset_index(drop=True)
+    n = len(pdf)
+    chunks = [
+        pdf.iloc[: n // 3],
+        pdf.iloc[n // 3 : 2 * n // 3],
+        pdf.iloc[2 * n // 3 :],
+    ]
+    for i, c in enumerate(chunks):
+        spark.createDataFrame(c).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        streaming_funnel(stream, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("funnel_steps")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("funnel_steps").toPandas()
+    assert len(got) > 0
+    assert not got.duplicated(["user_id", "step"]).any()
+
+    batch = batch_funnel_steps(e).toPandas()
+    bidx = batch.set_index(["user_id", "step"])["t_us"]
+
+    # exact value parity for every emission
+    for r in got.itertuples():
+        assert int(bidx.loc[(r.user_id, r.step)]) == r.t_us
+
+    # funnel prefix invariant: step k emitted => steps < k emitted
+    per_user = got.groupby("user_id")["step"].agg(["min", "max", "count"])
+    assert (per_user["min"] == 1).all()
+    assert (per_user["max"] == per_user["count"]).all()
+
+    # completeness: every batch step sealed by the final watermark
+    # (wm = max event time of the first two chunks - 30 min: the last
+    # micro-batch folds with the watermark computed from prior ones)
+    wm_us = int(
+        pd.Timestamp(chunks[1]["ts"].max()).value // 1000 - 30 * 60 * 1_000_000
+    )
+    sealed = batch[batch["t_us"] < wm_us]
+    got_keys = set(zip(got["user_id"], got["step"]))
+    for r in sealed.itertuples():
+        assert (r.user_id, r.step) in got_keys
