@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.functions.time_bins import micros
-from dissertation_iceberg_spark.io import load_table
+from dissertation_iceberg_spark.io import load_table, spread
 from dissertation_iceberg_spark.queries.registry import register
 
 # --------------------------------------------------------------------------
@@ -2269,4 +2269,81 @@ def eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shrunk_rate"),
         r6(F.col("alpha")).alias("prior_alpha"),
         r6(F.col("beta")).alias("prior_beta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequential-pattern mining: frequent event-type trigrams
+# --------------------------------------------------------------------------
+
+_SEQ3_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+tri AS (
+  SELECT user_id,
+         lag(event_type, 2) OVER w AS t1,
+         lag(event_type, 1) OVER w AS t2,
+         event_type AS t3
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+pat AS (
+  SELECT t1, t2, t3,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM tri WHERE t1 IS NOT NULL GROUP BY 1, 2, 3),
+denom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM (
+    SELECT user_id FROM e GROUP BY 1 HAVING count(*) >= 3))
+SELECT t1, t2, t3, n_occurrences, n_users,
+  {_EB_R6.format(x="CAST(n_users AS DOUBLE) / n_total")} AS user_support
+FROM pat CROSS JOIN denom
+"""
+
+
+@register("frequent_sequences", oracle=_SEQ3_ORACLE)
+def frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining (PrefixSpan-lite): every consecutive
+    event-type trigram in each user's timeline, with occurrence count,
+    distinct-user support, and support share over users long enough to
+    emit a trigram — the contiguous-sequence core of funnel discovery
+    (which 3-step paths actually happen, vs funnel_conversion which
+    scores one declared path).
+
+    Scale shape: two lag() frames on the per-user window (one shuffle
+    on user_id, same exchange both lags); the pattern space is at most
+    |event types|³ rows, so the trigram aggregate collapses fact-scale
+    to a tiny frame map-side; the distinct-user count is the only
+    pattern-keyed shuffle.  The ordering (us, event_id) is total, so
+    trigram formation is deterministic in both engines.
+    """
+    e = spread(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    tri = e.select(
+        "user_id",
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).filter(F.col("t1").isNotNull())
+    pat = tri.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+    denom = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    )
+    r6 = lambda c: F.round(c * 1e6).cast("long") / 1e6  # noqa: E731
+    return pat.join(F.broadcast(denom)).select(
+        "t1",
+        "t2",
+        "t3",
+        "n_occurrences",
+        "n_users",
+        r6(F.col("n_users").cast("double") / F.col("n_total")).alias(
+            "user_support"
+        ),
     )

@@ -1123,3 +1123,121 @@ def json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(ival).cast("long").alias("min_int"),
         F.max(ival).cast("long").alias("max_int"),
     )
+
+
+# --------------------------------------------------------------------------
+# Zone-map / min-max file-skipping audit (round 3)
+# --------------------------------------------------------------------------
+
+# Synthetic file layout: lineitem split into files of 1000 consecutive
+# orderkeys (the natural ingest order), zone map = per-file min/max of
+# the two hottest scan predicates' columns.  Predicates are encoded as
+# closed ranges over a unified BIGINT domain (shipdate as epoch days,
+# quantity in integer units).
+_FILE_KEYS = 1000
+_SKIP_PREDS = (
+    # (pred_id, column, lo, hi) — closed ranges; bounds in domain units
+    (1, "ship_day", 10958, 999999),   # l_shipdate >= 2000-01-01
+    (2, "ship_day", 0, 9496),         # l_shipdate <= 1995-12-31
+    (3, "qty", 46, 999999),           # l_quantity > 45
+    (4, "qty", 1, 5),                 # l_quantity <= 5
+)
+
+_SKIP_PRED_SQL = " UNION ALL ".join(
+    f"SELECT {pid} AS pred_id, '{col}' AS col, CAST({lo} AS BIGINT) AS lo, "
+    f"CAST({hi} AS BIGINT) AS hi"
+    for pid, col, lo, hi in _SKIP_PREDS
+)
+
+_FILE_SKIP_ORACLE = f"""
+WITH rows_ AS (
+  SELECT l_orderkey // {_FILE_KEYS} AS file_id,
+         CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+              AS BIGINT) AS ship_day,
+         CAST(round(l_quantity) AS BIGINT) AS qty
+  FROM lineitem),
+files AS (
+  SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+         min(ship_day) AS ship_lo, max(ship_day) AS ship_hi,
+         min(qty) AS qty_lo, max(qty) AS qty_hi
+  FROM rows_ GROUP BY 1),
+preds AS ({_SKIP_PRED_SQL}),
+audit AS (
+  SELECT p.pred_id,
+         CASE WHEN (p.col = 'ship_day' AND (f.ship_hi < p.lo OR f.ship_lo > p.hi))
+                OR (p.col = 'qty' AND (f.qty_hi < p.lo OR f.qty_lo > p.hi))
+              THEN 1 ELSE 0 END AS skipped,
+         f.n_rows
+  FROM preds p CROSS JOIN files f)
+SELECT pred_id,
+  CAST(count(*) AS BIGINT) AS n_files,
+  CAST(sum(skipped) AS BIGINT) AS n_files_skipped,
+  CAST(sum(n_rows) AS BIGINT) AS n_rows_total,
+  CAST(sum(skipped * n_rows) AS BIGINT) AS n_rows_skipped,
+  CAST(round(CAST(sum(skipped) AS DOUBLE) / count(*) * 1e6) AS BIGINT) / 1e6
+    AS file_skip_ratio
+FROM audit GROUP BY 1
+"""
+
+
+@register("file_skipping_stats", oracle=_FILE_SKIP_ORACLE)
+def file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map effectiveness audit: lay lineitem out as synthetic
+    1000-orderkey files, build each file's min/max zone map over the
+    two hottest predicate columns (ship date as epoch days, integer
+    quantity), and report — per candidate scan predicate — how many
+    files (and rows) min/max pruning would skip.  This is the
+    data-layout feedback loop behind zorder_clusters: the z-order
+    audit says how clustered the layout IS, this says what that
+    clustering BUYS per predicate.
+
+    Scale shape: the zone-map build is one map-side-combinable
+    aggregate (fact-scale -> O(files)); the predicate audit is a
+    4-row broadcast against the O(files) stats frame — at a real 100
+    TB table this is exactly a metadata-only manifest scan, never
+    touching data.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") / _FILE_KEYS).cast("long").alias("file_id"),
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("ship_day"),
+        F.round("l_quantity").cast("long").alias("qty"),
+    )
+    files = li.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("ship_day").alias("ship_lo"),
+        F.max("ship_day").alias("ship_hi"),
+        F.min("qty").alias("qty_lo"),
+        F.max("qty").alias("qty_hi"),
+    )
+    preds = spark.createDataFrame(
+        [(pid, col, lo, hi) for pid, col, lo, hi in _SKIP_PREDS],
+        "pred_id long, col string, lo long, hi long",
+    )
+    skipped = (
+        (F.col("col") == "ship_day")
+        & ((F.col("ship_hi") < F.col("lo")) | (F.col("ship_lo") > F.col("hi")))
+    ) | (
+        (F.col("col") == "qty")
+        & ((F.col("qty_hi") < F.col("lo")) | (F.col("qty_lo") > F.col("hi")))
+    )
+    audit = files.crossJoin(F.broadcast(preds)).select(
+        "pred_id",
+        F.when(skipped, F.lit(1)).otherwise(F.lit(0)).alias("skipped"),
+        "n_rows",
+    )
+    return audit.groupBy("pred_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("skipped").cast("long").alias("n_files_skipped"),
+        F.sum("n_rows").cast("long").alias("n_rows_total"),
+        F.sum(F.col("skipped") * F.col("n_rows"))
+        .cast("long")
+        .alias("n_rows_skipped"),
+        (
+            F.round(
+                F.sum("skipped").cast("double") / F.count(F.lit(1)) * 1e6
+            ).cast("long")
+            / 1e6
+        ).alias("file_skip_ratio"),
+    )

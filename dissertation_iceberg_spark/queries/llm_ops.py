@@ -2147,3 +2147,102 @@ def source_term_saliency(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _SALIENCY_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance verification of near-dup candidates (round 3)
+# --------------------------------------------------------------------------
+
+EDIT_SIM_THRESHOLD = 0.6
+
+_EDIT_R6 = "CAST(round(({x}) * 1e6) AS BIGINT) / 1e6"
+
+_EDIT_VERIFY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - {JACCARD_N - 1}),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+    FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+cand AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+        >= {JACCARD_THRESHOLD}
+    AND sa.sz >= {JACCARD_THRESHOLD} * sb.sz
+    AND sb.sz >= {JACCARD_THRESHOLD} * sa.sz)
+SELECT id_a, id_b,
+  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+  {_EDIT_R6.format(x="1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) / greatest(length(da.text), length(db.text))")}
+    AS edit_sim,
+  CAST(({_EDIT_R6.format(x="1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) / greatest(length(da.text), length(db.text))")})
+       >= {EDIT_SIM_THRESHOLD} AS BIGINT) AS is_dup
+FROM cand
+JOIN documents da ON da.doc_id = id_a
+JOIN documents db ON db.doc_id = id_b
+"""
+
+
+@register("edit_distance_verify", oracle=_EDIT_VERIFY_ORACLE)
+def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup pipeline with an exact verify stage: the
+    inverted-index Jaccard candidate generator (jaccard_near_dups'
+    shape, same 0.2 recall-oriented threshold) followed by character
+    Levenshtein similarity 1 − d/max(len) on the surviving pairs —
+    the classic block-then-verify dedup architecture, where the cheap
+    set-overlap stage bounds how many pairs ever pay the O(len²)
+    edit-distance kernel.
+
+    Scale shape: candidate generation is the measured-linear posting
+    list expansion (operators/dedup.py:94 — no cartesian, stop-shingle
+    cap for 100 TB); the verify stage is two O(candidates) equi-joins
+    to fetch texts plus a JVM-side levenshtein per candidate —
+    never all-pairs. Both engines compute the identical unit-cost
+    edit distance; the similarity is rounded with the portable
+    integer-round form because d/max(len) lands on exact decimal
+    midpoints (e.g. len = 128) where round-to-scale diverges.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cand = dd.jaccard_near_dup_pairs(
+        docs, "text", "doc_id", n=JACCARD_N, threshold=JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    texts = docs.select("doc_id", "text")
+    j = (
+        cand.join(
+            texts.select(
+                F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
+            ),
+            "id_a",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")
+            ),
+            "id_b",
+        )
+    )
+    lev = F.levenshtein("text_a", "text_b")
+    sim = F.round(
+        (
+            1.0
+            - lev.cast("double")
+            / F.greatest(F.length("text_a"), F.length("text_b"))
+        )
+        * 1e6
+    ).cast("long") / 1e6
+    return j.select(
+        "id_a",
+        "id_b",
+        lev.cast("long").alias("edit_dist"),
+        sim.alias("edit_sim"),
+        (sim >= EDIT_SIM_THRESHOLD).cast("long").alias("is_dup"),
+    )

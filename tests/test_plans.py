@@ -130,6 +130,8 @@ INTENTIONAL_BNLJ = {
     "pareto_frontier",  # broadcast 1-row price-bounds frame
     "good_turing",  # broadcast 1-row corpus-token-total frame
     "eb_rate_shrinkage",  # broadcast 1-row fitted (alpha, beta) prior frame
+    "frequent_sequences",  # broadcast 1-row eligible-user denominator frame
+    "file_skipping_stats",  # broadcast 4-row predicate frame vs O(files) stats
     "important_stock",  # broadcast 1-row value-total frame
     "triangle_count",  # broadcast 1-row wedge/triangle/edge-count frames
     "histogram_quantiles",  # broadcast 1-row bounds + 3-row quantile targets

@@ -1181,3 +1181,282 @@ def test_markov_attribution_shares_normalize(spark, sf_dir):
     assert abs(sum(shares) - 1.0) < 1e-4
     for r in rows:
         assert r["p_conv_removed"] <= r["p_conv_base"] + 1e-9
+
+
+# --------------------------------------------------------------------------
+# Round-3 ninth-session additions: distribution fits, change points,
+# shrinkage, nearest-join, edit-distance verify, file skipping
+# --------------------------------------------------------------------------
+
+
+def test_zipf_fit_matches_numpy_replay(spark, sf_dir):
+    """zipf_fit equals an independent numpy replay of the same
+    quantized-log Gram arithmetic, and every language's slope is
+    negative (frequency falls with rank)."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.distribution_fits import (
+        _LOG_SCALE,
+        zipf_fit,
+    )
+
+    got = {r["lang"]: r for r in zipf_fit(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+    from collections import Counter
+
+    by_lang: dict[str, Counter] = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], Counter()).update(
+            t for t in r["text"].split(" ") if t
+        )
+    for lang, counts in by_lang.items():
+        ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        xq = np.array(
+            [round(np.log(i + 1) * _LOG_SCALE) for i in range(len(ordered))],
+            dtype=np.int64,
+        )
+        yq = np.array(
+            [round(np.log(c) * _LOG_SCALE) for _, c in ordered], dtype=np.int64
+        )
+        n = len(ordered)
+        sx, sy = int(xq.sum()), int(yq.sum())
+        sxx, sxy = int((xq * xq).sum()), int((xq * yq).sum())
+        slope = (float(n) * sxy - float(sx) * sy) / (
+            float(n) * sxx - float(sx) * sx
+        )
+        want = round(slope * 1e6) / 1e6
+        assert got[lang]["zipf_slope"] == want
+        assert got[lang]["zipf_slope"] < 0
+        assert got[lang]["n_terms"] == n
+
+
+def test_heaps_curve_invariants(spark, sf_dir):
+    """Heaps curve: cum_vocab is non-decreasing, never exceeds
+    cum_tokens, and its final value per language is the exact
+    vocabulary size."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.distribution_fits import heaps_law
+
+    pdf = heaps_law(spark, sf_dir).toPandas().sort_values(["lang", "doc_id"])
+    assert (pdf["cum_vocab"] <= pdf["cum_tokens"]).all()
+    for lang, grp in pdf.groupby("lang"):
+        assert grp["cum_vocab"].is_monotonic_increasing
+        assert grp["cum_tokens"].is_monotonic_increasing
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+    vocab: dict[str, set] = {}
+    for r in docs:
+        vocab.setdefault(r["lang"], set()).update(
+            t for t in r["text"].split(" ") if t
+        )
+    finals = pdf.groupby("lang")["cum_vocab"].max()
+    for lang, v in vocab.items():
+        assert finals[lang] == len(v)
+
+
+def test_good_turing_mass_identity(spark, sf_dir):
+    """Count-of-counts partition the corpus: sum(r * N_r) equals the
+    total token count, and every defined adjusted count is positive."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.distribution_fits import good_turing
+
+    pdf = good_turing(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    n_tokens = sum(len([t for t in r["text"].split(" ") if t]) for r in docs)
+    assert int((pdf["r"] * pdf["n_r"]).sum()) == n_tokens
+    defined = pdf["r_star"].dropna()
+    assert (defined > 0).all()
+
+
+def test_pettitt_statistic_invariants(spark, sf_dir):
+    """Pettitt: U_n = 0 at the last day (rank-sum identity), exactly
+    one change point is flagged, and K = max|U_t| matches the curve."""
+    from dissertation_iceberg_spark.queries.changepoint_ops import (
+        pettitt_changepoint,
+    )
+
+    pdf = pettitt_changepoint(spark, sf_dir).toPandas().sort_values("day")
+    assert int(pdf.iloc[-1]["u_t"]) == 0
+    assert int(pdf["is_changepoint"].sum()) == 1
+    assert int(pdf["u_t"].abs().max()) == int(pdf["k_stat"].iloc[0])
+    cp = pdf[pdf["is_changepoint"] == 1].iloc[0]
+    assert abs(int(cp["u_t"])) == int(cp["k_stat"])
+
+
+def test_cusum_bridge_invariants(spark, sf_dir):
+    """CUSUM bridge: ends at exactly 0 (deviations sum to zero by
+    construction), exactly one change point, K matches the curve."""
+    from dissertation_iceberg_spark.queries.changepoint_ops import (
+        cusum_changepoint,
+    )
+
+    pdf = cusum_changepoint(spark, sf_dir).toPandas().sort_values("day")
+    assert pdf.iloc[-1]["bridge"] == 0
+    assert int(pdf["is_changepoint"].sum()) == 1
+    assert pdf["bridge"].abs().max() == pdf["k_stat"].iloc[0]
+
+
+def test_eb_shrinkage_pulls_toward_prior_mean(spark, sf_dir):
+    """Posterior means sit strictly between the raw rate and the prior
+    mean alpha/(alpha+beta) (within display rounding), and shrinkage
+    preserves rate order among users with equal exposure."""
+    from dissertation_iceberg_spark.queries.behavior_ops import eb_rate_shrinkage
+
+    pdf = eb_rate_shrinkage(spark, sf_dir).toPandas()
+    a, b = pdf["prior_alpha"].iloc[0], pdf["prior_beta"].iloc[0]
+    prior_mean = a / (a + b)
+    eps = 1e-6  # display grain
+    for r in pdf.itertuples():
+        lo, hi = sorted((r.raw_rate, prior_mean))
+        assert lo - eps <= r.shrunk_rate <= hi + eps
+    for n, grp in pdf.groupby("n_events"):
+        g = grp.sort_values(["raw_rate", "user_id"])
+        assert g["shrunk_rate"].is_monotonic_increasing
+    assert ((pdf["shrunk_rate"] >= 0) & (pdf["shrunk_rate"] <= 1)).all()
+
+
+def test_nearest_event_join_matches_pandas(spark, sf_dir):
+    """nearest_event_join equals a per-user pandas replay (bisect over
+    the user's click times; ties to backward), including the
+    equal-microsecond click counting as 'prev'."""
+    import bisect
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.intervals import nearest_event_join
+
+    from dissertation_iceberg_spark.functions.time_bins import micros
+
+    got = nearest_event_join(spark, sf_dir).toPandas()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "event_type", micros("ts").alias("us"))
+        .toPandas()
+    )
+    clicks: dict[int, list[int]] = {}
+    for r in ev[ev["event_type"] == "click"].itertuples():
+        clicks.setdefault(r.user_id, []).append(r.us)
+    for v in clicks.values():
+        v.sort()
+    purchases = ev[ev["event_type"] == "purchase"].set_index("event_id")
+    assert len(got) == len(purchases)
+    for r in got.itertuples():
+        us = purchases.loc[r.event_id, "us"]
+        cl = clicks.get(r.user_id, [])
+        i = bisect.bisect_right(cl, us)
+        prev = cl[i - 1] if i > 0 else None
+        nxt = cl[i] if i < len(cl) else None
+        if prev is None and nxt is None:
+            assert r.direction == "none"
+            continue
+        want_prev = None if prev is None else us - prev
+        want_next = None if nxt is None else nxt - us
+        assert (pd.isna(r.prev_dus) and want_prev is None) or (
+            r.prev_dus == want_prev
+        )
+        assert (pd.isna(r.next_dus) and want_next is None) or (
+            r.next_dus == want_next
+        )
+        if want_prev is not None and (want_next is None or want_prev <= want_next):
+            assert r.direction == "prev" and r.nearest_dus == want_prev
+        else:
+            assert r.direction == "next" and r.nearest_dus == want_next
+
+
+def test_edit_distance_matches_dp_replay(spark, sf_dir):
+    """Spark's levenshtein agrees with a textbook DP on the emitted
+    candidate pairs, and edit_dist == 0 exactly for identical texts."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.llm_ops import edit_distance_verify
+
+    got = edit_distance_verify(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    texts = dict(
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    sample = got.sort_values(["id_a", "id_b"]).head(10)
+    for r in sample.itertuples():
+        want = lev(texts[r.id_a], texts[r.id_b])
+        assert r.edit_dist == want
+        assert (r.edit_dist == 0) == (texts[r.id_a] == texts[r.id_b])
+
+
+def test_file_skipping_matches_pandas_replay(spark, sf_dir):
+    """file_skipping_stats equals a pandas replay of the zone-map
+    audit, and row totals cover the whole table for every predicate."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.lakehouse_ops import (
+        _FILE_KEYS,
+        _SKIP_PREDS,
+        file_skipping_stats,
+    )
+
+    got = (
+        file_skipping_stats(spark, sf_dir).toPandas().set_index("pred_id")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_orderkey") / _FILE_KEYS).cast("long").alias("file_id"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("ship_day"),
+            F.round("l_quantity").cast("long").alias("qty"),
+        )
+        .toPandas()
+    )
+    stats = li.groupby("file_id").agg(
+        n_rows=("ship_day", "size"),
+        ship_lo=("ship_day", "min"),
+        ship_hi=("ship_day", "max"),
+        qty_lo=("qty", "min"),
+        qty_hi=("qty", "max"),
+    )
+    for pid, col, lo, hi in _SKIP_PREDS:
+        lo_c, hi_c = (
+            ("ship_lo", "ship_hi") if col == "ship_day" else ("qty_lo", "qty_hi")
+        )
+        skipped = (stats[hi_c] < lo) | (stats[lo_c] > hi)
+        row = got.loc[pid]
+        assert row["n_files"] == len(stats)
+        assert row["n_files_skipped"] == int(skipped.sum())
+        assert row["n_rows_total"] == len(li)
+        assert row["n_rows_skipped"] == int(stats.loc[skipped, "n_rows"].sum())
+
+
+def test_frequent_sequences_mass_identity(spark, sf_dir):
+    """Trigram occurrences partition the stream: sum(n_occurrences)
+    equals sum over users of max(0, n_u - 2), and support shares are
+    valid probabilities."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.behavior_ops import frequent_sequences
+
+    pdf = frequent_sequences(spark, sf_dir).toPandas()
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .toPandas()["count"]
+    )
+    want = int((counts - 2).clip(lower=0).sum())
+    assert int(pdf["n_occurrences"].sum()) == want
+    assert ((pdf["user_support"] > 0) & (pdf["user_support"] <= 1)).all()
