@@ -221,6 +221,125 @@ def jaccard_near_dup_pairs(
     )
 
 
+def prefix_filter_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via PPJoin-style PREFIX
+    FILTERING — the high-threshold scale path next to the full
+    inverted index of :func:`jaccard_near_dup_pairs`.
+
+    Principle (Chaudhuri/Xiao prefix filter): order every doc's
+    shingle set by a single global total order (document frequency
+    ascending, shingle ascending — rarest first) and index only the
+    first ``p = |x| - ceil(t*|x|) + 1`` shingles. Any pair with
+    J >= t must share at least one PREFIX shingle under the common
+    order, so candidate generation over prefixes alone has no false
+    negatives; candidates are then verified exactly with a map-side
+    ``array_intersect`` over the two full (bounded, per-doc) shingle
+    arrays.
+
+    Why this beats the full inverted index at scale when t is high:
+    the posting-list expansion touches only the (1-t) fraction of
+    each doc's shingles — at t=0.9 that's 10 % of the index volume —
+    and because prefixes are the globally RAREST shingles, posting
+    lists are short by construction (the stop-shingle problem
+    disappears instead of needing a cap). Shuffles: one df-count agg
+    on shingle, one shingle join to attach ranks, one per-doc agg,
+    one prefix-posting agg, one candidate-pair distinct, two
+    O(candidates) array-fetch joins. All keys bounded; no cartesian.
+
+    Exactness contract: verification recomputes Jaccard from the FULL
+    shingle sets, so the output equals the all-pairs answer — the
+    prefix only bounds who gets verified.
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("a"))
+        .select(
+            "doc_id",
+            F.col("a.shingle").alias("shingles"),
+            F.size("a").alias("set_size"),
+        )
+    )
+    p = (
+        F.col("set_size")
+        - F.ceil(F.lit(threshold) * F.col("set_size")).cast("int")
+        + 1
+    )
+    pre = per_doc.select(
+        "doc_id",
+        "set_size",
+        F.explode(F.slice("shingles", F.lit(1), p)).alias("shingle"),
+    )
+    posts = (
+        pre.groupBy("shingle")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "set_size"))
+            ).alias("ps")
+        )
+        .filter(F.size("ps") >= 2)
+    )
+    k = F.size("ps")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), k - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, k - 1),
+                lambda j: F.struct(
+                    F.col("ps")[i]["doc_id"].alias("id_a"),
+                    F.col("ps")[j]["doc_id"].alias("id_b"),
+                    F.col("ps")[i]["set_size"].alias("size_a"),
+                    F.col("ps")[j]["set_size"].alias("size_b"),
+                ),
+            ),
+        )
+    )
+    pruned = F.filter(
+        combos,
+        lambda c: (c["size_a"] >= threshold * c["size_b"])
+        & (c["size_b"] >= threshold * c["size_a"]),
+    )
+    # a pair sharing several prefix shingles repeats — dedup on the id
+    # pair (sizes are functionally dependent, kept as grouping keys)
+    cand = (
+        posts.select(F.explode(pruned).alias("pr"))
+        .groupBy("pr.id_a", "pr.id_b", "pr.size_a", "pr.size_b")
+        .agg(F.count(F.lit(1)).alias("__n_pref"))
+        .drop("__n_pref")
+    )
+    arr_a = per_doc.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    arr_b = per_doc.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    verified = (
+        cand.join(arr_a, "id_a")
+        .join(arr_b, "id_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "n_inter", "jaccard")
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:

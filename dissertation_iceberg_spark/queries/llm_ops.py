@@ -2246,3 +2246,53 @@ def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim.alias("edit_sim"),
         (sim >= EDIT_SIM_THRESHOLD).cast("long").alias("is_dup"),
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtering near-dup join (PPJoin-lite, round 3)
+# --------------------------------------------------------------------------
+
+PREFIX_JACCARD_THRESHOLD = 0.5
+
+_PREFIX_JACCARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - {JACCARD_N - 1}),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+    FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+       round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+      >= {PREFIX_JACCARD_THRESHOLD}
+"""
+
+
+@register("prefix_filter_near_dups", oracle=_PREFIX_JACCARD_ORACLE)
+def prefix_filter_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-threshold near-dup join via PPJoin-style prefix filtering
+    (operators/dedup.py:prefix_filter_near_dup_pairs): index only each
+    doc's rarest (1-t)-fraction prefix under a global df-ascending
+    shingle order, verify candidates exactly with a map-side
+    array_intersect. Same answer as the full inverted index at t=0.5
+    (exactness contract in the operator docstring — the oracle is the
+    plain all-pairs Jaccard with no prefix logic at all), but the
+    index volume and posting-list lengths shrink with the threshold,
+    which is what a 100 TB dedup run at t=0.8-0.9 needs. The prefix
+    shingles are globally the rarest, so the stop-shingle cap of the
+    full-index path becomes unnecessary by construction.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return dd.prefix_filter_near_dup_pairs(
+        docs, "text", "doc_id", n=JACCARD_N, threshold=PREFIX_JACCARD_THRESHOLD
+    )

@@ -1460,3 +1460,34 @@ def test_frequent_sequences_mass_identity(spark, sf_dir):
     want = int((counts - 2).clip(lower=0).sum())
     assert int(pdf["n_occurrences"].sum()) == want
     assert ((pdf["user_support"] > 0) & (pdf["user_support"] <= 1)).all()
+
+
+def test_prefix_filter_equals_full_index_at_threshold(spark, sf_dir):
+    """Prefix filtering is EXACT: its output equals the full
+    inverted-index Jaccard join filtered to the same threshold —
+    the no-false-negatives guarantee of the prefix bound, and no
+    false positives survive verification."""
+    from dissertation_iceberg_spark.io import load_table, spread
+    from dissertation_iceberg_spark.operators import dedup as dd
+    from dissertation_iceberg_spark.queries.llm_ops import (
+        JACCARD_N,
+        PREFIX_JACCARD_THRESHOLD,
+        prefix_filter_near_dups,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["jaccard"])
+        for r in prefix_filter_near_dups(spark, sf_dir).collect()
+    }
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    full = dd.jaccard_near_dup_pairs(
+        docs, "text", "doc_id", n=JACCARD_N, threshold=0.0
+    )
+    want = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["jaccard"])
+        for r in full.filter(
+            full["jaccard"] >= PREFIX_JACCARD_THRESHOLD
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
