@@ -266,3 +266,82 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("day") == F.col("cp_day")).cast("long").alias("is_changepoint"),
     )
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend smoothing (double exponential, round 3)
+# --------------------------------------------------------------------------
+
+_HOLT_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily),
+rec AS (
+  SELECT event_type, t, n, y AS l, CAST(0 AS BIGINT) AS b
+  FROM idx WHERE t = 1
+  UNION ALL
+  SELECT i.event_type, i.t, i.n,
+         (i.y + r.l + r.b) >> 1 AS l,
+         (((i.y + r.l + r.b) >> 1) - r.l + r.b) >> 1 AS b
+  FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.t = r.t + 1)
+SELECT event_type, CAST(n AS BIGINT) AS n_days, l AS level, b AS trend,
+       l + b AS forecast_next
+FROM rec WHERE t = n
+"""
+
+
+@register("holt_linear_forecast", oracle=_HOLT_ORACLE)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential (level + trend) smoothing of each event
+    type's daily volume with alpha = beta = 1/2, emitting the final
+    smoothed level, trend, and one-step-ahead forecast — the classic
+    local-linear forecaster between the seasonal-naive baseline and a
+    full seasonal Holt-Winters.
+
+    Cross-engine determinism: with alpha = beta = 1/2 the recursion
+      l_t = (y_t + l_{t-1} + b_{t-1}) >> 1
+      b_t = (l_t - l_{t-1} + b_{t-1}) >> 1
+    stays in exact BIGINT arithmetic — ``>>`` is the arithmetic
+    (floor) shift in BOTH Spark (Java ``>>``) and DuckDB, including on
+    negative trends — so there is no float path at all.  The oracle
+    replays the identical recursion as a recursive CTE.
+
+    Scale shape: one fact-scale map-side-combinable daily aggregate;
+    the inherently sequential recursion then folds over each type's
+    O(days) ordered array JVM-side (``aggregate`` over a
+    ``sort_array(collect_list)``) — per-group state is two BIGINTs,
+    groups fold in parallel, and nothing row-scale is ever collected
+    or sorted globally.
+    """
+    e = spread(load_table(spark, sf_dir, "events"))
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("s")
+    )
+    init = F.struct(
+        F.col("s")[0]["y"].alias("l"),
+        F.lit(0).cast("long").alias("b"),
+    )
+    rest = F.slice(F.col("s"), F.lit(2), F.size("s") - 1)
+
+    def step(acc, x):
+        l_new = F.shiftright(x["y"] + acc["l"] + acc["b"], 1)
+        b_new = F.shiftright(l_new - acc["l"] + acc["b"], 1)
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    fin = F.aggregate(rest, init, step)
+    return series.select(
+        "event_type",
+        F.size("s").cast("long").alias("n_days"),
+        fin["l"].alias("level"),
+        fin["b"].alias("trend"),
+        (fin["l"] + fin["b"]).alias("forecast_next"),
+    )

@@ -1491,3 +1491,34 @@ def test_prefix_filter_equals_full_index_at_threshold(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_holt_forecast_matches_python_replay(spark, sf_dir):
+    """holt_linear_forecast equals a pure-Python replay of the
+    shift-based recursion on each type's ordered daily counts."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.changepoint_ops import (
+        holt_linear_forecast,
+    )
+
+    got = {r["event_type"]: r for r in holt_linear_forecast(spark, sf_dir).collect()}
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .count()
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["count"]))
+    for et, s in series.items():
+        s.sort()
+        l, b = s[0][1], 0
+        for _, y in s[1:]:
+            l_new = (y + l + b) >> 1
+            b = (l_new - l + b) >> 1
+            l = l_new
+        assert got[et]["n_days"] == len(s)
+        assert got[et]["level"] == l
+        assert got[et]["trend"] == b
+        assert got[et]["forecast_next"] == l + b
