@@ -13,10 +13,10 @@ as CTEs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dissertation_iceberg_spark.io import load_table
+from dissertation_iceberg_spark.io import load_table, spread
 from dissertation_iceberg_spark.queries.registry import register
 
 _PR_ITERS = 3
@@ -772,4 +772,94 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round((num / den) * 1e6).cast("long") / F.lit(1e6)).alias(
             "assortativity"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Label-propagation communities (synchronous, mode-of-neighbors, round 3)
+# --------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+# argmax encoding: key = n * 1e12 - label  =>  max key picks the most
+# frequent neighbor label, smallest label on ties (memory: max_by needs
+# a SCALAR key cross-engine).  Valid while n < 9.2e6 and label < 1e12.
+_LPA_KEY = 1_000_000_000_000
+
+
+def _lpa_iter_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT node, max_by(lab, n * {_LPA_KEY} - lab) AS lab FROM (
+    SELECT e.dst AS node, p.lab AS lab, count(*) AS n
+    FROM edges e JOIN {prev} p ON e.src = p.node
+    GROUP BY 1, 2)
+  GROUP BY 1)"""
+
+
+_LPA_ORACLE = f"""
+WITH edges AS ({_EDGES_SQL}),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+l0 AS (SELECT node, node AS lab FROM nodes),
+{",".join(_lpa_iter_sql(f"l{i}", f"l{i + 1}") for i in range(_LPA_ITERS))}
+SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       node // 2 AS node_key,
+       CAST(lab AS BIGINT) AS community,
+       CAST(count(*) OVER (PARTITION BY lab) AS BIGINT) AS community_size
+FROM l{_LPA_ITERS}
+"""
+
+
+@register("label_propagation_communities", oracle=_LPA_ORACLE)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation on the
+    part-supplier co-purchase graph ({_LPA_ITERS} fixed iterations):
+    every node starts as its own label; each round it adopts the most
+    frequent label among its neighbors, smallest label on ties.  The
+    deterministic sibling of classic async LPA (async is
+    order-dependent and unreproducible across partitionings) — same
+    edge frame as pagerank_top_nodes, complementary output (dense
+    regions vs important nodes).
+
+    Cross-engine determinism: the mode-with-tiebreak is one
+    ``max_by(label, n * 1e12 - label)`` — an exact integer argmax, no
+    floats anywhere, so iteration N is bit-equal in both engines and
+    the fixed iteration count makes the whole run reproducible.
+
+    Scale shape: per iteration one O(edges) equi-join (labels are
+    O(nodes), join key is the src node — co-partitionable across
+    iterations) and one map-side-combinable (node, label) count; no
+    per-node fan-in beyond degree.  This is the textbook Pregel step
+    expressed as joins; 100 TB runs raise iterations, not state size.
+    """
+    fwd = (
+        spread(load_table(spark, sf_dir, "lineitem"))
+        .select(
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(_LPA_ITERS):
+        votes = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("n2"), "lab")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = votes.groupBy(F.col("n2").alias("node")).agg(
+            F.max_by("lab", F.col("n") * _LPA_KEY - F.col("lab")).alias("lab")
+        )
+    w = Window.partitionBy("lab")
+    return labels.select(
+        F.when(F.col("node") % 2 == 0, F.lit("part"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        (F.col("node") / 2).cast("long").alias("node_key"),
+        F.col("lab").cast("long").alias("community"),
+        F.count(F.lit(1)).over(w).cast("long").alias("community_size"),
     )

@@ -1522,3 +1522,25 @@ def test_holt_forecast_matches_python_replay(spark, sf_dir):
         assert got[et]["level"] == l
         assert got[et]["trend"] == b
         assert got[et]["forecast_next"] == l + b
+
+
+def test_label_propagation_invariants(spark, sf_dir):
+    """LPA: every node appears exactly once, community labels are
+    node ids from the graph, and community_size matches the actual
+    per-label row count."""
+    from dissertation_iceberg_spark.queries.graph_ops import (
+        label_propagation_communities,
+    )
+
+    pdf = label_propagation_communities(spark, sf_dir).toPandas()
+    enc = pdf.apply(
+        lambda r: int(r["node_key"]) * 2
+        + (0 if r["node_type"] == "part" else 1),
+        axis=1,
+    )
+    assert enc.is_unique
+    nodes = set(enc)
+    assert set(pdf["community"]) <= nodes
+    sizes = pdf.groupby("community").size()
+    for r in pdf.itertuples():
+        assert sizes[r.community] == r.community_size
