@@ -204,6 +204,76 @@ def main() -> None:
                               "sec": round(t, 3)}))
             d.unpersist()
 
+        # prefix filtering at the same threshold: the high-threshold
+        # scale path (index only the rarest (1-t)-fraction prefix per
+        # doc) — the claim under test is that its candidate/pair
+        # volume stays linear AND its constant beats the full index
+        # as the corpus grows
+        if _want("prefix_filter"):
+            from dissertation_iceberg_spark.operators.dedup import (
+                prefix_filter_near_dup_pairs,
+            )
+
+            d2 = (d.drop("__rep") if "__rep" in d.columns else d).persist()
+            n_docs2 = d2.count()
+            t, pairs = timed(
+                lambda: prefix_filter_near_dup_pairs(
+                    d2, "text", "doc_id", n=3, threshold=0.8
+                ),
+                action="count",
+            )
+            print(json.dumps({"kernel": "prefix_filter", "factor": r,
+                              "input_rows": n_docs2, "out_rows": pairs,
+                              "sec": round(t, 3)}))
+            d2.unpersist()
+
+        # SKEWED corpus: every doc gets the same 12-token boilerplate
+        # footer (web-corpus reality), creating ~10 shingles with
+        # df = n_docs.  The full inverted index expands those posting
+        # lists as C(df,2) — quadratic in corpus size — so it is only
+        # measured through factor 10 (at 100x it would generate
+        # ~10^10 candidate rows); the prefix filter never indexes
+        # frequent shingles (they sort LAST under df-ascending order)
+        # and stays linear.  This is the kernel where the prefix
+        # path's extra constant buys worst-case survival.
+        if _want("dedup_skew"):
+            from dissertation_iceberg_spark.operators.dedup import (
+                prefix_filter_near_dup_pairs,
+            )
+
+            boiler = (" copyright terms of service all rights reserved"
+                      " contact us privacy policy sitemap home")
+            ds = (d.drop("__rep") if "__rep" in d.columns else d).withColumn(
+                "text", F.concat(F.col("text"), F.lit(boiler))
+            ).persist()
+            n_ds = ds.count()
+            t, pairs = timed(
+                lambda: prefix_filter_near_dup_pairs(
+                    ds, "text", "doc_id", n=3, threshold=0.8
+                ),
+                action="count",
+            )
+            print(json.dumps({"kernel": "prefix_filter_skew", "factor": r,
+                              "input_rows": n_ds, "out_rows": pairs,
+                              "sec": round(t, 3)}))
+            # factor 1 only: at factor 10 the uncapped index's
+            # per-boilerplate-shingle C(5000,2) combos array (12.5 M
+            # structs materialized per row before the explode) OOMs
+            # the 128 GiB single node — measured once 2026-08-15,
+            # recorded in SCALE.md; that cliff is the reason the
+            # capped path and the prefix filter exist
+            if r == 1:
+                t, pairs = timed(
+                    lambda: jaccard_near_dup_pairs(
+                        ds, "text", "doc_id", n=3, threshold=0.8
+                    ),
+                    action="count",
+                )
+                print(json.dumps({"kernel": "jaccard_full_skew", "factor": r,
+                                  "input_rows": n_ds, "out_rows": pairs,
+                                  "sec": round(t, 3)}))
+            ds.unpersist()
+
         # key-scaled lineitem: replicas get disjoint orders/parts/
         # suppliers, so basket sizes stay constant and pair volume must
         # grow linearly (the copurchase scale claim under test)
