@@ -1291,3 +1291,65 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     got_keys = set(zip(got["user_id"], got["step"]))
     for r in sealed.itertuples():
         assert (r.user_id, r.step) in got_keys
+
+
+def test_streaming_psi_matches_batch(spark, tmp_path):
+    """Streaming PSI monitor: windowed bin counts (append on close) +
+    bounded PSI vs a static baseline. Closed windows equal the batch
+    twin exactly; the drifted day trips the alert, the baseline-like
+    day does not."""
+    import pandas as pd
+    from dissertation_iceberg_spark.streaming.psi_stream import (
+        psi_score,
+        window_bin_counts,
+    )
+
+    src = str(tmp_path / "psi_src")
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = []
+    # day 1: values like the baseline; day 2: shifted up a decade
+    for h in range(24):
+        for i in range(6):
+            rows.append(
+                {
+                    "ts": base + pd.Timedelta(hours=h, minutes=7 * i),
+                    "value": float([0.5, 1.5, 3.0, 7.0, 15.0, 40.0][i]),
+                }
+            )
+            rows.append(
+                {
+                    "ts": base
+                    + pd.Timedelta(days=1, hours=h, minutes=7 * i),
+                    "value": float([15.0, 40.0, 80.0, 200.0, 200.0, 400.0][i]),
+                }
+            )
+    # far-future sentinel: seals both days, its own window must not emit
+    rows.append({"ts": base + pd.Timedelta(days=5), "value": 1.0})
+    spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.parquet(src)
+
+    baseline = [24 * 1, 24 * 1, 24 * 1, 24 * 1, 24 * 1, 24 * 1, 0, 0]
+
+    batch = spark.read.parquet(src)
+    expect = psi_score(window_bin_counts(batch), baseline).toPandas()
+    expect = expect[
+        expect.window_start < pd.Timestamp("2024-03-04")
+    ]
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        window_bin_counts(stream)
+        .writeStream.format("memory")
+        .queryName("psi_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = psi_score(spark.table("psi_counts"), baseline).toPandas()
+
+    cols = ["window_start", "n", "psi", "drift_alert"]
+    e = expect[cols].sort_values("window_start").reset_index(drop=True)
+    g = got[cols].sort_values("window_start").reset_index(drop=True)
+    pd.testing.assert_frame_equal(e, g)
+    assert list(g["drift_alert"]) == [0, 1]
+    assert g["psi"].iloc[1] > g["psi"].iloc[0]
