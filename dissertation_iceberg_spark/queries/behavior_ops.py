@@ -2347,3 +2347,118 @@ def frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_support"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering: cosine top-k recommendations
+# --------------------------------------------------------------------------
+
+_CF_TOPK = 3
+
+_CF_ORACLE = f"""
+WITH assoc AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+marg AS (
+  SELECT l_partkey, count(*) AS n_part FROM assoc GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+  FROM assoc a JOIN assoc b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+sym AS (
+  SELECT part_a AS item, part_b AS rec, n_both FROM pairs
+  UNION ALL
+  SELECT part_b AS item, part_a AS rec, n_both FROM pairs),
+scored AS (
+  SELECT s.item, s.rec, CAST(s.n_both AS BIGINT) AS n_both,
+         CAST(round(CAST(s.n_both AS DOUBLE)
+                    / sqrt(CAST(mi.n_part AS DOUBLE) * mr.n_part) * 1e6)
+              AS BIGINT) / 1e6 AS cosine
+  FROM sym s
+  JOIN marg mi ON s.item = mi.l_partkey
+  JOIN marg mr ON s.rec = mr.l_partkey)
+SELECT item, rec, n_both, cosine,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY item ORDER BY cosine DESC, rec ASC) AS rnk
+  FROM scored)
+WHERE rnk <= {_CF_TOPK}
+"""
+
+
+@register("item_cf_topk", oracle=_CF_ORACLE)
+def item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for every part, the top-k
+    'customers also bought' recommendations by co-occurrence COSINE
+    n_both / sqrt(n_a * n_b) — the memory-based recommender primitive
+    one step up from copurchase_lift (lift ranks pairs globally;
+    cosine normalizes away item popularity and ranks per item).
+
+    Scale shape: identical pair-volume story to copurchase_lift (pair
+    expansion is sum-of-squares of DISTINCT basket sizes; a mega
+    basket gets capped upstream like the stop-shingle cap).
+    Symmetrization doubles the already-collapsed O(pairs) frame
+    map-side; marginals join on the pair frame, not the fact table;
+    the final rank partitions by item over each item's bounded
+    candidate list — never a global sort.
+
+    Determinism: round-then-rank (cosine_topk convention) — the
+    cosine is micro-rounded identically in both engines BEFORE the
+    rank, and rec id breaks exact ties, so row_number is total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    assoc = li.select("l_orderkey", "l_partkey").distinct()
+    marg = assoc.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    b = assoc.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        assoc.join(
+            b,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("part_b")),
+        )
+        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sym = pairs.select(
+        F.col("part_a").alias("item"), F.col("part_b").alias("rec"), "n_both"
+    ).unionByName(
+        pairs.select(
+            F.col("part_b").alias("item"),
+            F.col("part_a").alias("rec"),
+            "n_both",
+        )
+    )
+    scored = (
+        sym.join(
+            marg.select(
+                F.col("l_partkey").alias("item"), F.col("n_part").alias("n_i")
+            ),
+            "item",
+        )
+        .join(
+            marg.select(
+                F.col("l_partkey").alias("rec"), F.col("n_part").alias("n_r")
+            ),
+            "rec",
+        )
+        .select(
+            "item",
+            "rec",
+            F.col("n_both").cast("long").alias("n_both"),
+            (
+                F.round(
+                    F.col("n_both")
+                    / F.sqrt(F.col("n_i").cast("double") * F.col("n_r"))
+                    * 1e6
+                ).cast("long")
+                / 1e6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"), F.asc("rec"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _CF_TOPK)
+    )

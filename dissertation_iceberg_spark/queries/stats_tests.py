@@ -3051,3 +3051,96 @@ def mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("nmi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weight-of-evidence / information-value encoding (round 3)
+# --------------------------------------------------------------------------
+
+_WOE_ORACLE = """
+WITH cells AS (
+  SELECT o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_neg
+  FROM orders GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS pos_tot,
+         CAST(sum(n_neg) AS BIGINT) AS neg_tot,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM cells),
+scored AS (
+  SELECT priority, n, n_pos, n_neg,
+         CAST(round(ln(((n_pos + 0.5) / (pos_tot + 0.5 * n_buckets))
+                       / ((n_neg + 0.5) / (neg_tot + 0.5 * n_buckets))) * 1e6)
+              AS BIGINT) AS woe_micro,
+         CAST(round(((n_pos + 0.5) / (pos_tot + 0.5 * n_buckets)
+                     - (n_neg + 0.5) / (neg_tot + 0.5 * n_buckets))
+                    * ln(((n_pos + 0.5) / (pos_tot + 0.5 * n_buckets))
+                         / ((n_neg + 0.5) / (neg_tot + 0.5 * n_buckets)))
+                    * 1e6) AS BIGINT) AS iv_micro
+  FROM cells CROSS JOIN tot)
+SELECT priority, n, n_pos, n_neg,
+       woe_micro / 1e6 AS woe,
+       iv_micro / 1e6 AS iv_term,
+       CAST(sum(iv_micro) OVER () AS BIGINT) / 1e6 AS iv_total
+FROM scored
+"""
+
+
+@register("woe_iv_encoding", oracle=_WOE_ORACLE)
+def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding of order priority against the
+    binary fulfilled label (o_orderstatus = 'F'), with the bucket IV
+    terms and the feature's total Information Value — the standard
+    scorecard/credit-risk categorical encoder and feature-screening
+    statistic (IV < 0.02 = useless, > 0.3 = strong). +0.5 smoothing
+    per cell keeps every share positive without epsilon clamps.
+
+    Scale shape: one fact-scale map-side-combinable conditional count
+    per bucket; totals are a 1-row broadcast back onto the O(buckets)
+    frame; each bucket's WOE and IV term is micro-rounded ONCE, and
+    the total IV is an exact integer sum over buckets (window over
+    the tiny frame)."""
+    o = load_table(spark, sf_dir, "orders")
+    pos = (F.col("o_orderstatus") == "F").cast("long")
+    cells = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(pos).cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum(pos)).cast("long").alias("n_neg"),
+    )
+    tot = cells.agg(
+        F.sum("n_pos").cast("long").alias("pos_tot"),
+        F.sum("n_neg").cast("long").alias("neg_tot"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    p_share = (F.col("n_pos") + 0.5) / (
+        F.col("pos_tot") + 0.5 * F.col("n_buckets")
+    )
+    n_share = (F.col("n_neg") + 0.5) / (
+        F.col("neg_tot") + 0.5 * F.col("n_buckets")
+    )
+    scored = cells.join(F.broadcast(tot)).select(
+        "priority",
+        "n",
+        "n_pos",
+        "n_neg",
+        F.round(F.log(p_share / n_share) * 1e6)
+        .cast("long")
+        .alias("woe_micro"),
+        F.round((p_share - n_share) * F.log(p_share / n_share) * 1e6)
+        .cast("long")
+        .alias("iv_micro"),
+    )
+    w = Window.partitionBy()
+    return scored.select(
+        "priority",
+        "n",
+        "n_pos",
+        "n_neg",
+        (F.col("woe_micro") / 1e6).alias("woe"),
+        (F.col("iv_micro") / 1e6).alias("iv_term"),
+        (F.sum("iv_micro").over(w).cast("long") / 1e6).alias("iv_total"),
+    )

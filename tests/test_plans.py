@@ -180,6 +180,7 @@ INTENTIONAL_BNLJ = {
     "kmv_setops",  # broadcast ≤types² pair grid (bounded type-dim self-join)
     "newey_west_ols",  # broadcast 1-row OLS coefficient frame
     "sortino_calmar",  # broadcast 1-row drawdown frame
+    "woe_iv_encoding",  # broadcast 1-row class-totals frame (O(buckets))
 }
 
 

@@ -1544,3 +1544,74 @@ def test_label_propagation_invariants(spark, sf_dir):
     sizes = pdf.groupby("community").size()
     for r in pdf.itertuples():
         assert sizes[r.community] == r.community_size
+
+
+def test_item_cf_topk_matches_pandas_replay(spark, sf_dir):
+    """item_cf_topk equals a pandas replay: co-occurrence counts from
+    the distinct (order, part) frame, cosine n_ab/sqrt(n_a*n_b)
+    micro-rounded, per-item top-k with (cosine desc, rec asc)."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.behavior_ops import (
+        _CF_TOPK,
+        item_cf_topk,
+    )
+
+    pdf = item_cf_topk(spark, sf_dir).toPandas()
+    assoc = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    marg = assoc.groupby("l_partkey").size()
+    m = assoc.merge(assoc, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    both = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    want = {}
+    for (a, b), n in both.items():
+        cos = float(np.round(n / np.sqrt(marg[a] * marg[b]) * 1e6)) / 1e6
+        want.setdefault(a, []).append((-cos, b, n))
+        want.setdefault(b, []).append((-cos, a, n))
+    got = {
+        item: [
+            (r.rec, r.n_both, r.cosine)
+            for r in g.sort_values("rnk").itertuples()
+        ]
+        for item, g in pdf.groupby("item")
+    }
+    for item, cands in want.items():
+        cands.sort()
+        top = [(b, n, -negc) for negc, b, n in cands[:_CF_TOPK]]
+        assert got[item] == top, item
+    assert set(got) == set(want)
+    assert (pdf.groupby("item")["rnk"].min() == 1).all()
+
+
+def test_woe_iv_matches_python_replay(spark, sf_dir):
+    """woe_iv_encoding equals a pure-Python replay of the smoothed
+    WOE/IV formulas, and iv_total is the exact sum of the micro-
+    rounded iv terms."""
+    import math
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests import woe_iv_encoding
+
+    pdf = woe_iv_encoding(spark, sf_dir).toPandas()
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    pos_tot = int((o["o_orderstatus"] == "F").sum())
+    neg_tot = len(o) - pos_tot
+    k = o["o_orderpriority"].nunique()
+    iv_micro_sum = 0
+    for r in pdf.itertuples():
+        assert r.n == r.n_pos + r.n_neg
+        p = (r.n_pos + 0.5) / (pos_tot + 0.5 * k)
+        q = (r.n_neg + 0.5) / (neg_tot + 0.5 * k)
+        woe = math.log(p / q)
+        assert round(woe * 1e6) / 1e6 == r.woe
+        iv = round((p - q) * woe * 1e6)
+        assert iv / 1e6 == r.iv_term
+        iv_micro_sum += iv
+    assert (pdf["iv_total"] == iv_micro_sum / 1e6).all()
+    assert len(pdf) == k
