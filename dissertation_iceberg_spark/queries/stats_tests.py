@@ -3144,3 +3144,207 @@ def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("iv_micro") / 1e6).alias("iv_term"),
         (F.sum("iv_micro").over(w).cast("long") / 1e6).alias("iv_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Greedy decision-stump split search (round 3)
+# --------------------------------------------------------------------------
+
+_STUMP_ORACLE = """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders),
+dv AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM base GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_all,
+         CAST(sum(n_pos) AS BIGINT) AS p_all
+  FROM dv),
+cum AS (
+  SELECT cents, n, n_pos,
+         CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS cum_n,
+         CAST(coalesce(sum(n_pos) OVER w, 0) AS BIGINT) AS cum_np
+  FROM dv
+  WINDOW w AS (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+splits AS (
+  SELECT cents AS split_cents,
+         cum_n + n AS left_n, cum_np + n_pos AS left_pos,
+         n_all - (cum_n + n) AS right_n,
+         p_all - (cum_np + n_pos) AS right_pos,
+         n_all, p_all
+  FROM cum CROSS JOIN tot
+  WHERE n_all - (cum_n + n) > 0),
+scored AS (
+  SELECT split_cents, left_n, left_pos, right_n, right_pos,
+         CAST(round((2 * left_pos * (left_n - left_pos) / left_n
+                     + 2 * right_pos * (right_n - right_pos) / right_n)
+                    / n_all * 1e9) AS BIGINT) AS gini_nano,
+         CAST(round(2 * p_all * (n_all - p_all) / n_all / n_all * 1e9)
+              AS BIGINT) AS parent_nano
+  FROM splits)
+SELECT split_cents, left_n, left_pos, right_n, right_pos,
+       gini_nano / 1e9 AS weighted_gini,
+       (parent_nano - gini_nano) / 1e9 AS gini_gain
+FROM scored
+ORDER BY gini_nano ASC, split_cents ASC
+LIMIT 5
+"""
+
+
+@register("decision_stump", oracle=_STUMP_ORACLE)
+def decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact greedy decision-stump split search: the 5 best thresholds
+    on order value (integer cents) for predicting the fulfilled label,
+    ranked by weighted Gini impurity — the inner loop of CART /
+    gradient-boosted-tree training, done as a distributed scan instead
+    of the in-memory sort every single-node library uses.
+
+    Scale shape: candidate thresholds come from the DISTINCT-value
+    frame (groupBy(cents) first), and the left/right class counts for
+    every candidate come from ``bucketed_exclusive_cumsums`` — the
+    two-pass bucketed prefix-sum machinery — so no global per-row sort
+    exists anywhere; the final top-5 is orderBy().limit() over the
+    distinct frame (TakeOrderedAndProject).
+
+    Determinism: class counts are exact integers; each candidate's
+    weighted impurity is two integer-ratio divisions and one sum
+    (IEEE-exact both engines), nano-rounded ONCE to BIGINT before the
+    rank (round-then-rank convention), with the threshold value as the
+    total tiebreak. The parent impurity is nano-rounded the same way so
+    the gain is an exact integer difference."""
+    from dissertation_iceberg_spark.functions.ranks import (
+        bucketed_exclusive_cumsums,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("pos"),
+    )
+    dv = o.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    tot = dv.agg(
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("n_pos").cast("long").alias("p_all"),
+    )
+    cum = bucketed_exclusive_cumsums(dv, "cents", ["n", "n_pos"])
+    splits = (
+        cum.join(F.broadcast(tot))
+        .select(
+            F.col("cents").alias("split_cents"),
+            (F.col("cum_n") + F.col("n")).alias("left_n"),
+            (F.col("cum_n_pos") + F.col("n_pos")).alias("left_pos"),
+            (F.col("n_all") - (F.col("cum_n") + F.col("n"))).alias("right_n"),
+            (F.col("p_all") - (F.col("cum_n_pos") + F.col("n_pos"))).alias(
+                "right_pos"
+            ),
+            "n_all",
+            "p_all",
+        )
+        .filter(F.col("right_n") > 0)
+    )
+    lp, ln = F.col("left_pos"), F.col("left_n")
+    rp, rn = F.col("right_pos"), F.col("right_n")
+    scored = splits.select(
+        "split_cents",
+        "left_n",
+        "left_pos",
+        "right_n",
+        "right_pos",
+        F.round(
+            (
+                F.lit(2) * lp * (ln - lp) / ln
+                + F.lit(2) * rp * (rn - rp) / rn
+            )
+            / F.col("n_all")
+            * 1e9
+        )
+        .cast("long")
+        .alias("gini_nano"),
+        F.round(
+            F.lit(2)
+            * F.col("p_all")
+            * (F.col("n_all") - F.col("p_all"))
+            / F.col("n_all")
+            / F.col("n_all")
+            * 1e9
+        )
+        .cast("long")
+        .alias("parent_nano"),
+    )
+    return (
+        scored.orderBy(F.asc("gini_nano"), F.asc("split_cents"))
+        .limit(5)
+        .select(
+            "split_cents",
+            "left_n",
+            "left_pos",
+            "right_n",
+            "right_pos",
+            (F.col("gini_nano") / 1e9).alias("weighted_gini"),
+            ((F.col("parent_nano") - F.col("gini_nano")) / 1e9).alias(
+                "gini_gain"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Leave-one-out target encoding (round 3)
+# --------------------------------------------------------------------------
+
+_LOO_ORACLE = """
+WITH cells AS (
+  SELECT o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS s
+  FROM orders GROUP BY 1)
+SELECT priority, CAST(1 AS BIGINT) AS y, s AS n_rows,
+       (s - 1) / (n - 1) AS loo
+FROM cells WHERE n > 1 AND s > 0
+UNION ALL
+SELECT priority, CAST(0 AS BIGINT) AS y, n - s AS n_rows,
+       s / (n - 1) AS loo
+FROM cells WHERE n > 1 AND n - s > 0
+"""
+
+
+@register("loo_target_encoding", oracle=_LOO_ORACLE)
+def loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against the
+    fulfilled label — the CatBoost-style regularized target statistic
+    (each row's encoding excludes its own label, killing the
+    single-row leakage of naive mean encoding).
+
+    The LOO value for a row depends only on (category, own label), so
+    the row-level encoding collapses EXACTLY to the distinct
+    (category, y) frame with its row multiplicity: (s - y) / (n - 1) —
+    O(categories x 2) output from one map-side-combinable conditional
+    count, never a per-row join. Encodings are a single
+    integer-ratio division (IEEE-exact both engines), so no rounding
+    is needed."""
+    o = load_table(spark, sf_dir, "orders")
+    pos = (F.col("o_orderstatus") == "F").cast("long")
+    cells = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(pos).cast("long").alias("s"),
+    )
+    ones = cells.filter((F.col("n") > 1) & (F.col("s") > 0)).select(
+        "priority",
+        F.lit(1).cast("long").alias("y"),
+        F.col("s").alias("n_rows"),
+        ((F.col("s") - 1) / (F.col("n") - 1)).alias("loo"),
+    )
+    zeros = cells.filter((F.col("n") > 1) & (F.col("n") - F.col("s") > 0)).select(
+        "priority",
+        F.lit(0).cast("long").alias("y"),
+        (F.col("n") - F.col("s")).alias("n_rows"),
+        (F.col("s") / (F.col("n") - 1)).alias("loo"),
+    )
+    return ones.unionByName(zeros)

@@ -181,6 +181,7 @@ INTENTIONAL_BNLJ = {
     "newey_west_ols",  # broadcast 1-row OLS coefficient frame
     "sortino_calmar",  # broadcast 1-row drawdown frame
     "woe_iv_encoding",  # broadcast 1-row class-totals frame (O(buckets))
+    "decision_stump",  # broadcast 1-row class-totals frame (bucketed cumsums)
 }
 
 

@@ -1615,3 +1615,90 @@ def test_woe_iv_matches_python_replay(spark, sf_dir):
         iv_micro_sum += iv
     assert (pdf["iv_total"] == iv_micro_sum / 1e6).all()
     assert len(pdf) == k
+
+
+def test_decision_stump_matches_pandas_replay(spark, sf_dir):
+    """decision_stump equals a pandas replay: full threshold sweep via
+    sorted cumulative class counts, nano-rounded weighted Gini,
+    (gini, threshold) ranking, top-5."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests import decision_stump
+
+    pdf = decision_stump(spark, sf_dir).toPandas()
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    o["pos"] = (o["o_orderstatus"] == "F").astype("int64")
+    dv = (
+        o.groupby("cents")["pos"]
+        .agg(n="size", n_pos="sum")
+        .sort_index()
+        .reset_index()
+    )
+    n_all, p_all = int(dv["n"].sum()), int(dv["n_pos"].sum())
+    dv["left_n"] = dv["n"].cumsum()
+    dv["left_pos"] = dv["n_pos"].cumsum()
+    dv["right_n"] = n_all - dv["left_n"]
+    dv["right_pos"] = p_all - dv["left_pos"]
+    dv = dv[dv["right_n"] > 0]
+    wg = (
+        2 * dv["left_pos"] * (dv["left_n"] - dv["left_pos"]) / dv["left_n"]
+        + 2
+        * dv["right_pos"]
+        * (dv["right_n"] - dv["right_pos"])
+        / dv["right_n"]
+    ) / n_all
+    dv["gini_nano"] = np.round(wg * 1e9).astype("int64")
+    parent_nano = int(round(2 * p_all * (n_all - p_all) / n_all / n_all * 1e9))
+    top = dv.sort_values(["gini_nano", "cents"]).head(5)
+    want = [
+        (
+            r.cents,
+            r.left_n,
+            r.left_pos,
+            r.right_n,
+            r.right_pos,
+            r.gini_nano / 1e9,
+            (parent_nano - r.gini_nano) / 1e9,
+        )
+        for r in top.itertuples()
+    ]
+    got = [
+        (
+            r.split_cents,
+            r.left_n,
+            r.left_pos,
+            r.right_n,
+            r.right_pos,
+            r.weighted_gini,
+            r.gini_gain,
+        )
+        for r in pdf.sort_values(["weighted_gini", "split_cents"]).itertuples()
+    ]
+    assert got == want
+    assert (pdf["gini_gain"] >= 0).all()
+
+
+def test_loo_target_encoding_matches_pandas_replay(spark, sf_dir):
+    """loo_target_encoding equals the row-level leave-one-out mean
+    collapsed to the distinct (category, y) frame."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests import (
+        loo_target_encoding,
+    )
+
+    pdf = loo_target_encoding(spark, sf_dir).toPandas()
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    o["pos"] = (o["o_orderstatus"] == "F").astype("int64")
+    got = {
+        (r.priority, r.y): (r.n_rows, r.loo) for r in pdf.itertuples()
+    }
+    want = {}
+    for prio, g in o.groupby("o_orderpriority"):
+        n, s = len(g), int(g["pos"].sum())
+        if n > 1 and s > 0:
+            want[(prio, 1)] = (s, (s - 1) / (n - 1))
+        if n > 1 and n - s > 0:
+            want[(prio, 0)] = (n - s, s / (n - 1))
+    assert got == want
