@@ -2296,3 +2296,186 @@ def prefix_filter_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.prefix_filter_near_dup_pairs(
         docs, "text", "doc_id", n=JACCARD_N, threshold=PREFIX_JACCARD_THRESHOLD
     )
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion of a lexical and a semantic retrieval arm
+# --------------------------------------------------------------------------
+
+RRF_C = 60
+RRF_ARM_K = 50
+RRF_TOP = 10
+
+_RRF_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
+  WHERE term IN ('spark', 'join', 'window', 'vector')
+  GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+corpus AS (
+  SELECT count(*) AS n_docs, avg(CAST(len(toks) AS DOUBLE)) AS avgdl
+  FROM base),
+bm AS (
+  SELECT doc_id, CAST(sum(CAST(round(
+           ln(1e0 + (n_docs - df + 5e-1) / (df + 5e-1))
+           * (tf * 22e-1)
+           / (tf + 12e-1 * (1e0 - 75e-2 + 75e-2 * dl / avgdl))
+           * 1e6) AS BIGINT)) AS BIGINT) AS score_micro
+  FROM tf JOIN dfreq USING (term) CROSS JOIN corpus
+  GROUP BY doc_id),
+bmr AS (
+  SELECT doc_id AS item_id, 'bm25' AS arm,
+         CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+              AS BIGINT) AS rnk
+  FROM (SELECT * FROM bm ORDER BY score_micro DESC, doc_id
+        LIMIT {RRF_ARM_K})),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT e.vec_id AS item_id,
+    CAST(round(
+      (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+       FROM (SELECT unnest(q.qvec) AS x, unnest(e.embedding) AS y) z)
+      / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+               FROM (SELECT unnest(q.qvec) AS x) z))
+         * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+                 FROM (SELECT unnest(e.embedding) AS y) z)))
+      * 1e6) AS BIGINT) AS score_micro
+  FROM embeddings e, q WHERE e.vec_id <> 0),
+cosr AS (
+  SELECT item_id, 'cos' AS arm,
+         CAST(row_number() OVER (ORDER BY score_micro DESC, item_id)
+              AS BIGINT) AS rnk
+  FROM (SELECT * FROM cos ORDER BY score_micro DESC, item_id
+        LIMIT {RRF_ARM_K})),
+arms AS (SELECT * FROM bmr UNION ALL SELECT * FROM cosr),
+fused AS (
+  SELECT item_id,
+         CAST(count(*) AS BIGINT) AS n_arms,
+         max(CASE WHEN arm = 'bm25' THEN rnk END) AS bm25_rank,
+         max(CASE WHEN arm = 'cos' THEN rnk END) AS cos_rank,
+         CAST(sum(CAST(round(1e9 / ({RRF_C} + rnk)) AS BIGINT)) AS BIGINT)
+           AS rrf_nano
+  FROM arms GROUP BY 1)
+SELECT item_id, n_arms, bm25_rank, cos_rank, rrf_nano / 1e9 AS rrf
+FROM fused ORDER BY rrf_nano DESC, item_id LIMIT {RRF_TOP}
+"""
+
+
+@register("rrf_fusion", oracle=_RRF_ORACLE)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: a lexical BM25 arm
+    (fixed term query over documents) and a semantic cosine arm (fixed
+    query vector over embeddings) each produce a top-50 ranking;
+    fused score = sum over arms of 1/(60 + rank), top-10 — the
+    standard hybrid-search combiner (Cormack et al.), which needs only
+    RANKS from each arm, never comparable scores.
+
+    Scale shape: each arm ends in orderBy().limit(k)
+    (TakeOrderedAndProject) so the only unpartitioned windows are the
+    O(k)=50-row rank frames; the fuse is a 2k-row union + groupBy.
+    The cosine arm broadcasts the 1-row query vector (allowlisted
+    BNLJ, same as cosine_topk); the BM25 arm broadcasts the per-term
+    df table and the 1-row (N, avgdl) frame.
+
+    Determinism: per-term BM25 contributions and cosines are
+    micro-rounded to BIGINT BEFORE summing/ranking (round-then-rank),
+    item id breaks all rank ties, and RRF contributions are
+    nano-rounded integers so the fused sum is exact."""
+    from dissertation_iceberg_spark.operators.similarity import _dot, _norm2
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = tx.tokens(F.col("text"))
+    tf = (
+        docs.select("doc_id", F.size(t).alias("dl"), F.explode(t).alias("term"))
+        .filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = docs.select(F.size(tx.tokens(F.col("text"))).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2)
+            * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    bm = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.round(term_score * 1e6).cast("long"))
+            .cast("long")
+            .alias("score_micro")
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(RRF_ARM_K)
+    )
+    w_arm = Window.orderBy(F.desc("score_micro"), F.asc("item_id"))
+    bmr = (
+        bm.select(F.col("doc_id").alias("item_id"), "score_micro")
+        .select(
+            "item_id",
+            F.lit("bm25").alias("arm"),
+            F.row_number().over(w_arm).cast("long").alias("rnk"),
+        )
+    )
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    cos = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("item_id"),
+            F.round(
+                _dot(F.col("qvec"), F.col("embedding"))
+                / (
+                    F.sqrt(_norm2(F.col("qvec")))
+                    * F.sqrt(_norm2(F.col("embedding")))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("item_id"))
+        .limit(RRF_ARM_K)
+    )
+    cosr = cos.select(
+        "item_id",
+        F.lit("cos").alias("arm"),
+        F.row_number().over(w_arm).cast("long").alias("rnk"),
+    )
+    arms = bmr.unionByName(cosr)
+    fused = arms.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_arms"),
+        F.max(F.when(F.col("arm") == "bm25", F.col("rnk"))).alias("bm25_rank"),
+        F.max(F.when(F.col("arm") == "cos", F.col("rnk"))).alias("cos_rank"),
+        F.sum(F.round(F.lit(1e9) / (F.lit(RRF_C) + F.col("rnk"))).cast("long"))
+        .cast("long")
+        .alias("rrf_nano"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf_nano"), F.asc("item_id"))
+        .limit(RRF_TOP)
+        .select(
+            "item_id",
+            "n_arms",
+            "bm25_rank",
+            "cos_rank",
+            (F.col("rrf_nano") / 1e9).alias("rrf"),
+        )
+    )

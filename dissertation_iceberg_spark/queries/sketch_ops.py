@@ -1404,3 +1404,96 @@ def kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(est_i).alias("est_intersect"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# AMS (Alon-Matias-Szegedy) F2 second-frequency-moment sketch (round 3)
+# --------------------------------------------------------------------------
+
+_AMS_DEPTH = 16
+
+_AMS_SIGN_SQL = (
+    "(" + seeded_hash60_col_sql("est_id", "key") + " % 2) * 2 - 1"
+)
+
+_AMS_ORACLE = f"""
+WITH keys AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS key FROM lineitem),
+est AS (
+  SELECT key, unnest(range(1, {_AMS_DEPTH} + 1)) AS est_id FROM keys),
+sk AS (
+  SELECT CAST(est_id AS BIGINT) AS est_id,
+         CAST(sum({_AMS_SIGN_SQL}) AS BIGINT) AS sketch_sum
+  FROM est GROUP BY 1),
+sk2 AS (
+  SELECT est_id, sketch_sum,
+         sketch_sum * sketch_sum AS estimate
+  FROM sk),
+med AS (
+  SELECT estimate AS median_estimate FROM (
+    SELECT estimate,
+           row_number() OVER (ORDER BY estimate, est_id) AS rn
+    FROM sk2)
+  WHERE rn = {_AMS_DEPTH // 2}),
+ex AS (
+  SELECT CAST(sum(f * f) AS BIGINT) AS exact_f2 FROM (
+    SELECT count(*) AS f FROM lineitem GROUP BY l_partkey))
+SELECT est_id, sketch_sum, estimate, median_estimate, exact_f2
+FROM sk2 CROSS JOIN med CROSS JOIN ex
+"""
+
+
+@register("f2_ams_sketch", oracle=_AMS_ORACLE)
+def f2_ams_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch over the part-key stream:
+    16 independent ±1 sign hashes, each estimator is
+    (sum of signs)^2, the readout is the (lower) median estimate next
+    to the exact F2 = sum of squared frequencies — the classic
+    self-join-size / skew estimator that needs one counter per
+    estimator instead of one per key.
+
+    Scale shape: the explode is a x16 map-side fan-out into a
+    16-key map-side-combinable sum — sketch state is O(depth)
+    no matter the key cardinality; exact F2 (the audit arm) is the only
+    key-cardinality shuffle. Median and exact-F2 frames are 1-row
+    broadcasts onto the O(depth) output.
+
+    Determinism: signs come from the portable seeded md5 hash family
+    (functions/hashing.py) so DuckDB replays the sketch EXACTLY —
+    sketch sums are integer ±1 sums, estimates exact integer squares,
+    and the even-depth median uses the lower-median convention with
+    (estimate, est_id) ordering."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("key")
+    )
+    est = li.select(
+        "key",
+        F.explode(F.sequence(F.lit(1), F.lit(_AMS_DEPTH))).alias("est_id"),
+    )
+    sign = (
+        seeded_hash60_col(F.col("est_id"), F.col("key")) % 2
+    ) * 2 - 1
+    sk = (
+        est.select(F.col("est_id").cast("long").alias("est_id"), sign.alias("s"))
+        .groupBy("est_id")
+        .agg(F.sum("s").cast("long").alias("sketch_sum"))
+        .withColumn(
+            "estimate", (F.col("sketch_sum") * F.col("sketch_sum")).cast("long")
+        )
+    )
+    w = Window.orderBy(F.asc("estimate"), F.asc("est_id"))
+    med = (
+        sk.select("estimate", "est_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _AMS_DEPTH // 2)
+        .select(F.col("estimate").alias("median_estimate"))
+    )
+    exact = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("exact_f2"))
+    )
+    return sk.join(F.broadcast(med)).join(F.broadcast(exact)).select(
+        "est_id", "sketch_sum", "estimate", "median_estimate", "exact_f2"
+    )

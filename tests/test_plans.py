@@ -182,6 +182,8 @@ INTENTIONAL_BNLJ = {
     "sortino_calmar",  # broadcast 1-row drawdown frame
     "woe_iv_encoding",  # broadcast 1-row class-totals frame (O(buckets))
     "decision_stump",  # broadcast 1-row class-totals frame (bucketed cumsums)
+    "rrf_fusion",  # broadcast 1-row query vector + 1-row (N, avgdl) frame
+    "f2_ams_sketch",  # broadcast 1-row median + exact-F2 frames (O(depth))
 }
 
 

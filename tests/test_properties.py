@@ -1702,3 +1702,58 @@ def test_loo_target_encoding_matches_pandas_replay(spark, sf_dir):
         if n > 1 and n - s > 0:
             want[(prio, 0)] = (n - s, s / (n - 1))
     assert got == want
+
+
+def test_f2_ams_sketch_matches_python_replay(spark, sf_dir):
+    """The AMS sketch sums equal a pure-Python replay of the seeded
+    md5 sign hashes, estimates are exact squares, the median column is
+    the lower median, and exact_f2 matches pandas."""
+    from dissertation_iceberg_spark.functions.hashing import hash60_py
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.sketch_ops import (
+        _AMS_DEPTH,
+        f2_ams_sketch,
+    )
+
+    pdf = f2_ams_sketch(spark, sf_dir).toPandas()
+    keys = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .toPandas()["l_partkey"]
+    )
+    sums = {i: 0 for i in range(1, _AMS_DEPTH + 1)}
+    for k in keys:
+        for i in range(1, _AMS_DEPTH + 1):
+            sums[i] += (hash60_py(f"{i}:{k}") % 2) * 2 - 1
+    got = dict(zip(pdf["est_id"], pdf["sketch_sum"]))
+    assert got == sums
+    assert (pdf["estimate"] == pdf["sketch_sum"] ** 2).all()
+    est_sorted = sorted(zip(pdf["estimate"], pdf["est_id"]))
+    assert (pdf["median_estimate"] == est_sorted[_AMS_DEPTH // 2 - 1][0]).all()
+    f = keys.value_counts()
+    assert (pdf["exact_f2"] == int((f * f).sum())).all()
+
+
+def test_rrf_fusion_self_consistency(spark, sf_dir):
+    """Fused RRF scores equal the nano-rounded 1/(60+rank) sum of the
+    per-arm rank columns, n_arms counts the non-null ranks, and the
+    output is the top-10 by (rrf, item_id)."""
+    from dissertation_iceberg_spark.queries.llm_ops import (
+        RRF_ARM_K,
+        RRF_C,
+        RRF_TOP,
+        rrf_fusion,
+    )
+
+    pdf = rrf_fusion(spark, sf_dir).toPandas()
+    assert len(pdf) <= RRF_TOP
+    for r in pdf.itertuples():
+        ranks = [x for x in (r.bm25_rank, r.cos_rank) if x == x]
+        assert r.n_arms == len(ranks) >= 1
+        assert all(1 <= x <= RRF_ARM_K for x in ranks)
+        nano = sum(round(1e9 / (RRF_C + x)) for x in ranks)
+        assert r.rrf == nano / 1e9
+    order = pdf.sort_values(
+        ["rrf", "item_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    assert (order["item_id"] == pdf["item_id"].reset_index(drop=True)).all()
