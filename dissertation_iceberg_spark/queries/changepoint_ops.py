@@ -345,3 +345,100 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         fin["b"].alias("trend"),
         (fin["l"] + fin["b"]).alias("forecast_next"),
     )
+
+
+# --------------------------------------------------------------------------
+# Classical additive seasonal decomposition (centered-MA detrending)
+# --------------------------------------------------------------------------
+
+_SD_HALF = 3  # 7-day centered moving-average trend window
+
+_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+           AS day_num,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+win AS (
+  SELECT day_num, cents,
+         CAST(sum(cents) OVER w AS BIGINT) AS sum7,
+         CAST(count(*) OVER w AS BIGINT) AS cnt7
+  FROM daily
+  WINDOW w AS (ORDER BY day_num ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+dowd AS (
+  SELECT (day_num + 3) % 7 AS dow, cents,
+         CASE WHEN cnt7 = 7 THEN cents * 7 - sum7 END AS detr7
+  FROM win)
+SELECT dow,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(count(detr7) AS BIGINT) AS n_windows,
+       CAST(sum(cents) AS BIGINT) / CAST(count(*) AS BIGINT) AS mean_cents,
+       CAST(sum(detr7) AS BIGINT) / (CAST(count(detr7) AS BIGINT) * 7)
+         AS seasonal_cents
+FROM dowd GROUP BY 1
+"""
+
+
+@register("seasonal_decompose", oracle=_SEASONAL_ORACLE)
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily order
+    revenue series: a 7-day centered moving average estimates the
+    trend, and the day-of-week seasonal index is the mean detrended
+    value per weekday (0 = Monday via pure epoch-day arithmetic — no
+    engine-specific dayofweek convention) — the textbook decompose()
+    every monitoring stack runs before alerting on a daily metric.
+
+    Scale shape: one fact-scale map-side-combinable daily sum in exact
+    integer cents; everything after lives on the O(days) frame (the
+    centered window is the accepted bounded-frame class — history
+    length, never row-scale). Incomplete edge windows are excluded
+    (cnt7 = 7), matching statsmodels' NaN trend edges.
+
+    Determinism: the detrended value rides as the exact BIGINT
+    cents*7 - sum7 (no division inside the window), so per-weekday
+    sums are exact; each output ratio is a SINGLE integer/integer
+    division (IEEE-exact both engines) — no rounding anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .select(
+            F.datediff(F.col("day"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day_num"),
+            "cents",
+        )
+    )
+    w7 = Window.orderBy("day_num").rowsBetween(-_SD_HALF, _SD_HALF)
+    win = daily.select(
+        "day_num",
+        "cents",
+        F.sum("cents").over(w7).cast("long").alias("sum7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("cnt7"),
+    )
+    dowd = win.select(
+        ((F.col("day_num") + 3) % 7).alias("dow"),
+        "cents",
+        F.when(
+            F.col("cnt7") == 2 * _SD_HALF + 1,
+            F.col("cents") * 7 - F.col("sum7"),
+        ).alias("detr7"),
+    )
+    agg = dowd.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.count("detr7").cast("long").alias("n_windows"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.sum("detr7").cast("long").alias("detr_sum"),
+    )
+    return agg.select(
+        "dow",
+        "n_days",
+        "n_windows",
+        (F.col("cents_sum") / F.col("n_days")).alias("mean_cents"),
+        (F.col("detr_sum") / (F.col("n_windows") * 7)).alias("seasonal_cents"),
+    )

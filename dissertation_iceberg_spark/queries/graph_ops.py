@@ -863,3 +863,127 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("lab").cast("long").alias("community"),
         F.count(F.lit(1)).over(w).cast("long").alias("community_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities over the customer -> supplier purchase graph
+# --------------------------------------------------------------------------
+
+_HITS_ITERS = 2
+_HITS_TOPK = 20
+
+_HITS_EDGES_SQL = """
+SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+def _hits_iter_sql(h_prev: str, a_out: str, h_out: str) -> str:
+    return f"""
+{a_out}r AS (
+  SELECT dst AS node, CAST(sum(h) AS BIGINT) AS a
+  FROM edges JOIN {h_prev} ON src = {h_prev}.node GROUP BY 1),
+{a_out} AS (
+  SELECT node, a * {_SCALE} // (SELECT max(a) FROM {a_out}r) AS a
+  FROM {a_out}r),
+{h_out}r AS (
+  SELECT src AS node, CAST(sum(a) AS BIGINT) AS h
+  FROM edges JOIN {a_out} ON dst = {a_out}.node GROUP BY 1),
+{h_out} AS (
+  SELECT node, h * {_SCALE} // (SELECT max(h) FROM {h_out}r) AS h
+  FROM {h_out}r)"""
+
+
+_HITS_ORACLE = f"""
+WITH edges AS ({_HITS_EDGES_SQL}),
+h0 AS (SELECT DISTINCT src AS node, CAST({_SCALE} AS BIGINT) AS h
+       FROM edges),
+{",".join(_hits_iter_sql(f"h{i}", f"a{i + 1}", f"h{i + 1}")
+          for i in range(_HITS_ITERS))}
+SELECT side, node_key, score_micro, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT 'authority' AS side, node AS node_key, a AS score_micro,
+         row_number() OVER (ORDER BY sm DESC, node) AS rnk
+  FROM (SELECT node, a, a AS sm FROM a{_HITS_ITERS}
+        ORDER BY a DESC, node LIMIT {_HITS_TOPK})
+  UNION ALL
+  SELECT 'hub', node, h, row_number() OVER (ORDER BY sm DESC, node)
+  FROM (SELECT node, h, h AS sm FROM h{_HITS_ITERS}
+        ORDER BY h DESC, node LIMIT {_HITS_TOPK}))
+"""
+
+
+@register("hits_scores", oracle=_HITS_ORACLE)
+def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) hubs & authorities over the directed
+    customer→supplier purchase graph: 2 mutual-reinforcement
+    iterations, top-20 per side — hubs are customers whose baskets
+    concentrate on authoritative suppliers, authorities are suppliers
+    bought by the strongest hubs (the bipartite centrality pair
+    PageRank's single score can't separate).
+
+    Scale shape per half-iteration: one equi-join of the edge list
+    against the O(nodes) score frame + one map-side-combinable sum by
+    the opposite endpoint — edges never move. Normalization is a 1-row
+    broadcast max (allowlisted BNLJ) instead of an L2 norm so the
+    state stays integer. Each side's top-k is orderBy().limit()
+    (TakeOrderedAndProject); the rank window covers only the k kept
+    rows.
+
+    Determinism (pagerank_top_nodes recipe): scores live as micro-unit
+    BIGINTs, each normalization is integer multiply-floor-divide, the
+    iteration count is fixed so the oracle unrolls it as CTEs, and
+    node id breaks all ordering ties."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    hubs = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(_SCALE).cast("long").alias("h")
+    )
+    auths = None
+    for _ in range(_HITS_ITERS):
+        a_raw = (
+            edges.join(hubs, edges["src"] == hubs["node"])
+            .groupBy(edges["dst"].alias("node"))
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        a_max = a_raw.agg(F.max("a").alias("a_mx"))
+        auths = a_raw.join(F.broadcast(a_max)).select(
+            "node", F.expr(f"(a * {_SCALE}) DIV a_mx").alias("a")
+        )
+        h_raw = (
+            edges.join(auths, edges["dst"] == auths["node"])
+            .groupBy(edges["src"].alias("node"))
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        h_max = h_raw.agg(F.max("h").alias("h_mx"))
+        hubs = h_raw.join(F.broadcast(h_max)).select(
+            "node", F.expr(f"(h * {_SCALE}) DIV h_mx").alias("h")
+        )
+    w = Window.orderBy(F.desc("score_micro"), F.asc("node_key"))
+    top_a = (
+        auths.orderBy(F.desc("a"), F.asc("node"))
+        .limit(_HITS_TOPK)
+        .select(
+            F.lit("authority").alias("side"),
+            F.col("node").alias("node_key"),
+            F.col("a").alias("score_micro"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+    )
+    top_h = (
+        hubs.orderBy(F.desc("h"), F.asc("node"))
+        .limit(_HITS_TOPK)
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("node").alias("node_key"),
+            F.col("h").alias("score_micro"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+    )
+    return top_a.unionByName(top_h)

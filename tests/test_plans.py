@@ -184,6 +184,7 @@ INTENTIONAL_BNLJ = {
     "decision_stump",  # broadcast 1-row class-totals frame (bucketed cumsums)
     "rrf_fusion",  # broadcast 1-row query vector + 1-row (N, avgdl) frame
     "f2_ams_sketch",  # broadcast 1-row median + exact-F2 frames (O(depth))
+    "hits_scores",  # broadcast 1-row max-score normalizers per iteration
 }
 
 

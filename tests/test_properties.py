@@ -1757,3 +1757,78 @@ def test_rrf_fusion_self_consistency(spark, sf_dir):
         ["rrf", "item_id"], ascending=[False, True]
     ).reset_index(drop=True)
     assert (order["item_id"] == pdf["item_id"].reset_index(drop=True)).all()
+
+
+def test_hits_matches_python_replay(spark, sf_dir):
+    """hits_scores equals a pure-Python replay of the integer-
+    quantized mutual-reinforcement iterations on the exact edge set."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.graph_ops import (
+        _HITS_ITERS,
+        _HITS_TOPK,
+        _SCALE,
+        hits_scores,
+    )
+
+    pdf = hits_scores(spark, sf_dir).toPandas()
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).toPandas()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).toPandas()
+    e = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")[
+        ["o_custkey", "l_suppkey"]
+    ].drop_duplicates()
+    edges = list(e.itertuples(index=False, name=None))
+    h = {src: _SCALE for src, _ in edges}
+    a = {}
+    for _ in range(_HITS_ITERS):
+        a = {}
+        for src, dst in edges:
+            a[dst] = a.get(dst, 0) + h[src]
+        mx = max(a.values())
+        a = {k: v * _SCALE // mx for k, v in a.items()}
+        h = {}
+        for src, dst in edges:
+            h[src] = h.get(src, 0) + a[dst]
+        mx = max(h.values())
+        h = {k: v * _SCALE // mx for k, v in h.items()}
+
+    def topk(d):
+        return sorted(((-v, k) for k, v in d.items()))[:_HITS_TOPK]
+
+    for side, d in (("authority", a), ("hub", h)):
+        got = [
+            (r.node_key, r.score_micro, r.rnk)
+            for r in pdf[pdf["side"] == side]
+            .sort_values("rnk")
+            .itertuples()
+        ]
+        want = [
+            (k, -negv, i + 1) for i, (negv, k) in enumerate(topk(d))
+        ]
+        assert got == want, side
+
+
+def test_seasonal_decompose_invariants(spark, sf_dir):
+    """Seasonal indices from full windows: n_windows <= n_days, the
+    weekday day counts partition the series, and the detrended means
+    roughly cancel (sum of seasonal * n_windows ~ 0 at the grain of
+    the trailing/leading window asymmetry)."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.changepoint_ops import (
+        seasonal_decompose,
+    )
+
+    pdf = seasonal_decompose(spark, sf_dir).toPandas()
+    n_days = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderdate")
+        .distinct()
+        .count()
+    )
+    assert int(pdf["n_days"].sum()) == n_days
+    assert (pdf["n_windows"] <= pdf["n_days"]).all()
+    assert set(pdf["dow"]) <= set(range(7))
+    assert (pdf["mean_cents"] > 0).all()
