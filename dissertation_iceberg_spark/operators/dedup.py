@@ -486,3 +486,70 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def containment_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """One-sided CONTAINMENT near-dup pairs:
+    C = |A∩B| / min(|A|, |B|) >= threshold.
+
+    Jaccard misses the quote/wrapper class entirely — a short document
+    fully embedded in a long one has J = |A|/|B| ~ 0 but containment
+    1.0; this is the dedup signal corpus pipelines use to drop
+    boilerplate-wrapped copies and quoted reposts.
+
+    Same joinless posting-list expansion as
+    :func:`jaccard_near_dup_pairs` (uncapped path), with one
+    deliberate difference: NO length-ratio pruning — containment's
+    whole point is pairs with very different sizes, so the ratio
+    prune would delete exactly the hits. The scale knob here is the
+    stop-shingle frequency cap (same argument as the Jaccard path);
+    candidate volume is the same posting-list C(k,2) expansion,
+    measured near-linear in SCALE.md.
+    """
+    sh = word_shingles(df, text_col, id_col, n, with_size=True)
+    posts = (
+        sh.groupBy("shingle")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "set_size"))).alias(
+                "ps"
+            )
+        )
+        .filter(F.size("ps") >= 2)
+    )
+    k = F.size("ps")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), k - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, k - 1),
+                lambda j: F.struct(
+                    F.col("ps")[i]["doc_id"].alias("id_a"),
+                    F.col("ps")[j]["doc_id"].alias("id_b"),
+                    F.col("ps")[i]["set_size"].alias("size_a"),
+                    F.col("ps")[j]["set_size"].alias("size_b"),
+                ),
+            ),
+        )
+    )
+    inter = (
+        posts.select(F.explode(combos).alias("pr"))
+        .groupBy("pr.id_a", "pr.id_b", "pr.size_a", "pr.size_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    cont = (
+        F.round(
+            F.col("n_inter") / F.least("size_a", "size_b") * 1e6
+        ).cast("long")
+        / 1e6
+    )
+    return (
+        inter.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_inter", "containment")
+    )

@@ -2462,3 +2462,160 @@ def item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _CF_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Brier-score Murphy decomposition (round 3)
+# --------------------------------------------------------------------------
+
+_BRIER_ORACLE = f"""
+WITH hist AS (
+  SELECT user_id,
+         count(*) AS n_ev,
+         count(*) FILTER (event_type = 'purchase') AS n_p
+  FROM events WHERE ts < TIMESTAMP '{_CAL_SPLIT}'
+  GROUP BY 1),
+fut AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '{_CAL_SPLIT}' AND event_type = 'purchase'),
+scored AS (
+  SELECT (h.n_p * 1000000) // h.n_ev AS s_micro,
+         CASE WHEN f.user_id IS NULL THEN 0 ELSE 1 END AS y
+  FROM hist h LEFT JOIN fut f ON h.user_id = f.user_id),
+cells AS (
+  SELECT least(s_micro // {1_000_000 // _CAL_BINS}, {_CAL_BINS - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(s_micro) AS BIGINT) AS sum_p,
+         CAST(sum(y) AS BIGINT) AS sum_y,
+         CAST(sum((s_micro - y * 1000000) * (s_micro - y * 1000000))
+              AS BIGINT) AS sq
+  FROM scored GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+         CAST(sum(sum_y) AS BIGINT) AS y_tot,
+         CAST(sum(sq) AS BIGINT) AS sq_tot
+  FROM cells),
+terms AS (
+  SELECT bin, n, sum_p, sum_y, n_tot, y_tot, sq_tot,
+         CAST(round(n * (sum_p / n / 1e6 - sum_y / n)
+                      * (sum_p / n / 1e6 - sum_y / n) * 1e6)
+              AS BIGINT) AS rel_micro,
+         CAST(round(n * (sum_y / n - y_tot / n_tot)
+                      * (sum_y / n - y_tot / n_tot) * 1e6)
+              AS BIGINT) AS res_micro
+  FROM cells CROSS JOIN tot)
+SELECT bin, n AS n_users,
+       sum_p / n / 1e6 AS mean_predicted,
+       sum_y / n AS observed_rate,
+       rel_micro / 1e6 AS rel_term,
+       res_micro / 1e6 AS res_term,
+       CAST(sum(rel_micro) OVER () AS BIGINT) / n_tot / 1e6 AS reliability,
+       CAST(sum(res_micro) OVER () AS BIGINT) / n_tot / 1e6 AS resolution,
+       CAST(round(y_tot / n_tot * (1e0 - y_tot / n_tot) * 1e6) AS BIGINT)
+         / 1e6 AS uncertainty,
+       sq_tot / n_tot / 1e12 AS brier
+FROM terms
+"""
+
+
+@register("brier_decomposition", oracle=_BRIER_ORACLE)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the propensity
+    model behind calibration_bins: per-decile reliability and
+    resolution terms plus the aggregate reliability, resolution,
+    uncertainty, and raw Brier score — the eval that separates "the
+    model is miscalibrated" (reliability) from "the model can't
+    discriminate" (resolution). Within-bin forecast variance means
+    Brier != REL - RES + UNC exactly; all four are reported raw so a
+    user sees the residual rather than a silently 'adjusted' identity.
+
+    Scale shape: same two fact-scale scans as calibration_bins (both
+    split predicates push down), one 10-group cell aggregate carrying
+    exact integer (count, score-sum, label-sum, squared-error) sums,
+    then all statistics on the O(bins) frame with a 1-row broadcast
+    totals frame and an O(bins) window sum.
+
+    Determinism: scores are exact integer micro-fractions; the squared
+    error rides as the exact BIGINT (s_micro - y*1e6)^2 so the Brier
+    numerator is exact; every ratio is a division of identical exact
+    integers (IEEE-deterministic); the per-bin REL/RES terms are
+    micro-rounded ONCE and their totals are exact integer sums."""
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(_CAL_SPLIT).cast("timestamp")
+    hist = (
+        e.filter(F.col("ts") < split)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.count_if(F.col("event_type") == "purchase").alias("n_p"),
+        )
+    )
+    fut = (
+        e.filter((F.col("ts") >= split) & (F.col("event_type") == "purchase"))
+        .select("user_id")
+        .distinct()
+        .withColumn("y", F.lit(1))
+    )
+    scored = hist.join(fut, "user_id", "left").select(
+        F.expr("(n_p * 1000000) div n_ev").alias("s_micro"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    err = F.col("s_micro") - F.col("y") * 1000000
+    cells = (
+        scored.select(
+            F.expr(
+                f"least(s_micro div {1_000_000 // _CAL_BINS}, {_CAL_BINS - 1})"
+            ).alias("bin"),
+            "s_micro",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("s_micro").cast("long").alias("sum_p"),
+            F.sum("y").cast("long").alias("sum_y"),
+            F.sum(err * err).cast("long").alias("sq"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("sum_y").cast("long").alias("y_tot"),
+        F.sum("sq").cast("long").alias("sq_tot"),
+    )
+    pbar = F.col("sum_p") / F.col("n") / 1e6
+    obs_k = F.col("sum_y") / F.col("n")
+    obs = F.col("y_tot") / F.col("n_tot")
+    terms = cells.join(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "sum_p",
+        "sum_y",
+        "n_tot",
+        "y_tot",
+        "sq_tot",
+        F.round(F.col("n") * (pbar - obs_k) * (pbar - obs_k) * 1e6)
+        .cast("long")
+        .alias("rel_micro"),
+        F.round(F.col("n") * (obs_k - obs) * (obs_k - obs) * 1e6)
+        .cast("long")
+        .alias("res_micro"),
+    )
+    w = Window.partitionBy()
+    return terms.select(
+        "bin",
+        F.col("n").alias("n_users"),
+        pbar.alias("mean_predicted"),
+        obs_k.alias("observed_rate"),
+        (F.col("rel_micro") / 1e6).alias("rel_term"),
+        (F.col("res_micro") / 1e6).alias("res_term"),
+        (F.sum("rel_micro").over(w).cast("long") / F.col("n_tot") / 1e6).alias(
+            "reliability"
+        ),
+        (F.sum("res_micro").over(w).cast("long") / F.col("n_tot") / 1e6).alias(
+            "resolution"
+        ),
+        (
+            F.round(obs * (F.lit(1.0) - obs) * 1e6).cast("long") / 1e6
+        ).alias("uncertainty"),
+        (F.col("sq_tot") / F.col("n_tot") / 1e12).alias("brier"),
+    )

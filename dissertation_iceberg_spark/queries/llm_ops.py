@@ -2479,3 +2479,54 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rrf_nano") / 1e9).alias("rrf"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# One-sided containment near-dups (quote/wrapper detection)
+# --------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.6
+
+_CONTAINMENT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - {JACCARD_N - 1}),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+    FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, n_inter,
+       CAST(round(CAST(n_inter AS DOUBLE) / least(sa.sz, sb.sz) * 1e6)
+            AS BIGINT) / 1e6 AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(round(CAST(n_inter AS DOUBLE) / least(sa.sz, sb.sz) * 1e6)
+           AS BIGINT) / 1e6 >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("containment_dups", oracle=_CONTAINMENT_ORACLE)
+def containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote/wrapper dedup: word-3-gram CONTAINMENT pairs — the
+    smaller document's shingles mostly inside the larger's
+    (C = |A∩B|/min >= 0.6), the class Jaccard structurally misses
+    (a doc fully quoted inside a 10x larger one has J <= 0.1).
+    Joinless posting-list expansion, no length-ratio pruning by
+    design (operators/dedup.containment_near_dup_pairs)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    out = dd.containment_near_dup_pairs(
+        docs, "text", "doc_id", n=JACCARD_N, threshold=CONTAINMENT_THRESHOLD
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        "containment",
+    )

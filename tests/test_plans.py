@@ -185,6 +185,7 @@ INTENTIONAL_BNLJ = {
     "rrf_fusion",  # broadcast 1-row query vector + 1-row (N, avgdl) frame
     "f2_ams_sketch",  # broadcast 1-row median + exact-F2 frames (O(depth))
     "hits_scores",  # broadcast 1-row max-score normalizers per iteration
+    "brier_decomposition",  # broadcast 1-row totals frame (O(bins))
 }
 
 

@@ -1832,3 +1832,95 @@ def test_seasonal_decompose_invariants(spark, sf_dir):
     assert (pdf["n_windows"] <= pdf["n_days"]).all()
     assert set(pdf["dow"]) <= set(range(7))
     assert (pdf["mean_cents"] > 0).all()
+
+
+def test_containment_no_false_negatives_vs_pandas(spark, sf_dir):
+    """containment_dups equals a pandas shingle-set replay of
+    |A∩B| / min(|A|,|B|) >= threshold over all co-occurring pairs."""
+    from itertools import combinations
+
+    from dissertation_iceberg_spark.io import load_table, spread
+    from dissertation_iceberg_spark.queries.llm_ops import (
+        CONTAINMENT_THRESHOLD,
+        JACCARD_N,
+        containment_dups,
+    )
+
+    pdf = containment_dups(spark, sf_dir).toPandas()
+    got = {
+        (r.id_a, r.id_b): (r.n_inter, r.containment) for r in pdf.itertuples()
+    }
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    ).toPandas()
+    sets = {}
+    for r in docs.itertuples():
+        toks = [t for t in r.text.split(" ") if t]
+        sets[r.doc_id] = {
+            " ".join(toks[i : i + JACCARD_N])
+            for i in range(len(toks) - JACCARD_N + 1)
+        }
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if not inter:
+            continue
+        c = round(inter / min(len(sets[a]), len(sets[b])) * 1e6) / 1e6
+        if c >= CONTAINMENT_THRESHOLD:
+            want[(a, b)] = (inter, c)
+    assert got == want
+    assert len(got) > 0
+
+
+def test_brier_decomposition_matches_python_replay(spark, sf_dir):
+    """brier_decomposition equals a pure-Python replay of the binned
+    Murphy terms, and the aggregate columns are constant and
+    consistent with the per-bin terms."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.behavior_ops import (
+        _CAL_BINS,
+        _CAL_SPLIT,
+        brier_decomposition,
+    )
+
+    pdf = brier_decomposition(spark, sf_dir).toPandas()
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    ).toPandas()
+    import pandas as pd
+
+    split = pd.Timestamp(_CAL_SPLIT)
+    h = e[e["ts"] < split].groupby("user_id")["event_type"].agg(
+        n_ev="size", n_p=lambda s: int((s == "purchase").sum())
+    )
+    buyers = set(
+        e[(e["ts"] >= split) & (e["event_type"] == "purchase")]["user_id"]
+    )
+    rows = [
+        (r.n_p * 1_000_000 // r.n_ev, 1 if uid in buyers else 0)
+        for uid, r in h.iterrows()
+    ]
+    cells = {}
+    for s, y in rows:
+        b = min(s // (1_000_000 // _CAL_BINS), _CAL_BINS - 1)
+        n, sp, sy, sq = cells.get(b, (0, 0, 0, 0))
+        cells[b] = (n + 1, sp + s, sy + y, sq + (s - y * 1_000_000) ** 2)
+    n_tot = sum(c[0] for c in cells.values())
+    y_tot = sum(c[2] for c in cells.values())
+    sq_tot = sum(c[3] for c in cells.values())
+    obs = y_tot / n_tot
+    rel_sum = res_sum = 0
+    for r in pdf.itertuples():
+        n, sp, sy, _ = cells[r.bin]
+        assert r.n_users == n
+        assert r.mean_predicted == sp / n / 1e6
+        assert r.observed_rate == sy / n
+        rel = round(n * (sp / n / 1e6 - sy / n) ** 2 * 1e6)
+        res = round(n * (sy / n - obs) ** 2 * 1e6)
+        assert r.rel_term == rel / 1e6 and r.res_term == res / 1e6
+        rel_sum += rel
+        res_sum += res
+    assert (pdf["reliability"] == rel_sum / n_tot / 1e6).all()
+    assert (pdf["resolution"] == res_sum / n_tot / 1e6).all()
+    assert (pdf["uncertainty"] == round(obs * (1.0 - obs) * 1e6) / 1e6).all()
+    assert (pdf["brier"] == sq_tot / n_tot / 1e12).all()
