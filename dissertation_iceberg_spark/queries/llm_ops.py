@@ -2530,3 +2530,261 @@ def containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_inter").cast("long").alias("n_inter"),
         "containment",
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF cosine document-pair similarity (sparse inverted-index join)
+# --------------------------------------------------------------------------
+
+TFC_DF_CAP = 64
+TFC_THRESHOLD = 0.4
+
+_TFIDF_COSINE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+w AS (
+  SELECT doc_id, term, df,
+         CAST(round(tf * ln(n_docs / df) * 1e3) AS BIGINT) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+norms AS (
+  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared,
+         CAST(sum(a.w * b.w) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  CROSS JOIN nd
+  WHERE a.df BETWEEN 2 AND greatest({TFC_DF_CAP}, n_docs // 20)
+  GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared,
+       CAST(round(dot / (sqrt(na.n2) * sqrt(nb.n2)) * 1e6) AS BIGINT) / 1e6
+         AS cosine
+FROM pairs
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE na.n2 > 0 AND nb.n2 > 0
+  AND CAST(round(dot / (sqrt(na.n2) * sqrt(nb.n2)) * 1e6) AS BIGINT) / 1e6
+      >= {TFC_THRESHOLD}
+"""
+
+
+@register("tfidf_cosine_pairs", oracle=_TFIDF_COSINE_ORACLE)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine document-pair similarity — the classic IR
+    near-dup signal between shingle Jaccard (surface overlap) and
+    embedding cosine (dense semantics): docs sharing rare weighted
+    vocabulary score high even when word ORDER differs completely, the
+    case 3-gram shingles miss.
+
+    Scale shape: the dot products come from a posting-list expansion
+    over terms with document frequency in [2, max(64, N/20)] — the
+    stop-term cap that bounds per-term pair fan-out (same knob as the
+    shingle dedup family), scale-aware so a 10x corpus keeps its
+    discriminative tail; norms are a per-doc aggregate over ALL terms
+    (exact
+    semantics — capped terms only shrink the DOT, making scores a
+    documented lower bound for stop-term-heavy pairs); the two
+    norm joins are O(pairs) equi-joins.
+
+    Determinism: weights tf*ln(N/df) are milli-rounded ONCE to BIGINT
+    (1e3 grain keeps the per-doc sum of squared weights inside int64
+    at any document length), so dots and norms are exact integer
+    arithmetic; the final cosine is one division + micro-round
+    (round-then-filter on both sides)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "df",
+            "n_docs",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * 1e3
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
+    )
+    posts = (
+        w.filter(
+            (F.col("df") >= 2)
+            & (
+                F.col("df")
+                <= F.greatest(F.lit(TFC_DF_CAP), F.expr("n_docs div 20"))
+            )
+        )
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "w"))).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    k = F.size("ps")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), k - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, k - 1),
+                lambda j: F.struct(
+                    F.col("ps")[i]["doc_id"].alias("id_a"),
+                    F.col("ps")[j]["doc_id"].alias("id_b"),
+                    (F.col("ps")[i]["w"] * F.col("ps")[j]["w"]).alias("ww"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        posts.select(F.explode(combos).alias("pr"))
+        .groupBy("pr.id_a", "pr.id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum("pr.ww").cast("long").alias("dot"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2"))
+    cos = (
+        F.round(
+            F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")) * 1e6
+        ).cast("long")
+        / 1e6
+    )
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter((F.col("na2") > 0) & (F.col("nb2") > 0))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= TFC_THRESHOLD)
+        .select("id_a", "id_b", "n_shared", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# TextRank keyword extraction (PageRank over the word-adjacency graph)
+# --------------------------------------------------------------------------
+
+_TR_ITERS = 3
+_TR_TOPK = 20
+_TR_SCALE = 1_000_000
+_TR_DAMP_NUM, _TR_DAMP_DEN = 85, 100
+_TR_BASE = 150_000
+
+
+def _tr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT e.dst AS node,
+         CAST({_TR_BASE} + ({_TR_DAMP_NUM} *
+              CAST(sum({prev}.r // deg.d) AS BIGINT)) // {_TR_DAMP_DEN}
+              AS BIGINT) AS r
+  FROM edges e
+  JOIN {prev} ON e.src = {prev}.node
+  JOIN deg ON deg.src = e.src
+  GROUP BY 1)"""
+
+
+_TEXTRANK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents),
+adj AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> struct_pack(a := t[i], b := t[i+1]))) AS pr
+  FROM toks),
+und AS (
+  SELECT DISTINCT least(pr.a, pr.b) AS u, greatest(pr.a, pr.b) AS v
+  FROM adj WHERE pr.a <> pr.b),
+edges AS (
+  SELECT u AS src, v AS dst FROM und
+  UNION ALL
+  SELECT v AS src, u AS dst FROM und),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+r0 AS (SELECT src AS node, CAST({_TR_SCALE} AS BIGINT) AS r FROM deg),
+{",".join(_tr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(_TR_ITERS))}
+SELECT node AS term, r AS rank_micro
+FROM r{_TR_ITERS}
+ORDER BY r DESC, node ASC
+LIMIT {_TR_TOPK}
+"""
+
+
+@register("textrank_keywords", oracle=_TEXTRANK_ORACLE)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau): PageRank over
+    the undirected word-adjacency graph of the whole corpus (edge =
+    two distinct words adjacent anywhere), top-20 terms — the
+    unsupervised keyword extractor a corpus pipeline runs next to
+    TF-IDF saliency (centrality vs rarity).
+
+    Scale shape: the graph build is one map-side adjacent-pair
+    transform + a distinct over O(tokens) rows collapsing to the
+    vocabulary-sized edge set; each iteration is one equi-join of
+    that edge list against the O(vocab) rank frame + a
+    map-side-combinable sum (edges never move — the
+    pagerank_top_nodes topology on string nodes). Top-k compiles to
+    TakeOrderedAndProject.
+
+    Determinism (pagerank_top_nodes recipe, graph_ops.py:63): ranks
+    are integer micro-units, contributions floor-divide by degree,
+    damping is integer multiply-floor-divide, iteration count fixed so
+    the oracle unrolls it; term string breaks rank ties."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = tx.tokens(F.col("text"))
+    idx = F.when(
+        F.size(t) >= 2, F.sequence(F.lit(0), F.size(t) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    prs = docs.select(
+        F.explode_outer(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(t, i + 1).alias("a"),
+                    F.element_at(t, i + 2).alias("b"),
+                ),
+            )
+        ).alias("pr")
+    ).filter(F.col("pr").isNotNull() & (F.col("pr.a") != F.col("pr.b")))
+    und = prs.select(
+        F.least("pr.a", "pr.b").alias("u"), F.greatest("pr.a", "pr.b").alias("v")
+    ).distinct()
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(_TR_SCALE).cast("long").alias("r")
+    )
+    for _ in range(_TR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select("dst", F.expr("r DIV d").alias("c"))
+        )
+        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (
+                F.lit(_TR_BASE)
+                + F.expr(f"({_TR_DAMP_NUM} * sum(c)) DIV {_TR_DAMP_DEN}")
+            )
+            .cast("long")
+            .alias("r")
+        )
+    return (
+        ranks.orderBy(F.desc("r"), F.asc("node"))
+        .limit(_TR_TOPK)
+        .select(F.col("node").alias("term"), F.col("r").alias("rank_micro"))
+    )

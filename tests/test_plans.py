@@ -186,6 +186,7 @@ INTENTIONAL_BNLJ = {
     "f2_ams_sketch",  # broadcast 1-row median + exact-F2 frames (O(depth))
     "hits_scores",  # broadcast 1-row max-score normalizers per iteration
     "brier_decomposition",  # broadcast 1-row totals frame (O(bins))
+    "tfidf_cosine_pairs",  # broadcast 1-row corpus-size (N) frame
 }
 
 

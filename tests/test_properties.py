@@ -1924,3 +1924,102 @@ def test_brier_decomposition_matches_python_replay(spark, sf_dir):
     assert (pdf["resolution"] == res_sum / n_tot / 1e6).all()
     assert (pdf["uncertainty"] == round(obs * (1.0 - obs) * 1e6) / 1e6).all()
     assert (pdf["brier"] == sq_tot / n_tot / 1e12).all()
+
+
+def test_tfidf_cosine_matches_pandas_replay(spark, sf_dir):
+    """tfidf_cosine_pairs equals a numpy replay: milli-rounded
+    tf*ln(N/df) weights, exact integer dots over capped terms, full
+    norms, micro-rounded cosine threshold."""
+    import math
+    from itertools import combinations
+
+    from dissertation_iceberg_spark.io import load_table, spread
+    from dissertation_iceberg_spark.queries.llm_ops import (
+        TFC_DF_CAP,
+        TFC_THRESHOLD,
+        tfidf_cosine_pairs,
+    )
+
+    pdf = tfidf_cosine_pairs(spark, sf_dir).toPandas()
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.cosine) for r in pdf.itertuples()
+    }
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    ).toPandas()
+    tfs = {}
+    for r in docs.itertuples():
+        c = {}
+        for t in r.text.split(" "):
+            if t:
+                c[t] = c.get(t, 0) + 1
+        tfs[r.doc_id] = c
+    n_docs = len(docs)
+    df = {}
+    for c in tfs.values():
+        for t in c:
+            df[t] = df.get(t, 0) + 1
+    cap = max(TFC_DF_CAP, n_docs // 20)
+    w = {
+        d: {
+            t: round(tf * math.log(n_docs / df[t]) * 1e3)
+            for t, tf in c.items()
+        }
+        for d, c in tfs.items()
+    }
+    n2 = {d: sum(x * x for x in ws.values()) for d, ws in w.items()}
+    want = {}
+    for a, b in combinations(sorted(w), 2):
+        shared = [
+            t
+            for t in w[a]
+            if t in w[b] and 2 <= df[t] <= cap
+        ]
+        if not shared or n2[a] == 0 or n2[b] == 0:
+            continue
+        dot = sum(w[a][t] * w[b][t] for t in shared)
+        cos = round(dot / (math.sqrt(n2[a]) * math.sqrt(n2[b])) * 1e6) / 1e6
+        if cos >= TFC_THRESHOLD:
+            want[(a, b)] = (len(shared), cos)
+    assert got == want
+    assert len(got) > 0
+
+
+def test_textrank_matches_python_replay(spark, sf_dir):
+    """textrank_keywords equals a pure-Python replay of the integer
+    PageRank iterations on the word-adjacency graph."""
+    from dissertation_iceberg_spark.io import load_table, spread
+    from dissertation_iceberg_spark.queries.llm_ops import (
+        _TR_BASE,
+        _TR_DAMP_DEN,
+        _TR_DAMP_NUM,
+        _TR_ITERS,
+        _TR_SCALE,
+        _TR_TOPK,
+        textrank_keywords,
+    )
+
+    pdf = textrank_keywords(spark, sf_dir).toPandas()
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "text"
+    ).toPandas()
+    und = set()
+    for text in docs["text"]:
+        toks = [t for t in text.split(" ") if t]
+        for x, y in zip(toks, toks[1:]):
+            if x != y:
+                und.add((min(x, y), max(x, y)))
+    edges = [(u, v) for u, v in und] + [(v, u) for u, v in und]
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {s: _TR_SCALE for s in deg}
+    for _ in range(_TR_ITERS):
+        nxt = {}
+        for s, d in edges:
+            nxt[d] = nxt.get(d, 0) + r[s] // deg[s]
+        r = {k: _TR_BASE + (_TR_DAMP_NUM * v) // _TR_DAMP_DEN
+             for k, v in nxt.items()}
+    want = sorted(((-v, k) for k, v in r.items()))[:_TR_TOPK]
+    got = [(r_.term, r_.rank_micro) for r_ in pdf.itertuples()]
+    assert got == [(k, -nv) for nv, k in want]
