@@ -3348,3 +3348,247 @@ def loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s") / (F.col("n") - 1)).alias("loo"),
     )
     return ones.unionByName(zeros)
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction (round 3)
+# --------------------------------------------------------------------------
+
+_AA_ORACLE = f"""
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+edges AS (
+  SELECT u, v FROM e0
+  UNION ALL
+  SELECT v AS u, u AS v FROM e0),
+deg AS (SELECT u, count(*) AS d FROM edges GROUP BY 1),
+wedge AS (
+  SELECT e1.v AS a, e2.v AS b,
+         CAST(count(*) AS BIGINT) AS cn,
+         CAST(sum(CAST(round(1e6 / ln(d.d)) AS BIGINT)) AS BIGINT)
+           AS aa_micro
+  FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN deg d ON d.u = e1.u
+  GROUP BY 1, 2),
+cand AS (
+  SELECT w.a, w.b, w.cn, w.aa_micro FROM wedge w
+  LEFT JOIN e0 ON w.a = e0.u AND w.b = e0.v
+  WHERE e0.u IS NULL)
+SELECT a AS part_a, b AS part_b, cn AS common_neighbors,
+       aa_micro, aa_micro / 1e6 AS adamic_adar
+FROM cand
+ORDER BY aa_micro DESC, cn DESC, a, b LIMIT {_LP_TOPK}
+"""
+
+
+@register("adamic_adar_links", oracle=_AA_ORACLE)
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the part co-purchase graph:
+    non-adjacent pairs ranked by sum over common neighbors of
+    1/ln(degree) — common-neighbors weighted so RARE shared hubs count
+    more, the standard upgrade over raw CN/Jaccard when hub nodes
+    drown the signal (link_prediction_cn's sibling; same graph, same
+    wedge topology, different physics).
+
+    Scale shape: identical to link_prediction_cn — hub-keyed wedge
+    join with the degree attached to the WEDGE CENTER before
+    aggregation (one extra co-keyed join on u, no new shuffle
+    shape), anti-join drops existing edges before ranking, TakeOrdered
+    top-k. A degree-1 node forms no wedge, so ln(d) >= ln 2 — the
+    1/ln term is always finite.
+
+    Determinism: each hub's 1/ln(d) contribution is micro-rounded
+    ONCE to BIGINT, pair scores are exact integer sums, and the rank
+    order (aa_micro, cn, a, b) is total."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    e0 = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedge = (
+        e1.join(e2, "u")
+        .filter(F.col("e1.v") < F.col("e2.v"))
+        .join(deg, "u")
+        .groupBy(F.col("e1.v").alias("a"), F.col("e2.v").alias("b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum(F.round(F.lit(1e6) / F.log(F.col("d"))).cast("long"))
+            .cast("long")
+            .alias("aa_micro"),
+        )
+    )
+    cand = wedge.join(
+        e0,
+        (wedge["a"] == e0["u"]) & (wedge["b"] == e0["v"]),
+        "left_anti",
+    )
+    return (
+        cand.orderBy(
+            F.col("aa_micro").desc(),
+            F.col("cn").desc(),
+            F.col("a").asc(),
+            F.col("b").asc(),
+        )
+        .limit(_LP_TOPK)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            "aa_micro",
+            (F.col("aa_micro") / 1e6).alias("adamic_adar"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Simpson's-paradox audit: pooled vs per-group regression slope signs
+# --------------------------------------------------------------------------
+
+_SIMPSON_ORACLE = """
+WITH base AS (
+  SELECT n_name AS grp,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS y
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey),
+cells AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM base GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_t, CAST(sum(sx) AS BIGINT) AS sx_t,
+         CAST(sum(sy) AS BIGINT) AS sy_t,
+         CAST(sum(sxx) AS BIGINT) AS sxx_t,
+         CAST(sum(sxy) AS BIGINT) AS sxy_t
+  FROM cells),
+scored AS (
+  SELECT grp, n,
+         CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * 1e6) AS BIGINT) AS slope_micro,
+         CAST(round((CAST(n_t AS DOUBLE) * CAST(sxy_t AS DOUBLE)
+                     - CAST(sx_t AS DOUBLE) * CAST(sy_t AS DOUBLE))
+                    / (CAST(n_t AS DOUBLE) * CAST(sxx_t AS DOUBLE)
+                       - CAST(sx_t AS DOUBLE) * CAST(sx_t AS DOUBLE))
+                    * 1e6) AS BIGINT) AS pooled_micro
+  FROM cells CROSS JOIN tot)
+SELECT grp, n,
+       slope_micro / 1e6 AS slope_cents_per_unit,
+       pooled_micro / 1e6 AS pooled_slope,
+       CAST(CASE WHEN sign(slope_micro) <> sign(pooled_micro)
+                 THEN 1 ELSE 0 END AS BIGINT) AS flipped
+FROM scored
+"""
+
+
+@register("simpson_paradox_audit", oracle=_SIMPSON_ORACLE)
+def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: the per-supplier-nation OLS slope of
+    net revenue on quantity next to the pooled slope, flagging groups
+    whose slope SIGN reverses after disaggregation — the first sanity
+    check before trusting any pooled regression/metric movement on
+    grouped data.
+
+    Scale shape: one fact-scale map-side-combinable (n, Σx, Σy, Σx²,
+    Σxy) aggregate per group (dims broadcast into the scan); the
+    pooled sums are an exact integer roll-up of the group cells (no
+    second fact pass); all slope arithmetic happens on the O(groups)
+    frame with a 1-row broadcast totals frame.
+
+    Determinism: moment sums are exact BIGINTs (y in integer cents);
+    n*Σxy exceeds int64 at fact scale, so both engines cast the exact
+    integer sums to DOUBLE FIRST and run the identical
+    multiply-subtract-divide sequence (IEEE-deterministic — no libm);
+    slopes are micro-rounded once and the flip flag compares the
+    rounded integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    base = (
+        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .select(
+            F.col("n_name").alias("grp"),
+            F.col("l_quantity").cast("long").alias("x"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    cells = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("n_t"),
+        F.sum("sx").cast("long").alias("sx_t"),
+        F.sum("sy").cast("long").alias("sy_t"),
+        F.sum("sxx").cast("long").alias("sxx_t"),
+        F.sum("sxy").cast("long").alias("sxy_t"),
+    )
+
+    def _slope_micro(n, sx, sy, sxx, sxy):
+        d = F.col
+        return F.round(
+            (
+                d(n).cast("double") * d(sxy).cast("double")
+                - d(sx).cast("double") * d(sy).cast("double")
+            )
+            / (
+                d(n).cast("double") * d(sxx).cast("double")
+                - d(sx).cast("double") * d(sx).cast("double")
+            )
+            * 1e6
+        ).cast("long")
+
+    scored = cells.join(F.broadcast(tot)).select(
+        "grp",
+        "n",
+        _slope_micro("n", "sx", "sy", "sxx", "sxy").alias("slope_micro"),
+        _slope_micro("n_t", "sx_t", "sy_t", "sxx_t", "sxy_t").alias(
+            "pooled_micro"
+        ),
+    )
+    return scored.select(
+        "grp",
+        "n",
+        (F.col("slope_micro") / 1e6).alias("slope_cents_per_unit"),
+        (F.col("pooled_micro") / 1e6).alias("pooled_slope"),
+        F.when(
+            F.signum(F.col("slope_micro")) != F.signum(F.col("pooled_micro")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("flipped"),
+    )

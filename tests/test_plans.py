@@ -187,6 +187,7 @@ INTENTIONAL_BNLJ = {
     "hits_scores",  # broadcast 1-row max-score normalizers per iteration
     "brier_decomposition",  # broadcast 1-row totals frame (O(bins))
     "tfidf_cosine_pairs",  # broadcast 1-row corpus-size (N) frame
+    "simpson_paradox_audit",  # broadcast 1-row pooled-moments frame
 }
 
 

@@ -2023,3 +2023,88 @@ def test_textrank_matches_python_replay(spark, sf_dir):
     want = sorted(((-v, k) for k, v in r.items()))[:_TR_TOPK]
     got = [(r_.term, r_.rank_micro) for r_ in pdf.itertuples()]
     assert got == [(k, -nv) for nv, k in want]
+
+
+def test_adamic_adar_matches_python_replay(spark, sf_dir):
+    """adamic_adar_links equals a pure-Python replay of the weighted
+    common-neighbor sum over the co-purchase graph."""
+    import math
+    from itertools import combinations
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests import (
+        _LP_TOPK,
+        adamic_adar_links,
+    )
+
+    pdf = adamic_adar_links(spark, sf_dir).toPandas()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).toPandas()
+    nbrs = {}
+    for _, g in li.groupby("l_orderkey"):
+        for a, b in combinations(sorted(set(g["l_partkey"])), 2):
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+    scores = {}
+    for a, b in combinations(sorted(nbrs), 2):
+        if b in nbrs[a]:
+            continue
+        common = nbrs[a] & nbrs[b]
+        if not common:
+            continue
+        aa = sum(round(1e6 / math.log(len(nbrs[z]))) for z in common)
+        scores[(a, b)] = (len(common), aa)
+    want = sorted(
+        ((-aa, -cn, a, b) for (a, b), (cn, aa) in scores.items())
+    )[:_LP_TOPK]
+    got = [
+        (r.part_a, r.part_b, r.common_neighbors, r.aa_micro)
+        for r in pdf.itertuples()
+    ]
+    assert got == [(a, b, -ncn, -naa) for naa, ncn, a, b in want]
+
+
+def test_simpson_audit_matches_numpy_replay(spark, sf_dir):
+    """simpson_paradox_audit slopes equal numpy lstsq slopes per group
+    and pooled (at micro-rounding grain), and the flip flag is
+    consistent."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests import (
+        simpson_paradox_audit,
+    )
+
+    pdf = simpson_paradox_audit(spark, sf_dir).toPandas()
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    su = load_table(spark, sf_dir, "supplier").toPandas()
+    na = load_table(spark, sf_dir, "nation").toPandas()
+    m = li.merge(su, left_on="l_suppkey", right_on="s_suppkey").merge(
+        na, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    m["x"] = m["l_quantity"].astype("int64")
+    # half-UP cents like Spark/DuckDB round() (pandas .round is half-even)
+    m["y"] = (
+        np.floor(m["l_extendedprice"] * (1 - m["l_discount"]) * 100 + 0.5)
+        .astype("int64")
+    )
+
+    def slope(g):
+        n, sx, sy = len(g), int(g["x"].sum()), int(g["y"].sum())
+        sxx = int((g["x"] * g["x"]).sum())
+        sxy = int((g["x"] * g["y"]).sum())
+        num = float(n) * float(sxy) - float(sx) * float(sy)
+        den = float(n) * float(sxx) - float(sx) * float(sx)
+        return round(num / den * 1e6) / 1e6
+
+    pooled = slope(m)
+    for r in pdf.itertuples():
+        g = m[m["n_name"] == r.grp]
+        assert r.n == len(g)
+        assert r.slope_cents_per_unit == slope(g)
+        assert r.pooled_slope == pooled
+        assert r.flipped == int(
+            np.sign(round(r.slope_cents_per_unit * 1e6))
+            != np.sign(round(r.pooled_slope * 1e6))
+        )
