@@ -102,6 +102,7 @@ def _ensure_loaded() -> None:
         sketch_ops,
         sqlops,
         stats_tests,
+        stats_tests2,
         strategy,
         strategy2,
         text_metrics,

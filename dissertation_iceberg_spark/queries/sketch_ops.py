@@ -1497,3 +1497,157 @@ def f2_ams_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.join(F.broadcast(med)).join(F.broadcast(exact)).select(
         "est_id", "sketch_sum", "estimate", "median_estimate", "exact_f2"
     )
+
+
+# --------------------------------------------------------------------------
+# HDR (log-linear) histogram quantile sketch
+# --------------------------------------------------------------------------
+
+_HDR_SUB = 8  # sub-buckets per power-of-two octave -> <=1/9 relative error
+_HDR_QS = ((1, 2), (9, 10), (99, 100), (999, 1000))  # exact rationals
+
+_HDR_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+  WHERE o_totalprice > 0),
+bkt AS (
+  SELECT length(bin(c)) - 1 AS m,
+         ((c - (1::BIGINT << (length(bin(c)) - 1))) * {_HDR_SUB})
+           // (1::BIGINT << (length(bin(c)) - 1)) AS sub
+  FROM v),
+h AS (
+  SELECT CAST(m * {_HDR_SUB} + sub AS BIGINT) AS bucket,
+         CAST(any_value(m) AS BIGINT) AS m, CAST(any_value(sub) AS BIGINT) AS sub,
+         CAST(count(*) AS BIGINT) AS bin_n
+  FROM bkt GROUP BY 1),
+c AS (
+  SELECT bucket, m, sub, bin_n,
+         CAST(sum(bin_n) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+         CAST(sum(bin_n) OVER () AS BIGINT) AS n
+  FROM h),
+q AS ({" UNION ALL ".join(f"SELECT CAST({qn} AS BIGINT) AS qn, CAST({qd} AS BIGINT) AS qd" for qn, qd in _HDR_QS)}),
+pick AS (
+  SELECT q.qn, q.qd,
+         min_by(c.bucket, c.bucket) AS bucket,
+         min_by(c.m, c.bucket) AS m,
+         min_by(c.sub, c.bucket) AS sub,
+         any_value((q.qn * c.n + q.qd - 1) // q.qd) AS target
+  FROM q JOIN c ON c.cum >= (q.qn * c.n + q.qd - 1) // q.qd
+  GROUP BY 1, 2),
+bounds AS (
+  SELECT qn, qd, bucket, target,
+         (1::BIGINT << m)
+           + (sub * (1::BIGINT << m) + {_HDR_SUB} - 1) // {_HDR_SUB} AS lo,
+         (1::BIGINT << m)
+           + ((sub + 1) * (1::BIGINT << m) + {_HDR_SUB} - 1) // {_HDR_SUB} - 1
+           AS hi
+  FROM pick)
+SELECT CAST(qn AS DOUBLE) / qd AS q, target, bucket,
+       lo AS lo_cents, hi AS hi_cents,
+       round((lo + hi) / 2.0 / 100.0, 6) AS est,
+       round(CAST(hi - lo AS DOUBLE) / (hi + lo), 6) AS rel_err_bound
+FROM bounds
+"""
+
+
+@register("hdr_histogram_quantiles", oracle=_HDR_ORACLE)
+def hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-style log-linear histogram quantile sketch over order
+    totals: each positive cent amount lands in one of {sub}
+    linear sub-buckets inside its power-of-two octave, giving a
+    RELATIVE-error-bounded (<= 1/(2·{sub}+2) at the midpoint readout)
+    mergeable histogram whose state is O(octaves · {sub}) counters at
+    any data size — the latency/money-metrics sketch
+    (HdrHistogram/DDSketch family) beside the equi-width
+    histogram_quantiles (absolute error) and tdigest_centroids
+    (adaptive centroids).
+
+    Cross-engine exactness: the octave is length(bin(c))-1 — a pure
+    string-length floor-log2, no libm log — and sub-bucket, cumsum,
+    ceil-rank target ((q_num·N + q_den − 1) div q_den) and the exact
+    integer bucket bounds are all BIGINT arithmetic, so the sketch
+    readout (not just its contract) hash-matches the oracle. Scale
+    shape: one map-side-combinable bucket count over the fact scan;
+    everything after runs on the O(buckets) frame (~200 rows).
+    """.format(sub=_HDR_SUB)
+    o = load_table(spark, sf_dir, "orders")
+    v = o.filter(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    bkt = v.select(
+        (F.length(F.bin(F.col("c"))) - 1).cast("long").alias("m"), "c"
+    ).select(
+        "m",
+        F.expr(
+            f"((c - shiftleft(CAST(1 AS BIGINT), CAST(m AS INT))) * {_HDR_SUB})"
+            " div shiftleft(CAST(1 AS BIGINT), CAST(m AS INT))"
+        ).alias("sub"),
+    )
+    h = (
+        bkt.select(
+            (F.col("m") * _HDR_SUB + F.col("sub")).cast("long").alias("bucket"),
+            "m",
+            "sub",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.any_value("m").cast("long").alias("m"),
+            F.any_value("sub").cast("long").alias("sub"),
+            F.count(F.lit(1)).cast("long").alias("bin_n"),
+        )
+    )
+    cw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    c = h.select(
+        "bucket",
+        "m",
+        "sub",
+        "bin_n",
+        F.sum("bin_n").over(cw).cast("long").alias("cum"),
+        F.sum("bin_n").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    q = None
+    for qn, qd in _HDR_QS:
+        row = spark.range(1).select(
+            F.lit(qn).cast("long").alias("qn"), F.lit(qd).cast("long").alias("qd")
+        )
+        q = row if q is None else q.unionByName(row)
+    target = F.expr("(qn * n + qd - 1) div qd")
+    pick = (
+        c.join(F.broadcast(q), F.col("cum") >= target)
+        .groupBy("qn", "qd")
+        .agg(
+            F.min_by("bucket", "bucket").alias("bucket"),
+            F.min_by("m", "bucket").alias("m"),
+            F.min_by("sub", "bucket").alias("sub"),
+            F.any_value(target).alias("target"),
+        )
+    )
+    bounds = pick.select(
+        "qn",
+        "qd",
+        "bucket",
+        "target",
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) + "
+            f"(sub * shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) + {_HDR_SUB - 1})"
+            f" div {_HDR_SUB}"
+        ).alias("lo"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) + "
+            f"((sub + 1) * shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) + {_HDR_SUB - 1})"
+            f" div {_HDR_SUB} - 1"
+        ).alias("hi"),
+    )
+    return bounds.select(
+        (F.col("qn").cast("double") / F.col("qd")).alias("q"),
+        "target",
+        "bucket",
+        F.col("lo").alias("lo_cents"),
+        F.col("hi").alias("hi_cents"),
+        F.round((F.col("lo") + F.col("hi")) / 2.0 / 100.0, 6).alias("est"),
+        F.round(
+            (F.col("hi") - F.col("lo")).cast("double")
+            / (F.col("hi") + F.col("lo")),
+            6,
+        ).alias("rel_err_bound"),
+    )

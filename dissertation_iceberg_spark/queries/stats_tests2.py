@@ -1,0 +1,564 @@
+"""Statistical-test battery, continued: variance-homogeneity
+(Brown-Forsythe/Levene) and the Welch unequal-variance t-test — the
+two assumptions-checks that gate every mean-comparison the existing
+battery runs (one_way_anova assumes equal variances; Welch is the
+default when Levene rejects).
+
+Reference provenance: extends the reference's two-sample testing
+family (`direction_analysis.ipynb cells 75-80` Mann-Whitney /
+`statistical_tests.py` t-test usage) with the variance-robust
+variants every stats package pairs them with.
+
+Parity tricks (see registry docstring): values ride as integer cents;
+group medians are exact lower-order statistics computed on the
+(type, cents) HISTOGRAM (distinct-value cumsums — no row-scale sort);
+absolute deviations stay BIGINT so every power sum is exact; doubles
+appear only in the final one-row statistic with identically-shaped
+expressions on both engines (IEEE +,-,*,/ and sqrt are exactly
+rounded, so identical op order == identical bits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dissertation_iceberg_spark.io import load_table
+from dissertation_iceberg_spark.queries.registry import register
+
+# --------------------------------------------------------------------------
+# Brown-Forsythe (median-centered Levene) variance-homogeneity test
+# --------------------------------------------------------------------------
+
+_LEVENE_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+hist AS (
+  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+  FROM v GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, cents, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS c,
+         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM hist),
+med AS (
+  SELECT event_type, CAST(min(cents) AS BIGINT) AS med
+  FROM cum WHERE c >= (n + 1) // 2 GROUP BY 1),
+z AS (
+  SELECT h.event_type, h.cnt, abs(h.cents - m.med) AS z
+  FROM hist h JOIN med m ON h.event_type = m.event_type),
+g AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(cnt * z) AS BIGINT) AS s,
+         CAST(sum(cnt * z * z) AS BIGINT) AS ss
+  FROM z GROUP BY 1),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS n_tot,
+         CAST(sum(s) AS BIGINT) AS s_tot,
+         CAST(sum(ss) AS BIGINT) AS ss_tot,
+         sum(CAST(s AS DOUBLE) * s / n) AS sum_grp
+  FROM g)
+SELECT k, n_tot,
+  round((sum_grp - CAST(s_tot AS DOUBLE) * s_tot / n_tot) / 1e4, 6)
+    AS ss_between,
+  round((CAST(ss_tot AS DOUBLE) - sum_grp) / 1e4, 6) AS ss_within,
+  round(((sum_grp - CAST(s_tot AS DOUBLE) * s_tot / n_tot) / (k - 1))
+        / ((CAST(ss_tot AS DOUBLE) - sum_grp) / (n_tot - k)), 6)
+    AS w_stat
+FROM t
+"""
+
+
+@register("levene_test", oracle=_LEVENE_ORACLE)
+def levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene with median centering) for equal
+    variances of `value` across event types: W is the one-way ANOVA F
+    statistic applied to the absolute deviations from each group's
+    median — the robust variance-homogeneity gate that decides
+    between the pooled t/ANOVA and their Welch variants.
+
+    Scale shape: the fact table reduces to a (type, distinct-cents)
+    HISTOGRAM in one map-side-combinable pass; the group median is an
+    exact lower order statistic read off the histogram cumsum
+    (O(distinct values) window rows per type, never a row-scale
+    sort), and the deviations are aggregated ON the weighted
+    histogram, so no second fact-scale pass exists. All power sums
+    are exact BIGINT; doubles evaluate once on the final 1-row frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    hist = v.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tw = Window.partitionBy("event_type")
+    cw = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(cw).cast("long").alias("c"),
+        F.sum("cnt").over(tw).cast("long").alias("n"),
+    )
+    med = (
+        cum.filter(F.col("c") >= F.floor((F.col("n") + 1) / 2))
+        .groupBy("event_type")
+        .agg(F.min("cents").cast("long").alias("med"))
+    )
+    z = hist.join(F.broadcast(med), "event_type").select(
+        "event_type", "cnt", F.abs(F.col("cents") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * F.col("z")).cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("z") * F.col("z")).cast("long").alias("ss"),
+    )
+    t = g.coalesce(1).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("s").cast("long").alias("s_tot"),
+        F.sum("ss").cast("long").alias("ss_tot"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias(
+            "sum_grp"
+        ),
+    )
+    grand = F.col("s_tot").cast("double") * F.col("s_tot") / F.col("n_tot")
+    ss_b = F.col("sum_grp") - grand
+    ss_w = F.col("ss_tot").cast("double") - F.col("sum_grp")
+    return t.select(
+        "k",
+        "n_tot",
+        F.round(ss_b / 1e4, 6).alias("ss_between"),
+        F.round(ss_w / 1e4, 6).alias("ss_within"),
+        F.round(
+            (ss_b / (F.col("k") - 1)) / (ss_w / (F.col("n_tot") - F.col("k"))),
+            6,
+        ).alias("w_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Welch's unequal-variance t-test (purchase vs click event values)
+# --------------------------------------------------------------------------
+
+_GRP_A = "purchase"
+_GRP_B = "click"
+
+_WELCH_ORACLE = f"""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('{_GRP_A}', '{_GRP_B}')),
+s AS (
+  SELECT
+    CAST(sum(CASE WHEN event_type = '{_GRP_A}' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n1,
+    CAST(sum(CASE WHEN event_type = '{_GRP_A}' THEN cents ELSE 0 END)
+         AS BIGINT) AS s1,
+    CAST(sum(CASE WHEN event_type = '{_GRP_A}' THEN cents * cents ELSE 0 END)
+         AS BIGINT) AS ss1,
+    CAST(sum(CASE WHEN event_type = '{_GRP_B}' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n2,
+    CAST(sum(CASE WHEN event_type = '{_GRP_B}' THEN cents ELSE 0 END)
+         AS BIGINT) AS s2,
+    CAST(sum(CASE WHEN event_type = '{_GRP_B}' THEN cents * cents ELSE 0 END)
+         AS BIGINT) AS ss2
+  FROM v),
+k AS (
+  SELECT *,
+    (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS v1,
+    (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) AS v2,
+    CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS md
+  FROM s)
+SELECT n1, n2,
+  round(CAST(s1 AS DOUBLE) / n1 / 100.0, 6) AS mean_a,
+  round(CAST(s2 AS DOUBLE) / n2 / 100.0, 6) AS mean_b,
+  round(md / sqrt(v1 / n1 + v2 / n2), 6) AS t_welch,
+  round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+        / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+           + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df_welch,
+  round(md / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
+                  * (1.0 / n1 + 1.0 / n2)), 6) AS t_pooled,
+  CAST(n1 + n2 - 2 AS BIGINT) AS df_pooled
+FROM k
+"""
+
+
+@register("welch_ttest", oracle=_WELCH_ORACLE)
+def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of mean event value between
+    '{a}' and '{b}' events — t statistic and Welch-Satterthwaite
+    degrees of freedom — beside the pooled Student t for contrast
+    (the pair every A/B readout reports when levene_test rejects
+    equal variances).
+
+    Scale shape: ONE conditional-sum pass over the fact table
+    produces the six exact BIGINT power sums; every double expression
+    (sample variances, t, df) evaluates once on the single reduced
+    row with identically-shaped IEEE arithmetic in both engines.
+    """.format(a=_GRP_A, b=_GRP_B)
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type").isin(_GRP_A, _GRP_B)).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    is_a = (F.col("event_type") == _GRP_A).cast("long")
+    is_b = (F.col("event_type") == _GRP_B).cast("long")
+    s = v.agg(
+        F.sum(is_a).cast("long").alias("n1"),
+        F.sum(is_a * F.col("cents")).cast("long").alias("s1"),
+        F.sum(is_a * F.col("cents") * F.col("cents")).cast("long").alias("ss1"),
+        F.sum(is_b).cast("long").alias("n2"),
+        F.sum(is_b * F.col("cents")).cast("long").alias("s2"),
+        F.sum(is_b * F.col("cents") * F.col("cents")).cast("long").alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    v1 = (F.col("ss1").cast("double") - F.col("s1").cast("double") * F.col("s1") / n1) / (
+        n1 - 1
+    )
+    v2 = (F.col("ss2").cast("double") - F.col("s2").cast("double") * F.col("s2") / n2) / (
+        n2 - 1
+    )
+    md = F.col("s1").cast("double") / n1 - F.col("s2").cast("double") / n2
+    se2 = v1 / n1 + v2 / n2
+    return s.select(
+        "n1",
+        "n2",
+        F.round(F.col("s1").cast("double") / n1 / 100.0, 6).alias("mean_a"),
+        F.round(F.col("s2").cast("double") / n2 / 100.0, 6).alias("mean_b"),
+        F.round(md / F.sqrt(se2), 6).alias("t_welch"),
+        F.round(
+            se2 * se2
+            / (
+                (v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+        F.round(
+            md
+            / F.sqrt(
+                ((n1 - 1) * v1 + (n2 - 1) * v2)
+                / (n1 + n2 - 2)
+                * (1.0 / n1 + 1.0 / n2)
+            ),
+            6,
+        ).alias("t_pooled"),
+        (n1 + n2 - 2).cast("long").alias("df_pooled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gradient-boosted stumps (exact greedy, 3 rounds, run-parity oracle)
+# --------------------------------------------------------------------------
+
+_GBM_ROUNDS = 3
+
+def _gbm_round_sql(k: int) -> str:
+    """One boosting round as SQL CTEs: histogram over both feature
+    columns, cumulative split scan, argmax-gain split, floor-rounded
+    integer leaf values, residual update."""
+    return f"""
+hist{k} AS (
+  SELECT f, v, CAST(count(*) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS s
+  FROM (SELECT 'quantity' AS f, q AS v, r FROM resid{k}
+        UNION ALL SELECT 'discount' AS f, d AS v, r FROM resid{k}) u
+  GROUP BY 1, 2),
+tot{k} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all, CAST(sum(r) AS BIGINT) AS s_all
+  FROM resid{k}),
+cum{k} AS (
+  SELECT f, v,
+         CAST(sum(n) OVER w AS BIGINT) AS cn,
+         CAST(sum(s) OVER w AS BIGINT) AS cs
+  FROM hist{k}
+  WINDOW w AS (PARTITION BY f ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+best{k} AS (
+  SELECT f, v, cn AS n_l, n_all - cn AS n_r,
+         CAST(floor((2.0 * cs + cn) / (2.0 * cn)) AS BIGINT) AS wl,
+         CAST(floor((2.0 * (s_all - cs) + (n_all - cn))
+                    / (2.0 * (n_all - cn))) AS BIGINT) AS wr,
+         CAST(cs AS DOUBLE) * cs / cn
+           + CAST(s_all - cs AS DOUBLE) * (s_all - cs) / (n_all - cn) AS gain
+  FROM cum{k} CROSS JOIN tot{k}
+  WHERE n_all - cn > 0
+  ORDER BY gain DESC, f ASC, v ASC LIMIT 1),
+resid{k + 1} AS (
+  SELECT q, d,
+         r - CASE WHEN (b.f = 'quantity' AND q <= b.v)
+                    OR (b.f = 'discount' AND d <= b.v)
+                  THEN b.wl ELSE b.wr END AS r
+  FROM resid{k} CROSS JOIN best{k} b),
+out{k} AS (
+  SELECT CAST({k} AS BIGINT) AS round, b.f AS feature,
+         CAST(b.v AS BIGINT) AS threshold,
+         b.n_l AS left_n, b.n_r AS right_n,
+         b.wl / 100.0 AS left_leaf, b.wr / 100.0 AS right_leaf,
+         (SELECT round(CAST(sum(CAST(floor(CAST(r AS DOUBLE) * r / 1e4)
+                                     AS BIGINT)) AS BIGINT) / cnt.c / 1e4, 6)
+          FROM resid{k + 1}, (SELECT CAST(count(*) AS BIGINT) AS c
+                              FROM resid{k + 1}) cnt
+          GROUP BY cnt.c) AS mse_after
+  FROM best{k} b)"""
+
+
+_GBM_ORACLE = (
+    """
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 100) AS BIGINT) AS d,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+f0 AS (
+  SELECT CAST(floor((2.0 * sum(y) + count(*)) / (2.0 * count(*)))
+              AS BIGINT) AS f0
+  FROM base),
+resid1 AS (SELECT q, d, y - f0.f0 AS r FROM base CROSS JOIN f0),"""
+    + ",".join(_gbm_round_sql(k) for k in range(1, _GBM_ROUNDS + 1))
+    + """
+SELECT * FROM out1 UNION ALL SELECT * FROM out2 UNION ALL SELECT * FROM out3
+"""
+)
+
+
+@register("gbm_stumps", oracle=_GBM_ORACLE)
+def gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted decision stumps (squared loss, 3 rounds) on
+    lineitem: predict extended price from quantity and discount; each
+    round runs an EXACT greedy split search over BOTH feature
+    histograms (argmax of S_L²/n_L + S_R²/n_R with deterministic
+    gain/feature/threshold tiebreak), fits floor-rounded integer-cent
+    leaf values, and boosts the residuals — distributed GBM training
+    whose 3-round trace (split, leaves, MSE) is value-identical in
+    the DuckDB oracle replay (run parity, like kmeans/BPE).
+
+    Cross-engine determinism: residuals stay exact BIGINT cents
+    end-to-end (leaf = floor((2S+n)/(2n)) via the <2^52 exact
+    floor-of-double-division identity); gains are doubles built from
+    exact ints with identically-shaped IEEE ops, so the argmax
+    matches bit-for-bit; per-round MSE sums floor(r²/1e4) — exact
+    BIGINT — never raw doubles.
+
+    Scale shape: each round is one map-side-combinable histogram over
+    the fact scan (<= 61 candidate rows: 50 quantities + 11
+    discounts), a cumsum on that tiny frame, and a 1-row broadcast
+    back onto the facts for the residual update — no collect, no
+    row-scale sort, 3 fact passes total (+3 for the MSE audit).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    f0 = base.agg(
+        F.floor(
+            (2.0 * F.sum("y") + F.count(F.lit(1)))
+            / (2.0 * F.count(F.lit(1)))
+        )
+        .cast("long")
+        .alias("f0")
+    )
+    resid = base.crossJoin(F.broadcast(f0)).select(
+        "q", "d", (F.col("y") - F.col("f0")).alias("r")
+    )
+
+    outs = []
+    for k in range(1, _GBM_ROUNDS + 1):
+        hist = (
+            resid.select(F.lit("quantity").alias("f"), F.col("q").alias("v"), "r")
+            .unionByName(
+                resid.select(
+                    F.lit("discount").alias("f"), F.col("d").alias("v"), "r"
+                )
+            )
+            .groupBy("f", "v")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("r").cast("long").alias("s"),
+            )
+        )
+        tot = resid.agg(
+            F.count(F.lit(1)).cast("long").alias("n_all"),
+            F.sum("r").cast("long").alias("s_all"),
+        )
+        cw = (
+            Window.partitionBy("f")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = hist.select(
+            "f",
+            "v",
+            F.sum("n").over(cw).cast("long").alias("cn"),
+            F.sum("s").over(cw).cast("long").alias("cs"),
+        )
+        cn, cs = F.col("cn"), F.col("cs")
+        n_all, s_all = F.col("n_all"), F.col("s_all")
+        best = (
+            cum.crossJoin(F.broadcast(tot))
+            .filter(n_all - cn > 0)
+            .select(
+                "f",
+                "v",
+                cn.alias("n_l"),
+                (n_all - cn).alias("n_r"),
+                F.floor((2.0 * cs + cn) / (2.0 * cn)).cast("long").alias("wl"),
+                F.floor(
+                    (2.0 * (s_all - cs) + (n_all - cn)) / (2.0 * (n_all - cn))
+                )
+                .cast("long")
+                .alias("wr"),
+                (
+                    cs.cast("double") * cs / cn
+                    + (s_all - cs).cast("double") * (s_all - cs) / (n_all - cn)
+                ).alias("gain"),
+            )
+            .orderBy(F.desc("gain"), F.asc("f"), F.asc("v"))
+            .limit(1)
+        )
+        resid = resid.crossJoin(F.broadcast(best)).select(
+            "q",
+            "d",
+            (
+                F.col("r")
+                - F.when(
+                    ((F.col("f") == "quantity") & (F.col("q") <= F.col("v")))
+                    | ((F.col("f") == "discount") & (F.col("d") <= F.col("v"))),
+                    F.col("wl"),
+                ).otherwise(F.col("wr"))
+            ).alias("r"),
+        )
+        mse = resid.agg(
+            F.round(
+                F.sum(
+                    F.floor(F.col("r").cast("double") * F.col("r") / 1e4).cast(
+                        "long"
+                    )
+                ).cast("long")
+                / F.count(F.lit(1))
+                / 1e4,
+                6,
+            ).alias("mse_after")
+        )
+        outs.append(
+            best.crossJoin(F.broadcast(mse)).select(
+                F.lit(k).cast("long").alias("round"),
+                F.col("f").alias("feature"),
+                F.col("v").cast("long").alias("threshold"),
+                F.col("n_l").alias("left_n"),
+                F.col("n_r").alias("right_n"),
+                (F.col("wl") / 100.0).alias("left_leaf"),
+                (F.col("wr") / 100.0).alias("right_leaf"),
+                "mse_after",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# --------------------------------------------------------------------------
+# kNN classification eval over the embedding corpus
+# --------------------------------------------------------------------------
+
+_KNN_MOD = 10  # every 10th vector is a held-out query
+_KNN_K = 5
+
+_KNN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec, label AS true_label
+  FROM embeddings WHERE vec_id % {_KNN_MOD} = 0),
+pairs AS (
+  SELECT q.qid, q.true_label, e.vec_id AS neighbor_id, e.label AS nbr_label,
+    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT unnest(q.qvec) AS x, unnest(e.embedding) AS y) z) AS dot,
+    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+     FROM (SELECT unnest(q.qvec) AS x) z) AS nq,
+    (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT unnest(e.embedding) AS y) z) AS ne
+  FROM embeddings e, q WHERE q.qid <> e.vec_id),
+nn AS (
+  SELECT qid, true_label, nbr_label,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY round(dot / (sqrt(nq) * sqrt(ne)), 6) DESC, neighbor_id)
+           AS rnk
+  FROM pairs QUALIFY rnk <= {_KNN_K}),
+votes AS (
+  SELECT qid, true_label, nbr_label, CAST(count(*) AS BIGINT) AS n_votes
+  FROM nn GROUP BY 1, 2, 3),
+pick AS (
+  SELECT qid, true_label,
+         CAST(nbr_label AS BIGINT) AS pred_label, n_votes,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY n_votes DESC, nbr_label ASC) AS r
+  FROM votes QUALIFY r = 1)
+SELECT qid, CAST(true_label AS BIGINT) AS true_label, pred_label, n_votes,
+       CAST(pred_label = true_label AS BIGINT) AS correct
+FROM pick
+"""
+
+
+@register("knn_classify", oracle=_KNN_ORACLE)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor classification eval: every {mod}-th
+    embedding is a held-out query, its label predicted by majority
+    vote of the {k} nearest remaining vectors by exact cosine
+    (ties: larger vote count, then smaller label) — the standard
+    embedding-quality probe (a good embedding space classifies by
+    neighborhood) beside silhouette_by_label's geometric view.
+
+    Scale shape: reuses the brute-force cosine kernel as the ORACLE
+    BASELINE (broadcast query side × corpus scan — the two registered
+    ANN paths, lsh_ann_topk / ivf_ann_topk, are the bulk-scale
+    substitutes); the vote and accuracy stages are O(queries · k)
+    aggregations. Determinism: neighbor ranks order by the 6-dp
+    rounded cosine with neighbor_id tiebreak, identical in both
+    engines.
+    """.format(mod=_KNN_MOD, k=_KNN_K)
+    from dissertation_iceberg_spark.io import spread
+    from dissertation_iceberg_spark.operators.similarity import cosine_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % _KNN_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nn = cosine_topk(emb, queries, k=_KNN_K)
+    labeled = nn.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nbr_label"),
+        ),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("qid", "nbr_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    pw = Window.partitionBy("qid").orderBy(
+        F.desc("n_votes"), F.asc("nbr_label")
+    )
+    pick = (
+        votes.withColumn("r", F.row_number().over(pw))
+        .filter(F.col("r") == 1)
+        .select("qid", F.col("nbr_label").cast("long").alias("pred_label"), "n_votes")
+    )
+    truth = emb.filter(F.col("vec_id") % _KNN_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    return pick.join(truth, "qid").select(
+        "qid",
+        "true_label",
+        "pred_label",
+        "n_votes",
+        (F.col("pred_label") == F.col("true_label")).cast("long").alias("correct"),
+    )

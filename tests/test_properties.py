@@ -2108,3 +2108,188 @@ def test_simpson_audit_matches_numpy_replay(spark, sf_dir):
             np.sign(round(r.slope_cents_per_unit * 1e6))
             != np.sign(round(r.pooled_slope * 1e6))
         )
+
+
+def test_levene_matches_pandas_replay(spark, sf_dir):
+    """levene_test equals a pandas Brown-Forsythe replay (median-
+    centered absolute deviations -> one-way F) at cent grain."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import levene_test
+
+    row = levene_test(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    g = e.assign(cents=cents).groupby("event_type")
+    zs = []
+    for _, grp in g:
+        c = np.sort(grp["cents"].to_numpy())
+        med = c[(len(c) + 1) // 2 - 1]  # lower median
+        zs.append(np.abs(grp["cents"].to_numpy() - med))
+    k = len(zs)
+    n_tot = sum(len(z) for z in zs)
+    s_tot = sum(int(z.sum()) for z in zs)
+    ss_tot = sum(int((z.astype("int64") ** 2).sum()) for z in zs)
+    sum_grp = sum(float(int(z.sum())) ** 2 / len(z) for z in zs)
+    ss_b = sum_grp - float(s_tot) ** 2 / n_tot
+    ss_w = float(ss_tot) - sum_grp
+    w = (ss_b / (k - 1)) / (ss_w / (n_tot - k))
+    assert row["k"] == k and row["n_tot"] == n_tot
+    assert abs(row["ss_between"] - ss_b / 1e4) < 1e-4
+    assert abs(row["ss_within"] - ss_w / 1e4) < 1e-4
+    assert abs(row["w_stat"] - w) < 1e-5
+    # W is an F statistic: strictly positive with these group sizes
+    assert row["w_stat"] > 0
+
+
+def test_welch_ttest_matches_numpy_replay(spark, sf_dir):
+    """welch_ttest equals the textbook Welch formulas replayed in
+    numpy from the same integer-cent samples."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        _GRP_A,
+        _GRP_B,
+        welch_ttest,
+    )
+
+    row = welch_ttest(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    a = cents[e["event_type"] == _GRP_A].to_numpy()
+    b = cents[e["event_type"] == _GRP_B].to_numpy()
+    n1, n2 = len(a), len(b)
+    v1 = a.var(ddof=1)
+    v2 = b.var(ddof=1)
+    md = a.mean() - b.mean()
+    t_w = md / np.sqrt(v1 / n1 + v2 / n2)
+    df_w = (v1 / n1 + v2 / n2) ** 2 / (
+        (v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)
+    )
+    sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
+    t_p = md / np.sqrt(sp2 * (1 / n1 + 1 / n2))
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert abs(row["mean_a"] - a.mean() / 100) < 1e-5
+    assert abs(row["mean_b"] - b.mean() / 100) < 1e-5
+    assert abs(row["t_welch"] - t_w) < 1e-5
+    assert abs(row["df_welch"] - df_w) < 1e-3
+    assert abs(row["t_pooled"] - t_p) < 1e-5
+    assert row["df_pooled"] == n1 + n2 - 2
+    # Welch df is bounded by min(n-1) and pooled df
+    assert min(n1, n2) - 1 <= row["df_welch"] <= n1 + n2 - 2
+
+
+def test_hdr_histogram_brackets_exact_quantiles(spark, sf_dir):
+    """hdr_histogram_quantiles: every readout's [lo, hi] bucket
+    brackets the exact ceil-rank order statistic, and the advertised
+    relative-error bound holds for the midpoint estimate."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.sketch_ops import (
+        _HDR_QS,
+        hdr_histogram_quantiles,
+    )
+
+    pdf = hdr_histogram_quantiles(spark, sf_dir).toPandas()
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    c = np.sort(
+        np.floor(o.loc[o["o_totalprice"] > 0, "o_totalprice"] * 100 + 0.5)
+        .astype("int64")
+        .to_numpy()
+    )
+    n = len(c)
+    assert len(pdf) == len(_HDR_QS)
+    for qn, qd in _HDR_QS:
+        row = pdf[np.isclose(pdf["q"], qn / qd)].iloc[0]
+        target = (qn * n + qd - 1) // qd
+        exact = c[target - 1]  # ceil-rank order statistic
+        assert row["lo_cents"] <= exact <= row["hi_cents"]
+        assert row["target"] == target
+        mid = (row["lo_cents"] + row["hi_cents"]) / 2
+        assert abs(mid - exact) / exact <= row["rel_err_bound"] + 1e-12
+        assert row["rel_err_bound"] <= 1.0 / 9 + 1e-12
+
+
+def test_gbm_stumps_matches_pandas_replay(spark, sf_dir):
+    """gbm_stumps' 3-round trace (split, leaves, MSE) equals a pandas
+    replay of the same exact-integer boosting recursion, and the MSE
+    is non-increasing across rounds."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import gbm_stumps
+
+    pdf = (
+        gbm_stumps(spark, sf_dir)
+        .toPandas()
+        .sort_values("round")
+        .reset_index(drop=True)
+    )
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    q = li["l_quantity"].astype("int64").to_numpy()
+    d = np.floor(li["l_discount"] * 100 + 0.5).astype("int64").to_numpy()
+    y = np.floor(li["l_extendedprice"] * 100 + 0.5).astype("int64").to_numpy()
+    n = len(y)
+    f0 = int(np.floor((2.0 * y.sum() + n) / (2.0 * n)))
+    r = y - f0
+    feats = {"quantity": q, "discount": d}
+    for k in range(1, 4):
+        best = None  # (gain, feature, threshold, nl, sl)
+        for fname in sorted(feats):
+            x = feats[fname]
+            vals = np.unique(x)
+            for v in vals:
+                m = x <= v
+                nl = int(m.sum())
+                if nl == n:
+                    continue
+                sl = int(r[m].sum())
+                sr = int(r.sum()) - sl
+                gain = float(sl) * sl / nl + float(sr) * sr / (n - nl)
+                key = (-gain, fname, v)
+                if best is None or key < best[0]:
+                    best = (key, fname, v, nl, sl)
+        _, fname, v, nl, sl = best
+        sr = int(r.sum()) - sl
+        wl = int(np.floor((2.0 * sl + nl) / (2.0 * nl)))
+        wr = int(np.floor((2.0 * sr + (n - nl)) / (2.0 * (n - nl))))
+        m = feats[fname] <= v
+        r = r - np.where(m, wl, wr)
+        mse = round(
+            int(np.floor(r.astype("float64") ** 2 / 1e4).sum()) / n / 1e4, 6
+        )
+        row = pdf.iloc[k - 1]
+        assert row["feature"] == fname and row["threshold"] == v
+        assert row["left_n"] == nl and row["right_n"] == n - nl
+        assert row["left_leaf"] == wl / 100.0
+        assert row["right_leaf"] == wr / 100.0
+        assert abs(row["mse_after"] - mse) < 1e-9
+    # boosting must not increase training MSE
+    assert (np.diff(pdf["mse_after"].to_numpy()) <= 1e-12).all()
+
+
+def test_knn_classify_invariants(spark, sf_dir):
+    """knn_classify: one row per held-out query, vote counts in
+    [ceil(k/n_labels), k], and accuracy beats the chance rate of the
+    label distribution (the fixtures are label-clustered)."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        _KNN_K,
+        _KNN_MOD,
+        knn_classify,
+    )
+
+    pdf = knn_classify(spark, sf_dir).toPandas()
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    n_queries = (emb["vec_id"] % _KNN_MOD == 0).sum()
+    assert len(pdf) == n_queries
+    assert pdf["qid"].is_unique
+    assert pdf["n_votes"].between(1, _KNN_K).all()
+    labels = set(emb["label"])
+    assert set(pdf["pred_label"]) <= labels
+    assert (pdf["correct"] == (pdf["pred_label"] == pdf["true_label"])).all()
+    acc = pdf["correct"].mean()
+    assert acc > 1.0 / len(labels)  # better than uniform chance
