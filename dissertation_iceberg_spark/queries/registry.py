@@ -98,6 +98,7 @@ def _ensure_loaded() -> None:
         ml_rolling,
         oi_variants,
         regression,
+        retrieval_ops,
         sessions,
         sketch_ops,
         sqlops,

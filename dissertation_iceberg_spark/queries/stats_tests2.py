@@ -562,3 +562,109 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_votes",
         (F.col("pred_label") == F.col("true_label")).cast("long").alias("correct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Tukey HSD post-hoc pairwise comparisons (follows one_way_anova)
+# --------------------------------------------------------------------------
+
+_TUKEY_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(cents * cents) AS BIGINT) AS ss
+  FROM v GROUP BY 1),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS n_tot,
+         CAST(sum(ss) AS BIGINT) AS ss_tot,
+         sum(CAST(s AS DOUBLE) * s / n) AS sum_grp
+  FROM g),
+msw AS (
+  SELECT k, n_tot,
+         (CAST(ss_tot AS DOUBLE) - sum_grp) / (n_tot - k) AS msw
+  FROM t)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       a.n AS n_a, b.n AS n_b,
+       round(CAST(a.s AS DOUBLE) / a.n / 100.0, 6) AS mean_a,
+       round(CAST(b.s AS DOUBLE) / b.n / 100.0, 6) AS mean_b,
+       round(abs(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+             / sqrt(m.msw / 2.0 * (1.0 / a.n + 1.0 / b.n)), 6) AS q_stat,
+       CAST(m.n_tot - m.k AS BIGINT) AS df_within
+FROM g a JOIN g b ON a.event_type < b.event_type CROSS JOIN msw m
+"""
+
+
+@register("tukey_hsd", oracle=_TUKEY_ORACLE)
+def tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc battery: the studentized-range statistic
+    q = |m_i − m_j| / sqrt(MSW/2 · (1/n_i + 1/n_j)) for every
+    unordered pair of event types (Tukey-Kramer form for unequal n),
+    with the shared within-group df — the pairwise follow-up every
+    ANOVA rejection demands (which groups differ, not just whether
+    any do).
+
+    Scale shape: the same single map-side-combinable power-sum pass
+    as one_way_anova; the pair join runs on the O(k) group frame
+    (k=5 here) with the 1-row MSW broadcast onto it. All power sums
+    are exact BIGINT; doubles evaluate once per pair row.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
+    )
+    t = g.coalesce(1).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("ss").cast("long").alias("ss_tot"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias(
+            "sum_grp"
+        ),
+    )
+    msw = t.select(
+        "k",
+        "n_tot",
+        (
+            (F.col("ss_tot").cast("double") - F.col("sum_grp"))
+            / (F.col("n_tot") - F.col("k"))
+        ).alias("msw"),
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b")).crossJoin(
+        F.broadcast(msw)
+    )
+    ma = F.col("s_a").cast("double") / F.col("n_a")
+    mb = F.col("s_b").cast("double") / F.col("n_b")
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.round(ma / 100.0, 6).alias("mean_a"),
+        F.round(mb / 100.0, 6).alias("mean_b"),
+        F.round(
+            F.abs(ma - mb)
+            / F.sqrt(
+                F.col("msw") / 2.0 * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            ),
+            6,
+        ).alias("q_stat"),
+        (F.col("n_tot") - F.col("k")).cast("long").alias("df_within"),
+    )

@@ -2293,3 +2293,89 @@ def test_knn_classify_invariants(spark, sf_dir):
     assert (pdf["correct"] == (pdf["pred_label"] == pdf["true_label"])).all()
     acc = pdf["correct"].mean()
     assert acc > 1.0 / len(labels)  # better than uniform chance
+
+
+def test_tukey_hsd_matches_numpy_replay(spark, sf_dir):
+    """tukey_hsd q statistics equal the Tukey-Kramer formula replayed
+    in numpy, over all k-choose-2 pairs."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import tukey_hsd
+
+    pdf = tukey_hsd(spark, sf_dir).toPandas()
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    df = e.assign(cents=cents)
+    groups = {t: g["cents"].to_numpy() for t, g in df.groupby("event_type")}
+    k = len(groups)
+    n_tot = len(df)
+    assert len(pdf) == k * (k - 1) // 2
+    ssw = sum(
+        float((v.astype("int64") ** 2).sum()) - float(int(v.sum())) ** 2 / len(v)
+        for v in groups.values()
+    )
+    msw = ssw / (n_tot - k)
+    for r in pdf.itertuples():
+        a, b = groups[r.type_a], groups[r.type_b]
+        q = abs(a.mean() - b.mean()) / np.sqrt(
+            msw / 2 * (1 / len(a) + 1 / len(b))
+        )
+        assert r.type_a < r.type_b
+        assert r.n_a == len(a) and r.n_b == len(b)
+        assert abs(r.q_stat - q) < 1e-5
+        assert r.df_within == n_tot - k
+
+
+def test_mmr_rerank_greedy_replay_and_diversity(spark, sf_dir):
+    """mmr_rerank equals a numpy greedy MMR replay over the same
+    rounded relevance/similarity inputs; first pick is the argmax-
+    relevance candidate; selections are distinct pool members."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.retrieval_ops import (
+        _MMR_K,
+        _MMR_LAMBDA,
+        _MMR_POOL,
+        _MMR_QUERY_ID,
+        mmr_rerank,
+    )
+
+    pdf = mmr_rerank(spark, sf_dir).toPandas().sort_values("rank")
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    vecs = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype="float64")
+        for _, r in emb.iterrows()
+    }
+    q = vecs[_MMR_QUERY_ID]
+
+    def cos(a, b):
+        return round(
+            float(a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b)), 6
+        )
+
+    rel = {
+        i: cos(q, v) for i, v in vecs.items() if i != _MMR_QUERY_ID
+    }
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_POOL]
+    lam, mu = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    sel = []
+    for k in range(1, _MMR_K + 1):
+        best = None
+        for i in pool:
+            if i in sel:
+                continue
+            msim = max((cos(vecs[i], vecs[j]) for j in sel), default=0.0)
+            score = lam * rel[i] - mu * msim
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i, msim, score)
+        _, i, msim, score = best
+        sel.append(i)
+        row = pdf.iloc[k - 1]
+        assert row["vec_id"] == i
+        assert row["rel"] == rel[i]
+        assert abs(row["msim"] - msim) < 1e-12
+        assert abs(row["score"] - round(score, 6)) < 1e-9
+    assert pdf["vec_id"].is_unique
