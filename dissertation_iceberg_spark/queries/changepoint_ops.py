@@ -442,3 +442,116 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents_sum") / F.col("n_days")).alias("mean_cents"),
         (F.col("detr_sum") / (F.col("n_windows") * 7)).alias("seasonal_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Holt-Winters additive triple smoothing (weekly season, round 3)
+# --------------------------------------------------------------------------
+
+_HW_M = 7  # weekly season length
+
+_HW_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily),
+first7 AS (
+  SELECT event_type, list(y ORDER BY t) AS w, any_value(n) AS n
+  FROM idx WHERE t <= {_HW_M} GROUP BY 1),
+init AS (
+  SELECT event_type, n,
+         CAST(floor((w[1]+w[2]+w[3]+w[4]+w[5]+w[6]+w[7]) / 7.0) AS BIGINT)
+           AS l0,
+         list_transform(w, x -> x - CAST(floor(
+           (w[1]+w[2]+w[3]+w[4]+w[5]+w[6]+w[7]) / 7.0) AS BIGINT)) AS s0
+  FROM first7),
+rec AS (
+  SELECT event_type, CAST({_HW_M} AS BIGINT) AS t, n, l0 AS l,
+         CAST(0 AS BIGINT) AS b, s0 AS s
+  FROM init
+  UNION ALL
+  SELECT i.event_type, i.t, i.n,
+         (i.y - r.s[1] + r.l + r.b) >> 1 AS l,
+         (((i.y - r.s[1] + r.l + r.b) >> 1) - r.l + r.b) >> 1 AS b,
+         r.s[2:{_HW_M}]
+           || [(i.y - ((i.y - r.s[1] + r.l + r.b) >> 1) + r.s[1]) >> 1] AS s
+  FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.t = r.t + 1)
+SELECT event_type, CAST(n AS BIGINT) AS n_days, l AS level, b AS trend,
+       s[1] AS next_season, l + b + s[1] AS forecast_next
+FROM rec WHERE t = n
+"""
+
+
+@register("holt_winters_forecast", oracle=_HW_ORACLE)
+def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing of each
+    event type's daily volume (weekly season, alpha=beta=gamma=1/2):
+    final level, trend, the upcoming season index, and the one-step
+    forecast l + b + s — completing the forecasting ladder
+    seasonal_naive_backtest → holt_linear_forecast → Holt-Winters.
+
+    Cross-engine determinism: with all smoothing weights 1/2 the
+    recursion
+      l_t = (y_t − s_{{t−7}} + l + b) >> 1
+      b_t = (l_t − l + b) >> 1
+      s_t = (y_t − l_t + s_{{t−7}}) >> 1
+    is pure BIGINT arithmetic (``>>`` is the arithmetic floor shift in
+    both engines, negatives included); the level init floor(mean of
+    week 1) uses the exact <2^52 floor-of-double-division identity and
+    the seasonal init is y_i − l0. No float path exists at all; the
+    oracle replays the identical recursion as a recursive CTE with a
+    LIST-rotation seasonal state.
+
+    Scale shape: one map-side-combinable daily aggregate, then a
+    per-type JVM-side fold (``F.aggregate`` over the sorted O(days)
+    array) with constant state (two BIGINTs + a 7-slot array); groups
+    fold in parallel, nothing row-scale is collected or sorted
+    globally.
+    """
+    e = spread(load_table(spark, sf_dir, "events"))
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("arr")
+    )
+    week = F.transform(F.slice(F.col("arr"), 1, _HW_M), lambda x: x["y"])
+    wsum = F.aggregate(
+        week, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    l0 = F.floor(wsum / 7.0).cast("long")
+    s0 = F.transform(week, lambda v: v - l0)
+    init = F.struct(
+        l0.alias("l"), F.lit(0).cast("long").alias("b"), s0.alias("s")
+    )
+    rest = F.slice(F.col("arr"), _HW_M + 1, F.size("arr") - _HW_M)
+
+    def step(acc, x):
+        s_old = F.element_at(acc["s"], 1)
+        l_new = F.shiftright(x["y"] - s_old + acc["l"] + acc["b"], 1)
+        b_new = F.shiftright(l_new - acc["l"] + acc["b"], 1)
+        s_new = F.shiftright(x["y"] - l_new + s_old, 1)
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(
+                F.slice(acc["s"], 2, _HW_M - 1), F.array(s_new)
+            ).alias("s"),
+        )
+
+    fin = F.aggregate(rest, init, step)
+    return series.select(
+        "event_type",
+        F.size("arr").cast("long").alias("n_days"),
+        fin["l"].alias("level"),
+        fin["b"].alias("trend"),
+        F.element_at(fin["s"], 1).alias("next_season"),
+        (fin["l"] + fin["b"] + F.element_at(fin["s"], 1)).alias(
+            "forecast_next"
+        ),
+    )

@@ -668,3 +668,125 @@ def tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_stat"),
         (F.col("n_tot") - F.col("k")).cast("long").alias("df_within"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis H test (nonparametric k-group ANOVA)
+# --------------------------------------------------------------------------
+
+_KW_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+gh AS (
+  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt_g
+  FROM v GROUP BY 1, 2),
+h AS (
+  SELECT cents, CAST(sum(cnt_g) AS BIGINT) AS cnt
+  FROM gh GROUP BY 1),
+cumh AS (
+  SELECT cents, cnt,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM h),
+r2 AS (
+  SELECT cents, cnt, 2 * cum_before + cnt + 1 AS rank2 FROM cumh),
+g AS (
+  SELECT gh.event_type,
+         CAST(sum(gh.cnt_g) AS BIGINT) AS n,
+         CAST(sum(gh.cnt_g * r2.rank2) AS BIGINT) AS s2
+  FROM gh JOIN r2 ON gh.cents = r2.cents
+  GROUP BY 1),
+ties AS (
+  SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum FROM h),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS n_tot,
+         sum(CAST(s2 AS DOUBLE) * s2 / n) AS sum_grp
+  FROM g)
+SELECT t.k, t.n_tot,
+  round(3.0 * t.sum_grp / (CAST(t.n_tot AS DOUBLE) * (t.n_tot + 1))
+        - 3.0 * (t.n_tot + 1), 6) AS h_stat,
+  round(1.0 - CAST(ties.tie_sum AS DOUBLE)
+              / (CAST(t.n_tot AS DOUBLE) * t.n_tot * t.n_tot - t.n_tot), 6)
+    AS tie_correction,
+  round((3.0 * t.sum_grp / (CAST(t.n_tot AS DOUBLE) * (t.n_tot + 1))
+         - 3.0 * (t.n_tot + 1))
+        / (1.0 - CAST(ties.tie_sum AS DOUBLE)
+                 / (CAST(t.n_tot AS DOUBLE) * t.n_tot * t.n_tot - t.n_tot)),
+        6) AS h_corrected
+FROM t CROSS JOIN ties
+"""
+
+
+@register("kruskal_wallis", oracle=_KW_ORACLE)
+def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test of `value` across event types — the
+    nonparametric one-way ANOVA (rank-based, outlier-immune), with
+    the exact tie-correction factor — completing the k-group family
+    beside one_way_anova (means), levene_test (variances) and the
+    two-group Mann-Whitney.
+
+    Scale shape: NO row-scale rank sort exists. Midranks come off the
+    global distinct-value HISTOGRAM (avg rank of a tie group =
+    cum_before + (cnt+1)/2, carried ×2 as the exact integer
+    2·cum_before + cnt + 1), and per-group rank sums are weighted
+    sums of those midranks against the (type, value) histogram — the
+    same bounded-distinct-values trick as levene_test/mann_whitney.
+    Tie correction Σ(t³−t) is an exact BIGINT sum over the histogram.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    gh = v.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_g")
+    )
+    h = gh.groupBy("cents").agg(F.sum("cnt_g").cast("long").alias("cnt"))
+    cw = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    r2 = h.select(
+        "cents",
+        "cnt",
+        (
+            2 * F.coalesce(F.sum("cnt").over(cw), F.lit(0))
+            + F.col("cnt")
+            + 1
+        )
+        .cast("long")
+        .alias("rank2"),
+    )
+    g = (
+        gh.join(r2.select("cents", "rank2"), "cents")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt_g").cast("long").alias("n"),
+            F.sum(F.col("cnt_g") * F.col("rank2")).cast("long").alias("s2"),
+        )
+    )
+    ties = h.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie_sum")
+    )
+    t = g.coalesce(1).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum(F.col("s2").cast("double") * F.col("s2") / F.col("n")).alias(
+            "sum_grp"
+        ),
+    )
+    nt = F.col("n_tot")
+    h_stat = 3.0 * F.col("sum_grp") / (nt.cast("double") * (nt + 1)) - 3.0 * (
+        nt + 1
+    )
+    corr = 1.0 - F.col("tie_sum").cast("double") / (
+        nt.cast("double") * nt * nt - nt
+    )
+    return t.crossJoin(F.broadcast(ties)).select(
+        "k",
+        "n_tot",
+        F.round(h_stat, 6).alias("h_stat"),
+        F.round(corr, 6).alias("tie_correction"),
+        F.round(h_stat / corr, 6).alias("h_corrected"),
+    )

@@ -2379,3 +2379,69 @@ def test_mmr_rerank_greedy_replay_and_diversity(spark, sf_dir):
         assert abs(row["msim"] - msim) < 1e-12
         assert abs(row["score"] - round(score, 6)) < 1e-9
     assert pdf["vec_id"].is_unique
+
+
+def test_kruskal_wallis_matches_numpy_replay(spark, sf_dir):
+    """kruskal_wallis equals a numpy midrank replay (scipy-free):
+    pooled average ranks, per-group rank sums, tie-corrected H."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import kruskal_wallis
+
+    row = kruskal_wallis(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64").to_numpy()
+    types = e["event_type"].to_numpy()
+    # midranks via argsort-free order statistics
+    uniq, inv, counts = np.unique(cents, return_inverse=True, return_counts=True)
+    cum_before = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    midrank = cum_before + (counts + 1) / 2.0
+    r = midrank[inv]
+    n = len(cents)
+    groups = {t: r[types == t] for t in np.unique(types)}
+    sum_grp = sum(float(g.sum()) ** 2 / len(g) for g in groups.values())
+    h = 12.0 / (n * (n + 1)) * sum_grp - 3.0 * (n + 1)
+    tie = float(((counts**3) - counts).sum())
+    corr = 1.0 - tie / (float(n) ** 3 - n)
+    assert row["k"] == len(groups) and row["n_tot"] == n
+    assert abs(row["h_stat"] - h) < 1e-4
+    assert abs(row["tie_correction"] - corr) < 1e-6  # 6-dp in-query round
+    assert abs(row["h_corrected"] - h / corr) < 1e-4
+
+
+def test_holt_winters_matches_python_replay(spark, sf_dir):
+    """holt_winters_forecast equals a pure-python replay of the
+    integer-shift triple-smoothing recursion for every event type."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.changepoint_ops import (
+        _HW_M,
+        holt_winters_forecast,
+    )
+
+    pdf = holt_winters_forecast(spark, sf_dir).toPandas()
+    e = load_table(spark, sf_dir, "events").toPandas()
+    daily = (
+        e.assign(day=e["ts"].dt.floor("D"))
+        .groupby(["event_type", "day"])
+        .size()
+        .reset_index(name="y")
+        .sort_values(["event_type", "day"])
+    )
+    for t, g in daily.groupby("event_type"):
+        y = g["y"].astype("int64").tolist()
+        l = int((sum(y[:_HW_M])) // 7) if sum(y[:_HW_M]) >= 0 else None
+        # floor of a non-negative integer sum / 7 == // 7
+        b = 0
+        s = [v - l for v in y[:_HW_M]]
+        for v in y[_HW_M:]:
+            s_old = s[0]
+            l_new = (v - s_old + l + b) >> 1
+            b = (l_new - l + b) >> 1
+            s = s[1:] + [(v - l_new + s_old) >> 1]
+            l = l_new
+        row = pdf[pdf["event_type"] == t].iloc[0]
+        assert row["n_days"] == len(y)
+        assert row["level"] == l and row["trend"] == b
+        assert row["next_season"] == s[0]
+        assert row["forecast_next"] == l + b + s[0]
