@@ -291,3 +291,74 @@ def good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(r_star / F.col("n_tokens") * 1e9).cast("long"),
         ).alias("p_gt_nano"),
     )
+
+
+# --------------------------------------------------------------------------
+# Discrete power-law exponent MLE over the user-activity distribution
+# --------------------------------------------------------------------------
+
+_PL_ORACLE = """
+WITH deg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS d
+  FROM events GROUP BY 1),
+h AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY 1),
+terms AS (
+  SELECT d, cnt,
+         CAST(round(ln(2.0 * d) * 1e6) AS BIGINT) AS log_micro
+  FROM h),
+t AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_users,
+         CAST(max(d) AS BIGINT) AS d_max,
+         CAST(sum(cnt * log_micro) AS BIGINT) AS logsum_micro
+  FROM terms)
+SELECT n_users, CAST(1 AS BIGINT) AS d_min, d_max,
+       round(1.0 + CAST(n_users AS DOUBLE) * 1e6 / logsum_micro, 6) AS alpha,
+       round((CAST(n_users AS DOUBLE) * 1e6 / logsum_micro)
+             / sqrt(CAST(n_users AS DOUBLE)), 6) AS alpha_se
+FROM t
+"""
+
+
+@register("powerlaw_alpha", oracle=_PL_ORACLE)
+def powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete power-law exponent MLE over the per-user activity
+    distribution: α = 1 + n·[Σ ln(d_i/(d_min − ½))]⁻¹ with d_min = 1
+    (Clauset-Shalizi-Newman continuous approximation) and its
+    asymptotic standard error (α−1)/√n — the heavy-tail diagnostic
+    beside zipf_fit (rank-frequency) and heaps_law (vocab growth),
+    here on BEHAVIORAL degrees: is user activity power-law enough to
+    need skew-aware partitioning?
+
+    Scale shape: per-user counts reduce to the O(distinct degrees)
+    count-of-count histogram; each distinct degree's log is
+    micro-rounded ONCE to BIGINT (1e-6 grain, the documented libm
+    pattern) and weighted by its exact count, so the log-sum is an
+    exact integer in both engines. |ln(2d)|·1e6 ≤ ~3.5e7 and the
+    weighted sum stays < 9.2e18 up to ~1e11 users.
+    """
+    e = load_table(spark, sf_dir, "events")
+    deg = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    h = deg.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    terms = h.select(
+        "d",
+        "cnt",
+        F.round(F.log(2.0 * F.col("d")) * 1e6).cast("long").alias("log_micro"),
+    )
+    t = terms.agg(
+        F.sum("cnt").cast("long").alias("n_users"),
+        F.max("d").cast("long").alias("d_max"),
+        F.sum(F.col("cnt") * F.col("log_micro")).cast("long").alias(
+            "logsum_micro"
+        ),
+    )
+    ratio = F.col("n_users").cast("double") * 1e6 / F.col("logsum_micro")
+    return t.select(
+        "n_users",
+        F.lit(1).cast("long").alias("d_min"),
+        "d_max",
+        F.round(1.0 + ratio, 6).alias("alpha"),
+        F.round(ratio / F.sqrt(F.col("n_users").cast("double")), 6).alias(
+            "alpha_se"
+        ),
+    )

@@ -790,3 +790,225 @@ def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(corr, 6).alias("tie_correction"),
         F.round(h_stat / corr, 6).alias("h_corrected"),
     )
+
+
+# --------------------------------------------------------------------------
+# Friedman test (rank-based repeated-measures ANOVA over day blocks)
+# --------------------------------------------------------------------------
+
+_FRIEDMAN_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2),
+kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM daily),
+blocks AS (
+  SELECT day FROM daily GROUP BY 1
+  HAVING count(*) = (SELECT k FROM kk)),
+cells AS (
+  SELECT d.day, d.event_type, CAST(d.s AS DOUBLE) / d.n AS m
+  FROM daily d JOIN blocks b ON d.day = b.day),
+ranked AS (
+  SELECT day, event_type,
+         CAST(2 * rank() OVER (PARTITION BY day ORDER BY m)
+              + count(*) OVER (PARTITION BY day, m) - 1 AS BIGINT) AS r2
+  FROM cells),
+rs AS (
+  SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2_sum,
+         CAST(count(*) AS BIGINT) AS n_blocks
+  FROM ranked GROUP BY 1),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(any_value(n_blocks) AS BIGINT) AS n,
+         CAST(sum(r2_sum * r2_sum) AS BIGINT) AS ssr2
+  FROM rs),
+q AS (
+  SELECT k, n,
+         3.0 * ssr2 / (CAST(n AS DOUBLE) * k * (k + 1)) - 3.0 * n * (k + 1)
+           AS q_stat
+  FROM t)
+SELECT rs.event_type, rs.n_blocks,
+       round(CAST(rs.r2_sum AS DOUBLE) / (2 * rs.n_blocks), 6) AS mean_rank,
+       round(q.q_stat, 6) AS q_stat,
+       round(q.q_stat / (CAST(q.n AS DOUBLE) * (q.k - 1)), 6) AS kendall_w
+FROM rs CROSS JOIN q
+"""
+
+
+@register("friedman_test", oracle=_FRIEDMAN_ORACLE)
+def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: within each complete day block, rank the event
+    types by mean value (average midranks on ties, carried as the
+    exact integer 2·rank + ties − 1); the chi-square statistic
+    Q = 12/(nk(k+1))·ΣR_j² − 3n(k+1) and Kendall's W = Q/(n(k−1))
+    concordance — the repeated-measures sibling of kruskal_wallis
+    (blocks remove the day effect the pooled test ignores).
+
+    Scale shape: one fact-scale map-side-combinable (day, type)
+    aggregate; ranking happens per day over k=5 rows (bounded
+    partitions), and all rank sums are exact BIGINT. The day means
+    enter the per-block ORDER BY as doubles built by one IEEE
+    division of exact ints — identical in both engines, so ranks and
+    tie groups match exactly.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("s"),
+    )
+    k_all = daily.agg(
+        F.countDistinct("event_type").cast("long").alias("k")
+    )
+    blocks = (
+        daily.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(k_all))
+        .filter(F.col("c") == F.col("k"))
+        .select("day")
+    )
+    cells = daily.join(blocks, "day").select(
+        "day", "event_type", (F.col("s").cast("double") / F.col("n")).alias("m")
+    )
+    rw = Window.partitionBy("day").orderBy("m")
+    tw = Window.partitionBy("day", "m")
+    ranked = cells.select(
+        "day",
+        "event_type",
+        (2 * F.rank().over(rw) + F.count(F.lit(1)).over(tw) - 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    rs = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("r2_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    t = rs.coalesce(1).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.any_value("n_blocks").cast("long").alias("n"),
+        F.sum(F.col("r2_sum") * F.col("r2_sum")).cast("long").alias("ssr2"),
+    )
+    kq, nq = F.col("k"), F.col("n")
+    q = t.select(
+        "k",
+        "n",
+        (
+            3.0 * F.col("ssr2") / (nq.cast("double") * kq * (kq + 1))
+            - 3.0 * nq * (kq + 1)
+        ).alias("q_stat"),
+    )
+    return rs.crossJoin(F.broadcast(q)).select(
+        "event_type",
+        "n_blocks",
+        F.round(
+            F.col("r2_sum").cast("double") / (2 * F.col("n_blocks")), 6
+        ).alias("mean_rank"),
+        F.round(F.col("q_stat"), 6).alias("q_stat"),
+        F.round(
+            F.col("q_stat") / (F.col("n").cast("double") * (F.col("k") - 1)), 6
+        ).alias("kendall_w"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 1-D Wasserstein (earth mover's) distance between value distributions
+# --------------------------------------------------------------------------
+
+_W1_A = "purchase"
+_W1_B = "click"
+
+_W1_ORACLE = f"""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('{_W1_A}', '{_W1_B}')),
+h AS (
+  SELECT cents,
+         CAST(sum(CASE WHEN event_type = '{_W1_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN event_type = '{_W1_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM v GROUP BY 1),
+cum AS (
+  SELECT cents,
+         CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+         CAST(sum(cb) OVER w AS BIGINT) AS cum_b,
+         CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+         CAST(sum(cb) OVER () AS BIGINT) AS n_b,
+         lead(cents) OVER (ORDER BY cents) AS next_cents
+  FROM h
+  WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)),
+terms AS (
+  SELECT n_a, n_b,
+         CAST(round(abs(CAST(cum_a AS DOUBLE) / n_a
+                        - CAST(cum_b AS DOUBLE) / n_b)
+                    * (next_cents - cents) * 1e6) AS BIGINT) AS term_micro
+  FROM cum WHERE next_cents IS NOT NULL)
+SELECT CAST(any_value(n_a) AS BIGINT) AS n_a,
+       CAST(any_value(n_b) AS BIGINT) AS n_b,
+       CAST(count(*) AS BIGINT) AS n_grid,
+       CAST(sum(term_micro) AS BIGINT) / 1e6 / 100.0 AS w1_dollars
+FROM terms
+"""
+
+
+@register("wasserstein_1d", oracle=_W1_ORACLE)
+def wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth mover's) distance between the
+    '{a}' and '{b}' value distributions: ∫|F_A − F_B| over the value
+    axis, evaluated exactly on the merged distinct-value grid — the
+    transport-cost drift metric that, unlike KS (max gap) or PSI
+    (binned), weighs HOW FAR mass moved, in dollars.
+
+    Scale shape: one conditional-count histogram pass over the fact
+    rows, then cumsums and one lead() on the O(distinct values)
+    frame. Each grid term |ΔF|·gap is micro-rounded ONCE to BIGINT
+    (per-term doubles are IEEE-identical in both engines) and summed
+    exactly, so the distance itself hash-matches the oracle.
+    """.format(a=_W1_A, b=_W1_B)
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type").isin(_W1_A, _W1_B)).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    h = v.groupBy("cents").agg(
+        F.sum((F.col("event_type") == _W1_A).cast("long"))
+        .cast("long")
+        .alias("ca"),
+        F.sum((F.col("event_type") == _W1_B).cast("long"))
+        .cast("long")
+        .alias("cb"),
+    )
+    cw = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = h.select(
+        "cents",
+        F.sum("ca").over(cw).cast("long").alias("cum_a"),
+        F.sum("cb").over(cw).cast("long").alias("cum_b"),
+        F.sum("ca").over(wall).cast("long").alias("n_a"),
+        F.sum("cb").over(wall).cast("long").alias("n_b"),
+        F.lead("cents").over(Window.orderBy("cents")).alias("next_cents"),
+    )
+    terms = cum.filter(F.col("next_cents").isNotNull()).select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.abs(
+                F.col("cum_a").cast("double") / F.col("n_a")
+                - F.col("cum_b").cast("double") / F.col("n_b")
+            )
+            * (F.col("next_cents") - F.col("cents"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("term_micro"),
+    )
+    return terms.agg(
+        F.any_value("n_a").cast("long").alias("n_a"),
+        F.any_value("n_b").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_grid"),
+        (F.sum("term_micro").cast("long") / 1e6 / 100.0).alias("w1_dollars"),
+    )

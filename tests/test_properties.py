@@ -2445,3 +2445,90 @@ def test_holt_winters_matches_python_replay(spark, sf_dir):
         assert row["level"] == l and row["trend"] == b
         assert row["next_season"] == s[0]
         assert row["forecast_next"] == l + b + s[0]
+
+
+def test_friedman_matches_pandas_replay(spark, sf_dir):
+    """friedman_test equals a pandas replay: per-complete-day average
+    midranks of type means, rank sums, Q and Kendall's W."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import friedman_test
+
+    pdf = friedman_test(spark, sf_dir).toPandas()
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    d = e.assign(cents=cents, day=e["ts"].dt.floor("D"))
+    daily = (
+        d.groupby(["day", "event_type"])["cents"]
+        .agg(["sum", "count"])
+        .reset_index()
+    )
+    daily["m"] = daily["sum"] / daily["count"]
+    k = daily["event_type"].nunique()
+    complete = daily.groupby("day")["event_type"].transform("size") == k
+    cells = daily[complete]
+    ranks = cells.groupby("day")["m"].rank(method="average")
+    cells = cells.assign(r=ranks)
+    rs = cells.groupby("event_type")["r"].agg(["sum", "count"])
+    n = int(rs["count"].iloc[0])
+    ssr = float((rs["sum"] ** 2).sum())
+    q = 12.0 / (n * k * (k + 1)) * ssr - 3.0 * n * (k + 1)
+    w = q / (n * (k - 1))
+    for r in pdf.itertuples():
+        assert r.n_blocks == n
+        assert abs(r.mean_rank - rs.loc[r.event_type, "sum"] / n) < 1e-6
+        assert abs(r.q_stat - q) < 1e-4
+        assert abs(r.kendall_w - w) < 1e-6
+
+
+def test_wasserstein_1d_matches_numpy_replay(spark, sf_dir):
+    """wasserstein_1d approximates the exact numpy W1 (micro-rounded
+    grid terms => 1e-6-cent grain per term) and is symmetric-positive."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        _W1_A,
+        _W1_B,
+        wasserstein_1d,
+    )
+
+    row = wasserstein_1d(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    a = np.sort(cents[e["event_type"] == _W1_A].to_numpy())
+    b = np.sort(cents[e["event_type"] == _W1_B].to_numpy())
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    gaps = np.diff(grid)
+    w1 = float((np.abs(fa - fb)[:-1] * gaps).sum()) / 100.0
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert row["n_grid"] == len(grid) - 1
+    # per-term 1e-6 rounding => error bound n_grid * 5e-7 cents
+    assert abs(row["w1_dollars"] - w1) < len(grid) * 5e-9 + 1e-9
+    assert row["w1_dollars"] > 0
+
+
+def test_powerlaw_alpha_matches_numpy_replay(spark, sf_dir):
+    """powerlaw_alpha equals the CSN continuous-approximation MLE
+    replayed in numpy at micro-log grain, with alpha > 1."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.distribution_fits import (
+        powerlaw_alpha,
+    )
+
+    row = powerlaw_alpha(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    d = e.groupby("user_id").size().to_numpy()
+    n = len(d)
+    logsum = np.log(2.0 * d).sum()
+    alpha = 1.0 + n / logsum
+    assert row["n_users"] == n
+    assert row["d_min"] == 1 and row["d_max"] == d.max()
+    assert abs(row["alpha"] - alpha) < 1e-5
+    assert abs(row["alpha_se"] - (alpha - 1) / np.sqrt(n)) < 1e-5
+    assert row["alpha"] > 1
