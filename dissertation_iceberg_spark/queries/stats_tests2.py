@@ -1012,3 +1012,309 @@ def wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_grid"),
         (F.sum("term_micro").cast("long") / 1e6 / 100.0).alias("w1_dollars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Propensity-score matching: ATT of error exposure on purchase spend
+# --------------------------------------------------------------------------
+
+_PSM_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS score,
+         CAST(CASE WHEN 5 * sum(CASE WHEN event_type = 'error'
+                                       THEN 1 ELSE 0 END) > count(*)
+                   THEN 1 ELSE 0 END AS BIGINT) AS treated,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+strata AS (
+  SELECT score,
+         CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(sum(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT) AS sc,
+         CAST(sum(treated) AS BIGINT) AS nt
+  FROM u GROUP BY 1),
+nbr AS (
+  SELECT score, nc, sc, nt,
+         last_value(CASE WHEN nc > 0 THEN score END IGNORE NULLS)
+           OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS prev_c,
+         first_value(CASE WHEN nc > 0 THEN score END IGNORE NULLS)
+           OVER (ORDER BY score ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS next_c
+  FROM strata),
+match AS (
+  SELECT score, nt,
+         CASE
+           WHEN prev_c IS NULL THEN next_c
+           WHEN next_c IS NULL THEN prev_c
+           WHEN score - prev_c <= next_c - score THEN prev_c
+           ELSE next_c
+         END AS m_score
+  FROM nbr WHERE nt > 0),
+matched AS (
+  SELECT m.score, m.nt, m.m_score, s.nc AS m_nc, s.sc AS m_sc
+  FROM match m JOIN strata s ON s.score = m.m_score),
+terms AS (
+  SELECT t.user_id, t.y, m.m_score, m.m_nc, m.m_sc,
+         abs(t.score - m.m_score) AS gap,
+         CAST(round((t.y - CAST(m.m_sc AS DOUBLE) / m.m_nc) * 1e2)
+              AS BIGINT) AS att_term
+  FROM u t JOIN matched m ON t.score = m.score
+  WHERE t.treated = 1),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_treated,
+         CAST(sum(att_term) AS BIGINT) AS att_sum,
+         CAST(sum(gap) AS BIGINT) AS gap_sum,
+         CAST(sum(y) AS BIGINT) AS y_sum
+  FROM terms),
+ctl AS (
+  SELECT CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_controls
+  FROM u)
+SELECT a.n_treated, c.n_controls,
+       round(CAST(a.att_sum AS DOUBLE) / a.n_treated / 1e4, 6)
+         AS att_dollars,
+       round(CAST(a.y_sum AS DOUBLE) / a.n_treated / 100.0, 6)
+         AS mean_treated_dollars,
+       round(CAST(a.gap_sum AS DOUBLE) / a.n_treated, 6) AS mean_score_gap
+FROM agg a CROSS JOIN ctl c
+"""
+
+
+@register("psm_att", oracle=_PSM_ORACLE)
+def psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score matching: the average treatment effect on the
+    treated (ATT) of heavy error exposure (error share > 1/5) on
+    purchase spend, matching each treated user to the nearest-activity-score
+    control stratum with replacement (ties toward the lower score),
+    the control outcome being the stratum mean — the workhorse
+    observational-causal estimator beside cuped_adjustment and
+    diff_in_diff.
+
+    Scale shape: users reduce to (score, treated) strata in one pass;
+    nearest-control matching is a masked ffill/bfill over the
+    O(distinct scores) frame (the W2 adjacent-direction machinery —
+    NOT a pairwise distance join), and each treated user contributes
+    one micro-rounded exact term to the ATT sum. Determinism: stratum
+    means are single IEEE divisions of exact BIGINTs; matching ties
+    break toward the earlier score.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("score"),
+        (
+            5 * F.sum((F.col("event_type") == "error").cast("long"))
+            > F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("treated"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    strata = u.groupBy("score").agg(
+        F.sum((F.col("treated") == 0).cast("long")).cast("long").alias("nc"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sc"),
+        F.sum("treated").cast("long").alias("nt"),
+    )
+    prevw = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    nextw = Window.orderBy("score").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    ctl_score = F.when(F.col("nc") > 0, F.col("score"))
+    nbr = strata.select(
+        "score",
+        "nc",
+        "sc",
+        "nt",
+        F.last(ctl_score, ignorenulls=True).over(prevw).alias("prev_c"),
+        F.first(ctl_score, ignorenulls=True).over(nextw).alias("next_c"),
+    )
+    m_score = (
+        F.when(F.col("prev_c").isNull(), F.col("next_c"))
+        .when(F.col("next_c").isNull(), F.col("prev_c"))
+        .when(
+            F.col("score") - F.col("prev_c") <= F.col("next_c") - F.col("score"),
+            F.col("prev_c"),
+        )
+        .otherwise(F.col("next_c"))
+    )
+    match = nbr.filter(F.col("nt") > 0).select(
+        "score", m_score.alias("m_score")
+    )
+    matched = match.join(
+        strata.select(
+            F.col("score").alias("m_score"),
+            F.col("nc").alias("m_nc"),
+            F.col("sc").alias("m_sc"),
+        ),
+        "m_score",
+    )
+    terms = u.filter(F.col("treated") == 1).join(
+        F.broadcast(matched), "score"
+    ).select(
+        "y",
+        F.abs(F.col("score") - F.col("m_score")).alias("gap"),
+        F.round(
+            (F.col("y") - F.col("m_sc").cast("double") / F.col("m_nc")) * 1e2
+        )
+        .cast("long")
+        .alias("att_term"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_treated"),
+        F.sum("att_term").cast("long").alias("att_sum"),
+        F.sum("gap").cast("long").alias("gap_sum"),
+        F.sum("y").cast("long").alias("y_sum"),
+    )
+    ctl = u.agg(
+        F.sum((F.col("treated") == 0).cast("long"))
+        .cast("long")
+        .alias("n_controls")
+    )
+    return agg.crossJoin(F.broadcast(ctl)).select(
+        "n_treated",
+        "n_controls",
+        F.round(
+            F.col("att_sum").cast("double") / F.col("n_treated") / 1e4, 6
+        ).alias("att_dollars"),
+        F.round(
+            F.col("y_sum").cast("double") / F.col("n_treated") / 100.0, 6
+        ).alias("mean_treated_dollars"),
+        F.round(F.col("gap_sum").cast("double") / F.col("n_treated"), 6).alias(
+            "mean_score_gap"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Regression discontinuity: ship-delay jump at an order-value cutoff
+# --------------------------------------------------------------------------
+
+_RDD_CUTOFF = 250_000  # dollars, running variable o_totalprice
+_RDD_BW = 50_000  # local-linear bandwidth (dollars)
+
+
+def _rdd_side_sql(name: str, cond: str) -> str:
+    return f"""
+{name} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pts WHERE {cond})"""
+
+
+_RDD_ORACLE = f"""
+WITH pts AS (
+  SELECT CAST(round(o.o_totalprice) AS BIGINT) - {_RDD_CUTOFF} AS x,
+         CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS y
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_totalprice >= {_RDD_CUTOFF - _RDD_BW}
+    AND o.o_totalprice < {_RDD_CUTOFF + _RDD_BW}),
+{_rdd_side_sql("lft", "x < 0")},
+{_rdd_side_sql("rgt", "x >= 0")},
+fit AS (
+  SELECT l.n AS n_left, r.n AS n_right,
+    (CAST(l.sy AS DOUBLE) * l.sxx - CAST(l.sx AS DOUBLE) * l.sxy)
+      / (CAST(l.n AS DOUBLE) * l.sxx - CAST(l.sx AS DOUBLE) * l.sx) AS b0_l,
+    (CAST(l.n AS DOUBLE) * l.sxy - CAST(l.sx AS DOUBLE) * l.sy)
+      / (CAST(l.n AS DOUBLE) * l.sxx - CAST(l.sx AS DOUBLE) * l.sx) AS b1_l,
+    (CAST(r.sy AS DOUBLE) * r.sxx - CAST(r.sx AS DOUBLE) * r.sxy)
+      / (CAST(r.n AS DOUBLE) * r.sxx - CAST(r.sx AS DOUBLE) * r.sx) AS b0_r,
+    (CAST(r.n AS DOUBLE) * r.sxy - CAST(r.sx AS DOUBLE) * r.sy)
+      / (CAST(r.n AS DOUBLE) * r.sxx - CAST(r.sx AS DOUBLE) * r.sx) AS b1_r
+  FROM lft l CROSS JOIN rgt r)
+SELECT CAST({_RDD_CUTOFF} AS BIGINT) AS cutoff_dollars,
+       n_left, n_right,
+       round(b0_l, 6) AS intercept_left,
+       round(b0_r, 6) AS intercept_right,
+       round(b0_r - b0_l, 6) AS rdd_effect_days,
+       round(b1_l * 1e4, 6) AS slope_left_per_10k,
+       round(b1_r * 1e4, 6) AS slope_right_per_10k
+FROM fit
+"""
+
+
+@register("rdd_estimate", oracle=_RDD_ORACLE)
+def rdd_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate: the jump in mean ship
+    delay at the ${c:,} order-value cutoff, from two local-linear fits
+    (one each side) inside a ±${bw:,} bandwidth — the boundary-design
+    causal estimator completing the observational family
+    (cuped_adjustment, diff_in_diff, psm_att).
+
+    Scale shape: one orders⇄lineitem equi-join restricted by a
+    bandwidth predicate that pushes to the orders scan, then TWO
+    5-counter exact-BIGINT Gram reductions (the A18 pattern,
+    operators/regression.py) — x quantized to whole dollars so
+    Σx² ≤ 2.5e9 per row holds BIGINT headroom to ~1e9 in-band rows.
+    The closed-form intercepts/slopes are identically-shaped IEEE
+    doubles evaluated once on the 1-row frame.
+    """.format(c=_RDD_CUTOFF, bw=_RDD_BW)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    band = o.filter(
+        (F.col("o_totalprice") >= _RDD_CUTOFF - _RDD_BW)
+        & (F.col("o_totalprice") < _RDD_CUTOFF + _RDD_BW)
+    ).select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.round(F.col("o_totalprice")).cast("long") - _RDD_CUTOFF).alias("x"),
+    )
+    pts = li.join(band, li["l_orderkey"] == band["o_orderkey"]).select(
+        "x",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("y"),
+    )
+
+    def side(cond, tag):
+        return pts.filter(cond).agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+            F.sum("x").cast("long").alias(f"sx_{tag}"),
+            F.sum("y").cast("long").alias(f"sy_{tag}"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias(f"sxx_{tag}"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias(f"sxy_{tag}"),
+        )
+
+    lft = side(F.col("x") < 0, "l")
+    rgt = side(F.col("x") >= 0, "r")
+
+    def b0(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        sx = F.col(f"sx_{tag}").cast("double")
+        return (
+            F.col(f"sy_{tag}").cast("double") * F.col(f"sxx_{tag}")
+            - sx * F.col(f"sxy_{tag}")
+        ) / (n * F.col(f"sxx_{tag}") - sx * F.col(f"sx_{tag}"))
+
+    def b1(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        sx = F.col(f"sx_{tag}").cast("double")
+        return (
+            n * F.col(f"sxy_{tag}") - sx * F.col(f"sy_{tag}")
+        ) / (n * F.col(f"sxx_{tag}") - sx * F.col(f"sx_{tag}"))
+
+    return lft.crossJoin(F.broadcast(rgt)).select(
+        F.lit(_RDD_CUTOFF).cast("long").alias("cutoff_dollars"),
+        F.col("n_l").alias("n_left"),
+        F.col("n_r").alias("n_right"),
+        F.round(b0("l"), 6).alias("intercept_left"),
+        F.round(b0("r"), 6).alias("intercept_right"),
+        F.round(b0("r") - b0("l"), 6).alias("rdd_effect_days"),
+        F.round(b1("l") * 1e4, 6).alias("slope_left_per_10k"),
+        F.round(b1("r") * 1e4, 6).alias("slope_right_per_10k"),
+    )

@@ -2532,3 +2532,105 @@ def test_powerlaw_alpha_matches_numpy_replay(spark, sf_dir):
     assert abs(row["alpha"] - alpha) < 1e-5
     assert abs(row["alpha_se"] - (alpha - 1) / np.sqrt(n)) < 1e-5
     assert row["alpha"] > 1
+
+
+def test_psm_att_matches_pandas_replay(spark, sf_dir):
+    """psm_att equals a pandas replay of nearest-score stratum
+    matching with replacement (ties toward the lower score)."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import psm_att
+
+    row = psm_att(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    d = e.assign(cents=cents)
+    u = d.groupby("user_id").agg(
+        score=("event_type", "size"),
+        n_err=("event_type", lambda s: int((s == "error").sum())),
+    )
+    u["treated"] = (5 * u["n_err"] > u["score"]).astype(int)
+    y = (
+        d[d["event_type"] == "purchase"].groupby("user_id")["cents"].sum()
+    )
+    u["y"] = y.reindex(u.index).fillna(0).astype("int64")
+    ctrl = u[u["treated"] == 0]
+    strat = ctrl.groupby("score")["y"].agg(["sum", "count"])
+    c_scores = np.sort(strat.index.to_numpy())
+    treated = u[u["treated"] == 1]
+    terms, gaps = [], []
+    for s, yt in zip(treated["score"], treated["y"]):
+        pos = np.searchsorted(c_scores, s)
+        prev_c = c_scores[pos - 1] if pos > 0 else None
+        # bisect: c_scores[pos] >= s; equal counts as prev (<=)
+        if pos < len(c_scores) and c_scores[pos] == s:
+            prev_c = s
+        next_c = (
+            c_scores[pos]
+            if pos < len(c_scores)
+            else None
+        )
+        if prev_c is None:
+            m = next_c
+        elif next_c is None:
+            m = prev_c
+        elif s - prev_c <= next_c - s:
+            m = prev_c
+        else:
+            m = next_c
+        mc = strat.loc[m]
+        terms.append(round((yt - mc["sum"] / mc["count"]) * 1e2))
+        gaps.append(abs(s - m))
+    att = sum(terms) / len(terms) / 1e4
+    assert row["n_treated"] == len(treated)
+    assert row["n_controls"] == len(ctrl)
+    assert abs(row["att_dollars"] - att) < 1e-5
+    assert abs(row["mean_score_gap"] - np.mean(gaps)) < 1e-6
+    assert abs(
+        row["mean_treated_dollars"] - treated["y"].mean() / 100.0
+    ) < 1e-5
+
+
+def test_rdd_estimate_matches_numpy_replay(spark, sf_dir):
+    """rdd_estimate equals numpy lstsq local-linear fits on each side
+    of the cutoff, and the effect is the intercept difference."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        _RDD_BW,
+        _RDD_CUTOFF,
+        rdd_estimate,
+    )
+
+    row = rdd_estimate(spark, sf_dir).toPandas().iloc[0]
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    band = o[
+        (o["o_totalprice"] >= _RDD_CUTOFF - _RDD_BW)
+        & (o["o_totalprice"] < _RDD_CUTOFF + _RDD_BW)
+    ]
+    m = li.merge(band, left_on="l_orderkey", right_on="o_orderkey")
+    x = (
+        np.floor(m["o_totalprice"] + 0.5).astype("int64") - _RDD_CUTOFF
+    ).to_numpy()
+    y = (
+        (m["l_shipdate"].dt.floor("D") - m["o_orderdate"].dt.floor("D"))
+        .dt.days.astype("int64")
+        .to_numpy()
+    )
+
+    def fit(mask):
+        A = np.vstack([np.ones(mask.sum()), x[mask]]).T
+        b, *_ = np.linalg.lstsq(A, y[mask].astype("float64"), rcond=None)
+        return b  # [intercept, slope]
+
+    bl, br = fit(x < 0), fit(x >= 0)
+    assert row["n_left"] == (x < 0).sum()
+    assert row["n_right"] == (x >= 0).sum()
+    assert abs(row["intercept_left"] - bl[0]) < 1e-4
+    assert abs(row["intercept_right"] - br[0]) < 1e-4
+    assert abs(row["rdd_effect_days"] - (br[0] - bl[0])) < 1e-4
+    assert abs(row["slope_left_per_10k"] - bl[1] * 1e4) < 1e-3
+    assert abs(row["slope_right_per_10k"] - br[1] * 1e4) < 1e-3
