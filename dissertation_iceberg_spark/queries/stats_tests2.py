@@ -1318,3 +1318,265 @@ def rdd_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b1("l") * 1e4, 6).alias("slope_left_per_10k"),
         F.round(b1("r") * 1e4, 6).alias("slope_right_per_10k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dunn post-hoc pairwise rank test (follows kruskal_wallis)
+# --------------------------------------------------------------------------
+
+_DUNN_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+gh AS (
+  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt_g
+  FROM v GROUP BY 1, 2),
+h AS (
+  SELECT cents, CAST(sum(cnt_g) AS BIGINT) AS cnt FROM gh GROUP BY 1),
+r2 AS (
+  SELECT cents, cnt,
+         2 * CAST(coalesce(sum(cnt) OVER (ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           + cnt + 1 AS rank2
+  FROM h),
+g AS (
+  SELECT gh.event_type,
+         CAST(sum(gh.cnt_g) AS BIGINT) AS n,
+         CAST(sum(gh.cnt_g * r2.rank2) AS BIGINT) AS s2
+  FROM gh JOIN r2 ON gh.cents = r2.cents GROUP BY 1),
+ties AS (
+  SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum FROM h),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM g),
+vv AS (
+  SELECT t.n_tot,
+         (CAST(t.n_tot AS DOUBLE) * (t.n_tot + 1) / 12.0
+          - CAST(ties.tie_sum AS DOUBLE) / (12.0 * (t.n_tot - 1))) AS var_base
+  FROM t CROSS JOIN ties)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       a.n AS n_a, b.n AS n_b,
+       round(CAST(a.s2 AS DOUBLE) / (2 * a.n), 6) AS mean_rank_a,
+       round(CAST(b.s2 AS DOUBLE) / (2 * b.n), 6) AS mean_rank_b,
+       round((CAST(a.s2 AS DOUBLE) / (2 * a.n)
+              - CAST(b.s2 AS DOUBLE) / (2 * b.n))
+             / sqrt(v.var_base * (1.0 / a.n + 1.0 / b.n)), 6) AS z_stat
+FROM g a JOIN g b ON a.event_type < b.event_type CROSS JOIN vv v
+"""
+
+
+@register("dunn_posthoc", oracle=_DUNN_ORACLE)
+def dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc test: pairwise mean-rank z statistics (with
+    the pooled tie-corrected variance N(N+1)/12 − Σ(t³−t)/(12(N−1)))
+    for every event-type pair — the rank-based follow-up to
+    kruskal_wallis, exactly as tukey_hsd follows one_way_anova.
+
+    Scale shape: identical to kruskal_wallis — midranks and tie sums
+    come off the distinct-value histogram as exact 2x-scaled BIGINTs,
+    pair math runs on the O(k) group frame with the 1-row variance
+    broadcast onto it. No row-scale sort anywhere.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    gh = v.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_g")
+    )
+    h = gh.groupBy("cents").agg(F.sum("cnt_g").cast("long").alias("cnt"))
+    cw = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    r2 = h.select(
+        "cents",
+        (
+            2 * F.coalesce(F.sum("cnt").over(cw), F.lit(0))
+            + F.col("cnt")
+            + 1
+        )
+        .cast("long")
+        .alias("rank2"),
+    )
+    g = (
+        gh.join(r2, "cents")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt_g").cast("long").alias("n"),
+            F.sum(F.col("cnt_g") * F.col("rank2")).cast("long").alias("s2"),
+        )
+    )
+    ties = h.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie_sum")
+    )
+    t = g.agg(F.sum("n").cast("long").alias("n_tot"))
+    vv = t.crossJoin(F.broadcast(ties)).select(
+        "n_tot",
+        (
+            F.col("n_tot").cast("double") * (F.col("n_tot") + 1) / 12.0
+            - F.col("tie_sum").cast("double") / (12.0 * (F.col("n_tot") - 1))
+        ).alias("var_base"),
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    mra = F.col("s2_a").cast("double") / (2 * F.col("n_a"))
+    mrb = F.col("s2_b").cast("double") / (2 * F.col("n_b"))
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.round(mra, 6).alias("mean_rank_a"),
+            F.round(mrb, 6).alias("mean_rank_b"),
+            F.round(
+                (mra - mrb)
+                / F.sqrt(
+                    F.col("var_base")
+                    * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+                ),
+                6,
+            ).alias("z_stat"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Effect-size battery: Cohen's d, Hedges' g, Cliff's delta
+# --------------------------------------------------------------------------
+
+_ES_ORACLE = f"""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('{_GRP_A}', '{_GRP_B}')),
+h AS (
+  SELECT cents,
+         CAST(sum(CASE WHEN event_type = '{_GRP_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN event_type = '{_GRP_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM v GROUP BY 1),
+cum AS (
+  SELECT cents, ca, cb,
+         CAST(coalesce(sum(cb) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS b_below,
+         CAST(coalesce(sum(cb) OVER (ORDER BY cents DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS b_above
+  FROM h),
+cliff AS (
+  SELECT CAST(sum(ca * b_below) AS BIGINT) AS n_gt,
+         CAST(sum(ca * b_above) AS BIGINT) AS n_lt
+  FROM cum),
+s AS (
+  SELECT
+    CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(ca * cents) AS BIGINT) AS s1,
+    CAST(sum(ca * cents * cents) AS BIGINT) AS ss1,
+    CAST(sum(cb) AS BIGINT) AS n2, CAST(sum(cb * cents) AS BIGINT) AS s2,
+    CAST(sum(cb * cents * cents) AS BIGINT) AS ss2
+  FROM h),
+k AS (
+  SELECT *,
+    (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) AS css1,
+    (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) AS css2,
+    CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS md
+  FROM s)
+SELECT n1, n2,
+  round(md / sqrt((css1 + css2) / (n1 + n2 - 2)), 6) AS cohens_d,
+  round(md / sqrt((css1 + css2) / (n1 + n2 - 2))
+        * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS hedges_g,
+  round((CAST(c.n_gt AS DOUBLE) - c.n_lt)
+        / (CAST(n1 AS DOUBLE) * n2), 6) AS cliffs_delta
+FROM k CROSS JOIN cliff c
+"""
+
+
+@register("effect_sizes", oracle=_ES_ORACLE)
+def effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect-size battery for the '{a}' vs '{b}' value comparison:
+    Cohen's d (pooled-SD standardized mean difference), Hedges' g
+    (small-sample bias correction 1 − 3/(4N−9)), and Cliff's delta
+    (the rank dominance statistic P(a>b) − P(a<b)) — the magnitude
+    readouts that accompany welch_ttest's significance (a huge N makes
+    tiny effects 'significant'; these say whether anyone should care).
+
+    Scale shape: one conditional histogram pass; Cliff's delta counts
+    come from EXACT cross-tabulated cumsums on the distinct-value
+    frame (Σ ca·cb_below — no pairwise join), and the moment effect
+    sizes reuse the exact BIGINT power sums. All doubles evaluate
+    once on the final 1-row frame.
+    """.format(a=_GRP_A, b=_GRP_B)
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type").isin(_GRP_A, _GRP_B)).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    h = v.groupBy("cents").agg(
+        F.sum((F.col("event_type") == _GRP_A).cast("long"))
+        .cast("long")
+        .alias("ca"),
+        F.sum((F.col("event_type") == _GRP_B).cast("long"))
+        .cast("long")
+        .alias("cb"),
+    )
+    up = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    dn = Window.orderBy(F.desc("cents")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = h.select(
+        "cents",
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(up), F.lit(0)).cast("long").alias(
+            "b_below"
+        ),
+        F.coalesce(F.sum("cb").over(dn), F.lit(0)).cast("long").alias(
+            "b_above"
+        ),
+    )
+    cliff = cum.agg(
+        F.sum(F.col("ca") * F.col("b_below")).cast("long").alias("n_gt"),
+        F.sum(F.col("ca") * F.col("b_above")).cast("long").alias("n_lt"),
+    )
+    s = h.agg(
+        F.sum("ca").cast("long").alias("n1"),
+        F.sum(F.col("ca") * F.col("cents")).cast("long").alias("s1"),
+        F.sum(F.col("ca") * F.col("cents") * F.col("cents"))
+        .cast("long")
+        .alias("ss1"),
+        F.sum("cb").cast("long").alias("n2"),
+        F.sum(F.col("cb") * F.col("cents")).cast("long").alias("s2"),
+        F.sum(F.col("cb") * F.col("cents") * F.col("cents"))
+        .cast("long")
+        .alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    css1 = F.col("ss1").cast("double") - F.col("s1").cast("double") * F.col(
+        "s1"
+    ) / n1
+    css2 = F.col("ss2").cast("double") - F.col("s2").cast("double") * F.col(
+        "s2"
+    ) / n2
+    md = F.col("s1").cast("double") / n1 - F.col("s2").cast("double") / n2
+    d = md / F.sqrt((css1 + css2) / (n1 + n2 - 2))
+    return s.crossJoin(F.broadcast(cliff)).select(
+        "n1",
+        "n2",
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6).alias(
+            "hedges_g"
+        ),
+        F.round(
+            (F.col("n_gt").cast("double") - F.col("n_lt"))
+            / (n1.cast("double") * n2),
+            6,
+        ).alias("cliffs_delta"),
+    )

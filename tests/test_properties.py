@@ -2634,3 +2634,71 @@ def test_rdd_estimate_matches_numpy_replay(spark, sf_dir):
     assert abs(row["rdd_effect_days"] - (br[0] - bl[0])) < 1e-4
     assert abs(row["slope_left_per_10k"] - bl[1] * 1e4) < 1e-3
     assert abs(row["slope_right_per_10k"] - br[1] * 1e4) < 1e-3
+
+
+def test_dunn_posthoc_matches_numpy_replay(spark, sf_dir):
+    """dunn_posthoc z statistics equal a numpy midrank replay with
+    the tie-corrected pooled variance."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import dunn_posthoc
+
+    pdf = dunn_posthoc(spark, sf_dir).toPandas()
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64").to_numpy()
+    types = e["event_type"].to_numpy()
+    uniq, inv, counts = np.unique(
+        cents, return_inverse=True, return_counts=True
+    )
+    cum_before = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    midrank = cum_before + (counts + 1) / 2.0
+    r = midrank[inv]
+    n = len(cents)
+    tie = float(((counts**3) - counts).sum())
+    var_base = n * (n + 1) / 12.0 - tie / (12.0 * (n - 1))
+    groups = {t: r[types == t] for t in np.unique(types)}
+    k = len(groups)
+    assert len(pdf) == k * (k - 1) // 2
+    for row in pdf.itertuples():
+        a, b = groups[row.type_a], groups[row.type_b]
+        z = (a.mean() - b.mean()) / np.sqrt(
+            var_base * (1 / len(a) + 1 / len(b))
+        )
+        assert abs(row.z_stat - z) < 1e-5
+        assert abs(row.mean_rank_a - a.mean()) < 1e-6
+        assert abs(row.mean_rank_b - b.mean()) < 1e-6
+
+
+def test_effect_sizes_match_numpy_replay(spark, sf_dir):
+    """effect_sizes equals numpy: pooled-SD Cohen's d, Hedges'
+    correction, and the exact pairwise-dominance Cliff's delta."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        _GRP_A,
+        _GRP_B,
+        effect_sizes,
+    )
+
+    row = effect_sizes(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    a = cents[e["event_type"] == _GRP_A].to_numpy()
+    b = cents[e["event_type"] == _GRP_B].to_numpy()
+    n1, n2 = len(a), len(b)
+    sp = np.sqrt(
+        ((n1 - 1) * a.var(ddof=1) + (n2 - 1) * b.var(ddof=1)) / (n1 + n2 - 2)
+    )
+    d = (a.mean() - b.mean()) / sp
+    g = d * (1 - 3 / (4 * (n1 + n2) - 9))
+    # exact dominance counts via sorted search
+    bs = np.sort(b)
+    n_gt = int(np.searchsorted(bs, a, side="left").sum())
+    n_lt = int((n2 - np.searchsorted(bs, a, side="right")).sum())
+    delta = (n_gt - n_lt) / (n1 * n2)
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert abs(row["cohens_d"] - d) < 1e-5
+    assert abs(row["hedges_g"] - g) < 1e-5
+    assert abs(row["cliffs_delta"] - delta) < 1e-6  # 6-dp in-query round
