@@ -362,3 +362,93 @@ def powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alpha_se"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Gumbel (EVT type-I) fit to daily block maxima, with return levels
+# --------------------------------------------------------------------------
+
+# binary-exact shared literals: Euler-Mascheroni, sqrt(6)/pi, and the
+# Gumbel quantile factors -ln(-ln(1-1/T)) precomputed so NO runtime
+# libm call exists in either engine
+_EVT_GAMMA = "5.772156649015329e-1"
+_EVT_Z = "7.79696801233676e-1"
+_EVT_Q30 = "3.3842944934992527e0"
+_EVT_Q365 = "5.8985259242227315e0"
+
+_EVT_ORACLE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mx
+  FROM events GROUP BY 1),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(mx) AS BIGINT) AS sx,
+         CAST(sum(mx * mx) AS BIGINT) AS sxx
+  FROM daily),
+fit AS (
+  SELECT n,
+    CAST(sx AS DOUBLE) / n AS m,
+    sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+      * {_EVT_Z} AS beta
+  FROM s)
+SELECT n AS n_days,
+  round(m / 100.0, 6) AS mean_daily_max,
+  round(beta / 100.0, 6) AS beta_dollars,
+  round((m - {_EVT_GAMMA} * beta) / 100.0, 6) AS mu_dollars,
+  round((m - {_EVT_GAMMA} * beta + beta * {_EVT_Q30}) / 100.0, 6)
+    AS return_level_30d,
+  round((m - {_EVT_GAMMA} * beta + beta * {_EVT_Q365}) / 100.0, 6)
+    AS return_level_365d
+FROM fit
+"""
+
+
+@register("evt_gumbel_fit", oracle=_EVT_ORACLE)
+def evt_gumbel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value (Gumbel) fit to the daily block maxima of event
+    value by the method of moments — β = s·√6/π, μ = m − γβ — with
+    the 30-day and 1-year return levels μ − β·ln(−ln(1−1/T)): the
+    'how big is the biggest value we should expect' tail forecast
+    that complements var_cvar (in-sample quantiles) with an
+    extrapolating EVT model.
+
+    Scale shape: one map-side-combinable daily-max pass (max of exact
+    integer cents); moments reduce on the O(days) frame with exact
+    BIGINT power sums. Every irrational constant (γ, √6/π, the two
+    quantile factors) is a shared binary-exact literal, so no libm
+    call exists at runtime in either engine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.max(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("mx")
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mx").cast("long").alias("sx"),
+        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("sxx"),
+    )
+    n = F.col("n")
+    m = F.col("sx").cast("double") / n
+    beta = (
+        F.sqrt(
+            (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n)
+            / (n - 1)
+        )
+        * F.expr(_EVT_Z)
+    )
+    mu = m - F.expr(_EVT_GAMMA) * beta
+    return s.select(
+        n.alias("n_days"),
+        F.round(m / 100.0, 6).alias("mean_daily_max"),
+        F.round(beta / 100.0, 6).alias("beta_dollars"),
+        F.round(mu / 100.0, 6).alias("mu_dollars"),
+        F.round((mu + beta * F.expr(_EVT_Q30)) / 100.0, 6).alias(
+            "return_level_30d"
+        ),
+        F.round((mu + beta * F.expr(_EVT_Q365)) / 100.0, 6).alias(
+            "return_level_365d"
+        ),
+    )

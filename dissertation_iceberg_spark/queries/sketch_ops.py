@@ -1651,3 +1651,99 @@ def hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err_bound"),
     )
+
+
+# --------------------------------------------------------------------------
+# Chapman capture-recapture population estimate
+# --------------------------------------------------------------------------
+
+_CHAPMAN_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+  FROM events),
+marked AS (
+  SELECT e.user_id,
+         CAST(max(CASE WHEN epoch_us(e.ts) * 2 < b.lo + b.hi
+                       THEN 1 ELSE 0 END) AS BIGINT) AS in_first,
+         CAST(max(CASE WHEN epoch_us(e.ts) * 2 >= b.lo + b.hi
+                       THEN 1 ELSE 0 END) AS BIGINT) AS in_second
+  FROM events e CROSS JOIN bounds b
+  GROUP BY 1),
+s AS (
+  SELECT CAST(sum(in_first) AS BIGINT) AS n1,
+         CAST(sum(in_second) AS BIGINT) AS n2,
+         CAST(sum(in_first * in_second) AS BIGINT) AS m,
+         CAST(count(*) AS BIGINT) AS n_true
+  FROM marked)
+SELECT n1, n2, m, n_true,
+  round((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1.0, 6)
+    AS chapman_estimate,
+  round(sqrt((CAST(n1 + 1 AS DOUBLE) * (n2 + 1) * (n1 - m) * (n2 - m))
+             / ((CAST(m + 1 AS DOUBLE) * (m + 1)) * (m + 2))), 6)
+    AS chapman_se
+FROM s
+"""
+
+
+@register("chapman_estimate", oracle=_CHAPMAN_ORACLE)
+def chapman_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the total user
+    population from two time-window 'captures' (first vs second half
+    of the event-time span): N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with its
+    asymptotic SE — the mark-recapture cardinality estimator that,
+    unlike hll_distinct (one full pass, bounded state), infers the
+    total INCLUDING never-observed users from overlap structure; the
+    true observed count rides along for calibration.
+
+    Scale shape: one pass computes the global time bounds (2-counter
+    reduce, broadcast back); one map-side-combinable per-user
+    presence aggregate; one 4-counter reduce. The half-split
+    comparison uses exact integer microseconds (epoch·2 vs lo+hi —
+    no float midpoint).
+    """
+    from dissertation_iceberg_spark.functions.time_bins import micros
+
+    e = load_table(spark, sf_dir, "events")
+    us = micros("ts")
+    bounds = e.agg(
+        F.min(us).cast("long").alias("lo"), F.max(us).cast("long").alias("hi")
+    )
+    marked = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max((us * 2 < F.col("lo") + F.col("hi")).cast("long"))
+            .cast("long")
+            .alias("in_first"),
+            F.max((us * 2 >= F.col("lo") + F.col("hi")).cast("long"))
+            .cast("long")
+            .alias("in_second"),
+        )
+    )
+    s = marked.agg(
+        F.sum("in_first").cast("long").alias("n1"),
+        F.sum("in_second").cast("long").alias("n2"),
+        F.sum(F.col("in_first") * F.col("in_second")).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+    )
+    n1, n2, mm = F.col("n1"), F.col("n2"), F.col("m")
+    return s.select(
+        "n1",
+        "n2",
+        "m",
+        "n_true",
+        F.round(
+            (n1 + 1).cast("double") * (n2 + 1) / (mm + 1) - 1.0, 6
+        ).alias("chapman_estimate"),
+        F.round(
+            F.sqrt(
+                (n1 + 1).cast("double")
+                * (n2 + 1)
+                * (n1 - mm)
+                * (n2 - mm)
+                / (((mm + 1).cast("double") * (mm + 1)) * (mm + 2))
+            ),
+            6,
+        ).alias("chapman_se"),
+    )

@@ -2702,3 +2702,65 @@ def test_effect_sizes_match_numpy_replay(spark, sf_dir):
     assert abs(row["cohens_d"] - d) < 1e-5
     assert abs(row["hedges_g"] - g) < 1e-5
     assert abs(row["cliffs_delta"] - delta) < 1e-6  # 6-dp in-query round
+
+
+def test_evt_gumbel_matches_numpy_replay(spark, sf_dir):
+    """evt_gumbel_fit equals the method-of-moments Gumbel fit in
+    numpy; return levels increase with horizon and exceed the mean."""
+    import math
+
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.distribution_fits import (
+        evt_gumbel_fit,
+    )
+
+    row = evt_gumbel_fit(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    mx = (
+        e.assign(cents=cents, day=e["ts"].dt.floor("D"))
+        .groupby("day")["cents"]
+        .max()
+        .to_numpy()
+        .astype("float64")
+    )
+    m, s = mx.mean(), mx.std(ddof=1)
+    beta = s * math.sqrt(6) / math.pi
+    gamma = 0.5772156649015329
+    mu = m - gamma * beta
+    r30 = mu - beta * math.log(-math.log(1 - 1 / 30))
+    r365 = mu - beta * math.log(-math.log(1 - 1 / 365))
+    assert row["n_days"] == len(mx)
+    assert abs(row["mean_daily_max"] - m / 100) < 1e-5
+    assert abs(row["beta_dollars"] - beta / 100) < 1e-5
+    assert abs(row["mu_dollars"] - mu / 100) < 1e-5
+    assert abs(row["return_level_30d"] - r30 / 100) < 1e-4
+    assert abs(row["return_level_365d"] - r365 / 100) < 1e-4
+    assert row["return_level_365d"] > row["return_level_30d"] > row["mu_dollars"]
+
+
+def test_chapman_matches_replay_and_brackets_truth(spark, sf_dir):
+    """chapman_estimate equals the Chapman formula on the two
+    time-half captures, and the estimate lands within a few SE of the
+    true observed population (every fixture user is long-lived)."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.sketch_ops import chapman_estimate
+
+    row = chapman_estimate(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    lo, hi = e["ts"].min(), e["ts"].max()
+    mid_ok = e["ts"].astype("int64") * 2 < (
+        lo.value + hi.value
+    )  # ns*2 comparison == us*2 comparison
+    first = set(e.loc[mid_ok, "user_id"])
+    second = set(e.loc[~mid_ok, "user_id"])
+    n1, n2, m = len(first), len(second), len(first & second)
+    est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    assert row["n1"] == n1 and row["n2"] == n2 and row["m"] == m
+    assert row["n_true"] == e["user_id"].nunique()
+    assert abs(row["chapman_estimate"] - est) < 1e-6
+    assert abs(row["chapman_estimate"] - row["n_true"]) <= max(
+        3 * row["chapman_se"] + 1, 2
+    )
