@@ -1580,3 +1580,160 @@ def effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cliffs_delta"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the daily up/down sequence
+# --------------------------------------------------------------------------
+
+_RUNS_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+mv AS (
+  SELECT day, cents,
+         cents - lag(cents) OVER (ORDER BY day) AS diff
+  FROM daily),
+signs AS (
+  SELECT day, CASE WHEN diff > 0 THEN 1 ELSE 0 END AS up,
+         CASE WHEN diff > 0 THEN 1 ELSE 0 END
+           <> lag(CASE WHEN diff > 0 THEN 1 ELSE 0 END)
+              OVER (ORDER BY day) AS flip
+  FROM mv WHERE diff IS NOT NULL AND diff <> 0),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(up) AS BIGINT) AS n_up,
+         CAST(count(*) - sum(up) AS BIGINT) AS n_down,
+         CAST(1 + sum(CASE WHEN flip THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM signs),
+k AS (
+  SELECT *,
+    1.0 + 2.0 * n_up * n_down / n AS mu,
+    (2.0 * n_up * n_down) * (2.0 * n_up * n_down - n)
+      / (CAST(n AS DOUBLE) * n * (n - 1)) AS var
+  FROM s)
+SELECT n, n_up, n_down, runs,
+  round(mu, 6) AS expected_runs,
+  round((runs - mu) / sqrt(var), 6) AS z_stat
+FROM k
+"""
+
+
+@register("runs_test", oracle=_RUNS_ORACLE)
+def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily
+    total-value direction sequence (up/down, zero-diffs dropped):
+    observed runs vs E[R] = 1 + 2·n₊n₋/n and the normal z — the
+    'is this series trending or mean-reverting beyond chance'
+    screen that complements mann_kendall_trend (monotone trend) and
+    hurst_exponent (long memory).
+
+    Scale shape: one map-side-combinable daily sum in exact integer
+    cents; diffs, signs, flips and the run count are window ops on
+    the O(days) frame. Counts are exact BIGINTs; mu/var/z evaluate
+    once on the 1-row reduce.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    mv = daily.select(
+        "day", (F.col("cents") - F.lag("cents").over(w)).alias("diff")
+    )
+    up = F.when(F.col("diff") > 0, 1).otherwise(0)
+    signs = mv.filter(F.col("diff").isNotNull() & (F.col("diff") != 0)).select(
+        "day", up.alias("up")
+    )
+    flips = signs.select(
+        "up",
+        (F.col("up") != F.lag("up").over(Window.orderBy("day")))
+        .alias("flip"),
+    )
+    s = flips.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("up").cast("long").alias("n_up"),
+        (F.count(F.lit(1)) - F.sum("up")).cast("long").alias("n_down"),
+        (1 + F.sum(F.col("flip").cast("long"))).cast("long").alias("runs"),
+    )
+    n, nu, nd = F.col("n"), F.col("n_up"), F.col("n_down")
+    mu = 1.0 + 2.0 * nu * nd / n
+    var = (
+        (2.0 * nu * nd)
+        * (2.0 * nu * nd - n)
+        / (n.cast("double") * n * (n - 1))
+    )
+    return s.select(
+        "n",
+        "n_up",
+        "n_down",
+        "runs",
+        F.round(mu, 6).alias("expected_runs"),
+        F.round((F.col("runs") - mu) / F.sqrt(var), 6).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Negative-binomial overdispersion fit of per-user event counts
+# --------------------------------------------------------------------------
+
+_NB_ORACLE = """
+WITH deg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS d FROM events GROUP BY 1),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d) AS BIGINT) AS sx,
+         CAST(sum(d * d) AS BIGINT) AS sxx
+  FROM deg),
+k AS (
+  SELECT n,
+    CAST(sx AS DOUBLE) / n AS m,
+    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS v
+  FROM s)
+SELECT n AS n_users,
+  round(m, 6) AS mean_count,
+  round(v, 6) AS var_count,
+  round(v / m, 6) AS dispersion_index,
+  round(CASE WHEN v > m THEN m * m / (v - m) END, 6) AS nb_r,
+  round(CASE WHEN v > m THEN m / v END, 6) AS nb_p
+FROM k
+"""
+
+
+@register("negbin_fit", oracle=_NB_ORACLE)
+def negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit to the per-user event
+    counts: dispersion index v/m (Poisson ⇒ 1), and when
+    overdispersed the NB parameters r = m²/(v−m), p = m/v — the
+    count-model diagnostic behind eb_rate_shrinkage's beta-binomial
+    (is activity Poisson, or heavy enough to need the extra tail
+    parameter?).
+
+    Scale shape: per-user counts, then a single 3-counter exact
+    BIGINT reduce; doubles evaluate once on the final row. The NB
+    columns are NULL (both engines) under equidispersion.
+    """
+    e = load_table(spark, sf_dir, "events")
+    deg = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    s = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sx"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sxx"),
+    )
+    n = F.col("n")
+    m = F.col("sx").cast("double") / n
+    v = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / n
+    ) / (n - 1)
+    return s.select(
+        n.alias("n_users"),
+        F.round(m, 6).alias("mean_count"),
+        F.round(v, 6).alias("var_count"),
+        F.round(v / m, 6).alias("dispersion_index"),
+        F.round(F.when(v > m, m * m / (v - m)), 6).alias("nb_r"),
+        F.round(F.when(v > m, m / v), 6).alias("nb_p"),
+    )

@@ -188,6 +188,18 @@ INTENTIONAL_BNLJ = {
     "brier_decomposition",  # broadcast 1-row totals frame (O(bins))
     "tfidf_cosine_pairs",  # broadcast 1-row corpus-size (N) frame
     "simpson_paradox_audit",  # broadcast 1-row pooled-moments frame
+    "hdr_histogram_quantiles",  # broadcast 4-row quantile targets
+    "gbm_stumps",  # broadcast 1-row f0/totals/best-split/mse frames
+    "knn_classify",  # deliberate brute-force kNN baseline (cosine kernel)
+    "tukey_hsd",  # broadcast 1-row MSW frame onto the O(k) pair grid
+    "mmr_rerank",  # broadcast 1-row query vector + 1-row greedy picks
+    "kruskal_wallis",  # broadcast 1-row tie-sum frame
+    "friedman_test",  # broadcast 1-row k-count + Q frames
+    "psm_att",  # broadcast O(strata) matched frame + 1-row control count
+    "rdd_estimate",  # broadcast 1-row right-side Gram frame
+    "dunn_posthoc",  # broadcast 1-row tie-corrected variance frame
+    "effect_sizes",  # broadcast 1-row Cliff dominance-count frame
+    "chapman_estimate",  # broadcast 1-row time-bounds frame
 }
 
 

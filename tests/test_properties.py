@@ -2764,3 +2764,61 @@ def test_chapman_matches_replay_and_brackets_truth(spark, sf_dir):
     assert abs(row["chapman_estimate"] - row["n_true"]) <= max(
         3 * row["chapman_se"] + 1, 2
     )
+
+
+def test_runs_test_matches_python_replay(spark, sf_dir):
+    """runs_test equals a pure-python replay of the up/down run count
+    and the Wald-Wolfowitz moments."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import runs_test
+
+    row = runs_test(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    daily = (
+        e.assign(cents=cents, day=e["ts"].dt.floor("D"))
+        .groupby("day")["cents"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+    )
+    diffs = np.diff(daily)
+    ups = (diffs[diffs != 0] > 0).astype(int)
+    n, n_up = len(ups), int(ups.sum())
+    n_down = n - n_up
+    runs = 1 + int((ups[1:] != ups[:-1]).sum())
+    mu = 1 + 2 * n_up * n_down / n
+    var = (2 * n_up * n_down) * (2 * n_up * n_down - n) / (n**2 * (n - 1))
+    assert row["n"] == n and row["n_up"] == n_up and row["n_down"] == n_down
+    assert row["runs"] == runs
+    assert abs(row["expected_runs"] - mu) < 1e-5
+    assert abs(row["z_stat"] - (runs - mu) / np.sqrt(var)) < 1e-5
+
+
+def test_negbin_fit_matches_numpy_replay(spark, sf_dir):
+    """negbin_fit equals numpy method-of-moments and the NB params
+    reproduce the observed mean/variance."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import negbin_fit
+
+    row = negbin_fit(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    d = e.groupby("user_id").size().to_numpy().astype("float64")
+    m, v = d.mean(), d.var(ddof=1)
+    assert row["n_users"] == len(d)
+    assert abs(row["mean_count"] - m) < 1e-5
+    assert abs(row["var_count"] - v) < 1e-4
+    assert abs(row["dispersion_index"] - v / m) < 1e-6
+    if v > m:
+        r, p = m * m / (v - m), m / v
+        assert abs(row["nb_r"] - r) < 1e-4
+        assert abs(row["nb_p"] - p) < 1e-6
+        # NB(r, p) moment identities: mean r(1-p)/p, var mean/p
+        assert abs(r * (1 - p) / p - m) < 1e-6
+        assert abs(r * (1 - p) / p / p - v) < 1e-4
+    else:
+        assert np.isnan(row["nb_r"]) and np.isnan(row["nb_p"])
