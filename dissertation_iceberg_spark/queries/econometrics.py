@@ -914,3 +914,148 @@ def spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spearman_rho"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Engle-Granger cointegration test: purchase vs click daily value
+# --------------------------------------------------------------------------
+
+_EG_A = "purchase"
+_EG_B = "click"
+
+_EG_ORACLE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+    CAST(sum(CASE WHEN event_type = '{_EG_A}'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS yc,
+    CAST(sum(CASE WHEN event_type = '{_EG_B}'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS xc
+  FROM events WHERE event_type IN ('{_EG_A}', '{_EG_B}')
+  GROUP BY 1),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xc) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+         CAST(sum(xc * xc) AS BIGINT) AS sxx,
+         CAST(sum(xc * yc) AS BIGINT) AS sxy
+  FROM daily),
+ols AS (
+  SELECT n,
+    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS beta,
+    (CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy)
+      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS alpha
+  FROM g),
+resid AS (
+  SELECT d.day,
+         CAST(round(d.yc - o.alpha - o.beta * d.xc) AS BIGINT) AS e
+  FROM daily d CROSS JOIN ols o),
+l AS (
+  SELECT e - lag(e) OVER (ORDER BY day) AS dy,
+         lag(e) OVER (ORDER BY day) AS u
+  FROM resid),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(u * dy) AS BIGINT) AS sudy,
+         CAST(sum(u * u) AS BIGINT) AS suu,
+         CAST(sum(dy * dy) AS BIGINT) AS sdd
+  FROM l WHERE dy IS NOT NULL),
+df AS (
+  SELECT n,
+    CAST(sudy AS DOUBLE) / suu AS rho,
+    (CAST(sdd AS DOUBLE) - CAST(sudy AS DOUBLE) / suu * sudy) / (n - 1)
+      AS s2, suu
+  FROM s)
+SELECT o.n AS n_days,
+  {_R6_SQL.format(x="o.beta")} AS hedge_beta,
+  {_R6_SQL.format(x="o.alpha / 100.0")} AS alpha_dollars,
+  {_R6_SQL.format(x="d.rho")} AS rho,
+  {_R6_SQL.format(x="d.rho / sqrt(d.s2 / d.suu)")} AS eg_t_stat,
+  CAST('-3.37e0' AS DOUBLE) AS crit_5pct
+FROM ols o CROSS JOIN df d
+"""
+
+
+@register("engle_granger_coint", oracle=_EG_ORACLE)
+def engle_granger_coint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger two-step cointegration test between the daily
+    purchase and click value series: stage 1 fits the long-run hedge
+    ratio by OLS; stage 2 runs a no-constant Dickey-Fuller regression
+    on the integer-quantized residuals — 'do these two series share a
+    common stochastic trend' (the 5% critical value for 2 variables,
+    −3.37, rides along). Completes the time-series inference family
+    beside adf_test (unit root) and granger_oi_returns (lead-lag).
+
+    Determinism: the stage-1 coefficients are identically-shaped IEEE
+    doubles from exact BIGINT Gram sums; every residual is rounded
+    ONCE to integer cents (same per-row double in both engines), so
+    all stage-2 sums (Σu·Δe, Σu², ΣΔe²) are exact integers. Scale
+    shape: one conditional daily aggregate over the facts; both
+    stages run on the O(days) frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        e.filter(F.col("event_type").isin(_EG_A, _EG_B))
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == _EG_A, cents).otherwise(0))
+            .cast("long")
+            .alias("yc"),
+            F.sum(F.when(F.col("event_type") == _EG_B, cents).otherwise(0))
+            .cast("long")
+            .alias("xc"),
+        )
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xc").cast("long").alias("sx"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.sum(F.col("xc") * F.col("xc")).cast("long").alias("sxx"),
+        F.sum(F.col("xc") * F.col("yc")).cast("long").alias("sxy"),
+    )
+    n = F.col("n")
+    det = n.cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ols = g.select(
+        "n",
+        (
+            (n.cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / det
+        ).alias("beta"),
+        (
+            (F.col("sy").cast("double") * F.col("sxx")
+             - F.col("sx").cast("double") * F.col("sxy"))
+            / det
+        ).alias("alpha"),
+    )
+    resid = daily.crossJoin(F.broadcast(ols)).select(
+        "day",
+        F.round(F.col("yc") - F.col("alpha") - F.col("beta") * F.col("xc"))
+        .cast("long")
+        .alias("e"),
+    )
+    w = Window.orderBy("day")
+    l = resid.select(
+        (F.col("e") - F.lag("e").over(w)).alias("dy"),
+        F.lag("e").over(w).alias("u"),
+    )
+    s = l.filter(F.col("dy").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum(F.col("u") * F.col("dy")).cast("long").alias("sudy"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("suu"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("sdd"),
+    )
+    rho = F.col("sudy").cast("double") / F.col("suu")
+    s2 = (
+        F.col("sdd").cast("double")
+        - F.col("sudy").cast("double") / F.col("suu") * F.col("sudy")
+    ) / (F.col("nn") - 1)
+    return ols.crossJoin(F.broadcast(s)).select(
+        F.col("n").alias("n_days"),
+        _r6(F.col("beta")).alias("hedge_beta"),
+        _r6(F.col("alpha") / 100.0).alias("alpha_dollars"),
+        _r6(rho).alias("rho"),
+        _r6(rho / F.sqrt(s2 / F.col("suu"))).alias("eg_t_stat"),
+        F.expr("CAST('-3.37e0' AS DOUBLE)").alias("crit_5pct"),
+    )

@@ -2822,3 +2822,55 @@ def test_negbin_fit_matches_numpy_replay(spark, sf_dir):
         assert abs(r * (1 - p) / p / p - v) < 1e-4
     else:
         assert np.isnan(row["nb_r"]) and np.isnan(row["nb_p"])
+
+
+def test_engle_granger_matches_numpy_replay(spark, sf_dir):
+    """engle_granger_coint equals a numpy replay of the two-step
+    procedure: OLS hedge ratio, cent-rounded residuals, no-constant
+    Dickey-Fuller regression."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.econometrics import (
+        _EG_A,
+        _EG_B,
+        engle_granger_coint,
+    )
+
+    row = engle_granger_coint(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    d = e.assign(cents=cents, day=e["ts"].dt.floor("D"))
+    d = d[d["event_type"].isin([_EG_A, _EG_B])]
+    p = (
+        d.pivot_table(
+            index="day",
+            columns="event_type",
+            values="cents",
+            aggfunc="sum",
+            fill_value=0,
+        )
+        .sort_index()
+    )
+    x = p[_EG_B].to_numpy().astype("float64")
+    y = p[_EG_A].to_numpy().astype("float64")
+    n = len(x)
+    beta = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    alpha = (y.sum() * (x * x).sum() - x.sum() * (x * y).sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    res = np.floor(y - alpha - beta * x + 0.5).astype("int64")
+    u, dy = res[:-1], np.diff(res)
+    rho = float((u * dy).sum()) / float((u * u).sum())
+    s2 = (float((dy * dy).sum()) - rho * float((u * dy).sum())) / (
+        len(dy) - 1
+    )
+    t = rho / np.sqrt(s2 / float((u * u).sum()))
+    assert row["n_days"] == n
+    assert abs(row["hedge_beta"] - beta) < 1e-5
+    assert abs(row["alpha_dollars"] - alpha / 100) < 1e-4
+    assert abs(row["rho"] - rho) < 1e-6
+    assert abs(row["eg_t_stat"] - t) < 1e-4
+    assert row["crit_5pct"] == -3.37
