@@ -200,6 +200,7 @@ INTENTIONAL_BNLJ = {
     "dunn_posthoc",  # broadcast 1-row tie-corrected variance frame
     "effect_sizes",  # broadcast 1-row Cliff dominance-count frame
     "chapman_estimate",  # broadcast 1-row time-bounds frame
+    "engle_granger_coint",  # broadcast 1-row OLS + DF-sums frames
 }
 
 
