@@ -279,7 +279,7 @@ def main() -> None:
         # grow linearly (the copurchase scale claim under test)
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
-            "l_extendedprice",
+            "l_extendedprice", "l_quantity", "l_discount",
         )
         l = replicate(
             li,
@@ -487,6 +487,79 @@ def main() -> None:
             t, cents = timed(tdigest_build, action="count")
             print(json.dumps({"kernel": "tdigest_build", "factor": r,
                               "input_rows": n_li, "out_rows": cents,
+                              "sec": round(t, 3)}))
+
+        # one GBM boosting round (stats_tests2.gbm_stumps): candidate
+        # histogram over both features + cumsum split scan + argmax +
+        # broadcast residual update — the claim under test is that a
+        # round costs one map-side-combinable fact pass (candidate
+        # frame is O(61) rows at ANY scale)
+        if _want("gbm_round"):
+            from pyspark.sql import Window as W
+
+            def gbm_round():
+                base = l.select(
+                    F.col("l_quantity").cast("long").alias("q"),
+                    F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+                    F.round(F.col("l_extendedprice") * 100)
+                    .cast("long")
+                    .alias("y"),
+                )
+                f0 = base.agg(
+                    F.floor(
+                        (2.0 * F.sum("y") + F.count(F.lit(1)))
+                        / (2.0 * F.count(F.lit(1)))
+                    ).cast("long").alias("f0")
+                )
+                resid = base.crossJoin(F.broadcast(f0)).select(
+                    "q", "d", (F.col("y") - F.col("f0")).alias("r")
+                )
+                hist = (
+                    resid.select(F.lit("quantity").alias("f"),
+                                 F.col("q").alias("v"), "r")
+                    .unionByName(resid.select(F.lit("discount").alias("f"),
+                                              F.col("d").alias("v"), "r"))
+                    .groupBy("f", "v")
+                    .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                         F.sum("r").cast("long").alias("s"))
+                )
+                tot = resid.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_all"),
+                    F.sum("r").cast("long").alias("s_all"),
+                )
+                cw = (W.partitionBy("f").orderBy("v")
+                      .rowsBetween(W.unboundedPreceding, W.currentRow))
+                cum = hist.select(
+                    "f", "v",
+                    F.sum("n").over(cw).cast("long").alias("cn"),
+                    F.sum("s").over(cw).cast("long").alias("cs"))
+                cn, cs = F.col("cn"), F.col("cs")
+                na, sa = F.col("n_all"), F.col("s_all")
+                best = (
+                    cum.crossJoin(F.broadcast(tot))
+                    .filter(na - cn > 0)
+                    .select(
+                        "f", "v",
+                        F.floor((2.0 * cs + cn) / (2.0 * cn))
+                        .cast("long").alias("wl"),
+                        F.floor((2.0 * (sa - cs) + (na - cn))
+                                / (2.0 * (na - cn))).cast("long").alias("wr"),
+                        (cs.cast("double") * cs / cn
+                         + (sa - cs).cast("double") * (sa - cs)
+                         / (na - cn)).alias("gain"))
+                    .orderBy(F.desc("gain"), F.asc("f"), F.asc("v"))
+                    .limit(1)
+                )
+                return resid.crossJoin(F.broadcast(best)).select(
+                    (F.col("r") - F.when(
+                        ((F.col("f") == "quantity") & (F.col("q") <= F.col("v")))
+                        | ((F.col("f") == "discount") & (F.col("d") <= F.col("v"))),
+                        F.col("wl")).otherwise(F.col("wr"))).alias("r2")
+                )
+
+            t, rows = timed(gbm_round)
+            print(json.dumps({"kernel": "gbm_round", "factor": r,
+                              "input_rows": n_li, "out_rows": rows,
                               "sec": round(t, 3)}))
         l.unpersist()
 
