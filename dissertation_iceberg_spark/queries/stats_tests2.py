@@ -1737,3 +1737,235 @@ def negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(v > m, m * m / (v - m)), 6).alias("nb_r"),
         F.round(F.when(v > m, m / v), 6).alias("nb_p"),
     )
+
+
+# --------------------------------------------------------------------------
+# McNemar paired test: purchase behavior first half vs second half
+# --------------------------------------------------------------------------
+
+_MCN_THR = 150  # big-ticket purchase threshold (dollars)
+
+_MCNEMAR_ORACLE = f"""
+WITH bounds AS (
+  SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+  FROM events),
+u AS (
+  SELECT e.user_id,
+         CAST(max(CASE WHEN epoch_us(e.ts) * 2 < b.lo + b.hi
+                        AND e.event_type = 'purchase'
+                        AND e.value > {_MCN_THR}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+         CAST(max(CASE WHEN epoch_us(e.ts) * 2 >= b.lo + b.hi
+                        AND e.event_type = 'purchase'
+                        AND e.value > {_MCN_THR}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS p2
+  FROM events e CROSS JOIN bounds b
+  GROUP BY 1),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(p1 * p2) AS BIGINT) AS both_halves,
+         CAST(sum(p1 * (1 - p2)) AS BIGINT) AS b,
+         CAST(sum((1 - p1) * p2) AS BIGINT) AS c,
+         CAST(sum((1 - p1) * (1 - p2)) AS BIGINT) AS neither
+  FROM u)
+SELECT n, both_halves, b AS only_first, c AS only_second, neither,
+  round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6) AS chi2,
+  round((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c), 6)
+    AS chi2_corrected
+FROM s
+"""
+
+
+@register("mcnemar_test", oracle=_MCNEMAR_ORACLE)
+def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes: did each user's
+    big-ticket purchase behavior (any purchase > $150: yes/no)
+    CHANGE between the first
+    and second half of the observation window? χ² = (b−c)²/(b+c) over
+    the discordant cells, with the Edwards continuity correction —
+    the paired sibling of two_proportion_ztest (which wrongly treats
+    the halves as independent samples of different users).
+
+    Scale shape: one 2-counter bounds reduce broadcast back, one
+    map-side-combinable per-user presence aggregate, one 5-counter
+    reduce; the half split compares exact integer microseconds
+    (epoch·2 vs lo+hi).
+    """
+    from dissertation_iceberg_spark.functions.time_bins import micros
+
+    e = load_table(spark, sf_dir, "events")
+    us = micros("ts")
+    bounds = e.agg(
+        F.min(us).cast("long").alias("lo"), F.max(us).cast("long").alias("hi")
+    )
+    is_p = (F.col("event_type") == "purchase") & (F.col("value") > _MCN_THR)
+    first = (us * 2 < F.col("lo") + F.col("hi")) & is_p
+    second = (us * 2 >= F.col("lo") + F.col("hi")) & is_p
+    u = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(first.cast("long")).cast("long").alias("p1"),
+            F.max(second.cast("long")).cast("long").alias("p2"),
+        )
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("p1") * F.col("p2")).cast("long").alias("both_halves"),
+        F.sum(F.col("p1") * (1 - F.col("p2"))).cast("long").alias("b"),
+        F.sum((1 - F.col("p1")) * F.col("p2")).cast("long").alias("c"),
+        F.sum((1 - F.col("p1")) * (1 - F.col("p2")))
+        .cast("long")
+        .alias("neither"),
+    )
+    b, c = F.col("b"), F.col("c")
+    return s.select(
+        "n",
+        "both_halves",
+        b.alias("only_first"),
+        c.alias("only_second"),
+        "neither",
+        F.round(((b - c) * (b - c)).cast("double") / (b + c), 6).alias(
+            "chi2"
+        ),
+        F.round(
+            (F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0) / (b + c), 6
+        ).alias("chi2_corrected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cumulative gains / lift table for the propensity score
+# --------------------------------------------------------------------------
+
+_GAINS_SPLIT = "2024-01-16 00:00:00"  # same holdout split as calibration_bins
+_GAINS_BINS = 10
+
+_GAINS_ORACLE = f"""
+WITH hist AS (
+  SELECT user_id, count(*) AS n_ev,
+         count(*) FILTER (event_type = 'purchase') AS n_p
+  FROM events WHERE ts < TIMESTAMP '{_GAINS_SPLIT}'
+  GROUP BY 1),
+fut AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '{_GAINS_SPLIT}' AND event_type = 'purchase'),
+scored AS (
+  SELECT h.user_id, (h.n_p * 1000000) // h.n_ev AS s_micro,
+         CASE WHEN f.user_id IS NULL THEN 0 ELSE 1 END AS y
+  FROM hist h LEFT JOIN fut f ON h.user_id = f.user_id),
+ranked AS (
+  SELECT s_micro, y,
+         row_number() OVER (ORDER BY s_micro DESC, user_id) AS rk,
+         count(*) OVER () AS n,
+         sum(y) OVER () AS pos
+  FROM scored),
+dec AS (
+  SELECT ({_GAINS_BINS} * (rk - 1)) // n AS decile, y, n, pos
+  FROM ranked),
+g AS (
+  SELECT decile,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(any_value(n) AS BIGINT) AS n,
+         CAST(any_value(pos) AS BIGINT) AS pos
+  FROM dec GROUP BY 1),
+cum AS (
+  SELECT decile, n_users, n_pos, n, pos,
+         CAST(sum(n_users) OVER w AS BIGINT) AS cum_n,
+         CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos
+  FROM g WINDOW w AS (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT CAST(decile AS BIGINT) AS decile, n_users, n_pos,
+  round(CAST(cum_pos AS DOUBLE) / pos, 6) AS gain,
+  round((CAST(cum_pos AS DOUBLE) / cum_n)
+        / (CAST(pos AS DOUBLE) / n), 6) AS cum_lift
+FROM cum
+"""
+
+
+@register("cumulative_gains", oracle=_GAINS_ORACLE)
+def cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table for the first-half propensity
+    score against second-half purchase conversion: per score decile
+    (ties broken by user_id, exact integer decile = 10(rk−1) div n),
+    the share of all converters captured so far (gains) and the
+    cumulative lift over the base rate — the campaign-targeting
+    readout beside calibration_bins (calibration) and roc_auc
+    (discrimination): 'how much better than random is mailing the
+    top k deciles?'.
+
+    Scale shape: the facts reduce to one row per user; the global
+    rank runs on that already-aggregated O(users) frame (the same
+    accepted class as rfm_scores' ntile), and everything after is
+    O(deciles).
+    """
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(_GAINS_SPLIT).cast("timestamp_ntz")
+    hist = (
+        e.filter(F.col("ts") < split)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_p"
+            ),
+        )
+    )
+    fut = (
+        e.filter((F.col("ts") >= split) & (F.col("event_type") == "purchase"))
+        .select("user_id")
+        .distinct()
+        .withColumn("y", F.lit(1))
+    )
+    scored = hist.join(fut, "user_id", "left").select(
+        "user_id",
+        F.expr("(n_p * 1000000) div n_ev").alias("s_micro"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    wall = Window.partitionBy()
+    ranked = scored.select(
+        "s_micro",
+        "y",
+        F.row_number()
+        .over(Window.orderBy(F.desc("s_micro"), F.asc("user_id")))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("y").over(wall).alias("pos"),
+    )
+    dec = ranked.select(
+        F.expr(f"({_GAINS_BINS} * (rk - 1)) div n").alias("decile"),
+        "y",
+        "n",
+        "pos",
+    )
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.any_value("n").cast("long").alias("n"),
+        F.any_value("pos").cast("long").alias("pos"),
+    )
+    cw = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "decile",
+        "n_users",
+        "n_pos",
+        "n",
+        "pos",
+        F.sum("n_users").over(cw).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(cw).cast("long").alias("cum_pos"),
+    )
+    return cum.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_users",
+        "n_pos",
+        F.round(F.col("cum_pos").cast("double") / F.col("pos"), 6).alias(
+            "gain"
+        ),
+        F.round(
+            (F.col("cum_pos").cast("double") / F.col("cum_n"))
+            / (F.col("pos").cast("double") / F.col("n")),
+            6,
+        ).alias("cum_lift"),
+    )

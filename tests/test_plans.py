@@ -201,6 +201,7 @@ INTENTIONAL_BNLJ = {
     "effect_sizes",  # broadcast 1-row Cliff dominance-count frame
     "chapman_estimate",  # broadcast 1-row time-bounds frame
     "engle_granger_coint",  # broadcast 1-row OLS + DF-sums frames
+    "mcnemar_test",  # broadcast 1-row time-bounds frame
 }
 
 

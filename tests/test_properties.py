@@ -2874,3 +2874,78 @@ def test_engle_granger_matches_numpy_replay(spark, sf_dir):
     assert abs(row["rho"] - rho) < 1e-6
     assert abs(row["eg_t_stat"] - t) < 1e-4
     assert row["crit_5pct"] == -3.37
+
+
+def test_mcnemar_matches_pandas_replay(spark, sf_dir):
+    """mcnemar_test cell counts and chi-square equal a pandas replay
+    of the paired big-ticket purchase indicators."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        _MCN_THR,
+        mcnemar_test,
+    )
+
+    row = mcnemar_test(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    lo, hi = e["ts"].min().value, e["ts"].max().value
+    first_half = e["ts"].astype("int64") * 2 < lo + hi
+    hit = (e["event_type"] == "purchase") & (e["value"] > _MCN_THR)
+    p1 = e[first_half & hit].groupby("user_id").size()
+    p2 = e[~first_half & hit].groupby("user_id").size()
+    users = e["user_id"].unique()
+    a1 = {u: int(u in p1.index) for u in users}
+    a2 = {u: int(u in p2.index) for u in users}
+    b = sum(1 for u in users if a1[u] and not a2[u])
+    c = sum(1 for u in users if not a1[u] and a2[u])
+    both = sum(1 for u in users if a1[u] and a2[u])
+    assert row["n"] == len(users)
+    assert row["only_first"] == b and row["only_second"] == c
+    assert row["both_halves"] == both
+    assert abs(row["chi2"] - (b - c) ** 2 / (b + c)) < 1e-6
+    assert abs(row["chi2_corrected"] - (abs(b - c) - 1) ** 2 / (b + c)) < 1e-6
+
+
+def test_cumulative_gains_invariants_and_replay(spark, sf_dir):
+    """cumulative_gains: gains are nondecreasing and end at 1.0; the
+    decile-0 lift is maximal; counts replay in pandas."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        _GAINS_BINS,
+        _GAINS_SPLIT,
+        cumulative_gains,
+    )
+
+    pdf = (
+        cumulative_gains(spark, sf_dir)
+        .toPandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    e = load_table(spark, sf_dir, "events").toPandas()
+    split = np.datetime64(_GAINS_SPLIT)
+    h = e[e["ts"] < split]
+    hist = h.groupby("user_id").agg(
+        n_ev=("event_type", "size"),
+        n_p=("event_type", lambda s: int((s == "purchase").sum())),
+    )
+    fut = set(
+        e.loc[
+            (e["ts"] >= split) & (e["event_type"] == "purchase"), "user_id"
+        ]
+    )
+    hist["s"] = (hist["n_p"] * 1_000_000) // hist["n_ev"]
+    hist["y"] = [int(u in fut) for u in hist.index]
+    hist = hist.sort_values(["s", "user_id"], ascending=[False, True])
+    n, pos = len(hist), int(hist["y"].sum())
+    rk = np.arange(1, n + 1)
+    hist["decile"] = (_GAINS_BINS * (rk - 1)) // n
+    g = hist.groupby("decile")["y"].agg(["size", "sum"])
+    for r in pdf.itertuples():
+        assert r.n_users == g.loc[r.decile, "size"]
+        assert r.n_pos == g.loc[r.decile, "sum"]
+    gains = pdf["gain"].to_numpy()
+    assert (np.diff(gains) >= -1e-12).all()
+    assert abs(gains[-1] - 1.0) < 1e-9
+    assert pdf["cum_lift"].iloc[0] == pdf["cum_lift"].max()
