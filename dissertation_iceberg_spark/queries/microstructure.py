@@ -1581,3 +1581,155 @@ def oi_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _r6((sc * sc + ss * ss) / F.col("n_series") * 1e3).alias("power_x1e3"),
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal Mann-Kendall: trend test stratified by weekday
+# --------------------------------------------------------------------------
+
+_SMK_ORACLE = f"""
+WITH d AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS day_num,
+         CAST(sum({_CENTS}) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+dw AS (
+  SELECT event_type, day_num, (day_num + 3) % 7 AS dow, v FROM d),
+pairs AS (
+  SELECT a.event_type, a.dow,
+         CAST(sum(CASE WHEN b.v > a.v THEN 1
+                       WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM dw a JOIN dw b ON a.event_type = b.event_type AND a.dow = b.dow
+        AND a.day_num < b.day_num
+  GROUP BY 1, 2),
+ties AS (
+  SELECT event_type, dow,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, dow, count(*) AS t
+        FROM dw GROUP BY event_type, dow, v) q
+  GROUP BY 1, 2),
+n AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_g FROM dw
+      GROUP BY 1, 2),
+per AS (
+  SELECT n.event_type, n.dow, n.n_g, p.s,
+         (CAST(n.n_g AS DOUBLE) * (n.n_g - 1) * (2 * n.n_g + 5)
+          - t.tie_term) / 18 AS var_g
+  FROM n JOIN pairs p ON n.event_type = p.event_type AND n.dow = p.dow
+  JOIN ties t ON n.event_type = t.event_type AND n.dow = t.dow),
+agg AS (
+  SELECT event_type,
+         CAST(sum(n_g) AS BIGINT) AS n_days,
+         CAST(sum(s) AS BIGINT) AS s_stat,
+         sum(var_g) AS var_s
+  FROM per GROUP BY 1)
+SELECT event_type, n_days, s_stat,
+       {_R6_SQL.format(x="var_s")} AS var_s,
+       CASE WHEN var_s > 0 THEN
+         {_R6_SQL.format(
+             x="CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var_s)"
+               " WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var_s)"
+               " ELSE 0.0 END")}
+       END AS smk_z
+FROM agg
+"""
+
+
+@register("seasonal_mann_kendall", oracle=_SMK_ORACLE)
+def seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch-Slack without serial correction):
+    the MK S statistic and tie-corrected variance computed WITHIN each
+    weekday stratum and summed — the trend test that is immune to the
+    day-of-week cycle seasonal_decompose exposes (plain Mann-Kendall
+    reads a strong weekly pattern as noise or spurious trend).
+
+    Scale shape: one fact-scale daily aggregate; the pairwise sign
+    sums run per (type, weekday) stratum over O((days/7)²) pairs of
+    the O(days) frame — history-bounded, never row-scale (the same
+    accepted class as mann_kendall_trend). Weekday comes from pure
+    epoch-day arithmetic ((day_num+3) % 7), no engine dayofweek
+    convention.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    dw = d.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_num"),
+        "v",
+    ).withColumn("dow", (F.col("day_num") + 3) % 7)
+    a = dw.select("event_type", "dow", F.col("day_num").alias("da"), F.col("v").alias("va"))
+    b = dw.select(
+        F.col("event_type").alias("et_b"),
+        F.col("dow").alias("dow_b"),
+        F.col("day_num").alias("db"),
+        F.col("v").alias("vb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (F.col("dow") == F.col("dow_b"))
+            & (F.col("da") < F.col("db")),
+        )
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum(
+                F.when(F.col("vb") > F.col("va"), 1)
+                .when(F.col("vb") < F.col("va"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    ties = (
+        dw.groupBy("event_type", "dow", "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    n = dw.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    ng = F.col("n_g")
+    per = n.join(pairs, ["event_type", "dow"]).join(
+        ties, ["event_type", "dow"]
+    ).select(
+        "event_type",
+        "n_g",
+        "s",
+        (
+            (ng.cast("double") * (ng - 1) * (2 * ng + 5) - F.col("tie_term"))
+            / 18
+        ).alias("var_g"),
+    )
+    agg = per.groupBy("event_type").agg(
+        F.sum("n_g").cast("long").alias("n_days"),
+        F.sum("s").cast("long").alias("s_stat"),
+        F.sum("var_g").alias("var_s"),
+    )
+    s, var_s = F.col("s_stat"), F.col("var_s")
+    z = (
+        F.when(s > 0, (s.cast("double") - 1) / F.sqrt(var_s))
+        .when(s < 0, (s.cast("double") + 1) / F.sqrt(var_s))
+        .otherwise(0.0)
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        _r6(var_s).alias("var_s"),
+        F.when(var_s > 0, _r6(z)).alias("smk_z"),
+    )

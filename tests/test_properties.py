@@ -2949,3 +2949,54 @@ def test_cumulative_gains_invariants_and_replay(spark, sf_dir):
     assert (np.diff(gains) >= -1e-12).all()
     assert abs(gains[-1] - 1.0) < 1e-9
     assert pdf["cum_lift"].iloc[0] == pdf["cum_lift"].max()
+
+
+def test_seasonal_mann_kendall_matches_numpy_replay(spark, sf_dir):
+    """seasonal_mann_kendall equals a numpy replay: per-weekday MK S
+    and tie-corrected variance summed across strata."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.microstructure import (
+        seasonal_mann_kendall,
+    )
+
+    pdf = seasonal_mann_kendall(spark, sf_dir).toPandas()
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    d = (
+        e.assign(cents=cents, day=e["ts"].dt.floor("D"))
+        .groupby(["event_type", "day"])["cents"]
+        .sum()
+        .reset_index()
+    )
+    epoch = np.datetime64("1970-01-01")
+    d["day_num"] = ((d["day"] - epoch).dt.days).astype("int64")
+    d["dow"] = (d["day_num"] + 3) % 7
+    for t, g in d.groupby("event_type"):
+        s_tot, var_tot, n_tot = 0, 0.0, 0
+        for _, gg in g.groupby("dow"):
+            gg = gg.sort_values("day_num")
+            v = gg["cents"].to_numpy()
+            n = len(v)
+            n_tot += n
+            s = sum(
+                int(np.sign(v[j] - v[i]))
+                for i in range(n)
+                for j in range(i + 1, n)
+            )
+            s_tot += s
+            _, counts = np.unique(v, return_counts=True)
+            tie = float((counts * (counts - 1) * (2 * counts + 5)).sum())
+            var_tot += (n * (n - 1) * (2 * n + 5) - tie) / 18
+        row = pdf[pdf["event_type"] == t].iloc[0]
+        assert row["n_days"] == n_tot
+        assert row["s_stat"] == s_tot
+        assert abs(row["var_s"] - var_tot) < 1e-5
+        if var_tot > 0:
+            z = (
+                (s_tot - 1) / np.sqrt(var_tot)
+                if s_tot > 0
+                else ((s_tot + 1) / np.sqrt(var_tot) if s_tot < 0 else 0.0)
+            )
+            assert abs(row["smk_z"] - z) < 1e-5
