@@ -1353,3 +1353,81 @@ def test_streaming_psi_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(e, g)
     assert list(g["drift_alert"]) == [0, 1]
     assert g["psi"].iloc[1] > g["psi"].iloc[0]
+
+
+def test_streaming_holt_forecast_matches_batch_recursion(spark, tmp_path):
+    """Streaming Holt forecaster: every sealed (event_type, day) row
+    reproduces the batch integer-shift recursion (level/trend/one-step
+    forecast) over the sealed prefix, and only sealed days emit."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.streaming.holt_stream import (
+        streaming_holt_forecast,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    src = str(tmp_path / "holt_src")
+    pdf = e.toPandas().sort_values("ts").reset_index(drop=True)
+    n = len(pdf)
+    chunks = [
+        pdf.iloc[: n // 3],
+        pdf.iloc[n // 3 : 2 * n // 3],
+        pdf.iloc[2 * n // 3 :],
+    ]
+    for i, c in enumerate(chunks):
+        spark.createDataFrame(c).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        streaming_holt_forecast(stream)
+        .writeStream.format("memory")
+        .queryName("holt_fc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("holt_fc").toPandas()
+    assert len(got) > 0
+    assert not got.duplicated(["event_type", "day_us"]).any()
+
+    # python replay of the batch recursion over each type's daily counts
+    DAY_US = 86_400_000_000
+    pdf["day_us"] = (pdf["ts"].astype("int64") // 1000 // DAY_US) * DAY_US
+    daily = (
+        pdf.groupby(["event_type", "day_us"]).size().rename("y").reset_index()
+    )
+    expected = {}
+    for et, grp in daily.sort_values("day_us").groupby("event_type"):
+        l = b = None
+        for r in grp.itertuples():
+            y = int(r.y)
+            if l is None:
+                l, b = y, 0
+                expected[(et, r.day_us)] = (y, None, None, l, b)
+            else:
+                fc = l + b
+                l_new = (y + l + b) >> 1
+                b = (l_new - l + b) >> 1
+                l = l_new
+                expected[(et, r.day_us)] = (y, fc, y - fc, l, b)
+    for r in got.itertuples():
+        y, fc, err, l, b = expected[(r.event_type, r.day_us)]
+        assert r.y == y and r.level == l and r.trend == b
+        if fc is None:
+            assert pd.isna(r.forecast) and pd.isna(r.error)
+        else:
+            assert r.forecast == fc and r.error == err
+
+    # seal rule: the max event day per type is never sealed
+    last_day = daily.groupby("event_type")["day_us"].max()
+    for et, d in last_day.items():
+        assert not (
+            (got["event_type"] == et) & (got["day_us"] == d)
+        ).any()
