@@ -1969,3 +1969,133 @@ def cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_lift"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multivariate drift: KS test on a deterministic embedding projection
+# --------------------------------------------------------------------------
+
+_PKS_LA = 0  # compare embedding distributions of these two labels
+_PKS_LB = 1
+_PKS_DIM = 64
+
+
+def _pks_weights() -> list[int]:
+    from dissertation_iceberg_spark.operators.similarity import (
+        lsh_plane_weights,
+    )
+
+    return lsh_plane_weights(tbl=0, plane=0, dim=_PKS_DIM)
+
+
+def _pks_oracle() -> str:
+    w = _pks_weights()
+    terms = " + ".join(
+        f"CAST(round(embedding[{d + 1}] * 1e6) AS BIGINT) * ({w[d]})"
+        for d in range(_PKS_DIM)
+    )
+    return f"""
+WITH proj AS (
+  SELECT label, {terms} AS p
+  FROM embeddings WHERE label IN ({_PKS_LA}, {_PKS_LB})),
+h AS (
+  SELECT p,
+         CAST(sum(CASE WHEN label = {_PKS_LA} THEN 1 ELSE 0 END) AS BIGINT)
+           AS ca,
+         CAST(sum(CASE WHEN label = {_PKS_LB} THEN 1 ELSE 0 END) AS BIGINT)
+           AS cb
+  FROM proj GROUP BY 1),
+cum AS (
+  SELECT CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+         CAST(sum(cb) OVER w AS BIGINT) AS cum_b,
+         CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+         CAST(sum(cb) OVER () AS BIGINT) AS n_b
+  FROM h WINDOW w AS (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)),
+k AS (
+  SELECT CAST(any_value(n_a) AS BIGINT) AS n_a,
+         CAST(any_value(n_b) AS BIGINT) AS n_b,
+         CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num
+  FROM cum)
+SELECT n_a, n_b,
+  round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6) AS d_stat,
+  round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+        * sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)), 6) AS ks_lambda
+FROM k
+"""
+
+
+@register("projection_ks_drift", oracle=_pks_oracle())
+def projection_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate embedding-drift check: project both label-{a} and
+    label-{b} embedding clouds onto ONE deterministic integer
+    hyperplane (the LSH plane family) and run an exact two-sample KS
+    on the projections — the cheap first screen for 'did the
+    embedding distribution move' that psi_drift (binned, scalar) and
+    label_centroid_drift (means only) cannot answer for shape changes.
+
+    Determinism and scale: the projection Σ round(x·1e6)·w is an
+    exact BIGINT fold per vector (no float dot product), the KS D
+    statistic is the exact integer max |c_a·n_b − c_b·n_a| over the
+    distinct-projection histogram cumsum — no row-scale sort, one
+    map-side-combinable histogram pass, everything after on the
+    O(distinct projections) frame.
+    """.format(a=_PKS_LA, b=_PKS_LB)
+    w = _pks_weights()
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isin(_PKS_LA, _PKS_LB)
+    )
+    xq = F.transform(
+        F.col("embedding"), lambda x: F.round(x * 1e6).cast("long")
+    )
+    wlit = F.array(*[F.lit(v).cast("long") for v in w])
+    proj = e.select(
+        "label",
+        F.aggregate(
+            F.zip_with(xq, wlit, lambda x, ww: x * ww),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("p"),
+    )
+    h = proj.groupBy("p").agg(
+        F.sum((F.col("label") == _PKS_LA).cast("long"))
+        .cast("long")
+        .alias("ca"),
+        F.sum((F.col("label") == _PKS_LB).cast("long"))
+        .cast("long")
+        .alias("cb"),
+    )
+    cw = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = h.select(
+        F.sum("ca").over(cw).cast("long").alias("cum_a"),
+        F.sum("cb").over(cw).cast("long").alias("cum_b"),
+        F.sum("ca").over(wall).cast("long").alias("n_a"),
+        F.sum("cb").over(wall).cast("long").alias("n_b"),
+    )
+    k = cum.agg(
+        F.any_value("n_a").cast("long").alias("n_a"),
+        F.any_value("n_b").cast("long").alias("n_b"),
+        F.max(
+            F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+        )
+        .cast("long")
+        .alias("d_num"),
+    )
+    d = F.col("d_num").cast("double") / (
+        F.col("n_a").cast("double") * F.col("n_b")
+    )
+    return k.select(
+        "n_a",
+        "n_b",
+        F.round(d, 6).alias("d_stat"),
+        F.round(
+            d
+            * F.sqrt(
+                F.col("n_a").cast("double")
+                * F.col("n_b")
+                / (F.col("n_a") + F.col("n_b"))
+            ),
+            6,
+        ).alias("ks_lambda"),
+    )

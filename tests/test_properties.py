@@ -3000,3 +3000,48 @@ def test_seasonal_mann_kendall_matches_numpy_replay(spark, sf_dir):
                 else ((s_tot + 1) / np.sqrt(var_tot) if s_tot < 0 else 0.0)
             )
             assert abs(row["smk_z"] - z) < 1e-5
+
+
+def test_projection_ks_matches_numpy_replay(spark, sf_dir):
+    """projection_ks_drift equals a numpy replay: integer hyperplane
+    projection, exact two-sample KS over the projections."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        _PKS_LA,
+        _PKS_LB,
+        _pks_weights,
+        projection_ks_drift,
+    )
+
+    row = projection_ks_drift(spark, sf_dir).toPandas().iloc[0]
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    emb = emb[emb["label"].isin([_PKS_LA, _PKS_LB])]
+    w = np.array(_pks_weights(), dtype="int64")
+    proj = {
+        lbl: np.array(
+            [
+                int(
+                    (
+                        np.floor(
+                            np.asarray(v, dtype="float64") * 1e6 + 0.5
+                        ).astype("int64")
+                        * w
+                    ).sum()
+                )
+                for v in grp["embedding"]
+            ]
+        )
+        for lbl, grp in emb.groupby("label")
+    }
+    a, b = np.sort(proj[_PKS_LA]), np.sort(proj[_PKS_LB])
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    d = float(np.abs(fa - fb).max())
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert abs(row["d_stat"] - d) < 1e-6
+    lam = d * np.sqrt(len(a) * len(b) / (len(a) + len(b)))
+    assert abs(row["ks_lambda"] - lam) < 1e-5
+    assert 0 <= row["d_stat"] <= 1
