@@ -2099,3 +2099,172 @@ def projection_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_lambda"),
     )
+
+
+# --------------------------------------------------------------------------
+# Learning curve: stump accuracy vs deterministic training-set size
+# --------------------------------------------------------------------------
+
+_LC_FRACS = (8, 24, 80)  # hash-percent cutoffs inside the 80% train pool
+_LC_HOLDOUT = 80  # hash % 100 >= 80 -> held-out eval slice
+
+
+def _lc_round_sql(cut: int) -> str:
+    return f"""
+tr{cut} AS (SELECT cents, pos FROM base WHERE h < {cut}),
+dv{cut} AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM tr{cut} GROUP BY 1),
+tot{cut} AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_all, CAST(sum(n_pos) AS BIGINT) AS p_all
+  FROM dv{cut}),
+cum{cut} AS (
+  SELECT cents,
+         CAST(sum(n) OVER w AS BIGINT) AS cn,
+         CAST(sum(n_pos) OVER w AS BIGINT) AS cp
+  FROM dv{cut}
+  WINDOW w AS (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+best{cut} AS (
+  SELECT cents AS thr, cn AS n_l, cp AS p_l,
+         n_all - cn AS n_r, p_all - cp AS p_r,
+         (2.0 * cp * (cn - cp) / cn
+          + 2.0 * (p_all - cp) * ((n_all - cn) - (p_all - cp))
+            / (n_all - cn)) / n_all AS gini
+  FROM cum{cut} CROSS JOIN tot{cut}
+  WHERE n_all - cn > 0
+  ORDER BY gini ASC, thr ASC LIMIT 1),
+eval{cut} AS (
+  SELECT CAST({cut} AS BIGINT) AS cut,
+         (SELECT n_all FROM tot{cut}) AS n_train,
+         b.thr,
+         CAST(round(b.gini * 1e6) AS BIGINT) / 1e6 AS train_gini,
+         CAST(sum(CASE WHEN (CASE WHEN ho.cents <= b.thr
+                             THEN 2 * b.p_l >= b.n_l
+                             ELSE 2 * b.p_r >= b.n_r END) = (ho.pos = 1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         CAST(count(*) AS BIGINT) AS n_holdout
+  FROM holdout ho CROSS JOIN best{cut} b
+  GROUP BY 1, 2, 3, 4)"""
+
+
+from dissertation_iceberg_spark.functions.hashing import hash60_sql
+
+_LC_ORACLE = (
+    f"""
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+         {hash60_sql("CAST(o_orderkey AS VARCHAR)")} % 100 AS h
+  FROM orders),
+holdout AS (SELECT cents, pos FROM base WHERE h >= {_LC_HOLDOUT}),"""
+    + ",".join(_lc_round_sql(c) for c in _LC_FRACS)
+    + """
+SELECT cut, n_train, thr AS threshold_cents, train_gini,
+       n_correct, n_holdout,
+       round(CAST(n_correct AS DOUBLE) / n_holdout, 6) AS holdout_acc
+FROM (SELECT * FROM eval8 UNION ALL SELECT * FROM eval24
+      UNION ALL SELECT * FROM eval80) u
+"""
+)
+
+
+@register("learning_curve", oracle=_LC_ORACLE)
+def learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve: exact greedy decision-stump accuracy as a
+    function of training-set size. Deterministic md5-hash slices of
+    orders form nested 10%/30%/100% training subsets of an 80% pool
+    (holdout = the other 20%); each subset trains a Gini-optimal
+    stump on order value vs the fulfilled label and is scored on the
+    SAME holdout — the sample-efficiency readout ('is more data still
+    buying accuracy?') that decides whether a 100 TB pipeline keeps
+    all its labels or downsamples.
+
+    Scale shape: the stump search per subset is the decision_stump
+    histogram machinery (distinct-value cumsums, no row-scale sort);
+    subsets nest by hash cutoffs so ONE hashed scan feeds all three;
+    evaluation is one conditional count over the holdout with the
+    1-row split broadcast.
+    """
+    from dissertation_iceberg_spark.functions.hashing import hash60
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("pos"),
+        (hash60(F.col("o_orderkey").cast("string")) % 100).alias("h"),
+    )
+    holdout = base.filter(F.col("h") >= _LC_HOLDOUT).select("cents", "pos")
+    outs = []
+    for cut in _LC_FRACS:
+        tr = base.filter(F.col("h") < cut)
+        dv = tr.groupBy("cents").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+        tot = dv.agg(
+            F.sum("n").cast("long").alias("n_all"),
+            F.sum("n_pos").cast("long").alias("p_all"),
+        )
+        cw = Window.orderBy("cents").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = dv.select(
+            "cents",
+            F.sum("n").over(cw).cast("long").alias("cn"),
+            F.sum("n_pos").over(cw).cast("long").alias("cp"),
+        )
+        cn, cp = F.col("cn"), F.col("cp")
+        na, pa = F.col("n_all"), F.col("p_all")
+        gini = (
+            2.0 * cp * (cn - cp) / cn
+            + 2.0 * (pa - cp) * ((na - cn) - (pa - cp)) / (na - cn)
+        ) / na
+        best = (
+            cum.crossJoin(F.broadcast(tot))
+            .filter(na - cn > 0)
+            .select(
+                F.col("cents").alias("thr"),
+                cn.alias("n_l"),
+                cp.alias("p_l"),
+                (na - cn).alias("n_r"),
+                (pa - cp).alias("p_r"),
+                gini.alias("gini"),
+                na.alias("n_train"),
+            )
+            .orderBy(F.asc("gini"), F.asc("thr"))
+            .limit(1)
+        )
+        pred_pos = F.when(
+            F.col("cents") <= F.col("thr"),
+            2 * F.col("p_l") >= F.col("n_l"),
+        ).otherwise(2 * F.col("p_r") >= F.col("n_r"))
+        ev = holdout.crossJoin(F.broadcast(best)).agg(
+            F.any_value("n_train").cast("long").alias("n_train"),
+            F.any_value("thr").cast("long").alias("threshold_cents"),
+            (F.round(F.any_value("gini") * 1e6).cast("long") / 1e6).alias(
+                "train_gini"
+            ),
+            F.sum((pred_pos == (F.col("pos") == 1)).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+            F.count(F.lit(1)).cast("long").alias("n_holdout"),
+        )
+        outs.append(
+            ev.select(
+                F.lit(cut).cast("long").alias("cut"),
+                "n_train",
+                "threshold_cents",
+                "train_gini",
+                "n_correct",
+                "n_holdout",
+                F.round(
+                    F.col("n_correct").cast("double") / F.col("n_holdout"), 6
+                ).alias("holdout_acc"),
+            )
+        )
+    out = outs[0]
+    for o2 in outs[1:]:
+        out = out.unionByName(o2)
+    return out

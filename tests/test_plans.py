@@ -202,6 +202,7 @@ INTENTIONAL_BNLJ = {
     "chapman_estimate",  # broadcast 1-row time-bounds frame
     "engle_granger_coint",  # broadcast 1-row OLS + DF-sums frames
     "mcnemar_test",  # broadcast 1-row time-bounds frame
+    "learning_curve",  # broadcast 1-row best-split frame per subset
 }
 
 

@@ -3045,3 +3045,67 @@ def test_projection_ks_matches_numpy_replay(spark, sf_dir):
     lam = d * np.sqrt(len(a) * len(b) / (len(a) + len(b)))
     assert abs(row["ks_lambda"] - lam) < 1e-5
     assert 0 <= row["d_stat"] <= 1
+
+
+def test_learning_curve_matches_pandas_replay(spark, sf_dir):
+    """learning_curve equals a pandas replay: hash-sliced nested
+    training sets, Gini-optimal stump per subset, shared-holdout
+    accuracy; training sets nest."""
+    import hashlib
+
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        _LC_FRACS,
+        _LC_HOLDOUT,
+        learning_curve,
+    )
+
+    pdf = (
+        learning_curve(spark, sf_dir)
+        .toPandas()
+        .sort_values("cut")
+        .reset_index(drop=True)
+    )
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    cents = np.floor(o["o_totalprice"] * 100 + 0.5).astype("int64").to_numpy()
+    pos = (o["o_orderstatus"] == "F").astype(int).to_numpy()
+    h = np.array(
+        [
+            int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % 100
+            for k in o["o_orderkey"]
+        ]
+    )
+    ho = h >= _LC_HOLDOUT
+    for i, cut in enumerate(_LC_FRACS):
+        tr = h < cut
+        c, y = cents[tr], pos[tr]
+        order = np.argsort(c, kind="stable")
+        cs, ys = c[order], y[order]
+        uniq, idx = np.unique(cs, return_index=True)
+        # cumulative counts up to and including each distinct value
+        cn = np.append(idx[1:], len(cs))
+        cp = np.cumsum(ys)[cn - 1]
+        n_all, p_all = len(cs), int(ys.sum())
+        valid = cn < n_all
+        gini = (
+            2.0 * cp * (cn - cp) / cn
+            + 2.0 * (p_all - cp) * ((n_all - cn) - (p_all - cp))
+            / (n_all - cn + (~valid))
+        ) / n_all
+        gini = np.where(valid, gini, np.inf)
+        j = int(np.lexsort((uniq, gini))[0])
+        thr, n_l, p_l = int(uniq[j]), int(cn[j]), int(cp[j])
+        n_r, p_r = n_all - n_l, p_all - p_l
+        pred = np.where(
+            cents[ho] <= thr, 2 * p_l >= n_l, 2 * p_r >= n_r
+        )
+        acc = (pred == (pos[ho] == 1)).mean()
+        row = pdf.iloc[i]
+        assert row["n_train"] == n_all
+        assert row["threshold_cents"] == thr
+        assert abs(row["holdout_acc"] - acc) < 1e-6
+        assert row["n_holdout"] == int(ho.sum())
+    # nested subsets: training size strictly increases with the cut
+    assert pdf["n_train"].is_monotonic_increasing
