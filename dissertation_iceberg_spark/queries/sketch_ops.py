@@ -1747,3 +1747,235 @@ def chapman_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chapman_se"),
     )
+
+
+# --------------------------------------------------------------------------
+# HLL merge audit: shard-wise register max-merge == global rebuild
+# --------------------------------------------------------------------------
+
+_HLLM_ORACLE = f"""
+WITH h AS (
+  SELECT l_linestatus AS shard,
+         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hv
+  FROM lineitem),
+rho AS (
+  SELECT shard, hv >> {_HLL_WBITS} AS bucket,
+         CASE WHEN (hv & {(1 << _HLL_WBITS) - 1}) = 0 THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS + 1}
+                   - length(format('{{:b}}', hv & {(1 << _HLL_WBITS) - 1}))
+         END AS r
+  FROM h),
+shard_regs AS (
+  SELECT shard, bucket, CAST(max(r) AS BIGINT) AS m FROM rho GROUP BY 1, 2),
+merged AS (
+  SELECT bucket, CAST(max(m) AS BIGINT) AS m FROM shard_regs GROUP BY 1),
+global AS (
+  SELECT bucket, CAST(max(r) AS BIGINT) AS m FROM rho GROUP BY 1),
+cmp AS (
+  SELECT count(*) AS n_buckets,
+         CAST(sum(CASE WHEN g.m = mg.m THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_mismatch
+  FROM global g JOIN merged mg USING (bucket)),
+est AS (
+  SELECT
+    CAST(sum(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - m)) AS BIGINT)
+      + ({_HLL_M} - count(*)) * (CAST(1 AS BIGINT) << {_HLL_SHIFT})
+      AS s_merged
+  FROM merged),
+estg AS (
+  SELECT
+    CAST(sum(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - m)) AS BIGINT)
+      + ({_HLL_M} - count(*)) * (CAST(1 AS BIGINT) << {_HLL_SHIFT})
+      AS s_global
+  FROM global),
+shards AS (SELECT CAST(count(DISTINCT shard) AS BIGINT) AS n_shards FROM h)
+SELECT sh.n_shards, CAST(c.n_buckets AS BIGINT) AS n_buckets,
+       c.n_mismatch,
+       round({_HLL_NUM!r} / CAST(e.s_merged AS DOUBLE), 4) AS est_merged,
+       round({_HLL_NUM!r} / CAST(g.s_global AS DOUBLE), 4) AS est_global,
+       CAST(e.s_merged = g.s_global AS BIGINT) AS merge_exact
+FROM cmp c CROSS JOIN est e CROSS JOIN estg g CROSS JOIN shards sh
+"""
+
+
+@register("hll_merge_audit", oracle=_HLLM_ORACLE)
+def hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability audit: build per-shard register tables
+    (shards = line status — any partitioning works), max-merge them,
+    and prove the merged sketch is BIT-IDENTICAL to a global rebuild
+    (register mismatches = 0, scaled harmonic sums equal, one flag
+    column) — the algebraic property (max is
+    associative-commutative) that lets 1000 executors sketch 100 TB
+    independently and combine results without a second pass; the
+    sibling identity to incremental_agg_merge (sums) for sketch
+    state.
+
+    Scale shape: register tables are bounded at shards × {m} cells;
+    the merge, comparison and both estimates run on O({m}) frames.
+    Same portable-hash register derivation as hll_distinct, so the
+    oracle replays everything including the estimates.
+    """.format(m=_HLL_M)
+    from dissertation_iceberg_spark.functions.hashing import hash60
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.col("l_linestatus").alias("shard"),
+        hash60(F.col("l_orderkey").cast("string")).alias("hv"),
+    )
+    w = F.col("hv").bitwiseAND(F.lit((1 << _HLL_WBITS) - 1))
+    rho = h.select(
+        "shard",
+        F.shiftright("hv", _HLL_WBITS).alias("bucket"),
+        F.when(w == 0, F.lit(_HLL_WBITS + 1))
+        .otherwise(F.lit(_HLL_WBITS + 1) - F.length(F.conv(w, 10, 2)))
+        .alias("r"),
+    )
+    shard_regs = rho.groupBy("shard", "bucket").agg(
+        F.max("r").cast("long").alias("m")
+    )
+    merged = shard_regs.groupBy("bucket").agg(
+        F.max("m").cast("long").alias("m")
+    )
+    global_regs = rho.groupBy("bucket").agg(F.max("r").cast("long").alias("m"))
+    cmp = global_regs.alias("g").join(
+        merged.select(F.col("bucket"), F.col("m").alias("mm")), "bucket"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum((F.col("m") != F.col("mm")).cast("long"))
+        .cast("long")
+        .alias("n_mismatch"),
+    )
+
+    def scaled_sum(regs):
+        return regs.agg(
+            (
+                F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SHIFT} - m)"))
+                + (_HLL_M - F.count(F.lit(1)))
+                * F.lit(1 << _HLL_SHIFT).cast("long")
+            )
+            .cast("long")
+            .alias("s")
+        )
+
+    e = scaled_sum(merged).select(F.col("s").alias("s_merged"))
+    g = scaled_sum(global_regs).select(F.col("s").alias("s_global"))
+    shards = h.agg(F.countDistinct("shard").cast("long").alias("n_shards"))
+    return (
+        cmp.crossJoin(F.broadcast(e))
+        .crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(shards))
+        .select(
+            "n_shards",
+            "n_buckets",
+            "n_mismatch",
+            F.round(F.lit(_HLL_NUM) / F.col("s_merged").cast("double"), 4).alias(
+                "est_merged"
+            ),
+            F.round(F.lit(_HLL_NUM) / F.col("s_global").cast("double"), 4).alias(
+                "est_global"
+            ),
+            (F.col("s_merged") == F.col("s_global")).cast("long").alias(
+                "merge_exact"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Feature-hashing (hashing trick) collision audit
+# --------------------------------------------------------------------------
+
+_FH_WIDTH = 1 << 12  # 4096 hash buckets
+
+
+def _fh_oracle() -> str:
+    from dissertation_iceberg_spark.functions.hashing import hash60_sql
+
+    return f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS}) AS term FROM documents),
+tf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+hashed AS (
+  SELECT term, f, {hash60_sql("term")} % {_FH_WIDTH} AS bucket FROM tf),
+buckets AS (
+  SELECT bucket,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(f) AS BIGINT) AS mass
+  FROM hashed GROUP BY 1),
+s AS (
+  SELECT CAST(sum(n_terms) AS BIGINT) AS vocab,
+         CAST(count(*) AS BIGINT) AS used,
+         CAST(sum(CASE WHEN n_terms > 1 THEN n_terms ELSE 0 END) AS BIGINT)
+           AS colliding_terms,
+         CAST(sum(CASE WHEN n_terms > 1 THEN mass ELSE 0 END) AS BIGINT)
+           AS colliding_mass,
+         CAST(sum(mass) AS BIGINT) AS total_mass,
+         CAST(max(n_terms) AS BIGINT) AS max_bucket_terms
+  FROM buckets)
+SELECT vocab, used, CAST({_FH_WIDTH} AS BIGINT) AS width,
+       colliding_terms, max_bucket_terms,
+       round(CAST(colliding_terms AS DOUBLE) / vocab, 6)
+         AS term_collision_rate,
+       round(CAST(colliding_mass AS DOUBLE) / total_mass, 6)
+         AS mass_collision_rate
+FROM s
+"""
+
+
+@register("hashing_trick_audit", oracle=_fh_oracle())
+def hashing_trick_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) collision audit: hash the
+    document vocabulary into {w} buckets with the portable 60-bit
+    hash and report how much of the vocabulary — and how much of the
+    token MASS — lands in shared buckets, plus the worst bucket — the
+    'is this hash width safe for my vocab' sizing readout every
+    hashed-feature model (and count-min user) needs before training.
+
+    Scale shape: one token explode + (term, count) aggregate (the
+    vocab frame), one bucket rollup bounded at {w} cells, one 1-row
+    reduce; the hash is the md5-derived portable family, so the
+    oracle replays bucket assignments exactly.
+    """.format(w=_FH_WIDTH)
+    from dissertation_iceberg_spark.functions.hashing import hash60
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    hashed = tf.select(
+        "term", "f", (hash60(F.col("term")) % _FH_WIDTH).alias("bucket")
+    )
+    buckets = hashed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("f").cast("long").alias("mass"),
+    )
+    s = buckets.agg(
+        F.sum("n_terms").cast("long").alias("vocab"),
+        F.count(F.lit(1)).cast("long").alias("used"),
+        F.sum(F.when(F.col("n_terms") > 1, F.col("n_terms")).otherwise(0))
+        .cast("long")
+        .alias("colliding_terms"),
+        F.sum(F.when(F.col("n_terms") > 1, F.col("mass")).otherwise(0))
+        .cast("long")
+        .alias("colliding_mass"),
+        F.sum("mass").cast("long").alias("total_mass"),
+        F.max("n_terms").cast("long").alias("max_bucket_terms"),
+    )
+    return s.select(
+        "vocab",
+        "used",
+        F.lit(_FH_WIDTH).cast("long").alias("width"),
+        "colliding_terms",
+        "max_bucket_terms",
+        F.round(
+            F.col("colliding_terms").cast("double") / F.col("vocab"), 6
+        ).alias("term_collision_rate"),
+        F.round(
+            F.col("colliding_mass").cast("double") / F.col("total_mass"), 6
+        ).alias("mass_collision_rate"),
+    )

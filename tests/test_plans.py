@@ -203,6 +203,7 @@ INTENTIONAL_BNLJ = {
     "engle_granger_coint",  # broadcast 1-row OLS + DF-sums frames
     "mcnemar_test",  # broadcast 1-row time-bounds frame
     "learning_curve",  # broadcast 1-row best-split frame per subset
+    "hll_merge_audit",  # broadcast 1-row scaled-sum + shard-count frames
 }
 
 

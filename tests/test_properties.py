@@ -3109,3 +3109,52 @@ def test_learning_curve_matches_pandas_replay(spark, sf_dir):
         assert row["n_holdout"] == int(ho.sum())
     # nested subsets: training size strictly increases with the cut
     assert pdf["n_train"].is_monotonic_increasing
+
+
+def test_hll_merge_audit_is_exact(spark, sf_dir):
+    """hll_merge_audit: shard max-merge is bit-identical to the
+    global rebuild (zero mismatches, equal estimates, flag set)."""
+    from dissertation_iceberg_spark.queries.sketch_ops import hll_merge_audit
+
+    row = hll_merge_audit(spark, sf_dir).toPandas().iloc[0]
+    assert row["n_mismatch"] == 0
+    assert row["merge_exact"] == 1
+    assert row["est_merged"] == row["est_global"]
+    assert row["n_shards"] >= 2
+    assert 0 < row["n_buckets"] <= 256
+
+
+def test_hashing_trick_audit_matches_python_replay(spark, sf_dir):
+    """hashing_trick_audit equals a python replay of the md5-bucket
+    assignment and collision accounting."""
+    import hashlib
+    from collections import Counter
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.sketch_ops import (
+        _FH_WIDTH,
+        hashing_trick_audit,
+    )
+
+    row = hashing_trick_audit(spark, sf_dir).toPandas().iloc[0]
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    tf = Counter(
+        t for text in docs["text"] for t in text.split(" ") if t != ""
+    )
+    buckets = Counter()
+    mass = Counter()
+    for term, f in tf.items():
+        b = int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % _FH_WIDTH
+        buckets[b] += 1
+        mass[b] += f
+    vocab = len(tf)
+    coll_terms = sum(n for n in buckets.values() if n > 1)
+    coll_mass = sum(mass[b] for b, n in buckets.items() if n > 1)
+    assert row["vocab"] == vocab
+    assert row["used"] == len(buckets)
+    assert row["colliding_terms"] == coll_terms
+    assert row["max_bucket_terms"] == max(buckets.values())
+    assert abs(row["term_collision_rate"] - coll_terms / vocab) < 1e-6
+    assert (
+        abs(row["mass_collision_rate"] - coll_mass / sum(tf.values())) < 1e-6
+    )
