@@ -987,3 +987,97 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("long"))
     )
     return top_a.unionByName(top_h)
+
+
+# --------------------------------------------------------------------------
+# Butterfly (bipartite 4-cycle) counting on the order-part graph
+# --------------------------------------------------------------------------
+
+_BFLY_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+odeg AS (SELECT o, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+wedges AS (
+  SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM odeg),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_both
+  FROM edges a JOIN edges b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2),
+bf AS (
+  SELECT CAST(sum(n_both * (n_both - 1) / 2) AS BIGINT) AS n_butterflies,
+         CAST(count(*) AS BIGINT) AS n_part_pairs
+  FROM pairs),
+sizes AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(count(DISTINCT o) AS BIGINT) AS n_orders,
+         CAST(count(DISTINCT p) AS BIGINT) AS n_parts
+  FROM edges)
+SELECT s.n_edges, s.n_orders, s.n_parts, w.n_wedges,
+       b.n_part_pairs, b.n_butterflies,
+       round(CASE WHEN b.n_part_pairs > 0
+             THEN CAST(b.n_butterflies AS DOUBLE) / b.n_part_pairs END, 6)
+         AS butterflies_per_pair
+FROM sizes s CROSS JOIN wedges w CROSS JOIN bf b
+"""
+
+
+@register("butterfly_count", oracle=_BFLY_ORACLE)
+def butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly (bipartite 4-cycle) count on the order⇄part graph:
+    two orders sharing TWO parts form a butterfly — the bipartite
+    clustering primitive (cohesion of co-purchase structure) beneath
+    triangle counting's unipartite world, computed as Σ C(co-order
+    count, 2) over part pairs; order-side wedges ΣC(deg,2) ride along
+    as the density denominator.
+
+    Scale shape: reuses the co-purchase pair expansion (measured
+    LINEAR 1×/10×/100× in SCALE.md — basket sizes bound the per-order
+    fan-out), then two exact-BIGINT reduces; no new join shape. The
+    skew guard is the same as copurchase_lift: per-order C(k,2) pairs
+    with bounded basket size k.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    odeg = edges.groupBy("o").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    wedges = odeg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    b = edges.select(F.col("o").alias("o2"), F.col("p").alias("pb"))
+    pairs = (
+        edges.join(b, (F.col("o") == F.col("o2")) & (F.col("p") < F.col("pb")))
+        .groupBy(F.col("p").alias("pa"), "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    bf = pairs.agg(
+        F.sum(F.col("n_both") * (F.col("n_both") - 1) / 2)
+        .cast("long")
+        .alias("n_butterflies"),
+        F.count(F.lit(1)).cast("long").alias("n_part_pairs"),
+    )
+    sizes = edges.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.countDistinct("o").cast("long").alias("n_orders"),
+        F.countDistinct("p").cast("long").alias("n_parts"),
+    )
+    return (
+        sizes.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(bf))
+        .select(
+            "n_edges",
+            "n_orders",
+            "n_parts",
+            "n_wedges",
+            "n_part_pairs",
+            "n_butterflies",
+            F.round(
+                F.when(
+                    F.col("n_part_pairs") > 0,
+                    F.col("n_butterflies").cast("double")
+                    / F.col("n_part_pairs"),
+                ),
+                6,
+            ).alias("butterflies_per_pair"),
+        )
+    )

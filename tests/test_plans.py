@@ -204,6 +204,7 @@ INTENTIONAL_BNLJ = {
     "mcnemar_test",  # broadcast 1-row time-bounds frame
     "learning_curve",  # broadcast 1-row best-split frame per subset
     "hll_merge_audit",  # broadcast 1-row scaled-sum + shard-count frames
+    "butterfly_count",  # broadcast 1-row wedge/butterfly total frames
 }
 
 

@@ -3158,3 +3158,32 @@ def test_hashing_trick_audit_matches_python_replay(spark, sf_dir):
     assert (
         abs(row["mass_collision_rate"] - coll_mass / sum(tf.values())) < 1e-6
     )
+
+
+def test_butterfly_count_matches_pandas_replay(spark, sf_dir):
+    """butterfly_count equals a pandas replay of sum-C(co,2) over
+    part pairs and sum-C(deg,2) wedges."""
+    from collections import Counter
+    from itertools import combinations
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.graph_ops import butterfly_count
+
+    row = butterfly_count(spark, sf_dir).toPandas().iloc[0]
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    edges = set(zip(li["l_orderkey"], li["l_partkey"]))
+    baskets = {}
+    for o, p in edges:
+        baskets.setdefault(o, set()).add(p)
+    wedges = sum(len(b) * (len(b) - 1) // 2 for b in baskets.values())
+    co = Counter()
+    for b in baskets.values():
+        for pa, pb in combinations(sorted(b), 2):
+            co[(pa, pb)] += 1
+    bflies = sum(n * (n - 1) // 2 for n in co.values())
+    assert row["n_edges"] == len(edges)
+    assert row["n_orders"] == len(baskets)
+    assert row["n_parts"] == len({p for _, p in edges})
+    assert row["n_wedges"] == wedges
+    assert row["n_part_pairs"] == len(co)
+    assert row["n_butterflies"] == bflies
