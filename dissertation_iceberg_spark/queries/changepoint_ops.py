@@ -555,3 +555,176 @@ def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Forecast backtest battery: seasonal-naive vs Holt on a 7-day holdout
+# --------------------------------------------------------------------------
+
+_BT_H = 7  # holdout horizon (days)
+
+_BT_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT event_type, y,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS t,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM daily),
+tr AS (SELECT event_type, y, t, n - {_BT_H} AS n_tr FROM idx
+       WHERE t <= n - {_BT_H}),
+ho AS (SELECT event_type, y, t - (n - {_BT_H}) AS h FROM idx
+       WHERE t > n - {_BT_H}),
+rec AS (
+  SELECT event_type, t, n_tr, y AS l, CAST(0 AS BIGINT) AS b
+  FROM tr WHERE t = 1
+  UNION ALL
+  SELECT i.event_type, i.t, i.n_tr,
+         (i.y + r.l + r.b) >> 1 AS l,
+         (((i.y + r.l + r.b) >> 1) - r.l + r.b) >> 1 AS b
+  FROM rec r JOIN tr i ON i.event_type = r.event_type AND i.t = r.t + 1),
+holt_state AS (SELECT event_type, n_tr, l, b FROM rec WHERE t = n_tr),
+d1 AS (
+  SELECT event_type,
+         CAST(sum(abs(y - lag_y)) AS BIGINT) AS d_num,
+         CAST(count(*) AS BIGINT) AS d_cnt
+  FROM (SELECT event_type, y,
+               lag(y) OVER (PARTITION BY event_type ORDER BY t) AS lag_y
+        FROM tr) q
+  WHERE lag_y IS NOT NULL GROUP BY 1),
+preds AS (
+  SELECT h.event_type, h.h, h.y,
+         s.l + h.h * s.b AS f_holt,
+         (SELECT t2.y FROM tr t2
+          WHERE t2.event_type = h.event_type
+            AND t2.t = s.n_tr + h.h - {_BT_H}) AS f_naive
+  FROM ho h JOIN holt_state s ON h.event_type = s.event_type),
+errs AS (
+  SELECT event_type, 'holt' AS model,
+         CAST(sum(abs(y - f_holt)) AS BIGINT) AS mae_num,
+         CAST(sum((y - f_holt) * (y - f_holt)) AS BIGINT) AS sq_num
+  FROM preds GROUP BY 1
+  UNION ALL
+  SELECT event_type, 'seasonal_naive' AS model,
+         CAST(sum(abs(y - f_naive)) AS BIGINT) AS mae_num,
+         CAST(sum((y - f_naive) * (y - f_naive)) AS BIGINT) AS sq_num
+  FROM preds GROUP BY 1)
+SELECT e.event_type, e.model,
+       CAST(s.n_tr AS BIGINT) AS n_train,
+       CAST({_BT_H} AS BIGINT) AS horizon,
+       round(CAST(e.mae_num AS DOUBLE) / {_BT_H}, 6) AS mae,
+       round(sqrt(CAST(e.sq_num AS DOUBLE) / {_BT_H}), 6) AS rmse,
+       round(CAST(e.mae_num AS DOUBLE) * d.d_cnt
+             / ({_BT_H} * CAST(d.d_num AS DOUBLE)), 6) AS mase
+FROM errs e
+JOIN holt_state s ON e.event_type = s.event_type
+JOIN d1 d ON e.event_type = d.event_type
+"""
+
+
+@register("forecast_backtest_battery", oracle=_BT_ORACLE)
+def forecast_backtest_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: hold out the last {h} days of each event
+    type's daily-count series, forecast them with the seasonal-naive
+    baseline (y_{{t−7}}) and the exact-integer Holt recursion (static
+    h-step l + h·b from the train-end state), and score MAE, RMSE and
+    MASE (scaled by the train-set naive-1 MAE) — the model-comparison
+    readout that turns the forecasting family (seasonal_naive_backtest,
+    holt_linear_forecast, holt_winters_forecast) into a decision.
+
+    Determinism: the Holt state is the same pure BIGINT shift
+    recursion as holt_linear_forecast; every forecast and error
+    numerator is an exact integer; MASE is a single division of exact
+    integer products. Scale shape: one daily aggregate, per-type
+    O(days) folds, O(types × {h}) error rows.
+    """.format(h=_BT_H)
+    e = spread(load_table(spark, sf_dir, "events"))
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("arr")
+    )
+    n = F.size("arr")
+    n_tr = (n - _BT_H).alias("n_tr")
+    train = F.expr(f"transform(slice(arr, 1, size(arr) - {_BT_H}), x -> x.y)")
+    hold = F.expr(
+        f"transform(slice(arr, size(arr) - {_BT_H} + 1, {_BT_H}), x -> x.y)"
+    )
+    s = series.select("event_type", n_tr, train.alias("tr"), hold.alias("ho"))
+    init = F.struct(
+        F.element_at(F.col("tr"), 1).alias("l"),
+        F.lit(0).cast("long").alias("b"),
+    )
+    rest = F.slice(F.col("tr"), 2, F.col("n_tr") - 1)
+
+    def step(acc, y):
+        l_new = F.shiftright(y + acc["l"] + acc["b"], 1)
+        b_new = F.shiftright(l_new - acc["l"] + acc["b"], 1)
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    st = F.aggregate(rest, init, step)
+    # train naive-1 MAE numerator: sum |y_t - y_{t-1}| over the train arr
+    d_num = F.aggregate(
+        F.expr("zip_with(slice(tr, 2, size(tr) - 1),"
+               " slice(tr, 1, size(tr) - 1), (a, b) -> abs(a - b))"),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    base = s.select(
+        "event_type",
+        "n_tr",
+        "tr",
+        "ho",
+        st.alias("st"),
+        d_num.alias("d_num"),
+        (F.col("n_tr") - 1).cast("long").alias("d_cnt"),
+    )
+    hseq = F.sequence(F.lit(1), F.lit(_BT_H))
+    holt_err = F.zip_with(
+        F.col("ho"),
+        F.transform(hseq, lambda h: F.col("st")["l"] + h * F.col("st")["b"]),
+        lambda y, f: F.struct(
+            F.abs(y - f).alias("ae"), ((y - f) * (y - f)).alias("se")
+        ),
+    )
+    naive_pred = F.slice(F.col("tr"), F.col("n_tr") - _BT_H + 1, _BT_H)
+    naive_err = F.zip_with(
+        F.col("ho"),
+        naive_pred,
+        lambda y, f: F.struct(
+            F.abs(y - f).alias("ae"), ((y - f) * (y - f)).alias("se")
+        ),
+    )
+
+    def agg_err(errcol):
+        mae_num = F.aggregate(
+            errcol, F.lit(0).cast("long"), lambda acc, v: acc + v["ae"]
+        )
+        sq_num = F.aggregate(
+            errcol, F.lit(0).cast("long"), lambda acc, v: acc + v["se"]
+        )
+        return mae_num, sq_num
+
+    out = None
+    for model, errcol in (("holt", holt_err), ("seasonal_naive", naive_err)):
+        mae_num, sq_num = agg_err(errcol)
+        row = base.select(
+            "event_type",
+            F.lit(model).alias("model"),
+            F.col("n_tr").cast("long").alias("n_train"),
+            F.lit(_BT_H).cast("long").alias("horizon"),
+            F.round(mae_num.cast("double") / _BT_H, 6).alias("mae"),
+            F.round(F.sqrt(sq_num.cast("double") / _BT_H), 6).alias("rmse"),
+            F.round(
+                mae_num.cast("double")
+                * F.col("d_cnt")
+                / (_BT_H * F.col("d_num").cast("double")),
+                6,
+            ).alias("mase"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1059,3 +1059,100 @@ def engle_granger_coint(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(rho / F.sqrt(s2 / F.col("suu"))).alias("eg_t_stat"),
         F.expr("CAST('-3.37e0' AS DOUBLE)").alias("crit_5pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Instrumental-variables (Wald / 2SLS with one instrument) estimate
+# --------------------------------------------------------------------------
+
+_IV_ORACLE = f"""
+WITH o AS (
+  SELECT l_orderkey AS ok,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS z
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT o.x, o.z, CAST(round(ord.o_totalprice * 100) AS BIGINT) AS y
+  FROM o JOIN orders ord ON ord.o_orderkey = o.ok),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(z) AS BIGINT) AS sz,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(z * z) AS BIGINT) AS szz,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(z * x) AS BIGINT) AS szx,
+         CAST(sum(z * y) AS BIGINT) AS szy
+  FROM j),
+c AS (
+  SELECT n,
+    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cxy,
+    CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS cxx,
+    CAST(n AS DOUBLE) * szy - CAST(sz AS DOUBLE) * sy AS czy,
+    CAST(n AS DOUBLE) * szx - CAST(sz AS DOUBLE) * sx AS czx,
+    CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz AS czz
+  FROM s)
+SELECT n,
+  {_R6_SQL.format(x="cxy / cxx / 100.0")} AS beta_ols,
+  {_R6_SQL.format(x="czy / czx / 100.0")} AS beta_iv,
+  {_R6_SQL.format(x="(czy / czx - cxy / cxx) / 100.0")} AS iv_minus_ols,
+  {_R6_SQL.format(
+      x="(n - 2) * (czx * czx / (czz * cxx))"
+        " / (1.0 - czx * czx / (czz * cxx))")} AS first_stage_f
+FROM c
+"""
+
+
+@register("iv_wald_estimate", oracle=_IV_ORACLE)
+def iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variables (Wald / just-identified 2SLS) estimate
+    of the effect of total order quantity on order value, instrumented
+    by the order's line count: β_IV = cov(z,y)/cov(z,x) beside the
+    confounded OLS β = cov(x,y)/var(x), with the first-stage F
+    (instrument-strength gate; F < 10 = weak instrument) — completing
+    the causal toolkit (cuped/DiD/PSM/RDD) with the
+    endogenous-regressor workhorse.
+
+    Scale shape: one per-order rollup of lineitem (map-side
+    combinable), one broadcast-joinable orders lookup, then a single
+    9-counter exact-BIGINT Gram reduce; every coefficient is an
+    identically-shaped IEEE expression on the 1-row frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    per = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("x"),
+        F.count(F.lit(1)).cast("long").alias("z"),
+    )
+    j = per.join(
+        o.select(
+            F.col("o_orderkey").alias("ok"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+        ),
+        "ok",
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("z") * F.col("x")).cast("long").alias("szx"),
+        F.sum(F.col("z") * F.col("y")).cast("long").alias("szy"),
+    )
+    n = F.col("n").cast("double")
+    cxy = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    cxx = n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    czy = n * F.col("szy") - F.col("sz").cast("double") * F.col("sy")
+    czx = n * F.col("szx") - F.col("sz").cast("double") * F.col("sx")
+    czz = n * F.col("szz") - F.col("sz").cast("double") * F.col("sz")
+    r2 = czx * czx / (czz * cxx)
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        _r6(cxy / cxx / 100.0).alias("beta_ols"),
+        _r6(czy / czx / 100.0).alias("beta_iv"),
+        _r6((czy / czx - cxy / cxx) / 100.0).alias("iv_minus_ols"),
+        _r6((F.col("n") - 2) * r2 / (1.0 - r2)).alias("first_stage_f"),
+    )

@@ -3187,3 +3187,87 @@ def test_butterfly_count_matches_pandas_replay(spark, sf_dir):
     assert row["n_wedges"] == wedges
     assert row["n_part_pairs"] == len(co)
     assert row["n_butterflies"] == bflies
+
+
+def test_forecast_backtest_matches_python_replay(spark, sf_dir):
+    """forecast_backtest_battery equals a python replay: Holt trained
+    on the prefix, static h-step forecasts, seasonal-naive lags, and
+    exact MAE/RMSE/MASE."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.changepoint_ops import (
+        _BT_H,
+        forecast_backtest_battery,
+    )
+
+    pdf = forecast_backtest_battery(spark, sf_dir).toPandas()
+    e = load_table(spark, sf_dir, "events").toPandas()
+    daily = (
+        e.assign(day=e["ts"].dt.floor("D"))
+        .groupby(["event_type", "day"])
+        .size()
+        .rename("y")
+        .reset_index()
+        .sort_values(["event_type", "day"])
+    )
+    for t, g in daily.groupby("event_type"):
+        y = g["y"].astype("int64").tolist()
+        tr, ho = y[:-_BT_H], y[-_BT_H:]
+        l, b = tr[0], 0
+        for v in tr[1:]:
+            l_new = (v + l + b) >> 1
+            b = (l_new - l + b) >> 1
+            l = l_new
+        f_holt = [l + h * b for h in range(1, _BT_H + 1)]
+        f_naive = tr[-_BT_H:]
+        d_num = sum(abs(a - c) for a, c in zip(tr[1:], tr[:-1]))
+        d_cnt = len(tr) - 1
+        for model, f in (("holt", f_holt), ("seasonal_naive", f_naive)):
+            mae_num = sum(abs(a - c) for a, c in zip(ho, f))
+            sq_num = sum((a - c) ** 2 for a, c in zip(ho, f))
+            row = pdf[(pdf["event_type"] == t) & (pdf["model"] == model)].iloc[0]
+            assert row["n_train"] == len(tr)
+            assert abs(row["mae"] - mae_num / _BT_H) < 1e-6
+            assert abs(row["rmse"] - np.sqrt(sq_num / _BT_H)) < 1e-5
+            assert (
+                abs(row["mase"] - mae_num * d_cnt / (_BT_H * d_num)) < 1e-5
+            )
+
+
+def test_iv_wald_matches_numpy_replay(spark, sf_dir):
+    """iv_wald_estimate equals the covariance-ratio formulas in numpy
+    and the instrument is strong on the fixtures (F >> 10)."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.econometrics import (
+        iv_wald_estimate,
+    )
+
+    row = iv_wald_estimate(spark, sf_dir).toPandas().iloc[0]
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    per = li.groupby("l_orderkey").agg(
+        x=("l_quantity", lambda s: int(s.astype("int64").sum())),
+        z=("l_quantity", "size"),
+    )
+    m = per.merge(o, left_index=True, right_on="o_orderkey")
+    x = m["x"].to_numpy().astype("float64")
+    z = m["z"].to_numpy().astype("float64")
+    y = (
+        np.floor(m["o_totalprice"] * 100 + 0.5).astype("int64").to_numpy()
+        .astype("float64")
+    )
+    n = len(x)
+    cxy = n * (x * y).sum() - x.sum() * y.sum()
+    cxx = n * (x * x).sum() - x.sum() ** 2
+    czy = n * (z * y).sum() - z.sum() * y.sum()
+    czx = n * (z * x).sum() - z.sum() * x.sum()
+    czz = n * (z * z).sum() - z.sum() ** 2
+    r2 = czx**2 / (czz * cxx)
+    assert row["n"] == n
+    assert abs(row["beta_ols"] - cxy / cxx / 100) < 1e-5
+    assert abs(row["beta_iv"] - czy / czx / 100) < 1e-5
+    assert abs(row["first_stage_f"] - (n - 2) * r2 / (1 - r2)) < 1e-2
+    assert row["first_stage_f"] > 10  # strong instrument on fixtures
