@@ -2268,3 +2268,303 @@ def learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o2 in outs[1:]:
         out = out.unionByName(o2)
     return out
+
+
+# --------------------------------------------------------------------------
+# Group-sequential A/B monitor with O'Brien-Fleming boundaries
+# --------------------------------------------------------------------------
+
+_GS_LOOKS = 5
+# two-sided alpha=.05, K=5 equally-spaced looks: z_k = C_OF * sqrt(K/k),
+# C_OF = 2.0401 (Lan-DeMets O'Brien-Fleming approximation) — literal so
+# no quantile function exists at runtime in either engine
+_GS_C = "2.0401e0"
+
+_GS_ORACLE = f"""
+WITH bounds AS (
+  SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+         CAST(max(epoch_us(ts)) AS BIGINT) + 1 AS hi
+  FROM events),
+looks AS (
+  SELECT CAST(k AS BIGINT) AS look, b.lo, b.hi,
+         b.lo + (b.hi - b.lo) * k / {_GS_LOOKS} AS cut_us
+  FROM generate_series(1, {_GS_LOOKS}) AS g(k) CROSS JOIN bounds b),
+u AS (
+  SELECT l.look, e.user_id % 2 AS arm,
+         max(CASE WHEN e.event_type = 'purchase' AND e.value > {_MCN_THR}
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events e JOIN looks l ON epoch_us(e.ts) < l.cut_us
+  GROUP BY 1, 2, e.user_id),
+s AS (
+  SELECT look,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_t,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_c
+  FROM u GROUP BY 1),
+z AS (
+  SELECT look, n_t, c_t, n_c, c_c,
+    CASE WHEN c_t + c_c > 0 AND c_t + c_c < n_t + n_c THEN
+      (CAST(c_t AS DOUBLE) / n_t - CAST(c_c AS DOUBLE) / n_c)
+        / sqrt((CAST(c_t + c_c AS DOUBLE) / (n_t + n_c))
+               * (1.0 - CAST(c_t + c_c AS DOUBLE) / (n_t + n_c))
+               * (1.0 / n_t + 1.0 / n_c))
+    END AS z_stat
+  FROM s)
+SELECT look, n_t, c_t, n_c, c_c,
+  round(z_stat, 6) AS z_stat,
+  round(CAST('{_GS_C}' AS DOUBLE)
+        * sqrt(CAST({_GS_LOOKS} AS DOUBLE) / look), 6) AS obf_bound,
+  CAST(coalesce(abs(z_stat) > CAST('{_GS_C}' AS DOUBLE)
+       * sqrt(CAST({_GS_LOOKS} AS DOUBLE) / look), FALSE) AS BIGINT)
+    AS crossed
+FROM z
+"""
+
+
+@register("group_sequential_monitor", oracle=_GS_ORACLE)
+def group_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitor: at {k} equally-spaced calendar
+    looks, the cumulative big-ticket-conversion (purchase > $150) two-proportion
+    z between deterministic arms (user_id parity) against the O'Brien-Fleming spending boundary
+    z_k = C·√(K/k) — the 'peek safely' machinery that replaces the
+    fixed-horizon two_proportion_ztest when the experimenter reads
+    results weekly (naive repeated peeking inflates false positives
+    ~3×; OBF spends almost no alpha early).
+
+    Determinism and scale: look cutoffs are exact integer-microsecond
+    interpolations of the global bounds; per-look per-user conversion
+    reduces map-side (the look⇄event join fans each event to ≤{k}
+    look rows — bounded small-multiplier, not a shuffle explosion);
+    the boundary constant is a shared literal so no quantile function
+    runs in either engine.
+    """.format(k=_GS_LOOKS)
+    from dissertation_iceberg_spark.functions.time_bins import micros
+
+    e = load_table(spark, sf_dir, "events")
+    us = micros("ts")
+    bounds = e.agg(
+        F.min(us).cast("long").alias("lo"),
+        (F.max(us) + 1).cast("long").alias("hi"),
+    )
+    looks = (
+        spark.range(1, _GS_LOOKS + 1)
+        .select(F.col("id").cast("long").alias("look"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "look",
+            (
+                F.col("lo")
+                + (F.col("hi") - F.col("lo")) * F.col("look") / _GS_LOOKS
+            ).alias("cut_us"),
+        )
+    )
+    u = (
+        e.select("user_id", "event_type", "value", us.alias("ts_us"))
+        .join(F.broadcast(looks), F.col("ts_us") < F.col("cut_us"))
+        .groupBy("look", (F.col("user_id") % 2).alias("arm"), "user_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > _MCN_THR)
+                ).cast("long")
+            ).alias("conv")
+        )
+    )
+    s = u.groupBy("look").agg(
+        F.sum((F.col("arm") == 1).cast("long")).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c_t"),
+        F.sum((F.col("arm") == 0).cast("long")).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c_c"),
+    )
+    p_pool = (F.col("c_t") + F.col("c_c")).cast("double") / (
+        F.col("n_t") + F.col("n_c")
+    )
+    conv_tot = F.col("c_t") + F.col("c_c")
+    n_tot = F.col("n_t") + F.col("n_c")
+    z = F.when(
+        (conv_tot > 0) & (conv_tot < n_tot),
+        (
+            F.col("c_t").cast("double") / F.col("n_t")
+            - F.col("c_c").cast("double") / F.col("n_c")
+        )
+        / F.sqrt(
+            p_pool * (1.0 - p_pool) * (1.0 / F.col("n_t") + 1.0 / F.col("n_c"))
+        ),
+    )
+    bound = F.expr(f"CAST('{_GS_C}' AS DOUBLE)") * F.sqrt(
+        F.lit(float(_GS_LOOKS)) / F.col("look")
+    )
+    return s.select(
+        "look",
+        "n_t",
+        "c_t",
+        "n_c",
+        "c_c",
+        F.round(z, 6).alias("z_stat"),
+        F.round(bound, 6).alias("obf_bound"),
+        F.coalesce(F.abs(z) > bound, F.lit(False)).cast("long").alias(
+            "crossed"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Qini uplift curve: per-decile treatment uplift under parity arms
+# --------------------------------------------------------------------------
+
+_QINI_ORACLE = f"""
+WITH hist AS (
+  SELECT user_id, count(*) AS n_ev,
+         count(*) FILTER (event_type = 'purchase') AS n_p
+  FROM events WHERE ts < TIMESTAMP '{_GAINS_SPLIT}'
+  GROUP BY 1),
+fut AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '{_GAINS_SPLIT}' AND event_type = 'purchase'
+    AND value > {_MCN_THR}),
+scored AS (
+  SELECT h.user_id, (h.n_p * 1000000) // h.n_ev AS s_micro,
+         h.user_id % 2 AS arm,
+         CASE WHEN f.user_id IS NULL THEN 0 ELSE 1 END AS y
+  FROM hist h LEFT JOIN fut f ON h.user_id = f.user_id),
+ranked AS (
+  SELECT s_micro, arm, y,
+         row_number() OVER (ORDER BY s_micro DESC, user_id) AS rk,
+         count(*) OVER () AS n
+  FROM scored),
+dec AS (
+  SELECT ({_GAINS_BINS} * (rk - 1)) // n AS decile, arm, y FROM ranked),
+g AS (
+  SELECT decile,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS c_t,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS c_c
+  FROM dec GROUP BY 1),
+cum AS (
+  SELECT decile, n_t, c_t, n_c, c_c,
+    CAST(sum(n_t) OVER w AS BIGINT) AS cn_t,
+    CAST(sum(c_t) OVER w AS BIGINT) AS cc_t,
+    CAST(sum(n_c) OVER w AS BIGINT) AS cn_c,
+    CAST(sum(c_c) OVER w AS BIGINT) AS cc_c
+  FROM g WINDOW w AS (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT CAST(decile AS BIGINT) AS decile, n_t, c_t, n_c, c_c,
+  round(CASE WHEN n_t > 0 AND n_c > 0
+        THEN CAST(c_t AS DOUBLE) / n_t - CAST(c_c AS DOUBLE) / n_c END, 6)
+    AS uplift,
+  round(CASE WHEN cn_c > 0
+        THEN cc_t - CAST(cc_c AS DOUBLE) * cn_t / cn_c END, 6)
+    AS qini_value
+FROM cum
+"""
+
+
+@register("qini_uplift", oracle=_QINI_ORACLE)
+def qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve: users ranked by the first-half propensity
+    score, split into deciles, each decile reporting the incremental
+    big-ticket conversion of the treated arm (user_id parity) over
+    control — uplift per decile plus the cumulative Qini value
+    cc_t − cc_c·(cn_t/cn_c) — the incrementality readout (does
+    targeting by score capture users the treatment actually MOVES,
+    not just likely converters) that extends cumulative_gains from
+    response to uplift modeling.
+
+    Scale shape: same as cumulative_gains — facts reduce to one row
+    per user, a rank on the O(users) frame, O(deciles) afterwards;
+    arm splits are conditional sums. Doubles only in the two final
+    per-decile readouts.
+    """
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(_GAINS_SPLIT).cast("timestamp_ntz")
+    hist = (
+        e.filter(F.col("ts") < split)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_p"
+            ),
+        )
+    )
+    fut = (
+        e.filter(
+            (F.col("ts") >= split)
+            & (F.col("event_type") == "purchase")
+            & (F.col("value") > _MCN_THR)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("y", F.lit(1))
+    )
+    scored = hist.join(fut, "user_id", "left").select(
+        "user_id",
+        F.expr("(n_p * 1000000) div n_ev").alias("s_micro"),
+        (F.col("user_id") % 2).alias("arm"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    ranked = scored.select(
+        "arm",
+        "y",
+        F.row_number()
+        .over(Window.orderBy(F.desc("s_micro"), F.asc("user_id")))
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    dec = ranked.select(
+        F.expr(f"({_GAINS_BINS} * (rk - 1)) div n").alias("decile"),
+        "arm",
+        "y",
+    )
+    g = dec.groupBy("decile").agg(
+        F.sum((F.col("arm") == 1).cast("long")).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("c_t"),
+        F.sum((F.col("arm") == 0).cast("long")).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("c_c"),
+    )
+    cw = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "decile",
+        "n_t",
+        "c_t",
+        "n_c",
+        "c_c",
+        F.sum("n_t").over(cw).cast("long").alias("cn_t"),
+        F.sum("c_t").over(cw).cast("long").alias("cc_t"),
+        F.sum("n_c").over(cw).cast("long").alias("cn_c"),
+        F.sum("c_c").over(cw).cast("long").alias("cc_c"),
+    )
+    return cum.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_t",
+        "c_t",
+        "n_c",
+        "c_c",
+        F.round(
+            F.when(
+                (F.col("n_t") > 0) & (F.col("n_c") > 0),
+                F.col("c_t").cast("double") / F.col("n_t")
+                - F.col("c_c").cast("double") / F.col("n_c"),
+            ),
+            6,
+        ).alias("uplift"),
+        F.round(
+            F.when(
+                F.col("cn_c") > 0,
+                F.col("cc_t")
+                - F.col("cc_c").cast("double") * F.col("cn_t") / F.col("cn_c"),
+            ),
+            6,
+        ).alias("qini_value"),
+    )

@@ -205,6 +205,7 @@ INTENTIONAL_BNLJ = {
     "learning_curve",  # broadcast 1-row best-split frame per subset
     "hll_merge_audit",  # broadcast 1-row scaled-sum + shard-count frames
     "butterfly_count",  # broadcast 1-row wedge/butterfly total frames
+    "group_sequential_monitor",  # broadcast 5-row look-cutoff grid
 }
 
 

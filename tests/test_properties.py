@@ -3271,3 +3271,114 @@ def test_iv_wald_matches_numpy_replay(spark, sf_dir):
     assert abs(row["beta_iv"] - czy / czx / 100) < 1e-5
     assert abs(row["first_stage_f"] - (n - 2) * r2 / (1 - r2)) < 1e-2
     assert row["first_stage_f"] > 10  # strong instrument on fixtures
+
+
+def test_group_sequential_monitor_replay(spark, sf_dir):
+    """group_sequential_monitor equals a pandas replay of cumulative
+    per-look conversion z and OBF boundaries; boundaries decrease."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        _GS_LOOKS,
+        _MCN_THR,
+        group_sequential_monitor,
+    )
+
+    pdf = (
+        group_sequential_monitor(spark, sf_dir)
+        .toPandas()
+        .sort_values("look")
+        .reset_index(drop=True)
+    )
+    e = load_table(spark, sf_dir, "events").toPandas()
+    us = e["ts"].astype("int64") // 1000
+    lo, hi = int(us.min()), int(us.max()) + 1
+    hit = (e["event_type"] == "purchase") & (e["value"] > _MCN_THR)
+    assert len(pdf) == _GS_LOOKS
+    for k in range(1, _GS_LOOKS + 1):
+        cut = lo + (hi - lo) * k / _GS_LOOKS
+        sub = e[us < cut]
+        sub_hit = hit[us < cut]
+        users = sub.groupby("user_id").size().index
+        conv = set(sub.loc[sub_hit, "user_id"])
+        arms = {u: u % 2 for u in users}
+        n_t = sum(1 for u in users if arms[u] == 1)
+        n_c = len(users) - n_t
+        c_t = sum(1 for u in conv if arms[u] == 1)
+        c_c = len(conv) - c_t
+        row = pdf.iloc[k - 1]
+        assert (row["n_t"], row["c_t"], row["n_c"], row["c_c"]) == (
+            n_t,
+            c_t,
+            n_c,
+            c_c,
+        )
+        bound = 2.0401 * np.sqrt(_GS_LOOKS / k)
+        assert abs(row["obf_bound"] - bound) < 1e-4
+        tot = c_t + c_c
+        if 0 < tot < n_t + n_c:
+            p = tot / (n_t + n_c)
+            z = (c_t / n_t - c_c / n_c) / np.sqrt(
+                p * (1 - p) * (1 / n_t + 1 / n_c)
+            )
+            assert abs(row["z_stat"] - z) < 1e-5
+            assert row["crossed"] == int(abs(z) > bound)
+    # OBF boundaries shrink monotonically with the look index
+    assert pdf["obf_bound"].is_monotonic_decreasing
+
+
+def test_qini_uplift_invariants_and_replay(spark, sf_dir):
+    """qini_uplift decile counts replay in pandas; arm totals
+    partition the population; final qini value equals total
+    incremental conversions."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        _GAINS_BINS,
+        _GAINS_SPLIT,
+        _MCN_THR,
+        qini_uplift,
+    )
+
+    pdf = (
+        qini_uplift(spark, sf_dir)
+        .toPandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    e = load_table(spark, sf_dir, "events").toPandas()
+    split = np.datetime64(_GAINS_SPLIT)
+    h = e[e["ts"] < split]
+    hist = h.groupby("user_id").agg(
+        n_ev=("event_type", "size"),
+        n_p=("event_type", lambda s: int((s == "purchase").sum())),
+    )
+    fut = set(
+        e.loc[
+            (e["ts"] >= split)
+            & (e["event_type"] == "purchase")
+            & (e["value"] > _MCN_THR),
+            "user_id",
+        ]
+    )
+    hist["s"] = (hist["n_p"] * 1_000_000) // hist["n_ev"]
+    hist["arm"] = (hist.index % 2).astype(int)
+    hist["y"] = [int(u in fut) for u in hist.index]
+    hist = hist.sort_values(["s", "user_id"], ascending=[False, True])
+    n = len(hist)
+    hist["decile"] = (_GAINS_BINS * np.arange(n)) // n
+    g = hist.groupby(["decile", "arm"])["y"].agg(["size", "sum"])
+    for r in pdf.itertuples():
+        for arm, nc, cc in ((1, r.n_t, r.c_t), (0, r.n_c, r.c_c)):
+            if (r.decile, arm) in g.index:
+                assert nc == g.loc[(r.decile, arm), "size"]
+                assert cc == g.loc[(r.decile, arm), "sum"]
+            else:
+                assert nc == 0 and cc == 0
+    assert (pdf["n_t"] + pdf["n_c"]).sum() == n
+    cn_t, cc_t = pdf["n_t"].sum(), pdf["c_t"].sum()
+    cn_c, cc_c = pdf["n_c"].sum(), pdf["c_c"].sum()
+    expect_final = cc_t - cc_c * cn_t / cn_c
+    assert abs(pdf["qini_value"].iloc[-1] - expect_final) < 1e-4
