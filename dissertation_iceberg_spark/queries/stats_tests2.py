@@ -2568,3 +2568,164 @@ def qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("qini_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Log-rank test: do the two arms' time-to-purchase curves differ?
+# --------------------------------------------------------------------------
+
+_LOGRANK_ORACLE = """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+    min(date_trunc('day', ts)) AS t0,
+    min(CASE WHEN event_type = 'purchase' THEN date_trunc('day', ts) END)
+      AS tp,
+    max(date_trunc('day', ts)) AS tend
+  FROM events GROUP BY 1, 2),
+dur AS (
+  SELECT arm, date_diff('day', t0, coalesce(tp, tend)) AS t_day,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM u),
+grp AS (
+  SELECT t_day,
+    CAST(sum(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+    CAST(sum(ev) AS BIGINT) AS d,
+    CAST(count(*) AS BIGINT) AS x
+  FROM dur GROUP BY 1),
+risk AS (
+  SELECT t_day, d1, d,
+    (SELECT sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) FROM dur)
+      - CAST(coalesce(sum(x1) OVER wb, 0) AS BIGINT) AS n1,
+    (SELECT count(*) FROM dur)
+      - CAST(coalesce(sum(x) OVER wb, 0) AS BIGINT) AS nt
+  FROM grp
+  WINDOW wb AS (ORDER BY t_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+terms AS (
+  SELECT d1, d, n1, nt,
+    CAST(round(CAST(d AS DOUBLE) * n1 / nt * 1e6) AS BIGINT) AS e1_micro,
+    CASE WHEN nt > 1 THEN
+      CAST(round(CAST(d AS DOUBLE) * n1 / nt * (nt - n1) / nt
+                 * (nt - d) / (nt - 1) * 1e6) AS BIGINT)
+    ELSE 0 END AS v_micro
+  FROM risk WHERE d > 0),
+s AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+         CAST(sum(e1_micro) AS BIGINT) AS e1_micro,
+         CAST(sum(v_micro) AS BIGINT) AS v_micro
+  FROM terms),
+arms AS (
+  SELECT CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_treat,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl
+  FROM dur)
+SELECT a.n_treat, a.n_ctrl, s.o1,
+  round(s.e1_micro / 1e6, 6) AS e1,
+  round(s.v_micro / 1e6, 6) AS var_lr,
+  round((s.o1 - s.e1_micro / 1e6) / sqrt(s.v_micro / 1e6), 6) AS z_stat,
+  round((s.o1 - s.e1_micro / 1e6) * (s.o1 - s.e1_micro / 1e6)
+        / (s.v_micro / 1e6), 6) AS chi2
+FROM s CROSS JOIN arms a
+"""
+
+
+@register("log_rank_test", oracle=_LOGRANK_ORACLE)
+def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test: do the two parity arms'
+    time-to-first-purchase survival curves differ? At every event
+    day, the treated arm's observed events are compared to the
+    hypergeometric expectation d·n₁/n given the at-risk sets, with
+    the matching variance — the inference companion to the
+    kaplan_meier curve (same durations, same censoring-at-last-
+    activity convention).
+
+    Scale shape: the same per-user duration reduce as kaplan_meier;
+    at-risk counts come from exclusive cumsums on the O(distinct
+    durations) frame; each day's expectation/variance term is
+    micro-rounded ONCE to BIGINT and summed exactly, so the z and χ²
+    hash-match the oracle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    u = e.groupBy("user_id", (F.col("user_id") % 2).alias("arm")).agg(
+        F.min(day).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", day)).alias("tp"),
+        F.max(day).alias("tend"),
+    )
+    dur = u.select(
+        "arm",
+        F.datediff(F.coalesce(F.col("tp"), F.col("tend")), F.col("t0"))
+        .cast("long")
+        .alias("t_day"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    grp = dur.groupBy("t_day").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum((F.col("arm") == 1).cast("long")).cast("long").alias("x1"),
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("x"),
+    )
+    tot = dur.agg(
+        F.sum((F.col("arm") == 1).cast("long")).cast("long").alias("n_treat"),
+        F.sum((F.col("arm") == 0).cast("long")).cast("long").alias("n_ctrl"),
+    )
+    wb = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grp.crossJoin(F.broadcast(tot)).select(
+        "t_day",
+        "d1",
+        "d",
+        (
+            F.col("n_treat")
+            - F.coalesce(F.sum("x1").over(wb), F.lit(0))
+        )
+        .cast("long")
+        .alias("n1"),
+        (
+            F.col("n_treat")
+            + F.col("n_ctrl")
+            - F.coalesce(F.sum("x").over(wb), F.lit(0))
+        )
+        .cast("long")
+        .alias("nt"),
+    )
+    dd = F.col("d").cast("double")
+    n1d = F.col("n1").cast("double")
+    ntd = F.col("nt").cast("double")
+    terms = risk.filter(F.col("d") > 0).select(
+        "d1",
+        F.round(dd * n1d / ntd * 1e6).cast("long").alias("e1_micro"),
+        F.when(
+            F.col("nt") > 1,
+            F.round(
+                dd
+                * n1d
+                / ntd
+                * (ntd - n1d)
+                / ntd
+                * (ntd - dd)
+                / (ntd - 1)
+                * 1e6
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("v_micro"),
+    )
+    s = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1_micro").cast("long").alias("e1_micro"),
+        F.sum("v_micro").cast("long").alias("v_micro"),
+    )
+    e1 = F.col("e1_micro") / 1e6
+    v = F.col("v_micro") / 1e6
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n_treat",
+        "n_ctrl",
+        "o1",
+        F.round(e1, 6).alias("e1"),
+        F.round(v, 6).alias("var_lr"),
+        F.round((F.col("o1") - e1) / F.sqrt(v), 6).alias("z_stat"),
+        F.round((F.col("o1") - e1) * (F.col("o1") - e1) / v, 6).alias("chi2"),
+    )

@@ -206,6 +206,7 @@ INTENTIONAL_BNLJ = {
     "hll_merge_audit",  # broadcast 1-row scaled-sum + shard-count frames
     "butterfly_count",  # broadcast 1-row wedge/butterfly total frames
     "group_sequential_monitor",  # broadcast 5-row look-cutoff grid
+    "log_rank_test",  # broadcast 1-row arm-totals frame
 }
 
 

@@ -3382,3 +3382,63 @@ def test_qini_uplift_invariants_and_replay(spark, sf_dir):
     cn_c, cc_c = pdf["n_c"].sum(), pdf["c_c"].sum()
     expect_final = cc_t - cc_c * cn_t / cn_c
     assert abs(pdf["qini_value"].iloc[-1] - expect_final) < 1e-4
+
+
+def test_log_rank_matches_python_replay(spark, sf_dir):
+    """log_rank_test equals a python replay of the Mantel-Cox
+    observed-minus-expected accounting over at-risk sets."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import log_rank_test
+
+    row = log_rank_test(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    d = e.assign(day=e["ts"].dt.floor("D"))
+    u = d.groupby("user_id").agg(
+        t0=("day", "min"),
+        tend=("day", "max"),
+    )
+    tp = (
+        d[d["event_type"] == "purchase"].groupby("user_id")["day"].min()
+    )
+    u["tp"] = tp.reindex(u.index)
+    u["t_day"] = (
+        (u["tp"].fillna(u["tend"]) - u["t0"]).dt.days.astype("int64")
+    )
+    u["ev"] = u["tp"].notna().astype(int)
+    u["arm"] = (u.index % 2).astype(int)
+    o1 = e1 = v = 0.0
+    n1 = int((u["arm"] == 1).sum())
+    nt = len(u)
+    for t in sorted(u["t_day"].unique()):
+        at = u[u["t_day"] >= t]
+        n1t, ntt = int((at["arm"] == 1).sum()), len(at)
+        dt = int(at.loc[at["t_day"] == t, "ev"].sum())
+        d1t = int(
+            at.loc[(at["t_day"] == t) & (at["arm"] == 1), "ev"].sum()
+        )
+        if dt > 0:
+            o1 += d1t
+            e1 += round(dt * n1t / ntt * 1e6) / 1e6
+            if ntt > 1:
+                v += (
+                    round(
+                        dt
+                        * n1t
+                        / ntt
+                        * (ntt - n1t)
+                        / ntt
+                        * (ntt - dt)
+                        / (ntt - 1)
+                        * 1e6
+                    )
+                    / 1e6
+                )
+    assert row["n_treat"] == n1 and row["n_ctrl"] == nt - n1
+    assert row["o1"] == o1
+    assert abs(row["e1"] - e1) < 1e-5
+    assert abs(row["var_lr"] - v) < 1e-5
+    z = (o1 - e1) / np.sqrt(v)
+    assert abs(row["z_stat"] - z) < 1e-4
+    assert abs(row["chi2"] - z * z) < 1e-3
