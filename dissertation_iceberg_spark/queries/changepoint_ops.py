@@ -728,3 +728,121 @@ def forecast_backtest_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# Causal-impact-lite: post-period effect vs a pre-period counterfactual
+# --------------------------------------------------------------------------
+
+_CI_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+  FROM events),
+daily AS (
+  SELECT e.event_type, date_trunc('day', e.ts) AS day,
+         CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(max(CASE WHEN epoch_us(e.ts) * 2 >= b.lo + b.hi
+                       THEN 1 ELSE 0 END) AS BIGINT) AS post
+  FROM events e CROSS JOIN bounds b
+  GROUP BY 1, 2),
+dw AS (
+  SELECT event_type, day, cents, post,
+         (CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) + 3) % 7
+           AS dow
+  FROM daily),
+cf AS (
+  SELECT event_type, dow,
+         CAST(round(CAST(sum(cents) AS DOUBLE) / count(*)) AS BIGINT)
+           AS cf_cents
+  FROM dw WHERE post = 0 GROUP BY 1, 2),
+eff AS (
+  SELECT d.event_type, d.day, d.cents, c.cf_cents,
+         d.cents - c.cf_cents AS effect
+  FROM dw d JOIN cf c ON d.event_type = c.event_type AND d.dow = c.dow
+  WHERE d.post = 1)
+SELECT event_type, day,
+  round(cents / 100.0, 6) AS actual,
+  round(cf_cents / 100.0, 6) AS counterfactual,
+  round(effect / 100.0, 6) AS effect,
+  round(CAST(sum(effect) OVER (PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        / 100.0, 6) AS cum_effect
+FROM eff
+"""
+
+
+@register("causal_impact_lite", oracle=_CI_ORACLE)
+def causal_impact_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervention analysis (CausalImpact-style, seasonal-mean
+    counterfactual): split the window at its exact integer-µs
+    midpoint, fit each event type's pre-period day-of-week mean value
+    (rounded once to integer cents), and emit the post-period
+    actual / counterfactual / daily effect / cumulative effect curve
+    — the event-study readout that turns 'did the launch change
+    revenue' into a per-day attribution, completing the causal
+    family's time-series corner (diff_in_diff compares two GROUPS;
+    this compares one series against its own seasonal history).
+
+    Scale shape: one fact-scale daily aggregate (with the 1-row
+    bounds broadcast for the post flag), a 7-row-per-type
+    counterfactual dim joined back broadcast, and an O(post days)
+    window for the cumulative effect — all exact integer cents until
+    the displayed dollar conversions.
+    """
+    from dissertation_iceberg_spark.functions.time_bins import micros
+
+    e = load_table(spark, sf_dir, "events")
+    us = micros("ts")
+    bounds = e.agg(
+        F.min(us).cast("long").alias("lo"), F.max(us).cast("long").alias("hi")
+    )
+    daily = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.max((us * 2 >= F.col("lo") + F.col("hi")).cast("long"))
+            .cast("long")
+            .alias("post"),
+        )
+    )
+    dw = daily.withColumn(
+        "dow",
+        (F.datediff(F.col("day"), F.lit("1970-01-01")).cast("long") + 3) % 7,
+    )
+    cf = (
+        dw.filter(F.col("post") == 0)
+        .groupBy("event_type", "dow")
+        .agg(
+            F.round(F.sum("cents").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cf_cents")
+        )
+    )
+    eff = dw.filter(F.col("post") == 1).join(
+        F.broadcast(cf), ["event_type", "dow"]
+    ).select(
+        "event_type",
+        "day",
+        "cents",
+        "cf_cents",
+        (F.col("cents") - F.col("cf_cents")).alias("effect"),
+    )
+    cw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return eff.select(
+        "event_type",
+        "day",
+        F.round(F.col("cents") / 100.0, 6).alias("actual"),
+        F.round(F.col("cf_cents") / 100.0, 6).alias("counterfactual"),
+        F.round(F.col("effect") / 100.0, 6).alias("effect"),
+        F.round(
+            F.sum("effect").over(cw).cast("long") / 100.0, 6
+        ).alias("cum_effect"),
+    )

@@ -207,6 +207,7 @@ INTENTIONAL_BNLJ = {
     "butterfly_count",  # broadcast 1-row wedge/butterfly total frames
     "group_sequential_monitor",  # broadcast 5-row look-cutoff grid
     "log_rank_test",  # broadcast 1-row arm-totals frame
+    "causal_impact_lite",  # broadcast 1-row time-bounds frame
 }
 
 

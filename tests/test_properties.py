@@ -3442,3 +3442,49 @@ def test_log_rank_matches_python_replay(spark, sf_dir):
     z = (o1 - e1) / np.sqrt(v)
     assert abs(row["z_stat"] - z) < 1e-4
     assert abs(row["chi2"] - z * z) < 1e-3
+
+
+def test_causal_impact_lite_matches_pandas_replay(spark, sf_dir):
+    """causal_impact_lite equals a pandas replay: dow-mean pre-period
+    counterfactual, post-period daily and cumulative effects."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.changepoint_ops import (
+        causal_impact_lite,
+    )
+
+    pdf = causal_impact_lite(spark, sf_dir).toPandas()
+    e = load_table(spark, sf_dir, "events").toPandas()
+    us = e["ts"].astype("int64") // 1000
+    lo, hi = int(us.min()), int(us.max())
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    d = e.assign(cents=cents, day=e["ts"].dt.floor("D"),
+                 post=(us * 2 >= lo + hi).astype(int))
+    daily = d.groupby(["event_type", "day"]).agg(
+        cents=("cents", "sum"), post=("post", "max")
+    ).reset_index()
+    epoch = np.datetime64("1970-01-01")
+    daily["dow"] = (((daily["day"] - epoch).dt.days) + 3) % 7
+    pre = daily[daily["post"] == 0]
+    cf = (
+        pre.groupby(["event_type", "dow"])["cents"]
+        .mean()
+        .apply(lambda m: int(np.floor(m + 0.5)))
+    )
+    post = daily[daily["post"] == 1].sort_values(["event_type", "day"])
+    for t, grp in post.groupby("event_type"):
+        cum = 0
+        for r in grp.itertuples():
+            key = (t, r.dow)
+            if key not in cf.index:
+                continue
+            eff = r.cents - cf.loc[key]
+            cum += eff
+            row = pdf[(pdf["event_type"] == t) & (pdf["day"] == r.day)]
+            assert len(row) == 1
+            row = row.iloc[0]
+            assert abs(row["actual"] - r.cents / 100) < 1e-6
+            assert abs(row["counterfactual"] - cf.loc[key] / 100) < 1e-6
+            assert abs(row["effect"] - eff / 100) < 1e-6
+            assert abs(row["cum_effect"] - cum / 100) < 1e-6
