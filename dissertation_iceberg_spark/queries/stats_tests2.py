@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dissertation_iceberg_spark.io import load_table
+from dissertation_iceberg_spark.io import load_table, spread
 from dissertation_iceberg_spark.queries.registry import register
 
 # --------------------------------------------------------------------------
@@ -2728,4 +2728,239 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(v, 6).alias("var_lr"),
         F.round((F.col("o1") - e1) / F.sqrt(v), 6).alias("z_stat"),
         F.round((F.col("o1") - e1) * (F.col("o1") - e1) / v, 6).alias("chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Empirical tail dependence between purchase and click daily values
+# --------------------------------------------------------------------------
+
+_TD_A = "purchase"
+_TD_B = "click"
+
+_TAILDEP_ORACLE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+    CAST(sum(CASE WHEN event_type = '{_TD_A}'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS p,
+    CAST(sum(CASE WHEN event_type = '{_TD_B}'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS c
+  FROM events WHERE event_type IN ('{_TD_A}', '{_TD_B}')
+  GROUP BY 1),
+rk AS (
+  SELECT day, p, c,
+         CAST(row_number() OVER (ORDER BY p, day) AS BIGINT) AS rp,
+         CAST(row_number() OVER (ORDER BY c, day) AS BIGINT) AS rc,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM daily),
+k AS (SELECT any_value(n) AS n, any_value(n) // 4 AS k FROM rk),
+s AS (
+  SELECT
+    CAST(sum(CASE WHEN rp > n - (n // 4) AND rc > n - (n // 4)
+             THEN 1 ELSE 0 END) AS BIGINT) AS joint_up,
+    CAST(sum(CASE WHEN rp <= n // 4 AND rc <= n // 4
+             THEN 1 ELSE 0 END) AS BIGINT) AS joint_lo
+  FROM rk)
+SELECT CAST(k.n AS BIGINT) AS n_days, CAST(k.k AS BIGINT) AS k,
+       s.joint_up, s.joint_lo,
+       round(CAST(s.joint_up AS DOUBLE) / k.k, 6) AS lambda_upper,
+       round(CAST(s.joint_lo AS DOUBLE) / k.k, 6) AS lambda_lower
+FROM k CROSS JOIN s
+"""
+
+
+@register("tail_dependence", oracle=_TAILDEP_ORACLE)
+def tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical tail-dependence between the daily purchase and click
+    value series: with k = n/4 (the top/bottom quartile of days by
+    rank), λ_upper = |top-k by P ∩ top-k by C| / k and the lower
+    analog — the co-crash/co-boom diagnostic a linear correlation
+    misses entirely (correlation sees the middle; risk lives in the
+    corners), extending the risk family (var_cvar, ledoit_wolf_cov).
+
+    Determinism and scale: day ranks are exact order statistics with
+    day tiebreak (O(days) frame windows); the joint-exceedance counts
+    and k = n div 4 are exact integers; the two λ readouts are single
+    divisions.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        e.filter(F.col("event_type").isin(_TD_A, _TD_B))
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == _TD_A, cents).otherwise(0))
+            .cast("long")
+            .alias("p"),
+            F.sum(F.when(F.col("event_type") == _TD_B, cents).otherwise(0))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    wall = Window.partitionBy()
+    rk = daily.select(
+        F.row_number().over(Window.orderBy("p", "day")).cast("long").alias("rp"),
+        F.row_number().over(Window.orderBy("c", "day")).cast("long").alias("rc"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    kq = F.expr("n div 4")
+    s = rk.agg(
+        F.any_value("n").cast("long").alias("n_days"),
+        F.any_value(kq).cast("long").alias("k"),
+        F.sum(
+            (
+                (F.col("rp") > F.col("n") - kq)
+                & (F.col("rc") > F.col("n") - kq)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("joint_up"),
+        F.sum(((F.col("rp") <= kq) & (F.col("rc") <= kq)).cast("long"))
+        .cast("long")
+        .alias("joint_lo"),
+    )
+    return s.select(
+        "n_days",
+        "k",
+        "joint_up",
+        "joint_lo",
+        F.round(F.col("joint_up").cast("double") / F.col("k"), 6).alias(
+            "lambda_upper"
+        ),
+        F.round(F.col("joint_lo").cast("double") / F.col("k"), 6).alias(
+            "lambda_lower"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Adstock (geometric carryover) correlation lift
+# --------------------------------------------------------------------------
+
+_ADSTOCK_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT date_trunc('day', ts) AS day,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      AS x,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS y
+  FROM events GROUP BY 1),
+idx AS (
+  SELECT x, y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM daily),
+rec AS (
+  SELECT t, n, x, y, x AS a FROM idx WHERE t = 1
+  UNION ALL
+  SELECT i.t, i.n, i.x, i.y, i.x + (r.a >> 1) AS a
+  FROM rec r JOIN idx i ON i.t = r.t + 1),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(a) AS BIGINT) AS sa,
+    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(a * a) AS BIGINT) AS saa,
+    CAST(sum(y * y) AS BIGINT) AS syy,
+    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(a * y) AS BIGINT) AS say
+  FROM rec),
+c AS (
+  SELECT n,
+    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r_raw,
+    (CAST(n AS DOUBLE) * say - CAST(sa AS DOUBLE) * sy)
+      / sqrt((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+             * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+      AS r_adstock
+  FROM s)
+SELECT n AS n_days,
+  round(r_raw, 6) AS r_raw,
+  round(r_adstock, 6) AS r_adstock,
+  round(r_adstock - r_raw, 6) AS carryover_lift
+FROM c
+"""
+
+
+@register("adstock_correlation", oracle=_ADSTOCK_ORACLE)
+def adstock_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adstock (geometric carryover, λ=1/2) correlation lift: build
+    the exact integer adstock a_t = x_t + (a_{t−1} >> 1) of daily
+    click counts and compare corr(adstock, purchases) against the
+    same-day corr(clicks, purchases) — the marketing-mix primitive
+    that asks whether yesterday's touches still convert today
+    (positive lift ⇒ carryover matters; media-mix models start
+    here).
+
+    Determinism: the carryover recursion is a pure BIGINT shift fold
+    (same family as the Holt recursions) replayed by a recursive-CTE
+    oracle; both correlations come from one exact 9-counter Gram
+    reduce over the O(days) frame.
+    """
+    e = spread(load_table(spark, sf_dir, "events"))
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "x", "y"))).alias("arr")
+    )
+    # fold the adstock over the ordered array, carrying (a, rows)
+    init = F.struct(
+        F.lit(0).cast("long").alias("a"),
+        F.array().cast("array<struct<x:bigint,y:bigint,a:bigint>>").alias(
+            "rows"
+        ),
+    )
+
+    def step(acc, r):
+        a_new = r["x"] + F.shiftright(acc["a"], 1)
+        return F.struct(
+            a_new.alias("a"),
+            F.concat(
+                acc["rows"],
+                F.array(
+                    F.struct(
+                        r["x"].alias("x"), r["y"].alias("y"), a_new.alias("a")
+                    )
+                ),
+            ).alias("rows"),
+        )
+
+    folded = series.select(
+        F.aggregate(F.col("arr"), init, step)["rows"].alias("rows")
+    )
+    rows = folded.select(F.explode("rows").alias("r")).select(
+        F.col("r.x").alias("x"), F.col("r.y").alias("y"), F.col("r.a").alias("a")
+    )
+    s = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("a") * F.col("y")).cast("long").alias("say"),
+    )
+    n = F.col("n").cast("double")
+
+    def corr(sxy_c, sx_c, sxx_c):
+        return (n * F.col(sxy_c) - F.col(sx_c).cast("double") * F.col("sy")) / F.sqrt(
+            (n * F.col(sxx_c) - F.col(sx_c).cast("double") * F.col(sx_c))
+            * (n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+        )
+
+    r_raw = corr("sxy", "sx", "sxx")
+    r_ad = corr("say", "sa", "saa")
+    return s.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(r_raw, 6).alias("r_raw"),
+        F.round(r_ad, 6).alias("r_adstock"),
+        F.round(r_ad - r_raw, 6).alias("carryover_lift"),
     )

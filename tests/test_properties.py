@@ -3488,3 +3488,74 @@ def test_causal_impact_lite_matches_pandas_replay(spark, sf_dir):
             assert abs(row["counterfactual"] - cf.loc[key] / 100) < 1e-6
             assert abs(row["effect"] - eff / 100) < 1e-6
             assert abs(row["cum_effect"] - cum / 100) < 1e-6
+
+
+def test_tail_dependence_matches_numpy_replay(spark, sf_dir):
+    """tail_dependence equals a numpy replay of quartile joint-
+    exceedance counting with day tiebreaks."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        _TD_A,
+        _TD_B,
+        tail_dependence,
+    )
+
+    row = tail_dependence(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    d = e.assign(cents=cents, day=e["ts"].dt.floor("D"))
+    d = d[d["event_type"].isin([_TD_A, _TD_B])]
+    p = (
+        d.pivot_table(index="day", columns="event_type", values="cents",
+                      aggfunc="sum", fill_value=0)
+        .sort_index()
+    )
+    n = len(p)
+    k = n // 4
+    rp = p[_TD_A].rank(method="first").to_numpy()  # day order == index order
+    rc = p[_TD_B].rank(method="first").to_numpy()
+    up = int(((rp > n - k) & (rc > n - k)).sum())
+    lo = int(((rp <= k) & (rc <= k)).sum())
+    assert row["n_days"] == n and row["k"] == k
+    assert row["joint_up"] == up and row["joint_lo"] == lo
+    assert abs(row["lambda_upper"] - up / k) < 1e-6  # 6-dp in-query round
+    assert abs(row["lambda_lower"] - lo / k) < 1e-6
+    assert 0 <= row["lambda_upper"] <= 1
+
+
+def test_adstock_matches_python_replay(spark, sf_dir):
+    """adstock_correlation equals a python replay of the shift-fold
+    carryover and both Pearson correlations."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        adstock_correlation,
+    )
+
+    row = adstock_correlation(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    d = e.assign(day=e["ts"].dt.floor("D"))
+    daily = (
+        d.groupby("day")
+        .agg(
+            x=("event_type", lambda s: int((s == "click").sum())),
+            y=("event_type", lambda s: int((s == "purchase").sum())),
+        )
+        .sort_index()
+    )
+    a, ads = 0, []
+    for x in daily["x"]:
+        a = int(x) + (a >> 1)
+        ads.append(a)
+    x = daily["x"].to_numpy().astype("float64")
+    y = daily["y"].to_numpy().astype("float64")
+    a = np.array(ads, dtype="float64")
+    r_raw = np.corrcoef(x, y)[0, 1]
+    r_ad = np.corrcoef(a, y)[0, 1]
+    assert row["n_days"] == len(daily)
+    assert abs(row["r_raw"] - r_raw) < 1e-5
+    assert abs(row["r_adstock"] - r_ad) < 1e-5
+    assert abs(row["carryover_lift"] - (r_ad - r_raw)) < 1e-5
