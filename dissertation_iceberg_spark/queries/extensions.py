@@ -1624,3 +1624,243 @@ def silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("mean_silhouette"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster validity indices: Calinski-Harabasz and Davies-Bouldin
+# --------------------------------------------------------------------------
+
+_CVI_ORACLE = """
+WITH pts0 AS (
+  SELECT vec_id, label,
+         unnest(generate_series(1, len(embedding))) AS i,
+         unnest(embedding) AS x
+  FROM embeddings),
+pts AS (
+  SELECT vec_id, label, i - 1 AS pos,
+         CAST(round(x * 1e6) AS BIGINT) AS xq
+  FROM pts0),
+cen AS (
+  SELECT label, pos, CAST(sum(xq) AS BIGINT) AS sq_sum,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2),
+gctr AS (
+  SELECT pos, CAST(sum(sq_sum) AS BIGINT) AS g_sum,
+         CAST(sum(n) AS BIGINT) AS g_n
+  FROM cen GROUP BY 1),
+-- per-point squared distance to own centroid: per-dim micro-rounded
+pt_sq AS (
+  SELECT p.vec_id, p.label,
+    CAST(sum(CAST(round(
+      (p.xq / 1e6 - CAST(c.sq_sum AS DOUBLE) / c.n / 1e6)
+      * (p.xq / 1e6 - CAST(c.sq_sum AS DOUBLE) / c.n / 1e6) * 1e6)
+      AS BIGINT)) AS BIGINT) AS sq_micro
+  FROM pts p JOIN cen c ON p.label = c.label AND p.pos = c.pos
+  GROUP BY 1, 2),
+pt_d AS (
+  SELECT label,
+    CAST(round(sqrt(sq_micro / 1e6) * 1e6) AS BIGINT) AS d_micro,
+    sq_micro
+  FROM pt_sq),
+lab AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d_micro) AS BIGINT) AS s_micro_sum,
+         CAST(sum(sq_micro) AS BIGINT) AS w_micro
+  FROM pt_d GROUP BY 1),
+-- between-centroid squared distances, per-dim micro-rounded
+cd AS (
+  SELECT a.label AS la, b.label AS lb,
+    CAST(sum(CAST(round(
+      (CAST(a.sq_sum AS DOUBLE) / a.n / 1e6
+       - CAST(b.sq_sum AS DOUBLE) / b.n / 1e6)
+      * (CAST(a.sq_sum AS DOUBLE) / a.n / 1e6
+         - CAST(b.sq_sum AS DOUBLE) / b.n / 1e6) * 1e6) AS BIGINT))
+      AS BIGINT) AS sq_micro
+  FROM cen a JOIN cen b ON a.pos = b.pos AND a.label <> b.label
+  GROUP BY 1, 2),
+-- between-cluster scatter B: n_i * ||c_i - g||^2, per-dim micro-rounded
+bterm AS (
+  SELECT c.label, any_value(c.n) AS n,
+    CAST(sum(CAST(round(
+      (CAST(c.sq_sum AS DOUBLE) / c.n / 1e6
+       - CAST(g.g_sum AS DOUBLE) / g.g_n / 1e6)
+      * (CAST(c.sq_sum AS DOUBLE) / c.n / 1e6
+         - CAST(g.g_sum AS DOUBLE) / g.g_n / 1e6) * 1e6) AS BIGINT))
+      AS BIGINT) AS sq_micro
+  FROM cen c JOIN gctr g ON c.pos = g.pos
+  GROUP BY 1),
+db_i AS (
+  SELECT cd.la,
+    CAST(round(max(
+      (CAST(a.s_micro_sum AS DOUBLE) / a.n / 1e6
+       + CAST(b.s_micro_sum AS DOUBLE) / b.n / 1e6)
+      / sqrt(cd.sq_micro / 1e6)) * 1e6) AS BIGINT) AS r_micro
+  FROM cd
+  JOIN lab a ON a.label = cd.la
+  JOIN lab b ON b.label = cd.lb
+  GROUP BY 1),
+agg AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM lab) AS k,
+    (SELECT CAST(sum(n) AS BIGINT) FROM lab) AS n,
+    (SELECT CAST(sum(w_micro) AS BIGINT) FROM lab) AS w_micro,
+    (SELECT CAST(sum(n * sq_micro) AS BIGINT) FROM bterm) AS b_micro,
+    (SELECT CAST(sum(r_micro) AS BIGINT) FROM db_i) AS db_micro_sum)
+SELECT k, n,
+  round(w_micro / 1e6, 4) AS within_ss,
+  round(b_micro / 1e6, 4) AS between_ss,
+  round((b_micro / 1e6 / (k - 1)) / (w_micro / 1e6 / (n - k)), 6)
+    AS calinski_harabasz,
+  round(db_micro_sum / 1e6 / k, 6) AS davies_bouldin
+FROM agg
+"""
+
+
+@register("cluster_validity_indices", oracle=_CVI_ORACLE)
+def cluster_validity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster validity indices for the labeled embedding space:
+    Calinski-Harabasz (between/within variance ratio — higher =
+    tighter, better-separated clusters) and Davies-Bouldin (mean
+    worst-case scatter-to-separation ratio — lower is better) —
+    completing the clustering-quality battery beside
+    silhouette_by_label (pointwise view) and kmeans_cluster_stats.
+
+    Determinism: every cross-engine float SUM is avoided — per-DIM
+    squared-difference terms, per-POINT distances, and per-cluster DB
+    ratios are each micro-rounded ONCE to BIGINT and summed exactly;
+    centroid coordinates are single IEEE divisions of exact
+    integer-micro sums. Scale shape: one (vec, dim) explode feeding a
+    (label, dim) centroid aggregate; point distances are one
+    broadcast join + per-point reduce; everything else runs on
+    O(k·dim) and O(k²) frames.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.round(F.col("x").cast("double") * 1e6).cast("long").alias("xq"),
+    )
+    cen = pts.groupBy("label", "pos").agg(
+        F.sum("xq").cast("long").alias("sq_sum"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    glob = cen.groupBy("pos").agg(
+        F.sum("sq_sum").cast("long").alias("g_sum"),
+        F.sum("n").cast("long").alias("g_n"),
+    )
+    cexpr = F.col("sq_sum").cast("double") / F.col("n") / 1e6
+    diff = F.col("xq") / 1e6 - cexpr
+    pt_sq = (
+        pts.join(F.broadcast(cen), ["label", "pos"])
+        .select(
+            "vec_id",
+            "label",
+            F.round(diff * diff * 1e6).cast("long").alias("term"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("term").cast("long").alias("sq_micro"))
+    )
+    pt_d = pt_sq.select(
+        "label",
+        F.round(F.sqrt(F.col("sq_micro") / 1e6) * 1e6)
+        .cast("long")
+        .alias("d_micro"),
+        "sq_micro",
+    )
+    lab = pt_d.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d_micro").cast("long").alias("s_micro_sum"),
+        F.sum("sq_micro").cast("long").alias("w_micro"),
+    )
+    a = cen.select(
+        F.col("label").alias("la"),
+        "pos",
+        (F.col("sq_sum").cast("double") / F.col("n") / 1e6).alias("ca"),
+    )
+    b = cen.select(
+        F.col("label").alias("lb"),
+        "pos",
+        (F.col("sq_sum").cast("double") / F.col("n") / 1e6).alias("cb"),
+    )
+    cd = (
+        a.join(b, ["pos"])
+        .filter(F.col("la") != F.col("lb"))
+        .select(
+            "la",
+            "lb",
+            F.round((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")) * 1e6)
+            .cast("long")
+            .alias("term"),
+        )
+        .groupBy("la", "lb")
+        .agg(F.sum("term").cast("long").alias("sq_micro"))
+    )
+    gexpr = F.col("g_sum").cast("double") / F.col("g_n") / 1e6
+    bterm = (
+        cen.join(F.broadcast(glob), "pos")
+        .select(
+            "label",
+            "n",
+            F.round((cexpr - gexpr) * (cexpr - gexpr) * 1e6)
+            .cast("long")
+            .alias("term"),
+        )
+        .groupBy("label")
+        .agg(
+            F.any_value("n").cast("long").alias("n"),
+            F.sum("term").cast("long").alias("sq_micro"),
+        )
+    )
+    la_s = lab.select(
+        F.col("label").alias("la"),
+        (F.col("s_micro_sum").cast("double") / F.col("n") / 1e6).alias("s_a"),
+    )
+    lb_s = lab.select(
+        F.col("label").alias("lb"),
+        (F.col("s_micro_sum").cast("double") / F.col("n") / 1e6).alias("s_b"),
+    )
+    db_i = (
+        cd.join(F.broadcast(la_s), "la")
+        .join(F.broadcast(lb_s), "lb")
+        .groupBy("la")
+        .agg(
+            F.round(
+                F.max(
+                    (F.col("s_a") + F.col("s_b"))
+                    / F.sqrt(F.col("sq_micro") / 1e6)
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("r_micro")
+        )
+    )
+    kk = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("w_micro").cast("long").alias("w_micro"),
+    )
+    bb = bterm.agg(
+        F.sum(F.col("n") * F.col("sq_micro")).cast("long").alias("b_micro")
+    )
+    dbs = db_i.agg(F.sum("r_micro").cast("long").alias("db_micro_sum"))
+    out = kk.crossJoin(F.broadcast(bb)).crossJoin(F.broadcast(dbs))
+    w = F.col("w_micro") / 1e6
+    bsum = F.col("b_micro") / 1e6
+    return out.select(
+        "k",
+        "n",
+        F.round(w, 4).alias("within_ss"),
+        F.round(bsum, 4).alias("between_ss"),
+        F.round(
+            (bsum / (F.col("k") - 1)) / (w / (F.col("n") - F.col("k"))), 6
+        ).alias("calinski_harabasz"),
+        F.round(F.col("db_micro_sum") / 1e6 / F.col("k"), 6).alias(
+            "davies_bouldin"
+        ),
+    )

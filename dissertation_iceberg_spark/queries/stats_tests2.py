@@ -2964,3 +2964,114 @@ def adstock_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r_ad, 6).alias("r_adstock"),
         F.round(r_ad - r_raw, 6).alias("carryover_lift"),
     )
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (time to first purchase)
+# --------------------------------------------------------------------------
+
+_NA_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+    min(date_trunc('day', ts)) AS t0,
+    min(CASE WHEN event_type = 'purchase' THEN date_trunc('day', ts) END)
+      AS tp,
+    max(date_trunc('day', ts)) AS tend
+  FROM events GROUP BY 1),
+dur AS (
+  SELECT date_diff('day', t0, coalesce(tp, tend)) AS t_day,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM u),
+grp AS (
+  SELECT t_day, CAST(sum(ev) AS BIGINT) AS d,
+         CAST(sum(1 - ev) AS BIGINT) AS c
+  FROM dur GROUP BY 1),
+risk AS (
+  SELECT t_day, d, c,
+    CAST((SELECT count(*) FROM dur)
+      - coalesce(sum(d + c) OVER (ORDER BY t_day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS n_risk
+  FROM grp),
+terms AS (
+  SELECT t_day, d, c, n_risk,
+    CAST(round(CAST(d AS DOUBLE) / n_risk * 1e9) AS BIGINT) AS h_nano,
+    CAST(round(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk) * 1e9)
+         AS BIGINT) AS v_nano
+  FROM risk)
+SELECT CAST(t_day AS BIGINT) AS t_day, n_risk, d AS n_event,
+       c AS n_censored,
+  round(CAST(sum(h_nano) OVER w AS BIGINT) / 1e9, 6) AS cum_hazard,
+  round(CAST(sum(v_nano) OVER w AS BIGINT) / 1e9, 6) AS var_hazard
+FROM terms
+WINDOW w AS (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+"""
+
+
+@register("nelson_aalen", oracle=_NA_ORACLE)
+def nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of time-to-first-purchase:
+    H(t) = Σ d_i/n_i with the Poisson variance Σ d_i/n_i² — the
+    hazard-scale companion to kaplan_meier's survival curve (same
+    durations, same censoring) that log_rank_test compares across
+    arms; H is the quantity additive-over-time dashboards plot.
+
+    Determinism and scale: identical duration reduce and O(distinct
+    durations) at-risk cumsums as kaplan_meier; each day's hazard
+    and variance increment is nano-rounded ONCE to BIGINT and
+    cumulated exactly.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    u = e.groupBy("user_id").agg(
+        F.min(day).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", day)).alias("tp"),
+        F.max(day).alias("tend"),
+    )
+    dur = u.select(
+        F.datediff(F.coalesce(F.col("tp"), F.col("tend")), F.col("t0"))
+        .cast("long")
+        .alias("t_day"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    grp = dur.groupBy("t_day").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c"),
+    )
+    total = dur.count()  # driver-side O(1) scalar, same class as k-row Grams
+    wb = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grp.select(
+        "t_day",
+        "d",
+        "c",
+        (
+            F.lit(total)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wb), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    dd = F.col("d").cast("double")
+    nr = F.col("n_risk").cast("double")
+    terms = risk.select(
+        "t_day",
+        "d",
+        "c",
+        "n_risk",
+        F.round(dd / nr * 1e9).cast("long").alias("h_nano"),
+        F.round(dd / (nr * nr) * 1e9).cast("long").alias("v_nano"),
+    )
+    cw = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        "t_day",
+        "n_risk",
+        F.col("d").alias("n_event"),
+        F.col("c").alias("n_censored"),
+        F.round(F.sum("h_nano").over(cw).cast("long") / 1e9, 6).alias(
+            "cum_hazard"
+        ),
+        F.round(F.sum("v_nano").over(cw).cast("long") / 1e9, 6).alias(
+            "var_hazard"
+        ),
+    )

@@ -208,6 +208,7 @@ INTENTIONAL_BNLJ = {
     "group_sequential_monitor",  # broadcast 5-row look-cutoff grid
     "log_rank_test",  # broadcast 1-row arm-totals frame
     "causal_impact_lite",  # broadcast 1-row time-bounds frame
+    "cluster_validity_indices",  # broadcast 1-row W/B/DB total frames
 }
 
 

@@ -3559,3 +3559,96 @@ def test_adstock_matches_python_replay(spark, sf_dir):
     assert abs(row["r_raw"] - r_raw) < 1e-5
     assert abs(row["r_adstock"] - r_ad) < 1e-5
     assert abs(row["carryover_lift"] - (r_ad - r_raw)) < 1e-5
+
+
+def test_nelson_aalen_matches_km_machinery(spark, sf_dir):
+    """nelson_aalen: same at-risk/event counts as kaplan_meier, the
+    hazard cumulates d/n exactly, and exp(-H) upper-bounds the KM
+    survival (Nelson-Aalen vs product-limit inequality)."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.queries.stats_tests import kaplan_meier
+    from dissertation_iceberg_spark.queries.stats_tests2 import nelson_aalen
+
+    na = nelson_aalen(spark, sf_dir).toPandas().sort_values("t_day")
+    km = kaplan_meier(spark, sf_dir).toPandas().sort_values("t_day")
+    m = na.merge(km, on="t_day", suffixes=("_na", "_km"))
+    assert (m["n_risk_na"] == m["n_risk_km"]).all()
+    assert (m["n_event_na"] == m["n_event_km"]).all()
+    h = 0.0
+    for r in na.itertuples():
+        h += round(r.n_event / r.n_risk * 1e9) / 1e9
+        assert abs(r.cum_hazard - h) < 1e-5
+    # exp(-H) >= S everywhere (strict when d>1 ties exist)
+    s_hat = np.exp(-m["cum_hazard"].to_numpy())
+    assert (s_hat >= m["surv"].to_numpy() - 1e-9).all()
+
+
+def test_cluster_validity_matches_numpy_replay(spark, sf_dir):
+    """cluster_validity_indices equals a numpy replay at micro
+    rounding grain; CH positive, DB positive."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.extensions import (
+        cluster_validity_indices,
+    )
+
+    row = cluster_validity_indices(spark, sf_dir).toPandas().iloc[0]
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    X = np.array(
+        [np.floor(np.asarray(v, dtype="float64") * 1e6 + 0.5) for v in
+         emb["embedding"]]
+    )  # micro-quantized
+    y = emb["label"].to_numpy()
+    labels = np.unique(y)
+    k, n = len(labels), len(X)
+    cents = {l: X[y == l].sum(axis=0) / (y == l).sum() / 1e6 for l in labels}
+    g = X.sum(axis=0) / n / 1e6
+    Xd = X / 1e6
+
+    def rdim(v):  # per-dim micro-round then exact sum
+        return np.floor(v * 1e6 + 0.5).sum() / 1e6
+
+    w = sum(
+        sum(rdim((Xd[i] - cents[l]) ** 2) for i in np.where(y == l)[0])
+        for l in labels
+    )
+    b = sum(
+        (y == l).sum() * rdim((cents[l] - g) ** 2) for l in labels
+    )
+    s = {
+        l: np.mean(
+            [
+                np.floor(
+                    np.sqrt(rdim((Xd[i] - cents[l]) ** 2)) * 1e6 + 0.5
+                )
+                / 1e6
+                for i in np.where(y == l)[0]
+            ]
+        )
+        for l in labels
+    }
+    db = np.mean(
+        [
+            np.floor(
+                max(
+                    (s[a] + s[bb])
+                    / np.sqrt(rdim((cents[a] - cents[bb]) ** 2))
+                    for bb in labels
+                    if bb != a
+                )
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+            for a in labels
+        ]
+    )
+    ch = (b / (k - 1)) / (w / (n - k))
+    assert row["k"] == k and row["n"] == n
+    assert abs(row["within_ss"] - w) < 1e-3
+    assert abs(row["between_ss"] - b) < 1e-3
+    assert abs(row["calinski_harabasz"] - ch) < 1e-3
+    assert abs(row["davies_bouldin"] - db) < 1e-4
+    assert row["calinski_harabasz"] > 0 and row["davies_bouldin"] > 0
