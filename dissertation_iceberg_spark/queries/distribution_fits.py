@@ -452,3 +452,232 @@ def evt_gumbel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "return_level_365d"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-component 1-D Gaussian mixture via EM (run-parity, 3 iterations)
+# --------------------------------------------------------------------------
+
+_GMM_ITERS = 3
+_GMM_RQ = 10_000  # responsibility grain (1e-4)
+
+
+def _gmm_iter_sql(k: int) -> str:
+    """One EM iteration over the (v, cnt) histogram given params{k-1}
+    (w1d, mu1, mu2 micro-cents*1e4? no: mu in cents at 1e-4 grain as
+    BIGINT mu_q; var at 1e-2 grain as BIGINT v_q)."""
+    p = f"params{k - 1}"
+    return f"""
+resp{k} AS (
+  SELECT h.v, h.cnt,
+    CAST(round({_GMM_RQ} / (1.0 + exp(
+      CAST(round(ln((1.0 - p.w1d) / p.w1d) * 1e6) AS BIGINT) / 1e6
+      + CAST(round(0.5 * ln((p.v1q / 1e2) / (p.v2q / 1e2)) * 1e6)
+             AS BIGINT) / 1e6
+      + (h.v - p.mu1q / 1e4) * (h.v - p.mu1q / 1e4) / (2.0 * (p.v1q / 1e2))
+      - (h.v - p.mu2q / 1e4) * (h.v - p.mu2q / 1e4) / (2.0 * (p.v2q / 1e2))
+    ))) AS BIGINT) AS rq
+  FROM hist h CROSS JOIN {p} p),
+sums{k} AS (
+  SELECT
+    CAST(sum(cnt * rq) AS BIGINT) AS n1q,
+    CAST(sum(cnt * ({_GMM_RQ} - rq)) AS BIGINT) AS n2q,
+    CAST(sum(cnt * rq * v) AS BIGINT) AS s1,
+    CAST(sum(cnt * ({_GMM_RQ} - rq) * v) AS BIGINT) AS s2,
+    CAST(sum(cnt * rq * v * v) AS BIGINT) AS ss1,
+    CAST(sum(cnt * ({_GMM_RQ} - rq) * v * v) AS BIGINT) AS ss2
+  FROM resp{k}),
+params{k} AS (
+  SELECT
+    CAST(n1q AS DOUBLE) / (n1q + n2q) AS w1d,
+    CAST(round(CAST(s1 AS DOUBLE) / n1q * 1e4) AS BIGINT) AS mu1q,
+    CAST(round(CAST(s2 AS DOUBLE) / n2q * 1e4) AS BIGINT) AS mu2q,
+    greatest(CAST(round((CAST(ss1 AS DOUBLE) / n1q
+      - (CAST(s1 AS DOUBLE) / n1q) * (CAST(s1 AS DOUBLE) / n1q)) * 1e2)
+      AS BIGINT), 1) AS v1q,
+    greatest(CAST(round((CAST(ss2 AS DOUBLE) / n2q
+      - (CAST(s2 AS DOUBLE) / n2q) * (CAST(s2 AS DOUBLE) / n2q)) * 1e2)
+      AS BIGINT), 1) AS v2q
+  FROM sums{k})"""
+
+
+_GMM_ORACLE = (
+    """
+WITH hist AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(cnt * v) AS BIGINT) AS sv,
+         CAST(sum(cnt * v * v) AS BIGINT) AS svv
+  FROM hist),
+cum AS (
+  SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+  FROM hist),
+q1 AS (SELECT CAST(min(v) AS BIGINT) AS mu
+       FROM cum CROSS JOIN tot WHERE c >= (n + 3) // 4),
+q3 AS (SELECT CAST(min(v) AS BIGINT) AS mu
+       FROM cum CROSS JOIN tot WHERE c >= (3 * n + 3) // 4),
+params0 AS (
+  SELECT CAST(0.5 AS DOUBLE) AS w1d,
+         q1.mu * 10000 AS mu1q, q3.mu * 10000 AS mu2q,
+         greatest(CAST(round((CAST(t.svv AS DOUBLE) / t.n
+           - (CAST(t.sv AS DOUBLE) / t.n) * (CAST(t.sv AS DOUBLE) / t.n))
+           * 1e2) AS BIGINT), 1) AS v1q,
+         greatest(CAST(round((CAST(t.svv AS DOUBLE) / t.n
+           - (CAST(t.sv AS DOUBLE) / t.n) * (CAST(t.sv AS DOUBLE) / t.n))
+           * 1e2) AS BIGINT), 1) AS v2q
+  FROM q1 CROSS JOIN q3 CROSS JOIN tot t),"""
+    + ",".join(_gmm_iter_sql(k) for k in range(1, _GMM_ITERS + 1))
+    + f"""
+SELECT t.n,
+  round(p.w1d, 6) AS w1,
+  round(p.mu1q / 1e4 / 100.0, 6) AS mu1_dollars,
+  round(sqrt(p.v1q / 1e2) / 100.0, 6) AS sigma1_dollars,
+  round(p.mu2q / 1e4 / 100.0, 6) AS mu2_dollars,
+  round(sqrt(p.v2q / 1e2) / 100.0, 6) AS sigma2_dollars
+FROM params{_GMM_ITERS} p CROSS JOIN tot t
+"""
+)
+
+
+@register("gmm_em_1d", oracle=_GMM_ORACLE)
+def gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture fit to purchase values via
+    {it} EM iterations with RUN PARITY (the kmeans/BPE/gbm_stumps
+    discipline): responsibilities are computed per DISTINCT cent
+    value on the histogram (never per row) and rounded once to 1e-4;
+    component parameters re-estimate from exact BIGINT
+    responsibility-weighted sums and are quantized each iteration
+    (means at 1e-4 cents, variances at 1e-2 cents²), so the DuckDB
+    oracle replays every iteration bit-for-bit — the distributional
+    upgrade over a single Gaussian that mixture_weights/
+    quality-funnel thresholds assume.
+
+    Scale shape: ONE map-side-combinable histogram pass over the
+    facts; each EM iteration is an O(distinct values) frame times a
+    1-row broadcast parameter frame — EM cost is independent of row
+    count given the histogram. The per-distinct-value exp() is the
+    documented micro-round-once libm pattern.
+    """.format(it=_GMM_ITERS)
+    e = load_table(spark, sf_dir, "events")
+    hist = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.round(F.col("value") * 100).cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = hist.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * F.col("v")).cast("long").alias("sv"),
+        F.sum(F.col("cnt") * F.col("v") * F.col("v")).cast("long").alias("svv"),
+    )
+    cw = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("v", F.sum("cnt").over(cw).cast("long").alias("c"))
+    q1 = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("c") >= F.expr("(n + 3) div 4"))
+        .agg(F.min("v").cast("long").alias("mu_q1"))
+    )
+    q3 = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("c") >= F.expr("(3 * n + 3) div 4"))
+        .agg(F.min("v").cast("long").alias("mu_q3"))
+    )
+    var0 = (
+        F.col("svv").cast("double") / F.col("n")
+        - (F.col("sv").cast("double") / F.col("n"))
+        * (F.col("sv").cast("double") / F.col("n"))
+    )
+    params = (
+        tot.crossJoin(F.broadcast(q1))
+        .crossJoin(F.broadcast(q3))
+        .select(
+            F.lit(0.5).alias("w1d"),
+            (F.col("mu_q1") * 10_000).cast("long").alias("mu1q"),
+            (F.col("mu_q3") * 10_000).cast("long").alias("mu2q"),
+            F.greatest(F.round(var0 * 1e2).cast("long"), F.lit(1)).alias(
+                "v1q"
+            ),
+            F.greatest(F.round(var0 * 1e2).cast("long"), F.lit(1)).alias(
+                "v2q"
+            ),
+        )
+    )
+    for _ in range(_GMM_ITERS):
+        mu1 = F.col("mu1q") / 1e4
+        mu2 = F.col("mu2q") / 1e4
+        va1 = F.col("v1q") / 1e2
+        va2 = F.col("v2q") / 1e2
+        lnw = (
+            F.round(F.log((1.0 - F.col("w1d")) / F.col("w1d")) * 1e6)
+            .cast("long")
+            / 1e6
+        )
+        lnv = (
+            F.round(0.5 * F.log(va1 / va2) * 1e6).cast("long") / 1e6
+        )
+        ell = (
+            lnw
+            + lnv
+            + (F.col("v") - mu1) * (F.col("v") - mu1) / (2.0 * va1)
+            - (F.col("v") - mu2) * (F.col("v") - mu2) / (2.0 * va2)
+        )
+        resp = hist.crossJoin(F.broadcast(params)).select(
+            "v",
+            "cnt",
+            F.round(_GMM_RQ / (1.0 + F.exp(ell))).cast("long").alias("rq"),
+        )
+        rq2 = _GMM_RQ - F.col("rq")
+        sums = resp.agg(
+            F.sum(F.col("cnt") * F.col("rq")).cast("long").alias("n1q"),
+            F.sum(F.col("cnt") * rq2).cast("long").alias("n2q"),
+            F.sum(F.col("cnt") * F.col("rq") * F.col("v"))
+            .cast("long")
+            .alias("s1"),
+            F.sum(F.col("cnt") * rq2 * F.col("v")).cast("long").alias("s2"),
+            F.sum(F.col("cnt") * F.col("rq") * F.col("v") * F.col("v"))
+            .cast("long")
+            .alias("ss1"),
+            F.sum(F.col("cnt") * rq2 * F.col("v") * F.col("v"))
+            .cast("long")
+            .alias("ss2"),
+        )
+        m1 = F.col("s1").cast("double") / F.col("n1q")
+        m2 = F.col("s2").cast("double") / F.col("n2q")
+        params = sums.select(
+            (F.col("n1q").cast("double") / (F.col("n1q") + F.col("n2q"))).alias(
+                "w1d"
+            ),
+            F.round(m1 * 1e4).cast("long").alias("mu1q"),
+            F.round(m2 * 1e4).cast("long").alias("mu2q"),
+            F.greatest(
+                F.round(
+                    (F.col("ss1").cast("double") / F.col("n1q") - m1 * m1)
+                    * 1e2
+                ).cast("long"),
+                F.lit(1),
+            ).alias("v1q"),
+            F.greatest(
+                F.round(
+                    (F.col("ss2").cast("double") / F.col("n2q") - m2 * m2)
+                    * 1e2
+                ).cast("long"),
+                F.lit(1),
+            ).alias("v2q"),
+        )
+    return params.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.round(F.col("w1d"), 6).alias("w1"),
+        F.round(F.col("mu1q") / 1e4 / 100.0, 6).alias("mu1_dollars"),
+        F.round(F.sqrt(F.col("v1q") / 1e2) / 100.0, 6).alias(
+            "sigma1_dollars"
+        ),
+        F.round(F.col("mu2q") / 1e4 / 100.0, 6).alias("mu2_dollars"),
+        F.round(F.sqrt(F.col("v2q") / 1e2) / 100.0, 6).alias(
+            "sigma2_dollars"
+        ),
+    )

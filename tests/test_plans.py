@@ -209,6 +209,7 @@ INTENTIONAL_BNLJ = {
     "log_rank_test",  # broadcast 1-row arm-totals frame
     "causal_impact_lite",  # broadcast 1-row time-bounds frame
     "cluster_validity_indices",  # broadcast 1-row W/B/DB total frames
+    "gmm_em_1d",  # broadcast 1-row EM parameter frame per iteration
 }
 
 

@@ -3652,3 +3652,69 @@ def test_cluster_validity_matches_numpy_replay(spark, sf_dir):
     assert abs(row["calinski_harabasz"] - ch) < 1e-3
     assert abs(row["davies_bouldin"] - db) < 1e-4
     assert row["calinski_harabasz"] > 0 and row["davies_bouldin"] > 0
+
+
+def test_gmm_em_matches_python_replay(spark, sf_dir):
+    """gmm_em_1d equals a python replay of the quantized EM recursion
+    on the value histogram (same grains, same rounding)."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.distribution_fits import (
+        _GMM_ITERS,
+        _GMM_RQ,
+        gmm_em_1d,
+    )
+
+    row = gmm_em_1d(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    p = e[e["event_type"] == "purchase"]
+    v = np.floor(p["value"] * 100 + 0.5).astype("int64")
+    hist = Counter(v.tolist())
+    vs = np.array(sorted(hist))
+    cnts = np.array([hist[x] for x in vs], dtype="int64")
+    n = int(cnts.sum())
+    cum = np.cumsum(cnts)
+    mu1q = int(vs[np.searchsorted(cum, (n + 3) // 4)]) * 10_000
+    mu2q = int(vs[np.searchsorted(cum, (3 * n + 3) // 4)]) * 10_000
+    sv = int((cnts * vs).sum())
+    svv = int((cnts * vs * vs).sum())
+    var0 = svv / n - (sv / n) ** 2
+    v1q = max(int(np.floor(var0 * 1e2 + 0.5)), 1)
+    v2q = v1q
+    w1d = 0.5
+    for _ in range(_GMM_ITERS):
+        lnw = round(math.log((1 - w1d) / w1d) * 1e6) / 1e6
+        lnv = round(0.5 * math.log((v1q / 1e2) / (v2q / 1e2)) * 1e6) / 1e6
+        m1, m2 = mu1q / 1e4, mu2q / 1e4
+        va1, va2 = v1q / 1e2, v2q / 1e2
+        ell = (
+            lnw
+            + lnv
+            + (vs - m1) ** 2 / (2 * va1)
+            - (vs - m2) ** 2 / (2 * va2)
+        )
+        rq = np.floor(_GMM_RQ / (1 + np.exp(ell)) + 0.5).astype("int64")
+        n1q = int((cnts * rq).sum())
+        n2q = int((cnts * (_GMM_RQ - rq)).sum())
+        s1 = int((cnts * rq * vs).sum())
+        s2 = int((cnts * (_GMM_RQ - rq) * vs).sum())
+        ss1 = int((cnts * rq * vs * vs).sum())
+        ss2 = int((cnts * (_GMM_RQ - rq) * vs * vs).sum())
+        w1d = n1q / (n1q + n2q)
+        m1n, m2n = s1 / n1q, s2 / n2q
+        mu1q = round(m1n * 1e4)
+        mu2q = round(m2n * 1e4)
+        v1q = max(round((ss1 / n1q - m1n * m1n) * 1e2), 1)
+        v2q = max(round((ss2 / n2q - m2n * m2n) * 1e2), 1)
+    assert row["n"] == n
+    assert abs(row["w1"] - w1d) < 1e-5
+    assert abs(row["mu1_dollars"] - mu1q / 1e4 / 100) < 1e-5
+    assert abs(row["mu2_dollars"] - mu2q / 1e4 / 100) < 1e-5
+    assert abs(row["sigma1_dollars"] - math.sqrt(v1q / 1e2) / 100) < 1e-5
+    assert abs(row["sigma2_dollars"] - math.sqrt(v2q / 1e2) / 100) < 1e-5
+    assert 0 < row["w1"] < 1
+    assert row["sigma1_dollars"] > 0 and row["sigma2_dollars"] > 0
