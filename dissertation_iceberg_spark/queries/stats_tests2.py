@@ -3075,3 +3075,224 @@ def nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_hazard"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Platt scaling: logistic calibration via Newton-Raphson (run parity)
+# --------------------------------------------------------------------------
+
+_PLATT_ITERS = 3
+_PLATT_PG = 10_000  # sigmoid grain (1e-4)
+_PLATT_XG = 1_000  # feature grain: x = score in [0,1] at 1e-3
+
+
+def _platt_iter_sql(k: int) -> str:
+    p = f"pp{k - 1}"
+    return f"""
+prob{k} AS (
+  SELECT h.xq, h.n, h.pos,
+    CAST(round({_PLATT_PG} / (1.0 + exp(-(p.aq / 1e6
+         + p.bq / 1e6 * h.xq / {_PLATT_XG}.0)))) AS BIGINT) AS pq
+  FROM shist h CROSS JOIN {p} p),
+grad{k} AS (
+  SELECT
+    CAST(sum(pos * {_PLATT_PG} - n * pq) AS BIGINT) AS ga,
+    CAST(sum(xq * (pos * {_PLATT_PG} - n * pq)) AS BIGINT) AS gb,
+    CAST(sum(n * pq * ({_PLATT_PG} - pq)) AS BIGINT) AS haa,
+    CAST(sum(n * xq * pq * ({_PLATT_PG} - pq)) AS BIGINT) AS hab,
+    CAST(sum(n * xq * xq * pq * ({_PLATT_PG} - pq)) AS BIGINT) AS hbb
+  FROM prob{k}),
+pp{k} AS (
+  SELECT p.aq + CAST(round(
+      (CAST(g.ga AS DOUBLE) / {_PLATT_PG}
+         * (CAST(g.hbb AS DOUBLE) / ({_PLATT_PG} * {_PLATT_PG})
+            / ({_PLATT_XG} * {_PLATT_XG}.0))
+       - CAST(g.gb AS DOUBLE) / ({_PLATT_PG} * {_PLATT_XG}.0)
+         * (CAST(g.hab AS DOUBLE) / ({_PLATT_PG} * {_PLATT_PG})
+            / {_PLATT_XG}.0))
+      / (CAST(g.haa AS DOUBLE) / ({_PLATT_PG} * {_PLATT_PG})
+           * (CAST(g.hbb AS DOUBLE) / ({_PLATT_PG} * {_PLATT_PG})
+              / ({_PLATT_XG} * {_PLATT_XG}.0))
+         - (CAST(g.hab AS DOUBLE) / ({_PLATT_PG} * {_PLATT_PG})
+            / {_PLATT_XG}.0)
+           * (CAST(g.hab AS DOUBLE) / ({_PLATT_PG} * {_PLATT_PG})
+              / {_PLATT_XG}.0)) * 1e6) AS BIGINT) AS aq,
+    p.bq + CAST(round(
+      (CAST(g.haa AS DOUBLE) / ({_PLATT_PG} * {_PLATT_PG})
+         * CAST(g.gb AS DOUBLE) / ({_PLATT_PG} * {_PLATT_XG}.0)
+       - CAST(g.hab AS DOUBLE) / ({_PLATT_PG} * {_PLATT_PG})
+         / {_PLATT_XG}.0 * CAST(g.ga AS DOUBLE) / {_PLATT_PG})
+      / (CAST(g.haa AS DOUBLE) / ({_PLATT_PG} * {_PLATT_PG})
+           * (CAST(g.hbb AS DOUBLE) / ({_PLATT_PG} * {_PLATT_PG})
+              / ({_PLATT_XG} * {_PLATT_XG}.0))
+         - (CAST(g.hab AS DOUBLE) / ({_PLATT_PG} * {_PLATT_PG})
+            / {_PLATT_XG}.0)
+           * (CAST(g.hab AS DOUBLE) / ({_PLATT_PG} * {_PLATT_PG})
+              / {_PLATT_XG}.0)) * 1e6) AS BIGINT) AS bq
+  FROM pp{k - 1} p CROSS JOIN grad{k} g)"""
+
+
+_PLATT_ORACLE = (
+    f"""
+WITH hist AS (
+  SELECT user_id, count(*) AS n_ev,
+         count(*) FILTER (event_type = 'purchase') AS n_p
+  FROM events WHERE ts < TIMESTAMP '{_GAINS_SPLIT}'
+  GROUP BY 1),
+fut AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '{_GAINS_SPLIT}' AND event_type = 'purchase'
+    AND value > {{thr}}),
+scored AS (
+  SELECT h.user_id,
+         CAST(round((h.n_p * 1000000 // h.n_ev) / 1000.0) AS BIGINT) AS xq,
+         CASE WHEN f.user_id IS NULL THEN 0 ELSE 1 END AS y
+  FROM hist h LEFT JOIN fut f ON h.user_id = f.user_id),
+shist AS (
+  SELECT xq, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM scored GROUP BY 1),
+pp0 AS (SELECT CAST(0 AS BIGINT) AS aq, CAST(0 AS BIGINT) AS bq),"""
+    + ",".join(_platt_iter_sql(k) for k in range(1, _PLATT_ITERS + 1))
+    + f"""
+, fin AS (
+  SELECT h.n, h.pos,
+    CAST(round({_PLATT_PG} / (1.0 + exp(-(p.aq / 1e6
+         + p.bq / 1e6 * h.xq / {_PLATT_XG}.0)))) AS BIGINT) AS pq
+  FROM shist h CROSS JOIN pp{_PLATT_ITERS} p),
+brier AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+    CAST(sum(pos * ({_PLATT_PG} - pq) * ({_PLATT_PG} - pq)
+             + (n - pos) * pq * pq) AS BIGINT) AS b_num
+  FROM fin)
+SELECT b.n_tot AS n,
+  round(p.aq / 1e6, 6) AS intercept,
+  round(p.bq / 1e6, 6) AS slope,
+  round(CAST(b.b_num AS DOUBLE)
+        / ({_PLATT_PG} * {_PLATT_PG}.0) / b.n_tot, 6) AS brier
+FROM pp{_PLATT_ITERS} p CROSS JOIN brier b
+""".replace("{thr}", str(_MCN_THR))
+).replace("{thr}", str(_MCN_THR))
+
+
+@register("platt_scaling", oracle=_PLATT_ORACLE)
+def platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling: calibrate the first-half propensity score into
+    a probability of second-half big-ticket conversion by fitting
+    σ(a + b·x) with {it} Newton-Raphson iterations — the parametric
+    sibling of isotonic_calibration, here as a RUN-PARITY distributed
+    convex optimizer: sigmoids are evaluated per DISTINCT score value
+    (1e-4 grain), gradients and Hessians are exact BIGINT
+    histogram-weighted sums, the 2×2 Newton solve runs in
+    identically-shaped doubles, and (a, b) are re-quantized to 1e-6
+    each step, so the DuckDB oracle replays the optimizer exactly.
+    The final Brier score (exact integer numerator) rides along.
+
+    Scale shape: facts reduce to one row per user, then to the
+    O(distinct scores ≤ {xg}+1) histogram; every Newton iteration is
+    that tiny frame × a 1-row broadcast parameter frame — optimizer
+    cost independent of row count.
+    """.format(it=_PLATT_ITERS, xg=_PLATT_XG)
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(_GAINS_SPLIT).cast("timestamp_ntz")
+    hist = (
+        e.filter(F.col("ts") < split)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_p"
+            ),
+        )
+    )
+    fut = (
+        e.filter(
+            (F.col("ts") >= split)
+            & (F.col("event_type") == "purchase")
+            & (F.col("value") > _MCN_THR)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("y", F.lit(1))
+    )
+    scored = hist.join(fut, "user_id", "left").select(
+        F.round(F.expr("(n_p * 1000000 div n_ev)") / 1000.0)
+        .cast("long")
+        .alias("xq"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    shist = scored.groupBy("xq").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    params = spark.range(1).select(
+        F.lit(0).cast("long").alias("aq"), F.lit(0).cast("long").alias("bq")
+    )
+    PG, XG = float(_PLATT_PG), float(_PLATT_XG)
+
+    def sigmoid_q():
+        return (
+            F.round(
+                _PLATT_PG
+                / (
+                    1.0
+                    + F.exp(
+                        -(
+                            F.col("aq") / 1e6
+                            + F.col("bq") / 1e6 * F.col("xq") / XG
+                        )
+                    )
+                )
+            )
+            .cast("long")
+            .alias("pq")
+        )
+
+    for _ in range(_PLATT_ITERS):
+        prob = shist.crossJoin(F.broadcast(params)).select(
+            "xq", "n", "pos", "aq", "bq", sigmoid_q()
+        )
+        resid = F.col("pos") * _PLATT_PG - F.col("n") * F.col("pq")
+        wgt = F.col("n") * F.col("pq") * (_PLATT_PG - F.col("pq"))
+        grad = prob.agg(
+            F.any_value("aq").alias("aq"),
+            F.any_value("bq").alias("bq"),
+            F.sum(resid).cast("long").alias("ga"),
+            F.sum(F.col("xq") * resid).cast("long").alias("gb"),
+            F.sum(wgt).cast("long").alias("haa"),
+            F.sum(F.col("xq") * wgt).cast("long").alias("hab"),
+            F.sum(F.col("xq") * F.col("xq") * wgt).cast("long").alias("hbb"),
+        )
+        ga = F.col("ga").cast("double") / PG
+        gb = F.col("gb").cast("double") / (PG * XG)
+        haa = F.col("haa").cast("double") / (PG * PG)
+        hab = F.col("hab").cast("double") / (PG * PG) / XG
+        hbb = F.col("hbb").cast("double") / (PG * PG) / (XG * XG)
+        det = haa * hbb - hab * hab
+        params = grad.select(
+            (F.col("aq") + F.round((ga * hbb - gb * hab) / det * 1e6).cast("long"))
+            .alias("aq"),
+            (F.col("bq") + F.round((haa * gb - hab * ga) / det * 1e6).cast("long"))
+            .alias("bq"),
+        )
+    fin = shist.crossJoin(F.broadcast(params)).select(
+        "n", "pos", "aq", "bq", sigmoid_q()
+    )
+    brier = fin.agg(
+        F.any_value("aq").alias("aq"),
+        F.any_value("bq").alias("bq"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum(
+            F.col("pos") * (_PLATT_PG - F.col("pq")) * (_PLATT_PG - F.col("pq"))
+            + (F.col("n") - F.col("pos")) * F.col("pq") * F.col("pq")
+        )
+        .cast("long")
+        .alias("b_num"),
+    )
+    return brier.select(
+        F.col("n_tot").alias("n"),
+        F.round(F.col("aq") / 1e6, 6).alias("intercept"),
+        F.round(F.col("bq") / 1e6, 6).alias("slope"),
+        F.round(
+            F.col("b_num").cast("double") / (PG * PG) / F.col("n_tot"), 6
+        ).alias("brier"),
+    )

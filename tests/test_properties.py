@@ -3718,3 +3718,85 @@ def test_gmm_em_matches_python_replay(spark, sf_dir):
     assert abs(row["sigma2_dollars"] - math.sqrt(v2q / 1e2) / 100) < 1e-5
     assert 0 < row["w1"] < 1
     assert row["sigma1_dollars"] > 0 and row["sigma2_dollars"] > 0
+
+
+def test_platt_scaling_matches_python_replay(spark, sf_dir):
+    """platt_scaling equals a python replay of the quantized Newton
+    recursion; Brier beats the trivial base-rate predictor or ties
+    within quantization noise."""
+    import math
+
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        _GAINS_SPLIT,
+        _MCN_THR,
+        _PLATT_ITERS,
+        _PLATT_PG,
+        _PLATT_XG,
+        platt_scaling,
+    )
+
+    row = platt_scaling(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    split = np.datetime64(_GAINS_SPLIT)
+    h = e[e["ts"] < split]
+    hist = h.groupby("user_id").agg(
+        n_ev=("event_type", "size"),
+        n_p=("event_type", lambda s: int((s == "purchase").sum())),
+    )
+    fut = set(
+        e.loc[
+            (e["ts"] >= split)
+            & (e["event_type"] == "purchase")
+            & (e["value"] > _MCN_THR),
+            "user_id",
+        ]
+    )
+    xq = np.array(
+        [
+            int(np.floor((p_cnt * 1_000_000 // ne) / 1000.0 + 0.5))
+            for p_cnt, ne in zip(hist["n_p"], hist["n_ev"])
+        ]
+    )
+    y = np.array([int(u in fut) for u in hist.index])
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for x, yy in zip(xq, y):
+        agg[int(x)][0] += 1
+        agg[int(x)][1] += yy
+    xs = np.array(sorted(agg))
+    ns = np.array([agg[x][0] for x in xs], dtype="int64")
+    pos = np.array([agg[x][1] for x in xs], dtype="int64")
+    aq = bq = 0
+    PG, XG = float(_PLATT_PG), float(_PLATT_XG)
+    for _ in range(_PLATT_ITERS):
+        pq = np.floor(
+            _PLATT_PG / (1 + np.exp(-(aq / 1e6 + bq / 1e6 * xs / XG))) + 0.5
+        ).astype("int64")
+        resid = pos * _PLATT_PG - ns * pq
+        wgt = ns * pq * (_PLATT_PG - pq)
+        ga = int(resid.sum()) / PG
+        gb = int((xs * resid).sum()) / (PG * XG)
+        haa = int(wgt.sum()) / (PG * PG)
+        hab = int((xs * wgt).sum()) / (PG * PG) / XG
+        hbb = int((xs * xs * wgt).sum()) / (PG * PG) / (XG * XG)
+        det = haa * hbb - hab * hab
+        aq += round((ga * hbb - gb * hab) / det * 1e6)
+        bq += round((haa * gb - hab * ga) / det * 1e6)
+    pq = np.floor(
+        _PLATT_PG / (1 + np.exp(-(aq / 1e6 + bq / 1e6 * xs / XG))) + 0.5
+    ).astype("int64")
+    b_num = int(
+        (pos * (_PLATT_PG - pq) ** 2 + (ns - pos) * pq * pq).sum()
+    )
+    n = int(ns.sum())
+    assert row["n"] == n
+    assert abs(row["intercept"] - aq / 1e6) < 1e-6
+    assert abs(row["slope"] - bq / 1e6) < 1e-6
+    assert abs(row["brier"] - b_num / (PG * PG) / n) < 1e-6
+    base = pos.sum() / n
+    brier_base = base * (1 - base)  # base-rate predictor's Brier
+    assert row["brier"] <= brier_base + 1e-3
