@@ -846,3 +846,132 @@ def causal_impact_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("effect").over(cw).cast("long") / 100.0, 6
         ).alias("cum_effect"),
     )
+
+
+# --------------------------------------------------------------------------
+# 2-state HMM forward log-likelihood of the daily direction sequence
+# --------------------------------------------------------------------------
+
+# persistence HMM: P(stay) = 0.8; emissions P(up|bull)=0.7, P(up|bear)=0.3;
+# prior [0.5, 0.5] (folded through one transition step, which is a no-op
+# for the symmetric prior). All binary-exact literals — no fitting.
+_HMM_STAY = 0.8
+_HMM_EMIT = 0.7
+
+_HMM_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+mv AS (
+  SELECT day, cents - lag(cents) OVER (ORDER BY day) AS diff FROM daily),
+obs AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CASE WHEN diff > 0 THEN 1 ELSE 0 END AS d
+  FROM mv WHERE diff IS NOT NULL AND diff <> 0),
+rec AS (
+  SELECT CAST(0 AS BIGINT) AS t, CAST(500000 AS BIGINT) AS a1q,
+         CAST(0 AS BIGINT) AS ll
+  UNION ALL
+  SELECT o.t,
+    CAST(round(
+      (CASE WHEN o.d = 1 THEN {_HMM_EMIT} ELSE {1 - _HMM_EMIT} END
+       * (r.a1q / 1e6 * {_HMM_STAY} + (1 - r.a1q / 1e6) * {1 - _HMM_STAY}))
+      / (CASE WHEN o.d = 1 THEN {_HMM_EMIT} ELSE {1 - _HMM_EMIT} END
+         * (r.a1q / 1e6 * {_HMM_STAY} + (1 - r.a1q / 1e6) * {1 - _HMM_STAY})
+         + CASE WHEN o.d = 1 THEN {1 - _HMM_EMIT} ELSE {_HMM_EMIT} END
+         * (r.a1q / 1e6 * {1 - _HMM_STAY} + (1 - r.a1q / 1e6) * {_HMM_STAY}))
+      * 1e6) AS BIGINT) AS a1q,
+    r.ll + CAST(round(ln(
+      CASE WHEN o.d = 1 THEN {_HMM_EMIT} ELSE {1 - _HMM_EMIT} END
+      * (r.a1q / 1e6 * {_HMM_STAY} + (1 - r.a1q / 1e6) * {1 - _HMM_STAY})
+      + CASE WHEN o.d = 1 THEN {1 - _HMM_EMIT} ELSE {_HMM_EMIT} END
+      * (r.a1q / 1e6 * {1 - _HMM_STAY} + (1 - r.a1q / 1e6) * {_HMM_STAY})
+    ) * 1e6) AS BIGINT) AS ll
+  FROM rec r JOIN obs o ON o.t = r.t + 1),
+fin AS (
+  SELECT r.ll FROM rec r JOIN (SELECT max(t) AS t FROM rec) m ON r.t = m.t),
+null_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS n_up
+  FROM obs),
+null_ll AS (
+  SELECT n, n_up,
+    n_up * CAST(round(ln(CAST(n_up AS DOUBLE) / n) * 1e6) AS BIGINT)
+    + (n - n_up) * CAST(round(ln(1.0 - CAST(n_up AS DOUBLE) / n) * 1e6)
+                        AS BIGINT) AS ll0
+  FROM null_m)
+SELECT z.n, z.n_up,
+  round(f.ll / 1e6, 6) AS loglik_hmm,
+  round(z.ll0 / 1e6, 6) AS loglik_null,
+  round(2.0 * (f.ll - z.ll0) / 1e6, 6) AS lr_stat
+FROM fin f CROSS JOIN null_ll z
+"""
+
+
+@register("hmm_forward_loglik", oracle=_HMM_ORACLE)
+def hmm_forward_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-state persistence-HMM forward log-likelihood of the daily
+    up/down direction sequence (fixed literal parameters: stay-prob
+    {s}, emission {e}), against the i.i.d. Bernoulli null — the
+    likelihood-ratio regime-persistence screen that complements
+    runs_test (counts) and event_transitions (first-order Markov on
+    observed states) with a LATENT-state model.
+
+    Determinism: the scaled forward recursion carries (α̂₁ quantized
+    to 1e-6, exact micro-log-likelihood BIGINT) through the O(days)
+    fold; each step's normalizer log is micro-rounded ONCE (the
+    documented libm pattern) and the null term uses the same
+    micro-log trick — the oracle replays the recursion as a
+    recursive CTE. Scale shape: one daily aggregate, then an O(days)
+    sequential fold per series (bounded state, JVM-side).
+    """.format(s=_HMM_STAY, e=_HMM_EMIT)
+    e = spread(load_table(spark, sf_dir, "events"))
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    mv = daily.select(
+        "day", (F.col("cents") - F.lag("cents").over(w)).alias("diff")
+    )
+    obs = mv.filter(F.col("diff").isNotNull() & (F.col("diff") != 0)).select(
+        "day", F.when(F.col("diff") > 0, 1).otherwise(0).alias("d")
+    )
+    series = obs.agg(
+        F.sort_array(F.collect_list(F.struct("day", "d"))).alias("arr"),
+        F.sum("d").cast("long").alias("n_up"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    stay, emit = _HMM_STAY, _HMM_EMIT
+    init = F.struct(
+        F.lit(500_000).cast("long").alias("a1q"),
+        F.lit(0).cast("long").alias("ll"),
+    )
+
+    def step(acc, x):
+        a1 = acc["a1q"] / 1e6
+        e1 = F.when(x["d"] == 1, F.lit(emit)).otherwise(F.lit(1 - emit))
+        e2 = F.when(x["d"] == 1, F.lit(1 - emit)).otherwise(F.lit(emit))
+        u1 = e1 * (a1 * stay + (1 - a1) * (1 - stay))
+        u2 = e2 * (a1 * (1 - stay) + (1 - a1) * stay)
+        return F.struct(
+            F.round(u1 / (u1 + u2) * 1e6).cast("long").alias("a1q"),
+            (acc["ll"] + F.round(F.log(u1 + u2) * 1e6).cast("long")).alias(
+                "ll"
+            ),
+        )
+
+    fin = F.aggregate(F.col("arr"), init, step)
+    p_up = F.col("n_up").cast("double") / F.col("n")
+    ll0 = F.col("n_up") * F.round(F.log(p_up) * 1e6).cast("long") + (
+        F.col("n") - F.col("n_up")
+    ) * F.round(F.log(1.0 - p_up) * 1e6).cast("long")
+    return series.select(
+        "n",
+        "n_up",
+        F.round(fin["ll"] / 1e6, 6).alias("loglik_hmm"),
+        F.round(ll0 / 1e6, 6).alias("loglik_null"),
+        F.round(2.0 * (fin["ll"] - ll0) / 1e6, 6).alias("lr_stat"),
+    )

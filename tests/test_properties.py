@@ -3800,3 +3800,51 @@ def test_platt_scaling_matches_python_replay(spark, sf_dir):
     base = pos.sum() / n
     brier_base = base * (1 - base)  # base-rate predictor's Brier
     assert row["brier"] <= brier_base + 1e-3
+
+
+def test_hmm_forward_matches_python_replay(spark, sf_dir):
+    """hmm_forward_loglik equals a python replay of the quantized
+    scaled-forward recursion, and the HMM never beats the saturated
+    bound nor loses to a broken recursion (finite LR)."""
+    import math
+
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.changepoint_ops import (
+        _HMM_EMIT,
+        _HMM_STAY,
+        hmm_forward_loglik,
+    )
+
+    row = hmm_forward_loglik(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    daily = (
+        e.assign(cents=cents, day=e["ts"].dt.floor("D"))
+        .groupby("day")["cents"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+    )
+    diffs = np.diff(daily)
+    ds = (diffs[diffs != 0] > 0).astype(int)
+    a1q, ll = 500_000, 0
+    for d in ds:
+        a1 = a1q / 1e6
+        e1 = _HMM_EMIT if d == 1 else 1 - _HMM_EMIT
+        e2 = 1 - _HMM_EMIT if d == 1 else _HMM_EMIT
+        u1 = e1 * (a1 * _HMM_STAY + (1 - a1) * (1 - _HMM_STAY))
+        u2 = e2 * (a1 * (1 - _HMM_STAY) + (1 - a1) * _HMM_STAY)
+        a1q = round(u1 / (u1 + u2) * 1e6)
+        ll += round(math.log(u1 + u2) * 1e6)
+    n, n_up = len(ds), int(ds.sum())
+    ll0 = n_up * round(math.log(n_up / n) * 1e6) + (n - n_up) * round(
+        math.log(1 - n_up / n) * 1e6
+    )
+    assert row["n"] == n and row["n_up"] == n_up
+    assert abs(row["loglik_hmm"] - ll / 1e6) < 1e-5
+    assert abs(row["loglik_null"] - ll0 / 1e6) < 1e-5
+    assert abs(row["lr_stat"] - 2 * (ll - ll0) / 1e6) < 1e-4
+    # both log-likelihoods are proper (negative) and finite
+    assert row["loglik_hmm"] < 0 and row["loglik_null"] < 0
