@@ -975,3 +975,140 @@ def hmm_forward_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ll0 / 1e6, 6).alias("loglik_null"),
         F.round(2.0 * (fin["ll"] - ll0) / 1e6, 6).alias("lr_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# HMM Viterbi regime decoding (pure integer micro-log arithmetic)
+# --------------------------------------------------------------------------
+
+# micro-quantized log-probabilities of the hmm_forward_loglik model —
+# Python-precomputed literals, so the whole Viterbi recursion is EXACT
+# BIGINT arithmetic with no runtime libm call in either engine
+_V_STAY = -223_144  # ln 0.8
+_V_SW = -1_609_438  # ln 0.2
+_V_UP_BULL = -356_675  # ln 0.7
+_V_DN_BULL = -1_203_973  # ln 0.3
+_V_PRIOR = -693_147  # ln 0.5
+
+_VITERBI_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+mv AS (
+  SELECT day, cents - lag(cents) OVER (ORDER BY day) AS diff FROM daily),
+obs AS (
+  SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CASE WHEN diff > 0 THEN 1 ELSE 0 END AS d
+  FROM mv WHERE diff IS NOT NULL AND diff <> 0),
+rec AS (
+  SELECT CAST(0 AS BIGINT) AS t,
+         CAST({_V_PRIOR} AS BIGINT) AS d1, CAST({_V_PRIOR} AS BIGINT) AS d2,
+         CAST([] AS BIGINT[]) AS p1, CAST([] AS BIGINT[]) AS p2
+  UNION ALL
+  SELECT o.t,
+    (CASE WHEN o.d = 1 THEN {_V_UP_BULL} ELSE {_V_DN_BULL} END)
+      + greatest(r.d1 + {_V_STAY}, r.d2 + {_V_SW}) AS d1,
+    (CASE WHEN o.d = 1 THEN {_V_DN_BULL} ELSE {_V_UP_BULL} END)
+      + greatest(r.d1 + {_V_SW}, r.d2 + {_V_STAY}) AS d2,
+    CASE WHEN r.d1 + {_V_STAY} >= r.d2 + {_V_SW}
+         THEN r.p1 || [CAST(1 AS BIGINT)] ELSE r.p2 || [CAST(1 AS BIGINT)]
+    END AS p1,
+    CASE WHEN r.d1 + {_V_SW} >= r.d2 + {_V_STAY}
+         THEN r.p1 || [CAST(0 AS BIGINT)] ELSE r.p2 || [CAST(0 AS BIGINT)]
+    END AS p2
+  FROM rec r JOIN obs o ON o.t = r.t + 1),
+fin AS (
+  SELECT CASE WHEN r.d1 >= r.d2 THEN r.p1 ELSE r.p2 END AS path,
+         greatest(r.d1, r.d2) AS score
+  FROM rec r JOIN (SELECT max(t) AS t FROM rec) m ON r.t = m.t)
+SELECT o.day, CAST(o.d AS BIGINT) AS direction,
+       f.path[o.t] AS regime,
+       round(f.score / 1e6, 6) AS path_logprob
+FROM obs o CROSS JOIN fin f
+"""
+
+
+@register("hmm_viterbi_regimes", oracle=_VITERBI_ORACLE)
+def hmm_viterbi_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decoding of the daily direction sequence under the
+    hmm_forward_loglik model: the single most likely bull(1)/bear(0)
+    regime path, one row per day with the shared path log-probability
+    — the regime LABELS the forward pass only scores (forward answers
+    'how likely is the data', Viterbi answers 'when were we in which
+    state').
+
+    Determinism: all log-probabilities are Python-precomputed
+    micro-integer literals, so the entire dynamic program — scores,
+    maxes, tie-breaks (ties prefer the bull predecessor) and the
+    backpointer paths carried as integer arrays — is EXACT BIGINT
+    arithmetic with no runtime libm call in either engine. Scale
+    shape: one daily aggregate, then an O(days) sequential fold with
+    O(days) state (two scores + two candidate paths).
+    """
+    e = spread(load_table(spark, sf_dir, "events"))
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    mv = daily.select(
+        "day", (F.col("cents") - F.lag("cents").over(w)).alias("diff")
+    )
+    obs = mv.filter(F.col("diff").isNotNull() & (F.col("diff") != 0)).select(
+        "day", F.when(F.col("diff") > 0, 1).otherwise(0).alias("d")
+    )
+    series = obs.agg(
+        F.sort_array(F.collect_list(F.struct("day", "d"))).alias("arr")
+    )
+    empty = F.array().cast("array<bigint>")
+    init = F.struct(
+        F.lit(_V_PRIOR).cast("long").alias("d1"),
+        F.lit(_V_PRIOR).cast("long").alias("d2"),
+        empty.alias("p1"),
+        empty.alias("p2"),
+    )
+
+    def step(acc, x):
+        e1 = F.when(x["d"] == 1, F.lit(_V_UP_BULL)).otherwise(
+            F.lit(_V_DN_BULL)
+        )
+        e2 = F.when(x["d"] == 1, F.lit(_V_DN_BULL)).otherwise(
+            F.lit(_V_UP_BULL)
+        )
+        stay1 = acc["d1"] + _V_STAY
+        sw21 = acc["d2"] + _V_SW
+        sw12 = acc["d1"] + _V_SW
+        stay2 = acc["d2"] + _V_STAY
+        one = F.array(F.lit(1).cast("bigint"))
+        zero = F.array(F.lit(0).cast("bigint"))
+        return F.struct(
+            (e1 + F.greatest(stay1, sw21)).cast("long").alias("d1"),
+            (e2 + F.greatest(sw12, stay2)).cast("long").alias("d2"),
+            F.when(stay1 >= sw21, F.concat(acc["p1"], one))
+            .otherwise(F.concat(acc["p2"], one))
+            .alias("p1"),
+            F.when(sw12 >= stay2, F.concat(acc["p1"], zero))
+            .otherwise(F.concat(acc["p2"], zero))
+            .alias("p2"),
+        )
+
+    fin = F.aggregate(F.col("arr"), init, step)
+    folded = series.select(
+        F.when(fin["d1"] >= fin["d2"], fin["p1"])
+        .otherwise(fin["p2"])
+        .alias("path"),
+        F.greatest(fin["d1"], fin["d2"]).alias("score"),
+        "arr",
+    )
+    out = folded.select(
+        F.posexplode(F.col("arr")).alias("i", "x"), "path", "score"
+    )
+    return out.select(
+        F.col("x.day").alias("day"),
+        F.col("x.d").cast("long").alias("direction"),
+        F.element_at(F.col("path"), F.col("i") + 1).alias("regime"),
+        F.round(F.col("score") / 1e6, 6).alias("path_logprob"),
+    )

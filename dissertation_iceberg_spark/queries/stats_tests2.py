@@ -3296,3 +3296,142 @@ def platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b_num").cast("double") / (PG * PG) / F.col("n_tot"), 6
         ).alias("brier"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wilcoxon signed-rank test: per-user first-half vs second-half value
+# --------------------------------------------------------------------------
+
+_WSR_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+  FROM events),
+u AS (
+  SELECT e.user_id,
+    CAST(sum(CASE WHEN epoch_us(e.ts) * 2 < b.lo + b.hi
+             THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS s1,
+    CAST(sum(CASE WHEN epoch_us(e.ts) * 2 < b.lo + b.hi
+             THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN epoch_us(e.ts) * 2 >= b.lo + b.hi
+             THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS s2,
+    CAST(sum(CASE WHEN epoch_us(e.ts) * 2 >= b.lo + b.hi
+             THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM events e CROSS JOIN bounds b
+  GROUP BY 1),
+diffs AS (
+  SELECT CAST(round((CAST(s2 AS DOUBLE) / n2 - CAST(s1 AS DOUBLE) / n1)
+              * 100) AS BIGINT) AS d
+  FROM u WHERE n1 > 0 AND n2 > 0),
+nz AS (SELECT d, abs(d) AS ad FROM diffs WHERE d <> 0),
+h AS (
+  SELECT ad, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cpos
+  FROM nz GROUP BY 1),
+r2 AS (
+  SELECT ad, cnt, cpos,
+         2 * CAST(coalesce(sum(cnt) OVER (ORDER BY ad
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           + cnt + 1 AS rank2
+  FROM h),
+s AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(cpos * rank2) AS BIGINT) AS wplus2,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+  FROM r2)
+SELECT n,
+  round(wplus2 / 2.0, 6) AS w_plus,
+  round(CAST(n AS DOUBLE) * (n + 1) / 4.0, 6) AS w_expected,
+  round((wplus2 / 2.0 - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+        / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+               - CAST(tie_sum AS DOUBLE) / 48.0), 6) AS z_stat
+FROM s
+"""
+
+
+@register("wilcoxon_signed_rank", oracle=_WSR_ORACLE)
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test: did each user's mean event value
+    shift between the window halves? Differences are cent-rounded
+    per-user mean changes; |d| midranks come off the distinct-value
+    HISTOGRAM as exact 2×-scaled integers (zeros dropped, Pratt
+    convention omitted), W⁺ compares against n(n+1)/4 with the
+    tie-corrected normal variance — the paired continuous companion
+    to mcnemar_test (paired binary) and the within-user alternative
+    to mann_whitney_u (independent samples).
+
+    Scale shape: one per-user conditional reduce (with the 1-row
+    bounds broadcast), then everything runs on the O(distinct |d|)
+    histogram — the same no-global-sort midrank machinery as
+    kruskal_wallis.
+    """
+    from dissertation_iceberg_spark.functions.time_bins import micros
+
+    e = load_table(spark, sf_dir, "events")
+    us = micros("ts")
+    bounds = e.agg(
+        F.min(us).cast("long").alias("lo"), F.max(us).cast("long").alias("hi")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    first = us * 2 < F.col("lo") + F.col("hi")
+    u = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(first, cents).otherwise(0)).cast("long").alias("s1"),
+            F.sum(first.cast("long")).cast("long").alias("n1"),
+            F.sum(F.when(~first, cents).otherwise(0)).cast("long").alias("s2"),
+            F.sum((~first).cast("long")).cast("long").alias("n2"),
+        )
+    )
+    diffs = u.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        F.round(
+            (
+                F.col("s2").cast("double") / F.col("n2")
+                - F.col("s1").cast("double") / F.col("n1")
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("d")
+    )
+    nz = diffs.filter(F.col("d") != 0).select(
+        "d", F.abs(F.col("d")).alias("ad")
+    )
+    h = nz.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum((F.col("d") > 0).cast("long")).cast("long").alias("cpos"),
+    )
+    cw = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    r2 = h.select(
+        "cnt",
+        "cpos",
+        (
+            2 * F.coalesce(F.sum("cnt").over(cw), F.lit(0))
+            + F.col("cnt")
+            + 1
+        )
+        .cast("long")
+        .alias("rank2"),
+    )
+    s = r2.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cpos") * F.col("rank2")).cast("long").alias("wplus2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie_sum"),
+    )
+    n = F.col("n").cast("double")
+    wp = F.col("wplus2") / 2.0
+    mu = n * (F.col("n") + 1) / 4.0
+    var = n * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24.0 - F.col(
+        "tie_sum"
+    ).cast("double") / 48.0
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(wp, 6).alias("w_plus"),
+        F.round(mu, 6).alias("w_expected"),
+        F.round((wp - mu) / F.sqrt(var), 6).alias("z_stat"),
+    )

@@ -211,6 +211,7 @@ INTENTIONAL_BNLJ = {
     "cluster_validity_indices",  # broadcast 1-row W/B/DB total frames
     "gmm_em_1d",  # broadcast 1-row EM parameter frame per iteration
     "platt_scaling",  # broadcast 1-row Newton parameter frame per step
+    "wilcoxon_signed_rank",  # broadcast 1-row time-bounds frame
 }
 
 

@@ -3848,3 +3848,100 @@ def test_hmm_forward_matches_python_replay(spark, sf_dir):
     assert abs(row["lr_stat"] - 2 * (ll - ll0) / 1e6) < 1e-4
     # both log-likelihoods are proper (negative) and finite
     assert row["loglik_hmm"] < 0 and row["loglik_null"] < 0
+
+
+def test_wilcoxon_signed_rank_matches_numpy_replay(spark, sf_dir):
+    """wilcoxon_signed_rank equals a numpy midrank replay of the
+    per-user half-to-half mean-change ranks."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        wilcoxon_signed_rank,
+    )
+
+    row = wilcoxon_signed_rank(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    us = e["ts"].astype("int64") // 1000
+    lo, hi = int(us.min()), int(us.max())
+    first = us * 2 < lo + hi
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    d = e.assign(cents=cents, first=first)
+    g = d.groupby(["user_id", "first"])["cents"].agg(["sum", "count"])
+    ds = []
+    for u in d["user_id"].unique():
+        try:
+            m1 = g.loc[(u, True)]
+            m2 = g.loc[(u, False)]
+        except KeyError:
+            continue
+        diff = round((m2["sum"] / m2["count"] - m1["sum"] / m1["count"]) * 100)
+        if diff != 0:
+            ds.append(int(diff))
+    ad = np.abs(ds)
+    uniq, inv, counts = np.unique(ad, return_inverse=True, return_counts=True)
+    cumb = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    midrank = cumb + (counts + 1) / 2
+    ranks = midrank[inv]
+    wp = float(ranks[np.array(ds) > 0].sum())
+    n = len(ds)
+    mu = n * (n + 1) / 4
+    var = n * (n + 1) * (2 * n + 1) / 24 - float(
+        ((counts**3) - counts).sum()
+    ) / 48
+    assert row["n"] == n
+    assert abs(row["w_plus"] - wp) < 1e-6
+    assert abs(row["w_expected"] - mu) < 1e-6
+    assert abs(row["z_stat"] - (wp - mu) / np.sqrt(var)) < 1e-5
+
+
+def test_viterbi_regimes_consistency(spark, sf_dir):
+    """hmm_viterbi_regimes: one row per direction day, regimes are
+    0/1, a python Viterbi replay reproduces the path and score, and
+    the decoded path tracks the direction sequence."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.changepoint_ops import (
+        _V_DN_BULL,
+        _V_PRIOR,
+        _V_STAY,
+        _V_SW,
+        _V_UP_BULL,
+        hmm_viterbi_regimes,
+    )
+
+    pdf = (
+        hmm_viterbi_regimes(spark, sf_dir)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    daily = (
+        e.assign(cents=cents, day=e["ts"].dt.floor("D"))
+        .groupby("day")["cents"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+    )
+    diffs = np.diff(daily)
+    ds = (diffs[diffs != 0] > 0).astype(int).tolist()
+    d1 = d2 = _V_PRIOR
+    p1, p2 = [], []
+    for d in ds:
+        e1 = _V_UP_BULL if d == 1 else _V_DN_BULL
+        e2 = _V_DN_BULL if d == 1 else _V_UP_BULL
+        nd1 = e1 + max(d1 + _V_STAY, d2 + _V_SW)
+        nd2 = e2 + max(d1 + _V_SW, d2 + _V_STAY)
+        np1 = (p1 if d1 + _V_STAY >= d2 + _V_SW else p2) + [1]
+        np2 = (p1 if d1 + _V_SW >= d2 + _V_STAY else p2) + [0]
+        d1, d2, p1, p2 = nd1, nd2, np1, np2
+    path = p1 if d1 >= d2 else p2
+    score = max(d1, d2)
+    assert len(pdf) == len(ds)
+    assert pdf["regime"].isin([0, 1]).all()
+    assert pdf["regime"].tolist() == path
+    assert pdf["direction"].tolist() == ds
+    assert abs(pdf["path_logprob"].iloc[0] - score / 1e6) < 1e-9
