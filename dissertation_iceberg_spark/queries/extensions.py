@@ -1864,3 +1864,126 @@ def cluster_validity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "davies_bouldin"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Quadratic-kernel MMD between two labels' embedding distributions
+# --------------------------------------------------------------------------
+
+_MMD_LA = 0
+_MMD_LB = 1
+
+_MMD_ORACLE = f"""
+WITH pts0 AS (
+  SELECT label, vec_id AS vid,
+         unnest(generate_series(1, len(embedding))) AS i,
+         unnest(embedding) AS x
+  FROM embeddings WHERE label IN ({_MMD_LA}, {_MMD_LB})),
+-- second-moment matrices from the (vec, dim) explode: G_ij = E[x_i x_j]
+vec AS (
+  SELECT label, vid, i - 1 AS pos, CAST(round(x * 1e6) AS BIGINT) AS xq
+  FROM pts0),
+gram AS (
+  SELECT a.label, a.pos AS i, b.pos AS j,
+         CAST(sum(a.xq * b.xq) AS BIGINT) AS s,
+         CAST(count(DISTINCT a.vid) AS BIGINT) AS n
+  FROM vec a JOIN vec b ON a.label = b.label AND a.vid = b.vid
+  GROUP BY 1, 2, 3),
+cells AS (
+  SELECT ga.i, ga.j,
+    CAST(round((CAST(ga.s AS DOUBLE) / ga.n / 1e12
+                - CAST(gb.s AS DOUBLE) / gb.n / 1e12)
+               * (CAST(ga.s AS DOUBLE) / ga.n / 1e12
+                  - CAST(gb.s AS DOUBLE) / gb.n / 1e12) * 1e12) AS BIGINT)
+      AS d_pico
+  FROM gram ga JOIN gram gb ON ga.i = gb.i AND ga.j = gb.j
+  WHERE ga.label = {_MMD_LA} AND gb.label = {_MMD_LB}),
+sizes AS (
+  SELECT
+    CAST(sum(CASE WHEN label = {_MMD_LA} THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_a,
+    CAST(sum(CASE WHEN label = {_MMD_LB} THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_b
+  FROM embeddings WHERE label IN ({_MMD_LA}, {_MMD_LB}))
+SELECT s.n_a, s.n_b,
+  CAST(count(*) AS BIGINT) AS n_cells,
+  round(CAST(sum(c.d_pico) AS BIGINT) / 1e12, 6) AS mmd2_quadratic
+FROM cells c CROSS JOIN sizes s
+GROUP BY 1, 2
+"""
+
+
+@register("embedding_mmd_quadratic", oracle=_MMD_ORACLE)
+def embedding_mmd_quadratic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-kernel Maximum Mean Discrepancy between the label-{a}
+    and label-{b} embedding clouds: with k(x,y) = (x·y)² the
+    population MMD² reduces EXACTLY to ‖G_A − G_B‖²_F over the d×d
+    second-moment matrices G = E[xxᵀ] — a covariance/orientation
+    drift detector that label_centroid_drift (means only) and
+    projection_ks_drift (one direction) cannot see.
+
+    Determinism and scale: each label's Gram matrix accumulates exact
+    BIGINT micro-products via the d-fan self-join (the SCALE.md
+    `gram_build` kernel, measured 1×/10×/100×: output pinned at d²);
+    per-cell squared differences are pico-rounded ONCE and summed
+    exactly over the 4,096-cell frame. No per-pair kernel evaluation
+    ever happens — MMD cost is the two Gram scans.
+    """.format(a=_MMD_LA, b=_MMD_LB)
+    emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("label").isin(_MMD_LA, _MMD_LB)
+    )
+    pts = emb.select(
+        "label",
+        F.col("vec_id").alias("vid"),
+        F.posexplode(F.col("embedding")).alias("pos", "x"),
+    ).select(
+        "label",
+        "vid",
+        "pos",
+        F.round(F.col("x").cast("double") * 1e6).cast("long").alias("xq"),
+    )
+    a = pts.select("label", "vid", F.col("pos").alias("i"), F.col("xq").alias("xa"))
+    b = pts.select(
+        F.col("label").alias("lb"),
+        F.col("vid").alias("vb"),
+        F.col("pos").alias("j"),
+        F.col("xq").alias("xb"),
+    )
+    gram = (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("vid") == F.col("vb")))
+        .groupBy("label", "i", "j")
+        .agg(
+            F.sum(F.col("xa") * F.col("xb")).cast("long").alias("s"),
+            F.countDistinct("vid").cast("long").alias("n"),
+        )
+    )
+    ga = gram.filter(F.col("label") == _MMD_LA).select(
+        "i", "j", F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    gb = gram.filter(F.col("label") == _MMD_LB).select(
+        "i", "j", F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    d = (
+        F.col("sa").cast("double") / F.col("na") / 1e12
+        - F.col("sb").cast("double") / F.col("nb") / 1e12
+    )
+    cells = ga.join(gb, ["i", "j"]).select(
+        F.round(d * d * 1e12).cast("long").alias("d_pico")
+    )
+    sizes = emb.agg(
+        F.sum((F.col("label") == _MMD_LA).cast("long"))
+        .cast("long")
+        .alias("n_a"),
+        F.sum((F.col("label") == _MMD_LB).cast("long"))
+        .cast("long")
+        .alias("n_b"),
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("d_pico").cast("long").alias("d_sum"),
+    ).crossJoin(F.broadcast(sizes)).select(
+        "n_a",
+        "n_b",
+        "n_cells",
+        F.round(F.col("d_sum") / 1e12, 6).alias("mmd2_quadratic"),
+    )

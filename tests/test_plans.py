@@ -212,6 +212,7 @@ INTENTIONAL_BNLJ = {
     "gmm_em_1d",  # broadcast 1-row EM parameter frame per iteration
     "platt_scaling",  # broadcast 1-row Newton parameter frame per step
     "wilcoxon_signed_rank",  # broadcast 1-row time-bounds frame
+    "embedding_mmd_quadratic",  # broadcast 1-row label-sizes frame
 }
 
 

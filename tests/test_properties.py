@@ -3945,3 +3945,38 @@ def test_viterbi_regimes_consistency(spark, sf_dir):
     assert pdf["regime"].tolist() == path
     assert pdf["direction"].tolist() == ds
     assert abs(pdf["path_logprob"].iloc[0] - score / 1e6) < 1e-9
+
+
+def test_embedding_mmd_matches_numpy_replay(spark, sf_dir):
+    """embedding_mmd_quadratic equals the Frobenius distance between
+    the two labels' second-moment matrices in numpy (micro grain)."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.extensions import (
+        _MMD_LA,
+        _MMD_LB,
+        embedding_mmd_quadratic,
+    )
+
+    row = embedding_mmd_quadratic(spark, sf_dir).toPandas().iloc[0]
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    emb = emb[emb["label"].isin([_MMD_LA, _MMD_LB])]
+
+    def second_moment(label):
+        X = np.array(
+            [
+                np.floor(np.asarray(v, dtype="float64") * 1e6 + 0.5)
+                for v in emb.loc[emb["label"] == label, "embedding"]
+            ]
+        )
+        return (X.T @ X) / len(X) / 1e12, len(X)
+
+    ga, na = second_moment(_MMD_LA)
+    gb, nb = second_moment(_MMD_LB)
+    d = ga - gb
+    mmd2 = np.floor(d * d * 1e12 + 0.5).sum() / 1e12
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert row["n_cells"] == ga.size
+    assert abs(row["mmd2_quadratic"] - mmd2) < 1e-5
+    assert row["mmd2_quadratic"] >= 0
