@@ -3435,3 +3435,231 @@ def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu, 6).alias("w_expected"),
         F.round((wp - mu) / F.sqrt(var), 6).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Taylor's power law: ln(variance) vs ln(mean) across (type, weekday)
+# --------------------------------------------------------------------------
+
+_TPL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         (CAST(datediff('day', DATE '1970-01-01', date_trunc('day', ts))
+               AS BIGINT) + 3) % 7 AS dow,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3),
+cells AS (
+  SELECT event_type, dow,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM daily GROUP BY 1, 2
+  HAVING count(*) >= 2),
+lm AS (
+  SELECT CAST(round(ln(CAST(s AS DOUBLE) / n) * 1e6) AS BIGINT) AS lx,
+         CAST(round(ln((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                       / (n - 1)) * 1e6) AS BIGINT) AS ly
+  FROM cells
+  WHERE (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) > 0),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+         CAST(sum(lx * ly) AS BIGINT) AS sxy,
+         CAST(sum(lx * lx) AS BIGINT) AS sxx
+  FROM lm)
+SELECT n AS n_cells,
+  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+    AS taylor_slope,
+  round((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy)
+        / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 1e6, 6)
+    AS intercept_ln
+FROM g
+"""
+
+
+@register("taylor_power_law", oracle=_TPL_ORACLE)
+def taylor_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taylor's power law: the slope of ln(variance) on ln(mean) of
+    daily event counts across (event_type, weekday) cells — the
+    mean-variance scaling exponent (1 = Poisson, 2 = fully clustered)
+    that tells a capacity planner how bursts grow with volume,
+    refining negbin_fit's single dispersion number into a scaling LAW.
+
+    Determinism and scale: per-cell (n, Σc, Σc²) are exact BIGINT
+    map-side sums; each cell's ln(mean)/ln(variance) micro-rounds
+    ONCE (the documented libm pattern) and the OLS runs on exact
+    integer Gram sums over the O(types × 7) cell frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    daily = daily.withColumn(
+        "dow",
+        (F.datediff(F.col("day"), F.lit("1970-01-01")).cast("long") + 3) % 7,
+    )
+    cells = (
+        daily.groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    lm = cells.filter(
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+        > 0
+    ).select(
+        F.round(F.log(F.col("s").cast("double") / F.col("n")) * 1e6)
+        .cast("long")
+        .alias("lx"),
+        F.round(F.log(var) * 1e6).cast("long").alias("ly"),
+    )
+    g = lm.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("long").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("long").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    det = n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    return g.select(
+        F.col("n").alias("n_cells"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / det,
+            6,
+        ).alias("taylor_slope"),
+        F.round(
+            (
+                F.col("sy").cast("double") * F.col("sxx")
+                - F.col("sx").cast("double") * F.col("sxy")
+            )
+            / det
+            / 1e6,
+            6,
+        ).alias("intercept_ln"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ratio-metric A/B test with delta-method variance
+# --------------------------------------------------------------------------
+
+_RMD_ORACLE = """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS x,
+    CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+    CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM u GROUP BY 1),
+k AS (
+  SELECT arm, n,
+    CAST(sx AS DOUBLE) / sy AS r,
+    CAST(sy AS DOUBLE) / n AS my,
+    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS vx,
+    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vy,
+    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1) AS cxy
+  FROM s),
+d AS (
+  SELECT arm, n, r,
+    (vx - 2 * r * cxy + r * r * vy) / (my * my) / n AS var_r
+  FROM k)
+SELECT t.n AS n_treat, c.n AS n_ctrl,
+  round(t.r / 100.0, 6) AS ratio_treat,
+  round(c.r / 100.0, 6) AS ratio_ctrl,
+  round((t.r - c.r) / 100.0, 6) AS diff_dollars,
+  round((t.r - c.r) / sqrt(t.var_r + c.var_r), 6) AS z_stat
+FROM (SELECT * FROM d WHERE arm = 1) t
+CROSS JOIN (SELECT * FROM d WHERE arm = 0) c
+"""
+
+
+@register("ratio_metric_delta", oracle=_RMD_ORACLE)
+def ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-metric A/B test with the DELTA-METHOD variance: compare
+    revenue-per-event (Σ purchase value / Σ events) between parity
+    arms, with var(R) ≈ (σ²_x − 2Rσ_xy + R²σ²_y)/(μ²_y·n) — the
+    correct SE for ratio-of-sums metrics that a naive
+    average-of-user-ratios analysis biases and a per-user t-test gets
+    wrong (the denominator varies per user; randomization is by
+    user, not by event).
+
+    Scale shape: one per-user conditional reduce, one 7-counter exact
+    BIGINT power-sum reduce per arm, every double expression
+    evaluated once on the 2-row frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id", (F.col("user_id") % 2).alias("arm")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    )
+    s = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n = F.col("n")
+    r = F.col("sx").cast("double") / F.col("sy")
+    my = F.col("sy").cast("double") / n
+    vx = (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n) / (
+        n - 1
+    )
+    vy = (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n) / (
+        n - 1
+    )
+    cxy = (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / n) / (
+        n - 1
+    )
+    d = s.select(
+        "arm",
+        "n",
+        r.alias("r"),
+        ((vx - 2 * r * cxy + r * r * vy) / (my * my) / n).alias("var_r"),
+    )
+    t = d.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_treat"),
+        F.col("r").alias("rt"),
+        F.col("var_r").alias("vt"),
+    )
+    c = d.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_ctrl"),
+        F.col("r").alias("rc"),
+        F.col("var_r").alias("vc"),
+    )
+    return t.crossJoin(F.broadcast(c)).select(
+        "n_treat",
+        "n_ctrl",
+        F.round(F.col("rt") / 100.0, 6).alias("ratio_treat"),
+        F.round(F.col("rc") / 100.0, 6).alias("ratio_ctrl"),
+        F.round((F.col("rt") - F.col("rc")) / 100.0, 6).alias("diff_dollars"),
+        F.round(
+            (F.col("rt") - F.col("rc")) / F.sqrt(F.col("vt") + F.col("vc")), 6
+        ).alias("z_stat"),
+    )

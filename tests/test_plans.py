@@ -213,6 +213,7 @@ INTENTIONAL_BNLJ = {
     "platt_scaling",  # broadcast 1-row Newton parameter frame per step
     "wilcoxon_signed_rank",  # broadcast 1-row time-bounds frame
     "embedding_mmd_quadratic",  # broadcast 1-row label-sizes frame
+    "ratio_metric_delta",  # broadcast 1-row control-arm frame
 }
 
 

@@ -3980,3 +3980,81 @@ def test_embedding_mmd_matches_numpy_replay(spark, sf_dir):
     assert row["n_cells"] == ga.size
     assert abs(row["mmd2_quadratic"] - mmd2) < 1e-5
     assert row["mmd2_quadratic"] >= 0
+
+
+def test_taylor_power_law_matches_numpy_replay(spark, sf_dir):
+    """taylor_power_law equals a numpy replay of the micro-log OLS
+    over (type, weekday) mean/variance cells."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        taylor_power_law,
+    )
+
+    row = taylor_power_law(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    d = e.assign(day=e["ts"].dt.floor("D"))
+    daily = (
+        d.groupby(["event_type", "day"]).size().rename("c").reset_index()
+    )
+    epoch = np.datetime64("1970-01-01")
+    daily["dow"] = (((daily["day"] - epoch).dt.days) + 3) % 7
+    lx, ly = [], []
+    for _, g in daily.groupby(["event_type", "dow"]):
+        c = g["c"].to_numpy().astype("float64")
+        if len(c) >= 2 and c.var(ddof=1) > 0:
+            lx.append(round(np.log(c.mean()) * 1e6))
+            ly.append(round(np.log(c.var(ddof=1)) * 1e6))
+    lx, ly = np.array(lx, dtype="float64"), np.array(ly, dtype="float64")
+    n = len(lx)
+    slope = (n * (lx * ly).sum() - lx.sum() * ly.sum()) / (
+        n * (lx * lx).sum() - lx.sum() ** 2
+    )
+    assert row["n_cells"] == n
+    assert abs(row["taylor_slope"] - slope) < 1e-4
+    assert 0 < row["taylor_slope"] < 3  # physically sensible exponent
+
+
+def test_ratio_metric_delta_matches_numpy_replay(spark, sf_dir):
+    """ratio_metric_delta equals the textbook delta-method formulas
+    replayed in numpy over per-user (revenue, events) pairs."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        ratio_metric_delta,
+    )
+
+    row = ratio_metric_delta(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    d = e.assign(cents=cents)
+    u = d.groupby("user_id").agg(
+        x=("cents", lambda s: 0),  # placeholder, fixed below
+        y=("cents", "size"),
+    )
+    x = (
+        d[d["event_type"] == "purchase"].groupby("user_id")["cents"].sum()
+    )
+    u["x"] = x.reindex(u.index).fillna(0).astype("int64")
+
+    def arm_stats(mask):
+        g = u[mask]
+        n = len(g)
+        xv = g["x"].to_numpy().astype("float64")
+        yv = g["y"].to_numpy().astype("float64")
+        r = xv.sum() / yv.sum()
+        my = yv.mean()
+        vx, vy = xv.var(ddof=1), yv.var(ddof=1)
+        cxy = np.cov(xv, yv, ddof=1)[0, 1]
+        var_r = (vx - 2 * r * cxy + r * r * vy) / (my * my) / n
+        return n, r, var_r
+
+    arms = (u.index % 2).astype(int)
+    nt, rt, vt = arm_stats(arms == 1)
+    nc, rc, vc = arm_stats(arms == 0)
+    assert row["n_treat"] == nt and row["n_ctrl"] == nc
+    assert abs(row["ratio_treat"] - rt / 100) < 1e-6
+    assert abs(row["ratio_ctrl"] - rc / 100) < 1e-6
+    assert abs(row["z_stat"] - (rt - rc) / np.sqrt(vt + vc)) < 1e-4
