@@ -681,3 +681,128 @@ def gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sigma2_dollars"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Peaks-over-threshold GPD fit with VaR extrapolation (EVT part 2)
+# --------------------------------------------------------------------------
+
+_GPD_Q_NUM, _GPD_Q_DEN = 9, 10  # threshold = exact p90 order statistic
+_GPD_VAR_LEVEL = "0.999"  # extrapolated quantile level (literal)
+
+_GPD_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+  WHERE event_type = 'purchase'),
+h AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+cum AS (
+  SELECT c, CAST(sum(cnt) OVER (ORDER BY c
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS k,
+       CAST(sum(cnt) OVER () AS BIGINT) AS n
+  FROM h),
+thr AS (
+  SELECT CAST(min(c) AS BIGINT) AS u, CAST(any_value(n) AS BIGINT) AS n
+  FROM cum WHERE k >= ({_GPD_Q_NUM} * n + {_GPD_Q_DEN} - 1) // {_GPD_Q_DEN}),
+exc AS (
+  SELECT v.c - t.u AS x, t.u, t.n
+  FROM v CROSS JOIN thr t WHERE v.c > t.u),
+s AS (
+  SELECT CAST(any_value(u) AS BIGINT) AS u, CAST(any_value(n) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS nu,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM exc),
+k AS (
+  SELECT u, n, nu,
+    CAST(sx AS DOUBLE) / nu AS m,
+    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / nu) / (nu - 1) AS vv
+  FROM s),
+fit AS (
+  SELECT u, n, nu, m, vv,
+    0.5 * (1.0 - m * m / vv) AS xi,
+    0.5 * m * (m * m / vv + 1.0) AS beta
+  FROM k)
+SELECT nu AS n_exceedances,
+  round(u / 100.0, 6) AS threshold_dollars,
+  round(xi, 6) AS xi,
+  round(beta / 100.0, 6) AS beta_dollars,
+  round((u + beta / xi
+         * (CAST(round(pow(CAST(n AS DOUBLE) / nu
+                           * (1.0 - {_GPD_VAR_LEVEL}), -xi) * 1e6) AS BIGINT)
+            / 1e6 - 1.0)) / 100.0, 6) AS var_999_dollars
+FROM fit
+"""
+
+
+@register("gpd_pot_fit", oracle=_GPD_ORACLE)
+def gpd_pot_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold EVT: method-of-moments generalized-Pareto
+    fit (ξ, β) to purchase-value exceedances over the exact p90 order
+    statistic, with the extrapolated 99.9% VaR
+    u + β/ξ·((n/N_u·(1−q))^−ξ − 1) — the tail model that uses EVERY
+    exceedance where evt_gumbel_fit keeps only block maxima, and
+    extrapolates beyond the observed range where var_cvar cannot.
+
+    Determinism and scale: the threshold is a histogram-cumsum order
+    statistic (ceil-rank, exact); exceedance moments are exact BIGINT
+    power sums; ξ and β are identically-shaped IEEE expressions, and
+    the single pow() (libm) output is micro-rounded ONCE before use —
+    the documented pattern. One fact pass for the histogram, one for
+    the exceedances, everything else on 1-row frames.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "purchase").select(
+        F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    h = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cw = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        "c",
+        F.sum("cnt").over(cw).cast("long").alias("k"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    thr = cum.filter(
+        F.col("k")
+        >= F.expr(f"({_GPD_Q_NUM} * n + {_GPD_Q_DEN} - 1) div {_GPD_Q_DEN}")
+    ).agg(
+        F.min("c").cast("long").alias("u"),
+        F.any_value("n").cast("long").alias("n"),
+    )
+    exc = v.crossJoin(F.broadcast(thr)).filter(F.col("c") > F.col("u")).select(
+        (F.col("c") - F.col("u")).alias("x"), "u", "n"
+    )
+    s = exc.agg(
+        F.any_value("u").cast("long").alias("u"),
+        F.any_value("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nu = F.col("nu")
+    m = F.col("sx").cast("double") / nu
+    vv = (
+        F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / nu
+    ) / (nu - 1)
+    xi = 0.5 * (1.0 - m * m / vv)
+    beta = 0.5 * m * (m * m / vv + 1.0)
+    powq = (
+        F.round(
+            F.pow(
+                F.col("n").cast("double")
+                / nu
+                * (1.0 - F.expr(f"CAST('{_GPD_VAR_LEVEL}' AS DOUBLE)")),
+                -xi,
+            )
+            * 1e6
+        ).cast("long")
+        / 1e6
+    )
+    return s.select(
+        nu.alias("n_exceedances"),
+        F.round(F.col("u") / 100.0, 6).alias("threshold_dollars"),
+        F.round(xi, 6).alias("xi"),
+        F.round(beta / 100.0, 6).alias("beta_dollars"),
+        F.round((F.col("u") + beta / xi * (powq - 1.0)) / 100.0, 6).alias(
+            "var_999_dollars"
+        ),
+    )

@@ -214,6 +214,7 @@ INTENTIONAL_BNLJ = {
     "wilcoxon_signed_rank",  # broadcast 1-row time-bounds frame
     "embedding_mmd_quadratic",  # broadcast 1-row label-sizes frame
     "ratio_metric_delta",  # broadcast 1-row control-arm frame
+    "gpd_pot_fit",  # broadcast 1-row threshold frame
 }
 
 

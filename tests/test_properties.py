@@ -4058,3 +4058,39 @@ def test_ratio_metric_delta_matches_numpy_replay(spark, sf_dir):
     assert abs(row["ratio_treat"] - rt / 100) < 1e-6
     assert abs(row["ratio_ctrl"] - rc / 100) < 1e-6
     assert abs(row["z_stat"] - (rt - rc) / np.sqrt(vt + vc)) < 1e-4
+
+
+def test_gpd_pot_fit_matches_numpy_replay(spark, sf_dir):
+    """gpd_pot_fit equals a numpy replay of the MoM GPD fit over p90
+    exceedances; the extrapolated VaR exceeds the threshold."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.distribution_fits import (
+        _GPD_Q_DEN,
+        _GPD_Q_NUM,
+        gpd_pot_fit,
+    )
+
+    row = gpd_pot_fit(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    c = np.sort(
+        np.floor(
+            e.loc[e["event_type"] == "purchase", "value"] * 100 + 0.5
+        ).astype("int64").to_numpy()
+    )
+    n = len(c)
+    u = int(c[(_GPD_Q_NUM * n + _GPD_Q_DEN - 1) // _GPD_Q_DEN - 1])
+    x = (c[c > u] - u).astype("float64")
+    nu = len(x)
+    m, vv = x.mean(), x.var(ddof=1)
+    xi = 0.5 * (1 - m * m / vv)
+    beta = 0.5 * m * (m * m / vv + 1)
+    powq = round((n / nu * (1 - 0.999)) ** (-xi) * 1e6) / 1e6
+    var999 = (u + beta / xi * (powq - 1)) / 100
+    assert row["n_exceedances"] == nu
+    assert abs(row["threshold_dollars"] - u / 100) < 1e-9
+    assert abs(row["xi"] - xi) < 1e-5
+    assert abs(row["beta_dollars"] - beta / 100) < 1e-4
+    assert abs(row["var_999_dollars"] - var999) < 1e-3
+    assert row["var_999_dollars"] > row["threshold_dollars"]
