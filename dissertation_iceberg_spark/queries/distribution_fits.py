@@ -806,3 +806,96 @@ def gpd_pot_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_999_dollars"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Hill diversity numbers per source: richness, exp(H), inverse Simpson
+# --------------------------------------------------------------------------
+
+_HILL_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKENS}) AS term FROM documents),
+tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS f
+  FROM toks GROUP BY 1, 2),
+tot AS (
+  SELECT source, CAST(sum(f) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS richness
+  FROM tf GROUP BY 1),
+terms AS (
+  SELECT tf.source, tf.f, t.n, t.richness,
+    -- entropy term: -p ln p, micro-rounded once per (source, term-freq)
+    CAST(round(-(CAST(tf.f AS DOUBLE) / t.n)
+               * ln(CAST(tf.f AS DOUBLE) / t.n) * 1e9) AS BIGINT) AS h_nano,
+    tf.f * tf.f AS f2
+  FROM tf JOIN tot t ON tf.source = t.source),
+agg AS (
+  SELECT source, CAST(any_value(n) AS BIGINT) AS n_tokens,
+         CAST(any_value(richness) AS BIGINT) AS hill_q0,
+         CAST(sum(h_nano) AS BIGINT) AS h_nano_sum,
+         CAST(sum(f2) AS BIGINT) AS sum_f2
+  FROM terms GROUP BY 1)
+SELECT source, n_tokens, hill_q0,
+  round(exp(h_nano_sum / 1e9), 6) AS hill_q1,
+  round(CAST(n_tokens AS DOUBLE) * n_tokens / sum_f2, 6) AS hill_q2
+FROM agg
+"""
+
+
+@register("hill_diversity", oracle=_HILL_ORACLE)
+def hill_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill diversity numbers of each source's token distribution:
+    q=0 (vocabulary richness), q=1 (exp of Shannon entropy — the
+    'effective vocabulary' under observed frequencies), q=2 (inverse
+    Simpson — effective vocabulary under squared weights) — the
+    ecology-standard diversity ladder that tells a mixture builder
+    how concentrated each feed really is (two sources with equal
+    richness can differ 10× in effective vocabulary).
+
+    Determinism and scale: one token explode to the (source, term)
+    frequency frame; each term's −p·ln p entropy term nano-rounds
+    ONCE (libm pattern) and sums exactly; Σf² is exact BIGINT; the
+    final exp() evaluates once per source on an exact-integer-derived
+    double.
+    """
+    from dissertation_iceberg_spark.io import spread as _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    tot = tf.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("richness"),
+    )
+    p = F.col("f").cast("double") / F.col("n")
+    terms = tf.join(F.broadcast(tot), "source").select(
+        "source",
+        "n",
+        "richness",
+        F.round(-p * F.log(p) * 1e9).cast("long").alias("h_nano"),
+        (F.col("f") * F.col("f")).alias("f2"),
+    )
+    agg = terms.groupBy("source").agg(
+        F.any_value("n").cast("long").alias("n_tokens"),
+        F.any_value("richness").cast("long").alias("hill_q0"),
+        F.sum("h_nano").cast("long").alias("h_nano_sum"),
+        F.sum("f2").cast("long").alias("sum_f2"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "hill_q0",
+        F.round(F.exp(F.col("h_nano_sum") / 1e9), 6).alias("hill_q1"),
+        F.round(
+            F.col("n_tokens").cast("double") * F.col("n_tokens")
+            / F.col("sum_f2"),
+            6,
+        ).alias("hill_q2"),
+    )

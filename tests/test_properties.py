@@ -4094,3 +4094,34 @@ def test_gpd_pot_fit_matches_numpy_replay(spark, sf_dir):
     assert abs(row["beta_dollars"] - beta / 100) < 1e-4
     assert abs(row["var_999_dollars"] - var999) < 1e-3
     assert row["var_999_dollars"] > row["threshold_dollars"]
+
+
+def test_hill_diversity_matches_python_replay(spark, sf_dir):
+    """hill_diversity equals a python replay; the Hill ladder is
+    monotone: richness >= exp(H) >= inverse Simpson."""
+    import math
+    from collections import Counter
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.distribution_fits import (
+        hill_diversity,
+    )
+
+    pdf = hill_diversity(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    for src, grp in docs.groupby("source"):
+        tf = Counter(
+            t for text in grp["text"] for t in text.split(" ") if t != ""
+        )
+        n = sum(tf.values())
+        h_nano = sum(
+            round(-(f / n) * math.log(f / n) * 1e9) for f in tf.values()
+        )
+        q0 = len(tf)
+        q1 = math.exp(h_nano / 1e9)
+        q2 = n * n / sum(f * f for f in tf.values())
+        row = pdf[pdf["source"] == src].iloc[0]
+        assert row["n_tokens"] == n and row["hill_q0"] == q0
+        assert abs(row["hill_q1"] - q1) < 1e-4
+        assert abs(row["hill_q2"] - q2) < 1e-4
+        assert row["hill_q0"] >= row["hill_q1"] >= row["hill_q2"] > 0
