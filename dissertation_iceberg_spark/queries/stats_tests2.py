@@ -3663,3 +3663,111 @@ def ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rt") - F.col("rc")) / F.sqrt(F.col("vt") + F.col("vc")), 6
         ).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Goodman-Kruskal gamma / Somers' D: ordinal association on a k x m table
+# --------------------------------------------------------------------------
+
+_GK_ORACLE = """
+WITH base AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+         least(CAST(o_totalprice AS BIGINT) // 100000, 4) AS y
+  FROM orders),
+cells AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1, 2),
+pairs AS (
+  SELECT a.x, a.y, a.n,
+    CAST(sum(CASE WHEN b.x > a.x AND b.y > a.y THEN b.n ELSE 0 END)
+         AS BIGINT) AS n_gt,
+    CAST(sum(CASE WHEN b.x > a.x AND b.y < a.y THEN b.n ELSE 0 END)
+         AS BIGINT) AS n_lt,
+    CAST(sum(CASE WHEN b.x > a.x AND b.y = a.y THEN b.n ELSE 0 END)
+         AS BIGINT) AS n_tx
+  FROM cells a JOIN cells b ON TRUE
+  GROUP BY 1, 2, 3),
+s AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(sum(n * n_gt) AS BIGINT) AS c,
+         CAST(sum(n * n_lt) AS BIGINT) AS d,
+         CAST(sum(n * n_tx) AS BIGINT) AS t_y
+  FROM pairs)
+SELECT n_rows, c AS concordant, d AS discordant,
+  round((CAST(c AS DOUBLE) - d) / (CAST(c AS DOUBLE) + d), 6) AS gamma,
+  round((CAST(c AS DOUBLE) - d) / (CAST(c AS DOUBLE) + d + t_y), 6)
+    AS somers_d
+FROM s
+"""
+
+
+@register("ordinal_association", oracle=_GK_ORACLE)
+def ordinal_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma and Somers' D between order priority
+    (ordinal 1-URGENT…5-LOW) and the order-value band ($1000-wide
+    buckets capped at 5) — the ordinal-association pair that
+    chi_square_independence (nominal) and kendall_tau_flow
+    (continuous) bracket but neither answers for a k×m ORDERED
+    contingency table.
+
+    Scale shape: the facts reduce to the ≤25-cell contingency table
+    in one map-side pass; concordant/discordant/tie masses come from
+    the cell-pair grid (bounded k·m × k·m — never a row-level pair
+    join), all exact BIGINT products.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("long").alias("x"),
+        F.least(
+            F.expr("CAST(o_totalprice AS BIGINT) div 100000"), F.lit(4)
+        ).alias("y"),
+    )
+    cells = base.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("n").alias("nb")
+    )
+    pairs = (
+        cells.join(F.broadcast(b))
+        .groupBy("x", "y", "n")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("xb") > F.col("x")) & (F.col("yb") > F.col("y")),
+                    F.col("nb"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_gt"),
+            F.sum(
+                F.when(
+                    (F.col("xb") > F.col("x")) & (F.col("yb") < F.col("y")),
+                    F.col("nb"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_lt"),
+            F.sum(
+                F.when(
+                    (F.col("xb") > F.col("x")) & (F.col("yb") == F.col("y")),
+                    F.col("nb"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_tx"),
+        )
+    )
+    s = pairs.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(F.col("n") * F.col("n_gt")).cast("long").alias("c"),
+        F.sum(F.col("n") * F.col("n_lt")).cast("long").alias("d"),
+        F.sum(F.col("n") * F.col("n_tx")).cast("long").alias("t_y"),
+    )
+    c, d = F.col("c").cast("double"), F.col("d").cast("double")
+    return s.select(
+        "n_rows",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.round((c - d) / (c + d), 6).alias("gamma"),
+        F.round((c - d) / (c + d + F.col("t_y")), 6).alias("somers_d"),
+    )

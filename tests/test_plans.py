@@ -215,6 +215,7 @@ INTENTIONAL_BNLJ = {
     "embedding_mmd_quadratic",  # broadcast 1-row label-sizes frame
     "ratio_metric_delta",  # broadcast 1-row control-arm frame
     "gpd_pot_fit",  # broadcast 1-row threshold frame
+    "ordinal_association",  # broadcast <=25-cell contingency grid
 }
 
 

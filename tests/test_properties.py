@@ -4125,3 +4125,42 @@ def test_hill_diversity_matches_python_replay(spark, sf_dir):
         assert abs(row["hill_q1"] - q1) < 1e-4
         assert abs(row["hill_q2"] - q2) < 1e-4
         assert row["hill_q0"] >= row["hill_q1"] >= row["hill_q2"] > 0
+
+
+def test_ordinal_association_matches_python_replay(spark, sf_dir):
+    """ordinal_association equals a python concordance replay over the
+    contingency table; gamma and Somers' D are within [-1, 1] with
+    |gamma| >= |somers_d|."""
+    import numpy as np
+    from collections import Counter
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        ordinal_association,
+    )
+
+    row = ordinal_association(spark, sf_dir).toPandas().iloc[0]
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    x = o["o_orderpriority"].str[0].astype(int).to_numpy()
+    y = np.minimum(
+        o["o_totalprice"].astype("int64") // 100000, 4
+    ).to_numpy()
+    cells = Counter(zip(x.tolist(), y.tolist()))
+    C = D = T = 0
+    items = list(cells.items())
+    for (xa, ya), na in items:
+        for (xb, yb), nb in items:
+            if xb > xa and yb > ya:
+                C += na * nb
+            elif xb > xa and yb < ya:
+                D += na * nb
+            elif xb > xa and yb == ya:
+                T += na * nb
+    assert row["n_rows"] == len(x)
+    assert row["concordant"] == C and row["discordant"] == D
+    gamma = (C - D) / (C + D)
+    sd = (C - D) / (C + D + T)
+    assert abs(row["gamma"] - gamma) < 1e-6
+    assert abs(row["somers_d"] - sd) < 1e-6
+    assert -1 <= row["somers_d"] <= 1 and -1 <= row["gamma"] <= 1
+    assert abs(row["gamma"]) >= abs(row["somers_d"]) - 1e-12
