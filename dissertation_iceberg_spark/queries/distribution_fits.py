@@ -899,3 +899,127 @@ def hill_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hill_q2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator over top-k order statistics
+# --------------------------------------------------------------------------
+
+_HILL_K_NUM, _HILL_K_DEN = 1, 20  # k = top 5% of positive values
+
+_HILLTAIL_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+  WHERE event_type = 'purchase' AND value > 0),
+h AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+cum AS (
+  SELECT c, cnt,
+    CAST(coalesce(sum(cnt) OVER (ORDER BY c DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS above,
+    CAST(sum(cnt) OVER () AS BIGINT) AS n
+  FROM h),
+kk AS (SELECT any_value(n) AS n,
+              ({_HILL_K_NUM} * any_value(n)) // {_HILL_K_DEN} AS k
+       FROM cum),
+-- x_(n-k): the (k+1)-th largest = smallest value with above <= k
+xk AS (
+  SELECT CAST(min(c) AS BIGINT) AS x_k
+  FROM cum CROSS JOIN kk WHERE cum.above <= kk.k AND cum.above + cum.cnt > kk.k),
+-- top-k log excesses over x_k: per-distinct-value micro-rounded logs
+terms AS (
+  SELECT least(cum.cnt, kk.k - cum.above) AS w,
+         CAST(round(ln(CAST(cum.c AS DOUBLE) / xk.x_k) * 1e9) AS BIGINT)
+           AS l_nano
+  FROM cum CROSS JOIN kk CROSS JOIN xk
+  WHERE cum.c > xk.x_k AND cum.above < kk.k),
+s AS (
+  SELECT CAST(sum(w) AS BIGINT) AS k_used,
+         CAST(sum(w * l_nano) AS BIGINT) AS lsum_nano
+  FROM terms)
+SELECT kk.n, s.k_used, 
+  round(xk.x_k / 100.0, 6) AS x_k_dollars,
+  round(CAST(s.lsum_nano AS DOUBLE) / s.k_used / 1e9, 6) AS mean_log_excess,
+  round(CAST(s.k_used AS DOUBLE) * 1e9 / s.lsum_nano, 6) AS hill_alpha,
+  round(CAST(s.lsum_nano AS DOUBLE) / s.k_used / 1e9, 6) AS xi_hill
+FROM s CROSS JOIN kk CROSS JOIN xk
+"""
+
+
+@register("hill_tail_estimator", oracle=_HILLTAIL_ORACLE)
+def hill_tail_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator on the top 5% of purchase values:
+    α̂ = [k⁻¹ Σ ln(x_(i)/x_(n−k))]⁻¹ over the k largest order
+    statistics (ξ = 1/α is directly comparable to gpd_pot_fit's
+    moment estimate — two independent estimators for the same tail) —
+    the order-statistics member of the EVT trio.
+
+    Determinism and scale: the anchor x_(n−k) and the top-k
+    membership come from DESC cumsums on the distinct-value
+    histogram (ties at the boundary weighted exactly via
+    least(cnt, k − above)); each distinct value's log-excess
+    nano-rounds ONCE and is weighted by its exact count. One fact
+    pass; everything else O(distinct values).
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    ).select(F.round(F.col("value") * 100).cast("long").alias("c"))
+    h = v.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    dw = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = h.select(
+        "c",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(dw), F.lit(0)).cast("long").alias(
+            "above"
+        ),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    kk = cum.agg(
+        F.any_value("n").cast("long").alias("n"),
+        F.expr(f"({_HILL_K_NUM} * any_value(n)) div {_HILL_K_DEN}")
+        .cast("long")
+        .alias("k"),
+    )
+    xk = (
+        cum.crossJoin(F.broadcast(kk))
+        .filter(
+            (F.col("above") <= F.col("k"))
+            & (F.col("above") + F.col("cnt") > F.col("k"))
+        )
+        .agg(F.min("c").cast("long").alias("x_k"))
+    )
+    terms = (
+        cum.crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(xk))
+        .filter((F.col("c") > F.col("x_k")) & (F.col("above") < F.col("k")))
+        .select(
+            F.least(F.col("cnt"), F.col("k") - F.col("above")).alias("w"),
+            F.round(
+                F.log(F.col("c").cast("double") / F.col("x_k")) * 1e9
+            )
+            .cast("long")
+            .alias("l_nano"),
+        )
+    )
+    s = terms.agg(
+        F.sum("w").cast("long").alias("k_used"),
+        F.sum(F.col("w") * F.col("l_nano")).cast("long").alias("lsum_nano"),
+    )
+    mean_log = F.col("lsum_nano").cast("double") / F.col("k_used") / 1e9
+    return (
+        s.crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(xk))
+        .select(
+            "n",
+            "k_used",
+            F.round(F.col("x_k") / 100.0, 6).alias("x_k_dollars"),
+            F.round(mean_log, 6).alias("mean_log_excess"),
+            F.round(
+                F.col("k_used").cast("double") * 1e9 / F.col("lsum_nano"), 6
+            ).alias("hill_alpha"),
+            F.round(mean_log, 6).alias("xi_hill"),
+        )
+    )

@@ -216,6 +216,7 @@ INTENTIONAL_BNLJ = {
     "ratio_metric_delta",  # broadcast 1-row control-arm frame
     "gpd_pot_fit",  # broadcast 1-row threshold frame
     "ordinal_association",  # broadcast <=25-cell contingency grid
+    "hill_tail_estimator",  # broadcast 1-row k/anchor frames
 }
 
 

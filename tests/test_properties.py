@@ -4164,3 +4164,43 @@ def test_ordinal_association_matches_python_replay(spark, sf_dir):
     assert abs(row["somers_d"] - sd) < 1e-6
     assert -1 <= row["somers_d"] <= 1 and -1 <= row["gamma"] <= 1
     assert abs(row["gamma"]) >= abs(row["somers_d"]) - 1e-12
+
+
+def test_hill_tail_matches_numpy_replay(spark, sf_dir):
+    """hill_tail_estimator equals a numpy replay of the top-k
+    log-excess mean with exact boundary-tie weighting."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.distribution_fits import (
+        _HILL_K_DEN,
+        _HILL_K_NUM,
+        hill_tail_estimator,
+    )
+
+    row = hill_tail_estimator(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    c = np.sort(
+        np.floor(
+            e.loc[
+                (e["event_type"] == "purchase") & (e["value"] > 0), "value"
+            ]
+            * 100
+            + 0.5
+        )
+        .astype("int64")
+        .to_numpy()
+    )[::-1]  # descending
+    n = len(c)
+    k = (_HILL_K_NUM * n) // _HILL_K_DEN
+    x_k = int(c[k])  # (k+1)-th largest
+    top = c[:k]
+    top = top[top > x_k]  # strict excesses (ties with x_k contribute 0)
+    lsum_nano = sum(round(np.log(v / x_k) * 1e9) for v in top)
+    k_used = len(top)
+    assert row["n"] == n
+    assert row["x_k_dollars"] == x_k / 100
+    assert row["k_used"] == k_used
+    assert abs(row["mean_log_excess"] - lsum_nano / k_used / 1e9) < 1e-6
+    assert abs(row["hill_alpha"] - k_used * 1e9 / lsum_nano) < 1e-4
+    assert row["hill_alpha"] > 0
