@@ -3771,3 +3771,116 @@ def ordinal_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((c - d) / (c + d), 6).alias("gamma"),
         F.round((c - d) / (c + d + F.col("t_y")), 6).alias("somers_d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Relative risk and odds ratio with Wald confidence intervals
+# --------------------------------------------------------------------------
+
+_RR_Z95 = "1.959963985e0"  # z_{0.975}, shared literal
+
+_RR_ORACLE = f"""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+    CAST(max(CASE WHEN event_type = 'purchase' AND value > {{thr}}
+             THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 - y ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 - y ELSE 0 END) AS BIGINT) AS d
+  FROM u),
+k AS (
+  SELECT a, b, c, d,
+    (CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d)) AS rr,
+    (CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c) AS orr,
+    CAST(round(ln((CAST(a AS DOUBLE) / (a + b))
+                  / (CAST(c AS DOUBLE) / (c + d))) * 1e6) AS BIGINT) / 1e6
+      AS lrr,
+    CAST(round(ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c)) * 1e6)
+         AS BIGINT) / 1e6 AS lor,
+    sqrt(1.0 / a - 1.0 / (a + b) + 1.0 / c - 1.0 / (c + d)) AS se_lrr,
+    sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS se_lor
+  FROM s)
+SELECT a AS treat_pos, b AS treat_neg, c AS ctrl_pos, d AS ctrl_neg,
+  round(rr, 6) AS relative_risk,
+  round(CAST(round(exp(lrr - CAST('{_RR_Z95}' AS DOUBLE) * se_lrr) * 1e6)
+             AS BIGINT) / 1e6, 6) AS rr_ci_lo,
+  round(CAST(round(exp(lrr + CAST('{_RR_Z95}' AS DOUBLE) * se_lrr) * 1e6)
+             AS BIGINT) / 1e6, 6) AS rr_ci_hi,
+  round(orr, 6) AS odds_ratio,
+  round(CAST(round(exp(lor - CAST('{_RR_Z95}' AS DOUBLE) * se_lor) * 1e6)
+             AS BIGINT) / 1e6, 6) AS or_ci_lo,
+  round(CAST(round(exp(lor + CAST('{_RR_Z95}' AS DOUBLE) * se_lor) * 1e6)
+             AS BIGINT) / 1e6, 6) AS or_ci_hi
+FROM k
+""".replace("{thr}", str(_MCN_THR))
+
+
+@register("odds_ratio_ci", oracle=_RR_ORACLE)
+def odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative risk and odds ratio of big-ticket conversion between
+    parity arms, each with its 95% Wald interval on the log scale —
+    the epidemiology-standard effect readout that two_proportion_ztest
+    (significance only) and effect_sizes (standardized differences)
+    both omit: 'treatment multiplies conversion risk by X, CI [L, U]'.
+
+    Determinism: the 2×2 table is exact; log-RR/log-OR and each
+    exp(bound) micro-round ONCE (libm pattern); SEs are
+    identically-shaped IEEE square roots of exact-count reciprocals;
+    the z constant is a shared literal. One per-user reduce, one
+    4-counter reduce.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id", (F.col("user_id") % 2).alias("arm")).agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > _MCN_THR)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("y")
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("arm") == 1, 1 - F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(F.col("arm") == 0, 1 - F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    rr = (a.cast("double") / (a + b)) / (c.cast("double") / (c + d))
+    orr = (a.cast("double") * d) / (b.cast("double") * c)
+    lrr = F.round(F.log(rr) * 1e6).cast("long") / 1e6
+    lor = F.round(F.log(orr) * 1e6).cast("long") / 1e6
+    se_lrr = F.sqrt(
+        1.0 / a - 1.0 / (a + b) + 1.0 / c - 1.0 / (c + d)
+    )
+    se_lor = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    z = F.expr(f"CAST('{_RR_Z95}' AS DOUBLE)")
+
+    def expq(x):
+        return F.round(F.exp(x) * 1e6).cast("long") / 1e6
+
+    return s.select(
+        a.alias("treat_pos"),
+        b.alias("treat_neg"),
+        c.alias("ctrl_pos"),
+        d.alias("ctrl_neg"),
+        F.round(rr, 6).alias("relative_risk"),
+        F.round(expq(lrr - z * se_lrr), 6).alias("rr_ci_lo"),
+        F.round(expq(lrr + z * se_lrr), 6).alias("rr_ci_hi"),
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(expq(lor - z * se_lor), 6).alias("or_ci_lo"),
+        F.round(expq(lor + z * se_lor), 6).alias("or_ci_hi"),
+    )

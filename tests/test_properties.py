@@ -4204,3 +4204,42 @@ def test_hill_tail_matches_numpy_replay(spark, sf_dir):
     assert abs(row["mean_log_excess"] - lsum_nano / k_used / 1e9) < 1e-6
     assert abs(row["hill_alpha"] - k_used * 1e9 / lsum_nano) < 1e-4
     assert row["hill_alpha"] > 0
+
+
+def test_odds_ratio_ci_matches_numpy_replay(spark, sf_dir):
+    """odds_ratio_ci equals a numpy replay of the 2x2 Wald intervals;
+    point estimates sit inside their own CIs."""
+    import math
+
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        _MCN_THR,
+        odds_ratio_ci,
+    )
+
+    row = odds_ratio_ci(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    hit = (e["event_type"] == "purchase") & (e["value"] > _MCN_THR)
+    users = e.groupby("user_id").size().index
+    conv = set(e.loc[hit, "user_id"])
+    a = sum(1 for u in users if u % 2 == 1 and u in conv)
+    b = sum(1 for u in users if u % 2 == 1 and u not in conv)
+    c = sum(1 for u in users if u % 2 == 0 and u in conv)
+    d = sum(1 for u in users if u % 2 == 0 and u not in conv)
+    rr = (a / (a + b)) / (c / (c + d))
+    orr = (a * d) / (b * c)
+    lrr = round(math.log(rr) * 1e6) / 1e6
+    lor = round(math.log(orr) * 1e6) / 1e6
+    se_lrr = math.sqrt(1 / a - 1 / (a + b) + 1 / c - 1 / (c + d))
+    se_lor = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    z = 1.959963985
+    assert (row["treat_pos"], row["treat_neg"]) == (a, b)
+    assert (row["ctrl_pos"], row["ctrl_neg"]) == (c, d)
+    assert abs(row["relative_risk"] - rr) < 1e-6
+    assert abs(row["odds_ratio"] - orr) < 1e-6
+    assert abs(row["rr_ci_lo"] - math.exp(lrr - z * se_lrr)) < 1e-4
+    assert abs(row["or_ci_hi"] - math.exp(lor + z * se_lor)) < 1e-4
+    assert row["rr_ci_lo"] <= row["relative_risk"] <= row["rr_ci_hi"]
+    assert row["or_ci_lo"] <= row["odds_ratio"] <= row["or_ci_hi"]
