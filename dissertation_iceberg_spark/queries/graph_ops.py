@@ -1081,3 +1081,126 @@ def butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("butterflies_per_pair"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Modularity of the brand partition on the co-purchase graph
+# --------------------------------------------------------------------------
+
+_MODULARITY_ORACLE = """
+WITH edges AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+lbl AS (SELECT p_partkey, p_brand FROM part),
+el AS (
+  SELECT la.p_brand AS ba, lb.p_brand AS bb
+  FROM edges e
+  JOIN lbl la ON la.p_partkey = e.pa
+  JOIN lbl lb ON lb.p_partkey = e.pb),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM el),
+within AS (
+  SELECT ba AS brand, CAST(count(*) AS BIGINT) AS e_in
+  FROM el WHERE ba = bb GROUP BY 1),
+deg AS (
+  SELECT brand, CAST(sum(d) AS BIGINT) AS d_c FROM (
+    SELECT ba AS brand, CAST(count(*) AS BIGINT) AS d FROM el GROUP BY 1
+    UNION ALL
+    SELECT bb AS brand, CAST(count(*) AS BIGINT) AS d FROM el GROUP BY 1
+  ) u GROUP BY 1),
+terms AS (
+  SELECT d.brand, coalesce(w.e_in, 0) AS e_in, d.d_c, m.m,
+    -- 4m^2 * term = 4m*e_in - d_c^2, exact BIGINT
+    4 * m.m * coalesce(w.e_in, 0) - d.d_c * d.d_c AS num
+  FROM deg d LEFT JOIN within w ON d.brand = w.brand CROSS JOIN m)
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+  CAST(any_value(m) AS BIGINT) AS n_edges,
+  CAST(sum(e_in) AS BIGINT) AS n_within_edges,
+  round(CAST(sum(num) AS DOUBLE)
+        / (4.0 * any_value(m) * any_value(m)), 6) AS modularity
+FROM terms
+"""
+
+
+@register("community_modularity", oracle=_MODULARITY_ORACLE)
+def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the BRAND partition on the co-purchase
+    part graph: Q = Σ_c [e_c/m − (d_c/2m)²] — does shopping cluster
+    within brands more than a degree-preserving random graph would? —
+    the partition-quality readout that grades any community labeling
+    (here the catalog's own brands; the same kernel grades
+    label_propagation_communities' output).
+
+    Determinism and scale: the edge list is the measured-linear
+    co-purchase pair expansion reduced to distinct pairs; within-
+    community counts and degree sums are exact BIGINT aggregates on
+    the O(brands) frame, and Q's numerator is the exact integer
+    Σ(4m·e_c − d_c²) with ONE final division. Brand labels join in
+    via a broadcast dim.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    assoc = li.select("l_orderkey", "l_partkey").distinct()
+    b = assoc.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        assoc.join(
+            b,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("pb")),
+        )
+        .select(F.col("l_partkey").alias("pa"), "pb")
+        .distinct()
+    )
+    la = part.select(
+        F.col("p_partkey").alias("pa"), F.col("p_brand").alias("ba")
+    )
+    lb = part.select(
+        F.col("p_partkey").alias("pb"), F.col("p_brand").alias("bb")
+    )
+    el = edges.join(F.broadcast(la), "pa").join(F.broadcast(lb), "pb").select(
+        "ba", "bb"
+    )
+    m = el.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    within = (
+        el.filter(F.col("ba") == F.col("bb"))
+        .groupBy(F.col("ba").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    deg = (
+        el.select(F.col("ba").alias("brand"))
+        .unionAll(el.select(F.col("bb").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_c"))
+    )
+    terms = (
+        deg.join(within, "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "brand",
+            F.coalesce(F.col("e_in"), F.lit(0)).cast("long").alias("e_in"),
+            "d_c",
+            "m",
+            (
+                4 * F.col("m") * F.coalesce(F.col("e_in"), F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            )
+            .cast("long")
+            .alias("num"),
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.any_value("m").cast("long").alias("n_edges"),
+        F.sum("e_in").cast("long").alias("n_within_edges"),
+        F.round(
+            F.sum("num").cast("double")
+            / (4.0 * F.any_value("m") * F.any_value("m")),
+            6,
+        ).alias("modularity"),
+    )

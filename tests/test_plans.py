@@ -217,6 +217,7 @@ INTENTIONAL_BNLJ = {
     "gpd_pot_fit",  # broadcast 1-row threshold frame
     "ordinal_association",  # broadcast <=25-cell contingency grid
     "hill_tail_estimator",  # broadcast 1-row k/anchor frames
+    "community_modularity",  # broadcast 1-row edge-count frame
 }
 
 

@@ -4243,3 +4243,43 @@ def test_odds_ratio_ci_matches_numpy_replay(spark, sf_dir):
     assert abs(row["or_ci_hi"] - math.exp(lor + z * se_lor)) < 1e-4
     assert row["rr_ci_lo"] <= row["relative_risk"] <= row["rr_ci_hi"]
     assert row["or_ci_lo"] <= row["odds_ratio"] <= row["or_ci_hi"]
+
+
+def test_community_modularity_matches_python_replay(spark, sf_dir):
+    """community_modularity equals a python replay of Newman's Q over
+    the distinct co-purchase pairs labeled by brand; |Q| <= 1."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.graph_ops import (
+        community_modularity,
+    )
+
+    row = community_modularity(spark, sf_dir).toPandas().iloc[0]
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    part = load_table(spark, sf_dir, "part").toPandas()
+    brand = dict(zip(part["p_partkey"], part["p_brand"]))
+    baskets = defaultdict(set)
+    for o, p in set(zip(li["l_orderkey"], li["l_partkey"])):
+        baskets[o].add(p)
+    edges = set()
+    for b in baskets.values():
+        for pa, pb in combinations(sorted(b), 2):
+            edges.add((pa, pb))
+    m = len(edges)
+    e_in = Counter()
+    deg = Counter()
+    for pa, pb in edges:
+        ba, bb = brand[pa], brand[pb]
+        deg[ba] += 1
+        deg[bb] += 1
+        if ba == bb:
+            e_in[ba] += 1
+    q_num = sum(4 * m * e_in[c] - deg[c] ** 2 for c in deg)
+    q = q_num / (4 * m * m)
+    assert row["n_edges"] == m
+    assert row["n_communities"] == len(deg)
+    assert row["n_within_edges"] == sum(e_in.values())
+    assert abs(row["modularity"] - q) < 1e-6
+    assert -1 <= row["modularity"] <= 1
