@@ -3884,3 +3884,127 @@ def odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(expq(lor - z * se_lor), 6).alias("or_ci_lo"),
         F.round(expq(lor + z * se_lor), 6).alias("or_ci_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Covariate balance: standardized mean differences between arms
+# --------------------------------------------------------------------------
+
+_CB_ORACLE = """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+    CAST(count(*) AS BIGINT) AS n_events,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_purchase,
+    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_error
+  FROM events GROUP BY 1, 2),
+long AS (
+  SELECT arm, 'n_events' AS covariate, n_events AS x FROM u
+  UNION ALL SELECT arm, 'total_cents', total_cents FROM u
+  UNION ALL SELECT arm, 'n_purchase', n_purchase FROM u
+  UNION ALL SELECT arm, 'n_error', n_error FROM u),
+s AS (
+  SELECT covariate, arm,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx,
+    CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM long GROUP BY 1, 2),
+k AS (
+  SELECT covariate, arm, n,
+    CAST(sx AS DOUBLE) / n AS m,
+    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS v
+  FROM s)
+SELECT t.covariate,
+  t.n AS n_treat, c.n AS n_ctrl,
+  round(t.m, 6) AS mean_treat,
+  round(c.m, 6) AS mean_ctrl,
+  round((t.m - c.m) / sqrt((t.v + c.v) / 2.0), 6) AS smd,
+  CAST(abs((t.m - c.m) / sqrt((t.v + c.v) / 2.0)) > 0.1 AS BIGINT)
+    AS imbalanced
+FROM (SELECT * FROM k WHERE arm = 1) t
+JOIN (SELECT * FROM k WHERE arm = 0) c ON t.covariate = c.covariate
+"""
+
+
+@register("covariate_balance", oracle=_CB_ORACLE)
+def covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance table: the standardized mean difference
+    (m_t − m_c)/√((v_t+v_c)/2) of each pre-treatment user covariate
+    (activity, total value, purchase count, error count) between the
+    parity arms, with the conventional |SMD| > 0.1 imbalance flag —
+    the randomization-check / matching-diagnostic every psm_att,
+    cuped_adjustment or A/B readout should print first (srm_check
+    verifies COUNTS; this verifies COMPOSITION).
+
+    Scale shape: one per-user reduce, an unpivot to the (covariate,
+    arm) long frame, exact BIGINT power sums per cell, doubles once
+    per covariate row.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id", (F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("n_purchase"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("n_error"),
+    )
+    parts = []
+    for cov in ("n_events", "total_cents", "n_purchase", "n_error"):
+        parts.append(
+            u.select(
+                "arm", F.lit(cov).alias("covariate"), F.col(cov).alias("x")
+            )
+        )
+    long = parts[0]
+    for pn in parts[1:]:
+        long = long.unionByName(pn)
+    s = long.groupBy("covariate", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    n = F.col("n")
+    k = s.select(
+        "covariate",
+        "arm",
+        "n",
+        (F.col("sx").cast("double") / n).alias("m"),
+        (
+            (
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx") / n
+            )
+            / (n - 1)
+        ).alias("v"),
+    )
+    t = k.filter(F.col("arm") == 1).select(
+        "covariate",
+        F.col("n").alias("n_treat"),
+        F.col("m").alias("mt"),
+        F.col("v").alias("vt"),
+    )
+    c = k.filter(F.col("arm") == 0).select(
+        "covariate",
+        F.col("n").alias("n_ctrl"),
+        F.col("m").alias("mc"),
+        F.col("v").alias("vc"),
+    )
+    smd = (F.col("mt") - F.col("mc")) / F.sqrt(
+        (F.col("vt") + F.col("vc")) / 2.0
+    )
+    return t.join(c, "covariate").select(
+        "covariate",
+        "n_treat",
+        "n_ctrl",
+        F.round(F.col("mt"), 6).alias("mean_treat"),
+        F.round(F.col("mc"), 6).alias("mean_ctrl"),
+        F.round(smd, 6).alias("smd"),
+        (F.abs(smd) > 0.1).cast("long").alias("imbalanced"),
+    )

@@ -4283,3 +4283,43 @@ def test_community_modularity_matches_python_replay(spark, sf_dir):
     assert row["n_within_edges"] == sum(e_in.values())
     assert abs(row["modularity"] - q) < 1e-6
     assert -1 <= row["modularity"] <= 1
+
+
+def test_covariate_balance_matches_numpy_replay(spark, sf_dir):
+    """covariate_balance equals numpy SMDs per covariate, and parity
+    arms on the fixtures are balanced (randomization sanity)."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        covariate_balance,
+    )
+
+    pdf = covariate_balance(spark, sf_dir).toPandas()
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    d = e.assign(cents=cents)
+    u = d.groupby("user_id").agg(
+        n_events=("cents", "size"),
+        total_cents=("cents", "sum"),
+    )
+    u["n_purchase"] = (
+        d[d["event_type"] == "purchase"].groupby("user_id").size()
+        .reindex(u.index).fillna(0).astype("int64")
+    )
+    u["n_error"] = (
+        d[d["event_type"] == "error"].groupby("user_id").size()
+        .reindex(u.index).fillna(0).astype("int64")
+    )
+    arm = (u.index % 2).astype(int)
+    assert len(pdf) == 4
+    for cov in ("n_events", "total_cents", "n_purchase", "n_error"):
+        x = u[cov].to_numpy().astype("float64")
+        t, c = x[arm == 1], x[arm == 0]
+        smd = (t.mean() - c.mean()) / np.sqrt(
+            (t.var(ddof=1) + c.var(ddof=1)) / 2
+        )
+        row = pdf[pdf["covariate"] == cov].iloc[0]
+        assert row["n_treat"] == len(t) and row["n_ctrl"] == len(c)
+        assert abs(row["smd"] - smd) < 1e-5
+        assert row["imbalanced"] == int(abs(smd) > 0.1)
