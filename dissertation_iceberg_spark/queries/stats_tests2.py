@@ -4008,3 +4008,189 @@ def covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(smd, 6).alias("smd"),
         (F.abs(smd) > 0.1).cast("long").alias("imbalanced"),
     )
+
+
+# --------------------------------------------------------------------------
+# Expected calibration error over the propensity deciles
+# --------------------------------------------------------------------------
+
+_ECE_BINS = 10
+
+_ECE_ORACLE = f"""
+WITH hist AS (
+  SELECT user_id, count(*) AS n_ev,
+         count(*) FILTER (event_type = 'purchase') AS n_p
+  FROM events WHERE ts < TIMESTAMP '{_GAINS_SPLIT}'
+  GROUP BY 1),
+fut AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '{_GAINS_SPLIT}' AND event_type = 'purchase'),
+scored AS (
+  SELECT h.user_id, (h.n_p * 1000000) // h.n_ev AS s_micro,
+         CASE WHEN f.user_id IS NULL THEN 0 ELSE 1 END AS y
+  FROM hist h LEFT JOIN fut f ON h.user_id = f.user_id),
+b AS (
+  SELECT least(s_micro // {1_000_000 // _ECE_BINS}, {_ECE_BINS - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(s_micro) AS BIGINT) AS s_sum,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM scored GROUP BY 1),
+t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+    -- per-bin |mean_pred - obs_rate| weighted by n: exact integer
+    -- numerator |s_sum/1e6 - pos| * 1  =>  |s_sum - pos*1e6| / 1e6
+    CAST(sum(abs(s_sum - pos * 1000000)) AS BIGINT) AS ece_micro,
+    CAST(max(CAST(round(abs(s_sum - pos * 1000000.0) / n) AS BIGINT))
+         AS BIGINT) AS mce_micro
+  FROM b)
+SELECT n_tot,
+  round(CAST(ece_micro AS DOUBLE) / n_tot / 1e6, 6) AS ece,
+  round(CAST(mce_micro AS DOUBLE) / 1e6, 6) AS mce
+FROM t
+"""
+
+
+@register("expected_calibration_error", oracle=_ECE_ORACLE)
+def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error of the first-half propensity score
+    against second-half conversion: ECE = Σ_b (n_b/N)·|mean-pred_b −
+    obs-rate_b| over score deciles, plus the max-bin MCE — the two
+    scalar calibration numbers that summarize calibration_bins'
+    reliability diagram (and grade what platt_scaling should fix).
+
+    Determinism: the per-bin gap n_b·|p̄ − rate| equals the exact
+    integer |Σs_micro − pos·1e6|, so ECE's numerator is an exact
+    BIGINT sum; MCE micro-rounds each bin's gap once before max.
+    Scale shape: one per-user reduce, O(bins) afterwards.
+    """
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(_GAINS_SPLIT).cast("timestamp_ntz")
+    hist = (
+        e.filter(F.col("ts") < split)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_p"
+            ),
+        )
+    )
+    fut = (
+        e.filter((F.col("ts") >= split) & (F.col("event_type") == "purchase"))
+        .select("user_id")
+        .distinct()
+        .withColumn("y", F.lit(1))
+    )
+    scored = hist.join(fut, "user_id", "left").select(
+        F.expr("(n_p * 1000000) div n_ev").alias("s_micro"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    b = scored.groupBy(
+        F.least(
+            F.expr(f"s_micro div {1_000_000 // _ECE_BINS}"),
+            F.lit(_ECE_BINS - 1),
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s_micro").cast("long").alias("s_sum"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    t = b.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum(F.abs(F.col("s_sum") - F.col("pos") * 1_000_000))
+        .cast("long")
+        .alias("ece_micro"),
+        F.max(
+            F.round(
+                F.abs(F.col("s_sum") - F.col("pos") * 1_000_000.0) / F.col("n")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("mce_micro"),
+    )
+    return t.select(
+        "n_tot",
+        F.round(
+            F.col("ece_micro").cast("double") / F.col("n_tot") / 1e6, 6
+        ).alias("ece"),
+        F.round(F.col("mce_micro").cast("double") / 1e6, 6).alias("mce"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Zero-inflation check of daily per-user purchase counts
+# --------------------------------------------------------------------------
+
+_ZIP_ORACLE = """
+WITH cells AS (
+  SELECT e.user_id, d.day, CAST(coalesce(p.c, 0) AS BIGINT) AS c
+  FROM (SELECT DISTINCT user_id FROM events) e
+  CROSS JOIN (SELECT DISTINCT date_trunc('day', ts) AS day FROM events) d
+  LEFT JOIN (
+    SELECT user_id, date_trunc('day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+  ) p ON p.user_id = e.user_id AND p.day = d.day),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+  FROM cells)
+SELECT n AS n_cells, n_zero,
+  round(CAST(total AS DOUBLE) / n, 6) AS lambda_hat,
+  round(CAST(n_zero AS DOUBLE) / n, 6) AS zero_rate,
+  round(CAST(round(exp(-CAST(total AS DOUBLE) / n) * 1e9) AS BIGINT) / 1e9,
+        6) AS poisson_zero_rate,
+  round((CAST(n_zero AS DOUBLE) / n)
+        / (CAST(round(exp(-CAST(total AS DOUBLE) / n) * 1e9) AS BIGINT)
+           / 1e9), 6) AS zero_inflation_ratio
+FROM s
+"""
+
+
+@register("zero_inflation_check", oracle=_ZIP_ORACLE)
+def zero_inflation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-inflation check on the (user, day) purchase-count grid:
+    the observed zero-cell rate against the Poisson prediction
+    exp(−λ̂) — a ratio ≫ 1 says a Poisson (or even negbin_fit's NB
+    fit on totals) understates the all-or-nothing structure and a
+    hurdle/zero-inflated model is needed. Complements negbin_fit
+    (overdispersion) with the zeros-specific diagnostic.
+
+    Scale shape: the complete grid is users × days built from two
+    broadcast-able distinct dims against the sparse count aggregate
+    (LEFT join zero-fill, the J3-densify pattern); one 3-counter
+    reduce. The single exp() micro-rounds once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    days = e.select(F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cells = (
+        users.crossJoin(F.broadcast(days))
+        .join(p, ["user_id", "day"], "left")
+        .select(F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"))
+    )
+    s = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum((F.col("c") == 0).cast("long")).cast("long").alias("n_zero"),
+    )
+    lam = F.col("total").cast("double") / F.col("n")
+    pz = F.round(F.exp(-lam) * 1e9).cast("long") / 1e9
+    return s.select(
+        F.col("n").alias("n_cells"),
+        "n_zero",
+        F.round(lam, 6).alias("lambda_hat"),
+        F.round(F.col("n_zero").cast("double") / F.col("n"), 6).alias(
+            "zero_rate"
+        ),
+        F.round(pz, 6).alias("poisson_zero_rate"),
+        F.round((F.col("n_zero").cast("double") / F.col("n")) / pz, 6).alias(
+            "zero_inflation_ratio"
+        ),
+    )

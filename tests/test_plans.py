@@ -218,6 +218,7 @@ INTENTIONAL_BNLJ = {
     "ordinal_association",  # broadcast <=25-cell contingency grid
     "hill_tail_estimator",  # broadcast 1-row k/anchor frames
     "community_modularity",  # broadcast 1-row edge-count frame
+    "zero_inflation_check",  # broadcast O(days) dim for the grid densify
 }
 
 

@@ -4323,3 +4323,74 @@ def test_covariate_balance_matches_numpy_replay(spark, sf_dir):
         assert row["n_treat"] == len(t) and row["n_ctrl"] == len(c)
         assert abs(row["smd"] - smd) < 1e-5
         assert row["imbalanced"] == int(abs(smd) > 0.1)
+
+
+def test_ece_matches_python_replay(spark, sf_dir):
+    """expected_calibration_error equals a python replay over score
+    deciles; ECE <= MCE and both in [0, 1]."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        _ECE_BINS,
+        _GAINS_SPLIT,
+        expected_calibration_error,
+    )
+
+    row = expected_calibration_error(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    split = np.datetime64(_GAINS_SPLIT)
+    h = e[e["ts"] < split]
+    hist = h.groupby("user_id").agg(
+        n_ev=("event_type", "size"),
+        n_p=("event_type", lambda s: int((s == "purchase").sum())),
+    )
+    fut = set(
+        e.loc[
+            (e["ts"] >= split) & (e["event_type"] == "purchase"), "user_id"
+        ]
+    )
+    s_micro = (hist["n_p"] * 1_000_000) // hist["n_ev"]
+    y = np.array([int(u in fut) for u in hist.index])
+    bins = np.minimum(s_micro // (1_000_000 // _ECE_BINS), _ECE_BINS - 1)
+    n_tot = len(y)
+    ece_micro = 0
+    mce_micro = 0
+    for b in np.unique(bins):
+        m = bins == b
+        gap = abs(int(s_micro[m].sum()) - int(y[m].sum()) * 1_000_000)
+        ece_micro += gap
+        mce_micro = max(mce_micro, round(gap / int(m.sum())))
+    assert row["n_tot"] == n_tot
+    assert abs(row["ece"] - ece_micro / n_tot / 1e6) < 1e-6
+    assert abs(row["mce"] - mce_micro / 1e6) < 1e-6
+    assert 0 <= row["ece"] <= row["mce"] <= 1
+
+
+def test_zero_inflation_matches_pandas_replay(spark, sf_dir):
+    """zero_inflation_check equals a pandas replay of the complete
+    (user, day) grid zero accounting."""
+    import math
+
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        zero_inflation_check,
+    )
+
+    row = zero_inflation_check(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    users = e["user_id"].nunique()
+    days = e["ts"].dt.floor("D").nunique()
+    p = e[e["event_type"] == "purchase"]
+    counts = p.groupby(["user_id", p["ts"].dt.floor("D")]).size()
+    n = users * days
+    total = int(counts.sum())
+    n_zero = n - len(counts)
+    lam = total / n
+    pz = round(math.exp(-lam) * 1e9) / 1e9
+    assert row["n_cells"] == n and row["n_zero"] == n_zero
+    assert abs(row["lambda_hat"] - lam) < 1e-6
+    assert abs(row["poisson_zero_rate"] - pz) < 1e-6
+    assert abs(row["zero_inflation_ratio"] - (n_zero / n) / pz) < 1e-4
