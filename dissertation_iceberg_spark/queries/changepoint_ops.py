@@ -1112,3 +1112,118 @@ def hmm_viterbi_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("path"), F.col("i") + 1).alias("regime"),
         F.round(F.col("score") / 1e6, 6).alias("path_logprob"),
     )
+
+
+# --------------------------------------------------------------------------
+# Matrix-profile-lite: 7-day window motif discovery (exact integers)
+# --------------------------------------------------------------------------
+
+_MP_W = 7  # subsequence window (days)
+_MP_EXCL = 4  # exclusion zone: |i - j| >= ceil(w/2)
+
+_MP_ORACLE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+idx AS (
+  SELECT day, cents,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM daily),
+win AS (
+  SELECT a.t AS i, a.day,
+         list(b.cents ORDER BY b.t) AS w
+  FROM idx a JOIN idx b ON b.t BETWEEN a.t AND a.t + {_MP_W - 1}
+  WHERE a.t + {_MP_W - 1} <= a.n
+  GROUP BY 1, 2 HAVING count(*) = {_MP_W}),
+pairs AS (
+  SELECT a.i, a.day, b.i AS j,
+    CAST((SELECT sum((x.ua - x.ub) * (x.ua - x.ub))
+          FROM (SELECT unnest(a.w) AS ua, unnest(b.w) AS ub) x) AS BIGINT)
+      AS d2
+  FROM win a JOIN win b ON abs(a.i - b.i) >= {_MP_EXCL}),
+prof0 AS (
+  SELECT i, day, d2, j,
+         min(d2) OVER (PARTITION BY i) AS mp_d2
+  FROM pairs),
+prof AS (
+  SELECT i, day, CAST(any_value(mp_d2) AS BIGINT) AS mp_d2,
+         CAST(min(CASE WHEN d2 = mp_d2 THEN j END) AS BIGINT) AS motif_j
+  FROM prof0 GROUP BY 1, 2),
+best AS (SELECT min(mp_d2) AS g FROM prof)
+SELECT prof.day AS window_start, CAST(prof.i AS BIGINT) AS i,
+       CAST(prof.mp_d2 AS BIGINT) AS mp_dist2,
+       prof.motif_j,
+       CAST(prof.mp_d2 = best.g AS BIGINT) AS is_global_motif
+FROM prof CROSS JOIN best
+"""
+
+
+@register("matrix_profile_lite", oracle=_MP_ORACLE)
+def matrix_profile_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-profile-lite motif discovery over the daily total-value
+    series: for every {w}-day window, the minimum unnormalized
+    squared Euclidean distance to any window at least {x} days away
+    (the exclusion zone), its nearest-neighbor index, and the global
+    motif flag — the 'does this week rhyme with another week'
+    primitive beneath anomaly detection (a window whose profile value
+    is LARGE is a discord) and seasonality mining.
+
+    Determinism: distances are exact BIGINT sums of squared integer
+    cent differences (the unnormalized-Euclidean variant — chosen
+    precisely because it needs NO per-window float normalization);
+    nearest-neighbor ties break by the smaller index via min_by on
+    the (d2, j) pair. Scale shape: windows assemble from an O(days)
+    self-band join; the pair grid is O(windows²) on the
+    history-bounded frame — the accepted O(days²) class
+    (mann_kendall precedent), never row-scale.
+    """
+    e = spread(load_table(spark, sf_dir, "events"))
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(0, _MP_W - 1)
+    nwin = Window.partitionBy()
+    idx = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+        F.count(F.lit(1)).over(nwin).cast("long").alias("n"),
+    )
+    win = (
+        idx.select(
+            "day",
+            "t",
+            "n",
+            F.collect_list("cents").over(w).alias("w"),
+        )
+        .filter(F.col("t") + _MP_W - 1 <= F.col("n"))
+        .filter(F.size("w") == _MP_W)
+        .select(F.col("t").alias("i"), "day", "w")
+    )
+    b = win.select(F.col("i").alias("j"), F.col("w").alias("wb"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("w"), F.col("wb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = win.join(
+        b, F.abs(F.col("i") - F.col("j")) >= _MP_EXCL
+    ).select("i", "day", "j", d2.alias("d2"))
+    prof = pairs.groupBy("i", "day").agg(
+        F.min("d2").cast("long").alias("mp_d2"),
+        F.min_by("j", F.struct(F.col("d2"), F.col("j")))
+        .cast("long")
+        .alias("motif_j"),
+    )
+    best = prof.agg(F.min("mp_d2").alias("g"))
+    return prof.crossJoin(F.broadcast(best)).select(
+        F.col("day").alias("window_start"),
+        F.col("i").cast("long").alias("i"),
+        "mp_dist2" if False else F.col("mp_d2").alias("mp_dist2"),
+        "motif_j",
+        (F.col("mp_d2") == F.col("g")).cast("long").alias("is_global_motif"),
+    )

@@ -219,6 +219,7 @@ INTENTIONAL_BNLJ = {
     "hill_tail_estimator",  # broadcast 1-row k/anchor frames
     "community_modularity",  # broadcast 1-row edge-count frame
     "zero_inflation_check",  # broadcast O(days) dim for the grid densify
+    "matrix_profile_lite",  # O(windows^2) band join on the O(days) frame
 }
 
 

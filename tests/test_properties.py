@@ -4394,3 +4394,51 @@ def test_zero_inflation_matches_pandas_replay(spark, sf_dir):
     assert abs(row["lambda_hat"] - lam) < 1e-6
     assert abs(row["poisson_zero_rate"] - pz) < 1e-6
     assert abs(row["zero_inflation_ratio"] - (n_zero / n) / pz) < 1e-4
+
+
+def test_matrix_profile_matches_numpy_replay(spark, sf_dir):
+    """matrix_profile_lite equals a numpy replay of the unnormalized
+    Euclidean profile with exclusion zone; exactly >= 2 windows carry
+    the global motif flag (motif pairs are symmetric)."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.changepoint_ops import (
+        _MP_EXCL,
+        _MP_W,
+        matrix_profile_lite,
+    )
+
+    pdf = (
+        matrix_profile_lite(spark, sf_dir)
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    daily = (
+        e.assign(cents=cents, day=e["ts"].dt.floor("D"))
+        .groupby("day")["cents"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+    )
+    n = len(daily)
+    wins = [daily[i : i + _MP_W] for i in range(n - _MP_W + 1)]
+    rows = []
+    for i, wa in enumerate(wins, start=1):
+        best = None
+        for j, wb in enumerate(wins, start=1):
+            if abs(i - j) < _MP_EXCL:
+                continue
+            d2 = int(((wa - wb) ** 2).sum())
+            if best is None or (d2, j) < best:
+                best = (d2, j)
+        rows.append((i, best[0], best[1]))
+    assert len(pdf) == len(rows)
+    gmin = min(r[1] for r in rows)
+    for (i, d2, j), r in zip(rows, pdf.itertuples()):
+        assert r.i == i and r.mp_dist2 == d2 and r.motif_j == j
+        assert r.is_global_motif == int(d2 == gmin)
+    assert pdf["is_global_motif"].sum() >= 2
