@@ -1023,3 +1023,99 @@ def hill_tail_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(mean_log, 6).alias("xi_hill"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary-coverage knee (Kneedle-lite, exact integer cross products)
+# --------------------------------------------------------------------------
+
+_KNEE_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS}) AS term FROM documents),
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+ranked AS (
+  SELECT f,
+         CAST(row_number() OVER (ORDER BY f DESC, term) AS BIGINT) AS r,
+         CAST(sum(f) OVER (ORDER BY f DESC, term
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(count(*) OVER () AS BIGINT) AS v,
+         CAST(sum(f) OVER () AS BIGINT) AS n
+  FROM tf),
+-- distance from the (0,0)-(V,N) chord: |N*r - V*cum| (exact integer)
+scored AS (
+  SELECT r, cum, v, n, abs(n * r - v * cum) AS d FROM ranked),
+best AS (
+  SELECT v, n, max(d) AS dmax FROM scored GROUP BY 1, 2),
+knee AS (
+  SELECT s.v, s.n, CAST(min(s.r) AS BIGINT) AS knee_rank
+  FROM scored s JOIN best b ON s.d = b.dmax GROUP BY 1, 2)
+SELECT k.v AS vocab_size, k.n AS total_tokens, k.knee_rank,
+  CAST(s.cum AS BIGINT) AS coverage_at_knee,
+  round(CAST(s.cum AS DOUBLE) / k.n, 6) AS coverage_share,
+  round(CAST(k.knee_rank AS DOUBLE) / k.v, 6) AS rank_share
+FROM knee k JOIN scored s ON s.r = k.knee_rank
+"""
+
+
+@register("vocab_coverage_knee", oracle=_KNEE_ORACLE)
+def vocab_coverage_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage knee: on the rank-ordered cumulative token
+    coverage curve, the rank farthest from the (0,0)→(V,N) chord
+    (Kneedle criterion) — the principled 'how big should the
+    vocabulary be' cutoff that zipf_fit's slope and heaps_law's
+    growth curve motivate but don't pick; the chord distance is the
+    EXACT integer cross product |N·r − V·cum|, so the knee is exact
+    (ties → smallest rank).
+
+    Scale shape: vocabulary histogram in one pass, rank + cumsum on
+    the O(vocab) frame (the zipf_fit precedent), one max and one
+    join-back on the same frame.
+    """
+    from dissertation_iceberg_spark.io import spread as _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    rw = Window.orderBy(F.desc("f"), F.asc("term"))
+    cw = rw.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    ranked = tf.select(
+        F.row_number().over(rw).cast("long").alias("r"),
+        F.sum("f").over(cw).cast("long").alias("cum"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("v"),
+        F.sum("f").over(wall).cast("long").alias("n"),
+    )
+    scored = ranked.select(
+        "r",
+        "cum",
+        "v",
+        "n",
+        F.abs(F.col("n") * F.col("r") - F.col("v") * F.col("cum")).alias("d"),
+    )
+    best = scored.agg(
+        F.any_value("v").cast("long").alias("v"),
+        F.any_value("n").cast("long").alias("n"),
+        F.max("d").alias("dmax"),
+    )
+    knee = (
+        scored.join(F.broadcast(best.select("dmax")), F.col("d") == F.col("dmax"))
+        .agg(F.min("r").cast("long").alias("knee_rank"))
+    )
+    at = scored.join(F.broadcast(knee), F.col("r") == F.col("knee_rank"))
+    return at.select(
+        F.col("v").alias("vocab_size"),
+        F.col("n").alias("total_tokens"),
+        "knee_rank",
+        F.col("cum").alias("coverage_at_knee"),
+        F.round(F.col("cum").cast("double") / F.col("n"), 6).alias(
+            "coverage_share"
+        ),
+        F.round(F.col("knee_rank").cast("double") / F.col("v"), 6).alias(
+            "rank_share"
+        ),
+    )

@@ -4442,3 +4442,66 @@ def test_matrix_profile_matches_numpy_replay(spark, sf_dir):
         assert r.i == i and r.mp_dist2 == d2 and r.motif_j == j
         assert r.is_global_motif == int(d2 == gmin)
     assert pdf["is_global_motif"].sum() >= 2
+
+
+def test_jarque_bera_matches_numpy_replay(spark, sf_dir):
+    """jarque_bera equals numpy central-moment skew/kurt/JB at dollar
+    quantization; JB is nonnegative."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import jarque_bera
+
+    pdf = jarque_bera(spark, sf_dir).toPandas()
+    e = load_table(spark, sf_dir, "events").toPandas()
+    dollars = np.floor(e["value"] + 0.5).astype("int64")
+    d = e.assign(c=dollars)
+    for t, g in d.groupby("event_type"):
+        x = g["c"].to_numpy().astype("float64")
+        n = len(x)
+        mu = x.mean()
+        mu2 = ((x - mu) ** 2).mean()
+        mu3 = ((x - mu) ** 3).mean()
+        mu4 = ((x - mu) ** 4).mean()
+        g1 = mu3 / mu2**1.5
+        g2 = mu4 / mu2**2 - 3
+        jb = n / 6 * (g1**2 + g2**2 / 4)
+        row = pdf[pdf["event_type"] == t].iloc[0]
+        assert row["n"] == n
+        assert abs(row["skewness"] - g1) < 1e-4
+        assert abs(row["excess_kurtosis"] - g2) < 1e-4
+        assert abs(row["jarque_bera"] - jb) < max(1e-2, jb * 1e-4)
+        assert row["jarque_bera"] >= 0
+
+
+def test_vocab_knee_matches_python_replay(spark, sf_dir):
+    """vocab_coverage_knee equals a python Kneedle replay (exact
+    cross-product distances); the knee covers a supermajority of
+    tokens with a minority of the vocabulary."""
+    from collections import Counter
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.distribution_fits import (
+        vocab_coverage_knee,
+    )
+
+    row = vocab_coverage_knee(spark, sf_dir).toPandas().iloc[0]
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    tf = Counter(
+        t for text in docs["text"] for t in text.split(" ") if t != ""
+    )
+    items = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    v, n = len(items), sum(tf.values())
+    cum = 0
+    best = None
+    for r, (_, f) in enumerate(items, start=1):
+        cum += f
+        d = abs(n * r - v * cum)
+        if best is None or d > best[0]:
+            best = (d, r, cum)
+    assert row["vocab_size"] == v and row["total_tokens"] == n
+    assert row["knee_rank"] == best[1]
+    assert row["coverage_at_knee"] == best[2]
+    # the coverage curve is concave (terms sorted by falling frequency),
+    # so the knee always sits on or above the chord
+    assert row["coverage_share"] >= row["rank_share"] - 1e-9
