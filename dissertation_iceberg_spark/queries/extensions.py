@@ -1987,3 +1987,107 @@ def embedding_mmd_quadratic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cells",
         F.round(F.col("d_sum") / 1e12, 6).alias("mmd2_quadratic"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup eval: MinHash-LSH candidates graded against exact Jaccard truth
+# --------------------------------------------------------------------------
+
+_DE_TRUTH_T = 0.5  # ground-truth Jaccard threshold (near-duplicates)
+
+_DEDUP_EVAL_ORACLE = f"""
+WITH {_MINHASH_SHINGLES_SQL},
+mh AS (
+  SELECT doc_id,
+         {", ".join(f"min({seeded_hash60_sql(i, 'shingle')}) AS mh_{i}" for i in range(_MH_HASHES))}
+  FROM sh GROUP BY 1),
+bands AS (
+  {" UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bk FROM mh".format(
+        b=b,
+        cols=", ".join(f"mh_{b * _MH_ROWS + r}" for r in range(_MH_ROWS)),
+    )
+    for b in range(_MH_BANDS)
+  )}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter)
+        >= {_DE_TRUTH_T}),
+m AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+    (SELECT CAST(count(*) AS BIGINT)
+     FROM cand c JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b)
+      AS tp)
+SELECT n_cand, n_truth, tp,
+  round(CASE WHEN n_cand > 0 THEN CAST(tp AS DOUBLE) / n_cand END, 6)
+    AS precision,
+  round(CASE WHEN n_truth > 0 THEN CAST(tp AS DOUBLE) / n_truth END, 6)
+    AS recall,
+  round(CASE WHEN n_cand + n_truth > 0
+        THEN 2.0 * tp / (n_cand + n_truth) END, 6) AS f1
+FROM m
+"""
+
+
+@register("dedup_eval", oracle=_DEDUP_EVAL_ORACLE)
+def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality harness: grade the MinHash-LSH candidate pairs
+    (the registered 100 TB dedup scale path) against EXACT 3-gram
+    Jaccard ≥ {t} ground truth — pair-level precision, recall and F1,
+    exactly as retrieval_eval grades the ANN scale path. The number
+    that decides whether the banding (8×4 ⇒ s* ≈ 0.6) is safe to run
+    INSTEAD of the exact inverted-index join at scale.
+
+    Scale shape: both arms reuse the measured machinery (portable
+    seeded min-hashes + banding; posting-list exact Jaccard); the
+    comparison itself is two pair-keyed counts and one equi-join on
+    O(pairs) frames.
+    """.format(t=_DE_TRUTH_T)
+    from dissertation_iceberg_spark.operators.dedup import (
+        jaccard_near_dup_pairs,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=_MH_HASHES)
+    cand = minhash_lsh_candidates(
+        sigs, bands=_MH_BANDS, rows_per_band=_MH_ROWS
+    ).select("id_a", "id_b")
+    truth = jaccard_near_dup_pairs(
+        docs, "text", "doc_id", n=3, threshold=_DE_TRUTH_T
+    ).select("id_a", "id_b")
+    n_cand = cand.count()
+    n_truth_df = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    tp_df = cand.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("tp")
+    )
+    base = (
+        cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+        .crossJoin(F.broadcast(n_truth_df))
+        .crossJoin(F.broadcast(tp_df))
+    )
+    nc, nt, tp = F.col("n_cand"), F.col("n_truth"), F.col("tp")
+    return base.select(
+        "n_cand",
+        "n_truth",
+        "tp",
+        F.round(F.when(nc > 0, tp.cast("double") / nc), 6).alias("precision"),
+        F.round(F.when(nt > 0, tp.cast("double") / nt), 6).alias("recall"),
+        F.round(
+            F.when(nc + nt > 0, 2.0 * tp / (nc + nt)), 6
+        ).alias("f1"),
+    )

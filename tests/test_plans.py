@@ -220,6 +220,7 @@ INTENTIONAL_BNLJ = {
     "community_modularity",  # broadcast 1-row edge-count frame
     "zero_inflation_check",  # broadcast O(days) dim for the grid densify
     "matrix_profile_lite",  # O(windows^2) band join on the O(days) frame
+    "dedup_eval",  # broadcast 1-row truth/tp count frames
 }
 
 

@@ -4505,3 +4505,21 @@ def test_vocab_knee_matches_python_replay(spark, sf_dir):
     # the coverage curve is concave (terms sorted by falling frequency),
     # so the knee always sits on or above the chord
     assert row["coverage_share"] >= row["rank_share"] - 1e-9
+
+
+def test_dedup_eval_consistency(spark, sf_dir):
+    """dedup_eval: true positives bounded by both arms and every
+    metric consistent with its defining counts."""
+    from dissertation_iceberg_spark.queries.extensions import dedup_eval
+
+    row = dedup_eval(spark, sf_dir).toPandas().iloc[0]
+    assert 0 <= row["tp"] <= min(row["n_cand"], row["n_truth"])
+    if row["n_cand"] > 0:
+        assert abs(row["precision"] - row["tp"] / row["n_cand"]) < 1e-6
+    if row["n_truth"] > 0:
+        assert abs(row["recall"] - row["tp"] / row["n_truth"]) < 1e-6
+    if row["n_cand"] + row["n_truth"] > 0:
+        assert (
+            abs(row["f1"] - 2 * row["tp"] / (row["n_cand"] + row["n_truth"]))
+            < 1e-6
+        )
