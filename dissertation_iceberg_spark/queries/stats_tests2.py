@@ -4284,3 +4284,277 @@ def jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jarque_bera"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Sample representativeness: PSI of the hash sample vs the full table
+# --------------------------------------------------------------------------
+
+_SR_PCT = 10  # deterministic md5 sample: hash % 100 < 10
+
+_SR_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 100 AS h,
+         least(CAST(round(value * 100) AS BIGINT) // 2500, 9) AS bin
+  FROM events),
+cells AS (
+  SELECT bin,
+    CAST(count(*) AS BIGINT) AS n_full,
+    CAST(sum(CASE WHEN h < {_SR_PCT} THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_samp
+  FROM base GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n_full) AS BIGINT) AS nf,
+         CAST(sum(n_samp) AS BIGINT) AS ns
+  FROM cells),
+terms AS (
+  SELECT c.bin, c.n_full, c.n_samp,
+    CAST(round((CAST(c.n_samp AS DOUBLE) / t.ns
+                - CAST(c.n_full AS DOUBLE) / t.nf)
+               * ln((CAST(c.n_samp AS DOUBLE) / t.ns)
+                    / (CAST(c.n_full AS DOUBLE) / t.nf)) * 1e9) AS BIGINT)
+      AS psi_nano
+  FROM cells c CROSS JOIN tot t
+  WHERE c.n_samp > 0 AND c.n_full > 0)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+  CAST(sum(n_full) AS BIGINT) AS n_full,
+  CAST(sum(n_samp) AS BIGINT) AS n_sample,
+  round(CAST(sum(psi_nano) AS BIGINT) / 1e9, 6) AS psi,
+  CAST(CAST(sum(psi_nano) AS BIGINT) / 1e9 < 0.1 AS BIGINT)
+    AS representative
+FROM terms
+"""
+
+
+@register("sample_representativeness", oracle=_SR_ORACLE)
+def sample_representativeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-representativeness audit: the PSI between the value
+    distribution of a deterministic {p}% md5 sample and the full
+    table, over fixed $25 bins — the check every
+    deterministic_sample / hash_reservoir consumer should run before
+    trusting downstream statistics (PSI < 0.1 = safe by the standard
+    rule of thumb).
+
+    Determinism and scale: the sample membership is the portable md5
+    hash; bins are fixed integer buckets; each bin's PSI term
+    nano-rounds ONCE (libm pattern) and sums exactly. One conditional
+    histogram pass, O(bins) afterwards.
+    """.format(p=_SR_PCT)
+    from dissertation_iceberg_spark.functions.hashing import hash60
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.least(
+            F.expr("CAST(round(value * 100) AS BIGINT) div 2500"), F.lit(9)
+        ).alias("bin"),
+        (hash60(F.col("event_id").cast("string")) % 100).alias("h"),
+    )
+    cells = base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_full"),
+        F.sum((F.col("h") < _SR_PCT).cast("long")).cast("long").alias(
+            "n_samp"
+        ),
+    )
+    tot = cells.agg(
+        F.sum("n_full").cast("long").alias("nf"),
+        F.sum("n_samp").cast("long").alias("ns"),
+    )
+    ps = F.col("n_samp").cast("double") / F.col("ns")
+    pf = F.col("n_full").cast("double") / F.col("nf")
+    terms = (
+        cells.crossJoin(F.broadcast(tot))
+        .filter((F.col("n_samp") > 0) & (F.col("n_full") > 0))
+        .select(
+            "n_full",
+            "n_samp",
+            F.round((ps - pf) * F.log(ps / pf) * 1e9)
+            .cast("long")
+            .alias("psi_nano"),
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("n_full").cast("long").alias("n_full"),
+        F.sum("n_samp").cast("long").alias("n_sample"),
+        F.round(F.sum("psi_nano").cast("long") / 1e9, 6).alias("psi"),
+        (F.sum("psi_nano").cast("long") / 1e9 < 0.1)
+        .cast("long")
+        .alias("representative"),
+    )
+
+
+# --------------------------------------------------------------------------
+# IPF raking of the (event_type, weekday) table to uniform margins
+# --------------------------------------------------------------------------
+
+_IPF_ITERS = 2
+
+
+def _ipf_iter_sql(k: int) -> str:
+    prev = f"w{k - 1}"
+    return f"""
+rs{k} AS (
+  SELECT event_type, CAST(sum(wq) AS BIGINT) AS row_sum
+  FROM {prev} GROUP BY 1),
+wr{k} AS (
+  SELECT p.event_type, p.dow, p.n,
+    CAST(round(p.wq * ((CAST(t.n_tot AS DOUBLE) * 1000000 / t.k_rows)
+                       / r.row_sum)) AS BIGINT) AS wq
+  FROM {prev} p
+  JOIN rs{k} r ON p.event_type = r.event_type
+  CROSS JOIN tot t),
+cs{k} AS (
+  SELECT dow, CAST(sum(wq) AS BIGINT) AS col_sum
+  FROM wr{k} GROUP BY 1),
+w{k} AS (
+  SELECT p.event_type, p.dow, p.n,
+    CAST(round(p.wq * ((CAST(t.n_tot AS DOUBLE) * 1000000 / t.k_cols)
+                       / c.col_sum)) AS BIGINT) AS wq
+  FROM wr{k} p
+  JOIN cs{k} c ON p.dow = c.dow
+  CROSS JOIN tot t)"""
+
+
+_IPF_ORACLE = (
+    """
+WITH cells AS (
+  SELECT event_type,
+         (CAST(datediff('day', DATE '1970-01-01', date_trunc('day', ts))
+               AS BIGINT) + 3) % 7 AS dow,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS k_rows,
+         CAST(count(DISTINCT dow) AS BIGINT) AS k_cols
+  FROM cells),
+w0 AS (SELECT event_type, dow, n, n * 1000000 AS wq FROM cells),"""
+    + ",".join(_ipf_iter_sql(k) for k in range(1, _IPF_ITERS + 1))
+    + f"""
+, final_rs AS (
+  SELECT event_type, CAST(sum(wq) AS BIGINT) AS row_sum
+  FROM w{_IPF_ITERS} GROUP BY 1),
+err AS (
+  SELECT max(abs(CAST(r.row_sum AS DOUBLE)
+                 / (CAST(t.n_tot AS DOUBLE) * 1000000 / t.k_rows) - 1.0))
+           AS max_row_err
+  FROM final_rs r CROSS JOIN tot t)
+SELECT w.event_type, CAST(w.dow AS BIGINT) AS dow, w.n,
+  round(w.wq / 1e6 / w.n, 6) AS rake_factor,
+  round(CAST((SELECT max_row_err FROM err) AS DOUBLE), 6) AS max_row_err
+FROM w{_IPF_ITERS} w
+"""
+)
+
+
+@register("ipf_raking", oracle=_IPF_ORACLE)
+def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPF raking (iterative proportional fitting): adjust the
+    (event_type × weekday) count table to UNIFORM row and column
+    margins in {it} unrolled iterations, emitting each cell's rake
+    factor (the survey/bias-correction weight) and the residual row-
+    margin error — the weighting primitive behind post-stratification
+    (quantile_normalize_sources reshapes values; this reshapes
+    WEIGHTS).
+
+    Run parity: weights live as 1e-6-grain integers, every scaling
+    multiplies by an identically-derived double factor and re-rounds
+    ONCE, so the oracle replays both iterations exactly. Scale shape:
+    one fact-scale cell aggregate; iterations run on the O(k×7) frame
+    with 1-row totals broadcast.
+    """.format(it=_IPF_ITERS)
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        (
+            (
+                F.datediff(
+                    F.date_trunc("day", F.col("ts")), F.lit("1970-01-01")
+                ).cast("long")
+                + 3
+            )
+            % 7
+        ).alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.countDistinct("event_type").cast("long").alias("k_rows"),
+        F.countDistinct("dow").cast("long").alias("k_cols"),
+    )
+    w = cells.select(
+        "event_type", "dow", "n", (F.col("n") * 1_000_000).alias("wq")
+    )
+    for _ in range(_IPF_ITERS):
+        rs = w.groupBy("event_type").agg(
+            F.sum("wq").cast("long").alias("row_sum")
+        )
+        w = (
+            w.join(rs, "event_type")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "event_type",
+                "dow",
+                "n",
+                F.round(
+                    F.col("wq")
+                    * (
+                        (
+                            F.col("n_tot").cast("double")
+                            * 1_000_000
+                            / F.col("k_rows")
+                        )
+                        / F.col("row_sum")
+                    )
+                )
+                .cast("long")
+                .alias("wq"),
+            )
+        )
+        cs = w.groupBy("dow").agg(F.sum("wq").cast("long").alias("col_sum"))
+        w = (
+            w.join(cs, "dow")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "event_type",
+                "dow",
+                "n",
+                F.round(
+                    F.col("wq")
+                    * (
+                        (
+                            F.col("n_tot").cast("double")
+                            * 1_000_000
+                            / F.col("k_cols")
+                        )
+                        / F.col("col_sum")
+                    )
+                )
+                .cast("long")
+                .alias("wq"),
+            )
+        )
+    final_rs = w.groupBy("event_type").agg(
+        F.sum("wq").cast("long").alias("row_sum")
+    )
+    err = final_rs.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(
+                F.col("row_sum").cast("double")
+                / (
+                    F.col("n_tot").cast("double")
+                    * 1_000_000
+                    / F.col("k_rows")
+                )
+                - 1.0
+            )
+        ).alias("max_row_err")
+    )
+    return w.crossJoin(F.broadcast(err)).select(
+        "event_type",
+        F.col("dow").cast("long").alias("dow"),
+        "n",
+        F.round(F.col("wq") / 1e6 / F.col("n"), 6).alias("rake_factor"),
+        F.round(F.col("max_row_err"), 6).alias("max_row_err"),
+    )

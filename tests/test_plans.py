@@ -221,6 +221,8 @@ INTENTIONAL_BNLJ = {
     "zero_inflation_check",  # broadcast O(days) dim for the grid densify
     "matrix_profile_lite",  # O(windows^2) band join on the O(days) frame
     "dedup_eval",  # broadcast 1-row truth/tp count frames
+    "sample_representativeness",  # broadcast 1-row totals frame
+    "ipf_raking",  # broadcast 1-row margin-target frame per scaling
 }
 
 

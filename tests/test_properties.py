@@ -4523,3 +4523,61 @@ def test_dedup_eval_consistency(spark, sf_dir):
             abs(row["f1"] - 2 * row["tp"] / (row["n_cand"] + row["n_truth"]))
             < 1e-6
         )
+
+
+def test_sample_representativeness_replay(spark, sf_dir):
+    """sample_representativeness equals a python replay of the
+    hash-sample PSI; the deterministic 10% sample is representative
+    on the fixtures."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        _SR_PCT,
+        sample_representativeness,
+    )
+
+    row = sample_representativeness(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    bins = np.minimum(cents // 2500, 9)
+    h = np.array(
+        [
+            int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % 100
+            for k in e["event_id"]
+        ]
+    )
+    samp = h < _SR_PCT
+    psi_nano = 0
+    n_bins = 0
+    nf, ns = len(e), int(samp.sum())
+    for b in np.unique(bins):
+        m = bins == b
+        cf, cs = int(m.sum()), int((m & samp).sum())
+        if cf > 0 and cs > 0:
+            n_bins += 1
+            pf, psh = cf / nf, cs / ns
+            psi_nano += round((psh - pf) * math.log(psh / pf) * 1e9)
+    assert row["n_bins"] == n_bins
+    assert row["n_sample"] == ns
+    assert abs(row["psi"] - psi_nano / 1e9) < 1e-6
+    assert row["representative"] == 1  # 10% md5 sample is unbiased
+
+
+def test_ipf_raking_margins_converge(spark, sf_dir):
+    """ipf_raking: rake factors are positive, the raked column margin
+    is exactly uniform (last scaling), and the residual row error is
+    small after two iterations."""
+    from dissertation_iceberg_spark.queries.stats_tests2 import ipf_raking
+
+    pdf = ipf_raking(spark, sf_dir).toPandas()
+    assert (pdf["rake_factor"] > 0).all()
+    # raked cell mass: n * rake_factor; columns were scaled last
+    pdf["mass"] = pdf["n"] * pdf["rake_factor"]
+    col = pdf.groupby("dow")["mass"].sum()
+    target = pdf["mass"].sum() / pdf["dow"].nunique()
+    assert ((col - target).abs() / target < 1e-4).all()
+    assert (pdf["max_row_err"] < 0.05).all()
