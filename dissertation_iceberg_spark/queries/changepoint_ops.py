@@ -1227,3 +1227,121 @@ def matrix_profile_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "motif_j",
         (F.col("mp_d2") == F.col("g")).cast("long").alias("is_global_motif"),
     )
+
+
+# --------------------------------------------------------------------------
+# Record highs: running-max records vs the i.i.d. harmonic expectation
+# --------------------------------------------------------------------------
+
+_REC_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+runs AS (
+  SELECT event_type, day, cents,
+         CAST(row_number() OVER w AS BIGINT) AS t,
+         max(cents) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+rec AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(CASE WHEN prev_max IS NULL OR cents > prev_max
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_records
+  FROM runs GROUP BY 1),
+harm AS (
+  SELECT r.event_type, r.n_days, r.n_records,
+    CAST(sum(CAST(round(1e9 / g.i) AS BIGINT)) AS BIGINT) AS h_nano,
+    CAST(sum(CAST(round(1e9 / g.i) AS BIGINT)
+             - CAST(round(1e9 / (CAST(g.i AS DOUBLE) * g.i)) AS BIGINT))
+         AS BIGINT) AS v_nano
+  FROM rec r JOIN generate_series(1, 10000) AS g(i)
+    ON g.i <= r.n_days
+  GROUP BY 1, 2, 3)
+SELECT event_type, n_days, n_records,
+  round(h_nano / 1e9, 6) AS expected_records,
+  round((n_records - h_nano / 1e9) / sqrt(v_nano / 1e9), 6) AS z_stat
+FROM harm
+"""
+
+
+@register("record_highs", oracle=_REC_ORACLE)
+def record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-counting trend test: how many days set a new all-time
+    high of daily total value per event type, against the i.i.d.
+    expectation H_n = Σ 1/t (record theory: under exchangeability day
+    t is a record with probability exactly 1/t, variance Σ(1/t −
+    1/t²)) — a distribution-free trend screen with a completely
+    parameter-free null, complementing mann_kendall_trend (pairwise
+    signs) and runs_test (direction runs).
+
+    Determinism and scale: records come from an exclusive running-max
+    window on the O(days) frame (exact integer compares); the
+    harmonic mean/variance terms are 1/t values nano-rounded ONCE per
+    t and summed exactly via a generate_series join bounded by
+    max(n_days).
+    """
+    e = spread(load_table(spark, sf_dir, "events"))
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    pw = Window.partitionBy("event_type").orderBy("day")
+    runs = daily.select(
+        "event_type",
+        "cents",
+        F.max("cents")
+        .over(pw.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_max"),
+    )
+    rec = runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(
+            (
+                F.col("prev_max").isNull()
+                | (F.col("cents") > F.col("prev_max"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_records"),
+    )
+    max_n = rec.agg(F.max("n_days").alias("mx"))
+    grid = (
+        spark.range(1, 10_000)
+        .select(F.col("id").cast("long").alias("i"))
+        .crossJoin(F.broadcast(max_n))
+        .filter(F.col("i") <= F.col("mx"))
+        .select("i")
+    )
+    harm = (
+        rec.join(F.broadcast(grid), F.col("i") <= F.col("n_days"))
+        .groupBy("event_type", "n_days", "n_records")
+        .agg(
+            F.sum(F.round(1e9 / F.col("i")).cast("long"))
+            .cast("long")
+            .alias("h_nano"),
+            F.sum(
+                F.round(1e9 / F.col("i")).cast("long")
+                - F.round(
+                    1e9 / (F.col("i").cast("double") * F.col("i"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("v_nano"),
+        )
+    )
+    return harm.select(
+        "event_type",
+        "n_days",
+        "n_records",
+        F.round(F.col("h_nano") / 1e9, 6).alias("expected_records"),
+        F.round(
+            (F.col("n_records") - F.col("h_nano") / 1e9)
+            / F.sqrt(F.col("v_nano") / 1e9),
+            6,
+        ).alias("z_stat"),
+    )

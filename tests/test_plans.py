@@ -223,6 +223,7 @@ INTENTIONAL_BNLJ = {
     "dedup_eval",  # broadcast 1-row truth/tp count frames
     "sample_representativeness",  # broadcast 1-row totals frame
     "ipf_raking",  # broadcast 1-row margin-target frame per scaling
+    "record_highs",  # broadcast O(days) harmonic grid
 }
 
 

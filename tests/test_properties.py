@@ -4581,3 +4581,39 @@ def test_ipf_raking_margins_converge(spark, sf_dir):
     target = pdf["mass"].sum() / pdf["dow"].nunique()
     assert ((col - target).abs() / target < 1e-4).all()
     assert (pdf["max_row_err"] < 0.05).all()
+
+
+def test_record_highs_matches_python_replay(spark, sf_dir):
+    """record_highs equals a python replay of running-max record
+    counting and the harmonic expectation/variance."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.changepoint_ops import (
+        record_highs,
+    )
+
+    pdf = record_highs(spark, sf_dir).toPandas()
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    d = e.assign(cents=cents, day=e["ts"].dt.floor("D"))
+    daily = (
+        d.groupby(["event_type", "day"])["cents"].sum().reset_index()
+    )
+    for t, g in daily.sort_values("day").groupby("event_type"):
+        v = g["cents"].to_numpy()
+        n = len(v)
+        records = 1 + int(
+            (v[1:] > np.maximum.accumulate(v)[:-1]).sum()
+        )
+        h_nano = sum(round(1e9 / i) for i in range(1, n + 1))
+        v_nano = sum(
+            round(1e9 / i) - round(1e9 / (i * i)) for i in range(1, n + 1)
+        )
+        row = pdf[pdf["event_type"] == t].iloc[0]
+        assert row["n_days"] == n
+        assert row["n_records"] == records
+        assert abs(row["expected_records"] - h_nano / 1e9) < 1e-6
+        z = (records - h_nano / 1e9) / np.sqrt(v_nano / 1e9)
+        assert abs(row["z_stat"] - z) < 1e-5
+        assert 1 <= row["n_records"] <= n  # day 1 is always a record
