@@ -4558,3 +4558,153 @@ def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("wq") / 1e6 / F.col("n"), 6).alias("rake_factor"),
         F.round(F.col("max_row_err"), 6).alias("max_row_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# Depth-2 decision tree: exact greedy Gini splits with run parity
+# --------------------------------------------------------------------------
+
+
+def _dt_split_sql(src: str, tag: str) -> str:
+    """Best Gini split of relation {src}(cents, pos) -> best{tag}."""
+    return f"""
+dv{tag} AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM {src} GROUP BY 1),
+tot{tag} AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_all, CAST(sum(n_pos) AS BIGINT) AS p_all
+  FROM dv{tag}),
+cum{tag} AS (
+  SELECT cents,
+         CAST(sum(n) OVER w AS BIGINT) AS cn,
+         CAST(sum(n_pos) OVER w AS BIGINT) AS cp
+  FROM dv{tag}
+  WINDOW w AS (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+best{tag} AS (
+  SELECT cents AS thr, cn AS n_l, cp AS p_l,
+         n_all - cn AS n_r, p_all - cp AS p_r,
+         (2.0 * cp * (cn - cp) / cn
+          + 2.0 * (p_all - cp) * ((n_all - cn) - (p_all - cp))
+            / (n_all - cn)) / n_all AS gini
+  FROM cum{tag} CROSS JOIN tot{tag}
+  WHERE n_all - cn > 0
+  ORDER BY gini ASC, thr ASC LIMIT 1)"""
+
+
+_DT2_ORACLE = (
+    """
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders),"""
+    + _dt_split_sql("base", "_root")
+    + ","
+    + """
+lft AS (SELECT b.cents, b.pos FROM base b CROSS JOIN best_root r
+        WHERE b.cents <= r.thr),
+rgt AS (SELECT b.cents, b.pos FROM base b CROSS JOIN best_root r
+        WHERE b.cents > r.thr),"""
+    + _dt_split_sql("lft", "_l")
+    + ","
+    + _dt_split_sql("rgt", "_r")
+    + """
+SELECT 'root' AS node, CAST(thr AS BIGINT) AS threshold_cents,
+       n_l AS left_n, p_l AS left_pos, n_r AS right_n, p_r AS right_pos,
+       round(gini, 6) AS split_gini
+FROM best_root
+UNION ALL
+SELECT 'left', CAST(thr AS BIGINT), n_l, p_l, n_r, p_r, round(gini, 6)
+FROM best_l
+UNION ALL
+SELECT 'right', CAST(thr AS BIGINT), n_l, p_l, n_r, p_r, round(gini, 6)
+FROM best_r
+"""
+)
+
+
+@register("decision_tree_depth2", oracle=_DT2_ORACLE)
+def decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact greedy depth-2 decision tree on order value vs the
+    fulfilled label: the Gini-optimal root split, then the optimal
+    split INSIDE each child (the same exact histogram-cumsum search
+    conditioned on the parent) — one row per internal node with its
+    threshold, child counts and weighted Gini. Extends decision_stump
+    (depth 1) and gbm_stumps (additive stumps) with real tree
+    RECURSION under run parity.
+
+    Scale shape: three distinct-value histogram searches (no
+    row-scale sort), each one map-side-combinable pass over the
+    relevant partition of the facts with the 1-row parent split
+    broadcast into the child filters. Gains are identically-shaped
+    IEEE doubles over exact BIGINT cumsums with (gini, threshold)
+    tie-breaks.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("pos"),
+    )
+
+    def best_split(df):
+        dv = df.groupBy("cents").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+        tot = dv.agg(
+            F.sum("n").cast("long").alias("n_all"),
+            F.sum("n_pos").cast("long").alias("p_all"),
+        )
+        cw = Window.orderBy("cents").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = dv.select(
+            "cents",
+            F.sum("n").over(cw).cast("long").alias("cn"),
+            F.sum("n_pos").over(cw).cast("long").alias("cp"),
+        )
+        cn, cp = F.col("cn"), F.col("cp")
+        na, pa = F.col("n_all"), F.col("p_all")
+        gini = (
+            2.0 * cp * (cn - cp) / cn
+            + 2.0 * (pa - cp) * ((na - cn) - (pa - cp)) / (na - cn)
+        ) / na
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .filter(na - cn > 0)
+            .select(
+                F.col("cents").alias("thr"),
+                cn.alias("n_l"),
+                cp.alias("p_l"),
+                (na - cn).alias("n_r"),
+                (pa - cp).alias("p_r"),
+                gini.alias("gini"),
+            )
+            .orderBy(F.asc("gini"), F.asc("thr"))
+            .limit(1)
+        )
+
+    root = best_split(base)
+    lft = base.crossJoin(F.broadcast(root.select("thr"))).filter(
+        F.col("cents") <= F.col("thr")
+    ).select("cents", "pos")
+    rgt = base.crossJoin(F.broadcast(root.select("thr"))).filter(
+        F.col("cents") > F.col("thr")
+    ).select("cents", "pos")
+
+    def row_of(name, split_df):
+        return split_df.select(
+            F.lit(name).alias("node"),
+            F.col("thr").cast("long").alias("threshold_cents"),
+            F.col("n_l").alias("left_n"),
+            F.col("p_l").alias("left_pos"),
+            F.col("n_r").alias("right_n"),
+            F.col("p_r").alias("right_pos"),
+            F.round(F.col("gini"), 6).alias("split_gini"),
+        )
+
+    out = row_of("root", root)
+    out = out.unionByName(row_of("left", best_split(lft)))
+    out = out.unionByName(row_of("right", best_split(rgt)))
+    return out

@@ -224,6 +224,7 @@ INTENTIONAL_BNLJ = {
     "sample_representativeness",  # broadcast 1-row totals frame
     "ipf_raking",  # broadcast 1-row margin-target frame per scaling
     "record_highs",  # broadcast O(days) harmonic grid
+    "decision_tree_depth2",  # broadcast 1-row parent-split frames
 }
 
 

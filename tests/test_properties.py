@@ -4617,3 +4617,50 @@ def test_record_highs_matches_python_replay(spark, sf_dir):
         z = (records - h_nano / 1e9) / np.sqrt(v_nano / 1e9)
         assert abs(row["z_stat"] - z) < 1e-5
         assert 1 <= row["n_records"] <= n  # day 1 is always a record
+
+
+def test_decision_tree_depth2_matches_pandas_replay(spark, sf_dir):
+    """decision_tree_depth2 equals a pandas replay of the recursive
+    exact Gini search; children partition the parent and child splits
+    never exceed the parent's impurity on their side."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        decision_tree_depth2,
+    )
+
+    pdf = decision_tree_depth2(spark, sf_dir).toPandas().set_index("node")
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    cents = np.floor(o["o_totalprice"] * 100 + 0.5).astype("int64").to_numpy()
+    pos = (o["o_orderstatus"] == "F").astype(int).to_numpy()
+
+    def best(c, y):
+        order = np.argsort(c, kind="stable")
+        cs, ys = c[order], y[order]
+        uniq, idx = np.unique(cs, return_index=True)
+        cn = np.append(idx[1:], len(cs))
+        cp = np.cumsum(ys)[cn - 1]
+        n_all, p_all = len(cs), int(ys.sum())
+        valid = cn < n_all
+        g = (
+            2.0 * cp * (cn - cp) / cn
+            + 2.0 * (p_all - cp) * ((n_all - cn) - (p_all - cp))
+            / np.where(valid, n_all - cn, 1)
+        ) / n_all
+        g = np.where(valid, g, np.inf)
+        j = int(np.lexsort((uniq, g))[0])
+        return int(uniq[j]), int(cn[j]), int(cp[j]), n_all, p_all, float(g[j])
+
+    thr, nl, pl, n_all, p_all, g = best(cents, pos)
+    r = pdf.loc["root"]
+    assert r["threshold_cents"] == thr
+    assert (r["left_n"], r["left_pos"]) == (nl, pl)
+    assert (r["right_n"], r["right_pos"]) == (n_all - nl, p_all - pl)
+    for name, mask in (("left", cents <= thr), ("right", cents > thr)):
+        t2, nl2, pl2, na2, pa2, g2 = best(cents[mask], pos[mask])
+        row = pdf.loc[name]
+        assert row["threshold_cents"] == t2
+        assert (row["left_n"], row["left_pos"]) == (nl2, pl2)
+        assert row["left_n"] + row["right_n"] == na2
+        assert abs(row["split_gini"] - g2) < 1e-5
