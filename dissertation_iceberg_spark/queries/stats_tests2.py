@@ -4708,3 +4708,92 @@ def decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionByName(row_of("left", best_split(lft)))
     out = out.unionByName(row_of("right", best_split(rgt)))
     return out
+
+
+# --------------------------------------------------------------------------
+# Quantile treatment effects: per-decile arm quantile differences
+# --------------------------------------------------------------------------
+
+_QTE_ORACLE = """
+WITH v AS (
+  SELECT user_id % 2 AS arm, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+h AS (
+  SELECT arm, cents, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+cum AS (
+  SELECT arm, cents,
+    CAST(sum(cnt) OVER (PARTITION BY arm ORDER BY cents
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+    CAST(sum(cnt) OVER (PARTITION BY arm) AS BIGINT) AS n
+  FROM h),
+qs AS (SELECT CAST(q AS BIGINT) AS q FROM generate_series(1, 9) AS g(q)),
+pick AS (
+  SELECT qs.q, cum.arm, CAST(min(cum.cents) AS BIGINT) AS quant
+  FROM qs JOIN cum ON cum.c >= (qs.q * cum.n + 9) // 10
+  GROUP BY 1, 2),
+wide AS (
+  SELECT q,
+    max(CASE WHEN arm = 1 THEN quant END) AS qt,
+    max(CASE WHEN arm = 0 THEN quant END) AS qc
+  FROM pick GROUP BY 1)
+SELECT q AS decile,
+  round(qt / 100.0, 6) AS q_treat,
+  round(qc / 100.0, 6) AS q_ctrl,
+  round((qt - qc) / 100.0, 6) AS qte_dollars
+FROM wide
+"""
+
+
+@register("quantile_treatment_effects", oracle=_QTE_ORACLE)
+def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the difference between the parity
+    arms' purchase-value quantiles at each decile p10…p90 — the
+    DISTRIBUTIONAL effect readout (did the treatment move the tails,
+    the middle, or everything?) that mean-based ATT estimators
+    (psm_att, ratio_metric_delta) collapse to one number.
+
+    Determinism and scale: each arm's deciles are exact ceil-rank
+    order statistics ((q·n + 9) div 10) read off the per-arm
+    distinct-value histogram cumsums — the levene/kruskal machinery —
+    so every QTE is a difference of exact integers. One conditional
+    histogram pass; O(deciles × 2) afterwards.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    h = v.groupBy("arm", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cw = (
+        Window.partitionBy("arm")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    aw = Window.partitionBy("arm")
+    cum = h.select(
+        "arm",
+        "cents",
+        F.sum("cnt").over(cw).cast("long").alias("c"),
+        F.sum("cnt").over(aw).cast("long").alias("n"),
+    )
+    qs = spark.range(1, 10).select(F.col("id").cast("long").alias("q"))
+    pick = (
+        cum.join(
+            F.broadcast(qs),
+            F.col("c") >= F.expr("(q * n + 9) div 10"),
+        )
+        .groupBy("q", "arm")
+        .agg(F.min("cents").cast("long").alias("quant"))
+    )
+    wide = pick.groupBy("q").agg(
+        F.max(F.when(F.col("arm") == 1, F.col("quant"))).alias("qt"),
+        F.max(F.when(F.col("arm") == 0, F.col("quant"))).alias("qc"),
+    )
+    return wide.select(
+        F.col("q").alias("decile"),
+        F.round(F.col("qt") / 100.0, 6).alias("q_treat"),
+        F.round(F.col("qc") / 100.0, 6).alias("q_ctrl"),
+        F.round((F.col("qt") - F.col("qc")) / 100.0, 6).alias("qte_dollars"),
+    )

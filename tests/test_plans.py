@@ -225,6 +225,7 @@ INTENTIONAL_BNLJ = {
     "ipf_raking",  # broadcast 1-row margin-target frame per scaling
     "record_highs",  # broadcast O(days) harmonic grid
     "decision_tree_depth2",  # broadcast 1-row parent-split frames
+    "quantile_treatment_effects",  # broadcast 9-row decile grid
 }
 
 

@@ -4664,3 +4664,38 @@ def test_decision_tree_depth2_matches_pandas_replay(spark, sf_dir):
         assert (row["left_n"], row["left_pos"]) == (nl2, pl2)
         assert row["left_n"] + row["right_n"] == na2
         assert abs(row["split_gini"] - g2) < 1e-5
+
+
+def test_qte_matches_numpy_replay(spark, sf_dir):
+    """quantile_treatment_effects equals numpy ceil-rank order
+    statistics per arm; QTE = exact quantile difference."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        quantile_treatment_effects,
+    )
+
+    pdf = (
+        quantile_treatment_effects(spark, sf_dir)
+        .toPandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    e = load_table(spark, sf_dir, "events").toPandas()
+    p = e[e["event_type"] == "purchase"]
+    cents = np.floor(p["value"] * 100 + 0.5).astype("int64")
+    arm = (p["user_id"] % 2).astype(int)
+    a = np.sort(cents[arm == 1].to_numpy())
+    b = np.sort(cents[arm == 0].to_numpy())
+    assert len(pdf) == 9
+    for q in range(1, 10):
+        qt = int(a[(q * len(a) + 9) // 10 - 1])
+        qc = int(b[(q * len(b) + 9) // 10 - 1])
+        row = pdf.iloc[q - 1]
+        assert row["q_treat"] == qt / 100
+        assert row["q_ctrl"] == qc / 100
+        assert abs(row["qte_dollars"] - (qt - qc) / 100) < 1e-9
+    # deciles are monotone within each arm
+    assert pdf["q_treat"].is_monotonic_increasing
+    assert pdf["q_ctrl"].is_monotonic_increasing
