@@ -4797,3 +4797,130 @@ def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("qc") / 100.0, 6).alias("q_ctrl"),
         F.round((F.col("qt") - F.col("qc")) / 100.0, 6).alias("qte_dollars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cost-optimal decision threshold over the propensity score
+# --------------------------------------------------------------------------
+
+_CT_FN_COST = 5  # missing a converter costs 5x a wasted contact
+_CT_FP_COST = 1
+
+_CT_ORACLE = f"""
+WITH hist AS (
+  SELECT user_id, count(*) AS n_ev,
+         count(*) FILTER (event_type = 'purchase') AS n_p
+  FROM events WHERE ts < TIMESTAMP '{_GAINS_SPLIT}'
+  GROUP BY 1),
+fut AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '{_GAINS_SPLIT}' AND event_type = 'purchase'),
+scored AS (
+  SELECT (h.n_p * 1000000) // h.n_ev AS s,
+         CASE WHEN f.user_id IS NULL THEN 0 ELSE 1 END AS y
+  FROM hist h LEFT JOIN fut f ON h.user_id = f.user_id),
+sh AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM scored GROUP BY 1),
+cum AS (
+  SELECT s,
+    -- strictly-below counts: predicting positive iff score >= s
+    CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS n_below,
+    CAST(coalesce(sum(pos) OVER w, 0) AS BIGINT) AS pos_below,
+    CAST(sum(n) OVER () AS BIGINT) AS n_tot,
+    CAST(sum(pos) OVER () AS BIGINT) AS pos_tot
+  FROM sh
+  WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING)),
+costs AS (
+  SELECT s AS threshold_micro,
+    pos_below AS fn, (n_below - pos_below) AS tn,
+    (pos_tot - pos_below) AS tp,
+    (n_tot - n_below) - (pos_tot - pos_below) AS fp,
+    {_CT_FN_COST} * pos_below
+      + {_CT_FP_COST} * ((n_tot - n_below) - (pos_tot - pos_below)) AS cost
+  FROM cum),
+best AS (
+  SELECT * FROM costs ORDER BY cost ASC, threshold_micro ASC LIMIT 1)
+SELECT CAST(threshold_micro AS BIGINT) AS threshold_micro,
+  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+  CAST(cost AS BIGINT) AS expected_cost
+FROM best
+"""
+
+
+@register("cost_optimal_threshold", oracle=_CT_ORACLE)
+def cost_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive decision threshold: sweep every distinct
+    propensity-score value as the 'contact if score ≥ t' cutoff and
+    pick the one minimizing {fn}·FN + {fp}·FP against second-half
+    conversion — the step that turns roc_auc's ranking and
+    platt_scaling's probabilities into an OPERATING POINT under an
+    asymmetric cost matrix.
+
+    Determinism and scale: the full cost curve is exact integer
+    arithmetic on the distinct-score histogram cumsums (the ROC
+    machinery); the argmin ties break toward the smaller threshold.
+    One per-user reduce; the sweep is O(distinct scores).
+    """.format(fn=_CT_FN_COST, fp=_CT_FP_COST)
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(_GAINS_SPLIT).cast("timestamp_ntz")
+    hist = (
+        e.filter(F.col("ts") < split)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_p"
+            ),
+        )
+    )
+    fut = (
+        e.filter((F.col("ts") >= split) & (F.col("event_type") == "purchase"))
+        .select("user_id")
+        .distinct()
+        .withColumn("y", F.lit(1))
+    )
+    scored = hist.join(fut, "user_id", "left").select(
+        F.expr("(n_p * 1000000) div n_ev").alias("s"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    sh = scored.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    bw = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    cum = sh.select(
+        "s",
+        F.coalesce(F.sum("n").over(bw), F.lit(0)).cast("long").alias(
+            "n_below"
+        ),
+        F.coalesce(F.sum("pos").over(bw), F.lit(0)).cast("long").alias(
+            "pos_below"
+        ),
+        F.sum("n").over(wall).cast("long").alias("n_tot"),
+        F.sum("pos").over(wall).cast("long").alias("pos_tot"),
+    )
+    fn = F.col("pos_below")
+    tn = F.col("n_below") - F.col("pos_below")
+    tp = F.col("pos_tot") - F.col("pos_below")
+    fp = (F.col("n_tot") - F.col("n_below")) - tp
+    costs = cum.select(
+        F.col("s").alias("threshold_micro"),
+        fn.alias("fn"),
+        tn.alias("tn"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        (_CT_FN_COST * fn + _CT_FP_COST * fp).alias("cost"),
+    )
+    best = costs.orderBy(F.asc("cost"), F.asc("threshold_micro")).limit(1)
+    return best.select(
+        F.col("threshold_micro").cast("long").alias("threshold_micro"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.col("cost").cast("long").alias("expected_cost"),
+    )

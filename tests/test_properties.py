@@ -4699,3 +4699,49 @@ def test_qte_matches_numpy_replay(spark, sf_dir):
     # deciles are monotone within each arm
     assert pdf["q_treat"].is_monotonic_increasing
     assert pdf["q_ctrl"].is_monotonic_increasing
+
+
+def test_cost_threshold_matches_python_replay(spark, sf_dir):
+    """cost_optimal_threshold equals a python sweep of every distinct
+    score cutoff; the chosen cost is the global minimum."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        _CT_FN_COST,
+        _CT_FP_COST,
+        _GAINS_SPLIT,
+        cost_optimal_threshold,
+    )
+
+    row = cost_optimal_threshold(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    split = np.datetime64(_GAINS_SPLIT)
+    h = e[e["ts"] < split]
+    hist = h.groupby("user_id").agg(
+        n_ev=("event_type", "size"),
+        n_p=("event_type", lambda s: int((s == "purchase").sum())),
+    )
+    fut = set(
+        e.loc[
+            (e["ts"] >= split) & (e["event_type"] == "purchase"), "user_id"
+        ]
+    )
+    s = ((hist["n_p"] * 1_000_000) // hist["n_ev"]).to_numpy()
+    y = np.array([int(u in fut) for u in hist.index])
+    best = None
+    for t in np.unique(s):
+        pred = s >= t
+        fn = int((~pred & (y == 1)).sum())
+        fp = int((pred & (y == 0)).sum())
+        cost = _CT_FN_COST * fn + _CT_FP_COST * fp
+        key = (cost, t)
+        if best is None or key < best[0]:
+            tp = int((pred & (y == 1)).sum())
+            tn = int((~pred & (y == 0)).sum())
+            best = (key, t, tp, fp, fn, tn, cost)
+    _, t, tp, fp, fn, tn, cost = best
+    assert row["threshold_micro"] == t
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
+    assert row["expected_cost"] == cost
+    assert row["tp"] + row["fn"] == int(y.sum())
