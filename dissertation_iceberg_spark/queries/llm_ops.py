@@ -2788,3 +2788,84 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TR_TOPK)
         .select(F.col("node").alias("term"), F.col("r").alias("rank_micro"))
     )
+
+
+# --------------------------------------------------------------------------
+# Classifier agreement: Cohen's kappa between the two language models
+# --------------------------------------------------------------------------
+
+
+def _kappa_oracle() -> str:
+    return f"""
+WITH a AS ({_lang_oracle()}),
+b AS ({_NB_ORACLE}),
+j AS (
+  SELECT a.doc_id, a.pred_lang AS p1, b.pred_lang AS p2
+  FROM a JOIN b ON a.doc_id = b.doc_id),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN p1 = p2 THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM j),
+m1 AS (SELECT p1 AS lang, CAST(count(*) AS BIGINT) AS c1 FROM j GROUP BY 1),
+m2 AS (SELECT p2 AS lang, CAST(count(*) AS BIGINT) AS c2 FROM j GROUP BY 1),
+pe AS (
+  SELECT CAST(sum(m1.c1 * m2.c2) AS BIGINT) AS chance_num
+  FROM m1 JOIN m2 ON m1.lang = m2.lang)
+SELECT s.n, s.agree,
+  round(CAST(s.agree AS DOUBLE) / s.n, 6) AS observed_agreement,
+  round(CAST(pe.chance_num AS DOUBLE) / (CAST(s.n AS DOUBLE) * s.n), 6)
+    AS chance_agreement,
+  round((CAST(s.agree AS DOUBLE) / s.n
+         - CAST(pe.chance_num AS DOUBLE) / (CAST(s.n AS DOUBLE) * s.n))
+        / (1.0 - CAST(pe.chance_num AS DOUBLE)
+                 / (CAST(s.n AS DOUBLE) * s.n)), 6) AS cohens_kappa
+FROM s CROSS JOIN pe
+"""
+
+
+@register("classifier_agreement", oracle=_kappa_oracle())
+def classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the repo's two language classifiers —
+    the stopword-profile voter (lang_id) and the relational Naive
+    Bayes (nb_lang_classify) — on the same documents:
+    chance-corrected agreement κ = (p_o − p_e)/(1 − p_e), the
+    standard 'do two models actually agree beyond their marginal
+    label distributions' readout for model-swap decisions.
+
+    Determinism and scale: both arms are the already-oracled
+    classifiers; the comparison is one doc_id equi-join, exact
+    integer agreement and marginal counts (chance term Σ c1·c2 exact
+    BIGINT), doubles once on the 1-row frame.
+    """
+    la = lang_id(spark, sf_dir).select(
+        "doc_id", F.col("pred_lang").alias("p1")
+    )
+    nb = nb_lang_classify(spark, sf_dir).select(
+        "doc_id", F.col("pred_lang").alias("p2")
+    )
+    j = la.join(nb, "doc_id")
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("p1") == F.col("p2")).cast("long"))
+        .cast("long")
+        .alias("agree"),
+    )
+    m1 = j.groupBy(F.col("p1").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("c1")
+    )
+    m2 = j.groupBy(F.col("p2").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    pe = m1.join(m2, "lang").agg(
+        F.sum(F.col("c1") * F.col("c2")).cast("long").alias("chance_num")
+    )
+    n = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / n
+    pc = F.col("chance_num").cast("double") / (n * n)
+    return s.crossJoin(F.broadcast(pe)).select(
+        "n",
+        "agree",
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pc, 6).alias("chance_agreement"),
+        F.round((po - pc) / (1.0 - pc), 6).alias("cohens_kappa"),
+    )

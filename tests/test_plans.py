@@ -226,6 +226,7 @@ INTENTIONAL_BNLJ = {
     "record_highs",  # broadcast O(days) harmonic grid
     "decision_tree_depth2",  # broadcast 1-row parent-split frames
     "quantile_treatment_effects",  # broadcast 9-row decile grid
+    "classifier_agreement",  # broadcast 1-row chance-term frame
 }
 
 

@@ -4745,3 +4745,29 @@ def test_cost_threshold_matches_python_replay(spark, sf_dir):
     assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
     assert row["expected_cost"] == cost
     assert row["tp"] + row["fn"] == int(y.sum())
+
+
+def test_classifier_agreement_consistency(spark, sf_dir):
+    """classifier_agreement: kappa consistent with its own
+    observed/chance columns, agreement equals a direct join of the
+    two classifiers' outputs."""
+    from dissertation_iceberg_spark.queries.llm_ops import (
+        classifier_agreement,
+        lang_id,
+        nb_lang_classify,
+    )
+
+    row = classifier_agreement(spark, sf_dir).toPandas().iloc[0]
+    a = lang_id(spark, sf_dir).toPandas().set_index("doc_id")["pred_lang"]
+    b = (
+        nb_lang_classify(spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")["pred_lang"]
+    )
+    common = a.index.intersection(b.index)
+    agree = int((a.loc[common] == b.loc[common]).sum())
+    assert row["n"] == len(common)
+    assert row["agree"] == agree
+    po, pc = row["observed_agreement"], row["chance_agreement"]
+    assert abs(row["cohens_kappa"] - (po - pc) / (1 - pc)) < 1e-4
+    assert -1 <= row["cohens_kappa"] <= 1
