@@ -2869,3 +2869,125 @@ def classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pc, 6).alias("chance_agreement"),
         F.round((po - pc) / (1.0 - pc), 6).alias("cohens_kappa"),
     )
+
+
+# --------------------------------------------------------------------------
+# Greedy submodular coverage: pick k docs maximizing vocabulary coverage
+# --------------------------------------------------------------------------
+
+_GC_K = 5
+
+
+def _gc_round_sql(k: int) -> str:
+    prev = f"sel{k - 1}"
+    return f"""
+cov{k} AS (
+  SELECT DISTINCT dt.term FROM doc_terms dt JOIN {prev} s
+    ON dt.doc_id = s.doc_id),
+gain{k} AS (
+  SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM doc_terms dt
+  WHERE dt.term NOT IN (SELECT term FROM cov{k})
+    AND dt.doc_id NOT IN (SELECT doc_id FROM {prev})
+  GROUP BY 1),
+pick{k} AS (
+  SELECT CAST({k} AS BIGINT) AS rank, doc_id, gain
+  FROM gain{k} ORDER BY gain DESC, doc_id ASC LIMIT 1),
+sel{k} AS (
+  SELECT doc_id FROM {prev} UNION ALL SELECT doc_id FROM pick{k})"""
+
+
+_GC_ORACLE = (
+    f"""
+WITH doc_terms AS (
+  SELECT DISTINCT doc_id, unnest({_TOKENS}) AS term FROM documents),
+vocab AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM doc_terms),
+gain0 AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+  FROM doc_terms GROUP BY 1),
+pick0 AS (
+  SELECT CAST(0 AS BIGINT) AS rank, doc_id, gain
+  FROM gain0 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+sel0 AS (SELECT doc_id FROM pick0),"""
+    + ",".join(_gc_round_sql(k) for k in range(1, _GC_K))
+    + f"""
+, picks AS (SELECT * FROM pick0 {" ".join(f"UNION ALL SELECT * FROM pick{k}" for k in range(1, _GC_K))}),
+curve AS (
+  SELECT rank, doc_id, gain,
+         CAST(sum(gain) OVER (ORDER BY rank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS covered
+  FROM picks)
+SELECT c.rank, c.doc_id, c.gain, c.covered,
+  round(CAST(c.covered AS DOUBLE) / v.v, 6) AS coverage_share
+FROM curve c CROSS JOIN vocab v
+"""
+)
+
+
+@register("greedy_coverage_selection", oracle=_GC_ORACLE)
+def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy submodular (facility-location) data selection: pick {k}
+    documents one at a time, each maximizing the number of NEW
+    vocabulary terms it adds to the covered set (ties → smaller
+    doc_id) — the classic (1−1/e)-approximate coverage maximizer
+    behind 'which docs should we label/keep first' data-selection
+    pipelines, with the marginal-gain curve and cumulative coverage
+    share. If coverage saturates before {k} picks (every remaining
+    doc adds zero new terms), later rounds emit no row — identical
+    early-stop semantics in both engines.
+
+    Scale shape: the covered set stays a DISTRIBUTED term frame
+    (never driver state): each round is one anti-join of the token
+    table against the covered terms + a count + a 1-row argmax —
+    k unrolled rounds of bounded joins, exact integer gains.
+    """.format(k=_GC_K)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    doc_terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            )
+        ).alias("term"),
+    ).distinct()
+    vocab = doc_terms.agg(
+        F.countDistinct("term").cast("long").alias("v")
+    )
+    gains0 = doc_terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("gain")
+    )
+    pick = gains0.orderBy(F.desc("gain"), F.asc("doc_id")).limit(1).select(
+        F.lit(0).cast("long").alias("rank"), "doc_id", "gain"
+    )
+    picks = pick
+    sel = pick.select("doc_id")
+    for k in range(1, _GC_K):
+        cov = doc_terms.join(sel, "doc_id").select("term").distinct()
+        gains = (
+            doc_terms.join(sel, "doc_id", "left_anti")
+            .join(cov, "term", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+        )
+        pick = gains.orderBy(F.desc("gain"), F.asc("doc_id")).limit(1).select(
+            F.lit(k).cast("long").alias("rank"), "doc_id", "gain"
+        )
+        picks = picks.unionByName(pick)
+        sel = sel.unionByName(pick.select("doc_id"))
+    cw = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    curve = picks.select(
+        "rank",
+        "doc_id",
+        "gain",
+        F.sum("gain").over(cw).cast("long").alias("covered"),
+    )
+    return curve.crossJoin(F.broadcast(vocab)).select(
+        "rank",
+        "doc_id",
+        "gain",
+        "covered",
+        F.round(F.col("covered").cast("double") / F.col("v"), 6).alias(
+            "coverage_share"
+        ),
+    )

@@ -227,6 +227,7 @@ INTENTIONAL_BNLJ = {
     "decision_tree_depth2",  # broadcast 1-row parent-split frames
     "quantile_treatment_effects",  # broadcast 9-row decile grid
     "classifier_agreement",  # broadcast 1-row chance-term frame
+    "greedy_coverage_selection",  # broadcast 1-row pick frame per round
 }
 
 

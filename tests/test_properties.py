@@ -4771,3 +4771,55 @@ def test_classifier_agreement_consistency(spark, sf_dir):
     po, pc = row["observed_agreement"], row["chance_agreement"]
     assert abs(row["cohens_kappa"] - (po - pc) / (1 - pc)) < 1e-4
     assert -1 <= row["cohens_kappa"] <= 1
+
+
+def test_greedy_coverage_matches_python_replay(spark, sf_dir):
+    """greedy_coverage_selection equals a python greedy replay;
+    marginal gains are non-increasing (submodularity) and coverage
+    share is monotone."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.llm_ops import (
+        _GC_K,
+        greedy_coverage_selection,
+    )
+
+    pdf = (
+        greedy_coverage_selection(spark, sf_dir)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    terms = {
+        int(r["doc_id"]): {t for t in r["text"].split(" ") if t != ""}
+        for _, r in docs.iterrows()
+    }
+    vocab = len(set().union(*terms.values()))
+    covered = set()
+    chosen = set()
+    expected_rows = []
+    for k in range(_GC_K):
+        best = None
+        for d, ts_ in terms.items():
+            if d in chosen:
+                continue
+            gain = len(ts_ - covered)
+            key = (-gain, d)
+            if best is None or key < best[0]:
+                best = (key, d, gain)
+        _, d, gain = best
+        if k > 0 and gain == 0:
+            break  # saturated: the anti-join gain frame is empty
+        chosen.add(d)
+        covered |= terms[d]
+        expected_rows.append((d, gain, len(covered)))
+    assert len(pdf) == len(expected_rows)
+    for k, (d, gain, cov) in enumerate(expected_rows):
+        row = pdf.iloc[k]
+        assert row["doc_id"] == d and row["gain"] == gain
+        assert row["covered"] == cov
+        assert abs(row["coverage_share"] - cov / vocab) < 1e-6
+    assert (np.diff(pdf["gain"].to_numpy()) <= 0).all()  # submodular
+    assert pdf["coverage_share"].is_monotonic_increasing
