@@ -2091,3 +2091,115 @@ def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(nc + nt > 0, 2.0 * tp / (nc + nt)), 6
         ).alias("f1"),
     )
+
+
+# --------------------------------------------------------------------------
+# Adjusted Rand Index: k-means clusters vs ground-truth labels
+# --------------------------------------------------------------------------
+
+_ARI_ORACLE = _KM_ORACLE.split("stats AS (")[0] + """ct AS (
+  SELECT a2.cluster, q.label, CAST(count(*) AS BIGINT) AS nij
+  FROM a2 JOIN q USING (vec_id) GROUP BY 1, 2),
+sums AS (
+  SELECT CAST(sum(nij) AS BIGINT) AS n,
+         CAST(sum(nij * (nij - 1) / 2) AS BIGINT) AS s_ij
+  FROM ct),
+ra AS (
+  SELECT CAST(sum(a * (a - 1) / 2) AS BIGINT) AS s_a FROM (
+    SELECT CAST(sum(nij) AS BIGINT) AS a FROM ct GROUP BY cluster)),
+rb AS (
+  SELECT CAST(sum(b * (b - 1) / 2) AS BIGINT) AS s_b FROM (
+    SELECT CAST(sum(nij) AS BIGINT) AS b FROM ct GROUP BY label))
+SELECT s.n, s.s_ij, ra.s_a, rb.s_b,
+  round((CAST(s.s_ij AS DOUBLE)
+         - CAST(ra.s_a AS DOUBLE) * rb.s_b / (CAST(s.n AS DOUBLE) * (s.n - 1) / 2))
+        / ((CAST(ra.s_a AS DOUBLE) + rb.s_b) / 2
+           - CAST(ra.s_a AS DOUBLE) * rb.s_b
+             / (CAST(s.n AS DOUBLE) * (s.n - 1) / 2)), 6)
+    AS adjusted_rand_index
+FROM sums s CROSS JOIN ra CROSS JOIN rb
+"""
+
+
+@register("ari_kmeans_vs_labels", oracle=_ARI_ORACLE)
+def ari_kmeans_vs_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between the integer-quantized k-means
+    clustering (the exact 2-iteration Lloyd pipeline of
+    kmeans_cluster_stats) and the ground-truth labels — the
+    chance-corrected partition-agreement score that purity misses
+    (purity rewards many tiny clusters; ARI does not), completing the
+    clustering evaluation beside silhouette/CH/DB (geometry) and
+    majority-label purity.
+
+    Determinism and scale: the cluster assignment is the
+    already-oracled run-parity Lloyd pipeline; ARI's pair-counting
+    terms ΣC(n_ij,2), ΣC(a_i,2), ΣC(b_j,2) are exact BIGINT sums over
+    the O(k × labels) contingency table, and the final expression is
+    one identically-shaped double.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * KM_SCALE).cast("long"),
+    )
+    base = emb.select("vec_id", "label", qv.alias("qv"))
+    xe = base.select("vec_id", F.posexplode("qv").alias("pos", "x"))
+    from pyspark.sql import Window as W
+
+    seeds = (
+        base.orderBy("vec_id")
+        .limit(KM_K)
+        .select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cluster"),
+            "qv",
+        )
+    )
+    c0 = seeds.select(
+        "cluster", F.posexplode("qv").alias("pos", "s")
+    ).withColumn("n", F.lit(1).cast("long"))
+    a1 = _km_assign(xe, c0, keep_stats=False)
+    c1 = (
+        a1.join(xe, "vec_id")
+        .groupBy("cluster", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    a2 = _km_assign(xe, c1, keep_stats=False)
+    ct = (
+        a2.join(base.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    )
+    nij = F.col("nij")
+    sums = ct.agg(
+        F.sum(nij).cast("long").alias("n"),
+        F.sum(nij * (nij - 1) / 2).cast("long").alias("s_ij"),
+    )
+    ra = (
+        ct.groupBy("cluster")
+        .agg(F.sum("nij").cast("long").alias("a"))
+        .agg(
+            F.sum(F.col("a") * (F.col("a") - 1) / 2).cast("long").alias("s_a")
+        )
+    )
+    rb = (
+        ct.groupBy("label")
+        .agg(F.sum("nij").cast("long").alias("b"))
+        .agg(
+            F.sum(F.col("b") * (F.col("b") - 1) / 2).cast("long").alias("s_b")
+        )
+    )
+    out = sums.crossJoin(F.broadcast(ra)).crossJoin(F.broadcast(rb))
+    n = F.col("n").cast("double")
+    tot_pairs = n * (F.col("n") - 1) / 2
+    exp = F.col("s_a").cast("double") * F.col("s_b") / tot_pairs
+    return out.select(
+        "n",
+        "s_ij",
+        "s_a",
+        "s_b",
+        F.round(
+            (F.col("s_ij").cast("double") - exp)
+            / ((F.col("s_a").cast("double") + F.col("s_b")) / 2 - exp),
+            6,
+        ).alias("adjusted_rand_index"),
+    )

@@ -228,6 +228,7 @@ INTENTIONAL_BNLJ = {
     "quantile_treatment_effects",  # broadcast 9-row decile grid
     "classifier_agreement",  # broadcast 1-row chance-term frame
     "greedy_coverage_selection",  # broadcast 1-row pick frame per round
+    "ari_kmeans_vs_labels",  # broadcast 1-row pair-count frames
 }
 
 

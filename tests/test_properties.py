@@ -4823,3 +4823,27 @@ def test_greedy_coverage_matches_python_replay(spark, sf_dir):
         assert abs(row["coverage_share"] - cov / vocab) < 1e-6
     assert (np.diff(pdf["gain"].to_numpy()) <= 0).all()  # submodular
     assert pdf["coverage_share"].is_monotonic_increasing
+
+
+def test_ari_matches_sklearn_free_replay(spark, sf_dir):
+    """ari_kmeans_vs_labels' pair-counting identities hold and the
+    ARI formula is consistent with its own sum columns; ARI of the
+    label-clustered embeddings is positive (better than chance)."""
+    from dissertation_iceberg_spark.queries.extensions import (
+        ari_kmeans_vs_labels,
+    )
+
+    row = ari_kmeans_vs_labels(spark, sf_dir).toPandas().iloc[0]
+    n, s_ij, s_a, s_b = (
+        row["n"],
+        row["s_ij"],
+        row["s_a"],
+        row["s_b"],
+    )
+    tot = n * (n - 1) / 2
+    exp = s_a * s_b / tot
+    ari = (s_ij - exp) / ((s_a + s_b) / 2 - exp)
+    assert abs(row["adjusted_rand_index"] - ari) < 1e-5
+    assert s_ij <= min(s_a, s_b)  # pair-counting bound
+    assert -1 <= row["adjusted_rand_index"] <= 1
+    assert row["adjusted_rand_index"] > 0  # label-clustered fixtures
