@@ -489,6 +489,57 @@ def main() -> None:
                               "input_rows": n_li, "out_rows": cents,
                               "sec": round(t, 3)}))
 
+        # histogram-midrank kernel (kruskal_wallis / levene_test /
+        # dunn_posthoc / wilcoxon / QTE backbone): (type, cents)
+        # histogram + global distinct-value cumsum + weighted rank sums
+        # — the claim under test is that rank cost tracks the
+        # DISTINCT-VALUE frame, not the row count
+        if _want("midranks"):
+            from pyspark.sql import Window as W
+
+            ev3 = replicate(
+                load_table(spark, sf_dir, "events").select(
+                    "event_type", "value"
+                ),
+                r,
+                {},
+            )
+            ev3 = (ev3.drop("__rep") if "__rep" in ev3.columns else ev3).persist()
+            n_ev3 = ev3.count()
+
+            def midranks():
+                v = ev3.select(
+                    "event_type",
+                    F.round(F.col("value") * 100).cast("long").alias("cents"),
+                )
+                gh = v.groupBy("event_type", "cents").agg(
+                    F.count(F.lit(1)).cast("long").alias("cnt_g")
+                )
+                h = gh.groupBy("cents").agg(
+                    F.sum("cnt_g").cast("long").alias("cnt")
+                )
+                cw = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+                r2 = h.select(
+                    "cents",
+                    (2 * F.coalesce(F.sum("cnt").over(cw), F.lit(0))
+                     + F.col("cnt") + 1).cast("long").alias("rank2"),
+                )
+                return (
+                    gh.join(r2, "cents")
+                    .groupBy("event_type")
+                    .agg(
+                        F.sum("cnt_g").cast("long").alias("n"),
+                        F.sum(F.col("cnt_g") * F.col("rank2"))
+                        .cast("long").alias("s2"),
+                    )
+                )
+
+            t, rows = timed(midranks, action="count")
+            print(json.dumps({"kernel": "midranks", "factor": r,
+                              "input_rows": n_ev3, "out_rows": rows,
+                              "sec": round(t, 3)}))
+            ev3.unpersist()
+
         # one GBM boosting round (stats_tests2.gbm_stumps): candidate
         # histogram over both features + cumsum split scan + argmax +
         # broadcast residual update — the claim under test is that a
