@@ -1156,3 +1156,134 @@ def iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6((czy / czx - cxy / cxx) / 100.0).alias("iv_minus_ols"),
         _r6((F.col("n") - 2) * r2 / (1.0 - r2)).alias("first_stage_f"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-way fixed-effects (within) estimator on the user-day panel
+# --------------------------------------------------------------------------
+
+_TWFE_ORACLE = f"""
+WITH cells AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+um AS (
+  SELECT user_id, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM cells GROUP BY 1),
+dm AS (
+  SELECT day, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM cells GROUP BY 1),
+gm AS (
+  SELECT CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM cells),
+dem AS (
+  SELECT
+    CAST(round((c.x - CAST(u.sx AS DOUBLE) / u.n - CAST(d.sx AS DOUBLE) / d.n
+                + CAST(g.sx AS DOUBLE) / g.n) * 1e6) AS BIGINT) AS xt,
+    CAST(round((c.y - CAST(u.sy AS DOUBLE) / u.n - CAST(d.sy AS DOUBLE) / d.n
+                + CAST(g.sy AS DOUBLE) / g.n) * 1e2) AS BIGINT) AS yt
+  FROM cells c
+  JOIN um u ON c.user_id = u.user_id
+  JOIN dm d ON c.day = d.day
+  CROSS JOIN gm g),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(xt * yt) AS BIGINT) AS sxy,
+         CAST(sum(xt * xt) AS BIGINT) AS sxx
+  FROM dem)
+SELECT n_cells,
+  round((CAST(sxy AS DOUBLE) / 1e8) / (CAST(sxx AS DOUBLE) / 1e12) / 100.0,
+        6) AS beta_within_dollars
+FROM s
+"""
+
+
+@register("twfe_regression", oracle=_TWFE_ORACLE)
+def twfe_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way fixed-effects (within) estimator on the (user, day)
+    panel: the effect of daily activity (event count) on daily spend
+    after absorbing BOTH user and day fixed effects via double
+    demeaning ỹ = y − ȳ_user − ȳ_day + ȳ — the panel-econometrics
+    workhorse that diff_in_diff generalizes to many units and
+    periods; the pooled OLS of the same pair is confounded by both
+    heavy users and busy days.
+
+    Determinism and scale: three margin aggregates (user, day, grand)
+    join back onto the O(user×day observed cells) frame; each
+    demeaned value is micro-rounded ONCE (x at 1e-6, y at 1e-2
+    cents), making Σx̃ỹ and Σx̃² exact BIGINT sums; β is a single
+    scaled division. Balanced-panel caveat documented: the one-shot
+    double demeaning is the exact within estimator on a balanced
+    panel and the standard first-order approximation otherwise.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    um = cells.groupBy("user_id").agg(
+        F.sum("x").cast("long").alias("usx"),
+        F.sum("y").cast("long").alias("usy"),
+        F.count(F.lit(1)).cast("long").alias("un"),
+    )
+    dm = cells.groupBy("day").agg(
+        F.sum("x").cast("long").alias("dsx"),
+        F.sum("y").cast("long").alias("dsy"),
+        F.count(F.lit(1)).cast("long").alias("dn"),
+    )
+    gm = cells.agg(
+        F.sum("x").cast("long").alias("gsx"),
+        F.sum("y").cast("long").alias("gsy"),
+        F.count(F.lit(1)).cast("long").alias("gn"),
+    )
+    dem = (
+        cells.join(um, "user_id")
+        .join(F.broadcast(dm), "day")
+        .crossJoin(F.broadcast(gm))
+        .select(
+            F.round(
+                (
+                    F.col("x")
+                    - F.col("usx").cast("double") / F.col("un")
+                    - F.col("dsx").cast("double") / F.col("dn")
+                    + F.col("gsx").cast("double") / F.col("gn")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("xt"),
+            F.round(
+                (
+                    F.col("y")
+                    - F.col("usy").cast("double") / F.col("un")
+                    - F.col("dsy").cast("double") / F.col("dn")
+                    + F.col("gsy").cast("double") / F.col("gn")
+                )
+                * 1e2
+            )
+            .cast("long")
+            .alias("yt"),
+        )
+    )
+    s = dem.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(F.col("xt") * F.col("yt")).cast("long").alias("sxy"),
+        F.sum(F.col("xt") * F.col("xt")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        "n_cells",
+        F.round(
+            (F.col("sxy").cast("double") / 1e8)
+            / (F.col("sxx").cast("double") / 1e12)
+            / 100.0,
+            6,
+        ).alias("beta_within_dollars"),
+    )

@@ -229,6 +229,7 @@ INTENTIONAL_BNLJ = {
     "classifier_agreement",  # broadcast 1-row chance-term frame
     "greedy_coverage_selection",  # broadcast 1-row pick frame per round
     "ari_kmeans_vs_labels",  # broadcast 1-row pair-count frames
+    "twfe_regression",  # broadcast 1-row grand-mean frame
 }
 
 

@@ -4847,3 +4847,52 @@ def test_ari_matches_sklearn_free_replay(spark, sf_dir):
     assert s_ij <= min(s_a, s_b)  # pair-counting bound
     assert -1 <= row["adjusted_rand_index"] <= 1
     assert row["adjusted_rand_index"] > 0  # label-clustered fixtures
+
+
+def test_twfe_matches_numpy_replay(spark, sf_dir):
+    """twfe_regression equals a numpy double-demeaning replay at the
+    same quantization grains."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.econometrics import (
+        twfe_regression,
+    )
+
+    row = twfe_regression(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    d = e.assign(cents=cents, day=e["ts"].dt.floor("D"))
+    cells = (
+        d.groupby(["user_id", "day"])
+        .agg(x=("cents", "size"), y=("cents", "sum"))
+        .reset_index()
+    )
+    um = cells.groupby("user_id")[["x", "y"]].mean()
+    dm = cells.groupby("day")[["x", "y"]].mean()
+    gx, gy = cells["x"].mean(), cells["y"].mean()
+    xt = np.array(
+        [
+            round(
+                (r.x - um.loc[r.user_id, "x"] - dm.loc[r.day, "x"] + gx)
+                * 1e6
+            )
+            for r in cells.itertuples()
+        ]
+    )
+    yt = np.array(
+        [
+            round(
+                (r.y - um.loc[r.user_id, "y"] - dm.loc[r.day, "y"] + gy)
+                * 1e2
+            )
+            for r in cells.itertuples()
+        ]
+    )
+    beta = (
+        (float((xt * yt).sum()) / 1e8)
+        / (float((xt * xt).sum()) / 1e12)
+        / 100
+    )
+    assert row["n_cells"] == len(cells)
+    assert abs(row["beta_within_dollars"] - beta) < 1e-4
