@@ -1431,3 +1431,70 @@ def test_streaming_holt_forecast_matches_batch_recursion(spark, tmp_path):
         assert not (
             (got["event_type"] == et) & (got["day_us"] == d)
         ).any()
+
+
+def test_streaming_record_highs_match_batch(spark, tmp_path):
+    """Streaming record-high monitor: every sealed (event_type, day)
+    row reproduces the batch exclusive-running-max record flags and
+    the running record count; only sealed days emit."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.streaming.records_stream import (
+        streaming_record_highs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    src = str(tmp_path / "rec_src")
+    pdf = e.toPandas().sort_values("ts").reset_index(drop=True)
+    n = len(pdf)
+    for i, c in enumerate(
+        (pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :])
+    ):
+        spark.createDataFrame(c).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        streaming_record_highs(stream)
+        .writeStream.format("memory")
+        .queryName("rec_highs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("rec_highs").toPandas()
+    assert len(got) > 0
+    assert not got.duplicated(["event_type", "day_us"]).any()
+
+    # batch replay of the running-max record accounting
+    import numpy as np
+
+    DAY_US = 86_400_000_000
+    pdf["day_us"] = (pdf["ts"].astype("int64") // 1000 // DAY_US) * DAY_US
+    pdf["cents"] = np.floor(pdf["value"] * 100 + 0.5).astype("int64")
+    daily = (
+        pdf.groupby(["event_type", "day_us"])["cents"].sum().reset_index()
+    )
+    expected = {}
+    for et, grp in daily.sort_values("day_us").groupby("event_type"):
+        run_max, n_rec, seeded = 0, 0, False
+        for r in grp.itertuples():
+            is_rec = int(not seeded or r.cents > run_max)
+            if is_rec:
+                run_max, n_rec = r.cents, n_rec + 1
+            seeded = True
+            expected[(et, r.day_us)] = (int(r.cents), is_rec, n_rec)
+    for r in got.itertuples():
+        c, is_rec, n_rec = expected[(r.event_type, r.day_us)]
+        assert (r.cents, r.is_record, r.n_records) == (c, is_rec, n_rec)
+
+    # the last (unsealed) day of each type never emits
+    last_day = daily.groupby("event_type")["day_us"].max()
+    for et, d in last_day.items():
+        assert not ((got["event_type"] == et) & (got["day_us"] == d)).any()
