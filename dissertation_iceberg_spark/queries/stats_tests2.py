@@ -4924,3 +4924,268 @@ def cost_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tn").cast("long").alias("tn"),
         F.col("cost").cast("long").alias("expected_cost"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weibull probability-plot fit over the Kaplan-Meier curve
+# --------------------------------------------------------------------------
+
+_WEIBULL_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+    min(date_trunc('day', ts)) AS t0,
+    min(CASE WHEN event_type = 'purchase' THEN date_trunc('day', ts) END)
+      AS tp,
+    max(date_trunc('day', ts)) AS tend
+  FROM events GROUP BY 1),
+dur AS (
+  SELECT user_id,
+    date_diff('day', t0, coalesce(tp, tend)) AS t_day,
+    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM u),
+grp AS (
+  SELECT t_day, sum(ev) AS d, sum(1 - ev) AS c FROM dur GROUP BY 1),
+risk AS (
+  SELECT t_day, d, c,
+    (SELECT count(*) FROM dur)
+      - coalesce(sum(d + c) OVER (ORDER BY t_day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM grp),
+lm AS (
+  SELECT t_day, d,
+    CASE WHEN d < n_risk THEN
+      CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk) * 1e6) AS BIGINT)
+    ELSE NULL END AS lm_micro
+  FROM risk),
+surv AS (
+  SELECT t_day, d,
+    CAST(sum(lm_micro) OVER (ORDER BY t_day) AS BIGINT) AS ls_micro
+  FROM lm WHERE lm_micro IS NOT NULL),
+pts AS (
+  SELECT
+    CAST(round(ln(CAST(t_day AS DOUBLE)) * 1e6) AS BIGINT) AS lx,
+    CAST(round(ln(-(ls_micro / 1e6)) * 1e6) AS BIGINT) AS ly
+  FROM surv
+  WHERE t_day > 0 AND d > 0 AND ls_micro < 0),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+         CAST(sum(lx * ly) AS BIGINT) AS sxy,
+         CAST(sum(lx * lx) AS BIGINT) AS sxx
+  FROM pts)
+SELECT n AS n_points,
+  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+    AS weibull_shape,
+  round(CAST(round(exp(-((CAST(sy AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sxy)
+                         / (CAST(n AS DOUBLE) * sxx
+                            - CAST(sx AS DOUBLE) * sx))
+                       / ((CAST(n AS DOUBLE) * sxy
+                           - CAST(sx AS DOUBLE) * sy)
+                          / (CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx)) / 1e6) * 1e6)
+             AS BIGINT) / 1e6, 6) AS weibull_scale_days
+FROM g
+"""
+
+
+@register("weibull_plot_fit", oracle=_WEIBULL_ORACLE)
+def weibull_plot_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull probability-plot fit to the time-to-first-purchase
+    survival curve: regress ln(−ln S(t)) on ln t over the
+    Kaplan-Meier event days — the slope is the Weibull shape k
+    (k < 1 = early-conversion burn-in, k > 1 = wear-in) and
+    exp(−intercept/k) the scale in days — the parametric overlay that
+    turns kaplan_meier's curve into two interpretable numbers.
+
+    Determinism and scale: the exact KM machinery (same duration
+    reduce, same micro-rounded log factors) feeds O(event days)
+    probability-plot points; plot logs micro-round once each, OLS
+    runs on exact integer Gram sums, and the scale's single exp()
+    output micro-rounds once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    u = e.groupBy("user_id").agg(
+        F.min(day).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", day)).alias("tp"),
+        F.max(day).alias("tend"),
+    )
+    dur = u.select(
+        F.datediff(F.coalesce(F.col("tp"), F.col("tend")), F.col("t0"))
+        .cast("long")
+        .alias("t_day"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    grp = dur.groupBy("t_day").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c"),
+    )
+    total = dur.count()
+    wb = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grp.select(
+        "t_day",
+        "d",
+        (
+            F.lit(total)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wb), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    lm = risk.select(
+        "t_day",
+        "d",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk")
+                )
+                * 1e6
+            ).cast("long"),
+        ).alias("lm_micro"),
+    ).filter(F.col("lm_micro").isNotNull())
+    cw = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, 0)
+    surv = lm.select(
+        "t_day",
+        "d",
+        F.sum("lm_micro").over(cw).cast("long").alias("ls_micro"),
+    )
+    pts = surv.filter(
+        (F.col("t_day") > 0) & (F.col("d") > 0) & (F.col("ls_micro") < 0)
+    ).select(
+        F.round(F.log(F.col("t_day").cast("double")) * 1e6)
+        .cast("long")
+        .alias("lx"),
+        F.round(F.log(-(F.col("ls_micro") / 1e6)) * 1e6)
+        .cast("long")
+        .alias("ly"),
+    )
+    g = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("long").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("long").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    det = n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / det
+    intercept = (
+        F.col("sy").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sxy")
+    ) / det
+    scale = F.round(F.exp(-intercept / slope / 1e6) * 1e6).cast("long") / 1e6
+    return g.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("weibull_shape"),
+        F.round(scale, 6).alias("weibull_scale_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Inverse-propensity-weighted ATE (Horvitz-Thompson, stratum propensity)
+# --------------------------------------------------------------------------
+
+_IPW_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+    CAST(count(*) AS BIGINT) AS score,
+    CAST(CASE WHEN 5 * sum(CASE WHEN event_type = 'error'
+                               THEN 1 ELSE 0 END) > count(*)
+         THEN 1 ELSE 0 END AS BIGINT) AS treated,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+strata AS (
+  SELECT score // 10 AS stratum,
+    CAST(count(*) AS BIGINT) AS n_s,
+    CAST(sum(treated) AS BIGINT) AS t_s
+  FROM u GROUP BY 1),
+ok AS (SELECT stratum, n_s, t_s FROM strata
+       WHERE t_s > 0 AND t_s < n_s),
+terms AS (
+  SELECT u.user_id,
+    CAST(round(
+      CASE WHEN u.treated = 1
+           THEN u.y * (CAST(o.n_s AS DOUBLE) / o.t_s)
+           ELSE -u.y * (CAST(o.n_s AS DOUBLE) / (o.n_s - o.t_s)) END
+      * 1e2) AS BIGINT) AS term
+  FROM u JOIN ok o ON u.score // 10 = o.stratum),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_used,
+         CAST(sum(term) AS BIGINT) AS term_sum
+  FROM terms),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM u)
+SELECT t.n_all, s.n_used,
+  round(CAST(s.term_sum AS DOUBLE) / s.n_used / 1e4, 6) AS ate_dollars
+FROM s CROSS JOIN tot t
+"""
+
+
+@register("ipw_ate", oracle=_IPW_ORACLE)
+def ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE (Horvitz-Thompson) of heavy
+    error exposure on purchase spend: the propensity is estimated per
+    ACTIVITY-DECADE stratum (score div 10) as the stratum's treated
+    share, each user contributes y/p̂ (treated) or −y/(1−p̂)
+    (control), and strata with no overlap drop out — the WEIGHTING
+    member of the causal family beside psm_att (matching); the two
+    agreeing is the standard robustness check.
+
+    Determinism and scale: stratum propensities are single IEEE
+    divisions of exact counts; each user's HT term micro-rounds ONCE
+    (1e-2-cent grain) and sums exactly. One per-user reduce, one
+    O(strata) aggregate broadcast back.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("score"),
+        (
+            5 * F.sum((F.col("event_type") == "error").cast("long"))
+            > F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("treated"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    ).withColumn("stratum", F.expr("score div 10"))
+    strata = u.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("treated").cast("long").alias("t_s"),
+    )
+    ok = strata.filter(
+        (F.col("t_s") > 0) & (F.col("t_s") < F.col("n_s"))
+    )
+    ht = F.when(
+        F.col("treated") == 1,
+        F.col("y") * (F.col("n_s").cast("double") / F.col("t_s")),
+    ).otherwise(
+        -F.col("y")
+        * (F.col("n_s").cast("double") / (F.col("n_s") - F.col("t_s")))
+    )
+    terms = u.join(F.broadcast(ok), "stratum").select(
+        F.round(ht * 1e2).cast("long").alias("term")
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.sum("term").cast("long").alias("term_sum"),
+    )
+    tot = u.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n_all",
+        "n_used",
+        F.round(
+            F.col("term_sum").cast("double") / F.col("n_used") / 1e4, 6
+        ).alias("ate_dollars"),
+    )

@@ -230,6 +230,7 @@ INTENTIONAL_BNLJ = {
     "greedy_coverage_selection",  # broadcast 1-row pick frame per round
     "ari_kmeans_vs_labels",  # broadcast 1-row pair-count frames
     "twfe_regression",  # broadcast 1-row grand-mean frame
+    "ipw_ate",  # broadcast 1-row population-count frame
 }
 
 

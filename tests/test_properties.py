@@ -4896,3 +4896,91 @@ def test_twfe_matches_numpy_replay(spark, sf_dir):
     )
     assert row["n_cells"] == len(cells)
     assert abs(row["beta_within_dollars"] - beta) < 1e-4
+
+
+def test_weibull_plot_fit_replay(spark, sf_dir):
+    """weibull_plot_fit equals a python probability-plot replay over
+    the KM event days; shape and scale are positive."""
+    import math
+
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        weibull_plot_fit,
+    )
+
+    row = weibull_plot_fit(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    d = e.assign(day=e["ts"].dt.floor("D"))
+    u = d.groupby("user_id").agg(t0=("day", "min"), tend=("day", "max"))
+    tp = d[d["event_type"] == "purchase"].groupby("user_id")["day"].min()
+    u["tp"] = tp.reindex(u.index)
+    u["t_day"] = (u["tp"].fillna(u["tend"]) - u["t0"]).dt.days.astype(int)
+    u["ev"] = u["tp"].notna().astype(int)
+    n_at_risk = len(u)
+    ls_micro = 0
+    pts = []
+    for t in sorted(u["t_day"].unique()):
+        dsub = u[u["t_day"] == t]
+        dd = int(dsub["ev"].sum())
+        cc = len(dsub) - dd
+        if dd < n_at_risk:
+            ls_micro += round(
+                math.log((n_at_risk - dd) / n_at_risk) * 1e6
+            )
+            if t > 0 and dd > 0 and ls_micro < 0:
+                pts.append(
+                    (
+                        round(math.log(t) * 1e6),
+                        round(math.log(-(ls_micro / 1e6)) * 1e6),
+                    )
+                )
+        n_at_risk -= dd + cc
+    lx = np.array([p[0] for p in pts], dtype="float64")
+    ly = np.array([p[1] for p in pts], dtype="float64")
+    n = len(pts)
+    det = n * (lx * lx).sum() - lx.sum() ** 2
+    slope = (n * (lx * ly).sum() - lx.sum() * ly.sum()) / det
+    intercept = (ly.sum() * (lx * lx).sum() - lx.sum() * (lx * ly).sum()) / det
+    scale = round(math.exp(-intercept / slope / 1e6) * 1e6) / 1e6
+    assert row["n_points"] == n
+    assert abs(row["weibull_shape"] - slope) < 1e-4
+    assert abs(row["weibull_scale_days"] - scale) < max(1e-3, scale * 1e-4)
+    assert row["weibull_shape"] > 0 and row["weibull_scale_days"] > 0
+
+
+def test_ipw_ate_matches_pandas_replay(spark, sf_dir):
+    """ipw_ate equals a pandas Horvitz-Thompson replay with stratum
+    propensities; overlap-violating strata drop out."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import ipw_ate
+
+    row = ipw_ate(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    d = e.assign(cents=cents)
+    u = d.groupby("user_id").agg(
+        score=("event_type", "size"),
+        n_err=("event_type", lambda s: int((s == "error").sum())),
+    )
+    u["treated"] = (5 * u["n_err"] > u["score"]).astype(int)
+    y = d[d["event_type"] == "purchase"].groupby("user_id")["cents"].sum()
+    u["y"] = y.reindex(u.index).fillna(0).astype("int64")
+    u["stratum"] = u["score"] // 10
+    terms = []
+    for _, g in u.groupby("stratum"):
+        n_s, t_s = len(g), int(g["treated"].sum())
+        if 0 < t_s < n_s:
+            for r in g.itertuples():
+                ht = (
+                    r.y * (n_s / t_s)
+                    if r.treated
+                    else -r.y * (n_s / (n_s - t_s))
+                )
+                terms.append(round(ht * 1e2))
+    assert row["n_all"] == len(u)
+    assert row["n_used"] == len(terms)
+    assert abs(row["ate_dollars"] - sum(terms) / len(terms) / 1e4) < 1e-4
