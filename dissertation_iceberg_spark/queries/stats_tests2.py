@@ -5189,3 +5189,119 @@ def ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("term_sum").cast("double") / F.col("n_used") / 1e4, 6
         ).alias("ate_dollars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Doubly-robust (AIPW) ATE: outcome regression + IPW correction
+# --------------------------------------------------------------------------
+
+_AIPW_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+    CAST(count(*) AS BIGINT) AS score,
+    CAST(CASE WHEN 5 * sum(CASE WHEN event_type = 'error'
+                               THEN 1 ELSE 0 END) > count(*)
+         THEN 1 ELSE 0 END AS BIGINT) AS treated,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+strata AS (
+  SELECT score // 10 AS stratum,
+    CAST(count(*) AS BIGINT) AS n_s,
+    CAST(sum(treated) AS BIGINT) AS t_s,
+    CAST(sum(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+    CAST(sum(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0
+  FROM u GROUP BY 1),
+ok AS (SELECT * FROM strata WHERE t_s > 0 AND t_s < n_s),
+terms AS (
+  SELECT u.user_id,
+    CAST(round((
+      CAST(o.sy1 AS DOUBLE) / o.t_s - CAST(o.sy0 AS DOUBLE) / (o.n_s - o.t_s)
+      + CASE WHEN u.treated = 1
+             THEN (u.y - CAST(o.sy1 AS DOUBLE) / o.t_s)
+                  * (CAST(o.n_s AS DOUBLE) / o.t_s)
+             ELSE -(u.y - CAST(o.sy0 AS DOUBLE) / (o.n_s - o.t_s))
+                  * (CAST(o.n_s AS DOUBLE) / (o.n_s - o.t_s)) END
+    ) * 1e2) AS BIGINT) AS term
+  FROM u JOIN ok o ON u.score // 10 = o.stratum),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_used,
+         CAST(sum(term) AS BIGINT) AS term_sum
+  FROM terms),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM u)
+SELECT t.n_all, s.n_used,
+  round(CAST(s.term_sum AS DOUBLE) / s.n_used / 1e4, 6)
+    AS ate_dollars_aipw
+FROM s CROSS JOIN tot t
+"""
+
+
+@register("aipw_ate", oracle=_AIPW_ORACLE)
+def aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust (AIPW) ATE of heavy error exposure on purchase
+    spend: per activity stratum, the outcome-regression difference
+    m̂₁ − m̂₀ (arm means) plus the inverse-propensity-weighted
+    residual correction — consistent if EITHER the outcome model OR
+    the propensity model is right, the modern default that caps the
+    causal family (psm_att = matching, ipw_ate = weighting,
+    aipw_ate = both).
+
+    Determinism and scale: stratum arm means and propensities are
+    single IEEE divisions of exact counts/sums; each user's AIPW term
+    micro-rounds ONCE and sums exactly. One per-user reduce, one
+    O(strata) aggregate broadcast back.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("score"),
+        (
+            5 * F.sum((F.col("event_type") == "error").cast("long"))
+            > F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("treated"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    ).withColumn("stratum", F.expr("score div 10"))
+    strata = u.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("treated").cast("long").alias("t_s"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy1"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy0"),
+    )
+    ok = strata.filter((F.col("t_s") > 0) & (F.col("t_s") < F.col("n_s")))
+    m1 = F.col("sy1").cast("double") / F.col("t_s")
+    m0 = F.col("sy0").cast("double") / (F.col("n_s") - F.col("t_s"))
+    corr = F.when(
+        F.col("treated") == 1,
+        (F.col("y") - m1) * (F.col("n_s").cast("double") / F.col("t_s")),
+    ).otherwise(
+        -(F.col("y") - m0)
+        * (F.col("n_s").cast("double") / (F.col("n_s") - F.col("t_s")))
+    )
+    terms = u.join(F.broadcast(ok), "stratum").select(
+        F.round((m1 - m0 + corr) * 1e2).cast("long").alias("term")
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.sum("term").cast("long").alias("term_sum"),
+    )
+    tot = u.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n_all",
+        "n_used",
+        F.round(
+            F.col("term_sum").cast("double") / F.col("n_used") / 1e4, 6
+        ).alias("ate_dollars_aipw"),
+    )

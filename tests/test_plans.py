@@ -231,6 +231,7 @@ INTENTIONAL_BNLJ = {
     "ari_kmeans_vs_labels",  # broadcast 1-row pair-count frames
     "twfe_regression",  # broadcast 1-row grand-mean frame
     "ipw_ate",  # broadcast 1-row population-count frame
+    "aipw_ate",  # broadcast 1-row population-count frame
 }
 
 

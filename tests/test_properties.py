@@ -4984,3 +4984,49 @@ def test_ipw_ate_matches_pandas_replay(spark, sf_dir):
     assert row["n_all"] == len(u)
     assert row["n_used"] == len(terms)
     assert abs(row["ate_dollars"] - sum(terms) / len(terms) / 1e4) < 1e-4
+
+
+def test_aipw_matches_pandas_replay_and_dr_identity(spark, sf_dir):
+    """aipw_ate equals a pandas AIPW replay; with stratum-mean outcome
+    models and stratum-share propensities the correction terms cancel
+    within strata, so AIPW equals the stratified regression estimate
+    up to per-term rounding."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import aipw_ate
+
+    row = aipw_ate(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    d = e.assign(cents=cents)
+    u = d.groupby("user_id").agg(
+        score=("event_type", "size"),
+        n_err=("event_type", lambda s: int((s == "error").sum())),
+    )
+    u["treated"] = (5 * u["n_err"] > u["score"]).astype(int)
+    y = d[d["event_type"] == "purchase"].groupby("user_id")["cents"].sum()
+    u["y"] = y.reindex(u.index).fillna(0).astype("int64")
+    u["stratum"] = u["score"] // 10
+    terms = []
+    reg_terms = []
+    for _, g in u.groupby("stratum"):
+        n_s, t_s = len(g), int(g["treated"].sum())
+        if not (0 < t_s < n_s):
+            continue
+        m1 = g.loc[g["treated"] == 1, "y"].mean()
+        m0 = g.loc[g["treated"] == 0, "y"].mean()
+        for r in g.itertuples():
+            corr = (
+                (r.y - m1) * (n_s / t_s)
+                if r.treated
+                else -(r.y - m0) * (n_s / (n_s - t_s))
+            )
+            terms.append(round((m1 - m0 + corr) * 1e2))
+            reg_terms.append(m1 - m0)
+    ate = sum(terms) / len(terms) / 1e4
+    assert row["n_used"] == len(terms)
+    assert abs(row["ate_dollars_aipw"] - ate) < 1e-4
+    # DR identity at in-sample stratum models: corrections cancel
+    reg = sum(reg_terms) / len(reg_terms) / 1e2
+    assert abs(row["ate_dollars_aipw"] - reg) < 1e-2
