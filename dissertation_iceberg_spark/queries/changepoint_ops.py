@@ -1345,3 +1345,144 @@ def record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Broken-stick fit: best single knot for a two-segment linear trend
+# --------------------------------------------------------------------------
+
+_BS_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+idx AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+         CAST(count(*) OVER () AS BIGINT) AS n, day, y
+  FROM daily),
+pre AS (
+  SELECT t, n, day,
+    CAST(sum(t) OVER w AS BIGINT) AS px,
+    CAST(sum(y) OVER w AS BIGINT) AS py,
+    CAST(sum(t * t) OVER w AS BIGINT) AS pxx,
+    CAST(sum(t * y) OVER w AS BIGINT) AS pxy,
+    CAST(sum(y * y) OVER w AS BIGINT) AS pyy,
+    CAST(sum(t) OVER () AS BIGINT) AS tx,
+    CAST(sum(y) OVER () AS BIGINT) AS ty,
+    CAST(sum(t * t) OVER () AS BIGINT) AS txx,
+    CAST(sum(t * y) OVER () AS BIGINT) AS txy,
+    CAST(sum(y * y) OVER () AS BIGINT) AS tyy
+  FROM idx
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)),
+cand AS (
+  SELECT t AS knot, day, n,
+    -- left-segment SSE from prefix sums
+    (CAST(pyy AS DOUBLE) - CAST(py AS DOUBLE) * py / t)
+      - (CASE WHEN t * pxx - px * px > 0 THEN
+           (CAST(pxy AS DOUBLE) - CAST(px AS DOUBLE) * py / t)
+           * (CAST(pxy AS DOUBLE) - CAST(px AS DOUBLE) * py / t)
+           / ((CAST(pxx AS DOUBLE) - CAST(px AS DOUBLE) * px / t))
+         ELSE 0 END) AS sse_l,
+    ((CAST(tyy - pyy AS DOUBLE)
+      - CAST(ty - py AS DOUBLE) * (ty - py) / (n - t))
+      - (CASE WHEN (n - t) * (txx - pxx) - (tx - px) * (tx - px) > 0 THEN
+           (CAST(txy - pxy AS DOUBLE)
+            - CAST(tx - px AS DOUBLE) * (ty - py) / (n - t))
+           * (CAST(txy - pxy AS DOUBLE)
+              - CAST(tx - px AS DOUBLE) * (ty - py) / (n - t))
+           / (CAST(txx - pxx AS DOUBLE)
+              - CAST(tx - px AS DOUBLE) * (tx - px) / (n - t))
+         ELSE 0 END)) AS sse_r
+  FROM pre WHERE t >= 3 AND n - t >= 3),
+best AS (
+  SELECT knot, day, n, sse_l, sse_r, sse_l + sse_r AS sse
+  FROM cand ORDER BY sse_l + sse_r ASC, knot ASC LIMIT 1)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(knot AS BIGINT) AS knot_t,
+  day AS knot_day,
+  round(sse / 1e4, 4) AS sse_total,
+  round(sse_l / 1e4, 4) AS sse_left,
+  round(sse_r / 1e4, 4) AS sse_right
+FROM best
+"""
+
+
+@register("broken_stick_fit", oracle=_BS_ORACLE)
+def broken_stick_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broken-stick (segmented-regression) fit of the daily
+    total-value series: choose the single knot minimizing the summed
+    SSE of two independent linear segments — the trend-CHANGE locator
+    that complements cusum/pettitt (level shifts): those ask 'did the
+    mean jump', this asks 'did the slope change, and when'.
+
+    Determinism and scale: prefix power sums (Σt, Σy, Σt², Σty, Σy²)
+    are exact BIGINT cumsums on the O(days) frame, so BOTH segments'
+    closed-form SSEs at EVERY candidate knot come from one pass —
+    O(days) total work, not O(days²) refits; SSE expressions are
+    identically-shaped IEEE doubles with (sse, knot) tie-breaks.
+    """
+    e = spread(load_table(spark, sf_dir, "events"))
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    wall = Window.partitionBy()
+    idx = daily.select(
+        "day",
+        "y",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    cw = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    pre = idx.select(
+        "t",
+        "n",
+        "day",
+        F.sum("t").over(cw).cast("long").alias("px"),
+        F.sum("y").over(cw).cast("long").alias("py"),
+        F.sum(F.col("t") * F.col("t")).over(cw).cast("long").alias("pxx"),
+        F.sum(F.col("t") * F.col("y")).over(cw).cast("long").alias("pxy"),
+        F.sum(F.col("y") * F.col("y")).over(cw).cast("long").alias("pyy"),
+        F.sum("t").over(wall).cast("long").alias("tx"),
+        F.sum("y").over(wall).cast("long").alias("ty"),
+        F.sum(F.col("t") * F.col("t")).over(wall).cast("long").alias("txx"),
+        F.sum(F.col("t") * F.col("y")).over(wall).cast("long").alias("txy"),
+        F.sum(F.col("y") * F.col("y")).over(wall).cast("long").alias("tyy"),
+    )
+    t, n = F.col("t"), F.col("n")
+
+    def seg_sse(syy, sy, sxy, sx, sxx, cnt):
+        css_y = syy.cast("double") - sy.cast("double") * sy / cnt
+        cxy = sxy.cast("double") - sx.cast("double") * sy / cnt
+        cxx = sxx.cast("double") - sx.cast("double") * sx / cnt
+        return css_y - F.when(cxx > 0, cxy * cxy / cxx).otherwise(0.0)
+
+    sse_l = seg_sse(
+        F.col("pyy"), F.col("py"), F.col("pxy"), F.col("px"), F.col("pxx"), t
+    )
+    sse_r = seg_sse(
+        F.col("tyy") - F.col("pyy"),
+        F.col("ty") - F.col("py"),
+        F.col("txy") - F.col("pxy"),
+        F.col("tx") - F.col("px"),
+        F.col("txx") - F.col("pxx"),
+        n - t,
+    )
+    cand = pre.filter((t >= 3) & (n - t >= 3)).select(
+        t.alias("knot"),
+        "day",
+        "n",
+        sse_l.alias("sse_l"),
+        sse_r.alias("sse_r"),
+        (sse_l + sse_r).alias("sse"),
+    )
+    best = cand.orderBy(F.asc("sse"), F.asc("knot")).limit(1)
+    return best.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("knot").cast("long").alias("knot_t"),
+        F.col("day").alias("knot_day"),
+        F.round(F.col("sse") / 1e4, 4).alias("sse_total"),
+        F.round(F.col("sse_l") / 1e4, 4).alias("sse_left"),
+        F.round(F.col("sse_r") / 1e4, 4).alias("sse_right"),
+    )

@@ -5030,3 +5030,48 @@ def test_aipw_matches_pandas_replay_and_dr_identity(spark, sf_dir):
     # DR identity at in-sample stratum models: corrections cancel
     reg = sum(reg_terms) / len(reg_terms) / 1e2
     assert abs(row["ate_dollars_aipw"] - reg) < 1e-2
+
+
+def test_broken_stick_matches_numpy_replay(spark, sf_dir):
+    """broken_stick_fit equals a numpy exhaustive two-segment SSE
+    search; the chosen knot's SSE is the global minimum and never
+    exceeds the single-line SSE."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.changepoint_ops import (
+        broken_stick_fit,
+    )
+
+    row = broken_stick_fit(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    y = (
+        e.assign(cents=cents, day=e["ts"].dt.floor("D"))
+        .groupby("day")["cents"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+        .astype("float64")
+    )
+    n = len(y)
+    t = np.arange(1, n + 1, dtype="float64")
+
+    def sse(xs, ys):
+        m = len(xs)
+        cxx = (xs * xs).sum() - xs.sum() ** 2 / m
+        cxy = (xs * ys).sum() - xs.sum() * ys.sum() / m
+        cyy = (ys * ys).sum() - ys.sum() ** 2 / m
+        return cyy - (cxy * cxy / cxx if cxx > 0 else 0.0)
+
+    best = None
+    for k in range(3, n - 2):
+        s = sse(t[:k], y[:k]) + sse(t[k:], y[k:])
+        if best is None or s < best[0] - 1e-9:
+            best = (s, k)
+    s_best, k_best = best
+    assert row["knot_t"] == k_best
+    assert abs(row["sse_total"] - s_best / 1e4) < max(
+        1e-2, abs(s_best / 1e4) * 1e-6
+    )
+    assert row["sse_total"] <= sse(t, y) / 1e4 + 1e-6
