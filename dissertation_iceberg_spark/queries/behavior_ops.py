@@ -2619,3 +2619,124 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("uncertainty"),
         (F.col("sq_tot") / F.col("n_tot") / 1e12).alias("brier"),
     )
+
+
+# --------------------------------------------------------------------------
+# Retention half-life: log-linear decay fit of the retention curve
+# --------------------------------------------------------------------------
+
+_RHL_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY 1),
+activity AS (
+  SELECT DISTINCT e.user_id, date_trunc('day', e.ts) AS day
+  FROM events e),
+cohort_sizes AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS n0 FROM firsts GROUP BY 1),
+ret AS (
+  SELECT f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS age,
+         CAST(count(DISTINCT a.user_id) AS BIGINT) AS active
+  FROM activity a JOIN firsts f ON a.user_id = f.user_id
+  WHERE a.day > f.cohort_day
+  GROUP BY 1, 2),
+pts AS (
+  SELECT r.cohort_day, r.age, r.active, s.n0,
+    CAST(round(ln(CAST(r.active AS DOUBLE) / s.n0) * 1e6) AS BIGINT) AS ly
+  FROM ret r JOIN cohort_sizes s ON r.cohort_day = s.cohort_day
+  WHERE r.active > 0),
+g AS (
+  SELECT cohort_day, CAST(any_value(n0) AS BIGINT) AS n0,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(age) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+    CAST(sum(age * ly) AS BIGINT) AS sxy,
+    CAST(sum(age * age) AS BIGINT) AS sxx
+  FROM pts GROUP BY 1
+  HAVING count(*) >= 3),
+fit AS (
+  SELECT cohort_day, n0, n,
+    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 1e6
+      AS decay
+  FROM g
+  WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0)
+SELECT cohort_day, n0 AS cohort_size, n AS n_ages,
+  round(decay, 6) AS daily_log_decay,
+  round(CASE WHEN decay < 0
+        THEN CAST('-6.93147180559945e-1' AS DOUBLE) / decay END, 6)
+    AS half_life_days
+FROM fit
+"""
+
+
+@register("retention_half_life", oracle=_RHL_ORACLE)
+def retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life per signup cohort: fit ln(retention) on
+    age-days by OLS and convert the decay slope to a half-life
+    −ln 2 / slope — the one-number summary of cohort_retention's
+    matrix that growth teams actually compare across cohorts
+    (negative-decay cohorts report NULL half-life in both engines).
+
+    Determinism and scale: the retention matrix reduces to O(cohorts
+    × ages) cells; per-cell log retention micro-rounds ONCE, the OLS
+    runs on exact integer Gram sums per cohort, and ln 2 is a shared
+    binary-exact literal.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = e.select("user_id", day.alias("day")).distinct()
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n0")
+    )
+    ret = (
+        activity.join(firsts, "user_id")
+        .filter(F.col("day") > F.col("cohort_day"))
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("age"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("active"))
+    )
+    pts = ret.join(F.broadcast(sizes), "cohort_day").filter(
+        F.col("active") > 0
+    ).select(
+        "cohort_day",
+        "age",
+        "n0",
+        F.round(
+            F.log(F.col("active").cast("double") / F.col("n0")) * 1e6
+        )
+        .cast("long")
+        .alias("ly"),
+    )
+    g = (
+        pts.groupBy("cohort_day")
+        .agg(
+            F.any_value("n0").cast("long").alias("n0"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("age").cast("long").alias("sx"),
+            F.sum("ly").cast("long").alias("sy"),
+            F.sum(F.col("age") * F.col("ly")).cast("long").alias("sxy"),
+            F.sum(F.col("age") * F.col("age")).cast("long").alias("sxx"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    n = F.col("n").cast("double")
+    det = n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    decay = (
+        (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / det
+        / 1e6
+    )
+    ln2 = F.expr("CAST('-6.93147180559945e-1' AS DOUBLE)")
+    return g.filter(det > 0).select(
+        "cohort_day",
+        F.col("n0").alias("cohort_size"),
+        F.col("n").alias("n_ages"),
+        F.round(decay, 6).alias("daily_log_decay"),
+        F.round(F.when(decay < 0, ln2 / decay), 6).alias("half_life_days"),
+    )

@@ -5075,3 +5075,57 @@ def test_broken_stick_matches_numpy_replay(spark, sf_dir):
         1e-2, abs(s_best / 1e4) * 1e-6
     )
     assert row["sse_total"] <= sse(t, y) / 1e4 + 1e-6
+
+
+def test_retention_half_life_matches_pandas_replay(spark, sf_dir):
+    """retention_half_life equals a pandas log-linear decay replay;
+    half-life is positive exactly when decay is negative."""
+    import math
+
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.behavior_ops import (
+        retention_half_life,
+    )
+
+    pdf = retention_half_life(spark, sf_dir).toPandas()
+    e = load_table(spark, sf_dir, "events").toPandas()
+    d = e.assign(day=e["ts"].dt.floor("D"))
+    firsts = d.groupby("user_id")["day"].min()
+    act = d[["user_id", "day"]].drop_duplicates()
+    act = act.assign(cohort=act["user_id"].map(firsts))
+    act["age"] = (act["day"] - act["cohort"]).dt.days
+    act = act[act["age"] > 0]
+    sizes = firsts.value_counts()
+    for cohort, grp in act.groupby("cohort"):
+        n0 = int(sizes[cohort])
+        cur = grp.groupby("age")["user_id"].nunique()
+        xs, ys = [], []
+        for age, active in cur.items():
+            if active > 0:
+                xs.append(age)
+                ys.append(round(math.log(active / n0) * 1e6))
+        if len(xs) < 3:
+            assert not (pdf["cohort_day"] == cohort).any()
+            continue
+        xs = np.array(xs, dtype="float64")
+        ys = np.array(ys, dtype="float64")
+        n = len(xs)
+        det = n * (xs * xs).sum() - xs.sum() ** 2
+        if det <= 0:
+            continue
+        decay = (n * (xs * ys).sum() - xs.sum() * ys.sum()) / det / 1e6
+        row = pdf[pdf["cohort_day"] == cohort]
+        assert len(row) == 1
+        row = row.iloc[0]
+        assert row["cohort_size"] == n0 and row["n_ages"] == n
+        assert abs(row["daily_log_decay"] - decay) < 1e-5
+        if decay < 0:
+            assert (
+                abs(row["half_life_days"] - (-math.log(2) / decay))
+                < max(1e-3, abs(math.log(2) / decay) * 1e-4)
+            )
+            assert row["half_life_days"] > 0
+        else:
+            assert np.isnan(row["half_life_days"])
