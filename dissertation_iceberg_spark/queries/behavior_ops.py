@@ -2740,3 +2740,142 @@ def retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(decay, 6).alias("daily_log_decay"),
         F.round(F.when(decay < 0, ln2 / decay), 6).alias("half_life_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Growth accounting: new / retained / resurrected / churned per week
+# --------------------------------------------------------------------------
+
+_GA_ORACLE = """
+WITH wk AS (
+  SELECT DISTINCT user_id,
+    CAST(datediff('day', DATE '1970-01-01', date_trunc('day', ts))
+         AS BIGINT) // 7 AS week
+  FROM events),
+firsts AS (
+  SELECT user_id, CAST(min(week) AS BIGINT) AS first_week FROM wk GROUP BY 1),
+states AS (
+  SELECT w.user_id, w.week, f.first_week,
+    CASE WHEN EXISTS (SELECT 1 FROM wk p
+                      WHERE p.user_id = w.user_id AND p.week = w.week - 1)
+         THEN 1 ELSE 0 END AS prev_active
+  FROM wk w JOIN firsts f ON w.user_id = f.user_id),
+flows AS (
+  SELECT week,
+    CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT)
+      AS new_users,
+    CAST(sum(CASE WHEN week > first_week AND prev_active = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+    CAST(sum(CASE WHEN week > first_week AND prev_active = 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+  FROM states GROUP BY 1),
+churn AS (
+  SELECT w.week + 1 AS week, CAST(count(*) AS BIGINT) AS churned
+  FROM wk w
+  WHERE NOT EXISTS (SELECT 1 FROM wk n
+                    WHERE n.user_id = w.user_id AND n.week = w.week + 1)
+    AND w.week + 1 <= (SELECT max(week) FROM wk)
+  GROUP BY 1)
+SELECT f.week, f.new_users, f.retained, f.resurrected,
+  CAST(coalesce(c.churned, 0) AS BIGINT) AS churned,
+  round(CASE WHEN coalesce(c.churned, 0) > 0
+        THEN CAST(f.new_users + f.resurrected AS DOUBLE) / c.churned END, 6)
+    AS quick_ratio
+FROM flows f LEFT JOIN churn c ON f.week = c.week
+"""
+
+
+@register("growth_accounting", oracle=_GA_ORACLE)
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per ISO-ish week (epoch-day div 7), the four
+    canonical user flows — new (first week), retained (active last
+    week too), resurrected (returning after a gap), churned (active
+    last week, absent now) — and the quick ratio
+    (new + resurrected)/churned, the growth-health number that MAU
+    deltas hide (a flat MAU can be healthy churn+resurrection or a
+    leaky bucket).
+
+    Determinism and scale: the stream reduces to distinct (user,
+    week) presence; flows come from the per-user previous-week flag
+    (a self-equi-join on the presence frame, never a window over raw
+    events) and exact integer counts. Weeks are pure epoch-day
+    arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts), DATE '1970-01-01')"
+            " AS BIGINT) div 7"
+        ).alias("week"),
+    ).distinct()
+    firsts = wk.groupBy("user_id").agg(
+        F.min("week").cast("long").alias("first_week")
+    )
+    prev = wk.select(
+        "user_id", (F.col("week") + 1).alias("week"), F.lit(1).alias("pa")
+    )
+    states = (
+        wk.join(firsts, "user_id")
+        .join(prev, ["user_id", "week"], "left")
+        .select(
+            "week",
+            "first_week",
+            F.coalesce(F.col("pa"), F.lit(0)).alias("prev_active"),
+        )
+    )
+    flows = states.groupBy("week").agg(
+        F.sum((F.col("week") == F.col("first_week")).cast("long"))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(
+            (
+                (F.col("week") > F.col("first_week"))
+                & (F.col("prev_active") == 1)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("retained"),
+        F.sum(
+            (
+                (F.col("week") > F.col("first_week"))
+                & (F.col("prev_active") == 0)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("resurrected"),
+    )
+    nxt = wk.select(
+        "user_id", (F.col("week") - 1).alias("week"), F.lit(1).alias("na")
+    )
+    maxw = wk.agg(F.max("week").alias("mx"))
+    churn = (
+        wk.join(nxt, ["user_id", "week"], "left")
+        .filter(F.col("na").isNull())
+        .crossJoin(F.broadcast(maxw))
+        .filter(F.col("week") + 1 <= F.col("mx"))
+        .groupBy((F.col("week") + 1).alias("week"))
+        .agg(F.count(F.lit(1)).cast("long").alias("churned"))
+    )
+    out = flows.join(churn, "week", "left").select(
+        "week",
+        "new_users",
+        "retained",
+        "resurrected",
+        F.coalesce(F.col("churned"), F.lit(0)).cast("long").alias("churned"),
+    )
+    return out.select(
+        "week",
+        "new_users",
+        "retained",
+        "resurrected",
+        "churned",
+        F.round(
+            F.when(
+                F.col("churned") > 0,
+                (F.col("new_users") + F.col("resurrected")).cast("double")
+                / F.col("churned"),
+            ),
+            6,
+        ).alias("quick_ratio"),
+    )

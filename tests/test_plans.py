@@ -232,6 +232,7 @@ INTENTIONAL_BNLJ = {
     "twfe_regression",  # broadcast 1-row grand-mean frame
     "ipw_ate",  # broadcast 1-row population-count frame
     "aipw_ate",  # broadcast 1-row population-count frame
+    "growth_accounting",  # broadcast 1-row max-week frame
 }
 
 

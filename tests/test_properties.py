@@ -5129,3 +5129,54 @@ def test_retention_half_life_matches_pandas_replay(spark, sf_dir):
             assert row["half_life_days"] > 0
         else:
             assert np.isnan(row["half_life_days"])
+
+
+def test_growth_accounting_matches_pandas_replay(spark, sf_dir):
+    """growth_accounting equals a pandas replay of the four weekly
+    user flows, and the MAU identity holds:
+    active(w) = new + retained + resurrected."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.behavior_ops import (
+        growth_accounting,
+    )
+
+    pdf = (
+        growth_accounting(spark, sf_dir)
+        .toPandas()
+        .sort_values("week")
+        .reset_index(drop=True)
+    )
+    e = load_table(spark, sf_dir, "events").toPandas()
+    epoch = np.datetime64("1970-01-01")
+    wk = (
+        e.assign(week=((e["ts"].dt.floor("D") - epoch).dt.days // 7))
+        .groupby("week")["user_id"]
+        .apply(set)
+    )
+    firsts = {}
+    for w in sorted(wk.index):
+        for u in wk[w]:
+            firsts.setdefault(u, w)
+    max_w = max(wk.index)
+    for w in sorted(wk.index):
+        cur = wk[w]
+        prev = wk.get(w - 1, set())
+        new = sum(1 for u in cur if firsts[u] == w)
+        retained = sum(1 for u in cur if firsts[u] < w and u in prev)
+        resurrected = sum(1 for u in cur if firsts[u] < w and u not in prev)
+        churned = (
+            sum(1 for u in prev if u not in cur) if w - 1 in wk.index else 0
+        )
+        row = pdf[pdf["week"] == w].iloc[0]
+        assert row["new_users"] == new
+        assert row["retained"] == retained
+        assert row["resurrected"] == resurrected
+        if w <= max_w and w - 1 in wk.index:
+            assert row["churned"] == churned
+        # MAU identity
+        assert (
+            row["new_users"] + row["retained"] + row["resurrected"]
+            == len(cur)
+        )
