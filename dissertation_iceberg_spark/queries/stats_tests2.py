@@ -5305,3 +5305,213 @@ def aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("term_sum").cast("double") / F.col("n_used") / 1e4, 6
         ).alias("ate_dollars_aipw"),
     )
+
+
+# --------------------------------------------------------------------------
+# UCB1 bandit policy replay over daily arm rewards (run parity)
+# --------------------------------------------------------------------------
+
+_UCB_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT date_trunc('day', ts) AS day, event_type AS arm,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+-- reward: did the arm's daily total reach the day's 5-arm lower median?
+meds AS (
+  SELECT day, CAST((list_sort(list(cents)))[3] AS BIGINT) AS med
+  FROM daily GROUP BY 1),
+rw AS (
+  SELECT d.day, list(CASE WHEN d.cents >= m.med THEN 1 ELSE 0 END
+                     ORDER BY d.arm) AS r
+  FROM daily d JOIN meds m ON d.day = m.day
+  GROUP BY 1),
+arms AS (SELECT list(DISTINCT arm ORDER BY arm) AS names FROM daily),
+seq AS (
+  SELECT day, r, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+         CAST(count(*) OVER () AS BIGINT) AS n_days
+  FROM rw),
+rec AS (
+  SELECT CAST(1 AS BIGINT) AS t,
+         (SELECT [CAST(1 AS BIGINT), 1, 1, 1, 1]) AS n,
+         (SELECT list_transform(r, x -> CAST(x AS BIGINT))
+          FROM seq WHERE t = 1) AS s,
+         CAST(NULL AS BIGINT) AS chosen,
+         CAST(NULL AS BIGINT) AS reward
+  UNION ALL
+  SELECT q.t,
+    list_transform(range(1, 6), i ->
+      r.n[i] + CASE WHEN i = CAST((list_sort(list_transform(range(1, 6), j ->
+      [-(CAST(round(CAST(r.s[j] AS DOUBLE) / r.n[j] * 1e6) AS BIGINT)
+         + CAST(round(sqrt(2.0 * ln(CAST(q.t AS DOUBLE)) / r.n[j]) * 1e6)
+                AS BIGINT)), j])))[1][2] AS BIGINT) THEN 1 ELSE 0 END),
+    list_transform(range(1, 6), i ->
+      r.s[i] + CASE WHEN i = CAST((list_sort(list_transform(range(1, 6), j ->
+      [-(CAST(round(CAST(r.s[j] AS DOUBLE) / r.n[j] * 1e6) AS BIGINT)
+         + CAST(round(sqrt(2.0 * ln(CAST(q.t AS DOUBLE)) / r.n[j]) * 1e6)
+                AS BIGINT)), j])))[1][2] AS BIGINT) THEN q.r[i] ELSE 0 END),
+    CAST((list_sort(list_transform(range(1, 6), j ->
+      [-(CAST(round(CAST(r.s[j] AS DOUBLE) / r.n[j] * 1e6) AS BIGINT)
+         + CAST(round(sqrt(2.0 * ln(CAST(q.t AS DOUBLE)) / r.n[j]) * 1e6)
+                AS BIGINT)), j])))[1][2] AS BIGINT) AS chosen,
+    CAST(q.r[CAST((list_sort(list_transform(range(1, 6), j ->
+      [-(CAST(round(CAST(r.s[j] AS DOUBLE) / r.n[j] * 1e6) AS BIGINT)
+         + CAST(round(sqrt(2.0 * ln(CAST(q.t AS DOUBLE)) / r.n[j]) * 1e6)
+                AS BIGINT)), j])))[1][2] AS BIGINT)] AS BIGINT)
+  FROM rec r
+  JOIN seq q ON q.t = r.t + 1),
+path AS (
+  SELECT r.t, q.day, r.chosen, r.reward
+  FROM rec r JOIN seq q ON q.t = r.t
+  WHERE r.chosen IS NOT NULL),
+best AS (
+  -- best fixed arm in hindsight over the decision days (t >= 2)
+  SELECT max(tot) AS best_tot FROM (
+    SELECT i, CAST(sum(q.r[i]) AS BIGINT) AS tot
+    FROM seq q, range(1, 6) AS g(i)
+    WHERE q.t >= 2 GROUP BY 1))
+SELECT p.day, a.names[p.chosen] AS chosen_arm, p.reward,
+  CAST(sum(p.reward) OVER (ORDER BY p.t
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_reward,
+  CAST(b.best_tot AS BIGINT) AS best_fixed_total
+FROM path p CROSS JOIN best b CROSS JOIN arms a
+"""
+
+
+@register("ucb1_bandit_replay", oracle=_UCB_ORACLE)
+def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit policy replay: arms = event types, a day's reward
+    for an arm = 1 if its daily value total reached the day's 5-arm
+    lower median. Day 1 initializes every arm once; each later day
+    the policy plays argmax of mean + √(2 ln t / n) (both terms
+    micro-rounded ONCE so the argmax is exact integer arithmetic,
+    ties → first arm alphabetically) and observes only the chosen
+    arm's reward — offline policy evaluation with the
+    best-fixed-arm-in-hindsight total for regret readoff. The
+    sequential-decision sibling of the run-parity recursion family
+    (HMM, Viterbi, EM, Newton, GBM).
+
+    Scale shape: one daily (arm, day) aggregate; rewards derive from
+    the exact 5-element lower median per day; the policy folds over
+    the O(days) sequence with 10 integers of state.
+    """
+    e = spread(load_table(spark, sf_dir, "events"))
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("event_type").alias("arm"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    per_day = daily.groupBy("day").agg(
+        F.sort_array(F.collect_list(F.struct("arm", "cents"))).alias("ac")
+    )
+    cents_arr = F.transform(F.col("ac"), lambda x: x["cents"])
+    med = F.array_sort(cents_arr)[2]
+    rw = per_day.select(
+        "day",
+        F.transform(
+            F.col("ac"), lambda x: (x["cents"] >= med).cast("long")
+        ).alias("r"),
+    )
+    arms = daily.agg(
+        F.array_sort(F.collect_set("arm")).alias("names")
+    )
+    seq = rw.agg(
+        F.sort_array(F.collect_list(F.struct("day", "r"))).alias("days")
+    )
+    ones = F.array(*[F.lit(1).cast("long") for _ in range(5)])
+    init = F.struct(
+        ones.alias("n"),
+        F.expr("transform(days[0].r, x -> CAST(x AS BIGINT))").alias("s"),
+        F.array()
+        .cast("array<struct<day:timestamp,chosen:bigint,reward:bigint>>")
+        .alias("path"),
+        F.lit(1).cast("long").alias("t"),
+    )
+    rest = F.expr("slice(days, 2, size(days) - 1)")
+
+    def step(acc, d):
+        t_next = acc["t"] + 1
+        idx = F.sequence(F.lit(1), F.lit(5))
+        scores = F.transform(
+            idx,
+            lambda i: F.round(
+                F.element_at(acc["s"], i).cast("double")
+                / F.element_at(acc["n"], i)
+                * 1e6
+            ).cast("long")
+            + F.round(
+                F.sqrt(
+                    2.0
+                    * F.log(t_next.cast("double"))
+                    / F.element_at(acc["n"], i)
+                )
+                * 1e6
+            ).cast("long"),
+        )
+        pairs = F.transform(
+            idx,
+            lambda i: F.struct(
+                (-F.element_at(scores, i)).alias("neg"), i.alias("i")
+            ),
+        )
+        a = F.array_sort(pairs)[0]["i"]
+        reward = F.element_at(d["r"], a).cast("long")
+        return F.struct(
+            F.transform(
+                idx,
+                lambda i: F.element_at(acc["n"], i)
+                + F.when(i == a, 1).otherwise(0),
+            ).alias("n"),
+            F.transform(
+                idx,
+                lambda i: F.element_at(acc["s"], i)
+                + F.when(i == a, F.element_at(d["r"], i)).otherwise(0),
+            ).alias("s"),
+            F.concat(
+                acc["path"],
+                F.array(
+                    F.struct(
+                        d["day"].alias("day"),
+                        a.cast("bigint").alias("chosen"),
+                        reward.alias("reward"),
+                    )
+                ),
+            ).alias("path"),
+            t_next.alias("t"),
+        )
+
+    folded = seq.select(
+        F.aggregate(rest, init, step)["path"].alias("path"), "days"
+    )
+    best = folded.select(
+        F.expr(
+            "(SELECT max(tot) FROM ("
+            "  SELECT aggregate(slice(days, 2, size(days) - 1),"
+            "    CAST(0 AS BIGINT), (acc, d) -> acc + d.r[i - 1]) AS tot"
+            "  FROM (SELECT explode(sequence(1, 5)) AS i)))"
+        ).alias("best_tot"),
+        "path",
+    )
+    rows = best.select(
+        F.col("best_tot"), F.posexplode("path").alias("i", "p")
+    )
+    cw = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    out = rows.select(
+        F.col("p.day").alias("day"),
+        F.col("p.chosen").alias("chosen_idx"),
+        F.col("p.reward").alias("reward"),
+        F.sum("p.reward").over(cw).cast("long").alias("cum_reward"),
+        F.col("best_tot").cast("long").alias("best_fixed_total"),
+    )
+    return out.crossJoin(F.broadcast(arms)).select(
+        "day",
+        F.element_at(F.col("names"), F.col("chosen_idx").cast("int")).alias(
+            "chosen_arm"
+        ),
+        "reward",
+        "cum_reward",
+        "best_fixed_total",
+    )

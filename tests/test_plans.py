@@ -233,6 +233,7 @@ INTENTIONAL_BNLJ = {
     "ipw_ate",  # broadcast 1-row population-count frame
     "aipw_ate",  # broadcast 1-row population-count frame
     "growth_accounting",  # broadcast 1-row max-week frame
+    "ucb1_bandit_replay",  # broadcast 1-row arm-names + fold frames
 }
 
 

@@ -5180,3 +5180,66 @@ def test_growth_accounting_matches_pandas_replay(spark, sf_dir):
             row["new_users"] + row["retained"] + row["resurrected"]
             == len(cur)
         )
+
+
+def test_ucb1_replay_matches_python(spark, sf_dir):
+    """ucb1_bandit_replay equals a python UCB1 replay with identical
+    micro-rounding; cumulative reward never exceeds the best fixed
+    arm's total."""
+    import math
+    from collections import defaultdict
+
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        ucb1_bandit_replay,
+    )
+
+    pdf = (
+        ucb1_bandit_replay(spark, sf_dir)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    d = e.assign(cents=cents, day=e["ts"].dt.floor("D"))
+    daily = (
+        d.groupby(["day", "event_type"])["cents"].sum().reset_index()
+    )
+    arms = sorted(daily["event_type"].unique())
+    days = sorted(daily["day"].unique())
+    R = defaultdict(dict)
+    for day in days:
+        sub = daily[daily["day"] == day].set_index("event_type")["cents"]
+        med = sorted(sub.values)[2]
+        for a in arms:
+            R[day][a] = int(sub[a] >= med)
+    n = [1] * 5
+    s = [R[days[0]][a] for a in arms]
+    rows = []
+    for t, day in enumerate(days[1:], start=2):
+        scores = []
+        for i in range(5):
+            scores.append(
+                round(s[i] / n[i] * 1e6)
+                + round(math.sqrt(2 * math.log(t) / n[i]) * 1e6)
+            )
+        a = min(range(5), key=lambda i: (-scores[i], i))
+        r = R[day][arms[a]]
+        n[a] += 1
+        s[a] += r
+        rows.append((day, arms[a], r))
+    best = max(
+        sum(R[day][a] for day in days[1:]) for a in arms
+    )
+    assert len(pdf) == len(rows)
+    cum = 0
+    for (day, arm, r), row in zip(rows, pdf.itertuples()):
+        cum += r
+        assert row.chosen_arm == arm
+        assert row.reward == r
+        assert row.cum_reward == cum
+        assert row.best_fixed_total == best
+    assert pdf["cum_reward"].iloc[-1] <= best
