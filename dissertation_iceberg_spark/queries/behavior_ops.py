@@ -2879,3 +2879,93 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("quick_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Shift-share decomposition of half-over-half value growth
+# --------------------------------------------------------------------------
+
+_SS_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+  FROM events),
+halves AS (
+  SELECT e.event_type,
+    CAST(sum(CASE WHEN epoch_us(e.ts) * 2 < b.lo + b.hi
+             THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS v1,
+    CAST(sum(CASE WHEN epoch_us(e.ts) * 2 >= b.lo + b.hi
+             THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS v2
+  FROM events e CROSS JOIN bounds b
+  GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(v1) AS BIGINT) AS t1, CAST(sum(v2) AS BIGINT) AS t2
+  FROM halves)
+SELECT h.event_type,
+  round(h.v1 / 100.0, 6) AS value_h1,
+  round(h.v2 / 100.0, 6) AS value_h2,
+  round((h.v2 - h.v1) / 100.0, 6) AS delta,
+  -- within component: segment growth at its H1 share of the total
+  round((CAST(h.v1 AS DOUBLE) / t.t1) * (t.t2 - t.t1) / 100.0, 6)
+    AS expected_at_mix,
+  round((h.v2 - h.v1 - (CAST(h.v1 AS DOUBLE) / t.t1) * (t.t2 - t.t1))
+        / 100.0, 6) AS mix_shift,
+  round(CAST(h.v2 AS DOUBLE) / t.t2 - CAST(h.v1 AS DOUBLE) / t.t1, 6)
+    AS share_change
+FROM halves h CROSS JOIN tot t
+"""
+
+
+@register("shift_share_decomposition", oracle=_SS_ORACLE)
+def shift_share_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-share decomposition of half-over-half value growth per
+    event type: each segment's observed delta splits into the growth
+    it would have had at the aggregate rate (holding H1 mix fixed)
+    and the residual mix shift — the index-decomposition that answers
+    'did revenue grow because everything grew, or because the mix
+    moved toward this segment', with the share change riding along.
+
+    Determinism and scale: one conditional reduce per type against
+    the exact integer-microsecond midpoint (the Chapman/McNemar
+    split); totals broadcast back; every readout is a single
+    identically-shaped double over exact BIGINTs.
+    """
+    from dissertation_iceberg_spark.functions.time_bins import micros
+
+    e = load_table(spark, sf_dir, "events")
+    us = micros("ts")
+    bounds = e.agg(
+        F.min(us).cast("long").alias("lo"), F.max(us).cast("long").alias("hi")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    first = us * 2 < F.col("lo") + F.col("hi")
+    halves = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(first, cents).otherwise(0)).cast("long").alias("v1"),
+            F.sum(F.when(~first, cents).otherwise(0)).cast("long").alias("v2"),
+        )
+    )
+    tot = halves.agg(
+        F.sum("v1").cast("long").alias("t1"),
+        F.sum("v2").cast("long").alias("t2"),
+    )
+    out = halves.crossJoin(F.broadcast(tot))
+    share1 = F.col("v1").cast("double") / F.col("t1")
+    expected = share1 * (F.col("t2") - F.col("t1"))
+    return out.select(
+        "event_type",
+        F.round(F.col("v1") / 100.0, 6).alias("value_h1"),
+        F.round(F.col("v2") / 100.0, 6).alias("value_h2"),
+        F.round((F.col("v2") - F.col("v1")) / 100.0, 6).alias("delta"),
+        F.round(expected / 100.0, 6).alias("expected_at_mix"),
+        F.round(
+            (F.col("v2") - F.col("v1") - expected) / 100.0, 6
+        ).alias("mix_shift"),
+        F.round(
+            F.col("v2").cast("double") / F.col("t2") - share1, 6
+        ).alias("share_change"),
+    )

@@ -234,6 +234,7 @@ INTENTIONAL_BNLJ = {
     "aipw_ate",  # broadcast 1-row population-count frame
     "growth_accounting",  # broadcast 1-row max-week frame
     "ucb1_bandit_replay",  # broadcast 1-row arm-names + fold frames
+    "shift_share_decomposition",  # broadcast 1-row bounds/totals frames
 }
 
 

@@ -5243,3 +5243,38 @@ def test_ucb1_replay_matches_python(spark, sf_dir):
         assert row.cum_reward == cum
         assert row.best_fixed_total == best
     assert pdf["cum_reward"].iloc[-1] <= best
+
+
+def test_shift_share_matches_pandas_replay(spark, sf_dir):
+    """shift_share_decomposition equals a pandas replay; within +
+    mix components sum to the observed delta per segment, and mix
+    shifts sum to ~0 across segments."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.behavior_ops import (
+        shift_share_decomposition,
+    )
+
+    pdf = shift_share_decomposition(spark, sf_dir).toPandas()
+    e = load_table(spark, sf_dir, "events").toPandas()
+    us = e["ts"].astype("int64") // 1000
+    lo, hi = int(us.min()), int(us.max())
+    first = us * 2 < lo + hi
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    d = e.assign(cents=cents, first=first)
+    h = d.groupby(["event_type", "first"])["cents"].sum().unstack(
+        fill_value=0
+    )
+    v1, v2 = h[True], h[False]
+    t1, t2 = int(v1.sum()), int(v2.sum())
+    for r in pdf.itertuples():
+        ev1, ev2 = int(v1[r.event_type]), int(v2[r.event_type])
+        expected = ev1 / t1 * (t2 - t1)
+        assert abs(r.value_h1 - ev1 / 100) < 1e-6
+        assert abs(r.delta - (ev2 - ev1) / 100) < 1e-6
+        assert abs(r.expected_at_mix - expected / 100) < 1e-4
+        assert abs(r.mix_shift - (ev2 - ev1 - expected) / 100) < 1e-4
+        # identity: delta = expected_at_mix + mix_shift
+        assert abs(r.delta - (r.expected_at_mix + r.mix_shift)) < 1e-4
+    assert abs(pdf["mix_shift"].sum()) < 1e-2  # mix shifts cancel
