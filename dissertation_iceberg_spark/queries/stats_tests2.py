@@ -5515,3 +5515,156 @@ def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_reward",
         "best_fixed_total",
     )
+
+
+# --------------------------------------------------------------------------
+# Greenwood confidence bands for the Kaplan-Meier curve
+# --------------------------------------------------------------------------
+
+_GW_Z = "1.959963985e0"
+
+_GREENWOOD_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+    min(date_trunc('day', ts)) AS t0,
+    min(CASE WHEN event_type = 'purchase' THEN date_trunc('day', ts) END)
+      AS tp,
+    max(date_trunc('day', ts)) AS tend
+  FROM events GROUP BY 1),
+dur AS (
+  SELECT date_diff('day', t0, coalesce(tp, tend)) AS t_day,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM u),
+grp AS (
+  SELECT t_day, CAST(sum(ev) AS BIGINT) AS d,
+         CAST(sum(1 - ev) AS BIGINT) AS c
+  FROM dur GROUP BY 1),
+risk AS (
+  SELECT t_day, d, c,
+    CAST((SELECT count(*) FROM dur)
+      - coalesce(sum(d + c) OVER (ORDER BY t_day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS n_risk
+  FROM grp),
+lm AS (
+  SELECT t_day, d, c, n_risk,
+    CASE WHEN d < n_risk THEN
+      CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk) * 1e6) AS BIGINT)
+    END AS lm_micro,
+    CASE WHEN d < n_risk AND d > 0 THEN
+      CAST(round(CAST(d AS DOUBLE)
+                 / (CAST(n_risk AS DOUBLE) * (n_risk - d)) * 1e9) AS BIGINT)
+    ELSE 0 END AS g_nano
+  FROM risk),
+curve AS (
+  SELECT t_day, n_risk, d, c,
+    exp(CAST(sum(lm_micro) OVER w AS DOUBLE) / 1e6) AS surv,
+    CAST(sum(g_nano) OVER w AS BIGINT) AS g_cum
+  FROM lm WHERE lm_micro IS NOT NULL
+  WINDOW w AS (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW))
+SELECT t_day, n_risk, d AS n_event,
+  round(surv, 6) AS surv,
+  round(surv * sqrt(g_cum / 1e9), 6) AS greenwood_se,
+  round(greatest(surv - CAST('{_GW_Z}' AS DOUBLE)
+                 * surv * sqrt(g_cum / 1e9), 0.0), 6) AS ci_lo,
+  round(least(surv + CAST('{_GW_Z}' AS DOUBLE)
+              * surv * sqrt(g_cum / 1e9), 1.0), 6) AS ci_hi
+FROM curve
+"""
+
+
+@register("km_greenwood_bands", oracle=_GREENWOOD_ORACLE)
+def km_greenwood_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwood 95% confidence bands for the Kaplan-Meier
+    time-to-first-purchase curve: SE(Ŝ) = Ŝ·√(Σ d/(n(n−d))) with the
+    plain-scale Wald band clamped to [0, 1] — the uncertainty overlay
+    kaplan_meier's point curve needs before anyone compares two
+    cohorts by eye (log_rank_test is the formal comparison).
+
+    Determinism and scale: same duration reduce and at-risk cumsums
+    as kaplan_meier; the log-survival factors micro-round once and
+    the Greenwood variance terms nano-round once, both cumulating
+    exactly; the z constant is a shared literal.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    u = e.groupBy("user_id").agg(
+        F.min(day).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", day)).alias("tp"),
+        F.max(day).alias("tend"),
+    )
+    dur = u.select(
+        F.datediff(F.coalesce(F.col("tp"), F.col("tend")), F.col("t0"))
+        .cast("long")
+        .alias("t_day"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    grp = dur.groupBy("t_day").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c"),
+    )
+    total = dur.count()
+    wb = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grp.select(
+        "t_day",
+        "d",
+        "c",
+        (
+            F.lit(total)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wb), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    lm = risk.select(
+        "t_day",
+        "d",
+        "n_risk",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk")
+                )
+                * 1e6
+            ).cast("long"),
+        ).alias("lm_micro"),
+        F.when(
+            (F.col("d") < F.col("n_risk")) & (F.col("d") > 0),
+            F.round(
+                F.col("d").cast("double")
+                / (
+                    F.col("n_risk").cast("double")
+                    * (F.col("n_risk") - F.col("d"))
+                )
+                * 1e9
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("g_nano"),
+    ).filter(F.col("lm_micro").isNotNull())
+    cw = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, 0)
+    curve = lm.select(
+        "t_day",
+        "n_risk",
+        "d",
+        F.exp(F.sum("lm_micro").over(cw).cast("double") / 1e6).alias("surv"),
+        F.sum("g_nano").over(cw).cast("long").alias("g_cum"),
+    )
+    se = F.col("surv") * F.sqrt(F.col("g_cum") / 1e9)
+    z = F.expr(f"CAST('{_GW_Z}' AS DOUBLE)")
+    return curve.select(
+        "t_day",
+        "n_risk",
+        F.col("d").alias("n_event"),
+        F.round(F.col("surv"), 6).alias("surv"),
+        F.round(se, 6).alias("greenwood_se"),
+        F.round(F.greatest(F.col("surv") - z * se, F.lit(0.0)), 6).alias(
+            "ci_lo"
+        ),
+        F.round(F.least(F.col("surv") + z * se, F.lit(1.0)), 6).alias(
+            "ci_hi"
+        ),
+    )

@@ -5278,3 +5278,32 @@ def test_shift_share_matches_pandas_replay(spark, sf_dir):
         # identity: delta = expected_at_mix + mix_shift
         assert abs(r.delta - (r.expected_at_mix + r.mix_shift)) < 1e-4
     assert abs(pdf["mix_shift"].sum()) < 1e-2  # mix shifts cancel
+
+
+def test_greenwood_bands_consistency(spark, sf_dir):
+    """km_greenwood_bands: surv matches kaplan_meier exactly, bands
+    bracket the curve, SE grows with time (cumulative variance)."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.queries.stats_tests import kaplan_meier
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        km_greenwood_bands,
+    )
+
+    gw = (
+        km_greenwood_bands(spark, sf_dir)
+        .toPandas()
+        .sort_values("t_day")
+        .reset_index(drop=True)
+    )
+    km = kaplan_meier(spark, sf_dir).toPandas().sort_values("t_day")
+    m = gw.merge(km[["t_day", "surv"]], on="t_day", suffixes=("", "_km"))
+    assert len(m) == len(gw)
+    assert np.allclose(m["surv"], m["surv_km"], atol=1e-6)
+    assert (gw["ci_lo"] <= gw["surv"] + 1e-9).all()
+    assert (gw["surv"] <= gw["ci_hi"] + 1e-9).all()
+    assert (gw["ci_lo"] >= 0).all() and (gw["ci_hi"] <= 1).all()
+    # Greenwood cumulative variance factor is nondecreasing, so
+    # SE/S is nondecreasing over event days
+    ratio = gw["greenwood_se"] / gw["surv"]
+    assert (np.diff(ratio.to_numpy()) >= -1e-9).all()
