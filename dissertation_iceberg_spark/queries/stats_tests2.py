@@ -5668,3 +5668,113 @@ def km_greenwood_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Lorenz asymmetry coefficient of per-user spend
+# --------------------------------------------------------------------------
+
+_LAC_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+         AS BIGINT) AS y
+  FROM events GROUP BY 1),
+h AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(cnt * y) AS BIGINT) AS s
+  FROM h),
+below AS (
+  SELECT
+    CAST(sum(CASE WHEN h.y * t.n < t.s THEN h.cnt ELSE 0 END) AS BIGINT)
+      AS n_below,
+    CAST(sum(CASE WHEN h.y * t.n < t.s THEN h.cnt * h.y ELSE 0 END)
+         AS BIGINT) AS s_below,
+    CAST(sum(CASE WHEN h.y * t.n = t.s THEN h.cnt ELSE 0 END) AS BIGINT)
+      AS n_at
+  FROM h CROSS JOIN tot t),
+k AS (
+  SELECT t.n, t.s, b.n_below, b.s_below, b.n_at,
+    (CAST(b.n_below AS DOUBLE) + b.n_at / 2.0) / t.n AS f_mu,
+    (CAST(b.s_below AS DOUBLE)
+     + b.n_at / 2.0 * (CAST(t.s AS DOUBLE) / t.n)) / t.s AS l_mu
+  FROM tot t CROSS JOIN below b)
+SELECT n AS n_users, n_below, n_at,
+  round(f_mu, 6) AS f_mu,
+  round(l_mu, 6) AS l_mu,
+  round(f_mu + l_mu, 6) AS lorenz_asymmetry
+FROM k
+"""
+
+
+@register("lorenz_asymmetry", oracle=_LAC_ORACLE)
+def lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz asymmetry coefficient S = F(μ) + L(μ) of per-user spend:
+    the fraction of users below the mean plus their wealth share
+    (ties at the mean counted half, Damgaard-Weiner convention) —
+    S < 1 says inequality comes from a few very large spenders, S > 1
+    from many very small ones: the SHAPE diagnostic the Gini
+    coefficient (gini_concentration) cannot distinguish.
+
+    Determinism and scale: the below-mean test compares exact
+    integers (y·n < Σy — no float mean); counts and wealth sums come
+    off the spend histogram; the two final shares are single IEEE
+    divisions.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y")
+    )
+    h = u.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = h.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * F.col("y")).cast("long").alias("s"),
+    )
+    j = h.crossJoin(F.broadcast(tot))
+    below = j.agg(
+        F.any_value("n").cast("long").alias("n"),
+        F.any_value("s").cast("long").alias("s"),
+        F.sum(
+            F.when(F.col("y") * F.col("n") < F.col("s"), F.col("cnt")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_below"),
+        F.sum(
+            F.when(
+                F.col("y") * F.col("n") < F.col("s"),
+                F.col("cnt") * F.col("y"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("s_below"),
+        F.sum(
+            F.when(F.col("y") * F.col("n") == F.col("s"), F.col("cnt")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_at"),
+    )
+    f_mu = (F.col("n_below").cast("double") + F.col("n_at") / 2.0) / F.col("n")
+    l_mu = (
+        F.col("s_below").cast("double")
+        + F.col("n_at") / 2.0 * (F.col("s").cast("double") / F.col("n"))
+    ) / F.col("s")
+    return below.select(
+        F.col("n").alias("n_users"),
+        "n_below",
+        "n_at",
+        F.round(f_mu, 6).alias("f_mu"),
+        F.round(l_mu, 6).alias("l_mu"),
+        F.round(f_mu + l_mu, 6).alias("lorenz_asymmetry"),
+    )

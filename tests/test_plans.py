@@ -235,6 +235,7 @@ INTENTIONAL_BNLJ = {
     "growth_accounting",  # broadcast 1-row max-week frame
     "ucb1_bandit_replay",  # broadcast 1-row arm-names + fold frames
     "shift_share_decomposition",  # broadcast 1-row bounds/totals frames
+    "lorenz_asymmetry",  # broadcast 1-row totals frame
 }
 
 

@@ -5307,3 +5307,34 @@ def test_greenwood_bands_consistency(spark, sf_dir):
     # SE/S is nondecreasing over event days
     ratio = gw["greenwood_se"] / gw["surv"]
     assert (np.diff(ratio.to_numpy()) >= -1e-9).all()
+
+
+def test_lorenz_asymmetry_matches_numpy_replay(spark, sf_dir):
+    """lorenz_asymmetry equals a numpy Damgaard-Weiner replay with
+    exact integer below-mean tests."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        lorenz_asymmetry,
+    )
+
+    row = lorenz_asymmetry(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    d = e.assign(cents=cents)
+    y = (
+        d[d["event_type"] == "purchase"].groupby("user_id")["cents"].sum()
+    )
+    allu = d["user_id"].unique()
+    yv = np.array([int(y.get(u, 0)) for u in allu], dtype="int64")
+    n, s = len(yv), int(yv.sum())
+    below = yv * n < s
+    at = yv * n == s
+    f_mu = (below.sum() + at.sum() / 2) / n
+    l_mu = (int(yv[below].sum()) + at.sum() / 2 * (s / n)) / s
+    assert row["n_users"] == n
+    assert row["n_below"] == int(below.sum())
+    assert abs(row["f_mu"] - f_mu) < 1e-6
+    assert abs(row["l_mu"] - l_mu) < 1e-6
+    assert abs(row["lorenz_asymmetry"] - (f_mu + l_mu)) < 1e-6
