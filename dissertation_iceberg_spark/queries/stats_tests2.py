@@ -5778,3 +5778,84 @@ def lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l_mu, 6).alias("l_mu"),
         F.round(f_mu + l_mu, 6).alias("lorenz_asymmetry"),
     )
+
+
+# --------------------------------------------------------------------------
+# Memorylessness check: are inter-event gaps exponential?
+# --------------------------------------------------------------------------
+
+_MEM_ORACLE = """
+WITH gaps AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+  FROM events),
+g2 AS (SELECT CAST(g AS BIGINT) AS g FROM gaps WHERE g IS NOT NULL AND g > 0),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(g) AS BIGINT) AS s
+  FROM g2),
+counts AS (
+  SELECT m.n, m.s,
+    CAST(sum(CASE WHEN g2.g * m.n > m.s THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_gt1,
+    CAST(sum(CASE WHEN g2.g * m.n > 2 * m.s THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_gt2
+  FROM g2 CROSS JOIN m GROUP BY 1, 2)
+SELECT n AS n_gaps,
+  round(CAST(s AS DOUBLE) / n / 1e6, 6) AS mean_gap_sec,
+  round(CAST(n_gt1 AS DOUBLE) / n, 6) AS p_gt_mean,
+  round(CAST(n_gt2 AS DOUBLE) / n, 6) AS p_gt_2mean,
+  -- memoryless <=> P(G>2m) = P(G>m)^2; report the ratio
+  round((CAST(n_gt2 AS DOUBLE) / n)
+        / ((CAST(n_gt1 AS DOUBLE) / n) * (CAST(n_gt1 AS DOUBLE) / n)), 6)
+    AS memoryless_ratio
+FROM counts
+"""
+
+
+@register("memorylessness_check", oracle=_MEM_ORACLE)
+def memorylessness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorylessness check on per-user inter-event gaps: under an
+    exponential (Poisson-process) model P(G > 2m) = P(G > m)², so the
+    ratio P(G>2m)/P(G>m)² reads 1 for memoryless traffic, > 1 for
+    heavy-tailed/bursty gaps (sessions!), < 1 for regular arrivals —
+    the one-number screen that justifies (or kills) every
+    exponential-arrival assumption downstream (sessionization gaps,
+    queueing estimates), complementing burstiness_stats.
+
+    Determinism and scale: gaps come from one per-user ordered lag
+    (bounded partitions); the threshold tests compare exact integers
+    (g·n vs Σg and 2Σg — no float mean); three counts, one reduce.
+    """
+    from dissertation_iceberg_spark.functions.time_bins import micros
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = micros("ts")
+    gaps = e.select((us - F.lag(us).over(w)).alias("g")).filter(
+        F.col("g").isNotNull() & (F.col("g") > 0)
+    )
+    m = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("g").cast("long").alias("s"),
+    )
+    counts = gaps.crossJoin(F.broadcast(m)).agg(
+        F.any_value("n").cast("long").alias("n"),
+        F.any_value("s").cast("long").alias("s"),
+        F.sum((F.col("g") * F.col("n") > F.col("s")).cast("long"))
+        .cast("long")
+        .alias("n_gt1"),
+        F.sum((F.col("g") * F.col("n") > 2 * F.col("s")).cast("long"))
+        .cast("long")
+        .alias("n_gt2"),
+    )
+    p1 = F.col("n_gt1").cast("double") / F.col("n")
+    p2 = F.col("n_gt2").cast("double") / F.col("n")
+    return counts.select(
+        F.col("n").alias("n_gaps"),
+        F.round(F.col("s").cast("double") / F.col("n") / 1e6, 6).alias(
+            "mean_gap_sec"
+        ),
+        F.round(p1, 6).alias("p_gt_mean"),
+        F.round(p2, 6).alias("p_gt_2mean"),
+        F.round(p2 / (p1 * p1), 6).alias("memoryless_ratio"),
+    )

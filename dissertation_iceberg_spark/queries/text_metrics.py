@@ -716,3 +716,81 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_b",
         (F.round(js * 1e6).cast("long") / F.lit(1e6)).alias("js_nats"),
     )
+
+
+# --------------------------------------------------------------------------
+# Readability scores per source (Flesch-style, syllable proxy)
+# --------------------------------------------------------------------------
+
+_READ_ORACLE = """
+WITH docs2 AS (
+  SELECT source, doc_id, text,
+    CAST(len(list_filter(str_split(text, ' '), x -> x <> '')) AS BIGINT)
+      AS n_words,
+    CAST(greatest(len(str_split(text, '.')) - 1, 1) AS BIGINT)
+      AS n_sentences,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      AS n_vowel_groups
+  FROM documents),
+s AS (
+  SELECT source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_words) AS BIGINT) AS words,
+    CAST(sum(n_sentences) AS BIGINT) AS sentences,
+    CAST(sum(n_vowel_groups) AS BIGINT) AS vgroups
+  FROM docs2 GROUP BY 1)
+SELECT source, n_docs, words, sentences,
+  round(CAST(words AS DOUBLE) / sentences, 6) AS words_per_sentence,
+  round(CAST(vgroups AS DOUBLE) / words, 6) AS syllables_per_word,
+  round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+        - 84.6 * (CAST(vgroups AS DOUBLE) / words), 6) AS flesch_ease
+FROM s
+"""
+
+
+@register("readability_scores", oracle=_READ_ORACLE)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source with a vowel-group syllable
+    proxy: 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word) —
+    the document-complexity screen a corpus-mixture builder reads
+    beside quality_score (hygiene ratios) and hill_diversity
+    (vocabulary): same quality band, very different reading levels ⇒
+    different curricula.
+
+    Determinism and scale: words, sentences (period splits, min 1)
+    and vowel groups ([aeiouy]+ runs — identical regex semantics in
+    both engines for this ASCII class) are exact integer counts per
+    doc, summed per source; the Flesch constants are decimal literals
+    and the two ratios are single IEEE divisions.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_words = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    n_sentences = F.greatest(
+        F.size(F.split(F.col("text"), "\\.")) - 1, F.lit(1)
+    )
+    n_vg = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    )
+    d2 = docs.select(
+        "source",
+        n_words.cast("long").alias("n_words"),
+        n_sentences.cast("long").alias("n_sentences"),
+        n_vg.cast("long").alias("n_vowel_groups"),
+    )
+    s = d2.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("words"),
+        F.sum("n_sentences").cast("long").alias("sentences"),
+        F.sum("n_vowel_groups").cast("long").alias("vgroups"),
+    )
+    wps = F.col("words").cast("double") / F.col("sentences")
+    spw = F.col("vgroups").cast("double") / F.col("words")
+    return s.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        F.round(wps, 6).alias("words_per_sentence"),
+        F.round(spw, 6).alias("syllables_per_word"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 6).alias("flesch_ease"),
+    )

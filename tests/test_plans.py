@@ -236,6 +236,7 @@ INTENTIONAL_BNLJ = {
     "ucb1_bandit_replay",  # broadcast 1-row arm-names + fold frames
     "shift_share_decomposition",  # broadcast 1-row bounds/totals frames
     "lorenz_asymmetry",  # broadcast 1-row totals frame
+    "memorylessness_check",  # broadcast 1-row mean-gap frame
 }
 
 

@@ -5338,3 +5338,62 @@ def test_lorenz_asymmetry_matches_numpy_replay(spark, sf_dir):
     assert abs(row["f_mu"] - f_mu) < 1e-6
     assert abs(row["l_mu"] - l_mu) < 1e-6
     assert abs(row["lorenz_asymmetry"] - (f_mu + l_mu)) < 1e-6
+
+
+def test_readability_matches_python_replay(spark, sf_dir):
+    """readability_scores equals a python replay of the word/sentence/
+    vowel-group counting and the Flesch formula."""
+    import re
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.text_metrics import (
+        readability_scores,
+    )
+
+    pdf = readability_scores(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    for src, grp in docs.groupby("source"):
+        words = sentences = vgroups = 0
+        for text in grp["text"]:
+            words += sum(1 for t in text.split(" ") if t != "")
+            sentences += max(text.count("."), 1)
+            vgroups += len(re.findall(r"[aeiouy]+", text.lower()))
+        row = pdf[pdf["source"] == src].iloc[0]
+        assert row["n_docs"] == len(grp)
+        assert row["words"] == words and row["sentences"] == sentences
+        wps, spw = words / sentences, vgroups / words
+        assert abs(row["words_per_sentence"] - wps) < 1e-6
+        assert abs(row["syllables_per_word"] - spw) < 1e-6
+        assert (
+            abs(row["flesch_ease"] - (206.835 - 1.015 * wps - 84.6 * spw))
+            < 1e-4
+        )
+
+
+def test_memorylessness_matches_numpy_replay(spark, sf_dir):
+    """memorylessness_check equals a numpy replay of exact-integer
+    tail counting on per-user gaps."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.stats_tests2 import (
+        memorylessness_check,
+    )
+
+    row = memorylessness_check(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    us = e["ts"].astype("int64") // 1000
+    d = e.assign(us=us).sort_values(["user_id", "us", "event_id"])
+    gaps = []
+    for _, g in d.groupby("user_id"):
+        v = g["us"].to_numpy()
+        gaps.extend(x for x in np.diff(v) if x > 0)
+    gaps = np.array(gaps, dtype="int64")
+    n, s = len(gaps), int(gaps.sum())
+    n1 = int((gaps * n > s).sum())
+    n2 = int((gaps * n > 2 * s).sum())
+    assert row["n_gaps"] == n
+    assert abs(row["mean_gap_sec"] - s / n / 1e6) < 1e-5
+    assert abs(row["p_gt_mean"] - n1 / n) < 1e-6
+    assert abs(row["p_gt_2mean"] - n2 / n) < 1e-6
+    assert abs(row["memoryless_ratio"] - (n2 / n) / (n1 / n) ** 2) < 1e-3
