@@ -1119,3 +1119,77 @@ def vocab_coverage_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Gamma method-of-moments fit to per-user inter-event gaps
+# --------------------------------------------------------------------------
+
+_GAMMA_ORACLE = """
+WITH gaps AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+  FROM events),
+g2 AS (SELECT CAST(g // 1000000 AS BIGINT) AS gs
+        FROM gaps WHERE g IS NOT NULL AND g > 0),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(gs) AS BIGINT) AS sx,
+         CAST(sum(gs * gs) AS BIGINT) AS sxx
+  FROM g2),
+k AS (
+  SELECT n,
+    CAST(sx AS DOUBLE) / n AS m_sec,
+    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS v_sec2
+  FROM s)
+SELECT n AS n_gaps,
+  round(m_sec, 6) AS mean_gap_sec,
+  round(v_sec2, 6) AS var_gap_sec2,
+  round(m_sec * m_sec / v_sec2, 6) AS gamma_shape,
+  round(m_sec / v_sec2, 6) AS gamma_rate
+FROM k
+"""
+
+
+@register("gamma_gap_fit", oracle=_GAMMA_ORACLE)
+def gamma_gap_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gamma method-of-moments fit to per-user inter-event gaps:
+    shape k = m²/v and rate k/m — shape 1 recovers the exponential
+    (the hypothesis memorylessness_check screens), shape < 1 says
+    bursty arrivals, shape > 1 regular ones: the parametric
+    inter-arrival model a queueing or session-gap analysis plugs in.
+
+    Determinism and scale: gaps from one per-user ordered lag;
+    gaps quantize ONCE to whole seconds (µs² sums would overflow
+    BIGINT at fleet scale) making every moment sum exact;
+    moments and parameters are identically-shaped doubles on the
+    1-row reduce.
+    """
+    from dissertation_iceberg_spark.functions.time_bins import micros
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = micros("ts")
+    gaps = (
+        e.select((us - F.lag(us).over(w)).alias("g"))
+        .filter(F.col("g").isNotNull() & (F.col("g") > 0))
+        .select(F.expr("g div 1000000").cast("long").alias("gs"))
+    )
+    s = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gs").cast("long").alias("sx"),
+        F.sum(F.col("gs") * F.col("gs")).cast("long").alias("sxx"),
+    )
+    n = F.col("n")
+    m_sec = F.col("sx").cast("double") / n
+    v_sec2 = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / n
+    ) / (n - 1)
+    return s.select(
+        n.alias("n_gaps"),
+        F.round(m_sec, 6).alias("mean_gap_sec"),
+        F.round(v_sec2, 6).alias("var_gap_sec2"),
+        F.round(m_sec * m_sec / v_sec2, 6).alias("gamma_shape"),
+        F.round(m_sec / v_sec2, 6).alias("gamma_rate"),
+    )

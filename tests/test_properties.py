@@ -5397,3 +5397,32 @@ def test_memorylessness_matches_numpy_replay(spark, sf_dir):
     assert abs(row["p_gt_mean"] - n1 / n) < 1e-6
     assert abs(row["p_gt_2mean"] - n2 / n) < 1e-6
     assert abs(row["memoryless_ratio"] - (n2 / n) / (n1 / n) ** 2) < 1e-3
+
+
+def test_gamma_gap_fit_matches_numpy_replay(spark, sf_dir):
+    """gamma_gap_fit equals a numpy MoM replay on second-quantized
+    gaps; the Gamma moment identities hold."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.distribution_fits import (
+        gamma_gap_fit,
+    )
+
+    row = gamma_gap_fit(spark, sf_dir).toPandas().iloc[0]
+    e = load_table(spark, sf_dir, "events").toPandas()
+    us = e["ts"].astype("int64") // 1000
+    d = e.assign(us=us).sort_values(["user_id", "us", "event_id"])
+    gs = []
+    for _, g in d.groupby("user_id"):
+        v = g["us"].to_numpy()
+        gs.extend(int(x) // 1_000_000 for x in np.diff(v) if x > 0)
+    gs = np.array(gs, dtype="float64")
+    m, v = gs.mean(), gs.var(ddof=1)
+    assert row["n_gaps"] == len(gs)
+    assert abs(row["mean_gap_sec"] - m) < 1e-5
+    assert abs(row["var_gap_sec2"] - v) < max(1e-3, v * 1e-6)
+    shape, rate = m * m / v, m / v
+    assert abs(row["gamma_shape"] - shape) < 1e-4
+    assert abs(row["gamma_rate"] - rate) < 1e-6
+    assert row["gamma_shape"] > 0 and row["gamma_rate"] > 0
