@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.functions.time_bins import bin_end, bin_end_sql
-from dissertation_iceberg_spark.io import load_table, lob_events
+from dissertation_iceberg_spark.io import load_table, lob_events, spread
 from dissertation_iceberg_spark.queries.microstructure import (
     _CENTS,
     _LN_MICRO_SQL,
@@ -1286,4 +1286,154 @@ def twfe_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0,
             6,
         ).alias("beta_within_dollars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Effective sample size under autocorrelation (daily value series)
+# --------------------------------------------------------------------------
+
+_ESS_LAGS = 5
+
+_ESS_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT event_type, y,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS t,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM daily),
+base AS (
+  SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM idx GROUP BY 1),
+lags AS (
+  SELECT a.event_type, k.k,
+    CAST(count(*) AS BIGINT) AS n_k,
+    CAST(sum(a.y * b.y) AS BIGINT) AS sxy,
+    CAST(sum(a.y) AS BIGINT) AS sa, CAST(sum(b.y) AS BIGINT) AS sb
+  FROM idx a
+  JOIN generate_series(1, {_ESS_LAGS}) AS k(k) ON TRUE
+  JOIN idx b ON b.event_type = a.event_type AND b.t = a.t + k.k
+  GROUP BY 1, 2),
+rho AS (
+  SELECT l.event_type, l.k,
+    CAST(round(
+      (CAST(l.sxy AS DOUBLE) - CAST(l.sa AS DOUBLE) * l.sb / l.n_k)
+      / (CAST(b.syy AS DOUBLE) - CAST(b.sy AS DOUBLE) * b.sy / b.n)
+      * (CAST(b.n AS DOUBLE) / l.n_k) * 1e6) AS BIGINT) AS rho_micro
+  FROM lags l JOIN base b ON l.event_type = b.event_type),
+agg AS (
+  SELECT event_type, CAST(sum(rho_micro) AS BIGINT) AS rho_sum_micro
+  FROM rho GROUP BY 1)
+SELECT b.event_type, b.n AS n_days,
+  round(a.rho_sum_micro / 1e6, 6) AS rho_sum,
+  round(CAST(b.n AS DOUBLE)
+        / greatest(1.0 + 2.0 * a.rho_sum_micro / 1e6, 1e-6), 6) AS n_eff,
+  round(CAST(b.n AS DOUBLE)
+        / greatest(1.0 + 2.0 * a.rho_sum_micro / 1e6, 1e-6) / b.n, 6)
+    AS efficiency
+FROM base b JOIN agg a ON b.event_type = a.event_type
+"""
+
+
+@register("effective_sample_size", oracle=_ESS_ORACLE)
+def effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation-adjusted effective sample size of each type's
+    daily value series: n_eff = n / (1 + 2Σ_{{k≤{lags}}} ρ̂_k) — the
+    correction every naive mean CI on a time series needs (positive
+    autocorrelation makes n days worth far fewer independent
+    observations; Newey-West fixes the OLS case, this fixes the plain
+    mean), floored at a tiny positive denominator in both engines.
+
+    Determinism and scale: lag covariances come from a bounded
+    (t, t+k) self-band join on the O(days) frame; each ρ̂_k
+    micro-rounds ONCE and sums exactly; n_eff is one guarded double
+    expression.
+    """.format(lags=_ESS_LAGS)
+    e = spread(load_table(spark, sf_dir, "events"))
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("t"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("n"),
+    )
+    base = idx.groupBy("event_type").agg(
+        F.any_value("n").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    ks = spark.range(1, _ESS_LAGS + 1).select(
+        F.col("id").cast("long").alias("k")
+    )
+    a = idx.select("event_type", F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = idx.select(
+        F.col("event_type").alias("et_b"),
+        F.col("t").alias("tb"),
+        F.col("y").alias("yb"),
+    )
+    lags = (
+        a.crossJoin(F.broadcast(ks))
+        .join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (F.col("tb") == F.col("ta") + F.col("k")),
+        )
+        .groupBy("event_type", "k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_k"),
+            F.sum(F.col("ya") * F.col("yb")).cast("long").alias("sxy"),
+            F.sum("ya").cast("long").alias("sa"),
+            F.sum("yb").cast("long").alias("sb"),
+        )
+    )
+    rho = lags.join(base, "event_type").select(
+        "event_type",
+        F.round(
+            (
+                F.col("sxy").cast("double")
+                - F.col("sa").cast("double") * F.col("sb") / F.col("n_k")
+            )
+            / (
+                F.col("syy").cast("double")
+                - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+            )
+            * (F.col("n").cast("double") / F.col("n_k"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("rho_micro"),
+    )
+    agg = rho.groupBy("event_type").agg(
+        F.sum("rho_micro").cast("long").alias("rho_sum_micro")
+    )
+    out = base.join(agg, "event_type")
+    denom = F.greatest(
+        1.0 + 2.0 * F.col("rho_sum_micro") / 1e6, F.lit(1e-6)
+    )
+    return out.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(F.col("rho_sum_micro") / 1e6, 6).alias("rho_sum"),
+        F.round(F.col("n").cast("double") / denom, 6).alias("n_eff"),
+        F.round(F.col("n").cast("double") / denom / F.col("n"), 6).alias(
+            "efficiency"
+        ),
     )

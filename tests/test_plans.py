@@ -237,6 +237,7 @@ INTENTIONAL_BNLJ = {
     "shift_share_decomposition",  # broadcast 1-row bounds/totals frames
     "lorenz_asymmetry",  # broadcast 1-row totals frame
     "memorylessness_check",  # broadcast 1-row mean-gap frame
+    "effective_sample_size",  # broadcast 5-row lag grid
 }
 
 

@@ -5426,3 +5426,43 @@ def test_gamma_gap_fit_matches_numpy_replay(spark, sf_dir):
     assert abs(row["gamma_shape"] - shape) < 1e-4
     assert abs(row["gamma_rate"] - rate) < 1e-6
     assert row["gamma_shape"] > 0 and row["gamma_rate"] > 0
+
+
+def test_effective_sample_size_replay(spark, sf_dir):
+    """effective_sample_size equals a numpy replay of the lag-k
+    autocorrelation sum with identical micro-rounding; n_eff <= n when
+    autocorrelation is positive."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.econometrics import (
+        _ESS_LAGS,
+        effective_sample_size,
+    )
+
+    pdf = effective_sample_size(spark, sf_dir).toPandas()
+    e = load_table(spark, sf_dir, "events").toPandas()
+    cents = np.floor(e["value"] * 100 + 0.5).astype("int64")
+    daily = (
+        e.assign(cents=cents, day=e["ts"].dt.floor("D"))
+        .groupby(["event_type", "day"])["cents"]
+        .sum()
+        .reset_index()
+    )
+    for t, g in daily.sort_values("day").groupby("event_type"):
+        y = g["cents"].to_numpy().astype("float64")
+        n = len(y)
+        denom_css = (y * y).sum() - y.sum() ** 2 / n
+        rho_sum_micro = 0
+        for k in range(1, _ESS_LAGS + 1):
+            a, b = y[:-k], y[k:]
+            nk = len(a)
+            num = (a * b).sum() - a.sum() * b.sum() / nk
+            rho_sum_micro += round(num / denom_css * (n / nk) * 1e6)
+        row = pdf[pdf["event_type"] == t].iloc[0]
+        assert row["n_days"] == n
+        assert abs(row["rho_sum"] - rho_sum_micro / 1e6) < 1e-6
+        denom = max(1 + 2 * rho_sum_micro / 1e6, 1e-6)
+        assert abs(row["n_eff"] - n / denom) < 1e-3
+        if rho_sum_micro > 0:
+            assert row["n_eff"] <= n
