@@ -25,13 +25,13 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def bucketed_exclusive_cumsums(
     df: DataFrame,
-    order_col: str,
+    order_col: str | Sequence[str],
     sum_cols: list[str],
     n_buckets: int = 1024,
     prefix: str = "cum_",
@@ -42,7 +42,13 @@ def bucketed_exclusive_cumsums(
     bucketed two-pass summation (no unpartitioned window over the
     input frame).
 
-    ``df`` must be UNIQUE on (group_cols, order_col) (group first):
+    ``order_col`` may be a list of columns: rows are bucketed by the
+    FIRST column (equal leading values always share a bucket, so the
+    remaining columns only ever order rows within one bucket) and the
+    within-bucket window sorts by the full tuple — the standard way to
+    rank by (value, tiebreak-id) without a global sort.
+
+    ``df`` must be UNIQUE on (group_cols, *order_cols) (group first):
     with duplicates, the within-bucket exclusive frame would split tie
     rows nondeterministically. With ``group_cols``, bucket bounds come
     from each group's own min/max, the offset window partitions by
@@ -50,18 +56,25 @@ def bucketed_exclusive_cumsums(
     partition by (group, bucket) — every stage stays group-parallel.
     """
     g = list(group_cols)
-    oc = F.col(order_col)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    oc = F.col(order_cols[0])
     if g:
         stats = df.groupBy(*g).agg(
             F.min(oc).alias("__vmin"), F.max(oc).alias("__vmax")
         )
+        joined = df.join(F.broadcast(stats), g)
     else:
+        # scalar subqueries, not a 1-row keyless broadcast join: Spark
+        # merges both scalars into ONE agg subplan and injects the
+        # results as literals — no join node in the main plan at all
         stats = df.agg(F.min(oc).alias("__vmin"), F.max(oc).alias("__vmax"))
+        joined = df.withColumn(
+            "__vmin", stats.select("__vmin").scalar()
+        ).withColumn("__vmax", stats.select("__vmax").scalar())
     bucket = F.when(
         F.col("__vmax") > F.col("__vmin"),
         F.width_bucket(oc, F.col("__vmin"), F.col("__vmax"), F.lit(n_buckets)),
     ).otherwise(F.lit(1))
-    joined = df.join(F.broadcast(stats), g) if g else df.join(F.broadcast(stats))
     b = joined.withColumn("__bucket", bucket).drop("__vmin", "__vmax")
     totals = b.groupBy(*g, "__bucket").agg(
         *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
@@ -81,7 +94,7 @@ def bucketed_exclusive_cumsums(
     )
     w_in = (
         Window.partitionBy(*g, "__bucket")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     out = b.join(F.broadcast(offsets), [*g, "__bucket"])
@@ -91,3 +104,60 @@ def bucketed_exclusive_cumsums(
             F.col(f"__o_{c}") + F.coalesce(F.sum(c).over(w_in), F.lit(0)),
         )
     return out.drop("__bucket", *[f"__o_{c}" for c in sum_cols])
+
+
+def bucketed_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "rn",
+    n_buckets: int = 1024,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Add a 1-based global row number in ``order_cols`` order without
+    an unpartitioned window: rank = 1 + exclusive cumsum of ones via
+    :func:`bucketed_exclusive_cumsums`. ``df`` must be unique on
+    (group_cols, *order_cols); for a DESC column, pass its negation.
+
+    This is the de-globalized replacement for
+    ``row_number().over(Window.orderBy(...))`` on data-scaled frames
+    (O(users) propensity ranks and kin): every window in the plan is
+    partitioned by the rank bucket, so no executor ever sees more than
+    ~n_rows / n_buckets rows of the ordered frame.
+    """
+    tmp = df.withColumn("__one", F.lit(1))
+    out = bucketed_exclusive_cumsums(
+        tmp,
+        list(order_cols),
+        ["__one"],
+        n_buckets=n_buckets,
+        prefix="__rn_",
+        group_cols=group_cols,
+    )
+    return out.withColumn(
+        out_col, (F.col("__rn___one") + F.lit(1)).cast("long")
+    ).drop("__one", "__rn___one")
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact non-negative integer division as a portable expression:
+    floor(a/b) on doubles is exact for integer a with |a| < 2^52
+    (see queries/misc.py:708), which every rank / tile count satisfies.
+    """
+    return F.floor(a.cast("double") / b.cast("double")).cast("long")
+
+
+def ntile_from_rank(rk: Column, n: Column, k: int) -> Column:
+    """SQL ``NTILE(k)`` reconstructed from a precomputed 1-based rank
+    ``rk`` and the frame size ``n`` (typically a scalar subquery):
+    with q = n div k and r = n mod k, the first r tiles hold q+1 rows
+    and the rest hold q — identical arithmetic in Spark and DuckDB, so
+    a bucketed rank + this expression replaces a global ``ntile``
+    window with fully partitioned stages."""
+    kq = _idiv(n, F.lit(k))
+    r = n.cast("long") - kq * F.lit(k)
+    cut = r * (kq + F.lit(1))
+    return (
+        F.when(rk <= cut, _idiv(rk - F.lit(1), kq + F.lit(1)) + F.lit(1))
+        .otherwise(r + _idiv(rk - cut - F.lit(1), kq) + F.lit(1))
+        .cast("int")
+    )

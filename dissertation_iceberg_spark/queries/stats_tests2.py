@@ -1896,11 +1896,17 @@ def cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     (discrimination): 'how much better than random is mailing the
     top k deciles?'.
 
-    Scale shape: the facts reduce to one row per user; the global
-    rank runs on that already-aggregated O(users) frame (the same
-    accepted class as rfm_scores' ntile), and everything after is
-    O(deciles).
+    Scale shape: the facts reduce to one row per user; the per-user
+    rank is a bucketed two-pass row number (functions/ranks.py — every
+    window partitioned by rank bucket) with the frame size and
+    converter total injected as one merged scalar subquery, so no
+    unpartitioned window ever sees the O(users) frame; everything
+    after is O(deciles).
     """
+    from dissertation_iceberg_spark.functions.ranks import (
+        _idiv,
+        bucketed_row_number,
+    )
     e = load_table(spark, sf_dir, "events")
     split = F.lit(_GAINS_SPLIT).cast("timestamp_ntz")
     hist = (
@@ -1924,35 +1930,30 @@ def cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_p * 1000000) div n_ev").alias("s_micro"),
         F.coalesce(F.col("y"), F.lit(0)).alias("y"),
     )
-    wall = Window.partitionBy()
-    ranked = scored.select(
-        "s_micro",
-        "y",
-        F.row_number()
-        .over(Window.orderBy(F.desc("s_micro"), F.asc("user_id")))
-        .alias("rk"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("y").over(wall).alias("pos"),
+    totals = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    n = totals.select("n").scalar()
+    pos = totals.select("pos").scalar()
+    ranked = bucketed_row_number(
+        scored.withColumn("__neg_s", -F.col("s_micro")),
+        ["__neg_s", "user_id"],
+        out_col="rk",
     )
     dec = ranked.select(
-        F.expr(f"({_GAINS_BINS} * (rk - 1)) div n").alias("decile"),
+        _idiv(F.lit(_GAINS_BINS) * (F.col("rk") - 1), n).alias("decile"),
         "y",
-        "n",
-        "pos",
     )
     g = dec.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("y").cast("long").alias("n_pos"),
-        F.any_value("n").cast("long").alias("n"),
-        F.any_value("pos").cast("long").alias("pos"),
     )
     cw = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     cum = g.select(
         "decile",
         "n_users",
         "n_pos",
-        "n",
-        "pos",
         F.sum("n_users").over(cw).cast("long").alias("cum_n"),
         F.sum("n_pos").over(cw).cast("long").alias("cum_pos"),
     )
@@ -1960,12 +1961,10 @@ def cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decile").cast("long").alias("decile"),
         "n_users",
         "n_pos",
-        F.round(F.col("cum_pos").cast("double") / F.col("pos"), 6).alias(
-            "gain"
-        ),
+        F.round(F.col("cum_pos").cast("double") / pos, 6).alias("gain"),
         F.round(
             (F.col("cum_pos").cast("double") / F.col("cum_n"))
-            / (F.col("pos").cast("double") / F.col("n")),
+            / (pos.cast("double") / n),
             6,
         ).alias("cum_lift"),
     )
@@ -2478,10 +2477,15 @@ def qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     response to uplift modeling.
 
     Scale shape: same as cumulative_gains — facts reduce to one row
-    per user, a rank on the O(users) frame, O(deciles) afterwards;
-    arm splits are conditional sums. Doubles only in the two final
-    per-decile readouts.
+    per user, then a bucketed two-pass row number (functions/ranks.py,
+    every window partitioned by rank bucket) with the frame size as a
+    scalar subquery, O(deciles) afterwards; arm splits are conditional
+    sums. Doubles only in the two final per-decile readouts.
     """
+    from dissertation_iceberg_spark.functions.ranks import (
+        _idiv,
+        bucketed_row_number,
+    )
     e = load_table(spark, sf_dir, "events")
     split = F.lit(_GAINS_SPLIT).cast("timestamp_ntz")
     hist = (
@@ -2510,16 +2514,14 @@ def qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2).alias("arm"),
         F.coalesce(F.col("y"), F.lit(0)).alias("y"),
     )
-    ranked = scored.select(
-        "arm",
-        "y",
-        F.row_number()
-        .over(Window.orderBy(F.desc("s_micro"), F.asc("user_id")))
-        .alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    n = scored.agg(F.count(F.lit(1)).cast("long").alias("n")).scalar()
+    ranked = bucketed_row_number(
+        scored.withColumn("__neg_s", -F.col("s_micro")),
+        ["__neg_s", "user_id"],
+        out_col="rk",
     )
     dec = ranked.select(
-        F.expr(f"({_GAINS_BINS} * (rk - 1)) div n").alias("decile"),
+        _idiv(F.lit(_GAINS_BINS) * (F.col("rk") - 1), n).alias("decile"),
         "arm",
         "y",
     )

