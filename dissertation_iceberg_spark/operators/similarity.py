@@ -233,6 +233,148 @@ def ivf_search(
     )
 
 
+def _lloyd_assign(xe: DataFrame, cent: DataFrame) -> DataFrame:
+    """One integer-quantized Lloyd assignment pass (the
+    kmeans_cluster_stats recipe, queries/extensions.py): centroids ride
+    as un-normalized (list_id, pos, s, n) integer sums, the distance
+    numerator sum((x*n - s)^2) is an exact int, and num/n^2 is one
+    correctly-rounded double op — so the argmin (tie-broken by
+    list_id) is identical in Spark and DuckDB at any parallelism."""
+    e = F.col("x") * F.col("n") - F.col("s")
+    d = (
+        xe.join(F.broadcast(cent), "pos")
+        .select("__id", "list_id", "n", e.alias("e"))
+        .groupBy("__id", "list_id", "n")
+        .agg(F.sum(F.col("e") * F.col("e")).alias("num"))
+    )
+    dist = (F.col("num").cast("double") / (F.col("n") * F.col("n"))).alias(
+        "dist"
+    )
+    return (
+        d.select("__id", dist, "list_id")
+        .groupBy("__id")
+        .agg(F.min(F.struct("dist", "list_id")).alias("m"))
+        .select("__id", F.col("m.list_id").alias("list_id"))
+    )
+
+
+def build_ivf_index_exact(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    scale: int = 10_000,
+) -> IVFIndex:
+    """Deterministic IVF build: 2 integer-quantized Lloyd iterations
+    seeded from the first ``n_lists`` ids — bit-reproducible on any
+    cluster size AND replayable in plain SQL, which is what lets the
+    registered ivf_ann_topk query carry a DuckDB oracle (the MLlib
+    build in :func:`build_ivf_index` stays for generic use; its
+    float k-means|| init is not cross-engine reproducible).
+
+    The returned index stores centroids as un-normalized integer
+    (list_id, pos, s, n) component sums — never floats — so a saved
+    index reloads bit-identically. Scale shape per iteration: one
+    broadcast join + one int-sum shuffle keyed on (list_id, pos),
+    identical to kmeans_cluster_stats."""
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    base = corpus.select(F.col(id_col).alias("__id"), qv.alias("qv"))
+    xe = base.select("__id", F.posexplode("qv").alias("pos", "x"))
+    seeds = (
+        base.orderBy("__id")
+        .limit(n_lists)
+        .select(
+            (F.row_number().over(Window.orderBy("__id")) - 1).alias("list_id"),
+            "qv",
+        )
+    )
+    c0 = seeds.select(
+        "list_id", F.posexplode("qv").alias("pos", "s")
+    ).withColumn("n", F.lit(1).cast("long"))
+    a1 = _lloyd_assign(xe, c0)
+    c1 = (
+        a1.join(xe, "__id")
+        .groupBy("list_id", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    a2 = _lloyd_assign(xe, c1)
+    c2 = (
+        a2.join(xe, "__id")
+        .groupBy("list_id", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    lists = corpus.join(
+        a2.select(F.col("__id").alias(id_col), "list_id"), id_col
+    ).select(id_col, vec_col, "list_id")
+    return IVFIndex(lists, c2, id_col, vec_col)
+
+
+def ivf_search_exact(
+    index: IVFIndex,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    k: int = 3,
+    n_probe: int = 4,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Probe an exact-build IVF index: quantized integer distance to
+    the (s, n) centroids picks each query's ``n_probe`` lists (same
+    exact argmin arithmetic as the build), then the probed lists
+    rerank with the standard exact cosine (double casts, 6dp round,
+    neighbor-id tiebreak). Self-matches are excluded."""
+    id_col, vec_col = index.id_col, index.vec_col
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    qxe = q.select(
+        "qid",
+        F.posexplode(
+            F.transform(
+                F.col("qvec"),
+                lambda x: F.round(x.cast("double") * scale).cast("long"),
+            )
+        ).alias("pos", "x"),
+    )
+    e = F.col("x") * F.col("n") - F.col("s")
+    d = (
+        qxe.join(F.broadcast(index.cent_df), "pos")
+        .select("qid", "list_id", "n", e.alias("e"))
+        .groupBy("qid", "list_id", "n")
+        .agg(F.sum(F.col("e") * F.col("e")).alias("num"))
+    )
+    dist = (F.col("num").cast("double") / (F.col("n") * F.col("n"))).alias(
+        "dist"
+    )
+    wq = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("list_id"))
+    probes = (
+        d.select("qid", dist, "list_id")
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= n_probe)
+        .select("qid", "list_id")
+    )
+    probes = probes.join(q, "qid")
+    pairs = index.lists.join(F.broadcast(probes), "list_id").where(
+        F.col("qid") != F.col(id_col)
+    )
+    scored = pairs.select(
+        "qid",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qvec"), F.col(vec_col))
+            / (F.sqrt(_norm2(F.col("qvec"))) * F.sqrt(_norm2(F.col(vec_col)))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "neighbor_id", "cosine", "rnk")
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1068,10 +1068,17 @@ def vocab_coverage_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT integer cross product |N·r − V·cum|, so the knee is exact
     (ties → smallest rank).
 
-    Scale shape: vocabulary histogram in one pass, rank + cumsum on
-    the O(vocab) frame (the zipf_fit precedent), one max and one
-    join-back on the same frame.
+    Scale shape: vocabulary histogram in one pass, then rank AND
+    inclusive cumsum come from ONE bucketed two-pass kernel call
+    (functions/ranks.py — exclusive cumsums of (f, 1) ordered by
+    (-f, term); every window partitioned by rank bucket, so the
+    O(vocab) frame is never globally sorted), with V and N injected
+    as one merged scalar subquery; one max and one filter-back on
+    the same frame.
     """
+    from dissertation_iceberg_spark.functions.ranks import (
+        bucketed_exclusive_cumsums,
+    )
     from dissertation_iceberg_spark.io import spread as _spread
 
     docs = _spread(load_table(spark, sf_dir, "documents"))
@@ -1081,14 +1088,25 @@ def vocab_coverage_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term")
     )
     tf = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("f"))
-    rw = Window.orderBy(F.desc("f"), F.asc("term"))
-    cw = rw.rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    ranked = tf.select(
-        F.row_number().over(rw).cast("long").alias("r"),
-        F.sum("f").over(cw).cast("long").alias("cum"),
-        F.count(F.lit(1)).over(wall).cast("long").alias("v"),
-        F.sum("f").over(wall).cast("long").alias("n"),
+    tot = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("f").cast("long").alias("n"),
+    )
+    v = tot.select("v").scalar()
+    n = tot.select("n").scalar()
+    ex = bucketed_exclusive_cumsums(
+        tf.withColumn("__negf", -F.col("f")).withColumn(
+            "__one", F.lit(1).cast("long")
+        ),
+        ["__negf", "term"],
+        ["f", "__one"],
+        prefix="__ex_",
+    )
+    ranked = ex.select(
+        (F.col("__ex___one") + 1).cast("long").alias("r"),
+        (F.col("__ex_f") + F.col("f")).cast("long").alias("cum"),
+        v.alias("v"),
+        n.alias("n"),
     )
     scored = ranked.select(
         "r",
@@ -1097,16 +1115,15 @@ def vocab_coverage_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.abs(F.col("n") * F.col("r") - F.col("v") * F.col("cum")).alias("d"),
     )
-    best = scored.agg(
-        F.any_value("v").cast("long").alias("v"),
-        F.any_value("n").cast("long").alias("n"),
-        F.max("d").alias("dmax"),
-    )
-    knee = (
-        scored.join(F.broadcast(best.select("dmax")), F.col("d") == F.col("dmax"))
+    dmax = scored.agg(F.max("d").alias("dmax")).scalar()
+    knee_rank = (
+        scored.filter(F.col("d") == dmax)
         .agg(F.min("r").cast("long").alias("knee_rank"))
+        .scalar()
     )
-    at = scored.join(F.broadcast(knee), F.col("r") == F.col("knee_rank"))
+    at = scored.filter(F.col("r") == knee_rank).withColumn(
+        "knee_rank", knee_rank
+    )
     return at.select(
         F.col("v").alias("vocab_size"),
         F.col("n").alias("total_tokens"),

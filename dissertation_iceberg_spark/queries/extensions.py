@@ -330,17 +330,111 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivf_ann_topk", oracle=None)
+_IVF_LISTS = 16
+_IVF_PROBE = 4
+_IVF_K = 3
+
+_IVF_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT)) AS qv
+  FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS pos),
+xe AS (SELECT vec_id, pos, qv[pos] AS x FROM q, idx),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, qv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {_IVF_LISTS})),
+c0 AS (SELECT list_id, pos, qv[pos] AS s, CAST(1 AS BIGINT) AS n
+       FROM seeds, idx),
+d1 AS (
+  SELECT vec_id, list_id, n, sum((x*n - s)*(x*n - s)) AS num
+  FROM xe JOIN c0 USING (pos) GROUP BY 1, 2, 3),
+a1 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY CAST(num AS DOUBLE)/(n*n), list_id)
+             AS rn
+    FROM d1) WHERE rn = 1),
+c1 AS (
+  SELECT list_id, pos, sum(x) AS s, count(*) AS n
+  FROM a1 JOIN xe USING (vec_id) GROUP BY 1, 2),
+d2 AS (
+  SELECT vec_id, list_id, n, sum((x*n - s)*(x*n - s)) AS num
+  FROM xe JOIN c1 USING (pos) GROUP BY 1, 2, 3),
+a2 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY CAST(num AS DOUBLE)/(n*n), list_id)
+             AS rn
+    FROM d2) WHERE rn = 1),
+c2 AS (
+  SELECT list_id, pos, sum(x) AS s, count(*) AS n
+  FROM a2 JOIN xe USING (vec_id) GROUP BY 1, 2),
+dq AS (
+  SELECT xe.vec_id AS qid, c2.list_id, c2.n,
+         sum((xe.x*c2.n - c2.s)*(xe.x*c2.n - c2.s)) AS num
+  FROM xe JOIN c2 ON c2.pos = xe.pos
+  WHERE xe.vec_id % 50 = 0
+  GROUP BY 1, 2, 3),
+probes AS (
+  SELECT qid, list_id FROM (
+    SELECT qid, list_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY CAST(num AS DOUBLE)/(n*n), list_id)
+             AS rn
+    FROM dq) WHERE rn <= {_IVF_PROBE}),
+cand AS (
+  SELECT p.qid, a2.vec_id AS neighbor_id
+  FROM probes p JOIN a2 ON a2.list_id = p.list_id AND a2.vec_id <> p.qid),
+pairs AS (
+  SELECT c.qid, c.neighbor_id,
+    (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT unnest(eq.embedding) AS x, unnest(en.embedding) AS y) z)
+      AS dot,
+    (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+     FROM (SELECT unnest(eq.embedding) AS x) z) AS nq,
+    (SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT unnest(en.embedding) AS y) z) AS ne
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.qid
+  JOIN embeddings en ON en.vec_id = c.neighbor_id)
+SELECT qid, neighbor_id,
+       round(dot / (sqrt(nq) * sqrt(ne)), 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY round(dot / (sqrt(nq) * sqrt(ne)), 6) DESC, neighbor_id)
+            AS BIGINT) AS rnk
+FROM pairs
+QUALIFY rnk <= {_IVF_K}
+"""
+
+
+@register("ivf_ann_topk", oracle=_IVF_ORACLE)
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: k-means inverted lists + n_probe rerank —
-    the second ANN scale path (recall pytest-verified vs brute force)."""
-    from dissertation_iceberg_spark.operators.similarity import ivf_cosine_topk
+    """IVF approximate top-k: inverted lists from a DETERMINISTIC
+    integer-quantized 2-iteration Lloyd build (the kmeans_cluster_stats
+    recipe — build_ivf_index_exact), quantized-integer probe ranking,
+    exact-cosine rerank inside the n_probe lists. The oracle replays
+    build + probe + rerank in SQL, moving this off the rows-only list
+    (round-3 verdict item 3); the MLlib-built variant
+    (build_ivf_index) remains the generic operator, recall- and
+    persistence-tested in tests/test_clustering.py."""
+    from dissertation_iceberg_spark.operators.similarity import (
+        build_ivf_index_exact,
+        ivf_search_exact,
+    )
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_cosine_topk(emb, queries, k=3, n_lists=16, n_probe=4)
+    index = build_ivf_index_exact(emb, n_lists=_IVF_LISTS)
+    out = ivf_search_exact(index, queries, k=_IVF_K, n_probe=_IVF_PROBE)
+    return out.select(
+        "qid", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -2529,35 +2529,44 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail — the operational readout of the Lorenz/Pareto machinery
     (which parts deserve tight stock control).
 
-    Scale shape: one part-keyed rollup, then a cumulative window over
-    the O(parts) frame (at 100 TB: the bucketed-cumsum machinery —
-    this query keeps the plain window because the class CUT depends
-    on exact integer cumulative comparisons, cum·100 ≤ s·k, which the
-    bucketed form reproduces identically). Class boundaries compare
-    exact BIGINTs — no share rounding can flip a part's class."""
+    Scale shape: one part-keyed rollup, then the cumulative revenue is
+    a bucketed two-pass cumsum over the O(parts) frame
+    (functions/ranks.py — every window partitioned by rank bucket;
+    inclusive cum = exclusive cum + own value, so the exact integer
+    class cut cum·100 ≤ s·k is reproduced bit-for-bit) with the
+    revenue total injected as a scalar subquery. Class boundaries
+    compare exact BIGINTs — no share rounding can flip a part's
+    class. Round 4: this replaced the last global window over a
+    part-scaled frame (the swap this docstring used to only promise)."""
+    from dissertation_iceberg_spark.functions.ranks import (
+        bucketed_exclusive_cumsums,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     rev_c2 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
         (1 - F.col("l_discount")) * 100
     ).cast("long")
     rev = li.groupBy("l_partkey").agg(F.sum(rev_c2).cast("long").alias("c2"))
-    tot = rev.agg(F.sum("c2").cast("long").alias("s"))
-    w = Window.orderBy(F.col("c2").desc(), F.col("l_partkey").asc())
-    r = rev.select("l_partkey", "c2", F.sum("c2").over(w).alias("cum_c2"))
-    cls = r.crossJoin(F.broadcast(tot)).select(
+    s = rev.agg(F.sum("c2").cast("long").alias("s")).scalar()
+    r = bucketed_exclusive_cumsums(
+        rev.withColumn("__negc2", -F.col("c2")),
+        ["__negc2", "l_partkey"],
+        ["c2"],
+        prefix="__ex_",
+    )
+    cum_c2 = F.col("__ex_c2") + F.col("c2")
+    cls = r.select(
         "l_partkey",
         "c2",
-        "s",
-        F.when(F.col("cum_c2") * 100 <= F.col("s") * 80, "A")
-        .when(F.col("cum_c2") * 100 <= F.col("s") * 95, "B")
+        F.when(cum_c2 * 100 <= s * 80, "A")
+        .when(cum_c2 * 100 <= s * 95, "B")
         .otherwise("C")
         .alias("abc"),
     )
     return cls.groupBy("abc").agg(
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         F.round(F.sum("c2").cast("double") / 1e4, 6).alias("revenue"),
-        F.round(F.sum("c2").cast("double") / F.first("s"), 6).alias(
-            "revenue_share"
-        ),
+        F.round(F.sum("c2").cast("double") / s, 6).alias("revenue_share"),
     )
 
 

@@ -241,15 +241,163 @@ INTENTIONAL_BNLJ = {
 }
 
 
+# Truly-unpartitioned windows (no partition column in the
+# windowspecdefinition) are allowed ONLY over bounded or sublinear
+# frames. The O(users)/O(parts) rank class was de-globalized in round 4
+# (rfm_scores, cumulative_gains, qini_uplift, abc_classification,
+# vocab_coverage_knee → functions/ranks.py bucketed kernels); the
+# kernel's own O(n_buckets) ≤ 1024 offset window (ordered by __bucket)
+# is auto-allowed below. Everything else must be consciously attributed
+# here — a new global window over a data-scaled frame fails the sweep.
+BOUNDED_GLOBAL_WINDOWS = {
+    # O(days) / O(time-bins) series frames (SCALE.md §known
+    # single-partition points)
+    "broken_stick_fit": "O(days) eigen-spectrum frame",
+    "conformal_interval": "O(days) residual-rank frame",
+    "cost_optimal_threshold": "O(thresholds) sweep grid",
+    "cumulative_unique_users": "O(days) growth series",
+    "cusum_changepoint": "O(days) cumulative series",
+    "engle_granger_coint": "O(days) residual series",
+    "gpd_pot_fit": "O(days) tail-exceedance frame",
+    "granger_oi_returns": "O(bins) lagged series",
+    "hmm_forward_loglik": "O(days) observation series",
+    "hmm_viterbi_regimes": "O(days) observation series",
+    "hurst_exponent": "O(days) rescaled-range frame",
+    "ljung_box_oi": "O(bins) ACF lags",
+    "matrix_profile_lite": "O(days) band frame",
+    "max_drawdown": "O(days) PnL series",
+    "newey_west_ols": "O(bins) HAC lags",
+    "oi_acf": "O(bins) ACF lags",
+    "oi_periodogram": "O(bins) DFT grid",
+    "pettitt_changepoint": "O(days) rank series",
+    "rolling_refit_multi": "O(days) trailing Gram window",
+    "rolling_refit_signal": "O(days) trailing Gram window",
+    "rolling_wau": "O(days) rolling-active series",
+    "runs_test": "O(days) sign series",
+    "seasonal_decompose": "O(days) centered MA",
+    "sortino_calmar": "O(days) drawdown series",
+    "spc_control_chart": "O(days) moving-range series",
+    "tail_dependence": "O(days) joint-tail frame",
+    "trading_calendar": "O(days) calendar dim",
+    "ucb1_bandit_replay": "O(replay-rounds) fold",
+    "var_cvar": "O(days) tail ranks",
+    # survival-analysis event-time grids: O(distinct days)
+    "kaplan_meier": "O(distinct event days) risk grid",
+    "km_greenwood_bands": "O(distinct event days) risk grid",
+    "log_rank_test": "O(distinct event days) risk grid",
+    "nelson_aalen": "O(distinct event days) risk grid",
+    "weibull_plot_fit": "O(distinct event days) plot grid",
+    # rank statistics on the DISTINCT-VALUE histogram — domain-bounded
+    # (cents / micro-scores), never row-scale (functions/ranks.py
+    # docstring: ties exact by construction)
+    "decision_tree_depth2": "O(distinct split values)",
+    "dunn_posthoc": "O(distinct cents) histogram",
+    "effect_sizes": "O(distinct cents) histogram",
+    "gmm_em_1d": "O(distinct values) histogram",
+    "good_turing": "O(distinct frequencies) freq-of-freq",
+    "hill_tail_estimator": "O(k) tail order statistics",
+    "huber_regression": "O(distinct residual grid) MAD ranks",
+    "kruskal_wallis": "O(distinct cents) histogram",
+    "learning_curve": "O(distinct split values) per subset",
+    "psm_att": "O(distinct propensity scores) strata",
+    "quantile_normalize_sources": "O(distinct values) histogram",
+    "skew_profile": "O(distinct counts) histogram",
+    "wilcoxon_signed_rank": "O(distinct |diff|) histogram",
+    # O(bins)/O(buckets)/O(deciles)/O(sketch-size) readout frames
+    "ari_kmeans_vs_labels": "O(k) seed rows (LIMIT k)",
+    "bh_fdr_battery": "O(tests) p-value frame",
+    "brier_decomposition": "O(bins) reliability frame",
+    "conversion_latency_quantiles": "O(percentile targets)",
+    "cumulative_gains": "O(deciles) gains table",
+    "f2_ams_sketch": "O(sketch depth) estimates",
+    "greedy_coverage_selection": "O(greedy rounds) picks",
+    "hdr_histogram_quantiles": "O(log-bins) histogram",
+    "histogram_quantiles": "O(bins) histogram",
+    "hits_scores": "O(top-k) readout after LIMIT",
+    "isotonic_calibration": "O(bins) PAVA frame",
+    "ivf_ann_topk": "O(n_lists) seed rows (LIMIT n_lists)",
+    "kmeans_cluster_stats": "O(k) seed rows (LIMIT k)",
+    "mixture_optimizer": "O(sources) weight frame",
+    "pareto_frontier": "O(price buckets) frontier",
+    "pq_adc_topk": "O(k) codebook seeds (LIMIT k)",
+    "pq_codebooks": "O(k) codebook seeds (LIMIT k)",
+    "projection_ks_drift": "O(distinct projections) ECDF",
+    "psi_drift": "O(bins) PSI terms",
+    "qini_uplift": "O(deciles) uplift table",
+    "rrf_fusion": "O(top-k per arm) fused candidates",
+    "shapley_attribution": "O(channels) coalition readout",
+    "tdigest_centroids": "O(delta) centroid frame",
+    "tdigest_quantile_readout": "O(delta) centroid frame",
+    "wasserstein_1d": "O(distinct values) ECDF",
+    "woe_iv_encoding": "O(buckets) WOE frame",
+    "zipf_slope": "O(top-K) frame after LIMIT",
+}
+
+
+def _windowspec_args(p: str):
+    """Yield the paren-balanced arg string of every
+    windowspecdefinition(...) in a physical plan."""
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(", p):
+        i, depth, buf = m.end(), 1, []
+        while i < len(p) and depth:
+            c = p[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            if depth:
+                buf.append(c)
+            i += 1
+        yield "".join(buf)
+
+
+def _first_spec_arg(args: str) -> str:
+    depth = 0
+    for i, c in enumerate(args):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            return args[:i].strip()
+    return args.strip()
+
+
+def _global_windows(p: str) -> list[str]:
+    """First ORDER column of each truly-unpartitioned window: a spec
+    whose first arg is the frame itself (count over ()) or carries a
+    sort direction (order col), i.e. no leading partition column."""
+    out = []
+    for args in _windowspec_args(p):
+        fa = _first_spec_arg(args)
+        if fa.startswith("specifiedwindowframe") or " ASC" in fa or " DESC" in fa:
+            out.append(fa.split("#")[0])
+    return out
+
+
 def test_plan_red_flag_sweep(spark, sf_dir):
     """No query may regress into a cartesian product, an unintended
-    nested-loop join, or a row-at-a-time Python UDF."""
+    nested-loop join, a row-at-a-time Python UDF, or an unattributed
+    GLOBAL window (single-partition sort over a possibly data-scaled
+    frame)."""
     for name, spec in sorted(REGISTRY.items()):
         p = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in p, name
         if name not in INTENTIONAL_BNLJ:
             assert "BroadcastNestedLoopJoin" not in p, name
         assert "BatchEvalPython" not in p, name
+        globals_ = [
+            c for c in _global_windows(p) if c != "__bucket"
+        ]  # the bucketed-rank kernel's O(n_buckets) offset is always fine
+        if globals_ and name not in BOUNDED_GLOBAL_WINDOWS:
+            raise AssertionError(
+                f"{name}: unattributed global window over {globals_} — "
+                "either partition it (bucketed kernels in functions/"
+                "ranks.py) or attribute the bounded frame in "
+                "BOUNDED_GLOBAL_WINDOWS"
+            )
 
 
 def test_q3_pushdown_broadcast_topk(spark, sf_dir):
