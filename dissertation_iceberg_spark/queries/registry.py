@@ -111,6 +111,7 @@ def _ensure_loaded() -> None:
         tpch_shapes2,
         tpch_shapes3,
         windows2,
+        workflow_queries,
     )
 
     _LOADED = True

@@ -74,3 +74,46 @@ def test_portfolio_workflow_identity(spark, sf_dir):
             - day_sel[day_sel.is_bottom == 1].fut_gross.sum()
         )
         assert abs(row.pnl - expect) < 1e-6, (row.day, row.pnl, expect)
+
+
+def test_registered_workflow_coefs_match_numpy_solve(spark, sf_dir):
+    """The oracled regression_workflow_coefs table (closed-form Cramer
+    on micro-quantized Gram sums) agrees with regression_workflow's
+    numpy solve on raw doubles to well inside the quantization grain —
+    tying the driver-verified entry to the E1 composition it wraps."""
+    from dissertation_iceberg_spark.plans.workflows import regression_workflow
+    from dissertation_iceberg_spark.queries.workflow_queries import (
+        E1_DELTAS,
+        regression_workflow_coefs,
+    )
+
+    got = (
+        regression_workflow_coefs(spark, sf_dir)
+        .toPandas()
+        .set_index("delta_sec")
+        .sort_index()
+    )
+    want = (
+        regression_workflow(spark, sf_dir, deltas=list(E1_DELTAS))
+        .toPandas()
+        .set_index("delta_sec")
+        .sort_index()
+    )
+    assert list(got.index) == list(want.index) == sorted(E1_DELTAS)
+    pairs = [
+        ("n", "n", 0.0),
+        ("beta_vis", "beta_oi_vis", 2e-4),
+        ("beta_ib", "beta_oi_ib", 2e-4),
+        ("beta_hid", "beta_oi_hid", 2e-4),
+        ("t_vis", "t_oi_vis", 2e-2),
+        ("t_ib", "t_oi_ib", 2e-2),
+        ("t_hid", "t_oi_hid", 2e-2),
+        ("adj_r2", "adj_r2", 1e-3),
+    ]
+    for g, w, tol in pairs:
+        if w not in want.columns:
+            continue
+        for d in got.index:
+            assert abs(float(got.loc[d, g]) - float(want.loc[d, w])) <= max(
+                tol, tol * abs(float(want.loc[d, w]))
+            ), (g, d, got.loc[d, g], want.loc[d, w])
