@@ -24,6 +24,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from dissertation_iceberg_spark.functions.scalars import (
+    with_scalars,
+)
 
 
 def moment_stats(
@@ -104,15 +107,17 @@ def quantile_filter(
 ) -> DataFrame:
     """Keep rows with value in [q_lo, q_hi] (exact percentiles).
 
-    Implemented as a broadcast join against the 1-row quantile frame —
-    no driver collect, so the same plan works on a cluster.
+    The 1-row quantile frame is injected as merged scalar subqueries
+    (functions/scalars.py) — no driver collect and no join node, so
+    the same plan works on a cluster and the filter is a map-side
+    comparison against two literals.
     """
     q = df.agg(
         F.expr(f"percentile({value_col}, {lo})").alias("__qlo"),
         F.expr(f"percentile({value_col}, {hi})").alias("__qhi"),
     )
     return (
-        df.join(F.broadcast(q))
+        df.transform(with_scalars, q)
         .filter(F.col(value_col).between(F.col("__qlo"), F.col("__qhi")))
         .drop("__qlo", "__qhi")
     )

@@ -14,6 +14,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from dissertation_iceberg_spark.functions.scalars import (
+    with_scalars,
+)
 
 STOPWORDS_EN = ("the", "a", "of", "and", "in", "to", "is")
 
@@ -144,7 +147,7 @@ def tfidf_top_terms(
     n = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(n))
+        .transform(with_scalars, n)
         .select(
             F.col(id_col),
             F.col("term"),
@@ -307,7 +310,7 @@ def bm25_topk(
     score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
     return (
         tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(corpus))
+        .transform(with_scalars, corpus)
         .groupBy(id_col)
         .agg(F.round(F.sum(score), 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc(id_col))

@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.functions.time_bins import micros
 from dissertation_iceberg_spark.io import load_table, spread
+from dissertation_iceberg_spark.functions.scalars import (
+    explode_grid,
+    with_scalars,
+)
 from dissertation_iceberg_spark.queries.registry import register
 
 # --------------------------------------------------------------------------
@@ -98,7 +102,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
     n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
     n3 = s3.agg(F.count(F.lit(1)).alias("n3"))
-    n = n1.join(F.broadcast(n2)).join(F.broadcast(n3))
+    n = n1.transform(with_scalars, n2).transform(with_scalars, n3)
     one = F.round(F.lit(1.0), 6)
     rows = [
         n.select(
@@ -302,7 +306,7 @@ def copurchase_lift(
             ),
             "part_b",
         )
-        .join(F.broadcast(n))
+        .transform(with_scalars, n)
         .select(
             "part_a",
             "part_b",
@@ -405,8 +409,8 @@ def windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = (
         s1.agg(F.count(F.lit(1)).alias("n1"))
-        .join(F.broadcast(s2.agg(F.count(F.lit(1)).alias("n2"))))
-        .join(F.broadcast(s3.agg(F.count(F.lit(1)).alias("n3"))))
+        .transform(with_scalars, s2.agg(F.count(F.lit(1)).alias("n2")))
+        .transform(with_scalars, s3.agg(F.count(F.lit(1)).alias("n3")))
     )
     rows = [
         n.select(
@@ -894,7 +898,7 @@ def timedecay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = agg.agg(F.sum("decay_credit_micro").cast("long").alias("total"))
-    return agg.join(F.broadcast(tot)).select(
+    return agg.transform(with_scalars, tot).select(
         "touch_type",
         "n_touches",
         "decay_credit_micro",
@@ -1325,7 +1329,9 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         qs = row if qs is None else qs.unionByName(row)
     return (
-        cum.join(F.broadcast(qs), F.col("cw") * 100 >= F.col("pct") * F.col("tw"))
+        cum.transform(explode_grid, qs).filter(
+            F.col("cw") * 100 >= F.col("pct") * F.col("tw")
+        )
         .groupBy("pct")
         .agg(
             F.min("lat_s").alias("latency_s"),
@@ -1718,7 +1724,7 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("effect"),
     )
     tot = eff.agg(F.sum("effect").alias("tot_eff"))
-    out = eff.crossJoin(F.broadcast(tot))
+    out = eff.transform(with_scalars, tot)
     return out.select(
         "channel",
         (
@@ -1895,7 +1901,7 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v2 = vf.select(F.col("mask").alias("mask2"), F.col("v_micro").alias("v2"))
     pairs = (
-        ch.crossJoin(F.broadcast(kk))
+        ch.transform(with_scalars, kk)
         .join(
             F.broadcast(vf),
             F.expr("(mask & shiftleft(1, idx)) = 0"),
@@ -1920,13 +1926,13 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("phi_num"),
     )
     touch = (
-        jmask.crossJoin(F.broadcast(ch))
+        jmask.transform(explode_grid, ch)
         .filter(F.expr("(mask & shiftleft(1, idx)) <> 0"))
         .groupBy("channel")
         .agg(F.count(F.lit(1)).cast("long").alias("n_touched"))
     )
     tot = phi.agg(F.sum("phi_num").cast("long").alias("tot_num"))
-    out = phi.join(touch, "channel").crossJoin(F.broadcast(tot))
+    out = phi.join(touch, "channel").transform(with_scalars, tot)
     return out.select(
         "channel",
         "n_touched",
@@ -2171,12 +2177,12 @@ def transition_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hcond_ev")
         )
     )
-    hm = ys.crossJoin(F.broadcast(ns)).agg(
+    hm = ys.transform(with_scalars, ns).agg(
         F.sum(F.col("n_y") * (lnm(F.col("n")) - lnm(F.col("n_y"))))
         .cast("long")
         .alias("hmarg_ev")
     )
-    out = hc.crossJoin(F.broadcast(hm)).crossJoin(F.broadcast(ns))
+    out = hc.transform(with_scalars, hm).transform(with_scalars, ns)
     return out.select(
         F.col("n").alias("n_transitions"),
         (
@@ -2299,7 +2305,7 @@ def eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, (1 - m) * scale).otherwise(F.lit(1.0)).alias("beta"),
     )
     r6 = lambda c: F.round(c * 1e6).cast("long") / 1e6  # noqa: E731
-    return q.join(F.broadcast(ab)).select(
+    return q.transform(with_scalars, ab).select(
         "user_id",
         "n_events",
         "n_purch",
@@ -2380,7 +2386,7 @@ def frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     )
     r6 = lambda c: F.round(c * 1e6).cast("long") / 1e6  # noqa: E731
-    return pat.join(F.broadcast(denom)).select(
+    return pat.transform(with_scalars, denom).select(
         "t1",
         "t2",
         "t3",
@@ -2634,7 +2640,7 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     pbar = F.col("sum_p") / F.col("n") / 1e6
     obs_k = F.col("sum_y") / F.col("n")
     obs = F.col("y_tot") / F.col("n_tot")
-    terms = cells.join(F.broadcast(tot)).select(
+    terms = cells.transform(with_scalars, tot).select(
         "bin",
         "n",
         "sum_p",
@@ -2901,7 +2907,7 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     churn = (
         wk.join(nxt, ["user_id", "week"], "left")
         .filter(F.col("na").isNull())
-        .crossJoin(F.broadcast(maxw))
+        .transform(with_scalars, maxw)
         .filter(F.col("week") + 1 <= F.col("mx"))
         .groupBy((F.col("week") + 1).alias("week"))
         .agg(F.count(F.lit(1)).cast("long").alias("churned"))
@@ -2991,7 +2997,7 @@ def shift_share_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("value") * 100).cast("long")
     first = us * 2 < F.col("lo") + F.col("hi")
     halves = (
-        e.crossJoin(F.broadcast(bounds))
+        e.transform(with_scalars, bounds)
         .groupBy("event_type")
         .agg(
             F.sum(F.when(first, cents).otherwise(0)).cast("long").alias("v1"),
@@ -3002,7 +3008,7 @@ def shift_share_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v1").cast("long").alias("t1"),
         F.sum("v2").cast("long").alias("t2"),
     )
-    out = halves.crossJoin(F.broadcast(tot))
+    out = halves.transform(with_scalars, tot)
     share1 = F.col("v1").cast("double") / F.col("t1")
     expected = share1 * (F.col("t2") - F.col("t1"))
     return out.select(

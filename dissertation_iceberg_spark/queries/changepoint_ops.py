@@ -20,6 +20,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.io import load_table, spread
+from dissertation_iceberg_spark.functions.scalars import (
+    explode_grid,
+    with_scalars,
+)
 from dissertation_iceberg_spark.queries.registry import register
 
 _R6_SQL = "CAST(round(({x}) * 1e6) AS BIGINT) / 1e6"
@@ -798,7 +802,7 @@ def causal_impact_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(us).cast("long").alias("lo"), F.max(us).cast("long").alias("hi")
     )
     daily = (
-        e.crossJoin(F.broadcast(bounds))
+        e.transform(with_scalars, bounds)
         .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(
             F.sum(F.round(F.col("value") * 100).cast("long"))
@@ -1220,7 +1224,7 @@ def matrix_profile_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("motif_j"),
     )
     best = prof.agg(F.min("mp_d2").alias("g"))
-    return prof.crossJoin(F.broadcast(best)).select(
+    return prof.transform(with_scalars, best).select(
         F.col("day").alias("window_start"),
         F.col("i").cast("long").alias("i"),
         "mp_dist2" if False else F.col("mp_d2").alias("mp_dist2"),
@@ -1313,12 +1317,12 @@ def record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = (
         spark.range(1, 10_000)
         .select(F.col("id").cast("long").alias("i"))
-        .crossJoin(F.broadcast(max_n))
+        .transform(with_scalars, max_n)
         .filter(F.col("i") <= F.col("mx"))
         .select("i")
     )
     harm = (
-        rec.join(F.broadcast(grid), F.col("i") <= F.col("n_days"))
+        rec.transform(explode_grid, grid).filter(F.col("i") <= F.col("n_days"))
         .groupBy("event_type", "n_days", "n_records")
         .agg(
             F.sum(F.round(1e9 / F.col("i")).cast("long"))

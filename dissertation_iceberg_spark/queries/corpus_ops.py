@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 from dissertation_iceberg_spark.functions.time_bins import micros
 from dissertation_iceberg_spark.io import load_table, spread
 from dissertation_iceberg_spark.operators import text as tx
+from dissertation_iceberg_spark.functions.scalars import (
+    bcast_params,
+    with_scalars,
+)
 from dissertation_iceberg_spark.queries.registry import register
 
 _TOKENS = "list_filter(str_split(text, ' '), x -> x <> '')"
@@ -78,7 +82,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = counts.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("vocab")
     )
-    lp = counts.crossJoin(F.broadcast(corpus)).select(
+    lp = counts.transform(with_scalars, corpus).select(
         "term",
         F.round(
             F.log(
@@ -444,7 +448,7 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tok.select("term").distinct().agg(F.count(F.lit(1)).alias("v"))
     lp = (
         pc.join(ctx, F.split(F.col("pair"), " ").getItem(0) == F.col("w1"))
-        .crossJoin(F.broadcast(vocab))
+        .transform(with_scalars, vocab)
         .select(
             "pair",
             F.round(
@@ -562,7 +566,7 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = (
         pc.join(ctx, w1 == F.col("w1"))
         .join(cont, w2 == F.col("w2"))
-        .crossJoin(F.broadcast(types))
+        .transform(with_scalars, types)
         .select(
             "pair",
             F.round(
@@ -696,7 +700,7 @@ def _bpe_merge_once(seq: DataFrame) -> tuple[DataFrame, DataFrame]:
     tok = seq.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
     t = (
-        tok.crossJoin(F.broadcast(best))
+        tok.transform(with_scalars, best)
         .withColumn(
             "m",
             F.coalesce(
@@ -775,7 +779,7 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_after = seq.agg(
             F.sum(F.size("toks")).cast("long").alias("tokens_after")
         )
-        row = best.crossJoin(F.broadcast(n_after)).select(
+        row = best.transform(bcast_params, n_after).select(
             F.lit(i).cast("long").alias("iteration"),
             F.concat(F.col("a"), F.lit(" "), F.col("b")).alias(
                 "merged_pair"

@@ -21,6 +21,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.io import load_table, spread
+from dissertation_iceberg_spark.functions.scalars import (
+    bcast_params,
+    with_scalars,
+)
 from dissertation_iceberg_spark.queries.registry import register
 
 # DuckDB-side tokenizer shared with llm_ops (str_split on single space,
@@ -282,7 +286,7 @@ def good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adjacent = F.col("r_next") == F.col("r") + 1
     r_star = (F.col("r") + 1) * F.col("n_next").cast("double") / F.col("n_r")
-    return led.join(F.broadcast(tot)).select(
+    return led.transform(with_scalars, tot).select(
         F.col("r").cast("long").alias("r"),
         "n_r",
         F.when(adjacent, _r6(r_star)).alias("r_star"),
@@ -578,12 +582,12 @@ def gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     cw = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select("v", F.sum("cnt").over(cw).cast("long").alias("c"))
     q1 = (
-        cum.crossJoin(F.broadcast(tot))
+        cum.transform(bcast_params, tot)
         .filter(F.col("c") >= F.expr("(n + 3) div 4"))
         .agg(F.min("v").cast("long").alias("mu_q1"))
     )
     q3 = (
-        cum.crossJoin(F.broadcast(tot))
+        cum.transform(bcast_params, tot)
         .filter(F.col("c") >= F.expr("(3 * n + 3) div 4"))
         .agg(F.min("v").cast("long").alias("mu_q3"))
     )
@@ -593,8 +597,8 @@ def gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("sv").cast("double") / F.col("n"))
     )
     params = (
-        tot.crossJoin(F.broadcast(q1))
-        .crossJoin(F.broadcast(q3))
+        tot.transform(bcast_params, q1)
+        .transform(bcast_params, q3)
         .select(
             F.lit(0.5).alias("w1d"),
             (F.col("mu_q1") * 10_000).cast("long").alias("mu1q"),
@@ -626,7 +630,7 @@ def gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("v") - mu1) * (F.col("v") - mu1) / (2.0 * va1)
             - (F.col("v") - mu2) * (F.col("v") - mu2) / (2.0 * va2)
         )
-        resp = hist.crossJoin(F.broadcast(params)).select(
+        resp = hist.transform(bcast_params, params).select(
             "v",
             "cnt",
             F.round(_GMM_RQ / (1.0 + F.exp(ell))).cast("long").alias("rq"),
@@ -669,7 +673,7 @@ def gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1),
             ).alias("v2q"),
         )
-    return params.crossJoin(F.broadcast(tot)).select(
+    return params.transform(bcast_params, tot).select(
         "n",
         F.round(F.col("w1d"), 6).alias("w1"),
         F.round(F.col("mu1q") / 1e4 / 100.0, 6).alias("mu1_dollars"),
@@ -768,7 +772,7 @@ def gpd_pot_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c").cast("long").alias("u"),
         F.any_value("n").cast("long").alias("n"),
     )
-    exc = v.crossJoin(F.broadcast(thr)).filter(F.col("c") > F.col("u")).select(
+    exc = v.transform(with_scalars, thr).filter(F.col("c") > F.col("u")).select(
         (F.col("c") - F.col("u")).alias("x"), "u", "n"
     )
     s = exc.agg(
@@ -984,7 +988,7 @@ def hill_tail_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k"),
     )
     xk = (
-        cum.crossJoin(F.broadcast(kk))
+        cum.transform(with_scalars, kk)
         .filter(
             (F.col("above") <= F.col("k"))
             & (F.col("above") + F.col("cnt") > F.col("k"))
@@ -992,8 +996,8 @@ def hill_tail_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").cast("long").alias("x_k"))
     )
     terms = (
-        cum.crossJoin(F.broadcast(kk))
-        .crossJoin(F.broadcast(xk))
+        cum.transform(with_scalars, kk)
+        .transform(with_scalars, xk)
         .filter((F.col("c") > F.col("x_k")) & (F.col("above") < F.col("k")))
         .select(
             F.least(F.col("cnt"), F.col("k") - F.col("above")).alias("w"),
@@ -1010,8 +1014,8 @@ def hill_tail_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean_log = F.col("lsum_nano").cast("double") / F.col("k_used") / 1e9
     return (
-        s.crossJoin(F.broadcast(kk))
-        .crossJoin(F.broadcast(xk))
+        s.transform(with_scalars, kk)
+        .transform(with_scalars, xk)
         .select(
             "n",
             "k_used",

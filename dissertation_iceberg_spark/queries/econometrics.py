@@ -42,6 +42,10 @@ from dissertation_iceberg_spark.queries.microstructure import (
     _ln_micro,
     _r6,
 )
+from dissertation_iceberg_spark.functions.scalars import (
+    explode_grid,
+    with_scalars,
+)
 from dissertation_iceberg_spark.queries.registry import register
 from dissertation_iceberg_spark.queries.sqlgen import EVENTS_LOB_SQL
 
@@ -438,7 +442,7 @@ def newey_west_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("sy").cast("double") - sxy / sxx * F.col("sx")) / nd).alias("a"),
         (F.col("sx").cast("double") / nd).alias("mx"),
     )
-    sc = d.crossJoin(F.broadcast(co.select("a", "b", "mx"))).select(
+    sc = d.transform(with_scalars, co.select("a", "b", "mx")).select(
         "bin",
         F.round(
             (F.col("y").cast("double") - F.col("a") - F.col("b") * F.col("x"))
@@ -469,7 +473,7 @@ def newey_west_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         )
     ) / 1e12
-    out = co.crossJoin(F.broadcast(g)).select(
+    out = co.transform(with_scalars, g).select(
         "n",
         (F.col("sxx") / 1e12).alias("sxxn"),
         ((F.col("syy") - F.col("sxy") * F.col("sxy") / F.col("sxx")) / 1e12).alias(
@@ -577,7 +581,7 @@ def sortino_calmar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ds_sq"),
     )
-    x = m.crossJoin(F.broadcast(dd))
+    x = m.transform(with_scalars, dd)
     nd = F.col("n").cast("double")
     mean_d = F.col("sum_c").cast("double") / nd / 100
     ddev = F.sqrt(F.col("ds_sq").cast("double") / nd)
@@ -703,7 +707,7 @@ def ledoit_wolf_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     days = cell.select("day").distinct()
     types = cell.select("et").distinct()
-    grid = days.crossJoin(F.broadcast(types))
+    grid = days.transform(explode_grid, types)
     x = grid.join(cell, ["day", "et"], "left").select(
         "day", "et", F.coalesce("cents", F.lit(0)).alias("cents")
     )
@@ -713,7 +717,7 @@ def ledoit_wolf_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = x.groupBy("et").agg(F.sum("cents").cast("long").alias("s"))
     u = (
         x.join(F.broadcast(sums), "et")
-        .crossJoin(F.broadcast(tk))
+        .transform(with_scalars, tk)
         .select(
             "day",
             "et",
@@ -745,7 +749,7 @@ def ledoit_wolf_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("r")
     d2n = (
-        n.crossJoin(F.broadcast(tr))
+        n.transform(with_scalars, tr)
         .select(r)
         .agg(
             F.sum(F.col("r").cast(dec) * F.col("r").cast(dec))
@@ -767,9 +771,9 @@ def ledoit_wolf_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("k")
     t3 = (t * t * t).alias("t3")
     sc = (
-        tk.crossJoin(F.broadcast(tr))
-        .crossJoin(F.broadcast(d2n))
-        .crossJoin(F.broadcast(b2n))
+        tk.transform(with_scalars, tr)
+        .transform(with_scalars, d2n)
+        .transform(with_scalars, b2n)
         .select(
             "t",
             "k",
@@ -791,7 +795,7 @@ def ledoit_wolf_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d2num") / (F.col("k3") * F.col("t6"))).alias("d2"),
         (F.col("b2num") / (k * (F.col("t6") * t * t))).alias("b2bar"),
     )
-    out = n.select("type_a", "type_b", "nsum").crossJoin(F.broadcast(sh))
+    out = n.select("type_a", "type_b", "nsum").transform(with_scalars, sh)
     shrink = F.when(
         F.col("d2") > 0, F.least(F.col("b2bar"), F.col("d2")) / F.col("d2")
     ).otherwise(F.lit(0.0))
@@ -878,7 +882,7 @@ def spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = cell.select("day").distinct()
     types = cell.select("et").distinct()
     x = (
-        days.crossJoin(F.broadcast(types))
+        days.transform(explode_grid, types)
         .join(cell, ["day", "et"], "left")
         .select("day", "et", F.coalesce("cents", F.lit(0)).alias("cents"))
     )
@@ -1029,7 +1033,7 @@ def engle_granger_coint(spark: SparkSession, sf_dir: str) -> DataFrame:
             / det
         ).alias("alpha"),
     )
-    resid = daily.crossJoin(F.broadcast(ols)).select(
+    resid = daily.transform(with_scalars, ols).select(
         "day",
         F.round(F.col("yc") - F.col("alpha") - F.col("beta") * F.col("xc"))
         .cast("long")
@@ -1051,7 +1055,7 @@ def engle_granger_coint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sdd").cast("double")
         - F.col("sudy").cast("double") / F.col("suu") * F.col("sudy")
     ) / (F.col("nn") - 1)
-    return ols.crossJoin(F.broadcast(s)).select(
+    return ols.transform(with_scalars, s).select(
         F.col("n").alias("n_days"),
         _r6(F.col("beta")).alias("hedge_beta"),
         _r6(F.col("alpha") / 100.0).alias("alpha_dollars"),
@@ -1247,7 +1251,7 @@ def twfe_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     dem = (
         cells.join(um, "user_id")
         .join(F.broadcast(dm), "day")
-        .crossJoin(F.broadcast(gm))
+        .transform(with_scalars, gm)
         .select(
             F.round(
                 (
@@ -1390,7 +1394,7 @@ def effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("yb"),
     )
     lags = (
-        a.crossJoin(F.broadcast(ks))
+        a.transform(explode_grid, ks)
         .join(
             b,
             (F.col("event_type") == F.col("et_b"))

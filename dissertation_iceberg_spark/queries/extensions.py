@@ -17,6 +17,11 @@ from dissertation_iceberg_spark.functions.hashing import (
     seeded_hash60_sql,
 )
 from dissertation_iceberg_spark.io import load_table, lob_events, spread
+from dissertation_iceberg_spark.functions.scalars import (
+    explode_grid,
+    bcast_params,
+    with_scalars,
+)
 from dissertation_iceberg_spark.queries.registry import register
 
 # --------------------------------------------------------------------------
@@ -1108,7 +1113,7 @@ def label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         la.join(n, "label")
-        .crossJoin(F.broadcast(g))
+        .transform(with_scalars, g)
         .select(
             "label",
             "n_vecs",
@@ -1298,7 +1303,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("q_label"),
     )
     labels = emb.select(F.col("label").alias("c_label")).distinct()
-    ql = q.crossJoin(F.broadcast(labels))
+    ql = q.transform(explode_grid, labels)
     cand = emb.select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("cvec"),
@@ -1395,14 +1400,14 @@ def embedding_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k,) for k in _ENERGY_PREFIXES], "k int"
     )
     p = (
-        d.crossJoin(F.broadcast(ks))
+        d.transform(explode_grid, ks)
         .groupBy("k")
         .agg(
             F.sum(F.when(F.col("dim") < F.col("k"), F.col("e")).otherwise(0))
             .alias("pe")
         )
     )
-    return p.crossJoin(F.broadcast(tot)).select(
+    return p.transform(with_scalars, tot).select(
         F.col("k").cast("long").alias("prefix_dims"),
         F.col("pe").cast("long").alias("prefix_energy_q2"),
         F.round(F.col("pe").cast("double") / F.col("te"), 6).alias(
@@ -1527,7 +1532,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n")
     )
     mu = xe.groupBy("pos").agg(F.sum("x").cast("long").alias("s"))
-    mh = mu.crossJoin(F.broadcast(nn)).select(
+    mh = mu.transform(bcast_params, nn).select(
         "pos", F.expr(_FD_SPARK.format(a="2 * s + n", b="2 * n")).alias("m")
     )
     y = xe.join(F.broadcast(mh), "pos").select(
@@ -1552,7 +1557,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("t")
         )
-        v = w.crossJoin(F.broadcast(t)).select(
+        v = w.transform(bcast_params, t).select(
             F.col("i").alias("j"),
             F.expr(_FD_SPARK.format(a="w", b="t")).alias("v"),
         )
@@ -1574,10 +1579,10 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = (
-        v.crossJoin(F.broadcast(vtv))
-        .crossJoin(F.broadcast(tr))
-        .crossJoin(F.broadcast(num))
-        .crossJoin(F.broadcast(nn))
+        v.transform(bcast_params, vtv)
+        .transform(bcast_params, tr)
+        .transform(bcast_params, num)
+        .transform(bcast_params, nn)
     )
     return out.select(
         F.col("j").cast("long").alias("pos"),
@@ -1943,7 +1948,7 @@ def cluster_validity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * F.col("sq_micro")).cast("long").alias("b_micro")
     )
     dbs = db_i.agg(F.sum("r_micro").cast("long").alias("db_micro_sum"))
-    out = kk.crossJoin(F.broadcast(bb)).crossJoin(F.broadcast(dbs))
+    out = kk.transform(with_scalars, bb).transform(with_scalars, dbs)
     w = F.col("w_micro") / 1e6
     bsum = F.col("b_micro") / 1e6
     return out.select(
@@ -2075,7 +2080,7 @@ def embedding_mmd_quadratic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.agg(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.sum("d_pico").cast("long").alias("d_sum"),
-    ).crossJoin(F.broadcast(sizes)).select(
+    ).transform(with_scalars, sizes).select(
         "n_a",
         "n_b",
         "n_cells",
@@ -2171,8 +2176,8 @@ def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = (
         cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
-        .crossJoin(F.broadcast(n_truth_df))
-        .crossJoin(F.broadcast(tp_df))
+        .transform(with_scalars, n_truth_df)
+        .transform(with_scalars, tp_df)
     )
     nc, nt, tp = F.col("n_cand"), F.col("n_truth"), F.col("tp")
     return base.select(
@@ -2282,7 +2287,7 @@ def ari_kmeans_vs_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("b") * (F.col("b") - 1) / 2).cast("long").alias("s_b")
         )
     )
-    out = sums.crossJoin(F.broadcast(ra)).crossJoin(F.broadcast(rb))
+    out = sums.transform(with_scalars, ra).transform(with_scalars, rb)
     n = F.col("n").cast("double")
     tot_pairs = n * (F.col("n") - 1) / 2
     exp = F.col("s_a").cast("double") * F.col("s_b") / tot_pairs

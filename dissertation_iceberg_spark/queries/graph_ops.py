@@ -17,6 +17,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.io import load_table, spread
+from dissertation_iceberg_spark.functions.scalars import (
+    bcast_params,
+    with_scalars,
+)
 from dissertation_iceberg_spark.queries.registry import register
 
 _PR_ITERS = 3
@@ -208,8 +212,8 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
-        n_edges.join(F.broadcast(wedges))
-        .join(F.broadcast(tri))
+        n_edges.transform(with_scalars, wedges)
+        .transform(with_scalars, tri)
         .select(
             "n_edges",
             "n_nodes",
@@ -344,9 +348,9 @@ def triangle_count_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
     dmax = deg.agg(F.max("d").alias("max_degree"))
     omax = outdeg.agg(F.max("od").alias("max_out_degree"))
     return (
-        summary.join(F.broadcast(dmax))
-        .join(F.broadcast(omax))
-        .join(F.broadcast(tri))
+        summary.transform(with_scalars, dmax)
+        .transform(with_scalars, omax)
+        .transform(with_scalars, tri)
         .select(
             "n_edges",
             "max_degree",
@@ -630,7 +634,7 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_partkey") * 2).alias("node")
     )
     ns = seeds.agg(F.count(F.lit(1)).alias("n_seeds"))
-    q = seeds.crossJoin(F.broadcast(ns)).select(
+    q = seeds.transform(bcast_params, ns).select(
         "node",
         F.expr(
             f"(({_DAMP_DEN} - {_DAMP_NUM}) * ({_SCALE} DIV n_seeds))"
@@ -639,7 +643,7 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r"),
     )
-    ranks = seeds.crossJoin(F.broadcast(ns)).select(
+    ranks = seeds.transform(bcast_params, ns).select(
         "node", F.expr(f"{_SCALE} DIV n_seeds").cast("long").alias("r")
     )
     for _ in range(_PPR_ITERS):
@@ -760,7 +764,7 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (md * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
         * (md * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
     )
-    return s.crossJoin(F.broadcast(nn)).select(
+    return s.transform(with_scalars, nn).select(
         F.col("m").alias("n_directed_edges"),
         "n_nodes",
         (
@@ -953,7 +957,7 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("h").cast("long").alias("a"))
         )
         a_max = a_raw.agg(F.max("a").alias("a_mx"))
-        auths = a_raw.join(F.broadcast(a_max)).select(
+        auths = a_raw.transform(bcast_params, a_max).select(
             "node", F.expr(f"(a * {_SCALE}) DIV a_mx").alias("a")
         )
         h_raw = (
@@ -962,7 +966,7 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("a").cast("long").alias("h"))
         )
         h_max = h_raw.agg(F.max("h").alias("h_mx"))
-        hubs = h_raw.join(F.broadcast(h_max)).select(
+        hubs = h_raw.transform(bcast_params, h_max).select(
             "node", F.expr(f"(h * {_SCALE}) DIV h_mx").alias("h")
         )
     w = Window.orderBy(F.desc("score_micro"), F.asc("node_key"))
@@ -1062,8 +1066,8 @@ def butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("p").cast("long").alias("n_parts"),
     )
     return (
-        sizes.crossJoin(F.broadcast(wedges))
-        .crossJoin(F.broadcast(bf))
+        sizes.transform(with_scalars, wedges)
+        .transform(with_scalars, bf)
         .select(
             "n_edges",
             "n_orders",
@@ -1180,7 +1184,7 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     terms = (
         deg.join(within, "brand", "left")
-        .crossJoin(F.broadcast(m))
+        .transform(with_scalars, m)
         .select(
             "brand",
             F.coalesce(F.col("e_in"), F.lit(0)).cast("long").alias("e_in"),

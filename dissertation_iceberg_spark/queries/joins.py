@@ -12,6 +12,9 @@ from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.io import load_table
 from dissertation_iceberg_spark.queries.registry import register
+from dissertation_iceberg_spark.functions.scalars import (
+    with_scalars,
+)
 
 # --------------------------------------------------------------------------
 # TPC-H Q1-style pricing summary (scan -> filter -> agg)
@@ -287,7 +290,7 @@ def part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).alias("rev_scaled"))
     )
     total = agg.agg(F.sum("rev_scaled").alias("__total"))
-    return agg.join(F.broadcast(total)).select(
+    return agg.transform(with_scalars, total).select(
         "p_type",
         (F.col("rev_scaled") / F.lit(1e4)).alias("revenue"),
         F.round(F.col("rev_scaled") / F.col("__total"), 6).alias("revenue_share"),

@@ -14,6 +14,10 @@ from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.functions.time_bins import micros
 from dissertation_iceberg_spark.io import load_table
+from dissertation_iceberg_spark.functions.scalars import (
+    explode_grid,
+    with_scalars,
+)
 from dissertation_iceberg_spark.queries.registry import register
 
 # --------------------------------------------------------------------------
@@ -721,7 +725,7 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.select(F.col(fk))
             .join(F.broadcast(p), F.col(fk) == F.col(pk), "left_anti")
             .agg(F.count(F.lit(1)).alias("n_orphans"))
-            .join(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_child"))))
+            .transform(with_scalars, c.agg(F.count(F.lit(1)).alias("n_child")))
             .select(
                 F.lit(label).alias("fk_edge"),
                 "n_child",
@@ -788,7 +792,7 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (
         spark.range(1, _RANGE_N_PARTS)
         .toDF("k")
-        .crossJoin(F.broadcast(n))
+        .transform(with_scalars, n)
         .select(
             "k",
             F.ceil(F.col("k") * F.col("n_rows") / float(_RANGE_N_PARTS))
@@ -797,7 +801,7 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        cum.join(F.broadcast(t), cum["inc_cum"] >= t["target"])
+        cum.transform(explode_grid, t).filter(F.col("inc_cum") >= F.col("target"))
         .groupBy("k", "target")
         .agg(
             F.min("cents").alias("boundary_cents"),
@@ -874,7 +878,7 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ),
     )
-    return per.crossJoin(F.broadcast(n)).select(
+    return per.transform(with_scalars, n).select(
         "col_name",
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
@@ -953,7 +957,7 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             left.join(right, F.col(lk) == F.col(rk))
             .agg(F.count(F.lit(1)).cast("long").alias("actual"))
         )
-        return est.crossJoin(F.broadcast(actual)).select(
+        return est.transform(with_scalars, actual).select(
             F.lit(name).alias("join_edge"), "est", "max_key", "actual"
         )
 
@@ -1222,7 +1226,7 @@ def file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("col") == "qty")
         & ((F.col("qty_hi") < F.col("lo")) | (F.col("qty_lo") > F.col("hi")))
     )
-    audit = files.crossJoin(F.broadcast(preds)).select(
+    audit = files.transform(explode_grid, preds).select(
         "pred_id",
         F.when(skipped, F.lit(1)).otherwise(F.lit(0)).alias("skipped"),
         "n_rows",

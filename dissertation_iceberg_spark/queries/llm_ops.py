@@ -16,6 +16,11 @@ from dissertation_iceberg_spark.io import load_table, spread
 from dissertation_iceberg_spark.operators import dedup as dd
 from dissertation_iceberg_spark.operators import text as tx
 from dissertation_iceberg_spark.operators.similarity import cosine_topk
+from dissertation_iceberg_spark.functions.scalars import (
+    explode_grid,
+    bcast_params,
+    with_scalars,
+)
 from dissertation_iceberg_spark.queries.registry import register
 
 # --------------------------------------------------------------------------
@@ -913,7 +918,7 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = w.agg(F.sum("wq").alias("__tot"))
     share = F.col("wq").cast("double") / F.col("__tot")
-    return w.crossJoin(F.broadcast(total)).select(
+    return w.transform(with_scalars, total).select(
         "lang",
         "n_docs",
         "n_tokens",
@@ -1172,7 +1177,7 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wq")
     )
     tot = w.agg(F.sum("wq").cast("long").alias("tot"))
-    q = w.crossJoin(F.broadcast(tot)).select(
+    q = w.transform(with_scalars, tot).select(
         "source", F.expr(f"CAST((wq * {_MIXS_K}) DIV tot AS LONG)").alias("quota")
     )
     from pyspark.sql import Window as W
@@ -1270,13 +1275,13 @@ def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tok.select("term").distinct().agg(F.count(F.lit(1)).alias("v"))
     lang_side = (
         langs.join(ltot, "lang")
-        .crossJoin(F.broadcast(vocab))
+        .transform(with_scalars, vocab)
         .select("lang", "n_l", "v")
     )
     grid = (
         tok.select("term")
         .distinct()
-        .crossJoin(F.broadcast(lang_side))
+        .transform(explode_grid, lang_side)
         .join(counts, ["term", "lang"], "left")
         .select(
             "term",
@@ -1292,7 +1297,7 @@ def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lp_micro"),
         )
     )
-    priors = langs.crossJoin(F.broadcast(nd)).select(
+    priors = langs.transform(with_scalars, nd).select(
         "lang",
         F.round(F.log(F.col("n_docs").cast("double") / F.col("nd")) * 1e6)
         .cast("long")
@@ -1422,7 +1427,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wq")
     )
     tot = w.agg(F.sum("wq").cast("long").alias("tot"))
-    q = w.join(F.broadcast(tot)).select(
+    q = w.transform(with_scalars, tot).select(
         "source", F.expr(f"(wq * {_PIPE_K}) div tot").cast("long").alias("quota")
     )
     from dissertation_iceberg_spark.functions.hashing import hash60
@@ -1776,7 +1781,7 @@ def mixture_optimizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("budget")
     )
-    return ranked.crossJoin(F.broadcast(b)).select(
+    return ranked.transform(with_scalars, b).select(
         "source",
         F.col("rnk").cast("long").alias("rnk"),
         "quality_micro",
@@ -2046,8 +2051,8 @@ def normalized_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("norm_redundant"),
     )
     return (
-        stats.crossJoin(F.broadcast(rg))
-        .crossJoin(F.broadcast(ng))
+        stats.transform(with_scalars, rg)
+        .transform(with_scalars, ng)
         .select(
             "n_docs",
             "raw_groups",
@@ -2124,7 +2129,7 @@ def source_term_saliency(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         st.join(stot, "source")
         .join(ct, "term")
-        .crossJoin(F.broadcast(tot))
+        .transform(with_scalars, tot)
     )
     a_w = mu * F.col("yw") / F.col("nn")
     y, n_s = F.col("y"), F.col("n")
@@ -2414,7 +2419,7 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bm = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(corpus))
+        .transform(with_scalars, corpus)
         .groupBy("doc_id")
         .agg(
             F.sum(F.round(term_score * 1e6).cast("long"))
@@ -2437,7 +2442,7 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     cos = (
         emb.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(q))
+        .transform(with_scalars, q)
         .select(
             F.col("vec_id").alias("item_id"),
             F.round(
@@ -2607,7 +2612,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     w = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(nd))
+        .transform(with_scalars, nd)
         .select(
             "doc_id",
             "term",
@@ -2862,7 +2867,7 @@ def classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n").cast("double")
     po = F.col("agree").cast("double") / n
     pc = F.col("chance_num").cast("double") / (n * n)
-    return s.crossJoin(F.broadcast(pe)).select(
+    return s.transform(with_scalars, pe).select(
         "n",
         "agree",
         F.round(po, 6).alias("observed_agreement"),
@@ -2982,7 +2987,7 @@ def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gain",
         F.sum("gain").over(cw).cast("long").alias("covered"),
     )
-    return curve.crossJoin(F.broadcast(vocab)).select(
+    return curve.transform(bcast_params, vocab).select(
         "rank",
         "doc_id",
         "gain",

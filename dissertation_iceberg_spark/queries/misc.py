@@ -14,6 +14,9 @@ from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.functions.time_bins import bin_end, bin_end_sql
 from dissertation_iceberg_spark.io import load_table
+from dissertation_iceberg_spark.functions.scalars import (
+    with_scalars,
+)
 from dissertation_iceberg_spark.queries.registry import register
 
 DELTA = 21_600
@@ -559,12 +562,12 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c", F.sum("f").over(W.orderBy("c").rowsBetween(W.unboundedPreceding, 0)).alias("cum")
     )
     med = (
-        cum.join(F.broadcast(stats))
+        cum.transform(with_scalars, stats)
         .filter(F.col("cum") >= F.expr("(n_keys + 1) DIV 2"))
         .agg(F.min("c").alias("median_c"))
     )
     return (
-        stats.join(F.broadcast(med))
+        stats.transform(with_scalars, med)
         .select(
             F.col("n_keys").cast("long").alias("n_keys"),
             F.col("n_rows").cast("long").alias("n_rows"),
@@ -634,7 +637,7 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(_BENFORD_EXP[dd]) for dd in range(1, 10)]),
         F.col("digit").cast("int"),
     )
-    return c.join(F.broadcast(t)).select(
+    return c.transform(with_scalars, t).select(
         "digit",
         F.col("n").cast("long").alias("n_orders"),
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("obs_freq"),
@@ -975,7 +978,7 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = h.agg(
         F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias("target")
     )
-    series = h.crossJoin(F.broadcast(t)).groupBy("target").agg(
+    series = h.transform(with_scalars, t).groupBy("target").agg(
         F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("s")
     )
     slack = F.expr(f"(target * {_CUSUM_K_NUM}) div {_CUSUM_DEN}")

@@ -22,6 +22,9 @@ from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.io import load_table
 from dissertation_iceberg_spark.queries.registry import register
+from dissertation_iceberg_spark.functions.scalars import (
+    with_scalars,
+)
 
 TRAIN_DAYS = 5
 
@@ -445,7 +448,7 @@ def ks_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = (F.col("cum_f1") + F.col("f1")) / F.col("n1").cast("double")
     c2 = (F.col("cum_f2") + F.col("f2")) / F.col("n2").cast("double")
     agg = (
-        cum.join(F.broadcast(totals))
+        cum.transform(with_scalars, totals)
         .select(F.abs(c1 - c2).alias("gap"), "n1", "n2")
         .groupBy("n1", "n2")
         .agg(F.max("gap").alias("d"))

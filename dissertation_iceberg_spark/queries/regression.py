@@ -15,6 +15,9 @@ from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.io import load_table
 from dissertation_iceberg_spark.operators.regression import simple_ols, simple_ols_sql
+from dissertation_iceberg_spark.functions.scalars import (
+    with_scalars,
+)
 from dissertation_iceberg_spark.queries.registry import register
 
 
@@ -541,7 +544,7 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     cal = (
         src.filter(F.col("part") == 2)
-        .crossJoin(F.broadcast(beta))
+        .transform(with_scalars, beta)
         .select(resid.alias("r"))
     )
     ncal = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
@@ -554,7 +557,7 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qhat = (
-        rv.crossJoin(F.broadcast(ncal))
+        rv.transform(with_scalars, ncal)
         .filter(
             F.col("cum")
             >= F.ceil((F.col("n_cal") + 1) * (1.0 - _CONF_ALPHA)).cast("long")
@@ -563,8 +566,8 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     test = (
         src.filter(F.col("part") == 3)
-        .crossJoin(F.broadcast(beta))
-        .crossJoin(F.broadcast(qhat))
+        .transform(with_scalars, beta)
+        .transform(with_scalars, qhat)
         .agg(
             F.count(F.lit(1)).alias("n_test"),
             F.sum(F.when(resid <= F.col("q_cents"), 1).otherwise(0)).alias(
@@ -573,9 +576,9 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = (
-        beta.crossJoin(F.broadcast(ncal))
-        .crossJoin(F.broadcast(qhat))
-        .crossJoin(F.broadcast(test))
+        beta.transform(with_scalars, ncal)
+        .transform(with_scalars, qhat)
+        .transform(with_scalars, test)
     )
     return out.select(
         "n_train",
@@ -715,7 +718,7 @@ def huber_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b0"
         ),
     )
-    res = src.crossJoin(F.broadcast(beta)).select(
+    res = src.transform(with_scalars, beta).select(
         "x",
         "y",
         "n",
@@ -739,7 +742,7 @@ def huber_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad_c",
         F.round(F.lit(_HUBER_K) * F.col("mad_c")).cast("long").alias("c"),
     )
-    wts = res.crossJoin(F.broadcast(cc)).select(
+    wts = res.transform(with_scalars, cc).select(
         "x",
         "y",
         F.when(F.col("r") <= F.col("c"), F.lit(1_000_000).cast("long"))
@@ -759,9 +762,9 @@ def huber_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("w") * F.col("x") * F.col("x")).cast("long").alias("swxx"),
     )
     out = (
-        beta.crossJoin(F.broadcast(mad))
-        .crossJoin(F.broadcast(cc.select("c")))
-        .crossJoin(F.broadcast(s1))
+        beta.transform(with_scalars, mad)
+        .transform(with_scalars, cc.select("c"))
+        .transform(with_scalars, s1)
     )
     swd = F.col("sw").cast("double")
     b1h = (swd * F.col("swxy") - F.col("swx").cast("double") * F.col("swy")) / (

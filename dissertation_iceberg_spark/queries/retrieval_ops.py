@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.io import load_table, spread
+from dissertation_iceberg_spark.functions.scalars import (
+    with_scalars,
+)
 from dissertation_iceberg_spark.queries.registry import register
 
 _MMR_QUERY_ID = 0  # the query vector
@@ -126,7 +129,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         emb.filter(F.col("vec_id") != _MMR_QUERY_ID)
-        .crossJoin(F.broadcast(q))
+        .transform(with_scalars, q)
         .select(
             "vec_id",
             "embedding",

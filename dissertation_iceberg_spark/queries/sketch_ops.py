@@ -23,6 +23,10 @@ from dissertation_iceberg_spark.functions.hashing import (
     seeded_hash60_col_sql,
 )
 from dissertation_iceberg_spark.io import load_table, spread
+from dissertation_iceberg_spark.functions.scalars import (
+    explode_grid,
+    with_scalars,
+)
 from dissertation_iceberg_spark.queries.registry import register
 
 _TOKENS = "list_filter(str_split(text, ' '), x -> x <> '')"
@@ -318,7 +322,7 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     width = (F.col("hi") - F.col("lo")) / _HIST_BINS
     h = (
-        li.join(F.broadcast(b))
+        li.transform(with_scalars, b)
         .select(
             F.least(
                 F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast(
@@ -349,7 +353,7 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         qs = row if qs is None else qs.unionByName(row)
     pick = (
-        c.join(F.broadcast(qs), F.col("cum") >= F.col("target"))
+        c.transform(explode_grid, qs).filter(F.col("cum") >= F.col("target"))
         .groupBy("q", "lo", "hi")
         .agg(
             F.min_by("bin", "bin").alias("bin"),
@@ -678,7 +682,7 @@ def tdigest_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c").alias("lo"), F.max("c").alias("hi"), F.count(F.lit(1)).alias("n")
     )
     h = (
-        v.join(F.broadcast(b))
+        v.transform(with_scalars, b)
         .select(
             "c",
             "n",
@@ -879,7 +883,7 @@ def tdigest_quantile_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c").alias("lo"), F.max("c").alias("hi"), F.count(F.lit(1)).alias("n")
     )
     h = (
-        v.join(F.broadcast(b))
+        v.transform(with_scalars, b)
         .select(
             "c",
             "n",
@@ -938,7 +942,7 @@ def tdigest_quantile_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         qs = row if qs is None else qs.unionByName(row)
     pick = (
-        cc.join(F.broadcast(qs), F.col("cum") >= F.col("target"))
+        cc.transform(explode_grid, qs).filter(F.col("cum") >= F.col("target"))
         .groupBy("q")
         .agg(
             F.min_by("centroid", "centroid").alias("centroid"),
@@ -1494,7 +1498,7 @@ def f2_ams_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("f"))
         .agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("exact_f2"))
     )
-    return sk.join(F.broadcast(med)).join(F.broadcast(exact)).select(
+    return sk.transform(with_scalars, med).transform(with_scalars, exact).select(
         "est_id", "sketch_sum", "estimate", "median_estimate", "exact_f2"
     )
 
@@ -1613,7 +1617,7 @@ def hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = row if q is None else q.unionByName(row)
     target = F.expr("(qn * n + qd - 1) div qd")
     pick = (
-        c.join(F.broadcast(q), F.col("cum") >= target)
+        c.transform(explode_grid, q).filter(F.col("cum") >= target)
         .groupBy("qn", "qd")
         .agg(
             F.min_by("bucket", "bucket").alias("bucket"),
@@ -1710,7 +1714,7 @@ def chapman_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(us).cast("long").alias("lo"), F.max(us).cast("long").alias("hi")
     )
     marked = (
-        e.crossJoin(F.broadcast(bounds))
+        e.transform(with_scalars, bounds)
         .groupBy("user_id")
         .agg(
             F.max((us * 2 < F.col("lo") + F.col("hi")).cast("long"))
@@ -1862,9 +1866,9 @@ def hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = scaled_sum(global_regs).select(F.col("s").alias("s_global"))
     shards = h.agg(F.countDistinct("shard").cast("long").alias("n_shards"))
     return (
-        cmp.crossJoin(F.broadcast(e))
-        .crossJoin(F.broadcast(g))
-        .crossJoin(F.broadcast(shards))
+        cmp.transform(with_scalars, e)
+        .transform(with_scalars, g)
+        .transform(with_scalars, shards)
         .select(
             "n_shards",
             "n_buckets",

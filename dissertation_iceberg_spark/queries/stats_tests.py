@@ -28,6 +28,10 @@ from dissertation_iceberg_spark.io import load_table
 from dissertation_iceberg_spark.operators import text as tx
 from dissertation_iceberg_spark.queries.microstructure import _R6_SQL, _r6
 from dissertation_iceberg_spark.operators.strategy import cross_sectional_select
+from dissertation_iceberg_spark.functions.scalars import (
+    explode_grid,
+    with_scalars,
+)
 from dissertation_iceberg_spark.queries.registry import register
 from dissertation_iceberg_spark.queries.strategy import _SIGNAL_SQL, _signals
 
@@ -109,7 +113,7 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"), F.sum("cents").alias("total_c")
     )
     return (
-        totals.crossJoin(F.broadcast(trough))
+        totals.transform(with_scalars, trough)
         .select(
             F.col("n_days").cast("long").alias("n_days"),
             F.round(F.col("max_dd").cast("double") / 100.0, 6).alias(
@@ -175,7 +179,7 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = (
         cell.join(F.broadcast(rt), "pri")
         .join(F.broadcast(ct), "st")
-        .crossJoin(F.broadcast(tot))
+        .transform(with_scalars, tot)
         .select(
             F.round(
                 num.cast("double")
@@ -187,13 +191,11 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t_micro")
         )
     )
-    dims = rt.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
-        ct.agg(F.count(F.lit(1)).alias("n_cols"))
-    )
     return (
         term.agg(F.sum("t_micro").alias("chi2_micro"))
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(dims))
+        .transform(with_scalars, tot)
+        .transform(with_scalars, rt.agg(F.count(F.lit(1)).alias("n_rows")))
+        .transform(with_scalars, ct.agg(F.count(F.lit(1)).alias("n_cols")))
         .select(
             F.col("n").cast("long").alias("n"),
             F.col("n_rows").cast("long").alias("n_rows"),
@@ -353,7 +355,7 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, -1
     )
     w_cum = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, 0)
-    risk = grp.crossJoin(F.broadcast(n_users)).select(
+    risk = grp.transform(with_scalars, n_users).select(
         "t_day",
         "d",
         "c",
@@ -594,7 +596,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         pairs.join(F.broadcast(f1), "t1")
         .join(F.broadcast(f2), "t2")
-        .crossJoin(F.broadcast(nd))
+        .transform(with_scalars, nd)
         .select(
             "t1",
             "t2",
@@ -732,7 +734,7 @@ def var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
     )
     return (
-        r.crossJoin(F.broadcast(k))
+        r.transform(with_scalars, k)
         .filter(F.col("rn") <= F.col("k"))
         .groupBy("n_days", "k")
         .agg(
@@ -1089,7 +1091,7 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     )
-    binned = e.crossJoin(F.broadcast(b)).select(
+    binned = e.transform(with_scalars, b).select(
         F.when(us * 2 < F.col("t0") + F.col("t1"), 0).otherwise(1).alias(
             "period"
         ),
@@ -1121,7 +1123,7 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = c.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
     p0 = (F.col("c0") + 1).cast("double") / (F.col("n0") + _PSI_BINS)
     p1 = (F.col("c1") + 1).cast("double") / (F.col("n1") + _PSI_BINS)
-    terms = c.crossJoin(F.broadcast(n)).select(
+    terms = c.transform(with_scalars, n).select(
         "bin",
         "c0",
         "c1",
@@ -1727,7 +1729,7 @@ def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = (
         spark.range(1, 11)
         .toDF("d")
-        .crossJoin(F.broadcast(tot))
+        .transform(with_scalars, tot)
         .select(
             "d",
             F.floor(F.col("n") * F.col("d") / 10.0).cast("long").alias("cut"),
@@ -1738,7 +1740,7 @@ def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("cut") - F.col("cum_f"), F.lit(0)), F.col("f")
     ) * F.col("cents")
     shares = (
-        cum.crossJoin(F.broadcast(dec))
+        cum.transform(explode_grid, dec)
         .groupBy("d", "cut", "s")
         .agg(F.max(below).alias("s_below"))
     )
@@ -1893,7 +1895,7 @@ def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     b = e.agg(F.min(us).alias("t0"), F.max(us).alias("t1"))
-    cells = e.crossJoin(F.broadcast(b)).select(
+    cells = e.transform(with_scalars, b).select(
         (F.col("event_id") % 2).alias("treated"),
         F.when(us * 2 < F.col("t0") + F.col("t1"), 0).otherwise(1).alias(
             "post"
@@ -1936,7 +1938,7 @@ def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_post") - F.col("c_pre")
     )
     se = F.sqrt(F.col("pooled_var") * F.col("inv_n"))
-    return wide.crossJoin(F.broadcast(sev)).select(
+    return wide.transform(with_scalars, sev).select(
         F.round(F.col("t_pre") / 100.0, 6).alias("treated_pre"),
         F.round(F.col("t_post") / 100.0, 6).alias("treated_post"),
         F.round(F.col("c_pre") / 100.0, 6).alias("control_pre"),
@@ -2014,7 +2016,7 @@ def price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m0 = pm.agg(F.min("month").alias("m0"))
     base = (
-        pm.crossJoin(F.broadcast(m0))
+        pm.transform(with_scalars, m0)
         .filter(F.col("month") == F.col("m0"))
         .select(
             "l_partkey",
@@ -2023,7 +2025,7 @@ def price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     joined = (
-        pm.crossJoin(F.broadcast(m0))
+        pm.transform(with_scalars, m0)
         .filter(F.col("month") > F.col("m0"))
         .join(base, "l_partkey")
     )
@@ -2176,7 +2178,7 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.agg(F.min(us).alias("t0"), F.max(us).alias("t1"))
     cents = F.round(F.col("value") * 100).cast("long")
     u = (
-        e.crossJoin(F.broadcast(b))
+        e.transform(with_scalars, b)
         .groupBy("user_id", (F.col("user_id") % 2).alias("arm"))
         .agg(
             F.sum(
@@ -2480,7 +2482,7 @@ def spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ucl = F.col("xbar") + 2.66 * F.col("mrbar")
     lcl = F.col("xbar") - 2.66 * F.col("mrbar")
-    return mr.crossJoin(F.broadcast(lim)).select(
+    return mr.transform(with_scalars, lim).select(
         "day",
         "x",
         F.col("mrange").cast("long").alias("moving_range"),
@@ -2826,7 +2828,7 @@ def bh_fdr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = src.groupBy("event_type", "bucket").agg(
         F.count(F.lit(1)).alias("n_c"), F.sum("c").cast("long").alias("cs1")
     )
-    zc = cell.crossJoin(F.broadcast(g))
+    zc = cell.transform(with_scalars, g)
     n_c = F.col("n_c").cast("double")
     n_g = F.col("n_g").cast("double")
     var_g = (n_g * F.col("s2") - F.col("s1").cast("double") * F.col("s1")) / (
@@ -3131,7 +3133,7 @@ def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_share = (F.col("n_neg") + 0.5) / (
         F.col("neg_tot") + 0.5 * F.col("n_buckets")
     )
-    scored = cells.join(F.broadcast(tot)).select(
+    scored = cells.transform(with_scalars, tot).select(
         "priority",
         "n",
         "n_pos",
@@ -3243,7 +3245,7 @@ def decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = bucketed_exclusive_cumsums(dv, "cents", ["n", "n_pos"])
     splits = (
-        cum.join(F.broadcast(tot))
+        cum.transform(with_scalars, tot)
         .select(
             F.col("cents").alias("split_cents"),
             (F.col("cum_n") + F.col("n")).alias("left_n"),
@@ -3580,7 +3582,7 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1e6
         ).cast("long")
 
-    scored = cells.join(F.broadcast(tot)).select(
+    scored = cells.transform(with_scalars, tot).select(
         "grp",
         "n",
         _slope_micro("n", "sx", "sy", "sxx", "sxy").alias("slope_micro"),

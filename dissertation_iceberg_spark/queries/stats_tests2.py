@@ -24,6 +24,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.io import load_table, spread
+from dissertation_iceberg_spark.functions.scalars import (
+    explode_grid,
+    bcast_params,
+    with_scalars,
+)
 from dissertation_iceberg_spark.queries.registry import register
 
 # --------------------------------------------------------------------------
@@ -367,7 +372,7 @@ def gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("f0")
     )
-    resid = base.crossJoin(F.broadcast(f0)).select(
+    resid = base.transform(bcast_params, f0).select(
         "q", "d", (F.col("y") - F.col("f0")).alias("r")
     )
 
@@ -404,7 +409,7 @@ def gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         cn, cs = F.col("cn"), F.col("cs")
         n_all, s_all = F.col("n_all"), F.col("s_all")
         best = (
-            cum.crossJoin(F.broadcast(tot))
+            cum.transform(bcast_params, tot)
             .filter(n_all - cn > 0)
             .select(
                 "f",
@@ -425,7 +430,7 @@ def gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("gain"), F.asc("f"), F.asc("v"))
             .limit(1)
         )
-        resid = resid.crossJoin(F.broadcast(best)).select(
+        resid = resid.transform(bcast_params, best).select(
             "q",
             "d",
             (
@@ -450,7 +455,7 @@ def gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mse_after")
         )
         outs.append(
-            best.crossJoin(F.broadcast(mse)).select(
+            best.transform(bcast_params, mse).select(
                 F.lit(k).cast("long").alias("round"),
                 F.col("f").alias("feature"),
                 F.col("v").cast("long").alias("threshold"),
@@ -647,9 +652,7 @@ def tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_b"),
         F.col("s").alias("s_b"),
     )
-    pairs = a.join(b, F.col("type_a") < F.col("type_b")).crossJoin(
-        F.broadcast(msw)
-    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b")).transform(with_scalars, msw)
     ma = F.col("s_a").cast("double") / F.col("n_a")
     mb = F.col("s_b").cast("double") / F.col("n_b")
     return pairs.select(
@@ -783,7 +786,7 @@ def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = 1.0 - F.col("tie_sum").cast("double") / (
         nt.cast("double") * nt * nt - nt
     )
-    return t.crossJoin(F.broadcast(ties)).select(
+    return t.transform(with_scalars, ties).select(
         "k",
         "n_tot",
         F.round(h_stat, 6).alias("h_stat"),
@@ -867,7 +870,7 @@ def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = (
         daily.groupBy("day")
         .agg(F.count(F.lit(1)).alias("c"))
-        .crossJoin(F.broadcast(k_all))
+        .transform(with_scalars, k_all)
         .filter(F.col("c") == F.col("k"))
         .select("day")
     )
@@ -901,7 +904,7 @@ def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 3.0 * nq * (kq + 1)
         ).alias("q_stat"),
     )
-    return rs.crossJoin(F.broadcast(q)).select(
+    return rs.transform(with_scalars, q).select(
         "event_type",
         "n_blocks",
         F.round(
@@ -1183,7 +1186,7 @@ def psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_controls")
     )
-    return agg.crossJoin(F.broadcast(ctl)).select(
+    return agg.transform(with_scalars, ctl).select(
         "n_treated",
         "n_controls",
         F.round(
@@ -1308,7 +1311,7 @@ def rdd_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             n * F.col(f"sxy_{tag}") - sx * F.col(f"sy_{tag}")
         ) / (n * F.col(f"sxx_{tag}") - sx * F.col(f"sx_{tag}"))
 
-    return lft.crossJoin(F.broadcast(rgt)).select(
+    return lft.transform(with_scalars, rgt).select(
         F.lit(_RDD_CUTOFF).cast("long").alias("cutoff_dollars"),
         F.col("n_l").alias("n_left"),
         F.col("n_r").alias("n_right"),
@@ -1408,7 +1411,7 @@ def dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tie_sum")
     )
     t = g.agg(F.sum("n").cast("long").alias("n_tot"))
-    vv = t.crossJoin(F.broadcast(ties)).select(
+    vv = t.transform(with_scalars, ties).select(
         "n_tot",
         (
             F.col("n_tot").cast("double") * (F.col("n_tot") + 1) / 12.0
@@ -1429,7 +1432,7 @@ def dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     mrb = F.col("s2_b").cast("double") / (2 * F.col("n_b"))
     return (
         a.join(b, F.col("type_a") < F.col("type_b"))
-        .crossJoin(F.broadcast(vv))
+        .transform(with_scalars, vv)
         .select(
             "type_a",
             "type_b",
@@ -1567,7 +1570,7 @@ def effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / n2
     md = F.col("s1").cast("double") / n1 - F.col("s2").cast("double") / n2
     d = md / F.sqrt((css1 + css2) / (n1 + n2 - 2))
-    return s.crossJoin(F.broadcast(cliff)).select(
+    return s.transform(with_scalars, cliff).select(
         "n1",
         "n2",
         F.round(d, 6).alias("cohens_d"),
@@ -1803,7 +1806,7 @@ def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = (us * 2 < F.col("lo") + F.col("hi")) & is_p
     second = (us * 2 >= F.col("lo") + F.col("hi")) & is_p
     u = (
-        e.crossJoin(F.broadcast(bounds))
+        e.transform(with_scalars, bounds)
         .groupBy("user_id")
         .agg(
             F.max(first.cast("long")).cast("long").alias("p1"),
@@ -2221,7 +2224,7 @@ def learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 2.0 * (pa - cp) * ((na - cn) - (pa - cp)) / (na - cn)
         ) / na
         best = (
-            cum.crossJoin(F.broadcast(tot))
+            cum.transform(bcast_params, tot)
             .filter(na - cn > 0)
             .select(
                 F.col("cents").alias("thr"),
@@ -2239,7 +2242,7 @@ def learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents") <= F.col("thr"),
             2 * F.col("p_l") >= F.col("n_l"),
         ).otherwise(2 * F.col("p_r") >= F.col("n_r"))
-        ev = holdout.crossJoin(F.broadcast(best)).agg(
+        ev = holdout.transform(bcast_params, best).agg(
             F.any_value("n_train").cast("long").alias("n_train"),
             F.any_value("thr").cast("long").alias("threshold_cents"),
             (F.round(F.any_value("gini") * 1e6).cast("long") / 1e6).alias(
@@ -2349,7 +2352,7 @@ def group_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     looks = (
         spark.range(1, _GS_LOOKS + 1)
         .select(F.col("id").cast("long").alias("look"))
-        .crossJoin(F.broadcast(bounds))
+        .transform(with_scalars, bounds)
         .select(
             "look",
             (
@@ -2360,7 +2363,7 @@ def group_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = (
         e.select("user_id", "event_type", "value", us.alias("ts_us"))
-        .join(F.broadcast(looks), F.col("ts_us") < F.col("cut_us"))
+        .transform(explode_grid, looks).filter(F.col("ts_us") < F.col("cut_us"))
         .groupBy("look", (F.col("user_id") % 2).alias("arm"), "user_id")
         .agg(
             F.max(
@@ -2675,7 +2678,7 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("arm") == 0).cast("long")).cast("long").alias("n_ctrl"),
     )
     wb = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, -1)
-    risk = grp.crossJoin(F.broadcast(tot)).select(
+    risk = grp.transform(with_scalars, tot).select(
         "t_day",
         "d1",
         "d",
@@ -2722,7 +2725,7 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e1 = F.col("e1_micro") / 1e6
     v = F.col("v_micro") / 1e6
-    return s.crossJoin(F.broadcast(tot)).select(
+    return s.transform(with_scalars, tot).select(
         "n_treat",
         "n_ctrl",
         "o1",
@@ -3250,7 +3253,7 @@ def platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     for _ in range(_PLATT_ITERS):
-        prob = shist.crossJoin(F.broadcast(params)).select(
+        prob = shist.transform(bcast_params, params).select(
             "xq", "n", "pos", "aq", "bq", sigmoid_q()
         )
         resid = F.col("pos") * _PLATT_PG - F.col("n") * F.col("pq")
@@ -3276,7 +3279,7 @@ def platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bq") + F.round((haa * gb - hab * ga) / det * 1e6).cast("long"))
             .alias("bq"),
         )
-    fin = shist.crossJoin(F.broadcast(params)).select(
+    fin = shist.transform(bcast_params, params).select(
         "n", "pos", "aq", "bq", sigmoid_q()
     )
     brier = fin.agg(
@@ -3379,7 +3382,7 @@ def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("value") * 100).cast("long")
     first = us * 2 < F.col("lo") + F.col("hi")
     u = (
-        e.crossJoin(F.broadcast(bounds))
+        e.transform(with_scalars, bounds)
         .groupBy("user_id")
         .agg(
             F.sum(F.when(first, cents).otherwise(0)).cast("long").alias("s1"),
@@ -3655,7 +3658,7 @@ def ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("rc"),
         F.col("var_r").alias("vc"),
     )
-    return t.crossJoin(F.broadcast(c)).select(
+    return t.transform(with_scalars, c).select(
         "n_treat",
         "n_ctrl",
         F.round(F.col("rt") / 100.0, 6).alias("ratio_treat"),
@@ -3730,7 +3733,7 @@ def ordinal_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("n").alias("nb")
     )
     pairs = (
-        cells.join(F.broadcast(b))
+        cells.transform(explode_grid, b)
         .groupBy("x", "y", "n")
         .agg(
             F.sum(
@@ -4173,7 +4176,7 @@ def zero_inflation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     cells = (
-        users.crossJoin(F.broadcast(days))
+        users.transform(explode_grid, days)
         .join(p, ["user_id", "day"], "left")
         .select(F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"))
     )
@@ -4366,7 +4369,7 @@ def sample_representativeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = F.col("n_samp").cast("double") / F.col("ns")
     pf = F.col("n_full").cast("double") / F.col("nf")
     terms = (
-        cells.crossJoin(F.broadcast(tot))
+        cells.transform(with_scalars, tot)
         .filter((F.col("n_samp") > 0) & (F.col("n_full") > 0))
         .select(
             "n_full",
@@ -4494,7 +4497,7 @@ def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         w = (
             w.join(rs, "event_type")
-            .crossJoin(F.broadcast(tot))
+            .transform(bcast_params, tot)
             .select(
                 "event_type",
                 "dow",
@@ -4517,7 +4520,7 @@ def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         cs = w.groupBy("dow").agg(F.sum("wq").cast("long").alias("col_sum"))
         w = (
             w.join(cs, "dow")
-            .crossJoin(F.broadcast(tot))
+            .transform(bcast_params, tot)
             .select(
                 "event_type",
                 "dow",
@@ -4540,7 +4543,7 @@ def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     final_rs = w.groupBy("event_type").agg(
         F.sum("wq").cast("long").alias("row_sum")
     )
-    err = final_rs.crossJoin(F.broadcast(tot)).agg(
+    err = final_rs.transform(bcast_params, tot).agg(
         F.max(
             F.abs(
                 F.col("row_sum").cast("double")
@@ -4553,7 +4556,7 @@ def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("max_row_err")
     )
-    return w.crossJoin(F.broadcast(err)).select(
+    return w.transform(bcast_params, err).select(
         "event_type",
         F.col("dow").cast("long").alias("dow"),
         "n",
@@ -4673,7 +4676,7 @@ def decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 2.0 * (pa - cp) * ((na - cn) - (pa - cp)) / (na - cn)
         ) / na
         return (
-            cum.crossJoin(F.broadcast(tot))
+            cum.transform(with_scalars, tot)
             .filter(na - cn > 0)
             .select(
                 F.col("cents").alias("thr"),
@@ -4688,10 +4691,10 @@ def decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     root = best_split(base)
-    lft = base.crossJoin(F.broadcast(root.select("thr"))).filter(
+    lft = base.transform(with_scalars, root.select("thr")).filter(
         F.col("cents") <= F.col("thr")
     ).select("cents", "pos")
-    rgt = base.crossJoin(F.broadcast(root.select("thr"))).filter(
+    rgt = base.transform(with_scalars, root.select("thr")).filter(
         F.col("cents") > F.col("thr")
     ).select("cents", "pos")
 
@@ -4782,10 +4785,8 @@ def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = spark.range(1, 10).select(F.col("id").cast("long").alias("q"))
     pick = (
-        cum.join(
-            F.broadcast(qs),
-            F.col("c") >= F.expr("(q * n + 9) div 10"),
-        )
+        cum.transform(explode_grid, qs)
+        .filter(F.col("c") >= F.expr("(q * n + 9) div 10"))
         .groupBy("q", "arm")
         .agg(F.min("cents").cast("long").alias("quant"))
     )
@@ -5184,7 +5185,7 @@ def ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term").cast("long").alias("term_sum"),
     )
     tot = u.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
-    return s.crossJoin(F.broadcast(tot)).select(
+    return s.transform(with_scalars, tot).select(
         "n_all",
         "n_used",
         F.round(
@@ -5300,7 +5301,7 @@ def aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term").cast("long").alias("term_sum"),
     )
     tot = u.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
-    return s.crossJoin(F.broadcast(tot)).select(
+    return s.transform(with_scalars, tot).select(
         "n_all",
         "n_used",
         F.round(
@@ -5508,7 +5509,7 @@ def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p.reward").over(cw).cast("long").alias("cum_reward"),
         F.col("best_tot").cast("long").alias("best_fixed_total"),
     )
-    return out.crossJoin(F.broadcast(arms)).select(
+    return out.transform(bcast_params, arms).select(
         "day",
         F.element_at(F.col("names"), F.col("chosen_idx").cast("int")).alias(
             "chosen_arm"
@@ -5740,7 +5741,7 @@ def lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("long").alias("n"),
         F.sum(F.col("cnt") * F.col("y")).cast("long").alias("s"),
     )
-    j = h.crossJoin(F.broadcast(tot))
+    j = h.transform(with_scalars, tot)
     below = j.agg(
         F.any_value("n").cast("long").alias("n"),
         F.any_value("s").cast("long").alias("s"),
@@ -5840,7 +5841,7 @@ def memorylessness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("g").cast("long").alias("s"),
     )
-    counts = gaps.crossJoin(F.broadcast(m)).agg(
+    counts = gaps.transform(with_scalars, m).agg(
         F.any_value("n").cast("long").alias("n"),
         F.any_value("s").cast("long").alias("s"),
         F.sum((F.col("g") * F.col("n") > F.col("s")).cast("long"))

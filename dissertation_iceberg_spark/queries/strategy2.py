@@ -14,6 +14,9 @@ from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.io import load_table
 from dissertation_iceberg_spark.queries.registry import register
+from dissertation_iceberg_spark.functions.scalars import (
+    with_scalars,
+)
 from dissertation_iceberg_spark.queries.strategy import _SIGNAL_SQL, _signals
 from dissertation_iceberg_spark.operators.strategy import (
     cross_sectional_select,
@@ -86,7 +89,7 @@ def portfolio_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_trades").alias("trades"),
     )
     c = (
-        p.join(F.broadcast(m))
+        p.transform(with_scalars, m)
         .groupBy("n", "mu", "total", "trades")
         .agg(
             F.sum((F.col("pnl") - F.col("mu")) * (F.col("pnl") - F.col("mu"))).alias(
@@ -179,7 +182,7 @@ def sharpe_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = p.agg(F.count(F.lit(1)).alias("n"), F.avg("pnl").alias("mu"))
     c = (
-        p.join(F.broadcast(m))
+        p.transform(with_scalars, m)
         .groupBy("n", "mu")
         .agg(
             F.sum((F.col("pnl") - F.col("mu")) * (F.col("pnl") - F.col("mu"))).alias(

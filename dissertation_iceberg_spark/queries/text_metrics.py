@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.io import load_table, spread
+from dissertation_iceberg_spark.functions.scalars import (
+    with_scalars,
+)
 from dissertation_iceberg_spark.queries.registry import register
 
 # --------------------------------------------------------------------------
@@ -442,7 +445,7 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = (
         sw.join(w, "term")
         .join(F.broadcast(s), "source")
-        .crossJoin(F.broadcast(t))
+        .transform(with_scalars, t)
         .select(
             "source",
             "n_sw",
@@ -542,7 +545,7 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_s"),
     )
-    keyed = ranked.crossJoin(F.broadcast(n)).select(
+    keyed = ranked.transform(with_scalars, n).select(
         "source",
         "v",
         F.ceil(F.col("r").cast("double") * F.col("n_total") / F.col("n_s"))

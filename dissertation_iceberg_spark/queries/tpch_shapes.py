@@ -19,6 +19,9 @@ from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.io import load_table
 from dissertation_iceberg_spark.queries.registry import register
+from dissertation_iceberg_spark.functions.scalars import (
+    with_scalars,
+)
 
 # --------------------------------------------------------------------------
 # Q21 shape: sole-blame suppliers (EXISTS + NOT EXISTS on the fact table)
@@ -159,7 +162,7 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pos"),
     )
     idle = (
-        c.join(F.broadcast(thr))
+        c.transform(with_scalars, thr)
         .filter(F.col("cents") * F.col("n_pos") > F.col("sum_pos"))
         .join(
             orders.filter(
@@ -426,7 +429,7 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = lv.agg(
         F.min("p_retailprice").alias("lo"), F.max("p_retailprice").alias("hi")
     )
-    b = lv.join(F.broadcast(bounds)).withColumn(
+    b = lv.transform(with_scalars, bounds).withColumn(
         "bkt",
         F.least(
             F.width_bucket(
@@ -582,7 +585,7 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = v.agg(F.sum("value_cents").cast("long").alias("total"))
     return (
-        v.join(F.broadcast(t))
+        v.transform(with_scalars, t)
         .filter(F.col("value_cents") * _Q11_FRACTION_DEN > F.col("total"))
         .select(
             "n_name",

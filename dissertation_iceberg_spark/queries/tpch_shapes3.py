@@ -21,6 +21,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.io import load_table
+from dissertation_iceberg_spark.functions.scalars import (
+    with_scalars,
+)
 from dissertation_iceberg_spark.queries.registry import register
 
 _REV_CENTS = (
@@ -276,7 +279,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = rev.agg(F.max("total_c2").alias("max_c2"))
     return (
-        rev.crossJoin(F.broadcast(m))
+        rev.transform(with_scalars, m)
         .filter(F.col("total_c2") == F.col("max_c2"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
@@ -380,7 +383,7 @@ def order_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = o.agg(F.max("o_orderdate").alias("asof_d"))
     open_o = (
         o.filter(F.col("o_orderstatus") == "O")
-        .crossJoin(F.broadcast(mx))
+        .transform(with_scalars, mx)
         .select(
             "o_orderpriority",
             F.datediff(F.col("asof_d"), F.col("o_orderdate")).alias(

@@ -178,6 +178,89 @@ def main() -> None:
             print(json.dumps({"kernel": "roll_spread", "factor": r,
                               "input_rows": n_ev, "out_rows": rows,
                               "sec": round(t, 3)}))
+
+        # round-4 behavioral tier (VERDICT r3 item 5): the reworked RFM
+        # quintiles — per-user rollup + three bucketed two-pass row
+        # numbers + NTILE arithmetic (functions/ranks.py). The claim
+        # under test: rank cost is near-linear in USERS with every
+        # window partitioned (the de-globalized swap), output exactly
+        # O(users)
+        if _want("rfm_ranks"):
+            from dissertation_iceberg_spark.functions.ranks import (
+                bucketed_row_number,
+                ntile_from_rank,
+            )
+            from dissertation_iceberg_spark.functions.time_bins import micros
+
+            def rfm_kernel():
+                base = (
+                    ev.filter(F.col("event_type") == "purchase")
+                    .groupBy("user_id")
+                    .agg(
+                        F.max(micros("ts")).alias("last_us"),
+                        F.count(F.lit(1)).alias("n_purchases"),
+                        F.sum(F.round(F.col("value") * 100).cast("long"))
+                        .cast("long").alias("cents"),
+                    )
+                )
+                n = base.agg(
+                    F.count(F.lit(1)).cast("long").alias("n")
+                ).scalar()
+                ranked = base
+                for metric, rk in (
+                    ("last_us", "rk_r"),
+                    ("n_purchases", "rk_f"),
+                    ("cents", "rk_m"),
+                ):
+                    ranked = bucketed_row_number(
+                        ranked, [metric, "user_id"], out_col=rk
+                    )
+                score = (
+                    ntile_from_rank(F.col("rk_r"), n, 5) * 100
+                    + ntile_from_rank(F.col("rk_f"), n, 5) * 10
+                    + ntile_from_rank(F.col("rk_m"), n, 5)
+                )
+                return ranked.select("user_id", score.alias("rfm"))
+
+            t, rows = timed(rfm_kernel, action="count")
+            print(json.dumps({"kernel": "rfm_ranks", "factor": r,
+                              "input_rows": n_ev, "out_rows": rows,
+                              "sec": round(t, 3)}))
+
+        # last-touch attribution: per-user ordered last-non-purchase
+        # carry-forward (the attribution family's shared shape) — the
+        # claim under test: the sequential dependency stays confined to
+        # its user partition at 100x users, output O(channels)
+        if _want("lasttouch"):
+            from pyspark.sql import Window as W
+
+            def lasttouch():
+                w = (
+                    W.partitionBy("user_id")
+                    .orderBy("ts", "event_id")
+                    .rowsBetween(W.unboundedPreceding, -1)
+                )
+                touch = F.last(
+                    F.when(
+                        F.col("event_type") != "purchase",
+                        F.col("event_type"),
+                    ),
+                    ignorenulls=True,
+                ).over(w)
+                return (
+                    ev.withColumn("touch", touch)
+                    .filter(
+                        (F.col("event_type") == "purchase")
+                        & F.col("touch").isNotNull()
+                    )
+                    .groupBy("touch")
+                    .agg(F.count(F.lit(1)).alias("n_conv"))
+                )
+
+            t, rows = timed(lasttouch, action="count")
+            print(json.dumps({"kernel": "lasttouch", "factor": r,
+                              "input_rows": n_ev, "out_rows": rows,
+                              "sec": round(t, 3)}))
         ev.unpersist()
 
         # block-disjoint replica text: every word prefixed with the
@@ -340,6 +423,83 @@ def main() -> None:
                 .groupBy("l_suppkey")
                 .agg(F.count(F.lit(1)).alias("numwait"))
             )
+
+        # item-item CF (behavior_ops.item_cf_topk shape): pair
+        # expansion + marginals + per-item rank — the claim under test:
+        # with key-scaled baskets (constant size) pair volume AND the
+        # per-item candidate lists stay linear, so the rank window
+        # (partitioned by item) never sees more than one item's
+        # bounded candidates
+        if _want("item_cf"):
+            from pyspark.sql import Window as W
+
+            def item_cf():
+                assoc = l.select("l_orderkey", "l_partkey").distinct()
+                marg = assoc.groupBy("l_partkey").agg(
+                    F.count(F.lit(1)).alias("n_part")
+                )
+                b2 = assoc.select(
+                    F.col("l_orderkey").alias("o2"),
+                    F.col("l_partkey").alias("part_b"),
+                )
+                pairs = (
+                    assoc.join(
+                        b2,
+                        (F.col("l_orderkey") == F.col("o2"))
+                        & (F.col("l_partkey") < F.col("part_b")),
+                    )
+                    .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+                    .agg(F.count(F.lit(1)).alias("n_both"))
+                )
+                sym = pairs.select(
+                    F.col("part_a").alias("item"),
+                    F.col("part_b").alias("rec"),
+                    "n_both",
+                ).unionByName(
+                    pairs.select(
+                        F.col("part_b").alias("item"),
+                        F.col("part_a").alias("rec"),
+                        "n_both",
+                    )
+                )
+                scored = (
+                    sym.join(
+                        marg.select(
+                            F.col("l_partkey").alias("item"),
+                            F.col("n_part").alias("n_i"),
+                        ),
+                        "item",
+                    )
+                    .join(
+                        marg.select(
+                            F.col("l_partkey").alias("rec"),
+                            F.col("n_part").alias("n_r"),
+                        ),
+                        "rec",
+                    )
+                    .select(
+                        "item",
+                        "rec",
+                        F.round(
+                            F.col("n_both")
+                            / F.sqrt(
+                                F.col("n_i").cast("double") * F.col("n_r")
+                            )
+                            * 1e6
+                        ).cast("long").alias("cos_micro"),
+                    )
+                )
+                w = W.partitionBy("item").orderBy(
+                    F.desc("cos_micro"), F.asc("rec")
+                )
+                return scored.withColumn(
+                    "rnk", F.row_number().over(w)
+                ).filter(F.col("rnk") <= 10)
+
+            t, rows = timed(item_cf, action="count")
+            print(json.dumps({"kernel": "item_cf", "factor": r,
+                              "input_rows": n_li, "out_rows": rows,
+                              "sec": round(t, 3)}))
 
         if _want("q21_semi_anti"):
             t, rows = timed(q21_chain, action="count")
