@@ -273,7 +273,7 @@ def copurchase_lift(
     AND the order-count denominator — before expansion; at 100 TB run
     with a cap, e.g. 256). Marginals are an O(parts) frame joined
     after the pair count has already collapsed the volume; the 1-row
-    order count broadcasts; final top-k is TakeOrderedAndProject
+    order count injects as a scalar subquery; final top-k is TakeOrderedAndProject
     (per-partition heaps, no global sort)."""
     li = load_table(spark, sf_dir, "lineitem")
     assoc = _capped_baskets(
@@ -853,7 +853,7 @@ def timedecay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity: the decay weight is micro-rounded ONCE per touch from an
     exactly-agreed double (integer age / integer tau), so per-type
     credit totals are exact integer sums; only the display share
-    divides, against a broadcast 1-row total of exact integers. Scale
+    divides, against a scalar-subquery total of exact integers. Scale
     shape: the same bucketed range join as the U-shape query (<=2
     bins per purchase, equi-join on (user, bin) with BETWEEN
     residual, never a nested loop), but NO per-purchase window at all
@@ -2265,7 +2265,7 @@ def eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized once to integer 1e-6 grain so the cross-user moment sums
     (Σr, Σr²) are exact BIGINTs (headroom to ~1e6 users at this grain;
     the sums, not the raw doubles, cross the shuffle), and the fitted
-    α, β live in a broadcast 1-row frame.  Posterior means are pure
+    α, β live in a 1-row frame injected as merged scalar subqueries.  Posterior means are pure
     per-row arithmetic — no second shuffle.
     """
     per_user = (
@@ -2587,7 +2587,7 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: same two fact-scale scans as calibration_bins (both
     split predicates push down), one 10-group cell aggregate carrying
     exact integer (count, score-sum, label-sum, squared-error) sums,
-    then all statistics on the O(bins) frame with a 1-row broadcast
+    then all statistics on the O(bins) frame with a scalar-subquery
     totals frame and an O(bins) window sum.
 
     Determinism: scores are exact integer micro-fractions; the squared

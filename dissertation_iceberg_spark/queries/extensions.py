@@ -1081,7 +1081,7 @@ def label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one explode to (label, dim) → map-side-combinable
     sums; corpus vector re-aggregates the ALREADY-COLLAPSED
     O(labels × 64) frame; centroids collect to O(labels) array rows;
-    the 1-row corpus array broadcasts. Vectors never pairwise-join.
+    the 1-row corpus array injects as a scalar subquery. Vectors never pairwise-join.
     """
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     ex = emb.select(

@@ -905,7 +905,7 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget — the standard rebalancing step for multilingual training
     sets. The sqrt weight is quantized to an integer so the
     share-of-total is exact under any summation order; the total rides
-    a broadcast 1-row join, not a global window."""
+    scalar-subquery injection, not a global window."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     per_lang = docs.select("lang", tx.tokens(F.col("text")).alias("t")).groupBy(
         "lang"
@@ -2381,8 +2381,8 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each arm ends in orderBy().limit(k)
     (TakeOrderedAndProject) so the only unpartitioned windows are the
     O(k)=50-row rank frames; the fuse is a 2k-row union + groupBy.
-    The cosine arm broadcasts the 1-row query vector (allowlisted
-    BNLJ, same as cosine_topk); the BM25 arm broadcasts the per-term
+    The cosine arm injects the 1-row query vector as a scalar
+    subquery; the BM25 arm broadcasts the per-term
     df table and the 1-row (N, avgdl) frame.
 
     Determinism: per-term BM25 contributions and cosines are

@@ -429,7 +429,7 @@ def ks_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS test, fully distributed: D = max |ECDF₁ − ECDF₂|
     over the pooled distinct values; inclusive cumulative counts from
     the same bucketed two-pass machinery as `anderson_ksamp` (no global
-    sort), group totals via a broadcast 1-row frame; p-value from the
+    sort), group totals via merged scalar subqueries; p-value from the
     truncated Kolmogorov series (identical truncation on both
     engines)."""
     from dissertation_iceberg_spark.functions.ranks import (

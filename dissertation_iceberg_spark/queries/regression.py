@@ -507,7 +507,7 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact scan plus one distinct-VALUE cumulative frame for the
     order statistic (residuals rounded to whole cents => value-domain
     bounded, no row-scale sort — the repo's standard order-statistic
-    recipe); every scalar (betas, n, q_hat) rides a broadcast 1-row
+    recipe); every scalar (betas, n, q_hat) rides a scalar-subquery 1-row
     frame (BNLJ allowlisted).
 
     Parity: OLS inputs are exact integer sums; betas and residuals
@@ -687,7 +687,7 @@ def huber_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     value histogram, weighted sums) plus the distinct-value cumulative
     frame for the MAD order statistic (residuals rounded to whole
     cents — value-domain bounded, no row-scale sort). Scalars ride
-    broadcast 1-row frames (BNLJ allowlisted).
+    1-row frames injected as merged scalar subqueries.
 
     Parity: every reduction is an exact integer sum — weights are
     micro-quantized BIGINT (round(c*1e6/|r|)), and the two weighted

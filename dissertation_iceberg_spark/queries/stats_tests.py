@@ -1076,7 +1076,7 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid-drift entries. Add-one smoothing keeps every bin's share
     strictly positive, so no epsilon clamps.
 
-    Scale shape: one 1-row bounds reduce broadcasts back (bin edges
+    Scale shape: one 1-row bounds reduce injects back as scalar subqueries (bin edges
     and the period midpoint are global constants); binning +
     per-(period, bin) counts are map-side combinable; the PSI terms
     live on the O(bins) frame with a densifying grid join so empty
@@ -3111,7 +3111,7 @@ def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     per cell keeps every share positive without epsilon clamps.
 
     Scale shape: one fact-scale map-side-combinable conditional count
-    per bucket; totals are a 1-row broadcast back onto the O(buckets)
+    per bucket; totals inject as scalar subqueries onto the O(buckets)
     frame; each bucket's WOE and IV term is micro-rounded ONCE, and
     the total IV is an exact integer sum over buckets (window over
     the tiny frame)."""
@@ -3525,7 +3525,7 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σxy) aggregate per group (dims broadcast into the scan); the
     pooled sums are an exact integer roll-up of the group cells (no
     second fact pass); all slope arithmetic happens on the O(groups)
-    frame with a 1-row broadcast totals frame.
+    frame with a scalar-subquery totals frame.
 
     Determinism: moment sums are exact BIGINTs (y in integer cents);
     n*Σxy exceeds int64 at fact scale, so both engines cast the exact

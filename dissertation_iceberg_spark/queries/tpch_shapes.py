@@ -146,7 +146,7 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materialized as a float, so there is no division whose
     rounding could flip a boundary customer between engines.
 
-    Scale shape: the 1-row threshold frame broadcasts; the anti-join
+    Scale shape: the 1-row threshold frame injects as a scalar subquery; the anti-join
     shuffles customer vs orders on custkey (orders pre-projected to
     its join key only — column pruning reaches the scan); the final
     rollup has |segments| keys. One fact-scale shuffle total."""
@@ -566,7 +566,7 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity trick: the HAVING is value * {d} > total — exact integers,
     no float threshold. Scale shape: one fact-scale aggregate keyed by
     the broadcast-joined nation (bounded key space, map-side
-    combinable); the 1-row total broadcasts back over the O(nations)
+    combinable); the 1-row total injects as a scalar subquery over the O(nations)
     frame. The share division happens only for display.""".format(
         d=_Q11_FRACTION_DEN
     )

@@ -265,7 +265,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue) joined back against its own maximum — ties all surface,
     exactly as the spec's `total_revenue = (SELECT max...)` demands.
     The quarter filter pushes to the scan; the view aggregates
-    map-side-combinably on suppkey; the 1-row max frame broadcasts
+    map-side-combinably on suppkey; the 1-row max frame injects as a scalar subquery
     back (the accepted tiny-BNLJ pattern); supplier is a broadcast
     dim. Revenue compares on EXACT integer units so the max-tie set is
     engine-stable."""
@@ -376,7 +376,7 @@ def order_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the cycle-time percentile SLA view.
 
     Scale shape: status filter pushes to the scan, the as-of date is
-    a broadcast 1-row max, bucketing is a map-side CASE, and the
+    a scalar-subquery 1-row max, bucketing is a map-side CASE, and the
     rollup is map-side combinable over O(priorities × buckets)
     groups. Integer cents; day ages exact."""
     o = load_table(spark, sf_dir, "orders")

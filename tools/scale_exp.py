@@ -496,9 +496,20 @@ def main() -> None:
                     "rnk", F.row_number().over(w)
                 ).filter(F.col("rnk") <= 10)
 
-            t, rows = timed(item_cf, action="count")
+            # spill-aware sizing (SCALE.md): the symmetrized candidate
+            # frame is ~4 rows per lineitem — at 100x that is 240M rows,
+            # which 32 partitions cannot sort in one 128 GiB JVM (2 GiB
+            # page limit). Scale partitions with the data, like a real
+            # cluster deployment would; restore afterwards.
+            parts = min(512, 32 * r)
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            try:
+                t, rows = timed(item_cf, action="count")
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", "32")
             print(json.dumps({"kernel": "item_cf", "factor": r,
                               "input_rows": n_li, "out_rows": rows,
+                              "shuffle_partitions": parts,
                               "sec": round(t, 3)}))
 
         if _want("q21_semi_anti"):
