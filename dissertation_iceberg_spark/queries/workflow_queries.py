@@ -244,6 +244,135 @@ def regression_workflow_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# E2: single-strategy workflow -> per-day signal-following PnL
+# ---------------------------------------------------------------------------
+
+
+def _e2_oracle() -> str:
+    from dissertation_iceberg_spark.queries.ml_rolling import (
+        _DAILY_SQL,
+        TRAIN_DAYS,
+    )
+
+    return f"""
+WITH daily AS ({_DAILY_SQL}),
+xy AS (
+  SELECT *, lead(x) OVER (PARTITION BY user_id ORDER BY day) AS y
+  FROM daily),
+day_gram AS (
+  SELECT day,
+         count(y) AS n,
+         sum(CASE WHEN y IS NOT NULL THEN x ELSE 0 END) AS sx,
+         sum(CASE WHEN y IS NOT NULL THEN y ELSE 0 END) AS sy,
+         sum(CASE WHEN y IS NOT NULL THEN x * y ELSE 0 END) AS sxy,
+         sum(CASE WHEN y IS NOT NULL THEN x * x ELSE 0 END) AS sxx
+  FROM xy GROUP BY day),
+trail AS (
+  SELECT day,
+         sum(n)   OVER w AS tn,
+         sum(sx)  OVER w AS tsx,
+         sum(sy)  OVER w AS tsy,
+         sum(sxy) OVER w AS tsxy,
+         sum(sxx) OVER w AS tsxx
+  FROM day_gram
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN {TRAIN_DAYS} PRECEDING AND 1 PRECEDING)),
+beta AS (
+  SELECT day,
+         (tsxy - CAST(tsx AS DOUBLE) * tsy / tn)
+           / (tsxx - CAST(tsx AS DOUBLE) * tsx / tn) AS slope,
+         (tsy - (tsxy - CAST(tsx AS DOUBLE) * tsy / tn)
+                / (tsxx - CAST(tsx AS DOUBLE) * tsx / tn) * tsx) / tn
+           AS intercept
+  FROM trail
+  WHERE tn >= 2 AND (tsxx - CAST(tsx AS DOUBLE) * tsx / tn) <> 0),
+sig AS (
+  SELECT d.day, d.user_id,
+         CAST(round((b.intercept + b.slope * d.x) / 100.0 * 1e6) AS BIGINT)
+           AS sig_micro
+  FROM daily d JOIN beta b ON d.day = b.day),
+fut AS (
+  SELECT user_id, day,
+         lead(cents) OVER (PARTITION BY user_id ORDER BY day) AS fut_cents
+  FROM (SELECT user_id, date_trunc('day', ts) AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2)),
+j AS (
+  SELECT s.day, s.sig_micro, f.fut_cents
+  FROM sig s JOIN fut f ON s.user_id = f.user_id AND s.day = f.day
+  WHERE f.fut_cents IS NOT NULL)
+SELECT day,
+  round((CAST(sum(CASE WHEN sig_micro > 0 THEN fut_cents ELSE 0 END)
+              AS DOUBLE)
+       - sum(CASE WHEN sig_micro < 0 THEN fut_cents ELSE 0 END)) / 100,
+        6) AS pnl_unweighted,
+  round(CAST(sum(sig_micro * fut_cents) AS DOUBLE) / 1e8, 6)
+    AS pnl_weighted,
+  CAST(count(*) AS BIGINT) AS n_positions
+FROM j GROUP BY 1
+"""
+
+
+@register("single_strategy_workflow_pnl", oracle=_e2_oracle())
+def single_strategy_workflow_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 (trading_strategy.py:315-324), the full composed pipeline:
+    rolling-refit signal -> next-day gross join -> per-day
+    signal-following PnL, unweighted (long positives, short
+    negatives) and |signal|-weighted. Exactness: signal_hat is
+    6dp-rounded (integer micro units) and gross is integer cents, so
+    the weighted PnL sums EXACT sig_micro x fut_cents BIGINT products
+    — no order-dependent double sums cross a shuffle; a pytest pins
+    this table to plans.workflows.single_strategy_workflow's
+    double-arithmetic twin."""
+    from pyspark.sql import Window
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.ml_rolling import (
+        rolling_refit_signal,
+    )
+
+    sig = rolling_refit_signal(spark, sf_dir).select(
+        "day",
+        "user_id",
+        F.round(F.col("signal_hat") * 1e6).cast("long").alias("sig_micro"),
+    )
+    e = load_table(spark, sf_dir, "events")
+    fut = (
+        e.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .withColumn(
+            "fut_cents",
+            F.lead("cents", 1).over(
+                Window.partitionBy("user_id").orderBy("day")
+            ),
+        )
+    )
+    j = sig.join(fut, ["user_id", "day"]).filter(
+        F.col("fut_cents").isNotNull()
+    )
+    pos = F.col("sig_micro") > 0
+    neg = F.col("sig_micro") < 0
+    return j.groupBy("day").agg(
+        F.round(
+            (
+                F.sum(F.when(pos, F.col("fut_cents")).otherwise(0)).cast(
+                    "double"
+                )
+                - F.sum(F.when(neg, F.col("fut_cents")).otherwise(0))
+            )
+            / 100,
+            6,
+        ).alias("pnl_unweighted"),
+        F.round(
+            F.sum(F.col("sig_micro") * F.col("fut_cents")).cast("double")
+            / 1e8,
+            6,
+        ).alias("pnl_weighted"),
+        F.count(F.lit(1)).cast("long").alias("n_positions"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # E3: portfolio strategy workflow -> daily long-short PnL
 # ---------------------------------------------------------------------------
 

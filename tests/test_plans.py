@@ -168,6 +168,7 @@ BOUNDED_GLOBAL_WINDOWS = {
     "oi_periodogram": "O(bins) DFT grid",
     "pettitt_changepoint": "O(days) rank series",
     "portfolio_workflow_pnl": "O(days) trailing Gram + daily PnL series",
+    "single_strategy_workflow_pnl": "O(days) trailing Gram window",
     "rolling_refit_multi": "O(days) trailing Gram window",
     "rolling_refit_signal": "O(days) trailing Gram window",
     "rolling_wau": "O(days) rolling-active series",

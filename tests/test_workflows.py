@@ -117,3 +117,30 @@ def test_registered_workflow_coefs_match_numpy_solve(spark, sf_dir):
             assert abs(float(got.loc[d, g]) - float(want.loc[d, w])) <= max(
                 tol, tol * abs(float(want.loc[d, w]))
             ), (g, d, got.loc[d, g], want.loc[d, w])
+
+
+def test_registered_e2_matches_workflow_twin(spark, sf_dir):
+    """single_strategy_workflow_pnl (exact integer micro x cents sums)
+    agrees with plans.workflows.single_strategy_workflow's
+    double-arithmetic twin to well inside the quantization grain."""
+    from dissertation_iceberg_spark.queries.workflow_queries import (
+        single_strategy_workflow_pnl,
+    )
+
+    got = (
+        single_strategy_workflow_pnl(spark, sf_dir)
+        .toPandas()
+        .set_index("day")
+        .sort_index()
+    )
+    want = (
+        single_strategy_workflow(spark, sf_dir)
+        .toPandas()
+        .set_index("day")
+        .sort_index()
+    )
+    assert list(got.index) == list(want.index)
+    assert (got["n_positions"] == want["n_positions"]).all()
+    for g, w in (("pnl_unweighted", "pnl_unweighted"), ("pnl_weighted", "pnl_weighted")):
+        diff = (got[g] - want[w]).abs()
+        assert (diff <= 1e-4 + 1e-6 * want[w].abs()).all(), diff.max()
