@@ -553,3 +553,135 @@ def containment_near_dup_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "n_inter", "containment")
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Robust-winnowing fingerprint selection (Schleimer, Wilkerson &
+    Aiken, SIGMOD'03 — the MOSS algorithm): hash every word k-gram,
+    then from every window of ``w`` consecutive k-gram hashes keep the
+    minimum — GUARANTEEING a shared fingerprint for any match of
+    length >= w+k-1 tokens, the coverage bound shingle sampling
+    (0-mod-p) cannot give.
+
+    Distributed form: a position is selected iff its hash equals the
+    trailing-window minimum of SOME window containing it — i.e.
+    h(p) == lead(min_trail, j)(p) for some j in [0, w), where
+    min_trail is the w-row trailing min. Both the min and the w leads
+    are windows PARTITIONED by document — fully parallel, no state
+    beyond w rows. Tie handling: selecting every position that attains
+    a window minimum yields the same distinct (doc, hash) fingerprint
+    SET as any leftmost/rightmost rule, and the set is what matching
+    consumes. Hashes are the portable 60-bit md5 family
+    (functions/hashing.py), so the oracle replays bit-for-bit.
+
+    Returns (doc_id, pos, h) — one row per selected k-gram position.
+    """
+    from dissertation_iceberg_spark.functions.hashing import hash60
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    ng = F.size(toks) - (k - 1)
+    idx = F.when(ng >= 1, F.sequence(F.lit(0), ng - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.transform(
+        idx, lambda i: hash60(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+    g = (
+        df.select(F.col(id_col).alias("doc_id"), hashes.alias("__h"))
+        .select("doc_id", F.posexplode_outer("__h").alias("pos", "h"))
+        .filter(F.col("h").isNotNull())
+    )
+    wp = Window.partitionBy("doc_id").orderBy("pos")
+    g = g.withColumn(
+        "__m", F.min("h").over(wp.rowsBetween(-(w - 1), 0))
+    )
+    sel = F.lit(False)
+    for j in range(w):
+        sel = sel | (
+            F.col("h") == F.coalesce(F.lead("__m", j).over(wp), F.lit(-1))
+        )
+    # window exprs can't sit in a WHERE — materialize, then filter
+    return (
+        g.withColumn("__keep", sel)
+        .filter(F.col("__keep"))
+        .select("doc_id", "pos", "h")
+    )
+
+
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints,
+    scored by containment n_shared / min(|fp_a|, |fp_b|).
+
+    Matching is the posting-list expansion (the jaccard_near_dup_pairs
+    round-3 shape): fingerprints group by hash into sorted id lists,
+    C(df,2) pairs expand map-side, one pair-keyed count — no join
+    operator on the fingerprint table. ``max_fp_freq`` drops
+    boilerplate fingerprints shared by too many docs (the stop-shingle
+    analog) — at 100 TB run with a cap; per-hash fan-out is O(df^2).
+    Doc sizes join back keyed (two broadcast-able O(docs) equi-joins).
+    """
+    fps = winnowing_fingerprints(df, text_col, id_col, k=k, w=w).select(
+        "doc_id", "h"
+    ).distinct()
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    posts = fps.groupBy("h").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    if max_fp_freq is not None:
+        posts = posts.filter(F.size("ids") <= max_fp_freq)
+    posts = posts.filter(F.size("ids") >= 2)
+    n = F.size("ids")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.struct(
+                    F.col("ids")[i].alias("id_a"),
+                    F.col("ids")[j].alias("id_b"),
+                ),
+            ),
+        )
+    )
+    inter = (
+        posts.select(F.explode(combos).alias("pr"))
+        .groupBy("pr.id_a", "pr.id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_b")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b")),
+                6,
+            ).alias("score"),
+        )
+    )

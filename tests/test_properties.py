@@ -5525,3 +5525,41 @@ def test_basket_cap_semantics(spark, sf_dir):
     # every capped row's counts come from the filtered universe only
     per_item = capped.groupby("item").size()
     assert (per_item >= 1).all()
+
+
+def test_winnowing_guarantee(spark, sf_dir):
+    """The MOSS coverage guarantee holds on real data: every FULL
+    w-window of consecutive k-gram positions contains at least one
+    selected fingerprint, and every selected row's hash is the true
+    k-gram hash at that position (python md5 replay)."""
+    from dissertation_iceberg_spark.functions.hashing import hash60_py
+    from dissertation_iceberg_spark.io import load_table, spread
+    from dissertation_iceberg_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    k, w = 3, 4
+    docs_df = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    sel = winnowing_fingerprints(docs_df, "text", "doc_id", k=k, w=w).toPandas()
+    by_doc = {
+        d: set(zip(g["pos"], g["h"])) for d, g in sel.groupby("doc_id")
+    }
+    checked_windows = 0
+    for r in docs_df.toPandas().itertuples():
+        toks = [t for t in r.text.split(" ") if t]
+        hs = [
+            hash60_py(" ".join(toks[i : i + k]))
+            for i in range(len(toks) - k + 1)
+        ]
+        got = by_doc.get(r.doc_id, set())
+        pos_set = {p for p, _ in got}
+        # selected hashes are the true k-gram hashes at their position
+        for p, h in got:
+            assert hs[p] == h, (r.doc_id, p)
+        # coverage: every full window holds a fingerprint
+        for i in range(0, len(hs) - w + 1):
+            assert pos_set & set(range(i, i + w)), (r.doc_id, i)
+            checked_windows += 1
+    assert checked_windows > 100  # the fixture genuinely exercises it
