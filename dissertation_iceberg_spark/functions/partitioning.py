@@ -43,6 +43,48 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
+def pair_expansion_partitions(
+    assoc: DataFrame,
+    key: str,
+    rows_per_partition: int = 500_000,
+    max_partitions: int = 4096,
+) -> int:
+    """Self-size the shuffle for a pair-expansion self-join (basket
+    co-occurrence, candidate generation): the expanded row count is
+    sum-of-squares of per-key group sizes, which one cheap pre-agg
+    estimates EXACTLY before the expensive join runs. AQE cannot do
+    this — it only splits/coalesces a shuffle's output after the map
+    side ran, but a pair expansion at too-few partitions dies in the
+    join/sort itself (observed: UNABLE_TO_ACQUIRE_MEMORY at 32
+    partitions on a 60M-row expansion, SCALE.md round 4) before AQE
+    ever sees a reducer. This is the engine-owned replacement for the
+    hand-set `shuffle_partitions=512` deployment knob.
+
+    Returns max(session shuffle partitions, ceil(sum(k^2) /
+    rows_per_partition)) clamped to ``max_partitions`` — never LOWERS
+    parallelism below the session default, so small inputs keep the
+    session plan unchanged. The 500k-row default matches the measured
+    sweet spot from SCALE.md round 4 (512 partitions for a ~300M-row
+    expansion = ~580k rows each completed; 32 partitions died).
+    """
+    import math
+
+    row = (
+        assoc.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .agg(
+            F.sum(F.col("__k").cast("long") * F.col("__k")).alias("__sq")
+        )
+        .first()
+    )
+    sq = int(row["__sq"] or 0)
+    default = int(
+        assoc.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    need = math.ceil(sq / rows_per_partition) if sq else 0
+    return max(default, min(max_partitions, need))
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -10,7 +10,7 @@ every step boundary and day offset is deterministic in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.functions.time_bins import micros
@@ -205,6 +205,14 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AFFINITY_TOPK = 25
 
+# Registered default for the pair-expansion family: a cap high enough
+# to be a no-op on sane order data (TPC-H max ~7 distinct parts per
+# order; driver fixture max 13) but finite, so the plan the driver
+# runs is the 100 TB-safe one — a single pathological mega-basket can
+# no longer go quadratic. Pass max_basket_size=None for the uncapped
+# form (VERDICT r4 item 3).
+_DEFAULT_MAX_BASKET = 256
+
 
 def _capped_baskets(assoc: DataFrame, max_basket_size: int | None) -> DataFrame:
     """Drop whole baskets larger than ``max_basket_size`` distinct
@@ -230,9 +238,71 @@ def _capped_baskets(assoc: DataFrame, max_basket_size: int | None) -> DataFrame:
         .drop("__bsz")
     )
 
+def _marginal_pair_counts(
+    assoc: DataFrame,
+) -> tuple[DataFrame, int]:
+    """Shared pair-expansion core for the market-basket family
+    (copurchase_lift, item_cf_topk): co-occurrence counts per
+    unordered part pair with BOTH marginals already attached.
+
+    Two scale properties the naive shape lacks:
+
+    1. **Marginals attach BEFORE expansion** — n_part joins onto the
+       O(rows) assoc frame, so the pair frame is born carrying n_a /
+       n_b as grouping keys (functionally dependent on part_a /
+       part_b) and no O(pairs) join ever runs. The naive plan joins
+       marginals onto the pair frame TWICE — two SortMergeJoin sorts
+       of the largest frame in the query.
+    2. **The expansion shuffle is self-sized** from the exact
+       candidate volume sum(basket^2) via
+       :func:`...functions.partitioning.pair_expansion_partitions`
+       (one cheap pre-agg job), because AQE cannot pre-size a sort
+       that dies before any reducer runs. Both join inputs derive
+       from ONE repartition-by-basket-key exchange (the projection
+       rename keeps the partitioning, so the join adds no exchange
+       and the second scan reuses the first's shuffle).
+
+    Returns (pairs, n_shuffle) so callers can reuse the derived
+    partition count for their own pair-frame-sized shuffles (e.g.
+    item_cf's per-item rank window)."""
+    from dissertation_iceberg_spark.functions.partitioning import (
+        pair_expansion_partitions,
+    )
+
+    n_shuffle = pair_expansion_partitions(assoc, "l_orderkey")
+    marg = assoc.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    enriched = assoc.join(marg, "l_partkey").repartition(
+        n_shuffle, "l_orderkey"
+    )
+    a = enriched.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_a"),
+        F.col("n_part").alias("n_a"),
+    )
+    b = enriched.select(
+        F.col("l_orderkey").alias("o2"),
+        F.col("l_partkey").alias("part_b"),
+        F.col("n_part").alias("n_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return pairs, n_shuffle
+
+
 _AFFINITY_ORACLE = f"""
-WITH assoc AS (
+WITH assoc0 AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+assoc AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS bsz FROM assoc0)
+  WHERE bsz <= {_DEFAULT_MAX_BASKET}),
 n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM assoc),
 marg AS (
   SELECT l_partkey, count(*) AS n_part FROM assoc GROUP BY 1),
@@ -256,7 +326,9 @@ LIMIT {_AFFINITY_TOPK}
 
 @register("copurchase_lift", oracle=_AFFINITY_ORACLE)
 def copurchase_lift(
-    spark: SparkSession, sf_dir: str, max_basket_size: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_basket_size: int | None = _DEFAULT_MAX_BASKET,
 ) -> DataFrame:
     """Market-basket affinity: the most co-purchased part pairs with
     their lift (observed co-rate over the independence baseline) — the
@@ -268,45 +340,23 @@ def copurchase_lift(
     l_orderkey — pairs per order are C(k,2) in that order's distinct
     parts, so volume is sum-of-squares of basket sizes, linear for
     bounded baskets (fixture max 13); a pathological mega-basket is
-    the skew axis, capped by ``max_basket_size`` (_capped_baskets:
-    whole over-cap baskets leave the universe — pair counts, marginals
-    AND the order-count denominator — before expansion; at 100 TB run
-    with a cap, e.g. 256). Marginals are an O(parts) frame joined
-    after the pair count has already collapsed the volume; the 1-row
-    order count injects as a scalar subquery; final top-k is TakeOrderedAndProject
+    the skew axis, capped by the REGISTERED default
+    ``max_basket_size`` (_capped_baskets: whole over-cap baskets
+    leave the universe — pair counts, marginals AND the order-count
+    denominator — before expansion; pass None for the uncapped form).
+    The expansion rides :func:`_marginal_pair_counts`: marginals
+    attached pre-expansion (no O(pairs) join) and the shuffle
+    self-sized from sum(basket^2); the 1-row order count injects as a
+    scalar subquery; final top-k is TakeOrderedAndProject
     (per-partition heaps, no global sort)."""
     li = load_table(spark, sf_dir, "lineitem")
     assoc = _capped_baskets(
         li.select("l_orderkey", "l_partkey").distinct(), max_basket_size
     )
     n = assoc.agg(F.count_distinct("l_orderkey").alias("n_orders"))
-    marg = assoc.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
-    b = assoc.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
-    )
-    pairs = (
-        assoc.join(
-            b,
-            (F.col("l_orderkey") == F.col("o2"))
-            & (F.col("l_partkey") < F.col("part_b")),
-        )
-        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
-        .agg(F.count(F.lit(1)).alias("n_both"))
-    )
+    pairs, _ = _marginal_pair_counts(assoc)
     return (
-        pairs.join(
-            marg.select(
-                F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
-            ),
-            "part_a",
-        )
-        .join(
-            marg.select(
-                F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
-            ),
-            "part_b",
-        )
-        .transform(with_scalars, n)
+        pairs.transform(with_scalars, n)
         .select(
             "part_a",
             "part_b",
@@ -940,12 +990,18 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: every metric is an exact integer and each ntile
     orders by (metric, user_id), so bucket boundaries cannot drift
     between engines. Scale shape: the per-user rollup is one
-    fact-scale map-side-combinable aggregate; each quintile is then
-    NTILE arithmetic (ntile_from_rank) on a bucketed two-pass row
-    number (functions/ranks.py) with the user count injected as a
-    scalar subquery — NO unpartitioned window ever touches the
-    O(users) frame, so the rank stages stay parallel at any user
-    count (the round-3 verdict's de-globalization item)."""
+    fact-scale map-side-combinable aggregate; the three quintiles are
+    then ONE bucketed two-pass rank (functions/ranks.py) over the
+    metrics UNPIVOTED to a 3n-row (user, metric-kind, value) frame
+    with group_cols=[metric-kind] — each kind gets its own bucket
+    bounds and its own independent rank in a single fused pass —
+    followed by NTILE arithmetic (ntile_from_rank, user count as a
+    scalar subquery) and a pivot-back aggregate. NO unpartitioned
+    window ever touches the O(users) frame, and versus three
+    sequential bucketed_row_number calls (round 4) the fused pass
+    removes two full rank-stage shuffle chains AND the nested lineage
+    recomputation each chained call paid (the round-4 verdict's
+    fuse-rfm item)."""
     from dissertation_iceberg_spark.functions.ranks import (
         bucketed_row_number,
         ntile_from_rank,
@@ -964,25 +1020,44 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = base.agg(F.count(F.lit(1)).cast("long").alias("n_users")).scalar()
-    ranked = base
-    for metric, rk in (
-        ("last_us", "__rk_r"),
-        ("n_purchases", "__rk_f"),
-        ("cents", "__rk_m"),
-    ):
-        ranked = bucketed_row_number(ranked, [metric, "user_id"], out_col=rk)
-    r = ntile_from_rank(F.col("__rk_r"), n, 5)
-    f = ntile_from_rank(F.col("__rk_f"), n, 5)
-    m = ntile_from_rank(F.col("__rk_m"), n, 5)
-    return ranked.select(
+    stacked = base.select(
+        "user_id",
+        F.expr(
+            "stack(3, 'r', last_us, 'f', n_purchases, 'm', cents)"
+            " AS (mk, val)"
+        ),
+    )
+    ranked = bucketed_row_number(
+        stacked, ["val", "user_id"], out_col="__rk", group_cols=["mk"]
+    )
+    score = ntile_from_rank(F.col("__rk"), n, 5)
+
+    def _pick(kind: str, col: str) -> Column:
+        return F.max(F.when(F.col("mk") == kind, F.col(col)))
+
+    wide = (
+        ranked.withColumn("__s", score)
+        .groupBy("user_id")
+        .agg(
+            _pick("r", "val").alias("last_us"),
+            _pick("f", "val").alias("n_purchases"),
+            _pick("m", "val").alias("cents"),
+            _pick("r", "__s").alias("r_score"),
+            _pick("f", "__s").alias("f_score"),
+            _pick("m", "__s").alias("m_score"),
+        )
+    )
+    return wide.select(
         "user_id",
         "last_us",
         "n_purchases",
         "cents",
-        r.alias("r_score"),
-        f.alias("f_score"),
-        m.alias("m_score"),
-        (r * 100 + f * 10 + m).alias("rfm"),
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).alias("rfm"),
     )
 
 
@@ -2405,8 +2480,12 @@ def frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CF_TOPK = 3
 
 _CF_ORACLE = f"""
-WITH assoc AS (
+WITH assoc0 AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+assoc AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS bsz FROM assoc0)
+  WHERE bsz <= {_DEFAULT_MAX_BASKET}),
 marg AS (
   SELECT l_partkey, count(*) AS n_part FROM assoc GROUP BY 1),
 pairs AS (
@@ -2438,7 +2517,9 @@ WHERE rnk <= {_CF_TOPK}
 
 @register("item_cf_topk", oracle=_CF_ORACLE)
 def item_cf_topk(
-    spark: SparkSession, sf_dir: str, max_basket_size: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_basket_size: int | None = _DEFAULT_MAX_BASKET,
 ) -> DataFrame:
     """Item-item collaborative filtering: for every part, the top-k
     'customers also bought' recommendations by co-occurrence COSINE
@@ -2446,15 +2527,17 @@ def item_cf_topk(
     one step up from copurchase_lift (lift ranks pairs globally;
     cosine normalizes away item popularity and ranks per item).
 
-    Scale shape: identical pair-volume story to copurchase_lift (pair
-    expansion is sum-of-squares of DISTINCT basket sizes; a mega
-    basket is capped by ``max_basket_size`` via _capped_baskets —
-    filtered-universe semantics, whole over-cap baskets leave pair
-    counts and marginals before expansion). Symmetrization doubles
-    the already-collapsed O(pairs) frame map-side; marginals join on
-    the pair frame, not the fact table; the final rank partitions by
-    item over each item's bounded candidate list — never a global
-    sort.
+    Scale shape: identical pair-volume story to copurchase_lift —
+    mega baskets capped by the REGISTERED default ``max_basket_size``
+    (filtered-universe semantics; pass None for uncapped), marginals
+    attached pre-expansion and the expansion shuffle self-sized via
+    :func:`_marginal_pair_counts` (no O(pairs) marginal join ever
+    runs). Symmetrization doubles the already-collapsed O(pairs)
+    frame map-side; the final rank partitions by item over each
+    item's bounded candidate list and rides an explicit
+    repartition at the SAME self-sized partition count, so the
+    pair-frame window sort scales with the data instead of dying at
+    the session default (the SCALE.md round-4 memory wall).
 
     Determinism: round-then-rank (cosine_topk convention) — the
     cosine is micro-rounded identically in both engines BEFORE the
@@ -2463,58 +2546,39 @@ def item_cf_topk(
     assoc = _capped_baskets(
         li.select("l_orderkey", "l_partkey").distinct(), max_basket_size
     )
-    marg = assoc.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
-    b = assoc.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
-    )
-    pairs = (
-        assoc.join(
-            b,
-            (F.col("l_orderkey") == F.col("o2"))
-            & (F.col("l_partkey") < F.col("part_b")),
-        )
-        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
-        .agg(F.count(F.lit(1)).alias("n_both"))
-    )
+    pairs, n_shuffle = _marginal_pair_counts(assoc)
     sym = pairs.select(
-        F.col("part_a").alias("item"), F.col("part_b").alias("rec"), "n_both"
+        F.col("part_a").alias("item"),
+        F.col("part_b").alias("rec"),
+        F.col("n_a").alias("n_i"),
+        F.col("n_b").alias("n_r"),
+        "n_both",
     ).unionByName(
         pairs.select(
             F.col("part_b").alias("item"),
             F.col("part_a").alias("rec"),
+            F.col("n_b").alias("n_i"),
+            F.col("n_a").alias("n_r"),
             "n_both",
         )
     )
-    scored = (
-        sym.join(
-            marg.select(
-                F.col("l_partkey").alias("item"), F.col("n_part").alias("n_i")
-            ),
-            "item",
-        )
-        .join(
-            marg.select(
-                F.col("l_partkey").alias("rec"), F.col("n_part").alias("n_r")
-            ),
-            "rec",
-        )
-        .select(
-            "item",
-            "rec",
-            F.col("n_both").cast("long").alias("n_both"),
-            (
-                F.round(
-                    F.col("n_both")
-                    / F.sqrt(F.col("n_i").cast("double") * F.col("n_r"))
-                    * 1e6
-                ).cast("long")
-                / 1e6
-            ).alias("cosine"),
-        )
+    scored = sym.select(
+        "item",
+        "rec",
+        F.col("n_both").cast("long").alias("n_both"),
+        (
+            F.round(
+                F.col("n_both")
+                / F.sqrt(F.col("n_i").cast("double") * F.col("n_r"))
+                * 1e6
+            ).cast("long")
+            / 1e6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("item").orderBy(F.desc("cosine"), F.asc("rec"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        scored.repartition(n_shuffle, "item")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _CF_TOPK)
     )
 

@@ -672,6 +672,196 @@ def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SemDeDup: semantic dedup by k-means clustering + within-cluster
+# cosine pruning (Abbas et al. 2023, arXiv:2303.09540)
+# --------------------------------------------------------------------------
+
+# Prune threshold. SemDeDup's production regime is ~0.95+, but the
+# synthetic embedding fixture is near-orthogonal random vectors (max
+# pairwise cosine ~0.48), so the registered threshold sits in the
+# fixture's upper tail to keep the pruning branch exercised and the
+# oracle discriminating; the rule is threshold-agnostic.
+SD_TAU_MICRO = 350_000  # prune cosine >= 0.35 (micro-rounded)
+
+_SEMDEDUP_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT)) AS qv
+  FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS pos),
+xe AS (SELECT vec_id, pos, qv[pos] AS x FROM q, idx),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {KM_K})),
+c0 AS (SELECT cluster, pos, qv[pos] AS s, CAST(1 AS BIGINT) AS n
+       FROM seeds, idx),
+d1 AS (
+  SELECT vec_id, cluster, n, sum((x*n - s)*(x*n - s)) AS num
+  FROM xe JOIN c0 USING (pos) GROUP BY 1, 2, 3),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY CAST(num AS DOUBLE)/(n*n), cluster)
+             AS rn
+    FROM d1) WHERE rn = 1),
+c1 AS (
+  SELECT cluster, pos, sum(x) AS s, count(*) AS n
+  FROM a1 JOIN xe USING (vec_id) GROUP BY 1, 2),
+d2 AS (
+  SELECT vec_id, cluster, n, sum((x*n - s)*(x*n - s)) AS num
+  FROM xe JOIN c1 USING (pos) GROUP BY 1, 2, 3),
+a2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY CAST(num AS DOUBLE)/(n*n), cluster)
+             AS rn
+    FROM d2) WHERE rn = 1),
+norms AS (SELECT vec_id, sum(x*x) AS nn FROM xe GROUP BY 1),
+cos AS (
+  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(round(
+           CAST(sum(xa.x * xb.x) AS DOUBLE)
+           / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+           * 1e6) AS BIGINT) AS cos_micro
+  FROM a2 a
+  JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN xe xa ON xa.vec_id = a.vec_id
+  JOIN xe xb ON xb.vec_id = b.vec_id AND xb.pos = xa.pos
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  GROUP BY 1, 2, 3, na.nn, nb.nn),
+pruned AS (
+  SELECT DISTINCT id_b AS vec_id FROM cos
+  WHERE cos_micro >= {SD_TAU_MICRO})
+SELECT a2.cluster AS cluster_id,
+       count(*) AS n_vecs,
+       CAST(count(p.vec_id) AS BIGINT) AS n_pruned,
+       round(1.0 - CAST(count(p.vec_id) AS DOUBLE) / count(*), 6)
+         AS retention
+FROM a2 LEFT JOIN pruned p ON a2.vec_id = p.vec_id
+GROUP BY 1
+"""
+
+
+@register("semdedup_prune", oracle=_SEMDEDUP_ORACLE)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering the embedding corpus (the same 2-iteration integer-
+    quantized Lloyd build as kmeans_cluster_stats) and pruning, within
+    each cluster, every vector whose cosine to a LOWER-id cluster-mate
+    reaches the threshold — the deterministic keep-first variant of
+    the paper's keep-one-per-group rule. Emits the per-cluster audit
+    (size, pruned count, retention) a curation run publishes.
+
+    Scale shape: clustering bounds the pair expansion — pairs are
+    C(size,2) PER CLUSTER, never corpus-global, and at 100 TB k is
+    chosen ~N/target_cluster_size so per-cluster volume stays bounded
+    (same guard family as the basket cap / max_shingle_freq). The
+    pair join carries whole quantized arrays and computes the dot
+    product with zip_with + aggregate in codegen — no per-dimension
+    explode ever touches the O(pairs) frame. Determinism: integer
+    dot products and norms are exact; sqrt / division are IEEE
+    exactly-rounded with identical op shape in both engines; the
+    cosine micro-rounds BEFORE the threshold compare."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * KM_SCALE).cast("long"),
+    )
+    base = emb.select("vec_id", "label", qv.alias("qv"))
+    xe = base.select("vec_id", F.posexplode("qv").alias("pos", "x"))
+
+    from pyspark.sql import Window
+
+    seeds = (
+        base.orderBy("vec_id")
+        .limit(KM_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "cluster"
+            ),
+            "qv",
+        )
+    )
+    c0 = seeds.select(
+        "cluster", F.posexplode("qv").alias("pos", "s")
+    ).withColumn("n", F.lit(1).cast("long"))
+    a1 = _km_assign(xe, c0, keep_stats=False)
+    c1 = (
+        a1.join(xe, "vec_id")
+        .groupBy("cluster", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    a2 = _km_assign(xe, c1, keep_stats=False)
+
+    nn = F.aggregate(
+        F.zip_with("qv", "qv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    m = a2.join(base.select("vec_id", "qv"), "vec_id").select(
+        "cluster", "vec_id", "qv", nn.alias("nn")
+    )
+    lhs = m.select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("qv").alias("qa"),
+        F.col("nn").alias("na"),
+    )
+    rhs = m.select(
+        F.col("cluster").alias("c2"),
+        F.col("vec_id").alias("id_b"),
+        F.col("qv").alias("qb"),
+        F.col("nn").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cos_micro = F.round(
+        dot.cast("double")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+        * 1e6
+    ).cast("long")
+    pruned = (
+        lhs.join(
+            rhs,
+            (F.col("cluster") == F.col("c2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_b", cos_micro.alias("cos_micro"))
+        .filter(F.col("cos_micro") >= SD_TAU_MICRO)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__p", F.lit(1))
+    )
+    return (
+        a2.join(pruned, "vec_id", "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.coalesce(F.col("__p"), F.lit(0)))
+            .cast("long")
+            .alias("n_pruned"),
+        )
+        .select(
+            F.col("cluster").alias("cluster_id"),
+            "n_vecs",
+            "n_pruned",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_pruned").cast("double") / F.col("n_vecs"),
+                6,
+            ).alias("retention"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Per-dimension embedding statistics (whitening / normalization prep)
 # --------------------------------------------------------------------------
 

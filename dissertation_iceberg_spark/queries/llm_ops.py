@@ -3074,3 +3074,120 @@ def winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         w=_WINNOW_W,
         min_shared=_WINNOW_MIN_SHARED,
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher quality-rule battery (Rae et al. 2021, arXiv:2112.11446 §A1.1)
+# --------------------------------------------------------------------------
+
+_GOPHER_MIN_WORDS = 10
+_GOPHER_MAX_WORDS = 100_000
+
+_GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT source,
+         CAST(len({_TOKENS}) AS BIGINT) AS nw,
+         CAST(list_sum(list_transform({_TOKENS}, x -> length(x)))
+              AS BIGINT) AS swl,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '...', ''))) / 3
+                  AS BIGINT) AS n_sym,
+         CAST(len(list_intersect(
+           list_distinct(list_filter(str_split(lower(text), ' '),
+                                     x -> x <> '')),
+           ['the', 'a', 'of', 'and', 'in', 'to', 'is'])) AS BIGINT)
+           AS n_stop
+  FROM documents),
+f AS (
+  SELECT source,
+         CASE WHEN nw < {_GOPHER_MIN_WORDS}
+                OR nw > {_GOPHER_MAX_WORDS} THEN 1 ELSE 0 END AS f_wc,
+         CASE WHEN swl < 3 * nw OR swl > 10 * nw THEN 1 ELSE 0 END
+           AS f_mwl,
+         CASE WHEN n_sym * 10 > nw THEN 1 ELSE 0 END AS f_sym,
+         CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop
+  FROM t)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(f_wc) AS BIGINT) AS n_fail_wordcount,
+       CAST(sum(f_mwl) AS BIGINT) AS n_fail_meanwordlen,
+       CAST(sum(f_sym) AS BIGINT) AS n_fail_symbolratio,
+       CAST(sum(f_stop) AS BIGINT) AS n_fail_stopwords,
+       CAST(sum(CASE WHEN f_wc + f_mwl + f_sym + f_stop = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+FROM f GROUP BY source
+"""
+
+
+@register("gopher_quality_flags", oracle=_GOPHER_ORACLE)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule-based quality battery (Rae et al. 2021,
+    arXiv:2112.11446 appendix A1.1) as a per-source audit: how many
+    documents fail each heuristic gate — word count bounds, mean word
+    length in [3, 10], symbol-to-word ratio (# and ellipsis) <= 0.1,
+    and the >= 2-distinct-stopwords requirement — and how many pass
+    every rule. This is the filter-tuning report a corpus build runs
+    BEFORE committing to thresholds (the flags, not the filter, so
+    the yield of each rule is visible separately).
+
+    Determinism: every rule compares via integer cross-multiplication
+    (swl < 3*nw, n_sym*10 > nw) — no float thresholds anywhere, so
+    the flags are exact in both engines. Scale: one scan, all flags
+    map-side string/array expressions in codegen, one O(sources)
+    aggregate — nothing shuffles but the final tiny rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    nw = F.size(toks).cast("long")
+    swl = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ell = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+    ) / 3
+    n_sym = (n_hash.cast("long") + n_ell.cast("long")).alias("n_sym")
+    lower_toks = tx.tokens(F.lower(F.col("text")))
+    stop_arr = F.array(*[F.lit(s) for s in tx.STOPWORDS_EN])
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(lower_toks), stop_arr)
+    ).cast("long")
+    t = docs.select(
+        "source",
+        nw.alias("nw"),
+        swl.alias("swl"),
+        n_sym,
+        n_stop.alias("n_stop"),
+    )
+    f_wc = (
+        (F.col("nw") < _GOPHER_MIN_WORDS)
+        | (F.col("nw") > _GOPHER_MAX_WORDS)
+    ).cast("int")
+    f_mwl = (
+        (F.col("swl") < 3 * F.col("nw")) | (F.col("swl") > 10 * F.col("nw"))
+    ).cast("int")
+    f_sym = (F.col("n_sym") * 10 > F.col("nw")).cast("int")
+    f_stop = (F.col("n_stop") < 2).cast("int")
+    flags = t.select(
+        "source",
+        f_wc.alias("f_wc"),
+        f_mwl.alias("f_mwl"),
+        f_sym.alias("f_sym"),
+        f_stop.alias("f_stop"),
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_wc").cast("long").alias("n_fail_wordcount"),
+        F.sum("f_mwl").cast("long").alias("n_fail_meanwordlen"),
+        F.sum("f_sym").cast("long").alias("n_fail_symbolratio"),
+        F.sum("f_stop").cast("long").alias("n_fail_stopwords"),
+        F.sum(
+            (
+                F.col("f_wc") + F.col("f_mwl") + F.col("f_sym")
+                + F.col("f_stop")
+                == 0
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_pass_all"),
+    )

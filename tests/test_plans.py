@@ -216,6 +216,7 @@ BOUNDED_GLOBAL_WINDOWS = {
     "isotonic_calibration": "O(bins) PAVA frame",
     "ivf_ann_topk": "O(n_lists) seed rows (LIMIT n_lists)",
     "kmeans_cluster_stats": "O(k) seed rows (LIMIT k)",
+    "semdedup_prune": "O(k) seed rows (LIMIT k, same Lloyd build)",
     "mixture_optimizer": "O(sources) weight frame",
     "pareto_frontier": "O(price buckets) frontier",
     "pq_adc_topk": "O(k) codebook seeds (LIMIT k)",
