@@ -3191,3 +3191,99 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_pass_all"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity / l-diversity audit (privacy governance, with dp_noisy_counts)
+# --------------------------------------------------------------------------
+
+_KANON_KS = (2, 5, 10, 25, 100)
+
+_KANON_ORACLE = f"""
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) % 24 AS hod,
+         CAST(round(value * 100) AS BIGINT) // 1000 AS band,
+         count(*) AS n_rows,
+         count(DISTINCT user_id) AS l_div
+  FROM events GROUP BY 1, 2, 3),
+tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM g),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _KANON_KS)}]) AS k)
+SELECT ks.k,
+       count(*) AS n_groups,
+       CAST(sum(CASE WHEN g.n_rows < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_groups_below,
+       CAST(sum(CASE WHEN g.n_rows < ks.k THEN g.n_rows ELSE 0 END)
+            AS BIGINT) AS n_rows_below,
+       round(CAST(sum(CASE WHEN g.n_rows < ks.k THEN g.n_rows ELSE 0 END)
+                  AS DOUBLE) / tot.total, 6) AS rows_below_share,
+       CAST(sum(CASE WHEN g.l_div < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_groups_l1
+FROM g CROSS JOIN ks CROSS JOIN tot
+GROUP BY ks.k, tot.total
+"""
+
+
+@register("k_anonymity_audit", oracle=_KANON_ORACLE)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over a quasi-identifier tuple
+    (event_type, hour-of-day, value band): for each candidate k, how
+    many QI equivalence classes fall below k rows, how much row mass
+    sits in them, and how many classes have l-diversity 1 (a single
+    user behind the whole class — the direct re-identification case).
+    The release-gating report a privacy review runs BEFORE publishing
+    event-level training data (companion to dp_noisy_counts, which is
+    the release mechanism; this is the risk measurement).
+
+    Determinism: the QI tuple is pure integer arithmetic (epoch-µs
+    div 3.6e9 mod 24; cents div 1000) — no float binning, no tz
+    dependence (session pinned UTC = DuckDB epoch_us). Scale: ONE
+    fact-scale groupBy builds the O(classes) frame; the k-thresholds
+    fan out over that tiny frame (explode of a literal array, never
+    the fact table); the total-row denominator injects as a scalar
+    subquery."""
+    from dissertation_iceberg_spark.functions.time_bins import micros
+
+    e = load_table(spark, sf_dir, "events")
+    hod = (micros("ts") / F.lit(3_600_000_000)).cast("long") % 24
+    band = (
+        F.round(F.col("value") * 100).cast("long") / F.lit(1000)
+    ).cast("long")
+    g = (
+        e.select(
+            "event_type",
+            hod.alias("hod"),
+            band.alias("band"),
+            "user_id",
+        )
+        .groupBy("event_type", "hod", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("l_div"),
+        )
+    )
+    tot = g.agg(F.sum("n_rows").cast("long").alias("total"))
+    ks = F.explode(F.array(*[F.lit(k) for k in _KANON_KS])).alias("k")
+    below = F.col("n_rows") < F.col("k")
+    return (
+        g.select("n_rows", "l_div", ks)
+        .transform(with_scalars, tot)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(below.cast("int")).cast("long").alias("n_groups_below"),
+            F.sum(F.when(below, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("n_rows_below"),
+            F.round(
+                F.sum(F.when(below, F.col("n_rows")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.first("total"),
+                6,
+            ).alias("rows_below_share"),
+            F.sum((F.col("l_div") < 2).cast("int"))
+            .cast("long")
+            .alias("n_groups_l1"),
+        )
+    )
