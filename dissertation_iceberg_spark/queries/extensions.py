@@ -335,6 +335,81 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the mapInPandas contract ships features as float32 (FEATURE_SCHEMA)
+# — the oracle replays that quantization with an explicit REAL cast
+# (both are IEEE round-to-nearest of the same exactly-rounded double
+# division), then rounds the widened value like the Spark side
+_MM_FEATS = ",\n".join(
+    f"  round(CAST(CAST(CAST(len(list_filter(r, x -> x = {j}))"
+    f" AS DOUBLE) / n_bytes AS REAL) AS DOUBLE), 6) AS f{j}"
+    for j in range(8)
+)
+
+_MM_HIST_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+         text
+  FROM documents),
+b AS (
+  SELECT media_id, kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         list_transform(string_split_regex(text, ''),
+                        c -> ascii(c) % 8) AS r
+  FROM m)
+SELECT media_id, kind, n_bytes,
+{_MM_FEATS}
+FROM b
+"""
+
+
+@register("multimodal_byte_histogram", oracle=_MM_HIST_ORACLE)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal Arrow boundary under FULL value parity: the same
+    ``mapInPandas`` decode path as multimodal_features
+    (operators/multimodal.extract_features — real batch iteration,
+    real schema contract), but scored end-to-end against a DuckDB
+    replay of the deterministic byte-histogram stand-in (payload =
+    utf-8 text bytes, ASCII-verified fixture, so DuckDB's per-char
+    ascii() IS the byte stream). multimodal_features stays rows-only
+    because a REAL decoder has no SQL twin; this query pins the part
+    an engine owns — Arrow batch transfer, pandas UDF arithmetic,
+    float division shape — to exact hashes, so a decoder swap only
+    changes the kernel body, not trust in the plumbing.
+
+    Scale: identical to extract_features — one scan, mapInPandas with
+    bounded Arrow batches, no shuffle at all."""
+    from dissertation_iceberg_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.lit("application/x-fake").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(64).cast("long").alias("width"),
+        F.lit(64).cast("long").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[
+            F.round(F.element_at("feature", j + 1).cast("double"), 6).alias(
+                f"f{j}"
+            )
+            for j in range(8)
+        ],
+    )
+
+
 _IVF_LISTS = 16
 _IVF_PROBE = 4
 _IVF_K = 3
