@@ -316,3 +316,44 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
+
+
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_flags(text_col: str = "text") -> dict[str, Column]:
+    """The Gopher rule-based quality flags (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1) as pure stateless Column expressions —
+    shared by the batch audit (queries/llm_ops.gopher_quality_flags)
+    and the streaming ingest gate (streaming/quality_gate_stream), so
+    both surfaces apply bit-identical rules. Every threshold is an
+    integer cross-multiplication; no float compares anywhere."""
+    toks = tokens(F.col(text_col))
+    nw = F.size(toks).cast("long")
+    swl = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_hash = F.length(text_col) - F.length(
+        F.regexp_replace(text_col, "#", "")
+    )
+    n_ell = (
+        F.length(text_col)
+        - F.length(F.regexp_replace(text_col, r"\.\.\.", ""))
+    ) / 3
+    n_sym = n_hash.cast("long") + n_ell.cast("long")
+    lower_toks = tokens(F.lower(F.col(text_col)))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(lower_toks), stop_arr)
+    ).cast("long")
+    f_wc = ((nw < GOPHER_MIN_WORDS) | (nw > GOPHER_MAX_WORDS)).cast("int")
+    f_mwl = ((swl < 3 * nw) | (swl > 10 * nw)).cast("int")
+    f_sym = (n_sym * 10 > nw).cast("int")
+    f_stop = (n_stop < 2).cast("int")
+    return {
+        "f_wc": f_wc,
+        "f_mwl": f_mwl,
+        "f_sym": f_sym,
+        "f_stop": f_stop,
+    }

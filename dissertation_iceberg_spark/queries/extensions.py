@@ -1150,6 +1150,13 @@ def pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVAL_K = 3
 
+# nDCG discount table for ranks 1..k as FIXED micro-unit integers
+# (1e6/log2(r+1), precomputed once here) — a deterministic eval
+# constant, so neither engine ever calls libm log at query time and
+# the DCG sum is an exact BIGINT in both
+_DCG_MICRO = (1_000_000, 630_930, 500_000)
+_IDCG_MICRO = sum(_DCG_MICRO[:_EVAL_K])
+
 
 def _retrieval_eval_oracle() -> str:
     arms = " UNION ALL ".join(
@@ -1205,17 +1212,27 @@ fr AS (
   SELECT t.qid, a.rnk AS ftr
   FROM truth t LEFT JOIN approx a
     ON t.qid = a.qid AND t.neighbor_id = a.neighbor_id
-  WHERE t.rnk = 1)
+  WHERE t.rnk = 1),
+dcg AS (
+  SELECT t.qid,
+         CAST(sum([{", ".join(str(d) for d in _DCG_MICRO)}][a.rnk])
+              AS BIGINT) AS dcg_micro
+  FROM truth t JOIN approx a
+    ON t.qid = a.qid AND t.neighbor_id = a.neighbor_id
+  GROUP BY 1)
 SELECT q.vec_id AS qid,
        CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        round(coalesce(h.n_hits, 0) / CAST({_EVAL_K} AS DOUBLE), 6)
          AS recall_at_k,
        CAST(coalesce(fr.ftr, 0) AS BIGINT) AS first_true_rank,
        round(CASE WHEN fr.ftr IS NULL THEN 0.0 ELSE 1.0 / fr.ftr END, 6)
-         AS reciprocal_rank
+         AS reciprocal_rank,
+       round(coalesce(d.dcg_micro, 0) / CAST({_IDCG_MICRO} AS DOUBLE), 6)
+         AS ndcg_at_k
 FROM (SELECT vec_id FROM embeddings WHERE vec_id % {_LSH_QUERY_MOD} = 0) q
 LEFT JOIN hits h ON q.vec_id = h.qid
 LEFT JOIN fr ON q.vec_id = fr.qid
+LEFT JOIN dcg d ON q.vec_id = d.qid
 """
 
 
@@ -1224,10 +1241,13 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality harness: grade the LSH ANN scale path against
     exact brute-force ground truth, per query — recall@k (|approx-top-k
     ∩ true-top-k| / k), the approx rank of the TRUE nearest neighbor,
-    and its reciprocal rank (mean over queries = MRR). This is the
-    eval loop every ANN deployment runs before flipping traffic from
-    exact to approximate search; per-query rows (not one aggregate)
-    so regressions localize to specific queries.
+    its reciprocal rank (mean over queries = MRR), and binary-relevance
+    nDCG@k with the 1/log2(r+1) discounts precomputed as micro-unit
+    INTEGER literals (_DCG_MICRO — no query-time libm in either
+    engine, so the DCG sum is an exact BIGINT). This is the eval loop
+    every ANN deployment runs before flipping traffic from exact to
+    approximate search; per-query rows (not one aggregate) so
+    regressions localize to specific queries.
 
     Exactness: the ground-truth arm is the documented brute-force
     oracle baseline (cosine_topk: BNLJ over a BOUNDED query sample —
@@ -1257,11 +1277,18 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_planes=_LSH_PLANES,
         num_tables=_LSH_TABLES,
     ).select("qid", "neighbor_id", "rnk")
+    disc = F.element_at(
+        F.array(*[F.lit(d).cast("long") for d in _DCG_MICRO]),
+        F.col("rnk").cast("int"),
+    )
     hits = (
         truth.select("qid", "neighbor_id")
-        .join(approx.select("qid", "neighbor_id"), ["qid", "neighbor_id"])
+        .join(approx, ["qid", "neighbor_id"])
         .groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum(disc).cast("long").alias("dcg_micro"),
+        )
     )
     fr = (
         truth.filter(F.col("rnk") == 1)
@@ -1289,6 +1316,11 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.lit(0.0)),
                 6,
             ).alias("reciprocal_rank"),
+            F.round(
+                F.coalesce("dcg_micro", F.lit(0))
+                / F.lit(float(_IDCG_MICRO)),
+                6,
+            ).alias("ndcg_at_k"),
         )
     )
 

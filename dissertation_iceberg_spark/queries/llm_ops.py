@@ -3080,8 +3080,10 @@ def winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gopher quality-rule battery (Rae et al. 2021, arXiv:2112.11446 §A1.1)
 # --------------------------------------------------------------------------
 
-_GOPHER_MIN_WORDS = 10
-_GOPHER_MAX_WORDS = 100_000
+# single source of truth for the rule thresholds: operators/text.py
+# (shared with the streaming ingest gate)
+_GOPHER_MIN_WORDS = tx.GOPHER_MIN_WORDS
+_GOPHER_MAX_WORDS = tx.GOPHER_MAX_WORDS
 
 _GOPHER_ORACLE = f"""
 WITH t AS (
@@ -3132,48 +3134,16 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: every rule compares via integer cross-multiplication
     (swl < 3*nw, n_sym*10 > nw) — no float thresholds anywhere, so
-    the flags are exact in both engines. Scale: one scan, all flags
-    map-side string/array expressions in codegen, one O(sources)
-    aggregate — nothing shuffles but the final tiny rollup."""
+    the flags are exact in both engines. The flag expressions are the
+    SHARED operators/text.gopher_flags set, also driving the
+    streaming ingest gate (streaming/quality_gate_stream) — one rule
+    definition, two surfaces. Scale: one scan, all flags map-side
+    string/array expressions in codegen, one O(sources) aggregate —
+    nothing shuffles but the final tiny rollup."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tx.tokens(F.col("text"))
-    nw = F.size(toks).cast("long")
-    swl = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
-    n_ell = (
-        F.length("text")
-        - F.length(F.regexp_replace("text", r"\.\.\.", ""))
-    ) / 3
-    n_sym = (n_hash.cast("long") + n_ell.cast("long")).alias("n_sym")
-    lower_toks = tx.tokens(F.lower(F.col("text")))
-    stop_arr = F.array(*[F.lit(s) for s in tx.STOPWORDS_EN])
-    n_stop = F.size(
-        F.array_intersect(F.array_distinct(lower_toks), stop_arr)
-    ).cast("long")
-    t = docs.select(
-        "source",
-        nw.alias("nw"),
-        swl.alias("swl"),
-        n_sym,
-        n_stop.alias("n_stop"),
-    )
-    f_wc = (
-        (F.col("nw") < _GOPHER_MIN_WORDS)
-        | (F.col("nw") > _GOPHER_MAX_WORDS)
-    ).cast("int")
-    f_mwl = (
-        (F.col("swl") < 3 * F.col("nw")) | (F.col("swl") > 10 * F.col("nw"))
-    ).cast("int")
-    f_sym = (F.col("n_sym") * 10 > F.col("nw")).cast("int")
-    f_stop = (F.col("n_stop") < 2).cast("int")
-    flags = t.select(
-        "source",
-        f_wc.alias("f_wc"),
-        f_mwl.alias("f_mwl"),
-        f_sym.alias("f_sym"),
-        f_stop.alias("f_stop"),
+    fl = tx.gopher_flags("text")
+    flags = docs.select(
+        "source", *[c.alias(name) for name, c in fl.items()]
     )
     return flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -1498,3 +1498,49 @@ def test_streaming_record_highs_match_batch(spark, tmp_path):
     last_day = daily.groupby("event_type")["day_us"].max()
     for et, d in last_day.items():
         assert not ((got["event_type"] == et) & (got["day_us"] == d)).any()
+
+
+def test_streaming_gopher_gate_matches_batch(spark, tmp_path):
+    """Stateless streaming quality gate: every document's flags and
+    verdict are bit-identical to the batch twin (shared Column set —
+    operators/text.gopher_flags), across multiple micro-batches."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.streaming.quality_gate_stream import (
+        gopher_gate,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "qgate_src")
+    chunks = [
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1) for i in range(3)
+    ]
+    for i, c in enumerate(chunks):
+        c.write.parquet(f"{src}/f{i}")
+    paths = [f"{src}/f{i}" for i in range(3)]
+    schema = spark.read.parquet(*paths).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        gopher_gate(stream)
+        .writeStream.format("memory")
+        .queryName("qgate_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("qgate_out").toPandas()
+    want = gopher_gate(spark.read.parquet(*paths)).toPandas()
+
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    got_s = got[cols].sort_values("doc_id").reset_index(drop=True)
+    want_s = want[cols].sort_values("doc_id").reset_index(drop=True)
+    assert len(want_s) == docs.count()
+    assert got_s.equals(want_s)
+    # the gate must actually discriminate on the fixture
+    assert 0 < int(want["pass"].sum()) < len(want)
