@@ -2599,3 +2599,205 @@ def ari_kmeans_vs_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("adjusted_rand_index"),
     )
+
+
+# --------------------------------------------------------------------------
+# Geometric median per label (integer-quantized Weiszfeld, run parity)
+# --------------------------------------------------------------------------
+
+GM_W_SCALE = 100_000_000  # weight quantization: w = round(1e8/(d+1))
+
+_GM_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e4) AS BIGINT)) AS qv
+  FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS pos),
+xe AS (SELECT vec_id, label, pos, qv[pos] AS x FROM q, idx),
+m0 AS (
+  SELECT label, pos, CAST(sum(x) AS BIGINT) AS s, count(*) AS n
+  FROM xe GROUP BY 1, 2),
+d1 AS (
+  SELECT xe.vec_id, xe.label, m0.n,
+         CAST(sum((xe.x*m0.n - m0.s)*(xe.x*m0.n - m0.s)) AS BIGINT) AS num
+  FROM xe JOIN m0 ON m0.label = xe.label AND m0.pos = xe.pos
+  GROUP BY 1, 2, 3),
+w1 AS (
+  SELECT vec_id, label,
+         CAST(round({GM_W_SCALE} / (sqrt(CAST(num AS DOUBLE)) / n + 1))
+              AS BIGINT) AS w
+  FROM d1),
+y1 AS (
+  SELECT xe.label, xe.pos,
+         CAST(floor((2 * CAST(sum(xe.x * w1.w) AS DOUBLE)
+                     + sum(w1.w))
+                    / (2 * CAST(sum(w1.w) AS DOUBLE))) AS BIGINT) AS y
+  FROM xe JOIN w1 ON w1.vec_id = xe.vec_id
+  GROUP BY 1, 2),
+d2 AS (
+  SELECT xe.vec_id, xe.label,
+         CAST(sum((xe.x - y1.y)*(xe.x - y1.y)) AS BIGINT) AS num
+  FROM xe JOIN y1 ON y1.label = xe.label AND y1.pos = xe.pos
+  GROUP BY 1, 2),
+w2 AS (
+  SELECT vec_id, label,
+         CAST(round({GM_W_SCALE} / (sqrt(CAST(num AS DOUBLE)) + 1))
+              AS BIGINT) AS w
+  FROM d2),
+y2 AS (
+  SELECT xe.label, xe.pos,
+         CAST(floor((2 * CAST(sum(xe.x * w2.w) AS DOUBLE)
+                     + sum(w2.w))
+                    / (2 * CAST(sum(w2.w) AS DOUBLE))) AS BIGINT) AS y
+  FROM xe JOIN w2 ON w2.vec_id = xe.vec_id
+  GROUP BY 1, 2),
+d3 AS (
+  SELECT xe.vec_id, xe.label,
+         CAST(round(sqrt(CAST(sum((xe.x - y2.y)*(xe.x - y2.y)) AS DOUBLE)))
+              AS BIGINT) AS d_q
+  FROM xe JOIN y2 ON y2.label = xe.label AND y2.pos = xe.pos
+  GROUP BY 1, 2),
+gm AS (
+  SELECT label,
+         max(CASE WHEN pos = 1 THEN y END) AS g0,
+         max(CASE WHEN pos = 2 THEN y END) AS g1,
+         max(CASE WHEN pos = 3 THEN y END) AS g2,
+         max(CASE WHEN pos = 4 THEN y END) AS g3
+  FROM y2 GROUP BY 1)
+SELECT d3.label,
+       count(*) AS n_vecs,
+       round(gm.g0 / 1e4, 6) AS gm0,
+       round(gm.g1 / 1e4, 6) AS gm1,
+       round(gm.g2 / 1e4, 6) AS gm2,
+       round(gm.g3 / 1e4, 6) AS gm3,
+       round(CAST(sum(d3.d_q) AS DOUBLE) / count(*) / 1e4, 6)
+         AS mean_dist
+FROM d3 JOIN gm ON gm.label = d3.label
+GROUP BY 1, gm.g0, gm.g1, gm.g2, gm.g3
+"""
+
+
+@register("geometric_median_centroid", oracle=_GM_ORACLE)
+def geometric_median_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label GEOMETRIC MEDIAN of the embedding cloud (2 Weiszfeld
+    iterations from the component mean) plus the mean distance to it —
+    the outlier-robust centroid a curation pipeline prefers over the
+    mean when a label bucket is contaminated (a single far-out vector
+    moves the mean by O(1/n) ... but the median by O(1/n) only in rank,
+    not magnitude). Companion to label_centroid_drift (means).
+
+    Run parity (the integer-quantized-iteration recipe): vectors live
+    on the 1e-4 grid; every distance numerator is an exact BIGINT sum
+    of squares; sqrt / the single division per weight are IEEE
+    exactly-rounded with identical shape in both engines; the
+    Weiszfeld weights quantize to integers (round(1e8/(d+1)) — the +1
+    grid unit is the standard singularity guard) so the weighted
+    component sums are exact integers; each new centroid snaps back
+    to the integer grid via the portable round-half-up division
+    floor((2a+b)/(2b)) (|2a+b| < 2^52 by the weight-scale choice);
+    per-vector final distances micro-round to grid units BEFORE the
+    mean so no unordered float sum exists anywhere.
+
+    Scale: three joins of the long-form (vec, pos) frame against
+    O(labels x dims) broadcast centroids + label-keyed aggregates —
+    the kmeans_cluster_stats shape; nothing global, no iteration
+    driver loop (iterations are unrolled in the plan)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * KM_SCALE).cast("long"),
+    )
+    xe = emb.select(
+        "vec_id", "label", F.posexplode(qv).alias("pos", "x")
+    ).withColumn("pos", F.col("pos") + 1)
+
+    def rounddiv2(num_col: Column, den_col: Column) -> Column:
+        return F.floor(
+            (2 * num_col.cast("double") + den_col)
+            / (2 * den_col.cast("double"))
+        ).cast("long")
+
+    m0 = xe.groupBy("label", "pos").agg(
+        F.sum("x").cast("long").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    e0 = F.col("x") * F.col("n") - F.col("s")
+    d1 = (
+        xe.join(F.broadcast(m0), ["label", "pos"])
+        .groupBy("vec_id", "label", "n")
+        .agg(F.sum(e0 * e0).cast("long").alias("num"))
+    )
+    w1 = d1.select(
+        "vec_id",
+        F.round(
+            F.lit(GM_W_SCALE)
+            / (F.sqrt(F.col("num").cast("double")) / F.col("n") + 1)
+        )
+        .cast("long")
+        .alias("w"),
+    )
+
+    def next_y(w: DataFrame) -> DataFrame:
+        agg = (
+            xe.join(F.broadcast(w), "vec_id")
+            .groupBy("label", "pos")
+            .agg(
+                F.sum(F.col("x") * F.col("w")).cast("long").alias("sw"),
+                F.sum("w").cast("long").alias("tw"),
+            )
+        )
+        return agg.select(
+            "label", "pos", rounddiv2(F.col("sw"), F.col("tw")).alias("y")
+        )
+
+    y1 = next_y(w1)
+    ey = F.col("x") - F.col("y")
+    d2 = (
+        xe.join(F.broadcast(y1), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(ey * ey).cast("long").alias("num"))
+    )
+    w2 = d2.select(
+        "vec_id",
+        F.round(
+            F.lit(GM_W_SCALE) / (F.sqrt(F.col("num").cast("double")) + 1)
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    y2 = next_y(w2)
+    d3 = (
+        xe.join(F.broadcast(y2), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(F.sqrt(F.sum(ey * ey).cast("double")))
+            .cast("long")
+            .alias("d_q")
+        )
+    )
+    gm = y2.groupBy("label").agg(
+        *[
+            F.max(F.when(F.col("pos") == j + 1, F.col("y"))).alias(f"g{j}")
+            for j in range(4)
+        ]
+    )
+    return (
+        d3.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("d_q").cast("long").alias("sum_dq"),
+        )
+        .join(F.broadcast(gm), "label")
+        .select(
+            "label",
+            "n_vecs",
+            *[
+                F.round(F.col(f"g{j}") / F.lit(1e4), 6).alias(f"gm{j}")
+                for j in range(4)
+            ],
+            F.round(
+                F.col("sum_dq").cast("double") / F.col("n_vecs") / F.lit(1e4),
+                6,
+            ).alias("mean_dist"),
+        )
+    )
