@@ -2694,10 +2694,16 @@ def geometric_median_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Weiszfeld weights quantize to integers (round(1e8/(d+1)) — the +1
     grid unit is the standard singularity guard) so the weighted
     component sums are exact integers; each new centroid snaps back
-    to the integer grid via the portable round-half-up division
-    floor((2a+b)/(2b)) (|2a+b| < 2^52 by the weight-scale choice);
+    to the integer grid via the portable division floor((2a+b)/(2b));
     per-vector final distances micro-round to grid units BEFORE the
-    mean so no unordered float sum exists anywhere.
+    mean so no unordered float sum exists anywhere. CROSS-ENGINE
+    PARITY holds at any scale (both engines evaluate the identical
+    int->double promotion, division, floor); the stronger exact
+    round-half-up reading of the snap additionally needs |2a+b| <
+    2^52, i.e. per-label counts under ~4k at this weight scale —
+    above that, lower GM_W_SCALE a decade per 10x count (a
+    deployment-doc note, not a correctness condition: the snap stays
+    deterministic and engine-identical either way).
 
     Scale: three joins of the long-form (vec, pos) frame against
     O(labels x dims) broadcast centroids + label-keyed aggregates —

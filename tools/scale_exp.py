@@ -974,6 +974,127 @@ def main() -> None:
             codes.unpersist()
             dmicro.unpersist()
 
+        # SemDeDup at scale: k clusters scale WITH the corpus
+        # (k = 8r -> constant expected cluster size), so the
+        # within-cluster pair expansion stays linear — the measured
+        # form of semdedup_prune's 100 TB story (the registered query
+        # pins k=8 for the oracle; the knob is the deployment story)
+        if _want("semdedup"):
+            from pyspark.sql import Window as W
+
+            from dissertation_iceberg_spark.queries.extensions import (
+                KM_SCALE,
+                SD_TAU_MICRO,
+                _km_assign,
+            )
+
+            es = replicate(emb, r, {"vec_id": 10_000_000})
+            if r > 1:
+                es = es.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x: (
+                            x + F.col("__rep").cast("float") * F.lit(0.01)
+                        ),
+                    ),
+                )
+            es = es.drop("__rep").persist()
+            n_es = es.count()
+            k_r = 8 * r
+
+            def semdedup():
+                qvv = F.transform(
+                    F.col("embedding"),
+                    lambda x: F.round(x.cast("double") * KM_SCALE).cast(
+                        "long"
+                    ),
+                )
+                base = es.select("vec_id", qvv.alias("qv"))
+                xe2 = base.select(
+                    "vec_id", F.posexplode("qv").alias("pos", "x")
+                )
+                # seeds spread ACROSS replica blocks (8 per block —
+                # replicate() shifts vec_id by 10M per replica, so
+                # vec_id % 10M is the original id): first-k-by-id
+                # seeding would take every seed from block 0, leaving
+                # the displaced blocks to pile into megaclusters whose
+                # (x*n - s)^2 overflows int64 — and no real deployment
+                # seeds k-means from one corner of the corpus
+                seeds = (
+                    base.filter(F.col("vec_id") % 10_000_000 < 8)
+                    .orderBy("vec_id")
+                    .limit(k_r)
+                    .select(
+                        (
+                            F.row_number().over(W.orderBy("vec_id")) - 1
+                        ).alias("cluster"),
+                        "qv",
+                    )
+                )
+                c0 = seeds.select(
+                    "cluster", F.posexplode("qv").alias("pos", "s")
+                ).withColumn("n", F.lit(1).cast("long"))
+                a1 = _km_assign(xe2, c0, keep_stats=False)
+                c1 = (
+                    a1.join(xe2, "vec_id")
+                    .groupBy("cluster", "pos")
+                    .agg(
+                        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+                    )
+                )
+                a2 = _km_assign(xe2, c1, keep_stats=False)
+                nn2 = F.aggregate(
+                    F.zip_with("qv", "qv", lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                mm = a2.join(base, "vec_id").select(
+                    "cluster", "vec_id", "qv", nn2.alias("nn")
+                )
+                lhs = mm.select(
+                    "cluster",
+                    F.col("vec_id").alias("id_a"),
+                    F.col("qv").alias("qa"),
+                    F.col("nn").alias("na"),
+                )
+                rhs = mm.select(
+                    F.col("cluster").alias("c2"),
+                    F.col("vec_id").alias("id_b"),
+                    F.col("qv").alias("qb"),
+                    F.col("nn").alias("nb"),
+                )
+                dotc = F.aggregate(
+                    F.zip_with("qa", "qb", lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                cm = F.round(
+                    dotc.cast("double")
+                    / (
+                        F.sqrt(F.col("na").cast("double"))
+                        * F.sqrt(F.col("nb").cast("double"))
+                    )
+                    * 1e6
+                ).cast("long")
+                return (
+                    lhs.join(
+                        rhs,
+                        (F.col("cluster") == F.col("c2"))
+                        & (F.col("id_a") < F.col("id_b")),
+                    )
+                    .select("id_b", cm.alias("cm"))
+                    .filter(F.col("cm") >= SD_TAU_MICRO)
+                    .select("id_b")
+                    .distinct()
+                )
+
+            t, pruned = timed(semdedup, action="count")
+            print(json.dumps({"kernel": "semdedup", "factor": r,
+                              "input_rows": n_es, "n_clusters": k_r,
+                              "out_rows": pruned, "sec": round(t, 3)}))
+            es.unpersist()
+
         # block-shifted embeddings: replicas displaced along every axis
         if not _want("ivf_probe"):
             continue
