@@ -1093,6 +1093,167 @@ def main() -> None:
             print(json.dumps({"kernel": "semdedup", "factor": r,
                               "input_rows": n_es, "n_clusters": k_r,
                               "out_rows": pruned, "sec": round(t, 3)}))
+
+            # TWO-LEVEL assignment (the SCALE.md fix, measured): the
+            # flat kernel's wall is the O(N*k) assignment once k
+            # scales with the corpus. Here vectors first pick 1 of
+            # g = sqrt(k) super-centroids, then rank only that
+            # super's member centroids — O(N*(g + k/g)) = O(N*sqrt(k))
+            # distance work, the IVF coarse-quantizer recipe applied
+            # to the clustering itself. Approximate (boundary vectors
+            # may land one cluster over — pruned counts drift a few
+            # percent), which is exactly the production trade.
+            g_r = max(4, int(round(k_r ** 0.5)))
+
+            def semdedup_2level():
+                qvv = F.transform(
+                    F.col("embedding"),
+                    lambda x: F.round(x.cast("double") * KM_SCALE).cast(
+                        "long"
+                    ),
+                )
+                base = es.select("vec_id", qvv.alias("qv"))
+                xe2 = base.select(
+                    "vec_id", F.posexplode("qv").alias("pos", "x")
+                )
+                seeds = (
+                    base.filter(F.col("vec_id") % 10_000_000 < 8)
+                    .orderBy("vec_id")
+                    .limit(k_r)
+                    .select(
+                        (
+                            F.row_number().over(W.orderBy("vec_id")) - 1
+                        ).alias("cluster"),
+                        "qv",
+                    )
+                )
+                c0 = seeds.select(
+                    "cluster", F.posexplode("qv").alias("pos", "s")
+                ).withColumn("n", F.lit(1).cast("long"))
+                a1 = _km_assign(xe2, c0, keep_stats=False)
+                c1 = (
+                    a1.join(xe2, "vec_id")
+                    .groupBy("cluster", "pos")
+                    .agg(
+                        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+                    )
+                )
+                # snap refined centroids to the grid -> a centroid
+                # TABLE we can cluster at the super level
+                cy = c1.select(
+                    "cluster",
+                    "pos",
+                    F.floor(
+                        (2 * F.col("s").cast("double") + F.col("n"))
+                        / (2 * F.col("n").cast("double"))
+                    )
+                    .cast("long")
+                    .alias("y"),
+                )
+                sc0 = (
+                    cy.filter(F.col("cluster") < g_r)
+                    .select(
+                        F.col("cluster").alias("cluster_s"),
+                        "pos",
+                        F.col("y").alias("s"),
+                    )
+                    .withColumnRenamed("cluster_s", "cluster")
+                    .withColumn("n", F.lit(1).cast("long"))
+                )
+                ce = cy.select(
+                    F.col("cluster").alias("vec_id"),
+                    "pos",
+                    F.col("y").alias("x"),
+                )
+                cmap = _km_assign(ce, sc0, keep_stats=False).select(
+                    F.col("vec_id").alias("cl"),
+                    F.col("cluster").alias("sup"),
+                )
+                # stage A: every vector -> 1 of g supers
+                va = _km_assign(xe2, sc0, keep_stats=False).select(
+                    "vec_id", F.col("cluster").alias("sup")
+                )
+                # stage B: rank ONLY the chosen super's centroids
+                cand = va.join(F.broadcast(cmap), "sup").select(
+                    "vec_id", "cl"
+                )
+                dxe = xe2.join(cand, "vec_id").join(
+                    F.broadcast(
+                        c1.select(
+                            F.col("cluster").alias("cl"), "pos", "s", "n"
+                        )
+                    ),
+                    ["cl", "pos"],
+                )
+                ee = F.col("x") * F.col("n") - F.col("s")
+                d2l = dxe.groupBy("vec_id", "cl", "n").agg(
+                    F.sum(ee * ee).alias("num")
+                )
+                a2 = (
+                    d2l.select(
+                        "vec_id",
+                        (
+                            F.col("num").cast("double")
+                            / (F.col("n") * F.col("n"))
+                        ).alias("dist"),
+                        F.col("cl").alias("cluster"),
+                    )
+                    .groupBy("vec_id")
+                    .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+                    .select(
+                        "vec_id", F.col("m.cluster").alias("cluster")
+                    )
+                )
+                nn2 = F.aggregate(
+                    F.zip_with("qv", "qv", lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                mm = a2.join(base, "vec_id").select(
+                    "cluster", "vec_id", "qv", nn2.alias("nn")
+                )
+                lhs = mm.select(
+                    "cluster",
+                    F.col("vec_id").alias("id_a"),
+                    F.col("qv").alias("qa"),
+                    F.col("nn").alias("na"),
+                )
+                rhs = mm.select(
+                    F.col("cluster").alias("c2"),
+                    F.col("vec_id").alias("id_b"),
+                    F.col("qv").alias("qb"),
+                    F.col("nn").alias("nb"),
+                )
+                dotc = F.aggregate(
+                    F.zip_with("qa", "qb", lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                cm = F.round(
+                    dotc.cast("double")
+                    / (
+                        F.sqrt(F.col("na").cast("double"))
+                        * F.sqrt(F.col("nb").cast("double"))
+                    )
+                    * 1e6
+                ).cast("long")
+                return (
+                    lhs.join(
+                        rhs,
+                        (F.col("cluster") == F.col("c2"))
+                        & (F.col("id_a") < F.col("id_b")),
+                    )
+                    .select("id_b", cm.alias("cm"))
+                    .filter(F.col("cm") >= SD_TAU_MICRO)
+                    .select("id_b")
+                    .distinct()
+                )
+
+            t, pruned2 = timed(semdedup_2level, action="count")
+            print(json.dumps({"kernel": "semdedup_2level", "factor": r,
+                              "input_rows": n_es, "n_clusters": k_r,
+                              "n_supers": g_r, "out_rows": pruned2,
+                              "sec": round(t, 3)}))
             es.unpersist()
 
         # block-shifted embeddings: replicas displaced along every axis
