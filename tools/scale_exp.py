@@ -1254,6 +1254,151 @@ def main() -> None:
                               "input_rows": n_es, "n_clusters": k_r,
                               "n_supers": g_r, "out_rows": pruned2,
                               "sec": round(t, 3)}))
+
+            # FOLD assignment (third variant): centroids ride as ONE
+            # scalar array<struct<cluster, yv>>; each vector computes
+            # its argmin with array_min(transform(...)) entirely in
+            # codegen — zero long-form fan-out (no N*k*64 rows, no
+            # per-assignment shuffle at all), exact integer distances
+            # (no n multiplier -> no overflow class). The arithmetic
+            # is still O(N*k*64) multiply-adds, but as expression
+            # evaluation instead of rows.
+            def semdedup_fold():
+                qvv = F.transform(
+                    F.col("embedding"),
+                    lambda x: F.round(x.cast("double") * KM_SCALE).cast(
+                        "long"
+                    ),
+                )
+                base = es.select("vec_id", qvv.alias("qv"))
+                seeds = (
+                    base.filter(F.col("vec_id") % 10_000_000 < 8)
+                    .orderBy("vec_id")
+                    .limit(k_r)
+                    .select(
+                        (
+                            F.row_number().over(W.orderBy("vec_id")) - 1
+                        ).cast("long").alias("cluster"),
+                        F.col("qv").alias("yv"),
+                    )
+                )
+
+                def dist2(ct):
+                    return F.aggregate(
+                        F.zip_with(
+                            F.col("qv"),
+                            ct["yv"],
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    )
+
+                def fold_assign(df, cent_df):
+                    # scalar subqueries are rejected inside
+                    # higher-order functions, so the 1-row centroid
+                    # array rides a broadcast crossJoin (the
+                    # bcast_params class)
+                    cs_df = cent_df.agg(
+                        F.sort_array(
+                            F.collect_list(F.struct("cluster", "yv"))
+                        ).alias("cs")
+                    )
+                    best = F.array_min(
+                        F.transform(
+                            F.col("cs"),
+                            lambda ct: F.struct(
+                                dist2(ct).alias("d"),
+                                ct["cluster"].alias("c"),
+                            ),
+                        )
+                    )
+                    return (
+                        df.crossJoin(F.broadcast(cs_df))
+                        .withColumn("cluster", best["c"])
+                        .drop("cs")
+                    )
+
+                a1 = fold_assign(base, seeds)
+                # refine: per-cluster per-dim mean, snapped to grid
+                xm = a1.select(
+                    "cluster", F.posexplode("qv").alias("pos", "x")
+                )
+                c1 = (
+                    xm.groupBy("cluster", "pos")
+                    .agg(
+                        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+                    )
+                    .select(
+                        "cluster",
+                        "pos",
+                        F.floor(
+                            (2 * F.col("s").cast("double") + F.col("n"))
+                            / (2 * F.col("n").cast("double"))
+                        )
+                        .cast("long")
+                        .alias("y"),
+                    )
+                    .groupBy("cluster")
+                    .agg(
+                        F.transform(
+                            F.sort_array(
+                                F.collect_list(F.struct("pos", "y"))
+                            ),
+                            lambda p: p["y"],
+                        ).alias("yv")
+                    )
+                )
+                a2 = fold_assign(base.select("vec_id", "qv"), c1)
+                nn2 = F.aggregate(
+                    F.zip_with("qv", "qv", lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                mm = a2.select(
+                    "cluster", "vec_id", "qv", nn2.alias("nn")
+                )
+                lhs = mm.select(
+                    "cluster",
+                    F.col("vec_id").alias("id_a"),
+                    F.col("qv").alias("qa"),
+                    F.col("nn").alias("na"),
+                )
+                rhs = mm.select(
+                    F.col("cluster").alias("c2"),
+                    F.col("vec_id").alias("id_b"),
+                    F.col("qv").alias("qb"),
+                    F.col("nn").alias("nb"),
+                )
+                dotc = F.aggregate(
+                    F.zip_with("qa", "qb", lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                cm = F.round(
+                    dotc.cast("double")
+                    / (
+                        F.sqrt(F.col("na").cast("double"))
+                        * F.sqrt(F.col("nb").cast("double"))
+                    )
+                    * 1e6
+                ).cast("long")
+                return (
+                    lhs.join(
+                        rhs,
+                        (F.col("cluster") == F.col("c2"))
+                        & (F.col("id_a") < F.col("id_b")),
+                    )
+                    .select("id_b", cm.alias("cm"))
+                    .filter(F.col("cm") >= SD_TAU_MICRO)
+                    .select("id_b")
+                    .distinct()
+                )
+
+            t, pruned3 = timed(semdedup_fold, action="count")
+            print(json.dumps({"kernel": "semdedup_fold", "factor": r,
+                              "input_rows": n_es, "n_clusters": k_r,
+                              "out_rows": pruned3, "sec": round(t, 3)}))
             es.unpersist()
 
         # block-shifted embeddings: replicas displaced along every axis
