@@ -1,0 +1,538 @@
+"""Training-data pipeline audits (round-5 second batch): the three
+reports a corpus build runs to TUNE its pipeline before committing to
+knobs — a Johnson-Lindenstrauss projection-fidelity audit (is d'=16
+enough for the ANN index?), an LSH band/row S-curve (which (b, r)
+catches the dups we care about?), and CCNet-style reference-LM
+perplexity buckets (which slice of each source survives a quality
+cut?).
+
+Parity strategy (registry rules): embeddings are integer-quantized to
+micro-units BEFORE any arithmetic, so projections / norms are exact
+BIGINT sums (order-free across engines); collision probabilities use
+UNROLLED literal-exponent multiplication (left-associated IEEE
+multiply chains are exactly rounded, so identical shapes give
+bit-identical doubles — never ``pow``, which is libm); log
+probabilities micro-round per token (the registry's libm rule); all
+order statistics come from distinct-value histograms via the bucketed
+two-pass cumsum kernel (``functions/ranks.py``) — no global sort, no
+unpartitioned window over a data-scaled frame.
+
+Reference provenance: extends the corpus-preparation family
+(SURVEY.md §2 extension surface) — JL audit per Achlioptas (2003)
+database-friendly random projections; S-curve per Leskovec/Rajaraman/
+Ullman MMDS ch.3 (1-(1-s^r)^b); perplexity bucketing per CCNet
+(Wenzek et al. 2020, arXiv:1911.00359).
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dissertation_iceberg_spark.functions.hashing import hash60_py
+from dissertation_iceberg_spark.functions.ranks import (
+    bucketed_exclusive_cumsums,
+)
+from dissertation_iceberg_spark.io import load_table, spread
+from dissertation_iceberg_spark.operators import dedup as dd
+from dissertation_iceberg_spark.operators import text as tx
+from dissertation_iceberg_spark.queries.registry import register
+
+_TOKENS = "list_filter(str_split(text, ' '), x -> x <> '')"
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection distortion audit
+# --------------------------------------------------------------------------
+
+JL_D = 64  # fixture embedding dim (filtered, not assumed)
+JL_K = 16  # projection dim: the 4x compression an ANN index wants
+
+# Deterministic +-1 sign matrix from the portable md5 hash family —
+# data-independent, so it is a LITERAL in both engines (computed once
+# at import, same constants in the Spark plan and the oracle SQL).
+_JL_POS: dict[int, list[int]] = {
+    j: [
+        i
+        for i in range(JL_D)
+        if hash60_py(f"jl:{j}:{i}") % 2 == 0
+    ]
+    for j in range(JL_K)
+}
+_JL_NEG: dict[int, list[int]] = {
+    j: [i for i in range(JL_D) if i not in set(_JL_POS[j])]
+    for j in range(JL_K)
+}
+
+
+def _jl_p_sql(j: int) -> str:
+    """DuckDB text of projection coordinate j over BIGINT list ``q``."""
+    pos = " + ".join(f"q[{i + 1}]" for i in _JL_POS[j])
+    neg = " + ".join(f"q[{i + 1}]" for i in _JL_NEG[j])
+    return f"(({pos}) - ({neg}))"
+
+
+def _jl_p_col(j: int):
+    """Spark column of projection coordinate j over BIGINT array ``q``."""
+    pos = functools.reduce(
+        operator.add,
+        [F.element_at(F.col("q"), i + 1) for i in _JL_POS[j]],
+    )
+    neg = functools.reduce(
+        operator.add,
+        [F.element_at(F.col("q"), i + 1) for i in _JL_NEG[j]],
+    )
+    return pos - neg
+
+
+_JL_ORACLE = f"""
+WITH qt AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS q
+  FROM embeddings WHERE len(embedding) = {JL_D}),
+pr AS (
+  SELECT vec_id, label,
+         ({" + ".join(f"q[{i + 1}] * q[{i + 1}]" for i in range(JL_D))})
+           AS qn,
+         {", ".join(f"{_jl_p_sql(j)} AS p{j}" for j in range(JL_K))}
+  FROM qt),
+d AS (
+  SELECT vec_id, label,
+         CAST(round(CAST(({" + ".join(f"p{j} * p{j}" for j in range(JL_K))})
+                         AS DOUBLE) / CAST(qn AS DOUBLE) * 625e2) AS BIGINT)
+           AS dm
+  FROM pr WHERE qn > 0),
+hist AS (
+  SELECT label, dm, count(*) AS cnt,
+         sum(count(*)) OVER (PARTITION BY label ORDER BY dm) AS ci,
+         sum(count(*)) OVER (PARTITION BY label) AS n
+  FROM d GROUP BY 1, 2),
+med AS (
+  SELECT label, min(dm) AS md FROM hist WHERE ci >= (n + 1) // 2
+  GROUP BY 1)
+SELECT d.label, count(*) AS n_vecs,
+  round(CAST(CAST(sum(dm) AS BIGINT) AS DOUBLE) / count(*) / 1e6, 6)
+    AS mean_distortion,
+  round(CAST(any_value(md) AS DOUBLE) / 1e6, 6) AS median_distortion,
+  round(CAST(min(dm) AS DOUBLE) / 1e6, 6) AS min_distortion,
+  round(CAST(max(dm) AS DOUBLE) / 1e6, 6) AS max_distortion,
+  CAST(sum(CASE WHEN abs(dm - 1000000) <= 100000 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_within_10pct
+FROM d JOIN med USING (label)
+GROUP BY 1
+"""
+
+
+@register("jl_distortion_audit", oracle=_JL_ORACLE)
+def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection fidelity audit: project the
+    64-dim embeddings to 16 dims with a deterministic +-1 sign matrix
+    (Achlioptas 2003 database-friendly projection, signs from the
+    portable md5 family) and report, per label, the distribution of
+    the norm-distortion ratio ||Px||^2 / (k * ||x||^2) — the number
+    that tells you whether a 4x-smaller ANN index is safe, BEFORE
+    rebuilding it. distortion ~= 1 means distances survive.
+
+    Parity: elements are quantized to integer micro-units first, so
+    every projection coordinate and both squared norms are exact
+    BIGINT arithmetic — sum order never matters; the only float op is
+    one final division of identical exact integers (correctly-rounded
+    IEEE, bit-identical across engines). The sign matrix is a literal
+    (data-independent), identical in both plans by construction.
+
+    Scale: projection + norms are per-row codegen over the array —
+    zero shuffle; the label rollup is map-side combinable; the exact
+    median rides the distinct-value histogram through the bucketed
+    two-pass cumsum kernel (no global sort, no per-label row-scale
+    window). At 100 TB this is one scan + two tiny aggregates."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
+        F.size("embedding") == JL_D
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") * 1e6).cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+    qn = F.aggregate(
+        F.transform(F.col("q"), lambda v: v * v), zero, lambda a, v: a + v
+    )
+    pr = emb.select("vec_id", "label", q.alias("q")).select(
+        "vec_id",
+        "label",
+        qn.alias("qn"),
+        *[_jl_p_col(j).alias(f"p{j}") for j in range(JL_K)],
+    )
+    pn = functools.reduce(
+        operator.add,
+        [F.col(f"p{j}") * F.col(f"p{j}") for j in range(JL_K)],
+    )
+    d = pr.filter(F.col("qn") > 0).select(
+        "vec_id",
+        "label",
+        F.round(pn.cast("double") / F.col("qn").cast("double") * F.lit(625e2))
+        .cast("long")
+        .alias("dm"),
+    )
+    hist = d.groupBy("label", "dm").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = bucketed_exclusive_cumsums(
+        hist, "dm", ["cnt"], group_cols=["label"]
+    )
+    tot = hist.groupBy("label").agg(F.sum("cnt").alias("n"))
+    med = (
+        cum.join(F.broadcast(tot), "label")
+        .filter(
+            F.col("cum_cnt") + F.col("cnt") >= F.expr("(n + 1) div 2")
+        )
+        .groupBy("label")
+        .agg(F.min("dm").alias("md"))
+    )
+    return (
+        d.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum("dm").cast("double") / F.count(F.lit(1)) / 1e6, 6
+            ).alias("mean_distortion"),
+            F.round(F.min("dm").cast("double") / 1e6, 6).alias(
+                "min_distortion"
+            ),
+            F.round(F.max("dm").cast("double") / 1e6, 6).alias(
+                "max_distortion"
+            ),
+            F.sum((F.abs(F.col("dm") - 1000000) <= 100000).cast("int"))
+            .cast("long")
+            .alias("n_within_10pct"),
+        )
+        .join(F.broadcast(med), "label")
+        .select(
+            "label",
+            "n_vecs",
+            "mean_distortion",
+            F.round(F.col("md").cast("double") / 1e6, 6).alias(
+                "median_distortion"
+            ),
+            "min_distortion",
+            "max_distortion",
+            "n_within_10pct",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH band/row S-curve (MinHash parameter tuning)
+# --------------------------------------------------------------------------
+
+SCURVE_PAIR_THRESHOLD = 0.05  # candidate floor: keep the sub-dup band
+SCURVE_TAU = 0.35  # "true duplicate" target threshold being tuned for
+# e-notation in the SQL: DuckDB parses 0.05 as DECIMAL (exact) while
+# Spark compiles the Python float to DOUBLE — e-notation is DOUBLE in
+# both engines (the BM25 oracle's documented rule)
+_THR_SQL = "5e-2"
+_TAU_SQL = "35e-2"
+# (bands, rows/band) layouts of a <=16-hash MinHash signature
+SCURVE_GRID = ((16, 1), (8, 2), (5, 3), (4, 4), (2, 8), (1, 16))
+
+_SCURVE_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 2),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+    FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+           AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+        >= {_THR_SQL}
+    AND sa.sz >= {_THR_SQL} * sb.sz
+    AND sb.sz >= {_THR_SQL} * sa.sz)
+"""
+
+
+def _pow_sql(expr: str, n: int) -> str:
+    """Left-associated multiply chain: exact IEEE, never libm pow."""
+    return "(" + " * ".join([expr] * n) + ")"
+
+
+def _scurve_arm_sql(b: int, r: int) -> str:
+    sr = _pow_sql("jaccard", r)
+    tb = _pow_sql(f"(1e0 - {sr})", b)
+    p = f"CAST(round((1e0 - {tb}) * 1e6) AS BIGINT)"
+    return f"""
+  SELECT {b} AS bands, {r} AS rows_per_band, jaccard, {p} AS p_micro
+  FROM pairs"""
+
+
+_SCURVE_ORACLE = (
+    _SCURVE_PAIRS
+    + ", arms AS ("
+    + " UNION ALL ".join(_scurve_arm_sql(b, r) for b, r in SCURVE_GRID)
+    + f""")
+SELECT bands, rows_per_band,
+  count(*) AS n_pairs,
+  CAST(sum(CASE WHEN jaccard >= {_TAU_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_true,
+  CASE WHEN sum(CASE WHEN jaccard >= {_TAU_SQL} THEN 1 ELSE 0 END) > 0
+    THEN round(CAST(CAST(sum(CASE WHEN jaccard >= {_TAU_SQL}
+                    THEN p_micro ELSE 0 END) AS BIGINT) AS DOUBLE)
+         / sum(CASE WHEN jaccard >= {_TAU_SQL} THEN 1 ELSE 0 END) / 1e6,
+         6)
+  END AS expected_recall,
+  round(CAST(CAST(sum(CASE WHEN jaccard < {_TAU_SQL}
+             THEN p_micro ELSE 0 END) AS BIGINT) AS DOUBLE) / 1e6, 6)
+    AS expected_fp_pairs
+FROM arms GROUP BY 1, 2
+"""
+)
+
+
+def _pow_col(c, n: int):
+    return functools.reduce(operator.mul, [c] * n)
+
+
+@register("lsh_band_scurve", oracle=_SCURVE_ORACLE)
+def lsh_band_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter tuning: for each (bands b, rows-per-band
+    r) layout of a <=16-hash signature, the S-curve collision
+    probability P(s) = 1 - (1 - s^r)^b evaluated on the OBSERVED
+    candidate-pair Jaccard distribution — expected recall on true
+    dups (s >= tau) and expected false-positive candidate volume
+    below tau. This is how the b/r knobs of ``minhash_lsh_pairs`` get
+    chosen from data instead of folklore (MMDS ch.3).
+
+    Parity: s^r and (1-s^r)^b are UNROLLED literal-exponent multiply
+    chains — left-associated IEEE multiplication is exactly rounded,
+    so identical shapes are bit-identical across engines (libm pow is
+    not); probabilities micro-round to BIGINT before the sum, so the
+    aggregation is exact integer arithmetic.
+
+    Scale: pair generation reuses the capped posting-list expansion
+    kernel (``operators/dedup.py`` — no join operator, stop-shingle
+    cap available); the grid fans out map-side from a literal array
+    (never a join); the rollup is O(grid). At 100 TB this tuning
+    report runs on a corpus SAMPLE — the S-curve is a property of the
+    similarity distribution, which a uniform doc sample preserves."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = dd.jaccard_near_dup_pairs(
+        docs, "text", "doc_id", n=3, threshold=SCURVE_PAIR_THRESHOLD
+    ).select("jaccard")
+    s = F.col("jaccard")
+    arms = []
+    for b, r in SCURVE_GRID:
+        sr = _pow_col(s, r)
+        tb = _pow_col(F.lit(1e0) - sr, b)
+        p = F.round((F.lit(1e0) - tb) * 1e6).cast("long")
+        arms.append(
+            F.struct(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                p.alias("p_micro"),
+            )
+        )
+    g = pairs.select(
+        "jaccard", F.explode(F.array(*arms)).alias("arm")
+    ).select("jaccard", "arm.*")
+    n_true = F.sum((F.col("jaccard") >= SCURVE_TAU).cast("int"))
+    caught = F.sum(
+        F.when(F.col("jaccard") >= SCURVE_TAU, F.col("p_micro")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    missed = F.sum(
+        F.when(F.col("jaccard") < SCURVE_TAU, F.col("p_micro")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    return g.groupBy("bands", "rows_per_band").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        n_true.cast("long").alias("n_true"),
+        F.when(
+            n_true > 0,
+            F.round(caught.cast("double") / n_true / 1e6, 6),
+        ).alias("expected_recall"),
+        F.round(missed.cast("double") / 1e6, 6).alias("expected_fp_pairs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style reference-LM perplexity buckets
+# --------------------------------------------------------------------------
+
+CCNET_REF_SOURCES = ("src0", "src1")
+
+_CCNET_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, source, unnest(toks) AS term FROM (
+    SELECT doc_id, lang, source, {_TOKENS} AS toks FROM documents)),
+ref AS (
+  SELECT lang, term, count(*) AS c FROM tok
+  WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
+refstats AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n_total, count(*) AS vocab
+  FROM ref GROUP BY 1),
+lp AS (
+  SELECT t.doc_id, t.lang, t.source,
+         CAST(round(ln(CAST(coalesce(r.c, 0) + 1 AS DOUBLE)
+              / (coalesce(s.n_total, 0) + coalesce(s.vocab, 0) + 1)) * 1e6)
+              AS BIGINT) AS lp_micro
+  FROM tok t
+  LEFT JOIN ref r ON t.lang = r.lang AND t.term = r.term
+  LEFT JOIN refstats s ON t.lang = s.lang),
+ds AS (
+  SELECT doc_id, lang, source, count(*) AS n_tokens,
+         CAST(round(CAST(CAST(sum(lp_micro) AS BIGINT) AS DOUBLE)
+                    / count(*)) AS BIGINT) AS lp_mean_micro
+  FROM lp GROUP BY 1, 2, 3),
+hist AS (
+  SELECT lang, lp_mean_micro, count(*) AS cnt,
+         sum(count(*)) OVER (PARTITION BY lang ORDER BY lp_mean_micro)
+           AS ci,
+         sum(count(*)) OVER (PARTITION BY lang) AS n
+  FROM ds GROUP BY 1, 2),
+t1 AS (SELECT lang, min(lp_mean_micro) AS t1 FROM hist
+       WHERE ci >= (n + 2) // 3 GROUP BY 1),
+t2 AS (SELECT lang, min(lp_mean_micro) AS t2 FROM hist
+       WHERE ci >= (2 * n + 2) // 3 GROUP BY 1),
+b AS (
+  SELECT ds.lang, ds.source, lp_mean_micro,
+         CASE WHEN lp_mean_micro <= t1.t1 THEN 'tail'
+              WHEN lp_mean_micro <= t2.t2 THEN 'middle'
+              ELSE 'head' END AS bucket
+  FROM ds JOIN t1 USING (lang) JOIN t2 USING (lang))
+SELECT lang, source, bucket, count(*) AS n_docs,
+  round(CAST(CAST(sum(lp_mean_micro) AS BIGINT) AS DOUBLE)
+        / count(*) / 1e6, 6) AS mean_logprob
+FROM b GROUP BY 1, 2, 3
+"""
+
+
+@register("ccnet_perplexity_buckets", oracle=_CCNET_ORACLE)
+def ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): train an
+    add-one-smoothed unigram LM per language on a trusted REFERENCE
+    slice (sources src0/src1 — CCNet uses Wikipedia), score every
+    document's mean token log-probability against it, and cut each
+    language at its exact tercile order statistics into head / middle
+    / tail. The per-(lang, source, bucket) rollup is the table a
+    corpus build reads to decide which source slices survive.
+
+    Differs from ``unigram_logprob`` (self-scored, whole corpus): the
+    LM here is trained on the reference slice ONLY and applied
+    cross-source — the CCNet signature move. OOV tokens take the
+    smoothing floor via a left join (count 0).
+
+    Parity: per-token logprob micro-rounds to BIGINT (the libm rule),
+    per-doc mean micro-rounds once, tercile cuts are exact order
+    statistics at ceil(n/3)/ceil(2n/3) on the per-lang distinct-value
+    histogram — ties share a bucket, so no per-row rank is needed.
+
+    Scale: the LM is vocab-sized per lang (shuffle equi-join on
+    (lang, term); stopword heat is AQE skew-join territory, as in
+    unigram_logprob); refstats and tercile thresholds are O(langs)
+    broadcast dims; the histogram cumsum rides the bucketed two-pass
+    kernel — no global sort, no per-row window anywhere."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(tx.tokens(F.col("text"))).alias("term"),
+    )
+    ref = (
+        tok.filter(F.col("source").isin(*CCNET_REF_SOURCES))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    refstats = ref.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    lp_micro = (
+        F.round(
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (
+                    F.coalesce(F.col("n_total"), F.lit(0))
+                    + F.coalesce(F.col("vocab"), F.lit(0))
+                    + 1
+                )
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lp_micro")
+    )
+    scored = (
+        tok.join(ref, ["lang", "term"], "left")
+        .join(F.broadcast(refstats), ["lang"], "left")
+        .select("doc_id", "lang", "source", lp_micro)
+    )
+    ds = (
+        scored.groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.round(F.col("s").cast("double") / F.col("n_tokens"))
+            .cast("long")
+            .alias("lp_mean_micro"),
+        )
+    )
+    hist = ds.groupBy("lang", "lp_mean_micro").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = bucketed_exclusive_cumsums(
+        hist, "lp_mean_micro", ["cnt"], group_cols=["lang"]
+    )
+    tot = hist.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    cum = cum.join(F.broadcast(tot), "lang").withColumn(
+        "ci", F.col("cum_cnt") + F.col("cnt")
+    )
+    t1 = (
+        cum.filter(F.col("ci") >= F.expr("(n + 2) div 3"))
+        .groupBy("lang")
+        .agg(F.min("lp_mean_micro").alias("t1"))
+    )
+    t2 = (
+        cum.filter(F.col("ci") >= F.expr("(2 * n + 2) div 3"))
+        .groupBy("lang")
+        .agg(F.min("lp_mean_micro").alias("t2"))
+    )
+    bucket = (
+        F.when(F.col("lp_mean_micro") <= F.col("t1"), F.lit("tail"))
+        .when(F.col("lp_mean_micro") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return (
+        ds.join(F.broadcast(t1), "lang")
+        .join(F.broadcast(t2), "lang")
+        .groupBy("lang", "source", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("lp_mean_micro").cast("double")
+                / F.count(F.lit(1))
+                / 1e6,
+                6,
+            ).alias("mean_logprob"),
+        )
+    )

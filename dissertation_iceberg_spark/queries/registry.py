@@ -97,6 +97,7 @@ def _ensure_loaded() -> None:
         misc,
         ml_rolling,
         oi_variants,
+        pipeline_audit,
         regression,
         retrieval_ops,
         sessions,

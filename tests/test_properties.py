@@ -5698,3 +5698,73 @@ def test_k_anonymity_audit_monotone(spark, sf_dir):
     assert (a["n_groups_below"].diff().dropna() >= 0).all()
     assert (a["n_rows_below"].diff().dropna() >= 0).all()
     assert ((a["rows_below_share"] >= 0) & (a["rows_below_share"] <= 1)).all()
+
+
+def test_jl_distortion_audit_properties(spark, sf_dir):
+    """jl_distortion_audit invariants beyond the oracle: distortion
+    concentrates near 1 (JL with k=16 gives loose but real bounds),
+    ordering min <= median <= mean-ish <= max per label, and the sign
+    matrix is balanced enough that no label collapses to 0."""
+    from dissertation_iceberg_spark.queries.pipeline_audit import (
+        jl_distortion_audit,
+    )
+
+    a = jl_distortion_audit(spark, sf_dir).toPandas()
+    assert len(a) > 0
+    assert (a["min_distortion"] <= a["median_distortion"]).all()
+    assert (a["median_distortion"] <= a["max_distortion"]).all()
+    assert (a["min_distortion"] > 0).all()
+    # E[distortion] = 1 exactly for +-1 projections; per-label means
+    # should sit well inside [0.5, 2] even at 16 dims
+    assert ((a["mean_distortion"] > 0.5) & (a["mean_distortion"] < 2)).all()
+    assert (a["n_within_10pct"] <= a["n_vecs"]).all()
+
+
+def test_lsh_band_scurve_properties(spark, sf_dir):
+    """lsh_band_scurve invariants: every grid arm sees the same pair
+    set; recall is monotone in band count at fixed signature budget
+    (more bands = more permissive); (16,1) is the most permissive arm
+    and (1,16) the strictest; probabilities are valid."""
+    from dissertation_iceberg_spark.queries.pipeline_audit import (
+        lsh_band_scurve,
+    )
+
+    a = lsh_band_scurve(spark, sf_dir).toPandas()
+    assert set(zip(a["bands"], a["rows_per_band"])) == {
+        (16, 1), (8, 2), (5, 3), (4, 4), (2, 8), (1, 16)
+    }
+    assert a["n_pairs"].nunique() == 1
+    assert a["n_true"].nunique() == 1
+    by = a.set_index(["bands", "rows_per_band"])
+    if by["n_true"].iloc[0] > 0:
+        rec = by["expected_recall"]
+        assert ((rec >= 0) & (rec <= 1)).all()
+        # more rows per band (fewer bands) can only lower recall
+        assert rec[(16, 1)] >= rec[(4, 4)] >= rec[(1, 16)]
+    fp = by["expected_fp_pairs"]
+    assert (fp >= 0).all()
+    assert fp[(16, 1)] >= fp[(1, 16)]
+
+
+def test_ccnet_perplexity_buckets_properties(spark, sf_dir):
+    """ccnet_perplexity_buckets invariants: buckets partition each
+    language's docs into near-thirds (ties may skew counts but the
+    total is exact), scores order tail <= middle <= head per lang,
+    and every (lang, source) doc is bucketed exactly once."""
+    import duckdb
+
+    from dissertation_iceberg_spark.queries.pipeline_audit import (
+        ccnet_perplexity_buckets,
+    )
+
+    a = ccnet_perplexity_buckets(spark, sf_dir).toPandas()
+    assert set(a["bucket"]) <= {"head", "middle", "tail"}
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert a["n_docs"].sum() == n_docs
+    per_lang = a.groupby(["lang", "bucket"])["mean_logprob"].mean()
+    for lang in a["lang"].unique():
+        got = per_lang.get(lang, None)
+        if got is not None and {"head", "tail"} <= set(got.index):
+            assert got["tail"] <= got["head"]
