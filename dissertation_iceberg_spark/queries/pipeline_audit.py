@@ -32,7 +32,10 @@ import operator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dissertation_iceberg_spark.functions.hashing import hash60_py
+from dissertation_iceberg_spark.functions.hashing import (
+    hash60_py,
+    seeded_hash60_sql,
+)
 from dissertation_iceberg_spark.functions.ranks import (
     bucketed_exclusive_cumsums,
 )
@@ -535,4 +538,141 @@ def ccnet_perplexity_buckets(
                 6,
             ).alias("mean_logprob"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator-error audit (signature estimate vs exact Jaccard)
+# --------------------------------------------------------------------------
+
+MH_EST_HASHES = 32
+
+_MH_EST_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 2),
+                  i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+    FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b,
+         round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+           AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+        >= {_THR_SQL}),
+mh AS (
+  SELECT doc_id,
+         {", ".join(f"min({seeded_hash60_sql(i, 'shingle')}) AS mh_{i}"
+                    for i in range(MH_EST_HASHES))}
+  FROM sh GROUP BY 1),
+est AS (
+  SELECT p.jaccard,
+         ({" + ".join(
+             f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END"
+             for i in range(MH_EST_HASHES))}) AS n_match
+  FROM pairs p
+  JOIN mh a ON a.doc_id = p.id_a
+  JOIN mh b ON b.doc_id = p.id_b),
+e2 AS (
+  SELECT CAST(floor(jaccard * 10) AS BIGINT) AS j_decile,
+         CAST(round(n_match / {MH_EST_HASHES} * 1e6) AS BIGINT)
+           AS est_micro,
+         CAST(round(jaccard * 1e6) AS BIGINT) AS j_micro
+  FROM est)
+SELECT j_decile, count(*) AS n_pairs,
+  round(CAST(CAST(sum(est_micro) AS BIGINT) AS DOUBLE)
+        / count(*) / 1e6, 6) AS mean_estimate,
+  round(CAST(CAST(sum(j_micro) AS BIGINT) AS DOUBLE)
+        / count(*) / 1e6, 6) AS mean_exact,
+  round(CAST(CAST(sum(abs(est_micro - j_micro)) AS BIGINT) AS DOUBLE)
+        / count(*) / 1e6, 6) AS mean_abs_err,
+  round(CAST(max(abs(est_micro - j_micro)) AS DOUBLE) / 1e6, 6)
+    AS max_abs_err
+FROM e2 GROUP BY 1
+"""
+
+
+@register("minhash_estimator_error", oracle=_MH_EST_ORACLE)
+def minhash_estimator_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash estimator-quality audit: for every candidate pair with
+    exact Jaccard >= 0.05, the 32-hash signature estimate (matching
+    components / 32) against the exact value, rolled up by exact-
+    similarity decile — mean/max absolute estimation error per band.
+    Companion to ``lsh_band_scurve`` (which assumes the estimator is
+    unbiased; this measures how noisy it actually is at k=32) and
+    ``dedup_eval`` (which grades the banded retrieval, not the
+    estimator).
+
+    Parity: signatures are the portable md5-derived 60-bit family
+    (exact in both engines); the estimate k/32 is an exact dyadic
+    division; both estimate and exact Jaccard micro-round to BIGINT
+    before aggregation, so every rollup is exact integer arithmetic.
+
+    Scale: exact pairs ride the posting-list expansion kernel (no
+    join operator); signatures are one groupBy over the shingle
+    table; attaching them to pairs is two O(pairs) equi-joins on
+    doc_id — pair-bounded, never corpus-quadratic. Like the S-curve,
+    the tuning report runs on a corpus sample at 100 TB."""
+    from dissertation_iceberg_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = dd.jaccard_near_dup_pairs(
+        docs, "text", "doc_id", n=3, threshold=SCURVE_PAIR_THRESHOLD
+    ).select("id_a", "id_b", "jaccard")
+    sigs = minhash_signatures(
+        docs, "text", "doc_id", n=3, num_hashes=MH_EST_HASHES
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(MH_EST_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(MH_EST_HASHES)],
+    )
+    n_match = functools.reduce(
+        operator.add,
+        [
+            (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int")
+            for i in range(MH_EST_HASHES)
+        ],
+    )
+    e2 = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.floor(F.col("jaccard") * 10).cast("long").alias("j_decile"),
+            F.round(n_match / F.lit(MH_EST_HASHES) * 1e6)
+            .cast("long")
+            .alias("est_micro"),
+            F.round(F.col("jaccard") * 1e6).cast("long").alias("j_micro"),
+        )
+    )
+    err = F.abs(F.col("est_micro") - F.col("j_micro"))
+    return e2.groupBy("j_decile").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum("est_micro").cast("double") / F.count(F.lit(1)) / 1e6, 6
+        ).alias("mean_estimate"),
+        F.round(
+            F.sum("j_micro").cast("double") / F.count(F.lit(1)) / 1e6, 6
+        ).alias("mean_exact"),
+        F.round(
+            F.sum(err).cast("double") / F.count(F.lit(1)) / 1e6, 6
+        ).alias("mean_abs_err"),
+        F.round(F.max(err).cast("double") / 1e6, 6).alias("max_abs_err"),
     )

@@ -5768,3 +5768,23 @@ def test_ccnet_perplexity_buckets_properties(spark, sf_dir):
         got = per_lang.get(lang, None)
         if got is not None and {"head", "tail"} <= set(got.index):
             assert got["tail"] <= got["head"]
+
+
+def test_minhash_estimator_error_properties(spark, sf_dir):
+    """minhash_estimator_error invariants: estimates and exact values
+    live in [0, 1]; per-decile mean exact sits inside the decile; the
+    32-hash estimator error is bounded by 1 and the mean error is
+    bounded by the max."""
+    from dissertation_iceberg_spark.queries.pipeline_audit import (
+        minhash_estimator_error,
+    )
+
+    a = minhash_estimator_error(spark, sf_dir).toPandas()
+    assert len(a) > 0
+    assert ((a["mean_estimate"] >= 0) & (a["mean_estimate"] <= 1)).all()
+    assert ((a["mean_exact"] >= 0) & (a["mean_exact"] <= 1)).all()
+    assert (a["mean_abs_err"] <= a["max_abs_err"] + 1e-9).all()
+    assert (a["max_abs_err"] <= 1).all()
+    lo = a["j_decile"] / 10
+    assert ((a["mean_exact"] >= lo - 1e-9)).all()
+    assert ((a["mean_exact"] <= lo + 0.1 + 1e-9) | (a["j_decile"] == 10)).all()
