@@ -91,6 +91,30 @@ def word_shingles(
     return out.filter(F.col("shingle").isNotNull())
 
 
+def _posting_shuffle_partitions(
+    postings_src: DataFrame, key: str, self_size: bool
+) -> int:
+    """Derived shuffle width for a posting-list pair expansion, or 0
+    when the session default suffices (so fixture-scale plans stay
+    byte-identical — no repartition node appears). Candidate volume =
+    sum of squared per-key group sizes, measured EXACTLY by one cheap
+    count pre-agg (``functions/partitioning.pair_expansion_partitions``,
+    the item_cf recipe)."""
+    if not self_size:
+        return 0
+    from dissertation_iceberg_spark.functions.partitioning import (
+        pair_expansion_partitions,
+    )
+
+    n = pair_expansion_partitions(postings_src, key)
+    default = int(
+        postings_src.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"
+        )
+    )
+    return n if n > default else 0
+
+
 def jaccard_near_dup_pairs(
     df: DataFrame,
     text_col: str,
@@ -98,6 +122,7 @@ def jaccard_near_dup_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
+    self_size: bool = True,
 ) -> DataFrame:
     """Candidate-pair n-gram Jaccard similarity >= threshold.
 
@@ -136,10 +161,26 @@ def jaccard_near_dup_pairs(
     sizes from the surviving postings and joins them onto the pair
     aggregate (two O(pairs) equi-joins). The uncapped path keeps the
     joinless one-pass shape with sizes riding the posting arrays.
+
+    ``self_size`` (capped path only — the declared 100 TB deployment
+    shape): the posting-list and pair-count shuffles are pre-sized
+    from the EXACT pre-cap candidate volume sum(df^2) via one cheap
+    count pre-agg (``functions/partitioning.pair_expansion_partitions``
+    — the item_cf recipe), because AQE cannot pre-size an exchange
+    whose build side dies before any reducer runs. The pre-agg pays
+    one extra shingle-generation scan instead of persisting the
+    O(corpus-tokens) shingle frame (the greater evil at 100 TB); its
+    own shuffle carries only (shingle, count) rows with map-side
+    combine, so the session default is safe for it. When the derived
+    count does not exceed the session default (every test/SF fixture
+    here), NO repartition node appears — the plan is unchanged.
     """
     capped = max_shingle_freq is not None
     sh = word_shingles(df, text_col, id_col, n, with_size=not capped)
     if capped:
+        n_parts = _posting_shuffle_partitions(sh, "shingle", self_size)
+        if n_parts:
+            sh = sh.repartition(n_parts, "shingle")
         posts = sh.groupBy("shingle").agg(
             F.sort_array(F.collect_list("doc_id")).alias("ids")
         ).filter(F.size("ids") <= max_shingle_freq)
@@ -163,10 +204,13 @@ def jaccard_near_dup_pairs(
                 ),
             )
         )
-        inter = (
-            posts.select(F.explode(combos).alias("pr"))
-            .groupBy("pr.id_a", "pr.id_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
+        expanded = posts.select(F.explode(combos).alias("pr")).select(
+            "pr.id_a", "pr.id_b"
+        )
+        if n_parts:
+            expanded = expanded.repartition(n_parts, "id_a", "id_b")
+        inter = expanded.groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).alias("n_inter")
         )
         sa = sizes.select(
             F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a")
@@ -622,6 +666,7 @@ def winnow_near_dup_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_fp_freq: int | None = None,
+    self_size: bool = True,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints,
     scored by containment n_shared / min(|fp_a|, |fp_b|).
@@ -638,7 +683,14 @@ def winnow_near_dup_pairs(
         "doc_id", "h"
     ).distinct()
     sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    posts = fps.groupBy("h").agg(
+    # capped = the declared 100 TB path: pre-size its posting/pair
+    # shuffles from the exact candidate volume (jaccard's recipe;
+    # returns 0 — plan unchanged — when the default suffices)
+    n_parts = _posting_shuffle_partitions(
+        fps, "h", self_size and max_fp_freq is not None
+    )
+    fp_src = fps.repartition(n_parts, "h") if n_parts else fps
+    posts = fp_src.groupBy("h").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
     if max_fp_freq is not None:
@@ -657,9 +709,13 @@ def winnow_near_dup_pairs(
             ),
         )
     )
+    expanded = posts.select(F.explode(combos).alias("pr")).select(
+        "pr.id_a", "pr.id_b"
+    )
+    if n_parts:
+        expanded = expanded.repartition(n_parts, "id_a", "id_b")
     inter = (
-        posts.select(F.explode(combos).alias("pr"))
-        .groupBy("pr.id_a", "pr.id_b")
+        expanded.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

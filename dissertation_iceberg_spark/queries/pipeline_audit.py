@@ -129,31 +129,12 @@ GROUP BY 1
 """
 
 
-@register("jl_distortion_audit", oracle=_JL_ORACLE)
-def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Johnson-Lindenstrauss projection fidelity audit: project the
-    64-dim embeddings to 16 dims with a deterministic +-1 sign matrix
-    (Achlioptas 2003 database-friendly projection, signs from the
-    portable md5 family) and report, per label, the distribution of
-    the norm-distortion ratio ||Px||^2 / (k * ||x||^2) — the number
-    that tells you whether a 4x-smaller ANN index is safe, BEFORE
-    rebuilding it. distortion ~= 1 means distances survive.
-
-    Parity: elements are quantized to integer micro-units first, so
-    every projection coordinate and both squared norms are exact
-    BIGINT arithmetic — sum order never matters; the only float op is
-    one final division of identical exact integers (correctly-rounded
-    IEEE, bit-identical across engines). The sign matrix is a literal
-    (data-independent), identical in both plans by construction.
-
-    Scale: projection + norms are per-row codegen over the array —
-    zero shuffle; the label rollup is map-side combinable; the exact
-    median rides the distinct-value histogram through the bucketed
-    two-pass cumsum kernel (no global sort, no per-label row-scale
-    window). At 100 TB this is one scan + two tiny aggregates."""
-    emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
-        F.size("embedding") == JL_D
-    )
+def jl_audit_frame(emb: DataFrame) -> DataFrame:
+    """Frame-level JL audit kernel over an embeddings DataFrame
+    (vec_id, embedding, label) — the shape :func:`jl_distortion_audit`
+    registers and ``tools/scale_exp.py`` measures on replicated
+    frames."""
+    emb = emb.filter(F.size("embedding") == JL_D)
     q = F.transform(
         F.col("embedding"),
         lambda v: F.round(v.cast("double") * 1e6).cast("long"),
@@ -222,6 +203,31 @@ def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_within_10pct",
         )
     )
+
+
+@register("jl_distortion_audit", oracle=_JL_ORACLE)
+def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection fidelity audit: project the
+    64-dim embeddings to 16 dims with a deterministic +-1 sign matrix
+    (Achlioptas 2003 database-friendly projection, signs from the
+    portable md5 family) and report, per label, the distribution of
+    the norm-distortion ratio ||Px||^2 / (k * ||x||^2) — the number
+    that tells you whether a 4x-smaller ANN index is safe, BEFORE
+    rebuilding it. distortion ~= 1 means distances survive.
+
+    Parity: elements are quantized to integer micro-units first, so
+    every projection coordinate and both squared norms are exact
+    BIGINT arithmetic — sum order never matters; the only float op is
+    one final division of identical exact integers (correctly-rounded
+    IEEE, bit-identical across engines). The sign matrix is a literal
+    (data-independent), identical in both plans by construction.
+
+    Scale: projection + norms are per-row codegen over the array —
+    zero shuffle; the label rollup is map-side combinable; the exact
+    median rides the distinct-value histogram through the bucketed
+    two-pass cumsum kernel (no global sort, no per-label row-scale
+    window). At 100 TB this is one scan + two tiny aggregates."""
+    return jl_audit_frame(spread(load_table(spark, sf_dir, "embeddings")))
 
 
 # --------------------------------------------------------------------------
@@ -422,34 +428,11 @@ FROM b GROUP BY 1, 2, 3
 """
 
 
-@register("ccnet_perplexity_buckets", oracle=_CCNET_ORACLE)
-def ccnet_perplexity_buckets(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """CCNet-style quality bucketing (Wenzek et al. 2020): train an
-    add-one-smoothed unigram LM per language on a trusted REFERENCE
-    slice (sources src0/src1 — CCNet uses Wikipedia), score every
-    document's mean token log-probability against it, and cut each
-    language at its exact tercile order statistics into head / middle
-    / tail. The per-(lang, source, bucket) rollup is the table a
-    corpus build reads to decide which source slices survive.
-
-    Differs from ``unigram_logprob`` (self-scored, whole corpus): the
-    LM here is trained on the reference slice ONLY and applied
-    cross-source — the CCNet signature move. OOV tokens take the
-    smoothing floor via a left join (count 0).
-
-    Parity: per-token logprob micro-rounds to BIGINT (the libm rule),
-    per-doc mean micro-rounds once, tercile cuts are exact order
-    statistics at ceil(n/3)/ceil(2n/3) on the per-lang distinct-value
-    histogram — ties share a bucket, so no per-row rank is needed.
-
-    Scale: the LM is vocab-sized per lang (shuffle equi-join on
-    (lang, term); stopword heat is AQE skew-join territory, as in
-    unigram_logprob); refstats and tercile thresholds are O(langs)
-    broadcast dims; the histogram cumsum rides the bucketed two-pass
-    kernel — no global sort, no per-row window anywhere."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+def ccnet_buckets_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level CCNet bucketing kernel over a documents DataFrame
+    (doc_id, text, lang, source) — the shape
+    :func:`ccnet_perplexity_buckets` registers and
+    ``tools/scale_exp.py`` measures on replicated frames."""
     tok = docs.select(
         "doc_id",
         "lang",
@@ -541,6 +524,38 @@ def ccnet_perplexity_buckets(
     )
 
 
+@register("ccnet_perplexity_buckets", oracle=_CCNET_ORACLE)
+def ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): train an
+    add-one-smoothed unigram LM per language on a trusted REFERENCE
+    slice (sources src0/src1 — CCNet uses Wikipedia), score every
+    document's mean token log-probability against it, and cut each
+    language at its exact tercile order statistics into head / middle
+    / tail. The per-(lang, source, bucket) rollup is the table a
+    corpus build reads to decide which source slices survive.
+
+    Differs from ``unigram_logprob`` (self-scored, whole corpus): the
+    LM here is trained on the reference slice ONLY and applied
+    cross-source — the CCNet signature move. OOV tokens take the
+    smoothing floor via a left join (count 0).
+
+    Parity: per-token logprob micro-rounds to BIGINT (the libm rule),
+    per-doc mean micro-rounds once, tercile cuts are exact order
+    statistics at ceil(n/3)/ceil(2n/3) on the per-lang distinct-value
+    histogram — ties share a bucket, so no per-row rank is needed.
+
+    Scale: the LM is vocab-sized per lang (shuffle equi-join on
+    (lang, term); stopword heat is AQE skew-join territory, as in
+    unigram_logprob); refstats and tercile thresholds are O(langs)
+    broadcast dims; the histogram cumsum rides the bucketed two-pass
+    kernel — no global sort, no per-row window anywhere."""
+    return ccnet_buckets_frame(
+        spread(load_table(spark, sf_dir, "documents"))
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash estimator-error audit (signature estimate vs exact Jaccard)
 # --------------------------------------------------------------------------
@@ -602,34 +617,14 @@ FROM e2 GROUP BY 1
 """
 
 
-@register("minhash_estimator_error", oracle=_MH_EST_ORACLE)
-def minhash_estimator_error(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """MinHash estimator-quality audit: for every candidate pair with
-    exact Jaccard >= 0.05, the 32-hash signature estimate (matching
-    components / 32) against the exact value, rolled up by exact-
-    similarity decile — mean/max absolute estimation error per band.
-    Companion to ``lsh_band_scurve`` (which assumes the estimator is
-    unbiased; this measures how noisy it actually is at k=32) and
-    ``dedup_eval`` (which grades the banded retrieval, not the
-    estimator).
-
-    Parity: signatures are the portable md5-derived 60-bit family
-    (exact in both engines); the estimate k/32 is an exact dyadic
-    division; both estimate and exact Jaccard micro-round to BIGINT
-    before aggregation, so every rollup is exact integer arithmetic.
-
-    Scale: exact pairs ride the posting-list expansion kernel (no
-    join operator); signatures are one groupBy over the shingle
-    table; attaching them to pairs is two O(pairs) equi-joins on
-    doc_id — pair-bounded, never corpus-quadratic. Like the S-curve,
-    the tuning report runs on a corpus sample at 100 TB."""
+def minhash_estimator_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level estimator-error kernel over a documents DataFrame —
+    the shape :func:`minhash_estimator_error` registers and
+    ``tools/scale_exp.py`` measures on replicated frames."""
     from dissertation_iceberg_spark.operators.dedup import (
         minhash_signatures,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
     pairs = dd.jaccard_near_dup_pairs(
         docs, "text", "doc_id", n=3, threshold=SCURVE_PAIR_THRESHOLD
     ).select("id_a", "id_b", "jaccard")
@@ -675,4 +670,32 @@ def minhash_estimator_error(
             F.sum(err).cast("double") / F.count(F.lit(1)) / 1e6, 6
         ).alias("mean_abs_err"),
         F.round(F.max(err).cast("double") / 1e6, 6).alias("max_abs_err"),
+    )
+
+
+@register("minhash_estimator_error", oracle=_MH_EST_ORACLE)
+def minhash_estimator_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash estimator-quality audit: for every candidate pair with
+    exact Jaccard >= 0.05, the 32-hash signature estimate (matching
+    components / 32) against the exact value, rolled up by exact-
+    similarity decile — mean/max absolute estimation error per band.
+    Companion to ``lsh_band_scurve`` (which assumes the estimator is
+    unbiased; this measures how noisy it actually is at k=32) and
+    ``dedup_eval`` (which grades the banded retrieval, not the
+    estimator).
+
+    Parity: signatures are the portable md5-derived 60-bit family
+    (exact in both engines); the estimate k/32 is an exact dyadic
+    division; both estimate and exact Jaccard micro-round to BIGINT
+    before aggregation, so every rollup is exact integer arithmetic.
+
+    Scale: exact pairs ride the posting-list expansion kernel (no
+    join operator); signatures are one groupBy over the shingle
+    table; attaching them to pairs is two O(pairs) equi-joins on
+    doc_id — pair-bounded, never corpus-quadratic. Like the S-curve,
+    the tuning report runs on a corpus sample at 100 TB."""
+    return minhash_estimator_frame(
+        spread(load_table(spark, sf_dir, "documents"))
     )

@@ -5788,3 +5788,41 @@ def test_minhash_estimator_error_properties(spark, sf_dir):
     lo = a["j_decile"] / 10
     assert ((a["mean_exact"] >= lo - 1e-9)).all()
     assert ((a["mean_exact"] <= lo + 0.1 + 1e-9) | (a["j_decile"] == 10)).all()
+
+
+def test_posting_self_size_pin(spark, sf_dir):
+    """Posting-list self-sizing (round-5): the capped jaccard/winnow
+    paths derive their pair-expansion shuffle width from the exact
+    sum(df^2) pre-agg. Values must be identical with the sizing on or
+    off (it is physical layout only), fixture-scale inputs must NOT
+    trigger a repartition (width 0 = plan unchanged), and a skewed
+    posting table must derive a wider-than-default shuffle."""
+    from pyspark.sql import functions as F
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.operators.dedup import (
+        _posting_shuffle_partitions,
+        jaccard_near_dup_pairs,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    on = jaccard_near_dup_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5,
+        max_shingle_freq=3, self_size=True,
+    ).toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    off = jaccard_near_dup_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5,
+        max_shingle_freq=3, self_size=False,
+    ).toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert on.equals(off)
+    # fixture scale: candidate volume far below one partition's quota
+    sh = word_shingles(docs, "text", "doc_id", 3)
+    assert _posting_shuffle_partitions(sh, "shingle", True) == 0
+    assert _posting_shuffle_partitions(sh, "shingle", False) == 0
+    # skewed synthetic: one 80k-doc stop-shingle => sum(df^2) = 6.4e9
+    # => ceil(/500k) = 12800 => clamped to 4096, above any default
+    hot = spark.range(80_000).select(
+        F.lit("the quick fox").alias("shingle"), F.col("id").alias("doc_id")
+    )
+    assert _posting_shuffle_partitions(hot, "shingle", True) == 4096

@@ -1401,6 +1401,85 @@ def main() -> None:
                               "out_rows": pruned3, "sec": round(t, 3)}))
             es.unpersist()
 
+        # JL distortion audit (queries/pipeline_audit.jl_audit_frame,
+        # round 5): per-row integer projection + per-label histogram
+        # median via bucketed cumsums — the claim under test: zero
+        # pair/join blowup anywhere, so wall time tracks the scan and
+        # the distinct-distortion histogram (which grows with N but
+        # stays bucket-parallel)
+        if _want("jl_audit"):
+            from dissertation_iceberg_spark.queries.pipeline_audit import (
+                jl_audit_frame,
+            )
+
+            ej = replicate(emb, r, {"vec_id": 10_000_000})
+            if r > 1:
+                ej = ej.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x: (
+                            x + F.col("__rep").cast("float") * F.lit(0.01)
+                        ),
+                    ),
+                )
+            ej = ej.drop("__rep").persist()
+            n_ej = ej.count()
+            t, rows = timed(lambda: jl_audit_frame(ej), action="count")
+            print(json.dumps({"kernel": "jl_audit", "factor": r,
+                              "input_rows": n_ej, "out_rows": rows,
+                              "sec": round(t, 3)}))
+            ej.unpersist()
+
+        # CCNet reference-LM bucketing (pipeline_audit.
+        # ccnet_buckets_frame, round 5): block-disjoint replica text =
+        # vocabulary grows LINEARLY with the corpus (pessimistic vs
+        # Heaps' law) — the claim under test: the vocab-keyed logprob
+        # join and the per-lang tercile histogram both stay linear,
+        # no global sort appears
+        if _want("ccnet") or _want("mh_estimator"):
+            dc = replicate(docs, r, {"doc_id": 10_000_000})
+            if r > 1:
+                pfx2 = F.concat(F.lit("b"), F.col("__rep"), F.lit("_"))
+                dc = dc.withColumn(
+                    "text",
+                    F.concat(pfx2, F.regexp_replace(
+                        F.col("text"), " ",
+                        F.concat(F.lit(" "), pfx2))),
+                )
+            dc = dc.drop("__rep").persist()
+            n_dc = dc.count()
+            if _want("ccnet"):
+                from dissertation_iceberg_spark.queries.pipeline_audit import (
+                    ccnet_buckets_frame,
+                )
+
+                t, rows = timed(
+                    lambda: ccnet_buckets_frame(dc), action="count"
+                )
+                print(json.dumps({"kernel": "ccnet", "factor": r,
+                                  "input_rows": n_dc, "out_rows": rows,
+                                  "sec": round(t, 3)}))
+
+            # MinHash estimator error (pipeline_audit.
+            # minhash_estimator_frame, round 5): exact-pair posting
+            # expansion + signature build + two O(pairs) joins — the
+            # claim under test: block-disjoint replicas keep the pair
+            # volume (and so the join inputs) linear, same guard story
+            # as the jaccard kernel
+            if _want("mh_estimator"):
+                from dissertation_iceberg_spark.queries.pipeline_audit import (
+                    minhash_estimator_frame,
+                )
+
+                t, rows = timed(
+                    lambda: minhash_estimator_frame(dc), action="count"
+                )
+                print(json.dumps({"kernel": "mh_estimator", "factor": r,
+                                  "input_rows": n_dc, "out_rows": rows,
+                                  "sec": round(t, 3)}))
+            dc.unpersist()
+
         # block-shifted embeddings: replicas displaced along every axis
         if not _want("ivf_probe"):
             continue
