@@ -428,17 +428,19 @@ FROM b GROUP BY 1, 2, 3
 """
 
 
-def ccnet_buckets_frame(docs: DataFrame) -> DataFrame:
-    """Frame-level CCNet bucketing kernel over a documents DataFrame
-    (doc_id, text, lang, source) — the shape
-    :func:`ccnet_perplexity_buckets` registers and
-    ``tools/scale_exp.py`` measures on replicated frames."""
-    tok = docs.select(
+def _ccnet_tok(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, term) token table."""
+    return docs.select(
         "doc_id",
         "lang",
         "source",
         F.explode(tx.tokens(F.col("text"))).alias("term"),
     )
+
+
+def _ccnet_ref(tok: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Reference-slice LM tables: per-(lang, term) counts and
+    per-lang (n_total, vocab)."""
     ref = (
         tok.filter(F.col("source").isin(*CCNET_REF_SOURCES))
         .groupBy("lang", "term")
@@ -448,10 +450,17 @@ def ccnet_buckets_frame(docs: DataFrame) -> DataFrame:
         F.sum("c").cast("long").alias("n_total"),
         F.count(F.lit(1)).alias("vocab"),
     )
-    lp_micro = (
+    return ref, refstats
+
+
+def _ccnet_lp_micro(c):
+    """Per-token micro-logprob Column given a (nullable) ref count
+    column — the ONE expression shape both the batch scorer and the
+    streaming artifact trainer compile, so they can never disagree."""
+    return (
         F.round(
             F.log(
-                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                (F.coalesce(c, F.lit(0)) + 1).cast("double")
                 / (
                     F.coalesce(F.col("n_total"), F.lit(0))
                     + F.coalesce(F.col("vocab"), F.lit(0))
@@ -463,12 +472,19 @@ def ccnet_buckets_frame(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("lp_micro")
     )
+
+
+def _ccnet_ds(docs: DataFrame) -> DataFrame:
+    """Per-document mean micro-logprob (doc_id, lang, source,
+    lp_mean_micro) against the reference-slice LM."""
+    tok = _ccnet_tok(docs)
+    ref, refstats = _ccnet_ref(tok)
     scored = (
         tok.join(ref, ["lang", "term"], "left")
         .join(F.broadcast(refstats), ["lang"], "left")
-        .select("doc_id", "lang", "source", lp_micro)
+        .select("doc_id", "lang", "source", _ccnet_lp_micro(F.col("c")))
     )
-    ds = (
+    return (
         scored.groupBy("doc_id", "lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -483,6 +499,11 @@ def ccnet_buckets_frame(docs: DataFrame) -> DataFrame:
             .alias("lp_mean_micro"),
         )
     )
+
+
+def _ccnet_cuts(ds: DataFrame) -> DataFrame:
+    """Per-lang exact tercile cut values (lang, t1, t2) from the
+    distinct-value histogram via the bucketed two-pass kernel."""
     hist = ds.groupBy("lang", "lp_mean_micro").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -503,15 +524,44 @@ def ccnet_buckets_frame(docs: DataFrame) -> DataFrame:
         .groupBy("lang")
         .agg(F.min("lp_mean_micro").alias("t2"))
     )
-    bucket = (
-        F.when(F.col("lp_mean_micro") <= F.col("t1"), F.lit("tail"))
-        .when(F.col("lp_mean_micro") <= F.col("t2"), F.lit("middle"))
+    return t1.join(t2, "lang")
+
+
+def ccnet_bucket_expr(lp_col, t1_col, t2_col):
+    """Shared bucket rule: tail <= t1 < middle <= t2 < head."""
+    return (
+        F.when(lp_col <= t1_col, F.lit("tail"))
+        .when(lp_col <= t2_col, F.lit("middle"))
         .otherwise(F.lit("head"))
     )
+
+
+def ccnet_doc_scores_frame(docs: DataFrame) -> DataFrame:
+    """Per-document CCNet score + bucket (doc_id, lang, source,
+    lp_mean_micro, bucket) — the frame the streaming gate's batch
+    twin pins against."""
+    ds = _ccnet_ds(docs)
+    cuts = _ccnet_cuts(ds)
+    b = ds.join(F.broadcast(cuts), "lang")
+    return b.select(
+        "doc_id",
+        "lang",
+        "source",
+        "lp_mean_micro",
+        ccnet_bucket_expr(
+            F.col("lp_mean_micro"), F.col("t1"), F.col("t2")
+        ).alias("bucket"),
+    )
+
+
+def ccnet_buckets_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level CCNet bucketing kernel over a documents DataFrame
+    (doc_id, text, lang, source) — the shape
+    :func:`ccnet_perplexity_buckets` registers and
+    ``tools/scale_exp.py`` measures on replicated frames."""
     return (
-        ds.join(F.broadcast(t1), "lang")
-        .join(F.broadcast(t2), "lang")
-        .groupBy("lang", "source", bucket.alias("bucket"))
+        ccnet_doc_scores_frame(docs)
+        .groupBy("lang", "source", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(

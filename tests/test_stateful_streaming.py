@@ -1544,3 +1544,73 @@ def test_streaming_gopher_gate_matches_batch(spark, tmp_path):
     assert got_s.equals(want_s)
     # the gate must actually discriminate on the fixture
     assert 0 < int(want["pass"].sum()) < len(want)
+
+
+def test_streaming_ccnet_gate_matches_batch(spark, tmp_path):
+    """Streaming CCNet gate (LM-as-broadcast-artifact): streamed
+    scores and buckets are bit-identical to the same gate on a batch
+    frame AND to the pure-Spark batch scorer
+    (ccnet_doc_scores_frame) — the artifact's Spark-computed
+    micro-logprobs plus the Python HALF_UP mean replicate the join
+    path exactly, across micro-batches."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.pipeline_audit import (
+        ccnet_doc_scores_frame,
+    )
+    from dissertation_iceberg_spark.streaming.ccnet_stream import (
+        ccnet_gate,
+        train_ccnet_artifact,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    artifact = train_ccnet_artifact(docs)
+    assert artifact["lm"] and artifact["cuts"]
+
+    src = str(tmp_path / "ccnet_src")
+    chunks = [
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1) for i in range(3)
+    ]
+    for i, c in enumerate(chunks):
+        c.write.parquet(f"{src}/f{i}")
+    paths = [f"{src}/f{i}" for i in range(3)]
+    schema = spark.read.parquet(*paths).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        ccnet_gate(stream, artifact)
+        .writeStream.format("memory")
+        .queryName("ccnet_gate_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("ccnet_gate_out").toPandas()
+    want = ccnet_gate(spark.read.parquet(*paths), artifact).toPandas()
+
+    cols = sorted(got.columns)
+    got_s = got[cols].sort_values("doc_id").reset_index(drop=True)
+    want_s = want[cols].sort_values("doc_id").reset_index(drop=True)
+    assert got_s.equals(want_s)
+
+    # and both must equal the pure-Spark join-path scorer exactly
+    batch = (
+        ccnet_doc_scores_frame(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(batch) == len(got_s)
+    merged = got_s.merge(
+        batch, on="doc_id", suffixes=("_gate", "_spark")
+    )
+    assert (
+        merged["lp_mean_micro_gate"] == merged["lp_mean_micro_spark"]
+    ).all()
+    assert (merged["bucket_gate"] == merged["bucket_spark"]).all()
+    # the cut actually discriminates on the fixture
+    assert set(got_s["bucket"]) == {"head", "middle", "tail"}
