@@ -1490,3 +1490,144 @@ def broken_stick_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sse_l") / 1e4, 4).alias("sse_left"),
         F.round(F.col("sse_r") / 1e4, 4).alias("sse_right"),
     )
+
+
+# --------------------------------------------------------------------------
+# Decomposition-residual anomaly flags (seasonal_decompose's monitor)
+# --------------------------------------------------------------------------
+
+_RESID_ANOM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+           AS day_num,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+win AS (
+  SELECT day_num, cents,
+         CAST(sum(cents) OVER w AS BIGINT) AS sum7,
+         CAST(count(*) OVER w AS BIGINT) AS cnt7
+  FROM daily
+  WINDOW w AS (ORDER BY day_num ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+dowd AS (
+  SELECT day_num, (day_num + 3) % 7 AS dow,
+         cents * 7 - sum7 AS detr7
+  FROM win WHERE cnt7 = 7),
+g AS (SELECT dow, CAST(count(*) AS BIGINT) AS nw,
+             CAST(sum(detr7) AS BIGINT) AS dsum FROM dowd GROUP BY 1),
+r AS (
+  SELECT dowd.dow, day_num, nw,
+         abs(detr7 * nw - dsum) AS abs_r
+  FROM dowd JOIN g USING (dow)),
+rk AS (
+  SELECT dow, nw, abs_r,
+         row_number() OVER (PARTITION BY dow ORDER BY abs_r, day_num)
+           AS rn
+  FROM r),
+mads AS (SELECT dow, abs_r AS mad FROM rk WHERE rn = (nw + 1) // 2)
+SELECT dow,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN abs_r > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       round(CAST(mad AS DOUBLE) / nw / 7, 2) AS mad_cents,
+       round(CAST(max(abs_r) AS DOUBLE) / nw / 7, 2) AS max_resid_cents
+FROM r JOIN mads USING (dow)
+GROUP BY dow, mad, nw
+"""
+
+
+@register("decompose_residual_anomaly", oracle=_RESID_ANOM_ORACLE)
+def decompose_residual_anomaly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual-based anomaly monitor on top of the classical
+    decomposition: remove the 7-day centered-MA trend (exactly
+    ``seasonal_decompose``'s detrending, same integer cents*7 - sum7
+    form), remove each weekday's mean seasonal component, and flag
+    days whose |residual| exceeds 3x the per-weekday MAD — the
+    standard decompose-then-MAD alert a monitoring stack runs after
+    ``seasonal_decompose`` has fit the components (``daily_anomaly_mad``
+    is the same gate WITHOUT deseasonalization; this one does not fire
+    on ordinary weekend dips).
+
+    Determinism: the deseasonalized residual rides as the exact
+    BIGINT detr7*nw - dsum (= nw * (detr7 - dow mean), a common-
+    denominator trick that avoids the division); the MAD is the exact
+    LOWER median — the (nw+1)//2-th order statistic of |residual| with
+    day_num as the deterministic tiebreak — so the 3x flag compares
+    exact integers. Only the two report columns divide, in one
+    mirrored float expression each.
+
+    Scale shape: one fact-scale map-side-combinable daily sum; every
+    later stage lives on the O(days) frame — the centered MA is the
+    accepted bounded-frame window class (history length), and the
+    per-dow rank/median windows partition by weekday over O(days/7)
+    rows. Nothing row-scale sorts or collects."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .select(
+            F.datediff(F.col("day"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day_num"),
+            "cents",
+        )
+    )
+    w7 = Window.orderBy("day_num").rowsBetween(-3, 3)
+    dowd = (
+        daily.select(
+            "day_num",
+            "cents",
+            F.sum("cents").over(w7).cast("long").alias("sum7"),
+            F.count(F.lit(1)).over(w7).cast("long").alias("cnt7"),
+        )
+        .filter(F.col("cnt7") == 7)
+        .select(
+            "day_num",
+            ((F.col("day_num") + 3) % 7).alias("dow"),
+            (F.col("cents") * 7 - F.col("sum7")).alias("detr7"),
+        )
+    )
+    g = dowd.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("nw"),
+        F.sum("detr7").cast("long").alias("dsum"),
+    )
+    r = dowd.join(F.broadcast(g), "dow").select(
+        "dow",
+        "day_num",
+        "nw",
+        F.abs(F.col("detr7") * F.col("nw") - F.col("dsum")).alias("abs_r"),
+    )
+    wr = Window.partitionBy("dow").orderBy("abs_r", "day_num")
+    mads = (
+        r.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == F.expr("(nw + 1) div 2"))
+        .select("dow", F.col("abs_r").alias("mad"))
+    )
+    return (
+        r.join(F.broadcast(mads), "dow")
+        .groupBy("dow", "mad", "nw")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum((F.col("abs_r") > 3 * F.col("mad")).cast("int"))
+            .cast("long")
+            .alias("n_anomalies"),
+            F.max("abs_r").alias("max_abs"),
+        )
+        .select(
+            "dow",
+            "n_windows",
+            "n_anomalies",
+            F.round(F.col("mad").cast("double") / F.col("nw") / 7, 2).alias(
+                "mad_cents"
+            ),
+            F.round(
+                F.col("max_abs").cast("double") / F.col("nw") / 7, 2
+            ).alias("max_resid_cents"),
+        )
+    )

@@ -789,3 +789,128 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stats = row if stats is None else stats.unionByName(row)
     return stats
+
+
+# --------------------------------------------------------------------------
+# SoftDeDup reweighting (commonness-based soft deduplication)
+# --------------------------------------------------------------------------
+
+_SOFTDEDUP_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({_TOKENS}) AS term FROM documents),
+counts AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+corpus AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                  count(*) AS vocab FROM counts),
+lp AS (
+  SELECT term,
+         CAST(round(ln(CAST(c + 1 AS DOUBLE) / (n_total + vocab)) * 1e6)
+              AS BIGINT) AS lp_micro
+  FROM counts CROSS JOIN corpus),
+pd AS (
+  SELECT doc_id, source, count(*) AS n_tokens,
+         CAST(round(CAST(CAST(sum(lp_micro) AS BIGINT) AS DOUBLE)
+                    / count(*)) AS BIGINT) AS lp_mean_micro
+  FROM tok JOIN lp USING (term) GROUP BY 1, 2),
+tm AS (
+  SELECT *,
+         CAST(round(CAST(n_tokens AS DOUBLE)
+                    * exp(CAST(lp_mean_micro AS DOUBLE) / -1e6) * 1e3)
+              AS BIGINT) AS term_q
+  FROM pd),
+st AS (SELECT CAST(sum(term_q) AS BIGINT) AS s_q,
+              CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM tm)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       lp_mean_micro,
+       round(CAST(t_tokens AS DOUBLE) * 1e3 / s_q
+             * exp(CAST(lp_mean_micro AS DOUBLE) / -1e6), 6)
+         AS sample_weight
+FROM tm CROSS JOIN st
+"""
+
+
+@register("softdedup_weights", oracle=_SOFTDEDUP_ORACLE)
+def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup-style reweighting (He et al., ACL 2024): instead of
+    DELETING near-duplicates, down-weight common documents in the
+    sampling distribution. Commonness is the add-one-smoothed unigram
+    likelihood per token (exactly ``unigram_logprob``'s score — one
+    definition, two surfaces); each document's raw weight is the
+    inverse commonness exp(-lp_mean), normalized so the reweighted
+    corpus preserves the total token budget:
+    sum_j n_tokens_j * w_j = sum_j n_tokens_j.
+
+    Parity: per-token logprobs micro-round to BIGINT (the libm rule),
+    so per-doc means are exact; each doc's normalization term
+    n_tokens * exp(-lp_mean) quantizes to BIGINT kilo-units BEFORE the
+    corpus sum (per-doc terms land ~1e8 units, so relative
+    quantization error is ~1e-8 and the budget identity holds to
+    float-rounding; the quantum is the precision/headroom dial — a
+    1e12-doc corpus drops it to trade 2^63 headroom for budget
+    precision), making the denominator exact integer arithmetic; the
+    final weight is ONE identically-shaped float expression per row.
+
+    Scale: identical profile to ``unigram_logprob`` (token-keyed
+    count, vocab-sized logprob table joined back on the token key —
+    AQE skew-join territory for stopword heat, doc-keyed integer
+    reduction) plus two O(1) scalar subqueries; the weight column is
+    then a map-side expression. Nothing new shuffles."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", "source", F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    corpus = counts.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    lp = counts.transform(with_scalars, corpus).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("n_total") + F.col("vocab"))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    pd = (
+        tok.join(lp, "term")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").cast("long").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round(F.col("s").cast("double") / F.col("n_tokens"))
+            .cast("long")
+            .alias("lp_mean_micro"),
+        )
+    )
+    inv_commonness = F.exp(F.col("lp_mean_micro").cast("double") / -1e6)
+    tm = pd.withColumn(
+        "term_q",
+        F.round(
+            F.col("n_tokens").cast("double") * inv_commonness * 1e3
+        ).cast("long"),
+    )
+    st = tm.agg(
+        F.sum("term_q").cast("long").alias("s_q"),
+        F.sum("n_tokens").cast("long").alias("t_tokens"),
+    )
+    return tm.transform(with_scalars, st).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "lp_mean_micro",
+        F.round(
+            F.col("t_tokens").cast("double")
+            * 1e3
+            / F.col("s_q")
+            * inv_commonness,
+            6,
+        ).alias("sample_weight"),
+    )

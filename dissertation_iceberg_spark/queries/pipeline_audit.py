@@ -33,12 +33,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.functions.hashing import (
+    hash60,
     hash60_py,
+    hash60_sql,
     seeded_hash60_sql,
 )
 from dissertation_iceberg_spark.functions.ranks import (
     bucketed_exclusive_cumsums,
 )
+from dissertation_iceberg_spark.functions.scalars import with_scalars
 from dissertation_iceberg_spark.io import load_table, spread
 from dissertation_iceberg_spark.operators import dedup as dd
 from dissertation_iceberg_spark.operators import text as tx
@@ -747,5 +750,210 @@ def minhash_estimator_error(
     doc_id — pair-bounded, never corpus-quadratic. Like the S-curve,
     the tuning report runs on a corpus sample at 100 TB."""
     return minhash_estimator_frame(
+        spread(load_table(spark, sf_dir, "documents"))
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling (hashed n-gram importance weights)
+# --------------------------------------------------------------------------
+
+DSIR_B = 1024  # hashed feature buckets (the artifact's FIXED size)
+DSIR_TARGET_SOURCES = ("src0", "src1")  # trusted target domain slice
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKENS} AS t FROM documents),
+feats AS (
+  SELECT doc_id, source, {hash60_sql('ng')} % {DSIR_B} AS b
+  FROM (SELECT doc_id, source,
+               unnest(list_concat(t,
+                 list_transform(range(1, len(t)),
+                                i -> t[i] || ' ' || t[i + 1]))) AS ng
+        FROM toks)),
+tgt AS (SELECT b, count(*) AS c_t FROM feats
+        WHERE source IN {DSIR_TARGET_SOURCES} GROUP BY 1),
+rawf AS (SELECT * FROM feats
+         WHERE source NOT IN {DSIR_TARGET_SOURCES}),
+rawc AS (SELECT b, count(*) AS c_r FROM rawf GROUP BY 1),
+nt AS (SELECT coalesce(CAST(sum(c_t) AS BIGINT), 0) AS n_t FROM tgt),
+nr AS (SELECT coalesce(CAST(sum(c_r) AS BIGINT), 0) AS n_r FROM rawc),
+lr AS (
+  SELECT b,
+         CAST(round((ln(CAST(coalesce(c_t, 0) + 1 AS DOUBLE)
+                        / (n_t + {DSIR_B}))
+                     - ln(CAST(c_r + 1 AS DOUBLE) / (n_r + {DSIR_B})))
+                    * 1e6) AS BIGINT) AS lr_micro
+  FROM rawc LEFT JOIN tgt USING (b) CROSS JOIN nt CROSS JOIN nr),
+perdoc AS (
+  SELECT doc_id, source, count(*) AS n_feats,
+         CAST(sum(lr_micro) AS BIGINT) AS logw_micro,
+         CAST(round(CAST(CAST(sum(lr_micro) AS BIGINT) AS DOUBLE)
+                    / count(*)) AS BIGINT) AS lr_mean_micro
+  FROM rawf JOIN lr USING (b) GROUP BY 1, 2),
+hist AS (SELECT lr_mean_micro, count(*) AS cnt FROM perdoc GROUP BY 1),
+nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+cum AS (SELECT lr_mean_micro,
+               sum(cnt) OVER (ORDER BY lr_mean_micro) AS ci FROM hist),
+cut AS (SELECT min(lr_mean_micro) AS t75 FROM cum CROSS JOIN nn
+        WHERE ci >= (3 * n + 3) // 4)
+SELECT source,
+       count(*) AS n_docs,
+       round(CAST(CAST(sum(logw_micro) AS BIGINT) AS DOUBLE)
+             / count(*) / 1e6, 6) AS mean_logw,
+       CAST(sum(CASE WHEN lr_mean_micro > t75 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_selected,
+       round(CAST(sum(CASE WHEN lr_mean_micro > t75 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS selected_share
+FROM perdoc CROSS JOIN cut GROUP BY source, t75
+"""
+
+_DSIR_BIGRAMS = (
+    "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+    "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) "
+    "ELSE CAST(array() AS array<string>) END"
+)
+
+
+def _dsir_feats(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, b) hashed-feature table: unigrams + bigrams of
+    whitespace tokens, bucketed into DSIR_B buckets by the portable
+    60-bit hash. Bigrams are space-joined, which cannot collide with a
+    unigram (tokens are space-split, so no token contains a space)."""
+    t = tx.tokens(F.col("text"))
+    base = docs.select("doc_id", "source", t.alias("t"))
+    ng = F.concat(F.col("t"), F.expr(_DSIR_BIGRAMS))
+    f = base.select("doc_id", "source", F.explode(ng).alias("ng"))
+    return f.select(
+        "doc_id",
+        "source",
+        (hash60(F.col("ng")) % DSIR_B).alias("b"),
+    )
+
+
+def dsir_selection_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level DSIR kernel over a documents DataFrame — the shape
+    :func:`dsir_importance_resampling` registers and
+    ``tools/scale_exp.py`` measures on replicated frames."""
+    feats = _dsir_feats(docs)
+    is_tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    tgt = (
+        feats.filter(is_tgt)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    rawf = feats.filter(~is_tgt)
+    rawc = rawf.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    nt = tgt.agg(
+        F.coalesce(F.sum("c_t"), F.lit(0)).cast("long").alias("n_t")
+    )
+    nr = rawc.agg(
+        F.coalesce(F.sum("c_r"), F.lit(0)).cast("long").alias("n_r")
+    )
+    lr = (
+        rawc.join(tgt, "b", "left")
+        .transform(with_scalars, nt)
+        .transform(with_scalars, nr)
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        / (F.col("n_t") + DSIR_B)
+                    )
+                    - F.log(
+                        (F.col("c_r") + 1).cast("double")
+                        / (F.col("n_r") + DSIR_B)
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    perdoc = (
+        rawf.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lr_micro").cast("long").alias("logw_micro"),
+        )
+        .withColumn(
+            "lr_mean_micro",
+            F.round(
+                F.col("logw_micro").cast("double") / F.col("n_feats")
+            ).cast("long"),
+        )
+    )
+    hist = perdoc.groupBy("lr_mean_micro").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = bucketed_exclusive_cumsums(hist, "lr_mean_micro", ["cnt"])
+    nn = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    cut = (
+        cum.transform(with_scalars, nn)
+        .withColumn("ci", F.col("cum_cnt") + F.col("cnt"))
+        .filter(F.col("ci") >= F.expr("(3 * n + 3) div 4"))
+        .agg(F.min("lr_mean_micro").alias("t75"))
+    )
+    sel = (F.col("lr_mean_micro") > F.col("t75")).cast("int")
+    return (
+        perdoc.transform(with_scalars, cut)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("logw_micro").cast("double")
+                / F.count(F.lit(1))
+                / 1e6,
+                6,
+            ).alias("mean_logw"),
+            F.sum(sel).cast("long").alias("n_selected"),
+            F.round(
+                F.sum(sel).cast("double") / F.count(F.lit(1)), 6
+            ).alias("selected_share"),
+        )
+    )
+
+
+@register("dsir_importance_resampling", oracle=_DSIR_ORACLE)
+def dsir_importance_resampling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): fit
+    bag-of-hashed-ngram (unigram + bigram) models on a trusted TARGET
+    slice (sources src0/src1) and on the raw pool, score every raw
+    document's importance log-weight sum(ln p_target(b) - ln p_raw(b))
+    over its hashed features, and select the top quarter by
+    length-normalized weight (strictly above the exact 75th-percentile
+    order statistic). Per-source rollup: document count, mean log
+    importance weight, and how many docs survive selection — the
+    report that says WHICH sources the target-matched corpus will
+    actually draw from.
+
+    Differs from ``ccnet_perplexity_buckets`` (one generative LM,
+    vocab-sized, absolute quality terciles): DSIR is a RATIO of two
+    distributions over a FIXED hashed feature space — the artifact is
+    exactly DSIR_B=1024 log-ratios no matter how large the vocabulary
+    grows, which is the move that makes the scorer a broadcast literal
+    at 100 TB (CCNet's LM grows with vocab; DSIR's cannot).
+
+    Parity: bucket ids ride the portable 60-bit md5 hash mod 1024;
+    each bucket's log-ratio micro-rounds to BIGINT once (libm rule),
+    so per-doc sums are exact integer arithmetic; the selection cut is
+    an exact order statistic from the distinct-value histogram via the
+    bucketed two-pass cumsum kernel — no global sort.
+
+    Scale: the n-gram explode is map-side; both distribution fits are
+    map-side-combinable counts into <= 1024 buckets (a near-empty
+    shuffle); the scorer joins fact-scale features to the 1024-row
+    broadcast table; per-doc reduction is one doc-keyed exact integer
+    sum. Nothing data-scaled is ever collected, sorted globally, or
+    joined fact-to-fact."""
+    return dsir_selection_frame(
         spread(load_table(spark, sf_dir, "documents"))
     )

@@ -173,6 +173,7 @@ BOUNDED_GLOBAL_WINDOWS = {
     "rolling_refit_signal": "O(days) trailing Gram window",
     "rolling_wau": "O(days) rolling-active series",
     "runs_test": "O(days) sign series",
+    "decompose_residual_anomaly": "O(days) centered MA",
     "seasonal_decompose": "O(days) centered MA",
     "sortino_calmar": "O(days) drawdown series",
     "spc_control_chart": "O(days) moving-range series",

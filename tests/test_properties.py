@@ -5826,3 +5826,100 @@ def test_posting_self_size_pin(spark, sf_dir):
         F.lit("the quick fox").alias("shingle"), F.col("id").alias("doc_id")
     )
     assert _posting_shuffle_partitions(hot, "shingle", True) == 4096
+
+
+def test_dsir_importance_resampling_properties(spark, sf_dir):
+    """dsir_importance_resampling invariants beyond the oracle: target
+    sources never appear in the scored pool, the strict top-quarter
+    cut bounds total selections by floor(n/4), and every raw source is
+    accounted for."""
+    import duckdb
+
+    from dissertation_iceberg_spark.queries.pipeline_audit import (
+        DSIR_TARGET_SOURCES,
+        dsir_importance_resampling,
+    )
+
+    out = dsir_importance_resampling(spark, sf_dir).toPandas()
+    assert not set(out["source"]) & set(DSIR_TARGET_SOURCES)
+    assert (out["n_selected"] <= out["n_docs"]).all()
+    n = int(out["n_docs"].sum())
+    assert int(out["n_selected"].sum()) <= n // 4
+    # every non-target source with >= 1 tokenized doc is present
+    con = duckdb.connect()
+    srcs = {
+        s
+        for (s,) in con.execute(
+            f"SELECT DISTINCT source FROM '{sf_dir}/documents.parquet' "
+            "WHERE len(list_filter(str_split(text, ' '), x -> x <> '')) > 0"
+        ).fetchall()
+    }
+    assert set(out["source"]) == srcs - set(DSIR_TARGET_SOURCES)
+
+
+def test_softdedup_weights_properties(spark, sf_dir):
+    """softdedup_weights invariants: weights are positive, strictly
+    decreasing in commonness (lp_mean_micro), and the reweighted corpus
+    preserves the token budget to rounding tolerance."""
+    from dissertation_iceberg_spark.queries.corpus_ops import (
+        softdedup_weights,
+    )
+
+    out = softdedup_weights(spark, sf_dir).toPandas()
+    assert (out["sample_weight"] > 0).all()
+    s = out.sort_values("lp_mean_micro")
+    assert s["sample_weight"].is_monotonic_decreasing
+    total = float(out["n_tokens"].sum())
+    reweighted = float((out["n_tokens"] * out["sample_weight"]).sum())
+    # weights are rounded to 6 dp and the normalizer to milli-units:
+    # budget preserved to ~1e-5 relative
+    assert abs(reweighted - total) / total < 1e-4
+
+
+def test_decompose_residual_anomaly_replay(spark, sf_dir):
+    """decompose_residual_anomaly replayed in pandas: same full-window
+    count, and the per-dow MAD rule (lower median, 3x flag) reproduces
+    n_anomalies exactly."""
+    import pandas as pd
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.changepoint_ops import (
+        decompose_residual_anomaly,
+    )
+
+    out = (
+        decompose_residual_anomaly(spark, sf_dir)
+        .toPandas()
+        .set_index("dow")
+        .sort_index()
+    )
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    daily = (
+        o.groupby("o_orderdate")["cents"]
+        .sum()
+        .reset_index()
+        .sort_values("o_orderdate")
+    )
+    daily["day_num"] = (
+        pd.to_datetime(daily["o_orderdate"]) - pd.Timestamp("1970-01-01")
+    ).dt.days
+    daily = daily.sort_values("day_num").reset_index(drop=True)
+    sum7 = daily["cents"].rolling(7, center=True).sum()
+    full = daily[sum7.notna()].copy()
+    full["detr7"] = full["cents"] * 7 - sum7[full.index].astype("int64")
+    full["dow"] = (full["day_num"] + 3) % 7
+    assert int(out["n_windows"].sum()) == len(full)
+    for dow, grp in full.groupby("dow"):
+        nw = len(grp)
+        r = (grp["detr7"] * nw - grp["detr7"].sum()).abs()
+        # lower median with day_num tiebreak
+        k = (nw + 1) // 2
+        mad = int(
+            grp.assign(abs_r=r)
+            .sort_values(["abs_r", "day_num"])
+            .iloc[k - 1]["abs_r"]
+        )
+        n_anom = int((r > 3 * mad).sum())
+        assert int(out.loc[dow, "n_anomalies"]) == n_anom, dow
+        assert int(out.loc[dow, "n_windows"]) == nw, dow
