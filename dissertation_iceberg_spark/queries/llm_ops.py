@@ -3257,3 +3257,120 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_groups_l1"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplication matrix (dedup governance report)
+# --------------------------------------------------------------------------
+
+_XSRC_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source, {_TOKENS} AS t, len({_TOKENS}) AS n
+  FROM documents),
+ch AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(t[s:s + {DUP_CHUNK} - 1], ' ')) AS h
+  FROM (SELECT doc_id, source, t, n,
+               unnest(range(1, n + 1, {DUP_CHUNK})) AS s
+        FROM base)),
+sz AS (SELECT source, count(*) AS n_chunks FROM ch GROUP BY 1),
+sh AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         count(*) AS n_shared
+  FROM ch a JOIN ch b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(za.n_chunks AS BIGINT) AS n_chunks_a,
+       CAST(zb.n_chunks AS BIGINT) AS n_chunks_b,
+       round(CAST(n_shared AS DOUBLE)
+             / (za.n_chunks + zb.n_chunks - n_shared), 6) AS jaccard
+FROM sh
+JOIN sz za ON za.source = sh.src_a
+JOIN sz zb ON zb.source = sh.src_b
+"""
+
+
+@register("cross_source_duplication", oracle=_XSRC_ORACLE)
+def cross_source_duplication(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how
+    many distinct 16-token chunks they share and the Jaccard overlap
+    of their chunk sets — the governance report that decides which
+    source to DROP when two crawls mirror each other (per-doc signals
+    like ``duplicate_chunk_fraction`` say a doc is copied; this says
+    where from).
+
+    Scale: chunk hashes are (source, h)-distinct first (one shuffle on
+    the 16-byte hash), so the self-equi-join on h fans out at most
+    n_sources per hash — pair volume is bounded by n_chunks x
+    n_sources, never corpus-quadratic, and n_sources is a catalog
+    constant (hot boilerplate chunks shared by ALL sources are the
+    worst case and still cap at sources^2 per hash). Size dims join
+    broadcast. The jaccard division is one mirrored float expression
+    on exact BIGINT counts."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = tx.tokens(F.col("text"))
+    base = docs.select(
+        "source", t.alias("t"), F.size(t).alias("n")
+    )
+    ch = (
+        base.select(
+            "source",
+            F.explode(
+                F.when(
+                    F.col("n") >= 1,
+                    F.sequence(F.lit(1), F.col("n"), F.lit(DUP_CHUNK)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("s"),
+            "t",
+        )
+        .select(
+            "source",
+            F.md5(
+                F.array_join(F.slice(F.col("t"), F.col("s"), DUP_CHUNK), " ")
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    sz = ch.groupBy("source").agg(F.count(F.lit(1)).alias("n_chunks"))
+    a = ch.alias("a")
+    b = ch.alias("b")
+    sh = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    za = sz.select(
+        F.col("source").alias("src_a"), F.col("n_chunks").alias("n_chunks_a")
+    )
+    zb = sz.select(
+        F.col("source").alias("src_b"), F.col("n_chunks").alias("n_chunks_b")
+    )
+    return (
+        sh.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.col("n_chunks_a").cast("long").alias("n_chunks_a"),
+            F.col("n_chunks_b").cast("long").alias("n_chunks_b"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (
+                    F.col("n_chunks_a")
+                    + F.col("n_chunks_b")
+                    - F.col("n_shared")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -831,11 +831,37 @@ def _dsir_feats(docs: DataFrame) -> DataFrame:
     )
 
 
-def dsir_selection_frame(docs: DataFrame) -> DataFrame:
-    """Frame-level DSIR kernel over a documents DataFrame — the shape
-    :func:`dsir_importance_resampling` registers and
-    ``tools/scale_exp.py`` measures on replicated frames."""
-    feats = _dsir_feats(docs)
+def _dsir_lr_micro(c_t, c_r):
+    """Per-bucket micro log-ratio Column given (nullable) target and
+    raw count columns — the ONE expression shape the batch scorer, the
+    oracle, and the streaming artifact trainer all compile, so they
+    can never disagree. Expects ``n_t`` / ``n_r`` scalar columns in
+    scope."""
+    return (
+        F.round(
+            (
+                F.log(
+                    (F.coalesce(c_t, F.lit(0)) + 1).cast("double")
+                    / (F.col("n_t") + DSIR_B)
+                )
+                - F.log(
+                    (F.coalesce(c_r, F.lit(0)) + 1).cast("double")
+                    / (F.col("n_r") + DSIR_B)
+                )
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lr_micro")
+    )
+
+
+def _dsir_model(
+    feats: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(rawf, lr, nt, nr): the raw-pool feature rows and the
+    <= DSIR_B-row log-ratio table fitted from feats, plus the two
+    1-row total frames (for the streaming trainer's floor)."""
     is_tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
     tgt = (
         feats.filter(is_tgt)
@@ -854,28 +880,16 @@ def dsir_selection_frame(docs: DataFrame) -> DataFrame:
         rawc.join(tgt, "b", "left")
         .transform(with_scalars, nt)
         .transform(with_scalars, nr)
-        .select(
-            "b",
-            F.round(
-                (
-                    F.log(
-                        (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast(
-                            "double"
-                        )
-                        / (F.col("n_t") + DSIR_B)
-                    )
-                    - F.log(
-                        (F.col("c_r") + 1).cast("double")
-                        / (F.col("n_r") + DSIR_B)
-                    )
-                )
-                * 1e6
-            )
-            .cast("long")
-            .alias("lr_micro"),
-        )
+        .select("b", _dsir_lr_micro(F.col("c_t"), F.col("c_r")))
     )
-    perdoc = (
+    return rawf, lr, nt, nr
+
+
+def _dsir_perdoc(docs: DataFrame) -> DataFrame:
+    """Per-raw-document importance scores (doc_id, source, n_feats,
+    logw_micro, lr_mean_micro)."""
+    rawf, lr, _, _ = _dsir_model(_dsir_feats(docs))
+    return (
         rawf.join(F.broadcast(lr), "b")
         .groupBy("doc_id", "source")
         .agg(
@@ -889,17 +903,47 @@ def dsir_selection_frame(docs: DataFrame) -> DataFrame:
             ).cast("long"),
         )
     )
+
+
+def _dsir_cut(perdoc: DataFrame) -> DataFrame:
+    """1-row frame with the exact 75th-percentile selection cut t75
+    over the per-doc length-normalized weights."""
     hist = perdoc.groupBy("lr_mean_micro").agg(
         F.count(F.lit(1)).alias("cnt")
     )
     cum = bucketed_exclusive_cumsums(hist, "lr_mean_micro", ["cnt"])
     nn = hist.agg(F.sum("cnt").cast("long").alias("n"))
-    cut = (
+    return (
         cum.transform(with_scalars, nn)
         .withColumn("ci", F.col("cum_cnt") + F.col("cnt"))
         .filter(F.col("ci") >= F.expr("(3 * n + 3) div 4"))
         .agg(F.min("lr_mean_micro").alias("t75"))
     )
+
+
+def dsir_doc_scores_frame(docs: DataFrame) -> DataFrame:
+    """Per-document DSIR score + selection flag (doc_id, source,
+    n_feats, logw_micro, lr_mean_micro, selected) — the frame the
+    streaming gate's batch twin pins against."""
+    perdoc = _dsir_perdoc(docs)
+    return perdoc.transform(with_scalars, _dsir_cut(perdoc)).select(
+        "doc_id",
+        "source",
+        "n_feats",
+        "logw_micro",
+        "lr_mean_micro",
+        (F.col("lr_mean_micro") > F.col("t75"))
+        .cast("int")
+        .alias("selected"),
+    )
+
+
+def dsir_selection_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level DSIR kernel over a documents DataFrame — the shape
+    :func:`dsir_importance_resampling` registers and
+    ``tools/scale_exp.py`` measures on replicated frames."""
+    perdoc = _dsir_perdoc(docs)
+    cut = _dsir_cut(perdoc)
     sel = (F.col("lr_mean_micro") > F.col("t75")).cast("int")
     return (
         perdoc.transform(with_scalars, cut)

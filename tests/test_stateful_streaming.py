@@ -1614,3 +1614,76 @@ def test_streaming_ccnet_gate_matches_batch(spark, tmp_path):
     assert (merged["bucket_gate"] == merged["bucket_spark"]).all()
     # the cut actually discriminates on the fixture
     assert set(got_s["bucket"]) == {"head", "middle", "tail"}
+
+
+def test_streaming_dsir_gate_matches_batch(spark, tmp_path):
+    """Streaming DSIR gate (log-ratio-table-as-broadcast-artifact):
+    streamed importance scores and selection flags are bit-identical
+    to the same gate on a batch frame AND, on the raw (non-target)
+    pool, to the pure-Spark batch scorer (dsir_doc_scores_frame) —
+    the artifact's Spark-computed micro log-ratios plus the Python
+    HALF_UP mean replicate the join path exactly across
+    micro-batches."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.pipeline_audit import (
+        DSIR_TARGET_SOURCES,
+        dsir_doc_scores_frame,
+    )
+    from dissertation_iceberg_spark.streaming.dsir_stream import (
+        dsir_gate,
+        train_dsir_artifact,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    artifact = train_dsir_artifact(docs)
+    assert artifact["lr"] and artifact["t75"] is not None
+    # the artifact really is bounded by the hashed feature space
+    assert len(artifact["lr"]) <= 1024
+
+    src = str(tmp_path / "dsir_src")
+    chunks = [
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1) for i in range(3)
+    ]
+    for i, c in enumerate(chunks):
+        c.write.parquet(f"{src}/f{i}")
+    paths = [f"{src}/f{i}" for i in range(3)]
+    schema = spark.read.parquet(*paths).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        dsir_gate(stream, artifact)
+        .writeStream.format("memory")
+        .queryName("dsir_gate_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("dsir_gate_out").toPandas()
+    want = dsir_gate(spark.read.parquet(*paths), artifact).toPandas()
+
+    cols = sorted(got.columns)
+    got_s = got[cols].sort_values("doc_id").reset_index(drop=True)
+    want_s = want[cols].sort_values("doc_id").reset_index(drop=True)
+    assert got_s.equals(want_s)
+
+    # on the raw pool, the gate must equal the pure-Spark join-path
+    # scorer exactly (target docs are gate-scored too, but have no
+    # batch twin — the batch fit scores only the raw pool)
+    batch = (
+        dsir_doc_scores_frame(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    raw = got_s[~got_s["source"].isin(DSIR_TARGET_SOURCES)]
+    assert len(batch) == len(raw)
+    merged = raw.merge(batch, on="doc_id", suffixes=("_gate", "_spark"))
+    for c in ("n_feats", "logw_micro", "lr_mean_micro", "selected"):
+        assert (merged[f"{c}_gate"] == merged[f"{c}_spark"]).all(), c
+    # the cut actually discriminates on the fixture
+    assert 0 < int(raw["selected"].sum()) < len(raw)

@@ -1437,7 +1437,12 @@ def main() -> None:
         # Heaps' law) — the claim under test: the vocab-keyed logprob
         # join and the per-lang tercile histogram both stay linear,
         # no global sort appears
-        if _want("ccnet") or _want("mh_estimator"):
+        if (
+            _want("ccnet")
+            or _want("mh_estimator")
+            or _want("dsir")
+            or _want("softdedup")
+        ):
             dc = replicate(docs, r, {"doc_id": 10_000_000})
             if r > 1:
                 pfx2 = F.concat(F.lit("b"), F.col("__rep"), F.lit("_"))
@@ -1476,6 +1481,108 @@ def main() -> None:
                     lambda: minhash_estimator_frame(dc), action="count"
                 )
                 print(json.dumps({"kernel": "mh_estimator", "factor": r,
+                                  "input_rows": n_dc, "out_rows": rows,
+                                  "sec": round(t, 3)}))
+
+            # DSIR importance resampling (pipeline_audit.
+            # dsir_selection_frame, round 5): the claim under test —
+            # even with a vocabulary growing linearly (block-disjoint
+            # prefixes), the distribution fits collapse into the FIXED
+            # 1024-bucket space, so both count shuffles stay tiny and
+            # the scorer join is against a constant-size broadcast;
+            # end-to-end time should track the scan, not the vocab
+            if _want("dsir"):
+                from dissertation_iceberg_spark.queries.pipeline_audit import (
+                    dsir_selection_frame,
+                )
+
+                t, rows = timed(
+                    lambda: dsir_selection_frame(dc), action="count"
+                )
+                print(json.dumps({"kernel": "dsir", "factor": r,
+                                  "input_rows": n_dc, "out_rows": rows,
+                                  "sec": round(t, 3)}))
+
+            # SoftDeDup reweighting (corpus_ops.softdedup_weights
+            # shape, round 5): unigram_logprob's vocab-keyed join plus
+            # two scalar subqueries — the claim under test: linear in
+            # the corpus even with linear vocab growth, output exactly
+            # linear (one weight per doc)
+            if _want("softdedup"):
+                from dissertation_iceberg_spark.operators import text as _tx
+                from dissertation_iceberg_spark.functions.scalars import (
+                    with_scalars as _ws,
+                )
+
+                def softdedup_kernel(frame=dc):
+                    tok = frame.select(
+                        "doc_id",
+                        "source",
+                        F.explode(_tx.tokens(F.col("text"))).alias("term"),
+                    )
+                    counts = tok.groupBy("term").agg(
+                        F.count(F.lit(1)).alias("c")
+                    )
+                    corpus = counts.agg(
+                        F.sum("c").alias("n_total"),
+                        F.count(F.lit(1)).alias("vocab"),
+                    )
+                    lp = counts.transform(_ws, corpus).select(
+                        "term",
+                        F.round(
+                            F.log(
+                                (F.col("c") + 1).cast("double")
+                                / (F.col("n_total") + F.col("vocab"))
+                            )
+                            * 1e6
+                        )
+                        .cast("long")
+                        .alias("lp_micro"),
+                    )
+                    pd_ = (
+                        tok.join(lp, "term")
+                        .groupBy("doc_id", "source")
+                        .agg(
+                            F.count(F.lit(1)).alias("n_tokens"),
+                            F.sum("lp_micro").cast("long").alias("s"),
+                        )
+                        .select(
+                            "doc_id",
+                            "n_tokens",
+                            F.round(
+                                F.col("s").cast("double")
+                                / F.col("n_tokens")
+                            )
+                            .cast("long")
+                            .alias("lp_mean_micro"),
+                        )
+                    )
+                    inv = F.exp(
+                        F.col("lp_mean_micro").cast("double") / -1e6
+                    )
+                    tm = pd_.withColumn(
+                        "term_q",
+                        F.round(
+                            F.col("n_tokens").cast("double") * inv * 1e3
+                        ).cast("long"),
+                    )
+                    st = tm.agg(
+                        F.sum("term_q").cast("long").alias("s_q"),
+                        F.sum("n_tokens").cast("long").alias("t_tokens"),
+                    )
+                    return tm.transform(_ws, st).select(
+                        "doc_id",
+                        F.round(
+                            F.col("t_tokens").cast("double")
+                            * 1e3
+                            / F.col("s_q")
+                            * inv,
+                            6,
+                        ).alias("sample_weight"),
+                    )
+
+                t, rows = timed(softdedup_kernel, action="count")
+                print(json.dumps({"kernel": "softdedup", "factor": r,
                                   "input_rows": n_dc, "out_rows": rows,
                                   "sec": round(t, 3)}))
             dc.unpersist()
