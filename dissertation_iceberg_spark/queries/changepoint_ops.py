@@ -1631,3 +1631,247 @@ def decompose_residual_anomaly(
             ).alias("max_resid_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Croston's method (intermittent-demand forecast, per user)
+# --------------------------------------------------------------------------
+
+_CROSTON_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 AS day_num,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+d AS (
+  SELECT user_id, day_num, cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY day_num) AS i,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM daily),
+rec AS (
+  SELECT user_id, i, n, cents AS z, CAST(1 AS BIGINT) AS q,
+         day_num AS prev
+  FROM d WHERE i = 1
+  UNION ALL
+  SELECT d.user_id, d.i, d.n,
+         (d.cents + r.z) >> 1 AS z,
+         ((d.day_num - r.prev) + r.q) >> 1 AS q,
+         d.day_num AS prev
+  FROM rec r JOIN d ON d.user_id = r.user_id AND d.i = r.i + 1)
+SELECT user_id, CAST(n AS BIGINT) AS n_demands,
+       z AS z_hat_cents, q AS q_hat_days,
+       round(CAST(z AS DOUBLE) / q, 2) AS forecast_cents_per_day
+FROM rec WHERE i = n
+"""
+
+
+@register("croston_intermittent", oracle=_CROSTON_ORACLE)
+def croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972) for intermittent demand: per user,
+    exponentially smooth the nonzero daily purchase amounts (z) and
+    the inter-purchase intervals in days (q) SEPARATELY, forecasting
+    z_hat / q_hat value per day — the standard forecaster when most
+    periods are zero and plain SES chases the zeros (spare parts,
+    long-tail shoppers). Companion to holt/holt_winters (dense
+    series): same alpha = 1/2 integer recursion, different demand
+    model.
+
+    Determinism: with alpha = 1/2 both recursions are exact BIGINT
+    arithmetic-shift updates ((x + acc) >> 1, the holt trick) over
+    integer cents and integer day gaps — the ONLY float op is the
+    final z/q division, one mirrored expression. The oracle replays
+    the identical recursion as a recursive CTE keyed by demand index.
+
+    Scale shape: one fact-scale map-side-combinable (user, day)
+    aggregate; each user's demand history then folds JVM-side over a
+    sort_array(collect_list) of O(active-days) structs — per-group
+    state is three BIGINTs, groups fold in parallel (the accepted
+    bounded per-key history class), and nothing row-scale sorts
+    globally."""
+    from dissertation_iceberg_spark.functions.time_bins import micros
+
+    e = spread(load_table(spark, sf_dir, "events"))
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            (micros("ts") / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day_num"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    series = daily.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("day_num", "cents"))
+        ).alias("s")
+    )
+    init = F.struct(
+        F.col("s")[0]["cents"].alias("z"),
+        F.lit(1).cast("long").alias("q"),
+        F.col("s")[0]["day_num"].alias("prev"),
+    )
+    rest = F.slice(F.col("s"), F.lit(2), F.size("s") - 1)
+
+    def step(acc, x):
+        return F.struct(
+            F.shiftright(x["cents"] + acc["z"], 1).alias("z"),
+            F.shiftright((x["day_num"] - acc["prev"]) + acc["q"], 1).alias(
+                "q"
+            ),
+            x["day_num"].alias("prev"),
+        )
+
+    fin = F.aggregate(rest, init, step)
+    return series.select(
+        "user_id",
+        F.size("s").cast("long").alias("n_demands"),
+        fin["z"].alias("z_hat_cents"),
+        fin["q"].alias("q_hat_days"),
+        F.round(fin["z"].cast("double") / fin["q"], 2).alias(
+            "forecast_cents_per_day"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Theta-method forecast (Assimakopoulos & Nikolopoulos 2000)
+# --------------------------------------------------------------------------
+
+_THETA_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day_num,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+x0 AS (SELECT event_type, min(day_num) AS x0 FROM daily GROUP BY 1),
+xs AS (
+  SELECT d.event_type, d.day_num - x0.x0 AS x, d.y
+  FROM daily d JOIN x0 USING (event_type)),
+st AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(max(x) AS BIGINT) AS xn
+  FROM xs GROUP BY 1 HAVING count(*) >= 3),
+co AS (
+  SELECT *,
+         n * sxy - sx * sy AS b_num,
+         n * sxx - sx * sx AS b_den
+  FROM st),
+lm AS (
+  SELECT xs.event_type, xs.x,
+         CAST(round((CAST(xs.y AS DOUBLE) * 2
+                     - ((CAST(sy AS DOUBLE)
+                         - CAST(b_num AS DOUBLE) / b_den * sx) / n
+                        + CAST(b_num AS DOUBLE) / b_den * xs.x))
+                    * 1e6) AS BIGINT) AS l_micro,
+         row_number() OVER (PARTITION BY xs.event_type ORDER BY xs.x)
+           AS i,
+         n
+  FROM xs JOIN co USING (event_type)),
+rec AS (
+  SELECT event_type, i, n, l_micro AS ses FROM lm WHERE i = 1
+  UNION ALL
+  SELECT l.event_type, l.i, l.n, (l.l_micro + r.ses) >> 1 AS ses
+  FROM rec r JOIN lm l ON l.event_type = r.event_type AND l.i = r.i + 1)
+SELECT co.event_type,
+       co.n AS n_days,
+       round(CAST(b_num AS DOUBLE) / b_den, 6) AS slope,
+       round(CAST(ses AS DOUBLE) / 1e6, 6) AS ses_theta_level,
+       round(((CAST(sy AS DOUBLE)
+               - CAST(b_num AS DOUBLE) / b_den * sx) / co.n
+              + CAST(b_num AS DOUBLE) / b_den * (xn + 1)) * 0.5
+             + CAST(ses AS DOUBLE) / 1e6 * 0.5, 6) AS forecast_next
+FROM co JOIN rec ON rec.event_type = co.event_type AND rec.i = co.n
+"""
+
+
+@register("theta_forecast", oracle=_THETA_ORACLE)
+def theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 — the
+    M3-competition winner) of each event type's daily volume: the
+    classic theta(0, 2) decomposition, forecasting the average of the
+    linear trend extrapolation (theta = 0) and SES applied to the
+    theta = 2 line (2y_t - trend_t, double-curvature series). The
+    serious-baseline forecaster between holt_linear_forecast (no
+    damping toward trend) and holt_winters_forecast (seasonal).
+
+    Determinism: the trend is the EXACT least-squares line via BIGINT
+    Gram sums (b = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), days centered at
+    each type's first day so products stay small); the theta line
+    micro-rounds per day through one mirrored float expression (libm
+    rule); the SES recursion is the exact alpha = 1/2 integer shift;
+    the two final report expressions are identically shaped floats.
+
+    Scale shape: one fact-scale map-side-combinable daily count, then
+    everything lives on the O(days)-per-type frame: the Gram sums are
+    a second tiny aggregate, the theta line is a map-side expression,
+    and the SES folds JVM-side over sort_array(collect_list) with one
+    BIGINT of state per group (the accepted bounded per-key history
+    class). Types with under 3 days are excluded (trend undefined)."""
+    from dissertation_iceberg_spark.functions.time_bins import micros
+
+    e = spread(load_table(spark, sf_dir, "events"))
+    daily = e.groupBy(
+        "event_type",
+        (micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day_num"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    x0 = daily.groupBy("event_type").agg(F.min("day_num").alias("x0"))
+    xs = daily.join(F.broadcast(x0), "event_type").select(
+        "event_type", (F.col("day_num") - F.col("x0")).alias("x"), "y"
+    )
+    st = (
+        xs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.max("x").cast("long").alias("xn"),
+        )
+        .filter(F.col("n") >= 3)
+        .withColumn(
+            "b_num", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+        )
+        .withColumn(
+            "b_den", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        )
+    )
+    b = F.col("b_num").cast("double") / F.col("b_den")
+    a = (F.col("sy").cast("double") - b * F.col("sx")) / F.col("n")
+    series = xs.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("x", "y"))).alias("s")
+    )
+    j = series.join(F.broadcast(st), "event_type")
+    lm = F.transform(
+        F.col("s"),
+        lambda el: F.round(
+            (el["y"].cast("double") * 2 - (a + b * el["x"])) * 1e6
+        ).cast("long"),
+    )
+    j = j.withColumn("lm", lm)
+    ses = F.aggregate(
+        F.slice(F.col("lm"), F.lit(2), F.size("lm") - 1),
+        F.col("lm")[0],
+        lambda acc, v: F.shiftright(v + acc, 1),
+    )
+    return j.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(b, 6).alias("slope"),
+        F.round(ses.cast("double") / 1e6, 6).alias("ses_theta_level"),
+        F.round(
+            (a + b * (F.col("xn") + 1)) * 0.5
+            + ses.cast("double") / 1e6 * 0.5,
+            6,
+        ).alias("forecast_next"),
+    )

@@ -5923,3 +5923,124 @@ def test_decompose_residual_anomaly_replay(spark, sf_dir):
         n_anom = int((r > 3 * mad).sum())
         assert int(out.loc[dow, "n_anomalies"]) == n_anom, dow
         assert int(out.loc[dow, "n_windows"]) == nw, dow
+
+
+def test_croston_intermittent_replay(spark, sf_dir):
+    """croston_intermittent replayed in pure Python per user: the
+    alpha=1/2 shift recursions over (demand, gap) reproduce z_hat and
+    q_hat exactly."""
+    from dissertation_iceberg_spark.functions.time_bins import micros
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.changepoint_ops import (
+        croston_intermittent,
+    )
+
+    out = (
+        croston_intermittent(spark, sf_dir)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            (micros("ts") / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day_num"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+        .toPandas()
+    )
+    assert len(out) == daily["user_id"].nunique()
+    for uid, grp in daily.groupby("user_id"):
+        g = grp.sort_values("day_num")
+        z, q, prev = int(g.iloc[0]["cents"]), 1, int(g.iloc[0]["day_num"])
+        for _, row in g.iloc[1:].iterrows():
+            z = (int(row["cents"]) + z) >> 1
+            q = ((int(row["day_num"]) - prev) + q) >> 1
+            prev = int(row["day_num"])
+        assert int(out.loc[uid, "z_hat_cents"]) == z, uid
+        assert int(out.loc[uid, "q_hat_days"]) == q, uid
+        assert int(out.loc[uid, "n_demands"]) == len(g), uid
+    # intermittency is real on the fixture: some interval exceeds 1 day
+    assert (out["q_hat_days"] > 1).any()
+
+
+def test_theta_forecast_replay(spark, sf_dir):
+    """theta_forecast replayed in pure Python per event type: exact
+    Gram-sum trend, micro-rounded theta line, and the shift-SES
+    reproduce slope / level / forecast."""
+    import math
+
+    from dissertation_iceberg_spark.functions.time_bins import micros
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.changepoint_ops import (
+        theta_forecast,
+    )
+
+    def half_up(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    out = (
+        theta_forecast(spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            (micros("ts") / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day_num"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+        .toPandas()
+    )
+    for et, grp in daily.groupby("event_type"):
+        g = grp.sort_values("day_num")
+        if len(g) < 3:
+            assert et not in out.index
+            continue
+        x = (g["day_num"] - g["day_num"].min()).to_numpy()
+        y = g["y"].to_numpy()
+        n, sx, sy = len(g), int(x.sum()), int(y.sum())
+        sxx, sxy = int((x * x).sum()), int((x * y).sum())
+        b_num, b_den = n * sxy - sx * sy, n * sxx - sx * sx
+        b = b_num / b_den
+        a = (sy - b * sx) / n
+        lm = [half_up((yi * 2 - (a + b * xi)) * 1e6) for xi, yi in zip(x, y)]
+        ses = lm[0]
+        for v in lm[1:]:
+            ses = (v + ses) >> 1
+        assert abs(out.loc[et, "slope"] - round(b, 6)) < 1e-9, et
+        assert (
+            abs(out.loc[et, "ses_theta_level"] - round(ses / 1e6, 6)) < 1e-9
+        ), et
+        want_f = (a + b * (int(x.max()) + 1)) * 0.5 + ses / 1e6 * 0.5
+        assert abs(out.loc[et, "forecast_next"] - round(want_f, 6)) < 1e-9, et
+
+
+def test_cross_source_duplication_properties(spark, sf_dir):
+    """cross_source_duplication invariants: the matrix is upper-
+    triangular (src_a < src_b), shared counts are bounded by either
+    side's chunk inventory, and jaccard is consistent with the
+    counts."""
+    from dissertation_iceberg_spark.queries.llm_ops import (
+        cross_source_duplication,
+    )
+
+    out = cross_source_duplication(spark, sf_dir).toPandas()
+    assert (out["src_a"] < out["src_b"]).all()
+    assert (
+        out["n_shared"] <= out[["n_chunks_a", "n_chunks_b"]].min(axis=1)
+    ).all()
+    union = out["n_chunks_a"] + out["n_chunks_b"] - out["n_shared"]
+    assert (
+        (out["jaccard"] - (out["n_shared"] / union).round(6)).abs() < 1e-9
+    ).all()
