@@ -3603,3 +3603,184 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("flipped"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact Bayesian A/B posterior (Beta-Binomial, integer lgamma tables)
+# --------------------------------------------------------------------------
+
+_BAYES_AB_ORACLE = """
+WITH u AS (
+  SELECT event_id % 2 AS arm,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events),
+a AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1,
+    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0
+  FROM u),
+p AS (
+  SELECT n1, n0, c1, c0,
+         c1 + 1 AS a1, n1 - c1 + 1 AS b1,
+         c0 + 1 AS a0, n0 - c0 + 1 AS b0,
+         n0 + n1 + 4 AS m
+  FROM a),
+lgbase AS (
+  SELECT unnest(range(1, m + 1)) AS j FROM p),
+lg AS (
+  SELECT j,
+         coalesce(sum(CAST(round(ln(CAST(j AS DOUBLE)) * 1e9) AS BIGINT))
+                    OVER (ORDER BY j
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS lgam
+  FROM lgbase),
+terms AS (
+  SELECT p.*, unnest(range(0, c1 + 1)) AS i FROM p),
+lt AS (
+  SELECT t.*,
+         g1.lgam + g5.lgam - g2.lgam
+           - CAST(round(ln(CAST(t.b1 + t.i AS DOUBLE)) * 1e9) AS BIGINT)
+           - g3.lgam - g9.lgam + g4.lgam
+           - g6.lgam - g7.lgam + g8.lgam AS l_nano
+  FROM terms t
+  JOIN lg g1 ON g1.j = t.a0 + t.i
+  JOIN lg g2 ON g2.j = t.a0 + t.b0 + t.b1 + t.i
+  JOIN lg g3 ON g3.j = 1 + t.i
+  JOIN lg g4 ON g4.j = 1 + t.i + t.b1
+  JOIN lg g5 ON g5.j = t.b0 + t.b1
+  JOIN lg g6 ON g6.j = t.a0
+  JOIN lg g7 ON g7.j = t.b0
+  JOIN lg g8 ON g8.j = t.a0 + t.b0
+  JOIN lg g9 ON g9.j = t.b1)
+SELECT n0 AS n_a, c0 AS conv_a, n1 AS n_b, c1 AS conv_b,
+       round(CAST(c0 + 1 AS DOUBLE) / (n0 + 2), 6) AS post_mean_a,
+       round(CAST(c1 + 1 AS DOUBLE) / (n1 + 2), 6) AS post_mean_b,
+       round(CAST(sum(CAST(round(exp(CAST(l_nano AS DOUBLE) / 1e9) * 1e12)
+                           AS BIGINT)) AS DOUBLE) / 1e12, 6)
+         AS p_b_beats_a
+FROM lt GROUP BY n0, c0, n1, c1
+"""
+
+
+@register("bayes_ab_posterior", oracle=_BAYES_AB_ORACLE)
+def bayes_ab_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Bayesian A/B test: with uniform Beta(1,1) priors on each
+    arm's purchase rate, the posterior probability that arm B beats
+    arm A has the closed form (Cook's identity)
+
+      P(pB > pA) = sum_{i=0}^{aB-1} B(aA+i, bA+bB)
+                   / ((bB+i) B(1+i, bB) B(aA, bA))
+
+    over integer posterior parameters — evaluated exactly, not by
+    Monte Carlo and not by a normal approximation (the Bayesian
+    counterpart of ``two_proportion_ztest`` on the same event-id
+    parity arms, and the decision rule ``cost_optimal_threshold``-
+    style launch gates actually consume).
+
+    Determinism: all gamma arguments are integers, so lgamma comes
+    from a TABLE — lgamma(j) = sum of ln(k) for k < j — built by
+    nano-rounding each ln(k) to BIGINT (libm rule) and summing
+    exactly via the bucketed two-pass cumsum kernel (no global sort
+    over the O(trials) frame). Each term's log assembles from ten
+    exact BIGINT table entries; the only floats are one exp per term,
+    quantized to 1e-12 units before the final exact integer sum, and
+    the reported rounded ratios. Both engines replay the identical
+    pipeline, so the probability matches to the hash.
+
+    Scale shape: one fact-scale map-side-combinable count; the lgamma
+    table is O(total trials) narrow rows (generated by one sequence
+    fan-out here; a production 100 TB build would spark.range it) with
+    a bucketed cumsum; the term frame is O(conversions) rows probing
+    the table with nine equi-joins. Nothing quadratic, nothing
+    collected."""
+    from dissertation_iceberg_spark.functions.ranks import (
+        bucketed_exclusive_cumsums,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    u = e.select(
+        (F.col("event_id") % 2).alias("arm"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    a = u.agg(
+        F.count_if(F.col("arm") == 1).cast("long").alias("n1"),
+        F.count_if(F.col("arm") == 0).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+    )
+    p = a.select(
+        "n1",
+        "n0",
+        "c1",
+        "c0",
+        (F.col("c1") + 1).alias("a1"),
+        (F.col("n1") - F.col("c1") + 1).alias("b1"),
+        (F.col("c0") + 1).alias("a0"),
+        (F.col("n0") - F.col("c0") + 1).alias("b0"),
+        (F.col("n0") + F.col("n1") + 4).alias("m"),
+    )
+    lgbase = p.select(
+        F.explode(F.sequence(F.lit(1), F.col("m"))).alias("j")
+    ).withColumn(
+        "lnj",
+        F.round(F.log(F.col("j").cast("double")) * 1e9).cast("long"),
+    )
+    lg = bucketed_exclusive_cumsums(lgbase, "j", ["lnj"]).select(
+        "j", F.col("cum_lnj").alias("lgam")
+    )
+    terms = p.withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.col("c1")))
+    )
+    key_terms = [
+        ("g1", F.col("a0") + F.col("i"), 1),
+        ("g2", F.col("a0") + F.col("b0") + F.col("b1") + F.col("i"), -1),
+        ("g3", F.lit(1) + F.col("i"), -1),
+        ("g4", F.lit(1) + F.col("i") + F.col("b1"), 1),
+        ("g5", F.col("b0") + F.col("b1"), 1),
+        ("g6", F.col("a0"), -1),
+        ("g7", F.col("b0"), -1),
+        ("g8", F.col("a0") + F.col("b0"), 1),
+        ("g9", F.col("b1"), -1),
+    ]
+    lt = terms
+    l_nano = -F.round(
+        F.log((F.col("b1") + F.col("i")).cast("double")) * 1e9
+    ).cast("long")
+    for name, key, sign in key_terms:
+        lt = lt.withColumn(f"__k_{name}", key).join(
+            lg.select(
+                F.col("j").alias(f"__k_{name}"),
+                F.col("lgam").alias(f"__lg_{name}"),
+            ),
+            f"__k_{name}",
+        )
+        l_nano = l_nano + sign * F.col(f"__lg_{name}")
+    t_q = F.round(
+        F.exp(l_nano.cast("double") / 1e9) * 1e12
+    ).cast("long")
+    return (
+        lt.withColumn("t_q", t_q)
+        .groupBy("n0", "c0", "n1", "c1")
+        .agg(F.sum("t_q").cast("long").alias("s_q"))
+        .select(
+            F.col("n0").alias("n_a"),
+            F.col("c0").alias("conv_a"),
+            F.col("n1").alias("n_b"),
+            F.col("c1").alias("conv_b"),
+            F.round(
+                (F.col("c0") + 1).cast("double") / (F.col("n0") + 2), 6
+            ).alias("post_mean_a"),
+            F.round(
+                (F.col("c1") + 1).cast("double") / (F.col("n1") + 2), 6
+            ).alias("post_mean_b"),
+            F.round(F.col("s_q").cast("double") / 1e12, 6).alias(
+                "p_b_beats_a"
+            ),
+        )
+    )

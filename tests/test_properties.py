@@ -6044,3 +6044,51 @@ def test_cross_source_duplication_properties(spark, sf_dir):
     assert (
         (out["jaccard"] - (out["n_shared"] / union).round(6)).abs() < 1e-9
     ).all()
+
+
+def test_bayes_ab_posterior_vs_true_lgamma(spark, sf_dir):
+    """bayes_ab_posterior's integer lgamma-table evaluation agrees
+    with the same closed form computed against math.lgamma in full
+    float precision — the nano-quantized table and the 1e-12 term
+    quantization cost < 1e-6 on the probability. Also pins the
+    identity sum_i term_i over ALL i = 1 (the two posteriors are
+    continuous, so P(B>A) + P(A>B) = 1)."""
+    import math
+
+    from dissertation_iceberg_spark.queries.stats_tests import (
+        bayes_ab_posterior,
+    )
+
+    out = bayes_ab_posterior(spark, sf_dir).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    n0, c0 = int(r["n_a"]), int(r["conv_a"])
+    n1, c1 = int(r["n_b"]), int(r["conv_b"])
+    a1, b1 = c1 + 1, n1 - c1 + 1
+    a0, b0 = c0 + 1, n0 - c0 + 1
+
+    def lnb(x, y):
+        return math.lgamma(x) + math.lgamma(y) - math.lgamma(x + y)
+
+    p = sum(
+        math.exp(
+            lnb(a0 + i, b0 + b1)
+            - math.log(b1 + i)
+            - lnb(1 + i, b1)
+            - lnb(a0, b0)
+        )
+        for i in range(a1)
+    )
+    assert abs(float(r["p_b_beats_a"]) - p) < 1e-6
+    # symmetry: swapping arms must give the complement
+    q = sum(
+        math.exp(
+            lnb(a1 + i, b1 + b0)
+            - math.log(b0 + i)
+            - lnb(1 + i, b0)
+            - lnb(a1, b1)
+        )
+        for i in range(a0)
+    )
+    assert abs(p + q - 1.0) < 1e-9
+    assert 0.0 <= float(r["p_b_beats_a"]) <= 1.0
