@@ -1687,3 +1687,124 @@ def test_streaming_dsir_gate_matches_batch(spark, tmp_path):
         assert (merged[f"{c}_gate"] == merged[f"{c}_spark"]).all(), c
     # the cut actually discriminates on the fixture
     assert 0 < int(raw["selected"].sum()) < len(raw)
+
+
+def test_streaming_croston_matches_batch(spark, tmp_path):
+    """Streaming Croston forecaster: every sealed demand-day row
+    reproduces the batch alpha=1/2 integer-shift recursion over the
+    sealed prefix, and the FINAL row per user matches the registered
+    croston_intermittent query's (z_hat, q_hat) exactly for users
+    whose whole history sealed."""
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.changepoint_ops import (
+        croston_intermittent,
+    )
+    from dissertation_iceberg_spark.streaming.croston_stream import (
+        streaming_croston_forecast,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    src = str(tmp_path / "croston_src")
+    pdf = e.toPandas().sort_values("ts").reset_index(drop=True)
+    n = len(pdf)
+    # batch 4: a far-future sentinel purchase advances max event
+    # time; batch 5: one far-future row PER USER so every key is
+    # re-invoked under the advanced watermark and drains its fully
+    # sealed real history (stateful keys only run when they get data)
+    sentinel = pdf.iloc[[-1]].copy()
+    sentinel["user_id"] = 999_999_999
+    sentinel["event_type"] = "purchase"
+    sentinel["ts"] = sentinel["ts"] + pd.Timedelta(days=90)
+    drain = (
+        pdf[pdf["event_type"] == "purchase"]
+        .drop_duplicates("user_id")
+        .copy()
+    )
+    drain["ts"] = pdf["ts"].max() + pd.Timedelta(days=91)
+    chunks = [
+        pdf.iloc[: n // 3],
+        pdf.iloc[n // 3 : 2 * n // 3],
+        pdf.iloc[2 * n // 3 :],
+        sentinel,
+        drain,
+    ]
+    for i, c in enumerate(chunks):
+        spark.createDataFrame(c).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        streaming_croston_forecast(stream)
+        .writeStream.format("memory")
+        .queryName("croston_fc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("croston_fc").toPandas()
+    got = got[got["user_id"] != 999_999_999]
+    assert len(got) > 0
+    assert not got.duplicated(["user_id", "day_us"]).any()
+
+    # python replay of the recursion over each user's sealed prefix
+    DAY_US = 86_400_000_000
+    p = pdf[pdf["event_type"] == "purchase"].copy()
+    p["day_us"] = (p["ts"].astype("int64") // 1000 // DAY_US) * DAY_US
+    p["cents"] = (p["value"] * 100).round().astype("int64")
+    daily = (
+        p.groupby(["user_id", "day_us"])["cents"].sum().reset_index()
+    )
+    max_sealed = got.groupby("user_id")["day_us"].max()
+    final_state = {}
+    for uid, grp in daily.sort_values("day_us").groupby("user_id"):
+        z = q = prev = None
+        for r in grp.itertuples():
+            if uid not in max_sealed.index or r.day_us > max_sealed[uid]:
+                break
+            if z is None:
+                z, q, prev = int(r.cents), 1, r.day_us
+                want = (int(r.cents), None, z, q)
+            else:
+                gap = (r.day_us - prev) // DAY_US
+                z = (int(r.cents) + z) >> 1
+                q = (gap + q) >> 1
+                prev = r.day_us
+                want = (int(r.cents), gap, z, q)
+            row = got[(got["user_id"] == uid) & (got["day_us"] == r.day_us)]
+            assert len(row) == 1, (uid, r.day_us)
+            rr = row.iloc[0]
+            assert int(rr["cents"]) == want[0]
+            assert (
+                pd.isna(rr["gap_days"])
+                if want[1] is None
+                else int(rr["gap_days"]) == want[1]
+            )
+            assert int(rr["z_hat"]) == want[2]
+            assert int(rr["q_hat"]) == want[3]
+        final_state[uid] = (z, q)
+
+    # users whose ENTIRE history sealed must match the batch query
+    batch = (
+        croston_intermittent(spark, sf)
+        .toPandas()
+        .set_index("user_id")
+    )
+    last_demand = daily.groupby("user_id")["day_us"].max()
+    n_full = 0
+    for uid, (z, q) in final_state.items():
+        if z is None or last_demand[uid] > max_sealed.get(uid, -1):
+            continue
+        assert int(batch.loc[uid, "z_hat_cents"]) == z, uid
+        assert int(batch.loc[uid, "q_hat_days"]) == q, uid
+        n_full += 1
+    assert n_full > 0
