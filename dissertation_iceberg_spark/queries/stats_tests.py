@@ -3784,3 +3784,231 @@ def bayes_ab_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bayesian A/B expected loss (the launch-decision stopping metric)
+# --------------------------------------------------------------------------
+
+# Three exact probability sums on a (da0, da1) parameter grid:
+#   p1 = P(pB > pA)            (da0 = 0, da1 = 0)
+#   p2 = P(pB > pA+)           (da0 = 1: A's alpha bumped)
+#   p3 = P(pB+ > pA)           (da1 = 1: B's alpha bumped)
+# then, with posterior means mA = a0/(a0+b0), mB = a1/(a1+b1):
+#   E[loss | choose B] = E[(pA-pB)+] = mA*(1-p2) - mB*(1-p3)
+#   E[loss | choose A] = E[(pB-pA)+] = mB*p3     - mA*p2
+# (the standard Beta-shift identity E[pX * 1(...)] = mean_X * P(...+)).
+_BAYES_LOSS_ORACLE = """
+WITH u AS (
+  SELECT event_id % 2 AS arm,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events),
+a AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1,
+    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0
+  FROM u),
+p AS (
+  SELECT n1, n0, c1, c0, n0 + n1 + 6 AS m FROM a),
+lgbase AS (SELECT unnest(range(1, m + 1)) AS j FROM p),
+lg AS (
+  SELECT j,
+         coalesce(sum(CAST(round(ln(CAST(j AS DOUBLE)) * 1e9) AS BIGINT))
+                    OVER (ORDER BY j
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS lgam
+  FROM lgbase),
+grid AS (
+  SELECT p.*, g.lbl,
+         c0 + 1 + g.da0 AS a0, n0 - c0 + 1 AS b0,
+         c1 + 1 + g.da1 AS a1, n1 - c1 + 1 AS b1
+  FROM p CROSS JOIN (VALUES ('p1', 0, 0), ('p2', 1, 0), ('p3', 0, 1))
+                      AS g(lbl, da0, da1)),
+terms AS (
+  SELECT grid.*, unnest(range(0, a1)) AS i FROM grid),
+lt AS (
+  SELECT t.lbl, t.n0, t.c0, t.n1, t.c1,
+         g1.lgam + g5.lgam - g2.lgam
+           - CAST(round(ln(CAST(t.b1 + t.i AS DOUBLE)) * 1e9) AS BIGINT)
+           - g3.lgam - g9.lgam + g4.lgam
+           - g6.lgam - g7.lgam + g8.lgam AS l_nano
+  FROM terms t
+  JOIN lg g1 ON g1.j = t.a0 + t.i
+  JOIN lg g2 ON g2.j = t.a0 + t.b0 + t.b1 + t.i
+  JOIN lg g3 ON g3.j = 1 + t.i
+  JOIN lg g4 ON g4.j = 1 + t.i + t.b1
+  JOIN lg g5 ON g5.j = t.b0 + t.b1
+  JOIN lg g6 ON g6.j = t.a0
+  JOIN lg g7 ON g7.j = t.b0
+  JOIN lg g8 ON g8.j = t.a0 + t.b0
+  JOIN lg g9 ON g9.j = t.b1),
+ps AS (
+  SELECT n0, c0, n1, c1,
+    CAST(sum(CASE WHEN lbl = 'p1'
+        THEN CAST(round(exp(CAST(l_nano AS DOUBLE) / 1e9) * 1e12) AS BIGINT)
+        ELSE 0 END) AS BIGINT) AS s1,
+    CAST(sum(CASE WHEN lbl = 'p2'
+        THEN CAST(round(exp(CAST(l_nano AS DOUBLE) / 1e9) * 1e12) AS BIGINT)
+        ELSE 0 END) AS BIGINT) AS s2,
+    CAST(sum(CASE WHEN lbl = 'p3'
+        THEN CAST(round(exp(CAST(l_nano AS DOUBLE) / 1e9) * 1e12) AS BIGINT)
+        ELSE 0 END) AS BIGINT) AS s3
+  FROM lt GROUP BY 1, 2, 3, 4)
+SELECT n0 AS n_a, c0 AS conv_a, n1 AS n_b, c1 AS conv_b,
+  round(CAST(s1 AS DOUBLE) / 1e12, 6) AS p_b_beats_a,
+  round(CAST(c0 + 1 AS DOUBLE) / (n0 + 2)
+          * (1e0 - CAST(s2 AS DOUBLE) / 1e12)
+        - CAST(c1 + 1 AS DOUBLE) / (n1 + 2)
+          * (1e0 - CAST(s3 AS DOUBLE) / 1e12), 6) AS exp_loss_choose_b,
+  round(CAST(c1 + 1 AS DOUBLE) / (n1 + 2)
+          * (CAST(s3 AS DOUBLE) / 1e12)
+        - CAST(c0 + 1 AS DOUBLE) / (n0 + 2)
+          * (CAST(s2 AS DOUBLE) / 1e12), 6) AS exp_loss_choose_a
+FROM ps
+"""
+
+
+def bayes_ab_loss_frame(e: DataFrame) -> DataFrame:
+    """Frame-level expected-loss kernel over an events DataFrame
+    (event_id, event_type, ...) — the shape
+    :func:`bayes_ab_expected_loss` registers and
+    ``tools/scale_exp.py`` measures on replicated frames (the lgamma
+    table is the one O(trials) structure)."""
+    from dissertation_iceberg_spark.functions.ranks import (
+        bucketed_exclusive_cumsums,
+    )
+
+    u = e.select(
+        (F.col("event_id") % 2).alias("arm"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    a = u.agg(
+        F.count_if(F.col("arm") == 1).cast("long").alias("n1"),
+        F.count_if(F.col("arm") == 0).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+    )
+    p = a.withColumn("m", F.col("n0") + F.col("n1") + 6)
+    lgbase = p.select(
+        F.explode(F.sequence(F.lit(1), F.col("m"))).alias("j")
+    ).withColumn(
+        "lnj",
+        F.round(F.log(F.col("j").cast("double")) * 1e9).cast("long"),
+    )
+    lg = bucketed_exclusive_cumsums(lgbase, "j", ["lnj"]).select(
+        "j", F.col("cum_lnj").alias("lgam")
+    )
+    # literal 3-point grid fans out map-side (explode of a literal
+    # array of structs — no join node, the explode_grid discipline)
+    def _gp(lbl: str, da0: int, da1: int):
+        return F.struct(
+            F.lit(lbl).alias("lbl"),
+            F.lit(da0).alias("da0"),
+            F.lit(da1).alias("da1"),
+        )
+
+    g = p.withColumn(
+        "__g",
+        F.explode(F.array(_gp("p1", 0, 0), _gp("p2", 1, 0), _gp("p3", 0, 1))),
+    ).select(
+        "*",
+        F.col("__g")["lbl"].alias("lbl"),
+        F.col("__g")["da0"].alias("da0"),
+        F.col("__g")["da1"].alias("da1"),
+    ).select(
+        "n1",
+        "n0",
+        "c1",
+        "c0",
+        "lbl",
+        (F.col("c0") + 1 + F.col("da0")).alias("a0"),
+        (F.col("n0") - F.col("c0") + 1).alias("b0"),
+        (F.col("c1") + 1 + F.col("da1")).alias("a1"),
+        (F.col("n1") - F.col("c1") + 1).alias("b1"),
+    )
+    terms = g.withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.col("a1") - 1))
+    )
+    key_terms = [
+        ("g1", F.col("a0") + F.col("i"), 1),
+        ("g2", F.col("a0") + F.col("b0") + F.col("b1") + F.col("i"), -1),
+        ("g3", F.lit(1) + F.col("i"), -1),
+        ("g4", F.lit(1) + F.col("i") + F.col("b1"), 1),
+        ("g5", F.col("b0") + F.col("b1"), 1),
+        ("g6", F.col("a0"), -1),
+        ("g7", F.col("b0"), -1),
+        ("g8", F.col("a0") + F.col("b0"), 1),
+        ("g9", F.col("b1"), -1),
+    ]
+    lt = terms
+    l_nano = -F.round(
+        F.log((F.col("b1") + F.col("i")).cast("double")) * 1e9
+    ).cast("long")
+    for name, key, sign in key_terms:
+        lt = lt.withColumn(f"__k_{name}", key).join(
+            lg.select(
+                F.col("j").alias(f"__k_{name}"),
+                F.col("lgam").alias(f"__lg_{name}"),
+            ),
+            f"__k_{name}",
+        )
+        l_nano = l_nano + sign * F.col(f"__lg_{name}")
+    t_q = F.round(F.exp(l_nano.cast("double") / 1e9) * 1e12).cast("long")
+    ps = (
+        lt.withColumn("t_q", t_q)
+        .groupBy("n0", "c0", "n1", "c1")
+        .agg(
+            *[
+                F.sum(F.when(F.col("lbl") == lbl, F.col("t_q")).otherwise(0))
+                .cast("long")
+                .alias(f"s{k}")
+                for k, lbl in ((1, "p1"), (2, "p2"), (3, "p3"))
+            ]
+        )
+    )
+    m_a = (F.col("c0") + 1).cast("double") / (F.col("n0") + 2)
+    m_b = (F.col("c1") + 1).cast("double") / (F.col("n1") + 2)
+    p2 = F.col("s2").cast("double") / 1e12
+    p3 = F.col("s3").cast("double") / 1e12
+    return ps.select(
+        F.col("n0").alias("n_a"),
+        F.col("c0").alias("conv_a"),
+        F.col("n1").alias("n_b"),
+        F.col("c1").alias("conv_b"),
+        F.round(F.col("s1").cast("double") / 1e12, 6).alias("p_b_beats_a"),
+        F.round(m_a * (F.lit(1e0) - p2) - m_b * (F.lit(1e0) - p3), 6).alias(
+            "exp_loss_choose_b"
+        ),
+        F.round(m_b * p3 - m_a * p2, 6).alias("exp_loss_choose_a"),
+    )
+
+
+@register("bayes_ab_expected_loss", oracle=_BAYES_LOSS_ORACLE)
+def bayes_ab_expected_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B EXPECTED LOSS — the metric practitioners actually
+    stop on (launch B when E[loss | choose B] falls below a caliper,
+    not when P(B>A) crosses 95%): E[(pA - pB)+] and E[(pB - pA)+]
+    under independent Beta posteriors, evaluated in closed form via
+    the Beta-shift identity E[pX 1(X>Y)] = mean_X * P(X+ > Y), so the
+    whole decision panel reduces to THREE exact probability sums on a
+    (+1-alpha) parameter grid sharing one integer lgamma table (the
+    ``bayes_ab_posterior`` machinery, generalized to grid-valued
+    parameters).
+
+    Determinism: identical contract to bayes_ab_posterior — integer
+    gamma arguments, nano-rounded ln cumsums through the bucketed
+    kernel, per-term 1e-12 quantization, exact integer sums per grid
+    label; the loss expressions are mirrored float combinations of
+    exact sums. Sanity identity (pinned in tests): loss_B - loss_A =
+    mean_A - mean_B exactly in expectation terms.
+
+    Scale shape: as bayes_ab_posterior, plus a 3-row literal grid
+    fanned out map-side — the term frame triples, the lgamma table is
+    shared, and the label pivot is one tiny aggregate."""
+    return bayes_ab_loss_frame(load_table(spark, sf_dir, "events"))

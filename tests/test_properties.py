@@ -6092,3 +6092,48 @@ def test_bayes_ab_posterior_vs_true_lgamma(spark, sf_dir):
     )
     assert abs(p + q - 1.0) < 1e-9
     assert 0.0 <= float(r["p_b_beats_a"]) <= 1.0
+
+
+def test_bayes_ab_expected_loss_identities(spark, sf_dir):
+    """bayes_ab_expected_loss invariants: both losses nonnegative,
+    loss_B - loss_A equals mean_A - mean_B (the (x)+ identity), and
+    a full-precision math.lgamma replay agrees to 1e-6."""
+    import math
+
+    from dissertation_iceberg_spark.queries.stats_tests import (
+        bayes_ab_expected_loss,
+    )
+
+    out = bayes_ab_expected_loss(spark, sf_dir).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    n0, c0 = int(r["n_a"]), int(r["conv_a"])
+    n1, c1 = int(r["n_b"]), int(r["conv_b"])
+    m_a = (c0 + 1) / (n0 + 2)
+    m_b = (c1 + 1) / (n1 + 2)
+    lb, la = float(r["exp_loss_choose_b"]), float(r["exp_loss_choose_a"])
+    assert lb >= -1e-9 and la >= -1e-9
+    assert abs((lb - la) - (m_a - m_b)) < 2e-6
+
+    def lnb(x, y):
+        return math.lgamma(x) + math.lgamma(y) - math.lgamma(x + y)
+
+    def p_y_beats_x(a0, b0, a1, b1):
+        return sum(
+            math.exp(
+                lnb(a0 + i, b0 + b1)
+                - math.log(b1 + i)
+                - lnb(1 + i, b1)
+                - lnb(a0, b0)
+            )
+            for i in range(a1)
+        )
+
+    a0, b0 = c0 + 1, n0 - c0 + 1
+    a1, b1 = c1 + 1, n1 - c1 + 1
+    p2 = p_y_beats_x(a0 + 1, b0, a1, b1)
+    p3 = p_y_beats_x(a0, b0, a1 + 1, b1)
+    want_lb = m_a * (1 - p2) - m_b * (1 - p3)
+    want_la = m_b * p3 - m_a * p2
+    assert abs(lb - want_lb) < 1e-6
+    assert abs(la - want_la) < 1e-6

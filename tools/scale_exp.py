@@ -308,6 +308,80 @@ def main() -> None:
             print(json.dumps({"kernel": "scd2_build", "factor": r,
                               "input_rows": n_ev, "out_rows": rows,
                               "sec": round(t, 3)}))
+
+        # exact Bayesian A/B expected loss (stats_tests.
+        # bayes_ab_loss_frame, round 5): the lgamma table is the one
+        # O(trials) structure — the claim under test: table build +
+        # bucketed cumsum stay linear, the term frame stays
+        # O(conversions), and nothing quadratic appears
+        if _want("bayes_ab"):
+            from dissertation_iceberg_spark.queries.stats_tests import (
+                bayes_ab_loss_frame,
+            )
+
+            t, rows = timed(
+                lambda: bayes_ab_loss_frame(ev), action="count"
+            )
+            print(json.dumps({"kernel": "bayes_ab", "factor": r,
+                              "input_rows": n_ev, "out_rows": rows,
+                              "sec": round(t, 3)}))
+
+        # Croston intermittent-demand recursion (changepoint_ops.
+        # croston_intermittent shape): per-user sorted fold — the
+        # claim under test: the sequential dependency stays confined
+        # to its user partition at 100x users, output linear in users
+        if _want("croston"):
+            from dissertation_iceberg_spark.functions.time_bins import (
+                micros as _micros,
+            )
+
+            def croston_kernel():
+                daily = (
+                    ev.filter(F.col("event_type") == "purchase")
+                    .groupBy(
+                        "user_id",
+                        (_micros("ts") / F.lit(86_400_000_000))
+                        .cast("long")
+                        .alias("day_num"),
+                    )
+                    .agg(
+                        F.sum(F.round(F.col("value") * 100).cast("long"))
+                        .cast("long")
+                        .alias("cents")
+                    )
+                )
+                series = daily.groupBy("user_id").agg(
+                    F.sort_array(
+                        F.collect_list(F.struct("day_num", "cents"))
+                    ).alias("s")
+                )
+                init = F.struct(
+                    F.col("s")[0]["cents"].alias("z"),
+                    F.lit(1).cast("long").alias("q"),
+                    F.col("s")[0]["day_num"].alias("prev"),
+                )
+                rest = F.slice(F.col("s"), F.lit(2), F.size("s") - 1)
+                fin = F.aggregate(
+                    rest,
+                    init,
+                    lambda acc, x: F.struct(
+                        F.shiftright(x["cents"] + acc["z"], 1).alias("z"),
+                        F.shiftright(
+                            (x["day_num"] - acc["prev"]) + acc["q"], 1
+                        ).alias("q"),
+                        x["day_num"].alias("prev"),
+                    ),
+                )
+                return series.select(
+                    "user_id",
+                    fin["z"].alias("z_hat"),
+                    fin["q"].alias("q_hat"),
+                )
+
+            t, rows = timed(croston_kernel, action="count")
+            print(json.dumps({"kernel": "croston", "factor": r,
+                              "input_rows": n_ev, "out_rows": rows,
+                              "sec": round(t, 3)}))
         ev.unpersist()
 
         # block-disjoint replica text: every word prefixed with the
@@ -1442,6 +1516,7 @@ def main() -> None:
             or _want("mh_estimator")
             or _want("dsir")
             or _want("softdedup")
+            or _want("xsrc_dup")
         ):
             dc = replicate(docs, r, {"doc_id": 10_000_000})
             if r > 1:
@@ -1585,6 +1660,68 @@ def main() -> None:
                 print(json.dumps({"kernel": "softdedup", "factor": r,
                                   "input_rows": n_dc, "out_rows": rows,
                                   "sec": round(t, 3)}))
+
+            # cross-source duplication matrix (llm_ops.
+            # cross_source_duplication shape): distinct (source,
+            # chunk-hash) + self-equi-join on the hash — the claim
+            # under test: pair volume bounded by n_chunks x n_sources
+            # (block-disjoint replicas keep per-hash df flat), so the
+            # matrix build stays linear in the corpus
+            if _want("xsrc_dup"):
+                from dissertation_iceberg_spark.operators import (
+                    text as _tx2,
+                )
+
+                def xsrc_kernel(frame=dc):
+                    t_ = _tx2.tokens(F.col("text"))
+                    base = frame.select(
+                        "source", t_.alias("t"), F.size(t_).alias("n")
+                    )
+                    ch = (
+                        base.select(
+                            "source",
+                            F.explode(
+                                F.when(
+                                    F.col("n") >= 1,
+                                    F.sequence(
+                                        F.lit(1), F.col("n"), F.lit(16)
+                                    ),
+                                ).otherwise(
+                                    F.array().cast("array<int>")
+                                )
+                            ).alias("s"),
+                            "t",
+                        )
+                        .select(
+                            "source",
+                            F.md5(
+                                F.array_join(
+                                    F.slice(F.col("t"), F.col("s"), 16),
+                                    " ",
+                                )
+                            ).alias("h"),
+                        )
+                        .distinct()
+                    )
+                    a_ = ch.alias("a")
+                    b_ = ch.alias("b")
+                    return (
+                        a_.join(
+                            b_,
+                            (F.col("a.h") == F.col("b.h"))
+                            & (F.col("a.source") < F.col("b.source")),
+                        )
+                        .groupBy(
+                            F.col("a.source").alias("src_a"),
+                            F.col("b.source").alias("src_b"),
+                        )
+                        .agg(F.count(F.lit(1)).alias("n_shared"))
+                    )
+
+                t, rows = timed(xsrc_kernel, action="count")
+                print(json.dumps({"kernel": "xsrc_dup", "factor": r,
+                                  "input_rows": n_dc, "out_rows": rows,
+                                  "sec": round(t, 3)}))
             dc.unpersist()
 
         # block-shifted embeddings: replicas displaced along every axis
@@ -1630,6 +1767,25 @@ def main() -> None:
     # instead of key-replication — the claim under test: every stage
     # inherits its components' partitioned shapes, so the composed
     # pipelines stay near-linear end to end
+    if _want("ijm"):
+        from dissertation_iceberg_spark.queries.lakehouse_ops import (
+            incremental_join_merge,
+        )
+
+        for d_sf, fac in [
+            ("/root/testdata/sf0.001", 1),
+            ("/root/testdata/sf0.01", 10),
+            ("/root/testdata/sf0.1", 100),
+        ]:
+            if not os.path.isdir(d_sf):
+                continue
+            t, rows = timed(
+                lambda: incremental_join_merge(spark, d_sf), action="count"
+            )
+            print(json.dumps({"kernel": "ijm", "factor": fac,
+                              "sf_dir": d_sf, "out_rows": rows,
+                              "sec": round(t, 3)}))
+
     if _want("workflows"):
         from dissertation_iceberg_spark.queries.workflow_queries import (
             portfolio_workflow_pnl,
