@@ -3088,3 +3088,144 @@ def shift_share_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v2").cast("double") / F.col("t2") - share1, 6
         ).alias("share_change"),
     )
+
+
+# --------------------------------------------------------------------------
+# Association rules (directed confidence/leverage/conviction panel)
+# --------------------------------------------------------------------------
+
+_RULES_ORACLE = f"""
+WITH assoc0 AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+assoc AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS bsz FROM assoc0)
+  WHERE bsz <= {_DEFAULT_MAX_BASKET}),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM assoc),
+marg AS (
+  SELECT l_partkey, count(*) AS n_part FROM assoc GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+  FROM assoc a JOIN assoc b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+top AS (
+  SELECT p.part_a, p.part_b, p.n_both,
+         ma.n_part AS n_a, mb.n_part AS n_b, n.n_orders
+  FROM pairs p
+  JOIN marg ma ON p.part_a = ma.l_partkey
+  JOIN marg mb ON p.part_b = mb.l_partkey
+  CROSS JOIN n
+  ORDER BY n_both DESC, part_a, part_b
+  LIMIT {_AFFINITY_TOPK}),
+rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent,
+         n_both, n_a AS n_ante, n_b AS n_cons, n_orders FROM top
+  UNION ALL
+  SELECT part_b, part_a, n_both, n_b, n_a, n_orders FROM top)
+SELECT antecedent, consequent,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(n_ante AS BIGINT) AS n_ante,
+       CAST(n_cons AS BIGINT) AS n_cons,
+       round(CAST(n_both AS DOUBLE) / n_orders, 6) AS support,
+       round(CAST(n_both AS DOUBLE) / n_ante, 6) AS confidence,
+       round(CAST(n_both AS DOUBLE) * n_orders / n_ante / n_cons, 6)
+         AS lift,
+       round(CAST(n_both AS DOUBLE) / n_orders
+             - CAST(n_ante AS DOUBLE) / n_orders
+               * (CAST(n_cons AS DOUBLE) / n_orders), 6) AS leverage,
+       CASE WHEN n_both < n_ante THEN
+         round((1e0 - CAST(n_cons AS DOUBLE) / n_orders)
+               / (1e0 - CAST(n_both AS DOUBLE) / n_ante), 6)
+       END AS conviction
+FROM rules
+"""
+
+
+@register("association_rules", oracle=_RULES_ORACLE)
+def association_rules(
+    spark: SparkSession,
+    sf_dir: str,
+    max_basket_size: int | None = _DEFAULT_MAX_BASKET,
+) -> DataFrame:
+    """Directed association-rule panel over the top co-purchased part
+    pairs: for each direction antecedent -> consequent, the full
+    Apriori metric set — support, confidence, lift, leverage, and
+    conviction (how much more often the antecedent appears WITHOUT
+    the consequent under independence than observed; null when
+    confidence = 1). ``copurchase_lift`` ranks the pairs; this is the
+    rule table a merchandiser actually reads, since lift is symmetric
+    but confidence/conviction are NOT (buying the accessory predicts
+    the phone far better than the reverse).
+
+    Scale shape: identical to copurchase_lift up through the top-k —
+    the shared ``_marginal_pair_counts`` expansion (marginals attached
+    pre-expansion, self-sized shuffle, capped baskets) and a
+    TakeOrderedAndProject top-25; the two rule directions then fan out
+    MAP-SIDE from the 25-row frame (explode of a 2-struct literal
+    array — no union rescan, no join). Every metric is one mirrored
+    float expression over exact BIGINT counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    assoc = _capped_baskets(
+        li.select("l_orderkey", "l_partkey").distinct(), max_basket_size
+    )
+    n = assoc.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    pairs, _ = _marginal_pair_counts(assoc)
+    top = (
+        pairs.transform(with_scalars, n)
+        .orderBy(F.desc("n_both"), F.asc("part_a"), F.asc("part_b"))
+        .limit(_AFFINITY_TOPK)
+    )
+    fwd = F.struct(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        F.col("n_a").alias("n_ante"),
+        F.col("n_b").alias("n_cons"),
+    )
+    rev = F.struct(
+        F.col("part_b").alias("antecedent"),
+        F.col("part_a").alias("consequent"),
+        F.col("n_b").alias("n_ante"),
+        F.col("n_a").alias("n_cons"),
+    )
+    r = top.select(
+        F.explode(F.array(fwd, rev)).alias("r"), "n_both", "n_orders"
+    ).select(
+        F.col("r")["antecedent"].alias("antecedent"),
+        F.col("r")["consequent"].alias("consequent"),
+        F.col("n_both").cast("long").alias("n_both"),
+        F.col("r")["n_ante"].cast("long").alias("n_ante"),
+        F.col("r")["n_cons"].cast("long").alias("n_cons"),
+        "n_orders",
+    )
+    nb = F.col("n_both").cast("double")
+    return r.select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        "n_ante",
+        "n_cons",
+        F.round(nb / F.col("n_orders"), 6).alias("support"),
+        F.round(nb / F.col("n_ante"), 6).alias("confidence"),
+        F.round(
+            nb * F.col("n_orders") / F.col("n_ante") / F.col("n_cons"), 6
+        ).alias("lift"),
+        F.round(
+            nb / F.col("n_orders")
+            - F.col("n_ante").cast("double")
+            / F.col("n_orders")
+            * (F.col("n_cons").cast("double") / F.col("n_orders")),
+            6,
+        ).alias("leverage"),
+        F.when(
+            F.col("n_both") < F.col("n_ante"),
+            F.round(
+                (
+                    F.lit(1e0)
+                    - F.col("n_cons").cast("double") / F.col("n_orders")
+                )
+                / (F.lit(1e0) - nb / F.col("n_ante")),
+                6,
+            ),
+        ).alias("conviction"),
+    )

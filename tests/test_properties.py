@@ -6137,3 +6137,32 @@ def test_bayes_ab_expected_loss_identities(spark, sf_dir):
     want_la = m_b * p3 - m_a * p2
     assert abs(lb - want_lb) < 1e-6
     assert abs(la - want_la) < 1e-6
+
+
+def test_association_rules_consistency(spark, sf_dir):
+    """association_rules invariants: both directions present for every
+    pair, metric identities (confidence = support*N/n_ante, lift
+    symmetric across directions), conviction null iff confidence = 1,
+    and confidence in (0, 1]."""
+    from dissertation_iceberg_spark.queries.behavior_ops import (
+        association_rules,
+    )
+
+    out = association_rules(spark, sf_dir).toPandas()
+    assert len(out) % 2 == 0 and len(out) > 0
+    keys = {tuple(sorted(t)) for t in zip(out["antecedent"], out["consequent"])}
+    assert len(keys) == len(out) // 2
+    assert ((out["confidence"] > 0) & (out["confidence"] <= 1)).all()
+    assert (out["n_both"] <= out[["n_ante", "n_cons"]].min(axis=1)).all()
+    # lift is direction-symmetric
+    m = out.merge(
+        out,
+        left_on=["antecedent", "consequent"],
+        right_on=["consequent", "antecedent"],
+        suffixes=("", "_rev"),
+    )
+    assert (m["lift"] == m["lift_rev"]).all()
+    # conviction defined exactly when confidence < 1
+    conf1 = out["n_both"] == out["n_ante"]
+    assert out.loc[conf1, "conviction"].isna().all()
+    assert out.loc[~conf1, "conviction"].notna().all()
