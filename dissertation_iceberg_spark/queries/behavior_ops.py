@@ -3229,3 +3229,172 @@ def association_rules(
             ),
         ).alias("conviction"),
     )
+
+
+# --------------------------------------------------------------------------
+# Recommender-quality audit: coverage / novelty / brand diversity
+# --------------------------------------------------------------------------
+
+_RECSYS_ORACLE = f"""
+WITH assoc0 AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+assoc AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS bsz FROM assoc0)
+  WHERE bsz <= {_DEFAULT_MAX_BASKET}),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM assoc),
+marg AS (
+  SELECT l_partkey, count(*) AS n_part FROM assoc GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+  FROM assoc a JOIN assoc b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+sym AS (
+  SELECT part_a AS item, part_b AS rec, n_both FROM pairs
+  UNION ALL
+  SELECT part_b AS item, part_a AS rec, n_both FROM pairs),
+scored AS (
+  SELECT s.item, s.rec,
+         CAST(round(CAST(s.n_both AS DOUBLE)
+                    / sqrt(CAST(mi.n_part AS DOUBLE) * mr.n_part) * 1e6)
+              AS BIGINT) / 1e6 AS cosine
+  FROM sym s
+  JOIN marg mi ON s.item = mi.l_partkey
+  JOIN marg mr ON s.rec = mr.l_partkey),
+topk AS (
+  SELECT item, rec FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY item ORDER BY cosine DESC, rec ASC) AS rnk
+    FROM scored)
+  WHERE rnk <= {_CF_TOPK}),
+novel AS (
+  SELECT CAST(round(ln(CAST(n.n_orders AS DOUBLE) / m.n_part) * 1e6)
+              AS BIGINT) AS lp
+  FROM topk JOIN marg m ON topk.rec = m.l_partkey CROSS JOIN n),
+novstats AS (
+  SELECT CAST(sum(lp) AS BIGINT) AS nov_s, count(*) AS nov_c FROM novel),
+ild AS (
+  SELECT topk.item,
+         CAST(round(CAST(count(DISTINCT p.p_brand) AS DOUBLE)
+                    / count(*) * 1e6) AS BIGINT) AS rm
+  FROM topk JOIN part p ON topk.rec = p.p_partkey
+  GROUP BY topk.item),
+ildstats AS (
+  SELECT CAST(sum(rm) AS BIGINT) AS ild_s, count(*) AS ild_c FROM ild),
+base AS (
+  SELECT count(DISTINCT item) AS n_items,
+         count(*) AS n_rec_edges,
+         count(DISTINCT rec) AS n_distinct_recs
+  FROM topk),
+cat AS (SELECT count(*) AS n_catalog FROM marg)
+SELECT CAST(n_catalog AS BIGINT) AS n_catalog,
+       CAST(n_items AS BIGINT) AS n_items,
+       CAST(n_rec_edges AS BIGINT) AS n_rec_edges,
+       round(CAST(n_distinct_recs AS DOUBLE) / n_catalog, 6)
+         AS catalog_coverage,
+       round(CAST(nov_s AS DOUBLE) / nov_c / 1e6, 6) AS mean_novelty,
+       round(CAST(ild_s AS DOUBLE) / ild_c / 1e6, 6) AS brand_diversity
+FROM base CROSS JOIN cat CROSS JOIN novstats CROSS JOIN ildstats
+"""
+
+
+@register("recsys_coverage_audit", oracle=_RECSYS_ORACLE)
+def recsys_coverage_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Beyond-accuracy recommender audit (the novelty/diversity
+    framework of Vargas & Castells, RecSys 2011) over the
+    ``item_cf_topk`` output: catalog coverage (share of the purchasable
+    catalog that EVER appears as a recommendation — low coverage =
+    popularity feedback loop), mean novelty (self-information
+    -ln(popularity) of recommended items: are we only recommending
+    bestsellers?), and brand diversity (mean distinct-brand share per
+    item's rec list). The one-row report that catches a recommender
+    optimizing itself into a top-seller echo chamber — which cosine
+    accuracy metrics cannot see.
+
+    Parity: per-rec novelty and per-item diversity ratios micro-round
+    to BIGINT before their means (exact sums under any order); the
+    output ratios are single mirrored float expressions.
+
+    Scale shape: everything up through the top-k is item_cf_topk's
+    shared capped/self-sized pair expansion; the audit itself runs on
+    the O(items x k) rec frame — a broadcast dim join (part brands), a
+    marginal equi-join, and three tiny aggregates injected as scalar
+    subqueries. No new fact-scale stage."""
+    recs = item_cf_topk(spark, sf_dir).select("item", "rec")
+    li = load_table(spark, sf_dir, "lineitem")
+    assoc = _capped_baskets(
+        li.select("l_orderkey", "l_partkey").distinct(),
+        _DEFAULT_MAX_BASKET,
+    )
+    n = assoc.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    marg = assoc.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    novel = (
+        recs.join(marg, recs["rec"] == marg["l_partkey"])
+        .transform(with_scalars, n)
+        .select(
+            F.round(
+                F.log(
+                    F.col("n_orders").cast("double") / F.col("n_part")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lp")
+        )
+    )
+    novstats = novel.agg(
+        F.sum("lp").cast("long").alias("nov_s"),
+        F.count(F.lit(1)).alias("nov_c"),
+    )
+    ild = (
+        recs.join(F.broadcast(part), recs["rec"] == part["p_partkey"])
+        .groupBy("item")
+        .agg(
+            F.round(
+                F.count_distinct("p_brand").cast("double")
+                / F.count(F.lit(1))
+                * 1e6
+            )
+            .cast("long")
+            .alias("rm")
+        )
+    )
+    ildstats = ild.agg(
+        F.sum("rm").cast("long").alias("ild_s"),
+        F.count(F.lit(1)).alias("ild_c"),
+    )
+    cat = marg.agg(F.count(F.lit(1)).cast("long").alias("n_catalog"))
+    base = recs.agg(
+        F.count_distinct("item").cast("long").alias("n_items"),
+        F.count(F.lit(1)).cast("long").alias("n_rec_edges"),
+        F.count_distinct("rec").cast("long").alias("n_distinct_recs"),
+    )
+    return (
+        base.transform(with_scalars, cat)
+        .transform(with_scalars, novstats)
+        .transform(with_scalars, ildstats)
+        .select(
+            "n_catalog",
+            "n_items",
+            "n_rec_edges",
+            F.round(
+                F.col("n_distinct_recs").cast("double")
+                / F.col("n_catalog"),
+                6,
+            ).alias("catalog_coverage"),
+            F.round(
+                F.col("nov_s").cast("double") / F.col("nov_c") / 1e6, 6
+            ).alias("mean_novelty"),
+            F.round(
+                F.col("ild_s").cast("double") / F.col("ild_c") / 1e6, 6
+            ).alias("brand_diversity"),
+        )
+    )
