@@ -784,3 +784,112 @@ def huber_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(b0h * 1e6).cast("long") / F.lit(1e6)).alias("beta0_huber"),
         (F.round(b1h * 1e6).cast("long") / F.lit(1e6)).alias("beta1_huber"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-brand price elasticity (log-log OLS on exact quantized Grams)
+# --------------------------------------------------------------------------
+
+_ELAST_ORACLE = """
+WITH r AS (
+  SELECT p.p_brand AS brand,
+         CAST(round(ln(l_extendedprice / l_quantity) * 1e3) AS BIGINT)
+           AS x,
+         CAST(round(ln(l_quantity) * 1e3) AS BIGINT) AS y
+  FROM lineitem JOIN part p ON l_partkey = p_partkey),
+g AS (
+  SELECT brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM r GROUP BY 1 HAVING count(*) >= 3)
+SELECT brand, n AS n_obs,
+  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+    AS elasticity,
+  round((CAST(sy AS DOUBLE)
+         - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+        / n / 1e3, 6) AS intercept_ln_qty,
+  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+        / (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n), 6)
+    AS r_squared
+FROM g
+"""
+
+
+@register("price_elasticity", oracle=_ELAST_ORACLE)
+def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: the log-log regression
+    ln(quantity) ~ ln(unit price) per part brand — the slope IS the
+    elasticity (a 1% price increase moves quantity by elasticity %),
+    the classic retail pricing diagnostic that the level-space
+    ``ols_price_on_discount`` family cannot produce (elasticity is
+    only a constant in logs).
+
+    Determinism: both log transforms milli-round to BIGINT per row
+    (the libm rule; the quantum is the precision/overflow dial — at
+    1e-3, per-brand Gram sums stay under 2^63 through ~1e8 rows per
+    brand), so the five Gram sums are exact integer arithmetic under
+    any shuffle order; slope / intercept / R^2 are then identically
+    shaped float expressions of those exact sums (the cross products
+    would overflow BIGINT, so they evaluate in double — mirrored, not
+    summed, hence still hash-stable).
+
+    Scale shape: one broadcast dim join (part brands onto the fact
+    scan), one map-side-combinable per-brand aggregate of five
+    integer sums, O(brands) output. Nothing else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    r = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select(
+        "brand",
+        F.round(
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")) * 1e3
+        )
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("l_quantity")) * 1e3)
+        .cast("long")
+        .alias("y"),
+    )
+    g = (
+        r.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    b = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx") - sxd * F.col("sx")
+    )
+    return g.select(
+        "brand",
+        F.col("n").alias("n_obs"),
+        F.round(b, 6).alias("elasticity"),
+        F.round((syd - b * F.col("sx")) / F.col("n") / 1e3, 6).alias(
+            "intercept_ln_qty"
+        ),
+        F.round(
+            b
+            * (F.col("sxy").cast("double") - sxd * F.col("sy") / F.col("n"))
+            / (F.col("syy").cast("double") - syd * F.col("sy") / F.col("n")),
+            6,
+        ).alias("r_squared"),
+    )

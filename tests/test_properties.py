@@ -6166,3 +6166,34 @@ def test_association_rules_consistency(spark, sf_dir):
     conf1 = out["n_both"] == out["n_ante"]
     assert out.loc[conf1, "conviction"].isna().all()
     assert out.loc[~conf1, "conviction"].notna().all()
+
+
+def test_price_elasticity_sanity(spark, sf_dir):
+    """price_elasticity invariants: R^2 in [0, 1] (slope*Sxy-form on
+    the same quantized rows), every brand present, and a numpy lstsq
+    replay on the quantized grid agrees to 1e-5."""
+    import numpy as np
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.queries.regression import (
+        price_elasticity,
+    )
+
+    out = price_elasticity(spark, sf_dir).toPandas()
+    assert (out["r_squared"] >= -1e-9).all()
+    assert (out["r_squared"] <= 1 + 1e-9).all()
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    part = load_table(spark, sf_dir, "part").toPandas()
+    df = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    assert set(out["brand"]) == set(
+        df.groupby("p_brand").size()[lambda s: s >= 3].index
+    )
+    brand = out.iloc[0]["brand"]
+    sub = df[df["p_brand"] == brand]
+    x = np.round(
+        np.log(sub["l_extendedprice"] / sub["l_quantity"]) * 1e3
+    ) / 1e3
+    y = np.round(np.log(sub["l_quantity"]) * 1e3) / 1e3
+    slope = np.polyfit(x, y, 1)[0]
+    got = float(out[out["brand"] == brand]["elasticity"].iloc[0])
+    assert abs(got - slope) < 1e-5
