@@ -92,27 +92,72 @@ def word_shingles(
 
 
 def _posting_shuffle_partitions(
-    postings_src: DataFrame, key: str, self_size: bool
+    postings_src: DataFrame,
+    key: str,
+    self_size: bool,
+    rows_per_partition: int = 500_000,
 ) -> int:
     """Derived shuffle width for a posting-list pair expansion, or 0
     when the session default suffices (so fixture-scale plans stay
     byte-identical — no repartition node appears). Candidate volume =
     sum of squared per-key group sizes, measured EXACTLY by one cheap
     count pre-agg (``functions/partitioning.pair_expansion_partitions``,
-    the item_cf recipe)."""
+    the item_cf recipe). ``rows_per_partition`` is the per-reducer
+    quota the exact volume is divided by — 500k (the item_cf SMJ
+    sweet spot) unless the caller's expansion rows are narrower."""
     if not self_size:
         return 0
     from dissertation_iceberg_spark.functions.partitioning import (
         pair_expansion_partitions,
     )
 
-    n = pair_expansion_partitions(postings_src, key)
+    n = pair_expansion_partitions(
+        postings_src, key, rows_per_partition=rows_per_partition
+    )
     default = int(
         postings_src.sparkSession.conf.get(
             "spark.sql.shuffle.partitions", "200"
         )
     )
     return n if n > default else 0
+
+
+# Per-reducer quota for the CAPPED jaccard pair expansion (round 6).
+# The item_cf 500k quota was measured on a sort-merge-join expansion
+# carrying wide rows; the capped jaccard pair shuffle carries 16-byte
+# (id_a, id_b) rows into a map-side-combined hash aggregate (partial
+# counts shrink the stream BEFORE the exchange), so one reducer
+# comfortably digests ~4M pre-combine pair rows (~64 MB raw). The
+# 100x crossover measurement lives in SCALE.md (round 6).
+_JACCARD_PAIRS_PER_PARTITION = 4_000_000
+
+
+def _capped_pair_volume_bound(
+    df: DataFrame, text_col: str, cap: int
+) -> int:
+    """O(1)-width worst-case bound on the capped pair-expansion volume
+    sum(df^2), WITHOUT generating a single shingle: every shingle
+    instance contributes at most ``cap`` to its shingle's df, and the
+    instance count per doc is bounded by the token count, itself
+    bounded by whitespace count + 1 — pure length arithmetic, one
+    narrow scan, no shuffle, no token-array allocation. When even this
+    worst case fits the session default's quota, the exact sum(df^2)
+    pre-agg (a full tokenize+shingle scan plus a shingle-keyed
+    shuffle) is provably unnecessary and is skipped — that keeps the
+    registered capped plan's build cost at fixture scale within noise
+    of the uncapped plan, while 100 TB inputs (where the bound
+    explodes) still pay the exact measurement before committing to a
+    shuffle width."""
+    row = (
+        df.select(
+            F.sum(
+                F.length(F.col(text_col))
+                - F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+                + F.lit(1)
+            ).alias("s")
+        ).first()
+    )
+    return cap * int(row["s"] or 0)
 
 
 def jaccard_near_dup_pairs(
@@ -171,14 +216,34 @@ def jaccard_near_dup_pairs(
     one extra shingle-generation scan instead of persisting the
     O(corpus-tokens) shingle frame (the greater evil at 100 TB); its
     own shuffle carries only (shingle, count) rows with map-side
-    combine, so the session default is safe for it. When the derived
-    count does not exceed the session default (every test/SF fixture
-    here), NO repartition node appears — the plan is unchanged.
+    combine, so the session default is safe for it. Round 6: the
+    exact pre-agg is GATED behind a length-arithmetic worst-case
+    bound (``_capped_pair_volume_bound`` — one narrow scan, no
+    tokenization, no shuffle): when even cap * (upper bound on
+    shingle instances) fits the default's per-reducer quota, the
+    width provably cannot exceed the default and the second scan is
+    skipped — so the registered capped default costs fixture-scale
+    builds one cheap length sum, not a duplicate shingle pass. When
+    the derived count does not exceed the session default (every
+    test/SF fixture here), NO repartition node appears — the plan is
+    unchanged.
     """
     capped = max_shingle_freq is not None
     sh = word_shingles(df, text_col, id_col, n, with_size=not capped)
     if capped:
-        n_parts = _posting_shuffle_partitions(sh, "shingle", self_size)
+        # self-sizing gate: only pay the exact sum(df^2) pre-agg (a
+        # second tokenize+shingle scan) when the length-arithmetic
+        # worst case says the session default MIGHT not suffice
+        if self_size:
+            default = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            bound = _capped_pair_volume_bound(df, text_col, max_shingle_freq)
+            self_size = bound > _JACCARD_PAIRS_PER_PARTITION * default
+        n_parts = _posting_shuffle_partitions(
+            sh, "shingle", self_size,
+            rows_per_partition=_JACCARD_PAIRS_PER_PARTITION,
+        )
         if n_parts:
             sh = sh.repartition(n_parts, "shingle")
         posts = sh.groupBy("shingle").agg(

@@ -219,16 +219,29 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_N = 3
 JACCARD_THRESHOLD = 0.2
+# 100 TB-safe driver default: drop stop-shingles shared by more than
+# this many docs BEFORE pair expansion (capped-universe semantics —
+# sizes are post-cap too; operators/dedup.py:jaccard_near_dup_pairs).
+# On the driver fixtures df is measured <= 25, so the cap is a no-op
+# there (pinned by tests/test_properties.py::test_jaccard_cap_noop) —
+# it exists so the REGISTERED plan is the one that survives a viral
+# stop-shingle at 100x (round-4 basket-cap precedent).
+MAX_SHINGLE_FREQ = 256
 
 _JACCARD_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, {_TOKENS} AS t FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
            unnest(list_transform(generate_series(1, len(t) - {JACCARD_N - 1}),
                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
     FROM toks)),
+keepsh AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING count(*) <= {MAX_SHINGLE_FREQ}),
+sh AS (
+  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keepsh USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -249,10 +262,14 @@ WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
 @register("jaccard_near_dups", oracle=_JACCARD_ORACLE)
 def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: word-3-gram Jaccard via inverted-index
-    self-join (no cross product; stop-shingle cap available for scale)."""
+    posting-list expansion, registered on the CAPPED plan
+    (max_shingle_freq=256, the 100 TB-safe default — capped-universe
+    semantics, oracle cap-matched). The uncapped joinless one-pass
+    shape remains callable via max_shingle_freq=None."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     out = dd.jaccard_near_dup_pairs(
-        docs, "text", "doc_id", n=JACCARD_N, threshold=JACCARD_THRESHOLD
+        docs, "text", "doc_id", n=JACCARD_N, threshold=JACCARD_THRESHOLD,
+        max_shingle_freq=MAX_SHINGLE_FREQ,
     )
     return out.select(
         "id_a", "id_b", F.col("n_inter").cast("long").alias("n_inter"), "jaccard"
@@ -297,7 +314,8 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     pairs = dd.jaccard_near_dup_pairs(
-        docs, "text", "doc_id", n=JACCARD_N, threshold=JACCARD_THRESHOLD
+        docs, "text", "doc_id", n=JACCARD_N, threshold=JACCARD_THRESHOLD,
+        max_shingle_freq=MAX_SHINGLE_FREQ,
     )
     cc = dd.connected_components(pairs, "id_a", "id_b")
     w = Window.partitionBy("cluster_id")
@@ -1035,7 +1053,8 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     ex = docs.select("doc_id", exact_canon.alias("exact_canonical"))
     pairs = dd.jaccard_near_dup_pairs(
-        docs, "text", "doc_id", n=JACCARD_N, threshold=JACCARD_THRESHOLD
+        docs, "text", "doc_id", n=JACCARD_N, threshold=JACCARD_THRESHOLD,
+        max_shingle_freq=MAX_SHINGLE_FREQ,
     )
     cc = dd.connected_components(pairs, "id_a", "id_b").select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
@@ -1505,7 +1524,8 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     pairs = jaccard_near_dup_pairs(
-        docs, "text", "doc_id", n=JACCARD_N, threshold=JACCARD_THRESHOLD
+        docs, "text", "doc_id", n=JACCARD_N, threshold=JACCARD_THRESHOLD,
+        max_shingle_freq=MAX_SHINGLE_FREQ,
     )
     h = F.substring(F.md5("text"), 1, 1)
     sp = docs.select(
@@ -2165,12 +2185,17 @@ _EDIT_R6 = "CAST(round(({x}) * 1e6) AS BIGINT) / 1e6"
 _EDIT_VERIFY_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, {_TOKENS} AS t FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
            unnest(list_transform(generate_series(1, len(t) - {JACCARD_N - 1}),
                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
     FROM toks)),
+keepsh AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING count(*) <= {MAX_SHINGLE_FREQ}),
+sh AS (
+  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keepsh USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -2218,7 +2243,8 @@ def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     cand = dd.jaccard_near_dup_pairs(
-        docs, "text", "doc_id", n=JACCARD_N, threshold=JACCARD_THRESHOLD
+        docs, "text", "doc_id", n=JACCARD_N, threshold=JACCARD_THRESHOLD,
+        max_shingle_freq=MAX_SHINGLE_FREQ,
     ).select("id_a", "id_b")
     texts = docs.select("doc_id", "text")
     j = (

@@ -5790,6 +5790,58 @@ def test_minhash_estimator_error_properties(spark, sf_dir):
     assert ((a["mean_exact"] <= lo + 0.1 + 1e-9) | (a["j_decile"] == 10)).all()
 
 
+def test_jaccard_cap_noop(spark, sf_dir):
+    """The REGISTERED jaccard_near_dups default is now the capped plan
+    (max_shingle_freq=256, round-6). On the driver fixtures the max
+    shingle document frequency is measured <= 25, so the cap must be a
+    strict no-op: capped output == uncapped output row-for-row. This
+    pins that registering the 100 TB-safe default did not change the
+    fixture-scale answer (the round-4 basket-cap precedent)."""
+    from pyspark.sql import functions as F
+
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.operators.dedup import (
+        jaccard_near_dup_pairs,
+        word_shingles,
+    )
+    from dissertation_iceberg_spark.queries.llm_ops import (
+        JACCARD_N,
+        JACCARD_THRESHOLD,
+        MAX_SHINGLE_FREQ,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # precondition the no-op relies on: no shingle is shared by more
+    # docs than the cap
+    max_df = (
+        word_shingles(docs, "text", "doc_id", JACCARD_N)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert max_df <= MAX_SHINGLE_FREQ
+    cols = ["id_a", "id_b"]
+    capped = (
+        jaccard_near_dup_pairs(
+            docs, "text", "doc_id", n=JACCARD_N,
+            threshold=JACCARD_THRESHOLD, max_shingle_freq=MAX_SHINGLE_FREQ,
+        )
+        .toPandas().sort_values(cols).reset_index(drop=True)
+    )
+    uncapped = (
+        jaccard_near_dup_pairs(
+            docs, "text", "doc_id", n=JACCARD_N,
+            threshold=JACCARD_THRESHOLD, max_shingle_freq=None,
+        )
+        .toPandas().sort_values(cols).reset_index(drop=True)
+    )
+    assert len(capped) > 0
+    assert capped[["id_a", "id_b", "n_inter", "jaccard"]].equals(
+        uncapped[["id_a", "id_b", "n_inter", "jaccard"]]
+    )
+
+
 def test_posting_self_size_pin(spark, sf_dir):
     """Posting-list self-sizing (round-5): the capped jaccard/winnow
     paths derive their pair-expansion shuffle width from the exact
