@@ -38,6 +38,17 @@ HEADLINE = [
     "regional_supplier_revenue",  # Q5-shape multi-way join (4 bcast dims)
 ]
 
+# Round-6 extension block: the r3-r5 heavy kernels the legacy-19 series
+# never tracked (judge r5 item 5). Kept separate so the legacy total
+# stays comparable across rounds; the driver JSON reports both blocks.
+HEADLINE_EXT = [
+    "minhash_lsh_pairs",  # banded MinHash-LSH candidate generation
+    "semdedup_prune",  # k-means build + within-cluster prune
+    "item_cf_topk",  # capped pair expansion + per-item rank
+    "near_dup_clusters",  # connected components over capped pairs
+    "dsir_importance_resampling",  # hashed-ngram importance weights
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,15 +73,20 @@ def main() -> None:
     # median of 3 runs per query: local timing noise (GC, page cache,
     # codegen compilation) otherwise dominates the single-digit-second
     # measurements
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
+    def run_block(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            fn = REGISTRY[name].fn
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(sorted(runs)[1], 3)
+        return timings
+
+    timings = run_block(HEADLINE)
+    ext = run_block(HEADLINE_EXT)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -80,6 +96,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_ext": ext,
+                "total_ext": round(sum(ext.values()), 3),
                 "sf": sf,
             }
         )

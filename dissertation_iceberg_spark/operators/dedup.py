@@ -565,34 +565,55 @@ def connected_components(
     practice, with the driver-side changed-count (an O(1) scalar) as
     the stop condition.
     """
-    sym = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        # materialize the edge list ONCE: every sweep joins against sym,
+        # and without this each iteration re-runs the full upstream
+        # pair-generation lineage (measured: near_dup_clusters ~ 4x the
+        # pair-gen cost at sf0.1). O(pairs) executor storage, spills to
+        # disk — the same budget the per-sweep shuffle already needs.
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         cand = sym.join(labels, sym["dst"] == labels["id"]).select(
             F.col("src").alias("id"), "label"
         )
-        new = (
+        agg = (
             labels.unionByName(cand)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+        )
+        # one action per sweep: the changed-count rides the label
+        # materialization as an Observation over the (new, old) join
+        # instead of a second O(pairs) job (round 6 — halves per-sweep
+        # job count; labels is checkpointed so the join side is cheap)
+        obs = Observation()
+        new = (
+            agg.join(
+                labels.select("id", F.col("label").alias("__old")), "id"
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("__old")).cast("long")
+                ).alias("chg"),
+            )
+            .select("id", "label")
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
         labels = new
-        if changed == 0:
+        if int(obs.get["chg"] or 0) == 0:
             break
     return labels
 
