@@ -3694,7 +3694,25 @@ def bayes_ab_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out here; a production 100 TB build would spark.range it) with
     a bucketed cumsum; the term frame is O(conversions) rows probing
     the table with nine equi-joins. Nothing quadratic, nothing
-    collected."""
+    collected.
+
+    Scale CEILINGS (round 6, scoping the claim): (1) the nano-quantized
+    lgamma cumsum itself overflows BIGINT once lgamma(m) * 1e9 passes
+    2^63 — lgamma(m) ~ m ln m, so total trials m ~ 4e8 is the int64
+    wall at the 1e-9 quantum; past it the quantum must coarsen (the
+    precision/overflow dial, price_elasticity precedent), trading
+    lgamma precision ~linearly. (2) F.explode(F.sequence(1, m))
+    materializes one m-element array on a single row — Spark caps
+    arrays at 2^31 and memory bites far earlier, so the 100 TB build
+    MUST derive the table from spark.range(1, m+1) (flat, partitioned)
+    as noted above; the sequence form is the fixture-scale
+    convenience, not the deployment shape. (3) p_b_beats_a sums
+    O(conversions) terms each quantized to 1e-12, so absolute error
+    grows ~conv_b * 5e-13: beyond ~1e6 arm-B conversions the reported
+    6-dp probability can drift past 1e-6 from the true value (parity
+    is unaffected — both engines quantize identically); the 1e-12
+    term quantum is the dial, scaled by an upper bound on the term
+    count if tighter accuracy is needed at scale."""
     from dissertation_iceberg_spark.functions.ranks import (
         bucketed_exclusive_cumsums,
     )

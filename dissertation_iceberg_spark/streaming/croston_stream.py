@@ -72,11 +72,20 @@ def _forecaster(
     else:
         seeded, z, q, prev_day, partial = 0, 0, 0, 0, {}
 
+    # applyInPandasWithState does NOT auto-drop rows older than the
+    # watermark: a straggler for an already-SEALED day would re-create
+    # that day's cell and re-seal it — a duplicate (user_id, day_us)
+    # row and a negative gap_days silently corrupting the z/q
+    # recursion. Drop any row whose day's seal deadline has passed
+    # (d + DAY_US <= wm): the sealed-day set is exactly the days the
+    # docstring's bit-equal contract covers.
+    wm_us = state.getCurrentWatermarkMs() * 1000
     for pdf in pdfs:
         for r in pdf.itertuples():
             d = (int(r.ts_us) // DAY_US) * DAY_US
+            if d + DAY_US <= wm_us:
+                continue
             partial[d] = partial.get(d, 0) + int(r.cents)
-    wm_us = state.getCurrentWatermarkMs() * 1000
     out: list[tuple] = []
     for d in sorted(partial):
         if wm_us < d + DAY_US:

@@ -75,12 +75,18 @@ def _forecaster(
     else:
         seeded, l, b, partial = 0, 0, 0, {}
 
+    # drop sub-watermark stragglers at ingest (round 6, all day-cell
+    # ops): applyInPandasWithState does not auto-drop them, and a row
+    # for an already-sealed day would re-create the cell and emit a
+    # duplicate (key, day_us) row corrupting the level/trend recursion
+    wm_us = state.getCurrentWatermarkMs() * 1000
     for pdf in pdfs:
         for r in pdf.itertuples():
             d = (int(r.ts_us) // DAY_US) * DAY_US
+            if d + DAY_US <= wm_us:
+                continue
             partial[d] = partial.get(d, 0) + 1
 
-    wm_us = state.getCurrentWatermarkMs() * 1000
     out: list[tuple] = []
     for d in sorted(partial):
         if wm_us < d + DAY_US:

@@ -63,12 +63,17 @@ def _monitor(
     else:
         seeded, run_max, n_records, partial = 0, 0, 0, {}
 
+    # drop sub-watermark stragglers at ingest (round 6, all day-cell
+    # ops): a row for an already-sealed day would re-create the cell
+    # and emit a duplicate (key, day_us) row corrupting the record fold
+    wm_us = state.getCurrentWatermarkMs() * 1000
     for pdf in pdfs:
         for r in pdf.itertuples():
             d = (int(r.ts_us) // DAY_US) * DAY_US
+            if d + DAY_US <= wm_us:
+                continue
             partial[d] = partial.get(d, 0) + int(r.cents)
 
-    wm_us = state.getCurrentWatermarkMs() * 1000
     out: list[tuple[str, int, int, int, int]] = []
     for d in sorted(partial):
         if wm_us < d + DAY_US:

@@ -155,7 +155,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert abs(row.order_imbalance - (20 - 10) / 30) < 1e-9
 
 
-def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+def test_checkpoint_restart_windowed_no_duplicates(spark, tmp_path):
     """Exactly-once replay: stop after batch 1, restart with the same
     checkpoint over more data — windows already emitted must not
     re-emit, new data must appear (foreachBatch parquet sink)."""
@@ -1808,3 +1808,78 @@ def test_streaming_croston_matches_batch(spark, tmp_path):
         assert int(batch.loc[uid, "q_hat_days"]) == q, uid
         n_full += 1
     assert n_full > 0
+
+
+def test_croston_drops_sub_watermark_stragglers(spark, tmp_path):
+    """Round-6 straggler contract (all day-cell stateful ops): a row
+    arriving AFTER its demand day sealed must be dropped at ingest —
+    applyInPandasWithState does not auto-drop sub-watermark rows, and
+    before the fix such a straggler re-created the sealed day's cell,
+    emitting a duplicate (user_id, day_us) row with a negative
+    gap_days that corrupted the z/q recursion."""
+    import pandas as pd
+
+    from dissertation_iceberg_spark.streaming.croston_stream import (
+        streaming_croston_forecast,
+    )
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    day = pd.Timedelta(days=1)
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [r[1] for r in rows],
+                "event_type": "purchase",
+                "value": [float(r[2]) for r in rows],
+            }
+        )
+
+    # batch 0: three demand days for user 1
+    b0 = mk([(1, base, 10.0), (1, base + day, 20.0), (1, base + 3 * day, 40.0)])
+    # batch 1: sentinel far in the future -> watermark seals everything
+    b1 = mk([(99, base + 60 * day, 1.0)])
+    # batch 2: STRAGGLER for the long-sealed first day + a fresh live row
+    b2 = mk([(1, base + pd.Timedelta(minutes=1), 99.0),
+             (1, base + 61 * day, 80.0)])
+    # batch 3 advances max event time; batch 4 re-invokes user 1
+    # under the advanced watermark so the fresh day-61 row seals
+    b3 = mk([(99, base + 120 * day, 1.0)])
+    b4 = mk([(1, base + 180 * day, 1.0)])
+    src = str(tmp_path / "strag_src")
+    for i, b in enumerate((b0, b1, b2, b3, b4)):
+        spark.createDataFrame(b).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(b0).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        streaming_croston_forecast(stream)
+        .writeStream.format("memory")
+        .queryName("croston_strag")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("croston_strag")
+        .toPandas()
+        .query("user_id == 1")
+        .sort_values("day_us")
+        .reset_index(drop=True)
+    )
+    # no duplicate day rows, no negative gaps, straggler cents ignored
+    assert not got.duplicated(["user_id", "day_us"]).any()
+    assert (got["gap_days"].dropna() >= 1).all()
+    DAY_US = 86_400_000_000
+    d0 = (base.value // 1000 // DAY_US) * DAY_US
+    first = got[got["day_us"] == d0]
+    assert len(first) == 1 and int(first.iloc[0]["cents"]) == 1000
+    # recursion unaffected: z after days 10.00/20.00/40.00/80.00 sealed
+    # = ((((1000)+2000)>>1 ... seeded z=1000 -> (2000+1000)>>1=1500 ->
+    # (4000+1500)>>1=2750 -> (8000+2750)>>1=5375
+    assert int(got.iloc[-1]["z_hat"]) == 5375
