@@ -38,15 +38,22 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     t = tokens(F.col(text_col))
     n_tok = F.size(t)
     n_chars = F.length(F.col(text_col))
+    # empty/whitespace-only docs: n_tokens = 0 -> per-token ratios are
+    # NULL, not a divide-by-zero (round-6 fuzz finding; oracle matched)
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tok.alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_unique_tokens"),
-        F.round(
-            F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
-            / n_tok,
-            6,
+        F.when(
+            n_tok > 0,
+            F.round(
+                F.aggregate(
+                    t, F.lit(0), lambda acc, x: acc + F.length(x)
+                ).cast("double")
+                / n_tok,
+                6,
+            ),
         ).alias("mean_token_len"),
     )
 
@@ -62,8 +69,12 @@ def quality_score(
     n_tok = F.size(t)
     sw = F.array(*[F.lit(s) for s in stopwords])
     n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, F.lower(x))))
-    stop_ratio = n_stop.cast("double") / n_tok
-    uniq_ratio = F.size(F.array_distinct(t)).cast("double") / n_tok
+    # empty docs: ratios and the composite are NULL (round-6 fuzz
+    # finding — ANSI divide-by-zero before; oracle matched)
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok)
+    uniq_ratio = F.when(
+        n_tok > 0, F.size(F.array_distinct(t)).cast("double") / n_tok
+    )
     len_ok = (n_tok >= 5) & (n_tok <= 100_000)
     score = (
         F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))

@@ -54,8 +54,9 @@ SELECT doc_id,
   length(text) AS n_chars,
   CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
   CAST(len(list_distinct({_TOKENS})) AS BIGINT) AS n_unique_tokens,
-  round(CAST(list_sum(list_transform({_TOKENS}, x -> length(x))) AS DOUBLE)
-        / len({_TOKENS}), 6) AS mean_token_len
+  CASE WHEN len({_TOKENS}) > 0 THEN
+    round(CAST(list_sum(list_transform({_TOKENS}, x -> length(x))) AS DOUBLE)
+          / len({_TOKENS}), 6) END AS mean_token_len
 FROM documents
 """
 
@@ -85,13 +86,18 @@ _QUALITY_ORACLE = f"""
 WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents)
 SELECT doc_id,
   CAST(len(toks) AS BIGINT) AS n_tokens,
-  round(CAST(len(list_filter(toks, x -> list_contains({_SW}, lower(x)))) AS DOUBLE)
-        / len(toks), 6) AS stopword_ratio,
-  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS unique_ratio,
-  round(CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END
-        + 0.3 * least(CAST(len(list_filter(toks, x -> list_contains({_SW}, lower(x))))
-                           AS DOUBLE) / len(toks) * 4, 1.0)
-        + 0.3 * CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS quality
+  CASE WHEN len(toks) > 0 THEN
+    round(CAST(len(list_filter(toks, x -> list_contains({_SW}, lower(x)))) AS DOUBLE)
+          / len(toks), 6) END AS stopword_ratio,
+  CASE WHEN len(toks) > 0 THEN
+    round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+    END AS unique_ratio,
+  CASE WHEN len(toks) > 0 THEN
+    round(CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END
+          + 0.3 * least(CAST(len(list_filter(toks, x -> list_contains({_SW}, lower(x))))
+                             AS DOUBLE) / len(toks) * 4, 1.0)
+          + 0.3 * CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+    END AS quality
 FROM t
 """
 
