@@ -924,7 +924,13 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster", "pos")
         .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
     )
-    a2 = _km_assign(xe, c1, keep_stats=False)
+    # materialize the assignment ONCE (round 6, the connected-
+    # components precedent): a2 is consumed three times below (both
+    # sides of the within-cluster self-join and the final audit join),
+    # and the lambda-bearing Lloyd lineage defeats exchange reuse, so
+    # without this the full 2-iteration clustering re-runs per
+    # consumer (measured ~3x at sf0.1). O(N) narrow rows.
+    a2 = _km_assign(xe, c1, keep_stats=False).localCheckpoint()
 
     nn = F.aggregate(
         F.zip_with("qv", "qv", lambda a, b: a * b),
@@ -933,7 +939,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = a2.join(base.select("vec_id", "qv"), "vec_id").select(
         "cluster", "vec_id", "qv", nn.alias("nn")
-    )
+    ).localCheckpoint()  # lhs AND rhs of the pair join read this
     lhs = m.select(
         "cluster",
         F.col("vec_id").alias("id_a"),
