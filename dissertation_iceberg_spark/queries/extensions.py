@@ -340,10 +340,49 @@ def oi_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round("pacf", 6).alias("pacf"))
 
 
-@register("multimodal_features", oracle=None)
+# round 6: the full multimodal pipeline is oracle-checked after all —
+# the stand-in decode is a byte histogram over the utf-8 payload, the
+# video leg contributes only its frame COUNT (always n_frames=4 per
+# video row, empty-payload frames included) to the output, and the
+# driver corpus is pure ASCII (verified at all three SFs: octet_length
+# (encode(text)) == length(text)), so per-character ascii()%8 replays
+# the byte loop exactly. float32 boundary replayed with the REAL cast
+# (the multimodal_byte_histogram recipe). Rows-only set shrinks to 1
+# (ml_direction_predictions — a genuine model fit).
+_MM_FULL_FEATS = ",\n".join(
+    f"  CASE WHEN n_bytes = 0 THEN 0.0 ELSE"
+    f" round(CAST(CAST(CAST(len(list_filter(r, x -> x = {j}))"
+    f" AS DOUBLE) / n_bytes AS REAL) AS DOUBLE), 6) END AS f{j}"
+    for j in (0, 7)
+)
+
+_MM_FEATURES_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+         text
+  FROM documents),
+b AS (
+  SELECT media_id, kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         list_transform(string_split_regex(text, ''),
+                        c -> ascii(c) % 8) AS r
+  FROM m)
+SELECT media_id, kind, n_bytes,
+{_MM_FULL_FEATS},
+  CAST(CASE WHEN kind = 'video' THEN 4 ELSE 0 END AS BIGINT)
+    AS video_frames
+FROM b
+"""
+
+
+@register("multimodal_features", oracle=_MM_FEATURES_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction end-to-end (rows-only: the decode
-    kernel is the deterministic stand-in, not SQL-expressible).
+    """Multimodal feature extraction end-to-end, oracle-checked
+    (round 6): the deterministic stand-in decode IS SQL-expressible —
+    byte-histogram features over the ASCII payload with the float32
+    Arrow boundary replayed via REAL cast, and the video leg's output
+    contribution is its exact frame count.
 
     Derives an opaque-binary media table from the driver's ``documents``
     parquet (payload = utf-8 bytes, kind cycled image/audio/video), then
@@ -382,8 +421,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_id",
             "kind",
             "n_bytes",
-            F.round(F.element_at("feature", 1), 6).alias("f0"),
-            F.round(F.element_at("feature", 8), 6).alias("f7"),
+            F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+            F.round(F.element_at("feature", 8).cast("double"), 6).alias("f7"),
             F.coalesce("video_frames", F.lit(0)).alias("video_frames"),
         )
     )
@@ -394,8 +433,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (both are IEEE round-to-nearest of the same exactly-rounded double
 # division), then rounds the widened value like the Spark side
 _MM_FEATS = ",\n".join(
-    f"  round(CAST(CAST(CAST(len(list_filter(r, x -> x = {j}))"
-    f" AS DOUBLE) / n_bytes AS REAL) AS DOUBLE), 6) AS f{j}"
+    f"  CASE WHEN n_bytes = 0 THEN 0.0 ELSE"
+    f" round(CAST(CAST(CAST(len(list_filter(r, x -> x = {j}))"
+    f" AS DOUBLE) / n_bytes AS REAL) AS DOUBLE), 6) END AS f{j}"
     for j in range(8)
 )
 
