@@ -583,37 +583,33 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    from pyspark.sql import Observation
-
+    # NOTE (round 6): an Observation-fused convergence check was tried
+    # here (changed-count riding the label materialization) and
+    # REVERTED — Observation registers state on the session that later
+    # leaks into unrelated task closures (java.io.
+    # NotSerializableException: ObservationManager, reproducible when a
+    # Spark-ML fit runs after several CC invocations in one session),
+    # and it measured no faster than the two-job form. The edge-list
+    # localCheckpoint above is the load-bearing fix.
     for _ in range(max_iter):
         cand = sym.join(labels, sym["dst"] == labels["id"]).select(
             F.col("src").alias("id"), "label"
         )
-        agg = (
+        new = (
             labels.unionByName(cand)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-        )
-        # one action per sweep: the changed-count rides the label
-        # materialization as an Observation over the (new, old) join
-        # instead of a second O(pairs) job (round 6 — halves per-sweep
-        # job count; labels is checkpointed so the join side is cheap)
-        obs = Observation()
-        new = (
-            agg.join(
-                labels.select("id", F.col("label").alias("__old")), "id"
-            )
-            .observe(
-                obs,
-                F.sum(
-                    (F.col("label") != F.col("__old")).cast("long")
-                ).alias("chg"),
-            )
-            .select("id", "label")
             .localCheckpoint()
         )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
         labels = new
-        if int(obs.get["chg"] or 0) == 0:
+        if changed == 0:
             break
     return labels
 
