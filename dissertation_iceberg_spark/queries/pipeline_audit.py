@@ -925,7 +925,7 @@ def dsir_doc_scores_frame(docs: DataFrame) -> DataFrame:
     """Per-document DSIR score + selection flag (doc_id, source,
     n_feats, logw_micro, lr_mean_micro, selected) — the frame the
     streaming gate's batch twin pins against."""
-    perdoc = _dsir_perdoc(docs)
+    perdoc = _dsir_perdoc(docs).localCheckpoint()  # see dsir_selection_frame
     return perdoc.transform(with_scalars, _dsir_cut(perdoc)).select(
         "doc_id",
         "source",
@@ -941,8 +941,16 @@ def dsir_doc_scores_frame(docs: DataFrame) -> DataFrame:
 def dsir_selection_frame(docs: DataFrame) -> DataFrame:
     """Frame-level DSIR kernel over a documents DataFrame — the shape
     :func:`dsir_importance_resampling` registers and
-    ``tools/scale_exp.py`` measures on replicated frames."""
-    perdoc = _dsir_perdoc(docs)
+    ``tools/scale_exp.py`` measures on replicated frames.
+
+    The t75 cut is a scalar whose lineage CONTAINS the full scoring
+    pipeline (n-gram explode + hashed-model fits), so without
+    materializing perdoc the plan re-runs that pipeline inside the
+    scalar subquery and again for the rollup — measured ~3x the
+    kernel cost at sf0.1 (round 6). One localCheckpoint of the O(docs)
+    narrow per-doc frame replaces two full corpus re-scans — the
+    cheaper trade at any scale."""
+    perdoc = _dsir_perdoc(docs).localCheckpoint()
     cut = _dsir_cut(perdoc)
     sel = (F.col("lr_mean_micro") > F.col("t75")).cast("int")
     return (
