@@ -185,7 +185,7 @@ curve AS (
   SELECT day, xq, n, CAST(d AS BIGINT) AS d,
          CAST(sum(d) OVER (ORDER BY day
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs,
-         CAST(sum(d * d) OVER () AS BIGINT) AS sdd
+         CAST(sum(CAST(d AS HUGEINT) * d) OVER () AS DOUBLE) AS sdd
   FROM dev),
 b AS (
   SELECT day, xq, n,
@@ -239,7 +239,15 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wday.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .cast("long")
         .alias("cs"),
-        F.sum(F.col("d") * F.col("d")).over(wall).cast("long").alias("sdd"),
+        # d*d overflows int64 once daily-mean deviations pass ~2e3
+        # currency units at the 1e-4 quantum (round-6 decimals fuzz) —
+        # the square-sum runs in exact DECIMAL(38) (order-independent)
+        # and lands as ONE double rounding, mirrored by the oracle's
+        # HUGEINT sum
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d"))
+        .over(wall)
+        .cast("double")
+        .alias("sdd"),
     )
     bridge = F.col("cs") / F.sqrt(
         F.col("n").cast("double") * F.col("sdd") / (F.col("n") - 1)

@@ -565,7 +565,7 @@ c AS (
                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
   FROM lob),
 k AS (
-  SELECT user_id, (cum - 1) // {_VPIN_BUCKET_CENTS} AS bucket,
+  SELECT user_id, greatest(cum - 1, 0) // {_VPIN_BUCKET_CENTS} AS bucket,
          direction, cents
   FROM c),
 b AS (
@@ -618,7 +618,14 @@ def vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = c.select(
         "user_id",
-        F.floor((F.col("cum") - 1) / _VPIN_BUCKET_CENTS).alias("bucket"),
+        # greatest(..., 0): a zero-volume PREFIX row (cents = 0 before
+        # any volume) has cum = 0; without the clamp Spark's floor sends
+        # it to bucket -1 while DuckDB's // TRUNCATES -1/B to 0 (round-6
+        # decimals fuzz) — clamping pins 'clock not started' to bucket 0
+        # on both engines
+        F.floor(
+            F.greatest(F.col("cum") - 1, F.lit(0)) / _VPIN_BUCKET_CENTS
+        ).alias("bucket"),
         "direction",
         "cents",
     )

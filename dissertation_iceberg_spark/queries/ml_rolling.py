@@ -152,6 +152,7 @@ SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
   round((r1 - n1 * (n1 + 1) / 2e0 - n1 * n2 / 2e0)
         / sqrt(n1 * n2 * (n1 + n2 + 1) / 12e0), 6) AS z_score
 FROM agg
+WHERE coalesce(n1, 0) > 0 AND coalesce(n2, 0) > 0
 """
 
 
@@ -189,7 +190,11 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
     u = r1 - n1 * (n1 + 1) / 2.0
     z = (u - n1 * n2 / 2.0) / F.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
-    return agg.select(
+    # degenerate-arm guard (round-6 fuzz): a U test with an empty arm
+    # is undefined — both engines emit ZERO rows instead of an ANSI
+    # divide-by-zero (Spark) vs inf (DuckDB) disagreement
+    ok = (F.coalesce(n1, F.lit(0)) > 0) & (F.coalesce(n2, F.lit(0)) > 0)
+    return agg.filter(ok).select(
         n1.cast("long").alias("n1"),
         n2.cast("long").alias("n2"),
         F.round(u, 6).alias("u_stat"),
@@ -267,7 +272,9 @@ fin AS (
          (t.n_total - 1e0)/t.n_total
            * (x.s1/t.n1 + x.s2/t.n2 + x.s3/t.n3) AS a2akn,
          1e0/t.n1 + 1e0/t.n2 + 1e0/t.n3 AS bigh, hg.h AS h, hg.g AS g
-  FROM terms x, tot t, hg)
+  FROM terms x, tot t, hg
+  WHERE coalesce(t.n1, 0) > 0 AND coalesce(t.n2, 0) > 0
+    AND coalesce(t.n3, 0) > 0)
 SELECT CAST(n_total AS BIGINT) AS n_total, k,
   round(a2akn, 6) AS a2akn,
   round({_AD_SIGMA_SQL}, 6) AS sigma,
@@ -330,7 +337,16 @@ def anderson_ksamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["event_type"]: r["cnt"]
         for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    n = [int(sizes[grp]) for grp in _AD_GROUPS]
+    n = [int(sizes.get(grp, 0)) for grp in _AD_GROUPS]
+    # degenerate-sample guard (round-6 fuzz): the k-sample statistic is
+    # undefined with an empty sample — ZERO rows on both engines (the
+    # oracle's fin CTE carries the matching WHERE) instead of a
+    # KeyError here and a divide-by-zero there
+    if min(n) == 0:
+        return spark.createDataFrame(
+            [],
+            "n_total long, k int, a2akn double, sigma double, a2_std double",
+        )
     n_total = sum(n)
     h, g = _harmonic_constants(n_total)
 
@@ -415,7 +431,8 @@ agg AS (
 zed AS (
   SELECT n1, n2, d,
          sqrt(n1 * CAST(n2 AS DOUBLE) / (n1 + n2)) * d AS z
-  FROM agg)
+  FROM agg
+  WHERE coalesce(n1, 0) > 0 AND coalesce(n2, 0) > 0)
 SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
   round(d, 6) AS d_stat,
   round(z, 6) AS ks_z,
@@ -447,8 +464,11 @@ def ks_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = dv.agg(F.sum("f1").alias("n1"), F.sum("f2").alias("n2"))
     c1 = (F.col("cum_f1") + F.col("f1")) / F.col("n1").cast("double")
     c2 = (F.col("cum_f2") + F.col("f2")) / F.col("n2").cast("double")
+    # degenerate-arm guard (round-6 fuzz): zero rows, not an ANSI
+    # divide-by-zero, when either sample is empty (oracle matched)
     agg = (
         cum.transform(with_scalars, totals)
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
         .select(F.abs(c1 - c2).alias("gap"), "n1", "n2")
         .groupBy("n1", "n2")
         .agg(F.max("gap").alias("d"))

@@ -26,8 +26,12 @@ WITH o AS (
   FROM events),
 m AS (
   SELECT *, CASE WHEN lag(us) OVER w IS NULL
-                   OR us - lag(us) OVER w >= {_GAP_US} THEN 1 ELSE 0 END AS new_s
+                   OR us - lag(us) OVER w > {_GAP_US} THEN 1 ELSE 0 END AS new_s
   FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+-- boundary semantics (round-6 fuzz, exact-gap timestamps): Spark's
+-- session_window MERGES an event arriving EXACTLY gap after the
+-- previous one (windows touching at the boundary coalesce — pinned
+-- empirically), so the split condition is STRICTLY greater.
 s AS (
   SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
                              ROWS UNBOUNDED PRECEDING) AS sid

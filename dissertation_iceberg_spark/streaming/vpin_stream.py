@@ -96,7 +96,10 @@ def _make_clock(bucket_cents: int):
                 pending.append((us, eid, direction, cents))
                 continue
             cum += cents
-            b = (cum - 1) // bucket_cents
+            # max(..., 0) matches the batch kernel's clamp: zero-volume
+            # prefix rows (cum = 0) belong to bucket 0, not -1 (Python
+            # // floors, so without the clamp they'd open bucket -1)
+            b = max(cum - 1, 0) // bucket_cents
             if open_bucket == -1:
                 open_bucket = b
             elif b != open_bucket:

@@ -106,6 +106,33 @@ CORE_FAMILY = [
     "regional_supplier_revenue",
 ]
 
+# behavior / sessions / stats / changepoint / sketch families over the
+# same perturbed events+lineitem (round-6 widening — this sweep found
+# the session_window exact-gap boundary, the cusum d^2 int64 ceiling,
+# the vpin zero-volume-prefix bucket clamp, and the empty-arm guards
+# of the rank tests)
+BEHAVIOR_STATS_FAMILY = [
+    "funnel_conversion", "cohort_retention", "copurchase_lift",
+    "windowed_funnel", "event_transitions", "lasttouch_attribution",
+    "position_attribution", "timedecay_attribution", "markov_attribution",
+    "rfm_scores", "rolling_wau", "growth_accounting",
+    "cumulative_unique_users", "retention_half_life", "item_cf_topk",
+    "sessionization", "funnel_stages", "retention_cohorts",
+    "percentile_battery", "trailing_hour_activity", "gap_fill_interpolate",
+    "daily_value_ranks", "weighted_median", "session_paths",
+    "ewma_daily_by_type", "ewma_hourly_value", "cusum_changepoints",
+    "benford_digit_audit", "skew_profile", "two_proportion_ztest",
+    "mann_whitney_u", "ks_2samp", "anderson_ksamp", "kruskal_wallis",
+    "welch_ttest", "croston_intermittent", "holt_linear_forecast",
+    "theta_forecast", "record_highs", "cusum_changepoint",
+    "pettitt_changepoint", "seasonal_decompose", "vpin", "roll_spread",
+    "amihud_illiquidity", "bayes_ab_posterior", "platt_scaling",
+    "isotonic_calibration", "roc_auc", "psi_drift",
+    "countmin_heavy_hitters", "hll_distinct", "histogram_quantiles",
+    "tdigest_centroids", "bloom_membership_audit", "event_type_pivot",
+    "revenue_rollup", "status_year_cube", "priority_grouping_sets",
+]
+
 DEDUP_FAMILY = [
     "exact_dedup_groups",
     "fingerprint_md5",
@@ -141,7 +168,9 @@ def gen_events(variant: str, rng: np.random.Generator) -> pd.DataFrame:
     span_ns = 28 * 86400 * 10**9
     ts_ns = np.sort(rng.integers(0, span_ns, size=n)) + base
     user = rng.integers(1, 60, size=n).astype("int64")
-    etypes = np.array(["view", "click", "cart", "purchase", "refund"])
+    # the driver's actual event_type universe — several registered
+    # queries name specific types (click/error arms, signup funnels)
+    etypes = np.array(["view", "click", "purchase", "signup", "error"])
     etype = etypes[rng.integers(0, len(etypes), size=n)]
     value = np.round(rng.lognormal(3.0, 1.0, size=n), 2)
     props = np.array(["{}"] * n, dtype=object)
@@ -284,7 +313,9 @@ def main() -> int:
     ap.add_argument("--names", nargs="*", default=None)
     args = ap.parse_args()
     variants = VARIANTS if args.variant == "all" else (args.variant,)
-    names = args.names or (CORE_FAMILY + DEDUP_FAMILY)
+    names = args.names or (
+        CORE_FAMILY + DEDUP_FAMILY + BEHAVIOR_STATS_FAMILY
+    )
 
     from tools.parity import run_parity
 
