@@ -557,7 +557,12 @@ def gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     component parameters re-estimate from exact BIGINT
     responsibility-weighted sums and are quantized each iteration
     (means at 1e-4 cents, variances at 1e-2 cents²), so the DuckDB
-    oracle replays every iteration bit-for-bit — the distributional
+    oracle replays every iteration bit-for-bit (int64 CEILING,
+    round-6 fuzz: the responsibility-weighted square sums
+    cnt*rq*v^2 overflow int64 once |value| passes ~1e4 at the 1e-4
+    responsibility grain — the quanta are the precision/overflow dial,
+    the price_elasticity precedent; driver values are 2-dp <= ~1e3)
+    — the distributional
     upgrade over a single Gaussian that mixture_weights/
     quality-funnel thresholds assume.
 

@@ -674,7 +674,12 @@ def ledoit_wolf_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     and b2 is the average squared Frobenius distance of the per-day
     outer products from S. The portfolio-risk staple the reference's
     strategy chapter stops short of (single_strategy_statistics.ipynb
-    computes only univariate moments); with k assets and short
+    computes only univariate moments — int64 CEILING, round-6
+    fuzz: the deviation outer products ua*ub and the later Frobenius
+    squares overflow exact integer range once per-(day,type) cents
+    sums pass ~1e9; inherent to squares-of-squares at a fixed quantum,
+    driver data sits orders of magnitude inside it); with k assets
+    and short
     histories the sample covariance is singular, and every downstream
     mean-variance weight needs the shrunk, always-invertible form.
 

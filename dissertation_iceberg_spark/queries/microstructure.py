@@ -44,7 +44,14 @@ def _ln_micro(col):
     return F.round(F.log(col.cast("double")) * 1e6).cast("long")
 
 
-_LN_MICRO_SQL = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1e6) AS BIGINT)"
+# null-guarded to MATCH Spark's F.log semantics (NULL for x <= 0):
+# DuckDB's ln(0) RAISES instead (round-6 decimals fuzz — a zero-cents
+# row reached the log-return range), so the oracle must null out
+# non-positive arguments the same way the Spark helper does
+_LN_MICRO_SQL = (
+    "CASE WHEN ({x}) > 0 THEN "
+    "CAST(round(ln(CAST({x} AS DOUBLE)) * 1e6) AS BIGINT) END"
+)
 
 
 def _r6(col):

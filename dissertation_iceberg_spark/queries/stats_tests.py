@@ -2284,7 +2284,13 @@ t AS (
          CAST(sum(n) AS BIGINT) AS n_tot,
          CAST(sum(s) AS BIGINT) AS s_tot,
          CAST(sum(ss) AS BIGINT) AS ss_tot,
-         sum(CAST(s AS DOUBLE) * s / n) AS sum_grp
+         -- ordered left fold, not a free-order double sum: the k
+         -- s^2/n terms are doubles, and at extreme magnitudes the
+         -- two engines' summation orders diverge past the 6-dp
+         -- rounding (round-6 decimals fuzz); folding in event_type
+         -- order makes every intermediate bit-identical
+         list_reduce(list(CAST(s AS DOUBLE) * s / n ORDER BY event_type),
+                     (acc, x) -> acc + x) AS sum_grp
   FROM g)
 SELECT k, n_tot,
   round((sum_grp - CAST(s_tot AS DOUBLE) * s_tot / n_tot) / 1e4, 6)
@@ -2321,14 +2327,23 @@ def one_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("s"),
         F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
     )
-    t = g.coalesce(1).agg(
+    term = F.col("s").cast("double") * F.col("s") / F.col("n")
+    # ordered fold over (event_type, term) — see the oracle's note;
+    # integer sums stay plain aggregates (exact under any order)
+    t = g.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("n").cast("long").alias("n_tot"),
         F.sum("s").cast("long").alias("s_tot"),
         F.sum("ss").cast("long").alias("ss_tot"),
-        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias(
-            "sum_grp"
-        ),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("event_type").alias("et"), term.alias("tm"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["tm"],
+        ).alias("sum_grp"),
     )
     grand = F.col("s_tot").cast("double") * F.col("s_tot") / F.col("n_tot")
     ss_b = F.col("sum_grp") - grand

@@ -4213,8 +4213,8 @@ s AS (
     CAST(count(*) AS BIGINT) AS n,
     CAST(sum(c) AS BIGINT) AS s1,
     CAST(sum(c * c) AS BIGINT) AS s2,
-    CAST(sum(c * c * c) AS BIGINT) AS s3,
-    CAST(sum(c * c * c * c) AS BIGINT) AS s4
+    CAST(sum(CAST(c AS HUGEINT) * c * c) AS DOUBLE) AS s3,
+    CAST(sum(CAST(c AS HUGEINT) * c * c * c) AS DOUBLE) AS s4
   FROM v GROUP BY 1),
 k AS (
   SELECT event_type, n,
@@ -4267,8 +4267,14 @@ def jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(c).cast("long").alias("s1"),
         F.sum(c * c).cast("long").alias("s2"),
-        F.sum(c * c * c).cast("long").alias("s3"),
-        F.sum(c * c * c * c).cast("long").alias("s4"),
+        # 3rd/4th powers widen to exact DECIMAL(38) (round-6 decimals
+        # fuzz: c^4 overflows int64 once |c| passes ~55k regardless of
+        # row count); the sum converts to double ONCE, mirrored by the
+        # oracle's HUGEINT sum
+        F.sum(c.cast("decimal(38,0)") * c * c).cast("double").alias("s3"),
+        F.sum(c.cast("decimal(38,0)") * c * c * c)
+        .cast("double")
+        .alias("s4"),
     )
     n = F.col("n")
     m1 = F.col("s1").cast("double") / n

@@ -306,7 +306,7 @@ SELECT day,
               AS DOUBLE)
        - sum(CASE WHEN sig_micro < 0 THEN fut_cents ELSE 0 END)) / 100,
         6) AS pnl_unweighted,
-  round(CAST(sum(sig_micro * fut_cents) AS DOUBLE) / 1e8, 6)
+  round(CAST(sum(CAST(sig_micro AS HUGEINT) * fut_cents) AS DOUBLE) / 1e8, 6)
     AS pnl_weighted,
   CAST(count(*) AS BIGINT) AS n_positions
 FROM j GROUP BY 1
@@ -364,7 +364,11 @@ def single_strategy_workflow_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pnl_unweighted"),
         F.round(
-            F.sum(F.col("sig_micro") * F.col("fut_cents")).cast("double")
+            # sig_micro (1e6) x fut_cents can reach ~1e14/row — the sum
+            # widens to exact DECIMAL(38) (round-6 decimals fuzz), one
+            # double conversion at the end (oracle: HUGEINT sum)
+            F.sum(F.col("sig_micro").cast("decimal(38,0)") * F.col("fut_cents"))
+            .cast("double")
             / 1e8,
             6,
         ).alias("pnl_weighted"),
