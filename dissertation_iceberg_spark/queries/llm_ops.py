@@ -1712,8 +1712,13 @@ def survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     property that makes the merge idempotent under reprocessing."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = tx.tokens(F.col("text"))
+    # F.get (NULL out-of-bounds), not getItem (ANSI error): docs with
+    # fewer than 3 tokens block on their shorter prefix — concat_ws
+    # skips NULLs identically in both engines, and DuckDB's list[i]
+    # is NULL out of range (round-6 skew fuzz: an empty doc crashed
+    # the Spark side here)
     prefix = F.concat_ws(
-        " ", toks.getItem(0), toks.getItem(1), toks.getItem(2)
+        " ", F.get(toks, 0), F.get(toks, 1), F.get(toks, 2)
     )
     return (
         docs.groupBy(F.md5(prefix).alias("fingerprint"))

@@ -3808,7 +3808,10 @@ k AS (
          AS BIGINT) / 1e6 AS lor,
     sqrt(1.0 / a - 1.0 / (a + b) + 1.0 / c - 1.0 / (c + d)) AS se_lrr,
     sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS se_lor
-  FROM s)
+  FROM s
+  -- degenerate-cell guard (round-6 fuzz): OR/RR and their Wald SEs
+  -- are undefined with an empty 2x2 cell — zero rows on both engines
+  WHERE a > 0 AND b > 0 AND c > 0 AND d > 0)
 SELECT a AS treat_pos, b AS treat_neg, c AS ctrl_pos, d AS ctrl_neg,
   round(rr, 6) AS relative_risk,
   round(CAST(round(exp(lrr - CAST('{_RR_Z95}' AS DOUBLE) * se_lrr) * 1e6)
@@ -3864,6 +3867,9 @@ def odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d"),
     )
     a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    # degenerate-cell guard (round-6 fuzz): zero rows, not an ANSI
+    # divide-by-zero, when any 2x2 cell is empty (oracle matched)
+    s = s.filter((a > 0) & (b > 0) & (c > 0) & (d > 0))
     rr = (a.cast("double") / (a + b)) / (c.cast("double") / (c + d))
     orr = (a.cast("double") * d) / (b.cast("double") * c)
     lrr = F.round(F.log(rr) * 1e6).cast("long") / 1e6
