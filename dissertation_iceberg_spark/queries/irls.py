@@ -218,13 +218,25 @@ FROM acc
 )
 
 
+def quantized_features_frame(lob: DataFrame) -> DataFrame:
+    """Frame-level twin of :func:`quantized_features` over any
+    lob-shaped frame (event_id, ts, value) — the shape
+    ``tools/scale_exp.py`` measures on replicated frames."""
+    rq = lob.filter(F.col("value") > 0).select(
+        *[F.expr(e).alias(a) for a, e in _ROW_SQL.items()]
+    )
+    return _standardize(rq)
+
+
 def quantized_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The standardized-quantized design frame (y, xq1, xq2, xq3) both
     the registered query and the pytest pin train on."""
     from dissertation_iceberg_spark.io import lob_events
 
-    lob = lob_events(spark, sf_dir).filter(F.col("value") > 0)
-    rq = lob.select(*[F.expr(e).alias(a) for a, e in _ROW_SQL.items()])
+    return quantized_features_frame(lob_events(spark, sf_dir))
+
+
+def _standardize(rq: DataFrame) -> DataFrame:
     st = rq.agg(*[F.expr(e).alias(a) for a, e in _SUM_SQL.items()])
     ms = st.select("n", *[F.expr(e).alias(a) for a, e in _MS_SQL.items()])
     return with_scalars(rq, ms).select(
@@ -254,21 +266,18 @@ def irls_params(z: DataFrame) -> DataFrame:
     return params
 
 
-@register("logistic_irls_gram", oracle=_IRLS_ORACLE)
-def logistic_irls_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M6 hash-checked twin: binary logistic (direction ~ standardized
-    value + ln value + hour) by 4 Newton-IRLS steps on integer-quantized
-    gradient/Hessian sums, 4x4 Cramer solve in shared-string doubles.
-    Outputs the converged coefficients and training accuracy."""
-    z = quantized_features(spark, sf_dir)
+def irls_fit_frame(lob: DataFrame) -> DataFrame:
+    """End-to-end frame-level kernel (standardize -> 4 Newton steps ->
+    coefficients + train accuracy) over any lob-shaped frame — the
+    shape ``tools/scale_exp.py`` measures on replicated frames."""
+    z = quantized_features_frame(lob)
     params = irls_params(z)
     fin = bcast_params(z, params).withColumn("pq", F.expr(_PQ_SQL))
-    acc = fin.agg(
+    return fin.agg(
         *[F.any_value(p).alias(p) for p in _PARAM_NAMES],
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.expr(_OK)).cast("long").alias("ok"),
-    )
-    return acc.select(
+    ).select(
         "n",
         F.round(F.expr(f"aq / {_BG}"), 6).alias("intercept"),
         F.round(F.expr(f"b1q / {_BG}"), 6).alias("beta_value"),
@@ -276,3 +285,14 @@ def logistic_irls_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(f"b3q / {_BG}"), 6).alias("beta_hour"),
         F.round(F.expr("CAST(ok AS DOUBLE) / n"), 6).alias("train_acc"),
     )
+
+
+@register("logistic_irls_gram", oracle=_IRLS_ORACLE)
+def logistic_irls_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 hash-checked twin: binary logistic (direction ~ standardized
+    value + ln value + hour) by 4 Newton-IRLS steps on integer-quantized
+    gradient/Hessian sums, 4x4 Cramer solve in shared-string doubles.
+    Outputs the converged coefficients and training accuracy."""
+    from dissertation_iceberg_spark.io import lob_events
+
+    return irls_fit_frame(lob_events(spark, sf_dir))

@@ -314,6 +314,20 @@ def main() -> None:
         # O(trials) structure — the claim under test: table build +
         # bucketed cumsum stay linear, the term frame stays
         # O(conversions), and nothing quadratic appears
+        # round-6 M6 twin: per Newton iteration ONE map-side-combinable
+        # 14-sum aggregate over the fact frame + a 1-row broadcast
+        # parameter frame — claim under test: optimizer cost is a small
+        # constant number of linear passes, independent of the solve
+        if _want("irls"):
+            from dissertation_iceberg_spark.queries.irls import (
+                irls_fit_frame,
+            )
+
+            t, rows = timed(lambda: irls_fit_frame(ev), action="count")
+            print(json.dumps({"kernel": "irls", "factor": r,
+                              "input_rows": n_ev, "out_rows": rows,
+                              "sec": round(t, 3)}))
+
         if _want("bayes_ab"):
             from dissertation_iceberg_spark.queries.stats_tests import (
                 bayes_ab_loss_frame,
