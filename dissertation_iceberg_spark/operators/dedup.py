@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dissertation_iceberg_spark.operators.text import TOKEN_SEP
+
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Group identical texts: canonical (min) id + duplicate count.
@@ -57,7 +59,7 @@ def word_shingles(
     free (array length), which the Jaccard join needs — previously a
     separate aggregation plus an O(docs) equi-join.
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = F.filter(F.split(F.col(text_col), TOKEN_SEP), lambda x: x != "")
     k = F.size(toks) - (n - 1)
     # guard k <= 0 (docs with fewer than n tokens): F.sequence(0, k-1)
     # would produce a DESCENDING sequence ([0, -1, ...]) whose slice()
@@ -148,11 +150,18 @@ def _capped_pair_volume_bound(
     of the uncapped plan, while 100 TB inputs (where the bound
     explodes) still pay the exact measurement before committing to a
     shuffle width."""
+    # token count bounded by separator count + 1 — valid ONLY because
+    # tokens()/word_shingles split on the single TOKEN_SEP character
+    # (imported, not re-hard-coded, so the coupling survives edits; a
+    # regex-whitespace tokenizer would need a different bound here)
+    assert len(TOKEN_SEP) == 1, "length bound assumes a 1-char separator"
     row = (
         df.select(
             F.sum(
                 F.length(F.col(text_col))
-                - F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+                - F.length(
+                    F.replace(F.col(text_col), F.lit(TOKEN_SEP), F.lit(""))
+                )
                 + F.lit(1)
             ).alias("s")
         ).first()
@@ -521,7 +530,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
             f"is {HASH_BITS} bits wide; the round-2 64-bit xxhash64 "
             f"variant is gone), got {bits}"
         )
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = F.filter(F.split(F.col(text_col), TOKEN_SEP), lambda x: x != "")
     hashes = F.transform(toks, lambda t: hash60(t))
     bit_cols = []
     for i in range(bits):
@@ -710,7 +719,7 @@ def winnowing_fingerprints(
     """
     from dissertation_iceberg_spark.functions.hashing import hash60
 
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = F.filter(F.split(F.col(text_col), TOKEN_SEP), lambda x: x != "")
     ng = F.size(toks) - (k - 1)
     idx = F.when(ng >= 1, F.sequence(F.lit(0), ng - 1)).otherwise(
         F.array().cast("array<int>")

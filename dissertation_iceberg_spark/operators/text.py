@@ -18,6 +18,15 @@ from dissertation_iceberg_spark.functions.scalars import (
     with_scalars,
 )
 
+# THE tokenizer separator, repo-wide. Tokenization is a split on this
+# single character (not regex whitespace) because every DuckDB oracle
+# mirrors it with string_split(text, ' ') — and because scale guards
+# like dedup._capped_pair_volume_bound derive token-count bounds from
+# counting THIS character. Changing it to a regex requires updating
+# that bound (and every oracle) in lockstep; import this constant
+# rather than hard-coding ' '.
+TOKEN_SEP = " "
+
 STOPWORDS_EN = ("the", "a", "of", "and", "in", "to", "is")
 
 # tiny per-language profiles for the heuristic language-ID vote
@@ -31,7 +40,7 @@ LANG_PROFILES = {
 
 
 def tokens(text: Column) -> Column:
-    return F.filter(F.split(text, " "), lambda x: x != "")
+    return F.filter(F.split(text, TOKEN_SEP), lambda x: x != "")
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -61,12 +61,18 @@ def test_driver_fixtures_satisfy_non_null_contract(spark):
     The driver's generated tables must satisfy it at every SF."""
     import os
 
+    import pytest
+
     from dissertation_iceberg_spark.io import validate_contract
 
+    checked = 0
     for sf in ("sf0.001", "sf0.01"):
         d = f"/root/testdata/{sf}"
         if os.path.isdir(d):
             assert validate_contract(spark, d) == {}, sf
+            checked += 1
+    if checked == 0:
+        pytest.skip("no /root/testdata fixture directory present")
 
 
 def test_fixture_fuzz_compact(spark, tmp_path):
