@@ -32,3 +32,57 @@ def test_kmeans_bitwise_reproducible(spark, sf_dir):
     a = _run(spark, sf_dir)
     b = _run(spark, sf_dir)
     assert a == b
+
+
+def test_corpus_scaled_k_parity(spark, tmp_path):
+    """Round-7 registration fix: k is DERIVED from the corpus count
+    (greatest(8, ceil(n/256))) in both engines. On a 3000-vector corpus
+    the derived k is 12 (> the floor), the clustering still partitions
+    the corpus, and all three Lloyd-family queries stay hash-green
+    against their oracles — i.e. the scaled-k plan is oracle-checked
+    beyond the fixture regime where k collapses to the floor."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dissertation_iceberg_spark.queries.extensions import km_k_for
+    from tools.parity import run_parity
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "scaledk")
+    os.makedirs(d)
+    for t in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        shutil.copy(f"{src}/{t}.parquet", f"{d}/{t}.parquet")
+
+    n, dim = 3000, 64
+    rng = np.random.default_rng(7)
+    emb = rng.normal(0, 0.1, size=(n, dim)).astype("float32")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+                "label": pa.array((np.arange(n) % 10).tolist(), pa.int32()),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+
+    base = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
+    assert km_k_for(base) == 12
+
+    res = run_parity(
+        d, ["kmeans_cluster_stats", "semdedup_prune", "ari_kmeans_vs_labels"]
+    )
+    assert all(ok for ok, _ in res.values()), {
+        k: v for k, v in res.items() if not v[0]
+    }
+
+    rows = REGISTRY["kmeans_cluster_stats"].fn(spark, d).collect()
+    assert sum(r["n_vecs"] for r in rows) == n
+    assert 8 < len(rows) <= 12
