@@ -194,9 +194,11 @@ sc{k} AS (SELECT aq, b1q, b2q, b3q, {sc} FROM gh{k}),
 p{k} AS (SELECT {upd} FROM sc{k})"""
 
 
-_IRLS_ORACLE = (
-    f"""
-WITH lob AS ({EVENTS_LOB_SQL}),
+# Reusable CTE block producing the standardized-quantized design frame
+# z(y, xq1, xq2, xq3) — shared with queries/boosting.py so the M6
+# logistic twin and the M2-M4 stump-boost twin train on the SAME
+# feature pipeline (mirroring ml/pipeline.py::feature_pipeline reuse).
+Z_CTES_SQL = f"""lob AS ({EVENTS_LOB_SQL}),
 rq AS (
   SELECT {", ".join(f"{e} AS {a}" for a, e in _ROW_SQL.items())}
   FROM lob WHERE value > 0),
@@ -204,7 +206,11 @@ st AS (SELECT {", ".join(f"{e} AS {a}" for a, e in _SUM_SQL.items())} FROM rq),
 ms AS (SELECT n, {", ".join(f"{e} AS {a}" for a, e in _MS_SQL.items())} FROM st),
 z AS (
   SELECT y, {", ".join(f"{e} AS {a}" for a, e in _ZQ_SQL.items())}
-  FROM rq CROSS JOIN ms WHERE {_GUARD_SQL}),
+  FROM rq CROSS JOIN ms WHERE {_GUARD_SQL})"""
+
+_IRLS_ORACLE = (
+    f"""
+WITH {Z_CTES_SQL},
 p0 AS (SELECT {", ".join(f"CAST(0 AS BIGINT) AS {p}" for p in _PARAM_NAMES)}),"""
     + ",".join(_iter_sql(k) for k in range(1, _IRLS_ITERS + 1))
     + f""",

@@ -82,6 +82,7 @@ def _ensure_loaded() -> None:
         return
     from dissertation_iceberg_spark.queries import (  # noqa: F401
         behavior_ops,
+        boosting,
         changepoint_ops,
         core,
         corpus_ops,
