@@ -573,6 +573,16 @@ def connected_components(
     — near-dup clusters are shallow (stars/cliques), so 3-5 in
     practice, with the driver-side changed-count (an O(1) scalar) as
     the stop condition.
+
+    Checkpoint durability boundary (round 7): write volume is linear —
+    one O(2 x pairs) edge list once, one O(nodes) label frame per sweep
+    (SCALE.md rows) — but ``localCheckpoint`` pins blocks to EXECUTOR
+    storage: on a real cluster an executor loss kills the truncated
+    lineage and fails the job (acceptable here: sweeps are cheap to
+    rerun from the pair stage). For a long 100 TB run prefer
+    ``persist(StorageLevel.DISK_ONLY)`` + an explicit reliable
+    ``checkpoint()`` to the cluster FS every few sweeps — same linear
+    volume, survives executor loss.
     """
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))

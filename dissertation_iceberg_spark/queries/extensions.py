@@ -995,7 +995,11 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides of the within-cluster self-join and the final audit join),
     # and the lambda-bearing Lloyd lineage defeats exchange reuse, so
     # without this the full 2-iteration clustering re-runs per
-    # consumer (measured ~3x at sf0.1). O(N) narrow rows.
+    # consumer (measured ~3x at sf0.1). O(N) narrow rows — checkpoint
+    # write volume is linear in the corpus (SCALE.md). Durability
+    # boundary: localCheckpoint pins to executor storage, so an
+    # executor loss kills the lineage; on a long cluster run prefer
+    # persist(DISK_ONLY) / reliable checkpoint() (same linear volume).
     a2 = _km_assign(xe, c1, keep_stats=False).localCheckpoint()
 
     nn = F.aggregate(

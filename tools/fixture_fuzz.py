@@ -19,6 +19,17 @@ against them:
   single-token/viral-stop-shingle documents — stresses skewed
   group-bys, null-skipping aggregates, empty-token guards, and the
   capped-universe jaccard semantics under a genuinely hot shingle.
+- ``one_ticker`` (round 7): EVERY event belongs to one user — the
+  all-one-ticker LOBSTER shape where every user-partitioned window op
+  runs single-partition and every per-user aggregate collapses to one
+  group; stresses total-skew windows, lead/lag over one giant
+  partition, and degenerate cross-sectional ranks (one name per day).
+- ``us_bursts`` (round 7): timestamps arrive in MICROSECOND-spaced
+  bursts opening exactly on hour / 15 s bin boundaries, with exact
+  duplicate microseconds inside each burst, crossed with null-heavy
+  optional ``props`` — stresses bin-edge assignment at the timestamp
+  grain, (ts, event_id) tiebreak determinism under duplicate-ts
+  masses, and null-skipping over the optional column.
 
 Input contract (TESTDATA.md): key columns (event_id, user_id, doc_id),
 ``ts`` and ``event_type`` are non-null — the generators honor it; a
@@ -219,6 +230,21 @@ def gen_events(variant: str, rng: np.random.Generator) -> pd.DataFrame:
         # exercised by the `null_value` variant below, which asserts
         # the validator rejects it instead of running parity
         props = np.where(rng.random(n) < 0.3, None, props)
+    elif variant == "one_ticker":
+        user[:] = 7  # the whole stream is one name
+    elif variant == "us_bursts":
+        # 80 bursts of 50 rows; bursts open EXACTLY on an hour (even
+        # bursts) or 15 s (odd bursts) boundary; inside a burst rows
+        # advance 1 microsecond per PAIR, so every microsecond holds an
+        # exact duplicate-ts pair (the (ts, event_id) tiebreak must
+        # carry total order on both engines)
+        n_bursts = n // 50
+        hours = rng.integers(0, 28 * 24, size=n_bursts) * 3600 * 10**9
+        q15 = rng.integers(0, 28 * 5760, size=n_bursts) * 15 * 10**9
+        starts = np.where(np.arange(n_bursts) % 2 == 0, hours, q15) + base
+        idx = np.arange(n)
+        ts_ns = starts[idx // 50] + (idx % 50 // 2) * 1000
+        props = np.where(rng.random(n) < 0.6, None, props)
     elif variant == "null_value":
         null_v = rng.random(n) < 0.05
         value[null_v] = np.nan
@@ -315,7 +341,13 @@ def build_fixture(variant: str, out_dir: str) -> str:
     return d
 
 
-VARIANTS = ("boundary_ties", "decimals", "skew_nulls")
+VARIANTS = (
+    "boundary_ties",
+    "decimals",
+    "skew_nulls",
+    "one_ticker",
+    "us_bursts",
+)
 
 
 def main() -> int:

@@ -328,6 +328,21 @@ def main() -> None:
                               "input_rows": n_ev, "out_rows": rows,
                               "sec": round(t, 3)}))
 
+        # round-7 M2-M4 twin: T+1 fact passes (weighted histogram per
+        # boosting round + accuracy audit), each reducing to an
+        # O(distinct quantized values) cell frame — claim under test:
+        # wall time scales ~linearly with rows, never with pairs, and
+        # the per-round driver collect stays 1 row
+        if _want("stump_boost"):
+            from dissertation_iceberg_spark.queries.boosting import (
+                stump_boost_frame,
+            )
+
+            t, rows = timed(lambda: stump_boost_frame(ev), action="count")
+            print(json.dumps({"kernel": "stump_boost", "factor": r,
+                              "input_rows": n_ev, "out_rows": rows,
+                              "sec": round(t, 3)}))
+
         if _want("bayes_ab"):
             from dissertation_iceberg_spark.queries.stats_tests import (
                 bayes_ab_loss_frame,
