@@ -300,16 +300,22 @@ fut AS (
 j AS (
   SELECT s.day, s.sig_micro, f.fut_cents
   FROM sig s JOIN fut f ON s.user_id = f.user_id AND s.day = f.day
-  WHERE f.fut_cents IS NOT NULL)
+  WHERE f.fut_cents IS NOT NULL),
+g AS (
+  SELECT day,
+    CAST(sum(CASE WHEN sig_micro > 0 THEN fut_cents ELSE 0 END) AS BIGINT)
+      AS pc,
+    CAST(sum(CASE WHEN sig_micro < 0 THEN fut_cents ELSE 0 END) AS BIGINT)
+      AS nc,
+    sum(CAST(sig_micro AS HUGEINT) * fut_cents) AS sw,
+    CAST(count(*) AS BIGINT) AS n_positions
+  FROM j GROUP BY 1)
 SELECT day,
-  round((CAST(sum(CASE WHEN sig_micro > 0 THEN fut_cents ELSE 0 END)
-              AS DOUBLE)
-       - sum(CASE WHEN sig_micro < 0 THEN fut_cents ELSE 0 END)) / 100,
-        6) AS pnl_unweighted,
-  round(CAST(sum(CAST(sig_micro AS HUGEINT) * fut_cents) AS DOUBLE) / 1e8, 6)
-    AS pnl_weighted,
-  CAST(count(*) AS BIGINT) AS n_positions
-FROM j GROUP BY 1
+  round(CAST(pc - nc AS DOUBLE) / 100, 6) AS pnl_unweighted,
+  CAST((CASE WHEN sw < 0 THEN -1 ELSE 1 END) * ((abs(sw) + 50) // 100)
+       AS DOUBLE) / 1e6 AS pnl_weighted,
+  n_positions
+FROM g
 """
 
 
@@ -352,27 +358,38 @@ def single_strategy_workflow_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pos = F.col("sig_micro") > 0
     neg = F.col("sig_micro") < 0
-    return j.groupBy("day").agg(
-        F.round(
-            (
-                F.sum(F.when(pos, F.col("fut_cents")).otherwise(0)).cast(
-                    "double"
-                )
-                - F.sum(F.when(neg, F.col("fut_cents")).otherwise(0))
-            )
-            / 100,
-            6,
-        ).alias("pnl_unweighted"),
-        F.round(
-            # sig_micro (1e6) x fut_cents can reach ~1e14/row — the sum
-            # widens to exact DECIMAL(38) (round-6 decimals fuzz), one
-            # double conversion at the end (oracle: HUGEINT sum)
-            F.sum(F.col("sig_micro").cast("decimal(38,0)") * F.col("fut_cents"))
-            .cast("double")
-            / 1e8,
-            6,
-        ).alias("pnl_weighted"),
+    g = j.groupBy("day").agg(
+        F.sum(F.when(pos, F.col("fut_cents")).otherwise(0))
+        .cast("long")
+        .alias("pc"),
+        F.sum(F.when(neg, F.col("fut_cents")).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+        # sig_micro (1e6) x fut_cents can reach ~1e14/row — the sum
+        # widens to exact DECIMAL(38) (round-6 decimals fuzz; oracle:
+        # HUGEINT sum)
+        F.sum(
+            F.col("sig_micro").cast("decimal(38,0)") * F.col("fut_cents")
+        ).alias("sw"),
         F.count(F.lit(1)).cast("long").alias("n_positions"),
+    )
+    # 6-dp weighted PnL via EXACT integer rounding (round-7 decimals
+    # fix): the old round(CAST(sw AS DOUBLE)/1e8, 6) went through a
+    # lossy 128-bit -> double conversion whose rounding differed
+    # between engines once |sw| passed 2^53 (|pnl| ~ 9e9). Now the
+    # half-away-from-zero 6-dp integer q6 is computed in exact decimal/
+    # HUGEINT arithmetic and ONLY q6 converts to double — int-to-double
+    # is the same IEEE rounding in both engines at any magnitude.
+    q6 = F.floor((F.abs(F.col("sw")) + 50) / 100) * F.when(
+        F.col("sw") < 0, -1
+    ).otherwise(1)
+    return g.select(
+        "day",
+        F.round((F.col("pc") - F.col("nc")).cast("double") / 100, 6).alias(
+            "pnl_unweighted"
+        ),
+        (q6.cast("double") / F.lit(1e6)).alias("pnl_weighted"),
+        "n_positions",
     )
 
 

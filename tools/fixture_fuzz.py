@@ -36,19 +36,16 @@ Input contract (TESTDATA.md): key columns (event_id, user_id, doc_id),
 NULL there changes ORDER BY placement between engines (Spark NULLS
 FIRST vs DuckDB NULLS LAST) and is a data bug, not an engine gap.
 
-Full-registry sweeps (run_parity(d, None)) are green on every
-variant except two DOCUMENTED int64 ceilings on the extreme
-``decimals`` fixture (values to 1e6): ``gmm_em_1d`` and
-``ledoit_wolf_cov`` square already-quadratic integer quantities, so
-their quanta bound the value range (~1e4 / per-cell cents ~1e9 —
-scoped in their docstrings; driver data sits orders of magnitude
-inside), and ``single_strategy_workflow_pnl``'s 6-dp display rounding
-is ill-defined once |pnl| passes ~9e9 (double ulp exceeds 1e-6 —
-inherent to ANY double display grain; the underlying sum is exact
-DECIMAL/HUGEINT since round 6 so the engine no longer crashes there).
-Everything else that the extreme fixture broke was FIXED instead
-(cusum/jarque/anova/vpin/granger + the workflow sum widening,
-round 6).
+Full-registry sweeps (run_parity(d, None)) are green on EVERY variant
+as of round 7 (decimals 440/440). The three round-6 decimals ceilings
+were closed by implementing the quantum dial: ``gmm_em_1d`` /
+``ledoit_wolf_cov`` auto-scale their value grain from an exact
+(count, max|cents|) pre-pass mirrored in both engines, and
+``single_strategy_workflow_pnl`` computes its 6-dp weighted PnL in
+exact integer space before the single int-to-double conversion.
+Everything else the extreme fixtures ever broke was FIXED directly
+(cusum/jarque/anova/vpin/granger + the workflow sum widening, round 6;
+empty-doc/empty-arm/session-gap guards, round 6).
 
 Usage:
     python tools/fixture_fuzz.py [--variant all|boundary_ties|...]
