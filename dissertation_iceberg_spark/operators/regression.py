@@ -157,8 +157,14 @@ def simple_ols(
     intercept = (F.col("sy") - slope * F.col("sx")) / n
     r2 = sxy_c * sxy_c / (ssx * ssy)
     rss = ssy - slope * sxy_c
-    tstat = slope / F.sqrt(rss / (n - 2) / ssx)
-    return g.select(
+    # degenerate-group guard (round-7 one_ticker fuzz): a constant
+    # regressor (ssx = 0, e.g. a single-name stream regressed on
+    # user_id), constant response (ssy = 0), or n <= 2 leaves the fit
+    # undefined — such groups emit ZERO rows on both engines (the
+    # mann_whitney_u convention); a perfect fit (rss <= 0) NULLs the
+    # t-stat instead of dividing by zero
+    tstat = F.when(rss > 0, slope / F.sqrt(rss / (n - 2) / ssx))
+    return g.filter((F.col("n") > 2) & (ssx != 0) & (ssy != 0)).select(
         *group_cols,
         F.col("n"),
         F.round(slope, 6).alias("slope"),
@@ -183,8 +189,11 @@ SELECT {gc}, n,
   round((sxy - sx*sy/n) / (sxx - sx*sx/n), 6) AS slope,
   round((sy - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx) / n, 6) AS intercept,
   round((sxy - sx*sy/n)*(sxy - sx*sy/n) / ((sxx - sx*sx/n)*(syy - sy*sy/n)), 6) AS r2,
-  round(((sxy - sx*sy/n) / (sxx - sx*sx/n))
+  round(CASE WHEN ((syy - sy*sy/n)
+                   - ((sxy - sx*sy/n) / (sxx - sx*sx/n))*(sxy - sx*sy/n)) > 0
+        THEN ((sxy - sx*sy/n) / (sxx - sx*sx/n))
         / sqrt(((syy - sy*sy/n) - ((sxy - sx*sy/n) / (sxx - sx*sx/n))*(sxy - sx*sy/n))
-               / (n - 2) / (sxx - sx*sx/n)), 6) AS t_slope
+               / (n - 2) / (sxx - sx*sx/n)) END, 6) AS t_slope
 FROM g
+WHERE n > 2 AND (sxx - sx*sx/n) <> 0 AND (syy - sy*sy/n) <> 0
 """

@@ -2308,8 +2308,9 @@ mom AS (
 prior AS (
   SELECT k, srq, srq2,
          CAST(srq AS DOUBLE) / k / 1e6 AS m,
-         (CAST(srq2 AS DOUBLE) - CAST(srq AS DOUBLE) * srq / k)
-           / (k - 1) / 1e12 AS v
+         CASE WHEN k > 1
+              THEN (CAST(srq2 AS DOUBLE) - CAST(srq AS DOUBLE) * srq / k)
+                   / (k - 1) / 1e12 END AS v
   FROM mom),
 ab AS (
   SELECT CASE WHEN v > 0 AND v < m * (1 - m)
@@ -2365,13 +2366,17 @@ def eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("rq") * F.col("rq")).cast("long").alias("srq2"),
     )
     m = F.col("srq").cast("double") / F.col("k") / 1e6
-    v = (
+    # k = 1 (a single user — round-7 one_ticker fuzz) leaves the
+    # moment variance undefined: NULL v, so the Beta(1,1) fallback
+    # below fires instead of an ANSI divide-by-zero on (k - 1)
+    v = F.when(
+        F.col("k") > 1,
         (
             F.col("srq2").cast("double")
             - F.col("srq").cast("double") * F.col("srq") / F.col("k")
         )
         / (F.col("k") - 1)
-        / 1e12
+        / 1e12,
     )
     ok = (v > 0) & (v < m * (1 - m))
     scale = m * (1 - m) / v - 1

@@ -446,11 +446,26 @@ FROM events GROUP BY 1
 
 @register("correlation", oracle=_CORR_ORACLE)
 def correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12: Pearson correlation per group (time_series_OI.py:35-37)."""
+    """A12: Pearson correlation per group (time_series_OI.py:35-37).
+
+    Assembled as covar_samp / (stddev * stddev) with a zero-variance
+    guard rather than F.corr: ANSI F.corr throws DIVIDE_BY_ZERO on a
+    degenerate group (round-7 one_ticker fuzz — a single-name stream
+    makes user_id constant), while DuckDB's corr returns NULL there;
+    the guarded form returns NULL on both engines and is the same
+    streaming-moment arithmetic elsewhere."""
     df = load_table(spark, sf_dir, "events")
-    return df.groupBy("event_type").agg(
-        F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias("corr_vu")
+    u = F.col("user_id").cast("double")
+    g = df.groupBy("event_type").agg(
+        F.covar_samp(F.col("value"), u).alias("cov"),
+        F.stddev_samp("value").alias("sv"),
+        F.stddev_samp(u).alias("su"),
     )
+    corr = F.when(
+        (F.col("sv") > 0) & (F.col("su") > 0),
+        F.col("cov") / (F.col("sv") * F.col("su")),
+    )
+    return g.select("event_type", F.round(corr, 6).alias("corr_vu"))
 
 
 # --------------------------------------------------------------------------

@@ -1247,8 +1247,9 @@ s AS (
          CAST(sum(xt * xt) AS BIGINT) AS sxx
   FROM dem)
 SELECT n_cells,
-  round((CAST(sxy AS DOUBLE) / 1e8) / (CAST(sxx AS DOUBLE) / 1e12) / 100.0,
-        6) AS beta_within_dollars
+  round(CASE WHEN sxx > 0
+        THEN (CAST(sxy AS DOUBLE) / 1e8) / (CAST(sxx AS DOUBLE) / 1e12)
+             / 100.0 END, 6) AS beta_within_dollars
 FROM s
 """
 
@@ -1329,12 +1330,18 @@ def twfe_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("xt") * F.col("yt")).cast("long").alias("sxy"),
         F.sum(F.col("xt") * F.col("xt")).cast("long").alias("sxx"),
     )
+    # a single user (round-7 one_ticker fuzz) makes the user fixed
+    # effect absorb ALL x variation (xt = 0 everywhere) — the within
+    # estimator is undefined: NULL beta on both engines
     return s.select(
         "n_cells",
         F.round(
-            (F.col("sxy").cast("double") / 1e8)
-            / (F.col("sxx").cast("double") / 1e12)
-            / 100.0,
+            F.when(
+                F.col("sxx") > 0,
+                (F.col("sxy").cast("double") / 1e8)
+                / (F.col("sxx").cast("double") / 1e12)
+                / 100.0,
+            ),
             6,
         ).alias("beta_within_dollars"),
     )

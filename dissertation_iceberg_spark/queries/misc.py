@@ -215,16 +215,18 @@ b AS (
          ((syy - sy * sy / n)
           - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sxy - sx * sy / n))
              / (n - 2) AS s2
-  FROM g)
+  FROM g WHERE n > 2 AND (sxx - sx * sx / n) <> 0)
 SELECT e.event_id,
   round(e.value - (b.intercept + b.slope * e.user_id), 6) AS residual,
   round(1e0 / b.n + pow(e.user_id - b.sx / b.n, 2) / b.ssx, 6) AS leverage,
-  round((e.value - (b.intercept + b.slope * e.user_id))
-        / sqrt(b.s2 * (1 - (1e0 / b.n + pow(e.user_id - b.sx / b.n, 2) / b.ssx))), 6)
+  round(CASE WHEN b.s2 * (1 - (1e0 / b.n + pow(e.user_id - b.sx / b.n, 2) / b.ssx)) > 0
+        THEN (e.value - (b.intercept + b.slope * e.user_id))
+        / sqrt(b.s2 * (1 - (1e0 / b.n + pow(e.user_id - b.sx / b.n, 2) / b.ssx))) END, 6)
       AS studentized,
-  round(pow(e.value - (b.intercept + b.slope * e.user_id), 2)
+  round(CASE WHEN b.s2 * pow(1 - (1e0 / b.n + pow(e.user_id - b.sx / b.n, 2) / b.ssx), 2) > 0
+        THEN pow(e.value - (b.intercept + b.slope * e.user_id), 2)
         * (1e0 / b.n + pow(e.user_id - b.sx / b.n, 2) / b.ssx)
-        / (2 * b.s2 * pow(1 - (1e0 / b.n + pow(e.user_id - b.sx / b.n, 2) / b.ssx), 2)), 6)
+        / (2 * b.s2 * pow(1 - (1e0 / b.n + pow(e.user_id - b.sx / b.n, 2) / b.ssx), 2)) END, 6)
       AS cooks_d
 FROM events e JOIN b ON e.event_type = b.event_type
 """
@@ -253,7 +255,11 @@ def ols_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = sxy_c / ssx
     intercept = (F.col("sy") - slope * F.col("sx")) / n
     s2 = ((F.col("syy") - F.col("sy") * F.col("sy") / n) - slope * sxy_c) / (n - 2)
-    b = g.select(
+    # degenerate-group guard (round-7 one_ticker fuzz): constant x or
+    # n <= 2 leaves the fit undefined — those groups' rows emit ZERO
+    # rows on both engines; s2/leverage edge cases NULL the studentized
+    # and Cook's columns instead of dividing by zero
+    b = g.filter((n > 2) & (ssx != 0)).select(
         "event_type", "n", "sx", slope.alias("slope"),
         intercept.alias("intercept"), ssx.alias("ssx"), s2.alias("s2"),
     )
@@ -262,8 +268,13 @@ def ols_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     lev = 1.0 / F.col("n") + F.pow(
         F.col("user_id") - F.col("sx") / F.col("n"), 2
     ) / F.col("ssx")
-    stud = resid / F.sqrt(F.col("s2") * (1 - lev))
-    cooks = F.pow(resid, 2) * lev / (2 * F.col("s2") * F.pow(1 - lev, 2))
+    stud = F.when(
+        F.col("s2") * (1 - lev) > 0, resid / F.sqrt(F.col("s2") * (1 - lev))
+    )
+    cooks = F.when(
+        F.col("s2") * F.pow(1 - lev, 2) > 0,
+        F.pow(resid, 2) * lev / (2 * F.col("s2") * F.pow(1 - lev, 2)),
+    )
     return j.select(
         "event_id",
         F.round(resid, 6).alias("residual"),

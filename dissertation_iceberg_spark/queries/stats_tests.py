@@ -2135,7 +2135,10 @@ k AS (
     (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
       / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS theta,
     (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS var_post
-  FROM s)
+  FROM s
+  WHERE n > 1 AND n1 > 0 AND n0 > 0
+    AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) <> 0
+    AND (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) <> 0)
 SELECT n, round(theta, 6) AS theta,
   round(var_post / 1e4, 6) AS var_post,
   round((((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
@@ -2233,6 +2236,16 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta = cov / varx
     var_post = vary / (n - 1)
     var_adj = (vary - cov * cov / varx) / (n - 1)
+    # degenerate guard (round-7 one_ticker fuzz): one user or an empty
+    # arm leaves theta / the arm means undefined — zero rows on both
+    # engines (oracle: WHERE in the k CTE)
+    s = s.filter(
+        (n > 1)
+        & (F.col("n1") > 0)
+        & (F.col("n0") > 0)
+        & (varx != 0)
+        & (vary != 0)
+    )
     return s.select(
         "n",
         F.round(theta, 6).alias("theta"),

@@ -1694,7 +1694,9 @@ s AS (
 k AS (
   SELECT n,
     CAST(sx AS DOUBLE) / n AS m,
-    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS v
+    CASE WHEN n > 1
+         THEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+         END AS v
   FROM s)
 SELECT n AS n_users,
   round(m, 6) AS mean_count,
@@ -1728,10 +1730,16 @@ def negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n")
     m = F.col("sx").cast("double") / n
-    v = (
-        F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx") / n
-    ) / (n - 1)
+    # n = 1 (single user — round-7 one_ticker fuzz): variance undefined
+    # -> NULL v and NULL-propagated NB columns on both engines
+    v = F.when(
+        n > 1,
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / n
+        )
+        / (n - 1),
+    )
     return s.select(
         n.alias("n_users"),
         F.round(m, 6).alias("mean_count"),
@@ -1773,8 +1781,10 @@ s AS (
          CAST(sum((1 - p1) * (1 - p2)) AS BIGINT) AS neither
   FROM u)
 SELECT n, both_halves, b AS only_first, c AS only_second, neither,
-  round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6) AS chi2,
-  round((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c), 6)
+  round(CASE WHEN b + c > 0
+        THEN CAST((b - c) * (b - c) AS DOUBLE) / (b + c) END, 6) AS chi2,
+  round(CASE WHEN b + c > 0
+        THEN (abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c) END, 6)
     AS chi2_corrected
 FROM s
 """
@@ -1823,17 +1833,22 @@ def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("neither"),
     )
     b, c = F.col("b"), F.col("c")
+    # zero discordant pairs (round-7 one_ticker fuzz: one user can
+    # never disagree with itself): the test is undefined -> NULL chi2
+    # on both engines instead of an ANSI divide-by-zero
+    disc = b + c > 0
     return s.select(
         "n",
         "both_halves",
         b.alias("only_first"),
         c.alias("only_second"),
         "neither",
-        F.round(((b - c) * (b - c)).cast("double") / (b + c), 6).alias(
-            "chi2"
-        ),
         F.round(
-            (F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0) / (b + c), 6
+            F.when(disc, ((b - c) * (b - c)).cast("double") / (b + c)), 6
+        ).alias("chi2"),
+        F.round(
+            F.when(disc, (F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0) / (b + c)),
+            6,
         ).alias("chi2_corrected"),
     )
 
@@ -2628,9 +2643,12 @@ arms AS (
 SELECT a.n_treat, a.n_ctrl, s.o1,
   round(s.e1_micro / 1e6, 6) AS e1,
   round(s.v_micro / 1e6, 6) AS var_lr,
-  round((s.o1 - s.e1_micro / 1e6) / sqrt(s.v_micro / 1e6), 6) AS z_stat,
-  round((s.o1 - s.e1_micro / 1e6) * (s.o1 - s.e1_micro / 1e6)
-        / (s.v_micro / 1e6), 6) AS chi2
+  round(CASE WHEN s.v_micro > 0
+        THEN (s.o1 - s.e1_micro / 1e6) / sqrt(s.v_micro / 1e6) END, 6)
+    AS z_stat,
+  round(CASE WHEN s.v_micro > 0
+        THEN (s.o1 - s.e1_micro / 1e6) * (s.o1 - s.e1_micro / 1e6)
+             / (s.v_micro / 1e6) END, 6) AS chi2
 FROM s CROSS JOIN arms a
 """
 
@@ -2725,14 +2743,22 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e1 = F.col("e1_micro") / 1e6
     v = F.col("v_micro") / 1e6
+    # zero log-rank variance (round-7 one_ticker fuzz: a single user /
+    # single arm puts every at-risk set at nt <= 1) -> NULL statistics
+    # on both engines instead of an ANSI divide-by-zero
+    ok = F.col("v_micro") > 0
     return s.transform(with_scalars, tot).select(
         "n_treat",
         "n_ctrl",
         "o1",
         F.round(e1, 6).alias("e1"),
         F.round(v, 6).alias("var_lr"),
-        F.round((F.col("o1") - e1) / F.sqrt(v), 6).alias("z_stat"),
-        F.round((F.col("o1") - e1) * (F.col("o1") - e1) / v, 6).alias("chi2"),
+        F.round(F.when(ok, (F.col("o1") - e1) / F.sqrt(v)), 6).alias(
+            "z_stat"
+        ),
+        F.round(
+            F.when(ok, (F.col("o1") - e1) * (F.col("o1") - e1) / v), 6
+        ).alias("chi2"),
     )
 
 
@@ -3581,7 +3607,7 @@ k AS (
     (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS vx,
     (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vy,
     (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1) AS cxy
-  FROM s),
+  FROM s WHERE n > 1),
 d AS (
   SELECT arm, n, r,
     (vx - 2 * r * cxy + r * r * vy) / (my * my) / n AS var_r
@@ -3590,7 +3616,8 @@ SELECT t.n AS n_treat, c.n AS n_ctrl,
   round(t.r / 100.0, 6) AS ratio_treat,
   round(c.r / 100.0, 6) AS ratio_ctrl,
   round((t.r - c.r) / 100.0, 6) AS diff_dollars,
-  round((t.r - c.r) / sqrt(t.var_r + c.var_r), 6) AS z_stat
+  round(CASE WHEN t.var_r + c.var_r > 0
+        THEN (t.r - c.r) / sqrt(t.var_r + c.var_r) END, 6) AS z_stat
 FROM (SELECT * FROM d WHERE arm = 1) t
 CROSS JOIN (SELECT * FROM d WHERE arm = 0) c
 """
@@ -3642,7 +3669,10 @@ def ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     cxy = (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / n) / (
         n - 1
     )
-    d = s.select(
+    # single-user arms (round-7 one_ticker fuzz) have no delta-method
+    # variance — drop them (oracle: WHERE n > 1 in k); a missing arm
+    # then empties the final frame via the NULL-scalar filter below
+    d = s.filter(n > 1).select(
         "arm",
         "n",
         r.alias("r"),
@@ -3658,15 +3688,26 @@ def ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("rc"),
         F.col("var_r").alias("vc"),
     )
-    return t.transform(with_scalars, c).select(
-        "n_treat",
-        "n_ctrl",
-        F.round(F.col("rt") / 100.0, 6).alias("ratio_treat"),
-        F.round(F.col("rc") / 100.0, 6).alias("ratio_ctrl"),
-        F.round((F.col("rt") - F.col("rc")) / 100.0, 6).alias("diff_dollars"),
-        F.round(
-            (F.col("rt") - F.col("rc")) / F.sqrt(F.col("vt") + F.col("vc")), 6
-        ).alias("z_stat"),
+    return (
+        t.transform(with_scalars, c)
+        .filter(F.col("n_ctrl").isNotNull())
+        .select(
+            "n_treat",
+            "n_ctrl",
+            F.round(F.col("rt") / 100.0, 6).alias("ratio_treat"),
+            F.round(F.col("rc") / 100.0, 6).alias("ratio_ctrl"),
+            F.round((F.col("rt") - F.col("rc")) / 100.0, 6).alias(
+                "diff_dollars"
+            ),
+            F.round(
+                F.when(
+                    F.col("vt") + F.col("vc") > 0,
+                    (F.col("rt") - F.col("rc"))
+                    / F.sqrt(F.col("vt") + F.col("vc")),
+                ),
+                6,
+            ).alias("z_stat"),
+        )
     )
 
 
@@ -4152,9 +4193,11 @@ SELECT n AS n_cells, n_zero,
   round(CAST(n_zero AS DOUBLE) / n, 6) AS zero_rate,
   round(CAST(round(exp(-CAST(total AS DOUBLE) / n) * 1e9) AS BIGINT) / 1e9,
         6) AS poisson_zero_rate,
-  round((CAST(n_zero AS DOUBLE) / n)
+  round(CASE WHEN CAST(round(exp(-CAST(total AS DOUBLE) / n) * 1e9)
+                  AS BIGINT) > 0
+        THEN (CAST(n_zero AS DOUBLE) / n)
         / (CAST(round(exp(-CAST(total AS DOUBLE) / n) * 1e9) AS BIGINT)
-           / 1e9), 6) AS zero_inflation_ratio
+           / 1e9) END, 6) AS zero_inflation_ratio
 FROM s
 """
 
@@ -4193,6 +4236,9 @@ def zero_inflation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lam = F.col("total").cast("double") / F.col("n")
     pz = F.round(F.exp(-lam) * 1e9).cast("long") / 1e9
+    # lambda large enough that the nano-rounded Poisson zero rate hits
+    # exactly 0 (round-7 one_ticker fuzz: one user absorbs the whole
+    # stream) -> the ratio is undefined -> NULL on both engines
     return s.select(
         F.col("n").alias("n_cells"),
         "n_zero",
@@ -4201,9 +4247,10 @@ def zero_inflation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zero_rate"
         ),
         F.round(pz, 6).alias("poisson_zero_rate"),
-        F.round((F.col("n_zero").cast("double") / F.col("n")) / pz, 6).alias(
-            "zero_inflation_ratio"
-        ),
+        F.round(
+            F.when(pz > 0, (F.col("n_zero").cast("double") / F.col("n")) / pz),
+            6,
+        ).alias("zero_inflation_ratio"),
     )
 
 

@@ -61,8 +61,8 @@ SELECT CAST(n AS BIGINT) AS n_days,
   round((c3 / n) / pow(c2 / n, 1.5), 6) AS skew_g1,
   round((c4 / n) / pow(c2 / n, 2) - 3, 6) AS kurt_g2,
   round(mu / sqrt(c2 / (n - 1)) * sqrt(252), 6) AS sharpe_ann,
-  round(total / trades * 10000, 6) AS ppt_bps
-FROM c
+  round(CASE WHEN trades > 0 THEN total / trades * 10000 END, 6) AS ppt_bps
+FROM c WHERE n > 1 AND c2 > 0
 """
 
 
@@ -100,7 +100,10 @@ def portfolio_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n, mu = F.col("n"), F.col("mu")
-    return c.select(
+    # degenerate-series guard (round-7 one_ticker fuzz): one day or a
+    # zero-variance PnL series has no moment statistics — zero rows on
+    # both engines; zero trades NULLs ppt_bps
+    return c.filter((n > 1) & (F.col("c2") > 0)).select(
         n.cast("long").alias("n_days"),
         F.round(F.col("total"), 6).alias("total_pnl"),
         F.round(mu, 6).alias("mean_pnl"),
@@ -110,7 +113,10 @@ def portfolio_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu / F.sqrt(F.col("c2") / (n - 1)) * F.sqrt(F.lit(252.0)), 6).alias(
             "sharpe_ann"
         ),
-        F.round(F.col("total") / F.col("trades") * 10000, 6).alias("ppt_bps"),
+        F.round(
+            F.when(F.col("trades") > 0, F.col("total") / F.col("trades") * 10000),
+            6,
+        ).alias("ppt_bps"),
     )
 
 
@@ -142,10 +148,12 @@ s AS (
          mu / sqrt(c2 / (n - 1)) AS sr,
          (c3 / n) / pow(c2 / n, 1.5) AS g3,
          (c4 / n) / pow(c2 / n, 2) AS g4
-  FROM c),
+  FROM c WHERE n > 1 AND c2 > 0),
 z AS (
   SELECT n, sr, g3, g4,
-         sr / sqrt((1 - g3 * sr + (g4 - 1) * (sr * sr) / 4) / (n - 1)) AS stat
+         CASE WHEN (1 - g3 * sr + (g4 - 1) * (sr * sr) / 4) > 0
+              THEN sr / sqrt((1 - g3 * sr + (g4 - 1) * (sr * sr) / 4)
+                             / (n - 1)) END AS stat
   FROM s),
 t AS (SELECT n, sr, stat, 1 / (1 + {_NCDF_T} * abs(stat)) AS u FROM z)
 SELECT CAST(n AS BIGINT) AS n_days,
@@ -193,22 +201,21 @@ def sharpe_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = F.col("n")
-    s = c.select(
+    # degenerate-series guard (round-7 one_ticker fuzz): zero rows for
+    # n <= 1 / zero variance; a negative Mertens variance NULLs the
+    # statistic instead of sqrt of a negative
+    s = c.filter((n > 1) & (F.col("c2") > 0)).select(
         n,
         (F.col("mu") / F.sqrt(F.col("c2") / (n - 1))).alias("sr"),
         ((F.col("c3") / n) / F.pow(F.col("c2") / n, 1.5)).alias("g3"),
         ((F.col("c4") / n) / F.pow(F.col("c2") / n, 2)).alias("g4"),
     )
     sr, g3, g4 = F.col("sr"), F.col("g3"), F.col("g4")
+    mert = F.lit(1.0) - g3 * sr + (g4 - 1) * (sr * sr) / 4
     z = s.select(
         n,
         sr,
-        (
-            sr
-            / F.sqrt(
-                (F.lit(1.0) - g3 * sr + (g4 - 1) * (sr * sr) / 4) / (n - 1)
-            )
-        ).alias("stat"),
+        F.when(mert > 0, sr / F.sqrt(mert / (n - 1))).alias("stat"),
     )
     stat = F.col("stat")
     u = 1 / (1 + _NCDF_T * F.abs(stat))
