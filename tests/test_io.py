@@ -104,3 +104,38 @@ def test_fixture_fuzz_compact(spark, tmp_path):
     }
     d2 = build_fixture("null_value", str(tmp_path))
     assert "events.value" in validate_contract(spark, d2)
+
+
+def test_fixture_fuzz_compact_round7(spark, tmp_path):
+    """Compact in-CI slice of the round-7 fuzz variants: one_ticker
+    (whole stream one user — pins the 13 degenerate-input guards) and
+    us_bursts (microsecond duplicate bursts on bin boundaries +
+    null-heavy props) stay hash-green for the families each stresses."""
+    from tools.fixture_fuzz import build_fixture
+    from tools.parity import run_parity
+
+    ot_names = [
+        # the 13 queries the one_ticker sweep originally crashed
+        "correlation", "cuped_adjustment", "eb_rate_shrinkage",
+        "log_rank_test", "mcnemar_test", "negbin_fit", "ols_diagnostics",
+        "ols_value_on_user", "portfolio_statistics", "ratio_metric_delta",
+        "sharpe_test", "twfe_regression", "zero_inflation_check",
+        # plus single-partition window representatives
+        "event_numbering", "rolling_sentiment", "sessionization",
+    ]
+    d = build_fixture("one_ticker", str(tmp_path))
+    res = run_parity(d, ot_names)
+    assert all(ok for ok, _ in res.values()), {
+        k: v for k, v in res.items() if not v[0]
+    }
+
+    ub_names = [
+        "oi_hourly_densified", "dedup_first", "event_numbering",
+        "adjacent_direction", "resample_mean_sum", "sessionization",
+        "session_paths", "trailing_hour_activity", "daily_sums",
+    ]
+    d2 = build_fixture("us_bursts", str(tmp_path))
+    res2 = run_parity(d2, ub_names)
+    assert all(ok for ok, _ in res2.values()), {
+        k: v for k, v in res2.items() if not v[0]
+    }
