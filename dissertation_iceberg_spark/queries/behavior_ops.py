@@ -54,11 +54,13 @@ SELECT CAST(1 AS BIGINT) AS step, '{_FUNNEL_STEPS[0]}' AS step_name,
 FROM n
 UNION ALL
 SELECT CAST(2 AS BIGINT), '{_FUNNEL_STEPS[1]}', CAST(n2 AS BIGINT),
-       round(CAST(n2 AS DOUBLE) / n1, 6), round(CAST(n2 AS DOUBLE) / n1, 6)
+       round(CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END, 6),
+       round(CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END, 6)
 FROM n
 UNION ALL
 SELECT CAST(3 AS BIGINT), '{_FUNNEL_STEPS[2]}', CAST(n3 AS BIGINT),
-       round(CAST(n3 AS DOUBLE) / n2, 6), round(CAST(n3 AS DOUBLE) / n1, 6)
+       round(CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / n2 END, 6),
+       round(CASE WHEN n1 > 0 THEN CAST(n3 AS DOUBLE) / n1 END, 6)
 FROM n
 """
 
@@ -112,27 +114,34 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             one.alias("conv_from_prev"),
             one.alias("conv_from_first"),
         ),
+        # empty upstream steps (round-7 one-type probe: a stream with
+        # no step-1/2 events) make the ratios undefined -> NULL on
+        # both engines instead of an ANSI divide-by-zero
         n.select(
             F.lit(2).cast("long").alias("step"),
             F.lit(_FUNNEL_STEPS[1]).alias("step_name"),
             F.col("n2").cast("long").alias("n_users"),
-            F.round(F.col("n2").cast("double") / F.col("n1"), 6).alias(
-                "conv_from_prev"
-            ),
-            F.round(F.col("n2").cast("double") / F.col("n1"), 6).alias(
-                "conv_from_first"
-            ),
+            F.round(
+                F.when(F.col("n1") > 0, F.col("n2").cast("double") / F.col("n1")),
+                6,
+            ).alias("conv_from_prev"),
+            F.round(
+                F.when(F.col("n1") > 0, F.col("n2").cast("double") / F.col("n1")),
+                6,
+            ).alias("conv_from_first"),
         ),
         n.select(
             F.lit(3).cast("long").alias("step"),
             F.lit(_FUNNEL_STEPS[2]).alias("step_name"),
             F.col("n3").cast("long").alias("n_users"),
-            F.round(F.col("n3").cast("double") / F.col("n2"), 6).alias(
-                "conv_from_prev"
-            ),
-            F.round(F.col("n3").cast("double") / F.col("n1"), 6).alias(
-                "conv_from_first"
-            ),
+            F.round(
+                F.when(F.col("n2") > 0, F.col("n3").cast("double") / F.col("n2")),
+                6,
+            ).alias("conv_from_prev"),
+            F.round(
+                F.when(F.col("n1") > 0, F.col("n3").cast("double") / F.col("n1")),
+                6,
+            ).alias("conv_from_first"),
         ),
     ]
     out = rows[0]
@@ -409,11 +418,11 @@ SELECT CAST(1 AS BIGINT) AS step, '{_FUNNEL_STEPS[0]}' AS step_name,
 FROM n
 UNION ALL
 SELECT CAST(2 AS BIGINT), '{_FUNNEL_STEPS[1]}', CAST(n2 AS BIGINT),
-       round(CAST(n2 AS DOUBLE) / n1, 6)
+       round(CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END, 6)
 FROM n
 UNION ALL
 SELECT CAST(3 AS BIGINT), '{_FUNNEL_STEPS[2]}', CAST(n3 AS BIGINT),
-       round(CAST(n3 AS DOUBLE) / n2, 6)
+       round(CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / n2 END, 6)
 FROM n
 """
 
@@ -469,21 +478,24 @@ def windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n1").cast("long").alias("n_users"),
             F.round(F.lit(1.0), 6).alias("conv_from_prev"),
         ),
+        # empty upstream steps -> NULL ratios (round-7 one-type probe)
         n.select(
             F.lit(2).cast("long").alias("step"),
             F.lit(_FUNNEL_STEPS[1]).alias("step_name"),
             F.col("n2").cast("long").alias("n_users"),
-            F.round(F.col("n2").cast("double") / F.col("n1"), 6).alias(
-                "conv_from_prev"
-            ),
+            F.round(
+                F.when(F.col("n1") > 0, F.col("n2").cast("double") / F.col("n1")),
+                6,
+            ).alias("conv_from_prev"),
         ),
         n.select(
             F.lit(3).cast("long").alias("step"),
             F.lit(_FUNNEL_STEPS[2]).alias("step_name"),
             F.col("n3").cast("long").alias("n_users"),
-            F.round(F.col("n3").cast("double") / F.col("n2"), 6).alias(
-                "conv_from_prev"
-            ),
+            F.round(
+                F.when(F.col("n2") > 0, F.col("n3").cast("double") / F.col("n2")),
+                6,
+            ).alias("conv_from_prev"),
         ),
     ]
     out = rows[0]
@@ -1648,7 +1660,9 @@ base AS (SELECT p AS p_base FROM conv WHERE removal = '__none__'),
 eff AS (
   SELECT removal AS channel,
          p AS p_removed_micro,
-         greatest(CAST(p_base AS DOUBLE) - p, 0) / p_base AS effect
+         CASE WHEN p_base > 0
+              THEN greatest(CAST(p_base AS DOUBLE) - p, 0) / p_base
+              ELSE 0.0 END AS effect
   FROM conv CROSS JOIN base WHERE removal <> '__none__'),
 tot AS (SELECT sum(effect) AS tot_eff FROM eff)
 SELECT channel,
@@ -1786,17 +1800,22 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(c, results[c], p_base_v) for c in channels],
         "channel string, p_removed_micro long, p_base long",
     )
+    # zero base conversion probability (round-7 one-type fuzz: a
+    # purchase-free stream): removal effects are all 0, not 0/0
     eff = eff_df.select(
         "channel",
         "p_removed_micro",
         "p_base",
-        (
+        F.when(
+            F.col("p_base") > 0,
             F.greatest(
                 F.col("p_base").cast("double") - F.col("p_removed_micro"),
                 F.lit(0.0),
             )
-            / F.col("p_base")
-        ).alias("effect"),
+            / F.col("p_base"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("effect"),
     )
     tot = eff.agg(F.sum("effect").alias("tot_eff"))
     out = eff.transform(with_scalars, tot)

@@ -411,12 +411,14 @@ a AS (
   FROM u)
 SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
   CAST(c1 AS BIGINT) AS conv1, CAST(c0 AS BIGINT) AS conv0,
-  round(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
-  round(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
-  round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+  round(CASE WHEN n1 > 0 THEN CAST(c1 AS DOUBLE) / n1 END, 6) AS rate1,
+  round(CASE WHEN n0 > 0 THEN CAST(c0 AS DOUBLE) / n0 END, 6) AS rate0,
+  round(CASE WHEN n1 > 0 AND n0 > 0
+              AND c1 + c0 > 0 AND c1 + c0 < n1 + n0
+        THEN (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
         / sqrt((CAST(c1 + c0 AS DOUBLE) / (n1 + n0))
                * (1e0 - CAST(c1 + c0 AS DOUBLE) / (n1 + n0))
-               * (1e0 / n1 + 1e0 / n0)), 6) AS z_score
+               * (1e0 / n1 + 1e0 / n0)) END, 6) AS z_score
 FROM a
 """
 
@@ -456,14 +458,20 @@ def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = c1.cast("double") / n1
     p0 = c0.cast("double") / n0
     pp = (c1 + c0).cast("double") / (n1 + n0)
-    z = (p1 - p0) / F.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n0))
+    # degenerate arms (round-7 one-type probe: zero or all conversions
+    # give zero pooled variance; an empty arm gives no rate) -> NULL
+    # statistics on both engines instead of an ANSI divide-by-zero
+    ok = (n1 > 0) & (n0 > 0) & (c1 + c0 > 0) & (c1 + c0 < n1 + n0)
+    z = F.when(
+        ok, (p1 - p0) / F.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n0))
+    )
     return a.select(
         n1.cast("long").alias("n1"),
         n0.cast("long").alias("n0"),
         c1.cast("long").alias("conv1"),
         c0.cast("long").alias("conv0"),
-        F.round(p1, 6).alias("rate1"),
-        F.round(p0, 6).alias("rate0"),
+        F.round(F.when(n1 > 0, p1), 6).alias("rate1"),
+        F.round(F.when(n0 > 0, p0), 6).alias("rate0"),
         F.round(z, 6).alias("z_score"),
     )
 
@@ -2309,13 +2317,16 @@ SELECT k, n_tot,
   round((sum_grp - CAST(s_tot AS DOUBLE) * s_tot / n_tot) / 1e4, 6)
     AS ss_between,
   round((CAST(ss_tot AS DOUBLE) - sum_grp) / 1e4, 6) AS ss_within,
-  round(((sum_grp - CAST(s_tot AS DOUBLE) * s_tot / n_tot) / (k - 1))
-        / ((CAST(ss_tot AS DOUBLE) - sum_grp) / (n_tot - k)), 6)
+  round(CASE WHEN (CAST(ss_tot AS DOUBLE) - sum_grp) > 0 AND n_tot > k
+        THEN ((sum_grp - CAST(s_tot AS DOUBLE) * s_tot / n_tot) / (k - 1))
+        / ((CAST(ss_tot AS DOUBLE) - sum_grp) / (n_tot - k)) END, 6)
     AS f_stat,
-  round((sum_grp - CAST(s_tot AS DOUBLE) * s_tot / n_tot)
-        / (CAST(ss_tot AS DOUBLE) - CAST(s_tot AS DOUBLE) * s_tot / n_tot),
-        6) AS eta_squared
-FROM t
+  round(CASE WHEN (CAST(ss_tot AS DOUBLE)
+                   - CAST(s_tot AS DOUBLE) * s_tot / n_tot) > 0
+        THEN (sum_grp - CAST(s_tot AS DOUBLE) * s_tot / n_tot)
+        / (CAST(ss_tot AS DOUBLE) - CAST(s_tot AS DOUBLE) * s_tot / n_tot)
+        END, 6) AS eta_squared
+FROM t WHERE k > 1
 """
 
 
@@ -2361,17 +2372,28 @@ def one_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     grand = F.col("s_tot").cast("double") * F.col("s_tot") / F.col("n_tot")
     ss_b = F.col("sum_grp") - grand
     ss_w = F.col("ss_tot").cast("double") - F.col("sum_grp")
-    return t.select(
+    # k = 1 (round-7 one-type fuzz): ANOVA undefined -> zero rows on
+    # both engines; zero within-variance or zero total SS NULL the
+    # F / eta statistics instead of dividing by zero
+    return t.filter(F.col("k") > 1).select(
         "k",
         "n_tot",
         F.round(ss_b / 1e4, 6).alias("ss_between"),
         F.round(ss_w / 1e4, 6).alias("ss_within"),
         F.round(
-            (ss_b / (F.col("k") - 1)) / (ss_w / (F.col("n_tot") - F.col("k"))),
+            F.when(
+                (ss_w > 0) & (F.col("n_tot") > F.col("k")),
+                (ss_b / (F.col("k") - 1))
+                / (ss_w / (F.col("n_tot") - F.col("k"))),
+            ),
             6,
         ).alias("f_stat"),
         F.round(
-            ss_b / (F.col("ss_tot").cast("double") - grand), 6
+            F.when(
+                F.col("ss_tot").cast("double") - grand > 0,
+                ss_b / (F.col("ss_tot").cast("double") - grand),
+            ),
+            6,
         ).alias("eta_squared"),
     )
 

@@ -71,10 +71,11 @@ SELECT k, n_tot,
   round((sum_grp - CAST(s_tot AS DOUBLE) * s_tot / n_tot) / 1e4, 6)
     AS ss_between,
   round((CAST(ss_tot AS DOUBLE) - sum_grp) / 1e4, 6) AS ss_within,
-  round(((sum_grp - CAST(s_tot AS DOUBLE) * s_tot / n_tot) / (k - 1))
-        / ((CAST(ss_tot AS DOUBLE) - sum_grp) / (n_tot - k)), 6)
+  round(CASE WHEN (CAST(ss_tot AS DOUBLE) - sum_grp) > 0 AND n_tot > k
+        THEN ((sum_grp - CAST(s_tot AS DOUBLE) * s_tot / n_tot) / (k - 1))
+        / ((CAST(ss_tot AS DOUBLE) - sum_grp) / (n_tot - k)) END, 6)
     AS w_stat
-FROM t
+FROM t WHERE k > 1
 """
 
 
@@ -139,13 +140,19 @@ def levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     grand = F.col("s_tot").cast("double") * F.col("s_tot") / F.col("n_tot")
     ss_b = F.col("sum_grp") - grand
     ss_w = F.col("ss_tot").cast("double") - F.col("sum_grp")
-    return t.select(
+    # k = 1 (round-7 one-type fuzz): the test is undefined -> zero
+    # rows; zero within-variance NULLs W instead of dividing by zero
+    return t.filter(F.col("k") > 1).select(
         "k",
         "n_tot",
         F.round(ss_b / 1e4, 6).alias("ss_between"),
         F.round(ss_w / 1e4, 6).alias("ss_within"),
         F.round(
-            (ss_b / (F.col("k") - 1)) / (ss_w / (F.col("n_tot") - F.col("k"))),
+            F.when(
+                (ss_w > 0) & (F.col("n_tot") > F.col("k")),
+                (ss_b / (F.col("k") - 1))
+                / (ss_w / (F.col("n_tot") - F.col("k"))),
+            ),
             6,
         ).alias("w_stat"),
     )
@@ -835,7 +842,7 @@ SELECT rs.event_type, rs.n_blocks,
        round(CAST(rs.r2_sum AS DOUBLE) / (2 * rs.n_blocks), 6) AS mean_rank,
        round(q.q_stat, 6) AS q_stat,
        round(q.q_stat / (CAST(q.n AS DOUBLE) * (q.k - 1)), 6) AS kendall_w
-FROM rs CROSS JOIN q
+FROM rs CROSS JOIN q WHERE q.k > 1
 """
 
 
@@ -904,7 +911,9 @@ def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 3.0 * nq * (kq + 1)
         ).alias("q_stat"),
     )
-    return rs.transform(with_scalars, q).select(
+    # k = 1 (round-7 one-type fuzz): a one-treatment blocked design has
+    # no Friedman statistic — zero rows on both engines
+    return rs.transform(with_scalars, q).filter(F.col("k") > 1).select(
         "event_type",
         "n_blocks",
         F.round(
@@ -2897,13 +2906,18 @@ s AS (
   FROM rec),
 c AS (
   SELECT n,
-    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+    CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+    THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
       / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-             * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r_raw,
-    (CAST(n AS DOUBLE) * say - CAST(sa AS DOUBLE) * sy)
+             * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+    END AS r_raw,
+    CASE WHEN (CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+    THEN (CAST(n AS DOUBLE) * say - CAST(sa AS DOUBLE) * sy)
       / sqrt((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
-      AS r_adstock
+    END AS r_adstock
   FROM s)
 SELECT n AS n_days,
   round(r_raw, 6) AS r_raw,
@@ -2982,9 +2996,15 @@ def adstock_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n").cast("double")
 
     def corr(sxy_c, sx_c, sxx_c):
-        return (n * F.col(sxy_c) - F.col(sx_c).cast("double") * F.col("sy")) / F.sqrt(
-            (n * F.col(sxx_c) - F.col(sx_c).cast("double") * F.col(sx_c))
-            * (n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+        # zero-variance series (round-7 one-type fuzz: no clicks or no
+        # purchases at all) -> NULL correlation on both engines
+        den = (n * F.col(sxx_c) - F.col(sx_c).cast("double") * F.col(sx_c)) * (
+            n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+        )
+        return F.when(
+            den > 0,
+            (n * F.col(sxy_c) - F.col(sx_c).cast("double") * F.col("sy"))
+            / F.sqrt(den),
         )
 
     r_raw = corr("sxy", "sx", "sxx")
@@ -3966,14 +3986,18 @@ s AS (
 k AS (
   SELECT covariate, arm, n,
     CAST(sx AS DOUBLE) / n AS m,
-    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS v
+    CASE WHEN n > 1
+         THEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+         END AS v
   FROM s)
 SELECT t.covariate,
   t.n AS n_treat, c.n AS n_ctrl,
   round(t.m, 6) AS mean_treat,
   round(c.m, 6) AS mean_ctrl,
-  round((t.m - c.m) / sqrt((t.v + c.v) / 2.0), 6) AS smd,
-  CAST(abs((t.m - c.m) / sqrt((t.v + c.v) / 2.0)) > 0.1 AS BIGINT)
+  round(CASE WHEN t.v + c.v > 0
+        THEN (t.m - c.m) / sqrt((t.v + c.v) / 2.0) END, 6) AS smd,
+  CAST(CASE WHEN t.v + c.v > 0
+       THEN abs((t.m - c.m) / sqrt((t.v + c.v) / 2.0)) > 0.1 END AS BIGINT)
     AS imbalanced
 FROM (SELECT * FROM k WHERE arm = 1) t
 JOIN (SELECT * FROM k WHERE arm = 0) c ON t.covariate = c.covariate
@@ -4028,12 +4052,13 @@ def covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arm",
         "n",
         (F.col("sx").cast("double") / n).alias("m"),
-        (
+        F.when(
+            n > 1,
             (
                 F.col("sxx").cast("double")
                 - F.col("sx").cast("double") * F.col("sx") / n
             )
-            / (n - 1)
+            / (n - 1),
         ).alias("v"),
     )
     t = k.filter(F.col("arm") == 1).select(
@@ -4048,8 +4073,12 @@ def covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("mc"),
         F.col("v").alias("vc"),
     )
-    smd = (F.col("mt") - F.col("mc")) / F.sqrt(
-        (F.col("vt") + F.col("vc")) / 2.0
+    # a constant covariate in both arms (round-7 one-type fuzz: zero
+    # purchases/errors everywhere) has no SMD — NULL on both engines
+    smd = F.when(
+        F.col("vt") + F.col("vc") > 0,
+        (F.col("mt") - F.col("mc"))
+        / F.sqrt((F.col("vt") + F.col("vc")) / 2.0),
     )
     return t.join(c, "covariate").select(
         "covariate",
@@ -5424,7 +5453,10 @@ rec AS (
 path AS (
   SELECT r.t, q.day, r.chosen, r.reward
   FROM rec r JOIN seq q ON q.t = r.t
-  WHERE r.chosen IS NOT NULL),
+  WHERE r.chosen IS NOT NULL
+    -- the replay is defined on the full 5-arm universe (round-7
+    -- one-type fuzz): fewer distinct arms -> zero rows, both engines
+    AND (SELECT count(DISTINCT arm) FROM daily) = 5),
 best AS (
   -- best fixed arm in hindsight over the decision days (t >= 2)
   SELECT max(tot) AS best_tot FROM (
@@ -5466,6 +5498,16 @@ def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
+    # the replay hard-codes the 5-arm universe (median index, UCB
+    # state width); a stream with fewer distinct types (round-7
+    # one-type fuzz) has no defined policy — zero rows, both engines
+    # (one cheap O(types) pre-count, the anderson_ksamp guard family)
+    if daily.agg(F.countDistinct("arm")).first()[0] != 5:
+        return spark.createDataFrame(
+            [],
+            "day timestamp, chosen_arm string, reward bigint,"
+            " cum_reward bigint, best_fixed_total bigint",
+        )
     per_day = daily.groupBy("day").agg(
         F.sort_array(F.collect_list(F.struct("arm", "cents"))).alias("ac")
     )
@@ -5761,7 +5803,7 @@ k AS (
     (CAST(b.n_below AS DOUBLE) + b.n_at / 2.0) / t.n AS f_mu,
     (CAST(b.s_below AS DOUBLE)
      + b.n_at / 2.0 * (CAST(t.s AS DOUBLE) / t.n)) / t.s AS l_mu
-  FROM tot t CROSS JOIN below b)
+  FROM tot t CROSS JOIN below b WHERE t.s > 0)
 SELECT n AS n_users, n_below, n_at,
   round(f_mu, 6) AS f_mu,
   round(l_mu, 6) AS l_mu,
@@ -5832,6 +5874,9 @@ def lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_below").cast("double")
         + F.col("n_at") / 2.0 * (F.col("s").cast("double") / F.col("n"))
     ) / F.col("s")
+    # zero total spend (round-7 one-type fuzz: no purchases at all):
+    # the Lorenz curve is undefined — zero rows on both engines
+    below = below.filter(F.col("s") > 0)
     return below.select(
         F.col("n").alias("n_users"),
         "n_below",

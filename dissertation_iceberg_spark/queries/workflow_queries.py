@@ -118,17 +118,27 @@ _E1_RSS = {
     ),
     "tss": "(syy - v4*v4/nn)",
 }
+# t-stats NULL on a perfect fit / non-positive variance product; adj_r2
+# NULL on zero total SS (round-7 one-type fuzz); singular designs are
+# dropped entirely by the det <> 0 AND nn > 4 guard applied after the
+# determinant stage on BOTH engines
 _E1_FINAL = {
     "n": "CAST(nn AS BIGINT)",
     "beta_vis": "round(b1, 6)",
     "beta_ib": "round(b2, 6)",
     "beta_hid": "round(b3, 6)",
     "intercept": "round(b4, 6)",
-    "t_vis": "round(b1 / sqrt(rss / (nn - 4) * i11), 6)",
-    "t_ib": "round(b2 / sqrt(rss / (nn - 4) * i22), 6)",
-    "t_hid": "round(b3 / sqrt(rss / (nn - 4) * i33), 6)",
-    "adj_r2": "round(1 - (rss / (nn - 4)) / (tss / (nn - 1)), 6)",
+    "t_vis": "round(CASE WHEN rss / (nn - 4) * i11 > 0"
+             " THEN b1 / sqrt(rss / (nn - 4) * i11) END, 6)",
+    "t_ib": "round(CASE WHEN rss / (nn - 4) * i22 > 0"
+            " THEN b2 / sqrt(rss / (nn - 4) * i22) END, 6)",
+    "t_hid": "round(CASE WHEN rss / (nn - 4) * i33 > 0"
+             " THEN b3 / sqrt(rss / (nn - 4) * i33) END, 6)",
+    "adj_r2": "round(CASE WHEN tss > 0"
+              " THEN 1 - (rss / (nn - 4)) / (tss / (nn - 1)) END, 6)",
 }
+
+_E1_GUARD = "det <> 0 AND nn > 4"
 
 
 def _e1_frame_sql(delta_sec: int) -> str:
@@ -188,7 +198,8 @@ def _e1_oracle() -> str:
   SELECT *, {rss} FROM (
     SELECT *, {solve} FROM (
       SELECT *, {det} FROM (
-        SELECT {stats} FROM ({_e1_frame_sql(d)}) f{d}))))"""
+        SELECT {stats} FROM ({_e1_frame_sql(d)}) f{d})
+      WHERE {_E1_GUARD})))"""
         for d in E1_DELTAS
     )
     return f"""
@@ -232,6 +243,7 @@ def regression_workflow_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         g = f.agg(*[F.expr(e).alias(k) for k, e in _E1_STATS.items()])
         g = g.select("*", *[F.expr(e).alias(k) for k, e in _E1_DET.items()])
+        g = g.filter(F.expr(_E1_GUARD))
         g = g.select("*", *[F.expr(e).alias(k) for k, e in _E1_SOLVE.items()])
         g = g.select("*", *[F.expr(e).alias(k) for k, e in _E1_RSS.items()])
         arms.append(

@@ -30,6 +30,10 @@ against them:
   optional ``props`` — stresses bin-edge assignment at the timestamp
   grain, (ts, event_id) tiebreak determinism under duplicate-ts
   masses, and null-skipping over the optional column.
+- ``one_type`` (round 7): a purchases-free single-event-type export —
+  every conversion rate, funnel step, A/B arm and survival event count
+  is zero; stresses the zero-positives guards (pooled variances,
+  funnel denominators, posterior degeneracy fallbacks).
 
 Input contract (TESTDATA.md): key columns (event_id, user_id, doc_id),
 ``ts`` and ``event_type`` are non-null — the generators honor it; a
@@ -229,6 +233,10 @@ def gen_events(variant: str, rng: np.random.Generator) -> pd.DataFrame:
         props = np.where(rng.random(n) < 0.3, None, props)
     elif variant == "one_ticker":
         user[:] = 7  # the whole stream is one name
+    elif variant == "one_type":
+        # a purchases-free single-type export: every conversion-,
+        # funnel- and arm-dependent statistic sees zero positives
+        etype = np.array(["view"] * n, dtype=object)
     elif variant == "us_bursts":
         # 80 bursts of 50 rows; bursts open EXACTLY on an hour (even
         # bursts) or 15 s (odd bursts) boundary; inside a burst rows
@@ -344,6 +352,7 @@ VARIANTS = (
     "skew_nulls",
     "one_ticker",
     "us_bursts",
+    "one_type",
 )
 
 
