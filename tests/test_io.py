@@ -139,3 +139,17 @@ def test_fixture_fuzz_compact_round7(spark, tmp_path):
     assert all(ok for ok, _ in res2.values()), {
         k: v for k, v in res2.items() if not v[0]
     }
+
+    # one_type: the 12 zero-positives guards
+    ot2_names = [
+        "funnel_conversion", "windowed_funnel", "two_proportion_ztest",
+        "one_way_anova", "levene_test", "friedman_test",
+        "adstock_correlation", "covariate_balance", "lorenz_asymmetry",
+        "markov_attribution", "regression_workflow_coefs",
+        "ucb1_bandit_replay",
+    ]
+    d3 = build_fixture("one_type", str(tmp_path))
+    res3 = run_parity(d3, ot2_names)
+    assert all(ok for ok, _ in res3.values()), {
+        k: v for k, v in res3.items() if not v[0]
+    }
