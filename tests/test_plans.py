@@ -129,6 +129,7 @@ INTENTIONAL_BNLJ = {
     "pca_power_iteration",
     "personalized_pagerank",
     "platt_scaling",
+    "stump_boost_gram",  # O(rounds)=5-row stump trace, scalar attach
     "ucb1_bandit_replay",
     # (c) non-equi joins on bounded frames
     "dunn_posthoc",  # O(types^2) pair grid, type_a < type_b
