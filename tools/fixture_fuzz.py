@@ -34,6 +34,15 @@ against them:
   every conversion rate, funnel step, A/B arm and survival event count
   is zero; stresses the zero-positives guards (pooled variances,
   funnel denominators, posterior degeneracy fallbacks).
+- ``tiny`` (round 7): a near-empty corpus — 10 events over 2 days,
+  4 documents (one empty, one single-token, one exact duplicate),
+  12 lineitem rows, and (uniquely to this variant) a 5-vector
+  embeddings table; the limit shape every day-partitioned 100 TB
+  pipeline feeds to a first/last slice. Stresses n<=1 groups under
+  every (n-1) denominator, windows/lags longer than the series,
+  forecast/changepoint kernels with no history, and the clustering
+  family with k > n (empty Lloyd clusters, fewer than k neighbors,
+  PQ codewords with zero population).
 
 Input contract (TESTDATA.md): key columns (event_id, user_id, doc_id),
 ``ts`` and ``event_type`` are non-null — the generators honor it; a
@@ -253,6 +262,29 @@ def gen_events(variant: str, rng: np.random.Generator) -> pd.DataFrame:
     elif variant == "null_value":
         null_v = rng.random(n) < 0.05
         value[null_v] = np.nan
+    elif variant == "tiny":
+        # 10 events, 2 users, 2 days, one duplicate-ts pair, exactly
+        # one purchase / one signup / one error — single-positive
+        # funnels, n=1 arms, 2-point series
+        n = 10
+        ts_ns = base + np.array(
+            [0, 3600, 3605, 3605, 7200, 40000, 86400, 90000, 93600, 97200],
+            dtype="int64",
+        ) * 10**9
+        ts_ns[3] = ts_ns[2]  # exact duplicate timestamp
+        user = np.array([7, 7, 7, 9, 9, 7, 9, 7, 9, 7], dtype="int64")
+        etype = np.array(
+            ["view", "click", "view", "purchase", "signup",
+             "view", "error", "click", "view", "view"],
+            dtype=object,
+        )
+        value = np.round(
+            np.array([12.5, 3.0, 7.25, 100.0, 1.0,
+                      7.25, 0.5, 3.0, 12.5, 9.75]),
+            2,
+        )
+        props = np.array(["{}"] * n, dtype=object)
+        props[5] = None
 
     return pd.DataFrame(
         {
@@ -300,6 +332,28 @@ def gen_documents(variant: str, rng: np.random.Generator) -> pd.DataFrame:
         for i in range(0, n, 31):
             toks = texts[i].split()
             texts[(i + 3) % n] = " ".join(reversed(toks))
+    if variant == "tiny":
+        # 4 docs: normal, empty, single-token, exact duplicate of the
+        # first — one dedup pair, no 3-gram for doc 3, NULL ratios for
+        # doc 2; posting lists of length <= 2
+        n = 4
+        texts = [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "",
+            "solo",
+            "alpha beta gamma delta epsilon zeta eta theta",
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(1, n + 1, dtype="int64"),
+                "text": texts,
+                "lang": ["en", "en", "de", "en"],
+                "source": ["web", "book", "code", "web"],
+                "n_chars": np.array(
+                    [len(t) for t in texts], dtype="int64"
+                ),
+            }
+        )
     return pd.DataFrame(
         {
             "doc_id": np.arange(1, n + 1, dtype="int64"),
@@ -315,6 +369,11 @@ def gen_documents(variant: str, rng: np.random.Generator) -> pd.DataFrame:
 
 def gen_lineitem(variant: str, rng: np.random.Generator) -> pd.DataFrame:
     base = pd.read_parquet(os.path.join(BASE_SF, "lineitem.parquet"))
+    if variant == "tiny":
+        # 12 rows; every l_orderkey still exists in the full copied
+        # orders table, so FK joins stay valid — groups of size 1-2
+        # under every returnflag/linestatus/month rollup
+        return base.head(12).reset_index(drop=True)
     if variant == "decimals":
         base = base.copy()
         # money columns with 3-4 decimals (the 2-dp cents assumption)
@@ -343,6 +402,13 @@ def build_fixture(variant: str, out_dir: str) -> str:
     _write(gen_events(variant, rng), d, "events")
     _write(gen_documents(variant, rng), d, "documents")
     _write(gen_lineitem(variant, rng), d, "lineitem")
+    if variant == "tiny":
+        # 5 vectors (k-means k=8 > n, ANN k=3 over 4 candidates, PQ
+        # codewords with zero population) — overwrite the full copy
+        emb = pd.read_parquet(
+            os.path.join(BASE_SF, "embeddings.parquet")
+        ).head(5)
+        _write(emb.reset_index(drop=True), d, "embeddings")
     return d
 
 
@@ -353,6 +419,7 @@ VARIANTS = (
     "one_ticker",
     "us_bursts",
     "one_type",
+    "tiny",
 )
 
 
