@@ -60,15 +60,20 @@ def moment_stats(
     m2 = F.col("cs2") / n
     m3 = F.col("cs3") / n
     m4 = F.col("cs4") / n
-    std = F.sqrt(F.col("cs2") / (n - 1))
-    sharpe = mu / std * F.lit(float(annualize) ** 0.5)
+    # degenerate-group guards (round-7 tiny fuzz): n = 1 leaves the
+    # sample std undefined and a zero-variance group leaves skew/kurt/
+    # Sharpe undefined — NULL on both engines (DuckDB's division by
+    # zero is NULL-valued, so the SQL twin needs no CASE)
+    std = F.when(n > 1, F.sqrt(F.col("cs2") / (n - 1)))
+    sharpe = F.when(std != 0, mu / std * F.lit(float(annualize) ** 0.5))
+    nz = F.col("cs2") != 0
     return g.select(
         *group_cols,
         F.col("n"),
         F.round(mu, 6).alias("mean_val"),
         F.round(std, 6).alias("std_val"),
-        F.round(m3 / F.pow(m2, 1.5), 6).alias("skew_g1"),
-        F.round(m4 / (m2 * m2) - 3, 6).alias("kurt_g2"),
+        F.round(F.when(nz, m3 / F.pow(m2, 1.5)), 6).alias("skew_g1"),
+        F.round(F.when(nz, m4 / (m2 * m2) - 3), 6).alias("kurt_g2"),
         F.round(sharpe, 6).alias("sharpe_ann"),
     )
 

@@ -70,7 +70,8 @@ WITH s AS (
   SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
   FROM events GROUP BY 1)
 SELECT e.event_id,
-       round((e.value - s.mu) / s.sd, 6) AS z_value
+       round(CASE WHEN s.sd <> 0 THEN (e.value - s.mu) / s.sd END, 6)
+         AS z_value
 FROM events e JOIN s ON e.event_type = s.event_type
 """
 
@@ -78,14 +79,21 @@ FROM events e JOIN s ON e.event_type = s.event_type
 @register("zscore", oracle=_ZSCORE_ORACLE)
 def zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 standardize (prediction_ML_pipeline.py:222-224): broadcast the
-    per-group moments back onto rows (no window over raw events)."""
+    per-group moments back onto rows (no window over raw events).
+
+    Degenerate guard (round-7 tiny fuzz): a zero-variance group (two
+    identical values) leaves the z-score undefined — NULL on both
+    engines instead of an ANSI divide-by-zero; an n = 1 group already
+    yields NULL via the NULL sample stddev."""
     e = load_table(spark, sf_dir, "events")
     s = e.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
     )
+    z = F.when(
+        F.col("sd") != 0, (F.col("value") - F.col("mu")) / F.col("sd")
+    )
     return e.join(F.broadcast(s), "event_type").select(
-        "event_id",
-        F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6).alias("z_value"),
+        "event_id", F.round(z, 6).alias("z_value")
     )
 
 

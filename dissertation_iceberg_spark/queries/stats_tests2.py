@@ -232,37 +232,56 @@ def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_b * F.col("cents") * F.col("cents")).cast("long").alias("ss2"),
     )
     n1, n2 = F.col("n1"), F.col("n2")
-    v1 = (F.col("ss1").cast("double") - F.col("s1").cast("double") * F.col("s1") / n1) / (
-        n1 - 1
+    # degenerate-arm guards (round-7 tiny fuzz): an n <= 1 arm leaves
+    # its sample variance undefined and zero-variance arms leave t/df
+    # undefined — NULL statistics on both engines (DuckDB's division
+    # by zero is already NULL-valued, so the oracle needs no CASE)
+    v1 = F.when(
+        n1 > 1,
+        (
+            F.col("ss1").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / n1
+        )
+        / (n1 - 1),
     )
-    v2 = (F.col("ss2").cast("double") - F.col("s2").cast("double") * F.col("s2") / n2) / (
+    v2 = F.when(
+        n2 > 1,
+        (
+            F.col("ss2").cast("double")
+            - F.col("s2").cast("double") * F.col("s2") / n2
+        )
+        / (n2 - 1),
+    )
+    md = F.when(
+        (n1 > 0) & (n2 > 0),
+        F.col("s1").cast("double") / n1 - F.col("s2").cast("double") / n2,
+    )
+    se2 = v1 / n1 + v2 / n2
+    df_den = (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (
         n2 - 1
     )
-    md = F.col("s1").cast("double") / n1 - F.col("s2").cast("double") / n2
-    se2 = v1 / n1 + v2 / n2
+    pooled = F.when(
+        (n1 > 0) & (n2 > 0) & (n1 + n2 > 2),
+        ((n1 - 1) * v1 + (n2 - 1) * v2)
+        / (n1 + n2 - 2)
+        * (1.0 / n1 + 1.0 / n2),
+    )
     return s.select(
         "n1",
         "n2",
-        F.round(F.col("s1").cast("double") / n1 / 100.0, 6).alias("mean_a"),
-        F.round(F.col("s2").cast("double") / n2 / 100.0, 6).alias("mean_b"),
-        F.round(md / F.sqrt(se2), 6).alias("t_welch"),
         F.round(
-            se2 * se2
-            / (
-                (v1 / n1) * (v1 / n1) / (n1 - 1)
-                + (v2 / n2) * (v2 / n2) / (n2 - 1)
-            ),
-            6,
-        ).alias("df_welch"),
+            F.when(n1 > 0, F.col("s1").cast("double") / n1 / 100.0), 6
+        ).alias("mean_a"),
         F.round(
-            md
-            / F.sqrt(
-                ((n1 - 1) * v1 + (n2 - 1) * v2)
-                / (n1 + n2 - 2)
-                * (1.0 / n1 + 1.0 / n2)
-            ),
-            6,
-        ).alias("t_pooled"),
+            F.when(n2 > 0, F.col("s2").cast("double") / n2 / 100.0), 6
+        ).alias("mean_b"),
+        F.round(F.when(se2 != 0, md / F.sqrt(se2)), 6).alias("t_welch"),
+        F.round(F.when(df_den != 0, se2 * se2 / df_den), 6).alias(
+            "df_welch"
+        ),
+        F.round(F.when(pooled != 0, md / F.sqrt(pooled)), 6).alias(
+            "t_pooled"
+        ),
         (n1 + n2 - 2).cast("long").alias("df_pooled"),
     )
 
@@ -1571,14 +1590,26 @@ def effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ss2"),
     )
     n1, n2 = F.col("n1"), F.col("n2")
-    css1 = F.col("ss1").cast("double") - F.col("s1").cast("double") * F.col(
-        "s1"
-    ) / n1
-    css2 = F.col("ss2").cast("double") - F.col("s2").cast("double") * F.col(
-        "s2"
-    ) / n2
-    md = F.col("s1").cast("double") / n1 - F.col("s2").cast("double") / n2
-    d = md / F.sqrt((css1 + css2) / (n1 + n2 - 2))
+    # degenerate-arm guards (round-7 tiny fuzz): an empty arm, a
+    # two-observation comparison (n1 + n2 <= 2), or a zero pooled SD
+    # leaves the effect size undefined — NULL on both engines (the
+    # oracle's divisions by zero are NULL-valued in DuckDB)
+    css1 = F.when(
+        n1 > 0,
+        F.col("ss1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / n1,
+    )
+    css2 = F.when(
+        n2 > 0,
+        F.col("ss2").cast("double")
+        - F.col("s2").cast("double") * F.col("s2") / n2,
+    )
+    md = F.when(
+        (n1 > 0) & (n2 > 0),
+        F.col("s1").cast("double") / n1 - F.col("s2").cast("double") / n2,
+    )
+    pv = F.when(n1 + n2 > 2, (css1 + css2) / (n1 + n2 - 2))
+    d = F.when(pv != 0, md / F.sqrt(pv))
     return s.transform(with_scalars, cliff).select(
         "n1",
         "n2",
@@ -1587,8 +1618,11 @@ def effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hedges_g"
         ),
         F.round(
-            (F.col("n_gt").cast("double") - F.col("n_lt"))
-            / (n1.cast("double") * n2),
+            F.when(
+                (n1 > 0) & (n2 > 0),
+                (F.col("n_gt").cast("double") - F.col("n_lt"))
+                / (n1.cast("double") * n2),
+            ),
             6,
         ).alias("cliffs_delta"),
     )
@@ -1669,14 +1703,24 @@ def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("up").cast("long").alias("n_up"),
         (F.count(F.lit(1)) - F.sum("up")).cast("long").alias("n_down"),
-        (1 + F.sum(F.col("flip").cast("long"))).cast("long").alias("runs"),
+        # coalesce: the first row's lag-NULL flip must count 0 even
+        # when it is the ONLY row (round-7 tiny fuzz), matching the
+        # oracle's CASE WHEN flip THEN 1 ELSE 0
+        (1 + F.sum(F.coalesce(F.col("flip"), F.lit(False)).cast("long")))
+        .cast("long")
+        .alias("runs"),
     )
     n, nu, nd = F.col("n"), F.col("n_up"), F.col("n_down")
-    mu = 1.0 + 2.0 * nu * nd / n
-    var = (
+    # degenerate-series guards (round-7 tiny fuzz): a single sign
+    # (n = 1) leaves the run variance undefined, and an all-up or
+    # all-down sequence gives var = 0 — NULL mu/z on both engines
+    # (the oracle's divisions by zero are NULL-valued in DuckDB)
+    mu = F.when(n > 0, 1.0 + 2.0 * nu * nd / n)
+    var = F.when(
+        n > 1,
         (2.0 * nu * nd)
         * (2.0 * nu * nd - n)
-        / (n.cast("double") * n * (n - 1))
+        / (n.cast("double") * n * (n - 1)),
     )
     return s.select(
         "n",
@@ -1684,7 +1728,9 @@ def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_down",
         "runs",
         F.round(mu, 6).alias("expected_runs"),
-        F.round((F.col("runs") - mu) / F.sqrt(var), 6).alias("z_stat"),
+        F.round(
+            F.when(var != 0, (F.col("runs") - mu) / F.sqrt(var)), 6
+        ).alias("z_stat"),
     )
 
 
@@ -2108,8 +2154,14 @@ def projection_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("d_num"),
     )
-    d = F.col("d_num").cast("double") / (
-        F.col("n_a").cast("double") * F.col("n_b")
+    # empty-sample guard (round-7 tiny fuzz): either label absent
+    # leaves the KS statistic undefined — NULL on both engines
+    # (DuckDB's division by zero is NULL-valued)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    d = F.when(
+        ok,
+        F.col("d_num").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b")),
     )
     return k.select(
         "n_a",
@@ -2866,12 +2918,23 @@ def tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "joint_up",
         "joint_lo",
-        F.round(F.col("joint_up").cast("double") / F.col("k"), 6).alias(
-            "lambda_upper"
-        ),
-        F.round(F.col("joint_lo").cast("double") / F.col("k"), 6).alias(
-            "lambda_lower"
-        ),
+        # k = n div 4 = 0 under 4 days (round-7 tiny fuzz): the
+        # quartile exceedance sets are empty and λ is undefined —
+        # NULL on both engines (DuckDB's division by zero is NULL)
+        F.round(
+            F.when(
+                F.col("k") > 0,
+                F.col("joint_up").cast("double") / F.col("k"),
+            ),
+            6,
+        ).alias("lambda_upper"),
+        F.round(
+            F.when(
+                F.col("k") > 0,
+                F.col("joint_lo").cast("double") / F.col("k"),
+            ),
+            6,
+        ).alias("lambda_lower"),
     )
 
 
@@ -4366,8 +4429,11 @@ def jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu2 = m2r - m1 * m1
     mu3 = m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1
     mu4 = m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1
-    g1 = mu3 / (mu2 * F.sqrt(mu2))
-    g2 = mu4 / (mu2 * mu2) - 3.0
+    # zero-variance guard (round-7 tiny fuzz): an n = 1 or constant
+    # group has mu2 = 0, leaving skew/kurt/JB undefined — NULL on both
+    # engines (DuckDB's division by zero is NULL-valued)
+    g1 = F.when(mu2 != 0, mu3 / (mu2 * F.sqrt(mu2)))
+    g2 = F.when(mu2 != 0, mu4 / (mu2 * mu2) - 3.0)
     return s.select(
         "event_type",
         "n",
@@ -5403,10 +5469,18 @@ def aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _UCB_ORACLE = """
-WITH RECURSIVE daily AS (
+WITH RECURSIVE sparse AS (
   SELECT date_trunc('day', ts) AS day, event_type AS arm,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM events GROUP BY 1, 2),
+-- densify to the full day x arm grid (round-7 tiny fuzz): an arm
+-- with no traffic earned 0 cents that day
+daily AS (
+  SELECT g.day, g.arm, CAST(coalesce(x.cents, 0) AS BIGINT) AS cents
+  FROM (SELECT d.day, a.arm
+        FROM (SELECT DISTINCT day FROM sparse) d
+        CROSS JOIN (SELECT DISTINCT arm FROM sparse) a) g
+  LEFT JOIN sparse x ON g.day = x.day AND g.arm = x.arm),
 -- reward: did the arm's daily total reach the day's 5-arm lower median?
 meds AS (
   SELECT day, CAST((list_sort(list(cents)))[3] AS BIGINT) AS med
@@ -5508,6 +5582,19 @@ def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day timestamp, chosen_arm string, reward bigint,"
             " cum_reward bigint, best_fixed_total bigint",
         )
+    # densify to the full day x 5-arm grid (round-7 tiny fuzz: a day
+    # missing an arm produced a short reward vector and an
+    # out-of-bounds policy index) — an arm with no traffic earned 0
+    # cents that day; the 5-row arm dim broadcasts (attributed BNLJ)
+    daily = (
+        daily.select("day")
+        .distinct()
+        .crossJoin(F.broadcast(daily.select("arm").distinct()))
+        .join(daily, ["day", "arm"], "left")
+        .select(
+            "day", "arm", F.coalesce("cents", F.lit(0)).alias("cents")
+        )
+    )
     per_day = daily.groupBy("day").agg(
         F.sort_array(F.collect_list(F.struct("arm", "cents"))).alias("ac")
     )
