@@ -557,6 +557,11 @@ def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     fin = F.aggregate(rest, init, step)
+    # short-history guard (round-7 tiny fuzz): a type with under one
+    # season of days has no seasonal init — zero rows, matching the
+    # oracle's recursion (its seed sits at t = 7, so WHERE t = n never
+    # matches when n < 7); at n >= 7 the slice length n - 7 is >= 0
+    series = series.filter(F.size("arr") >= _HW_M)
     return series.select(
         "event_type",
         F.size("arr").cast("long").alias("n_days"),
@@ -666,6 +671,12 @@ def forecast_backtest_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold = F.expr(
         f"transform(slice(arr, size(arr) - {_BT_H} + 1, {_BT_H}), x -> x.y)"
     )
+    # short-history guard (round-7 tiny fuzz): the oracle's inner
+    # joins keep a type only when the Holt recursion has a seed
+    # (n_tr >= 1) AND the train naive-1 MAE exists (n_tr >= 2), i.e.
+    # n >= horizon + 2 — mirror that survivorship here (it also keeps
+    # every slice length non-negative)
+    series = series.filter(F.size("arr") >= _BT_H + 2)
     s = series.select("event_type", n_tr, train.alias("tr"), hold.alias("ho"))
     init = F.struct(
         F.element_at(F.col("tr"), 1).alias("l"),
@@ -703,7 +714,19 @@ def forecast_backtest_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(y - f).alias("ae"), ((y - f) * (y - f)).alias("se")
         ),
     )
-    naive_pred = F.slice(F.col("tr"), F.col("n_tr") - _BT_H + 1, _BT_H)
+    # per-step guarded lookup instead of a slice: with a short train
+    # set (horizon + 2 <= n < 2*horizon, round-7 tiny fuzz) the first
+    # naive positions fall before t = 1 — NULL forecast there, and the
+    # error sums skip NULL terms exactly like the oracle's SQL sum()
+    naive_pred = F.transform(
+        hseq,
+        lambda h: F.when(
+            F.col("n_tr") + h - _BT_H >= 1,
+            F.element_at(
+                F.col("tr"), (F.col("n_tr") + h - _BT_H).cast("int")
+            ),
+        ),
+    )
     naive_err = F.zip_with(
         F.col("ho"),
         naive_pred,
@@ -714,10 +737,14 @@ def forecast_backtest_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def agg_err(errcol):
         mae_num = F.aggregate(
-            errcol, F.lit(0).cast("long"), lambda acc, v: acc + v["ae"]
+            errcol,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + F.coalesce(v["ae"], F.lit(0)),
         )
         sq_num = F.aggregate(
-            errcol, F.lit(0).cast("long"), lambda acc, v: acc + v["se"]
+            errcol,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + F.coalesce(v["se"], F.lit(0)),
         )
         return mae_num, sq_num
 
@@ -731,10 +758,15 @@ def forecast_backtest_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_BT_H).cast("long").alias("horizon"),
             F.round(mae_num.cast("double") / _BT_H, 6).alias("mae"),
             F.round(F.sqrt(sq_num.cast("double") / _BT_H), 6).alias("rmse"),
+            # constant train series (d_num = 0): MASE undefined — NULL
+            # on both engines (DuckDB's division by zero is NULL)
             F.round(
-                mae_num.cast("double")
-                * F.col("d_cnt")
-                / (_BT_H * F.col("d_num").cast("double")),
+                F.when(
+                    F.col("d_num") != 0,
+                    mae_num.cast("double")
+                    * F.col("d_cnt")
+                    / (_BT_H * F.col("d_num").cast("double")),
+                ),
                 6,
             ).alias("mase"),
         )
@@ -908,10 +940,16 @@ null_m AS (
   SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS n_up
   FROM obs),
 null_ll AS (
+  -- 0*ln(0) = 0 convention (round-7 tiny fuzz: an all-up or all-down
+  -- sequence) - DuckDB evaluates ln eagerly and throws on ln(0)
   SELECT n, n_up,
-    n_up * CAST(round(ln(CAST(n_up AS DOUBLE) / n) * 1e6) AS BIGINT)
-    + (n - n_up) * CAST(round(ln(1.0 - CAST(n_up AS DOUBLE) / n) * 1e6)
-                        AS BIGINT) AS ll0
+    CASE WHEN n_up > 0
+         THEN n_up * CAST(round(ln(CAST(n_up AS DOUBLE) / n) * 1e6)
+                          AS BIGINT) ELSE 0 END
+    + CASE WHEN n - n_up > 0
+           THEN (n - n_up)
+                * CAST(round(ln(1.0 - CAST(n_up AS DOUBLE) / n) * 1e6)
+                       AS BIGINT) ELSE 0 END AS ll0
   FROM null_m)
 SELECT z.n, z.n_up,
   round(f.ll / 1e6, 6) AS loglik_hmm,
@@ -977,9 +1015,18 @@ def hmm_forward_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fin = F.aggregate(F.col("arr"), init, step)
     p_up = F.col("n_up").cast("double") / F.col("n")
-    ll0 = F.col("n_up") * F.round(F.log(p_up) * 1e6).cast("long") + (
-        F.col("n") - F.col("n_up")
-    ) * F.round(F.log(1.0 - p_up) * 1e6).cast("long")
+    # 0*ln(0) = 0 convention (round-7 tiny fuzz: an all-up or all-down
+    # sequence), mirrored in the oracle's CASE guards
+    ll0 = F.when(
+        F.col("n_up") > 0,
+        F.col("n_up") * F.round(F.log(p_up) * 1e6).cast("long"),
+    ).otherwise(F.lit(0).cast("long")) + F.when(
+        F.col("n") - F.col("n_up") > 0,
+        (F.col("n") - F.col("n_up"))
+        * F.round(F.log(1.0 - p_up) * 1e6).cast("long"),
+    ).otherwise(
+        F.lit(0).cast("long")
+    )
     return series.select(
         "n",
         "n_up",
@@ -1351,9 +1398,15 @@ def record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         "n_records",
         F.round(F.col("h_nano") / 1e9, 6).alias("expected_records"),
+        # n_days = 1 gives zero record variance (round-7 tiny fuzz):
+        # z undefined — NULL on both engines (DuckDB's division by
+        # zero is NULL-valued)
         F.round(
-            (F.col("n_records") - F.col("h_nano") / 1e9)
-            / F.sqrt(F.col("v_nano") / 1e9),
+            F.when(
+                F.col("v_nano") != 0,
+                (F.col("n_records") - F.col("h_nano") / 1e9)
+                / F.sqrt(F.col("v_nano") / 1e9),
+            ),
             6,
         ).alias("z_stat"),
     )

@@ -129,8 +129,12 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n_terms").cast("double")
     sxd = F.col("sx").cast("double")
-    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
-        nd * F.col("sxx") - sxd * F.col("sx")
+    # single-term vocabulary guard (round-7 tiny fuzz: one token in a
+    # language): zero rank variance leaves the fit undefined — NULL
+    # on both engines (DuckDB's division by zero is NULL-valued)
+    det = nd * F.col("sxx") - sxd * F.col("sx")
+    slope = F.when(
+        det != 0, (nd * F.col("sxy") - sxd * F.col("sy")) / det
     )
     intercept = (
         (F.col("sy").cast("double") - slope * F.col("sx"))

@@ -1070,14 +1070,21 @@ def engle_granger_coint(spark: SparkSession, sf_dir: str) -> DataFrame:
     det = n.cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
     ols = g.select(
         "n",
-        (
-            (n.cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
-            / det
+        F.when(
+            det != 0,
+            (
+                n.cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / det,
         ).alias("beta"),
-        (
-            (F.col("sy").cast("double") * F.col("sxx")
-             - F.col("sx").cast("double") * F.col("sxy"))
-            / det
+        F.when(
+            det != 0,
+            (
+                F.col("sy").cast("double") * F.col("sxx")
+                - F.col("sx").cast("double") * F.col("sxy")
+            )
+            / det,
         ).alias("alpha"),
     )
     resid = daily.transform(with_scalars, ols).select(
@@ -1097,17 +1104,26 @@ def engle_granger_coint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("u") * F.col("u")).cast("long").alias("suu"),
         F.sum(F.col("dy") * F.col("dy")).cast("long").alias("sdd"),
     )
-    rho = F.col("sudy").cast("double") / F.col("suu")
-    s2 = (
-        F.col("sdd").cast("double")
-        - F.col("sudy").cast("double") / F.col("suu") * F.col("sudy")
-    ) / (F.col("nn") - 1)
+    # degenerate-series guards (round-7 tiny fuzz): constant resids
+    # (suu = 0), a single stage-2 diff (nn = 1), or a perfect DF fit
+    # (s2 = 0) leave rho/t undefined — NULL on both engines (DuckDB's
+    # division by zero is NULL-valued); a constant x series already
+    # NULLs beta/alpha upstream via the det guard
+    rho = F.when(
+        F.col("suu") != 0, F.col("sudy").cast("double") / F.col("suu")
+    )
+    s2 = F.when(
+        F.col("nn") > 1,
+        (F.col("sdd").cast("double") - rho * F.col("sudy"))
+        / (F.col("nn") - 1),
+    )
+    se = s2 / F.col("suu")
     return ols.transform(with_scalars, s).select(
         F.col("n").alias("n_days"),
         _r6(F.col("beta")).alias("hedge_beta"),
         _r6(F.col("alpha") / 100.0).alias("alpha_dollars"),
         _r6(rho).alias("rho"),
-        _r6(rho / F.sqrt(s2 / F.col("suu"))).alias("eg_t_stat"),
+        _r6(F.when(se != 0, rho / F.sqrt(se))).alias("eg_t_stat"),
         F.expr("CAST('-3.37e0' AS DOUBLE)").alias("crit_5pct"),
     )
 
@@ -1199,13 +1215,22 @@ def iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     czy = n * F.col("szy") - F.col("sz").cast("double") * F.col("sy")
     czx = n * F.col("szx") - F.col("sz").cast("double") * F.col("sx")
     czz = n * F.col("szz") - F.col("sz").cast("double") * F.col("sz")
-    r2 = czx * czx / (czz * cxx)
+    # degenerate-design guards (round-7 tiny fuzz): a constant
+    # regressor (cxx = 0), an instrument uncorrelated with x
+    # (czx = 0), a constant instrument (czz = 0), or a perfect first
+    # stage (r2 = 1) leaves the estimate undefined — NULL on both
+    # engines (DuckDB's division by zero is NULL-valued)
+    b_ols = F.when(cxx != 0, cxy / cxx)
+    b_iv = F.when(czx != 0, czy / czx)
+    r2 = F.when(czz * cxx != 0, czx * czx / (czz * cxx))
     return s.select(
         F.col("n").cast("long").alias("n"),
-        _r6(cxy / cxx / 100.0).alias("beta_ols"),
-        _r6(czy / czx / 100.0).alias("beta_iv"),
-        _r6((czy / czx - cxy / cxx) / 100.0).alias("iv_minus_ols"),
-        _r6((F.col("n") - 2) * r2 / (1.0 - r2)).alias("first_stage_f"),
+        _r6(b_ols / 100.0).alias("beta_ols"),
+        _r6(b_iv / 100.0).alias("beta_iv"),
+        _r6((b_iv - b_ols) / 100.0).alias("iv_minus_ols"),
+        _r6(
+            F.when(r2 != 1.0, (F.col("n") - 2) * r2 / (1.0 - r2))
+        ).alias("first_stage_f"),
     )
 
 
@@ -1364,11 +1389,16 @@ idx AS (
               AS BIGINT) AS t,
          CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
   FROM daily),
-base AS (
+base0 AS (
   SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
          CAST(sum(y) AS BIGINT) AS sy,
          CAST(sum(y * y) AS BIGINT) AS syy
   FROM idx GROUP BY 1),
+-- zero-variance guard (round-7 tiny fuzz): a constant daily series
+-- leaves every rho_k undefined -> the type emits zero rows
+base AS (
+  SELECT * FROM base0
+  WHERE (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) > 0),
 lags AS (
   SELECT a.event_type, k.k,
     CAST(count(*) AS BIGINT) AS n_k,
@@ -1437,6 +1467,14 @@ def effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("n").cast("long").alias("n"),
         F.sum("y").cast("long").alias("sy"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    # zero-variance guard (round-7 tiny fuzz): a constant daily series
+    # leaves every rho_k undefined — the type emits zero rows on both
+    # engines (mirrored in the oracle's base CTE)
+    base = base.filter(
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+        > 0
     )
     ks = spark.range(1, _ESS_LAGS + 1).select(
         F.col("id").cast("long").alias("k")

@@ -2383,8 +2383,16 @@ def cluster_validity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(w, 4).alias("within_ss"),
         F.round(bsum, 4).alias("between_ss"),
+        # all-singleton / single-cluster guard (round-7 tiny fuzz:
+        # n = k or k = 1): CH undefined — NULL on both engines
+        # (DuckDB's division by zero is NULL-valued); w = 0 (perfect
+        # clusters) also NULLs via the division
         F.round(
-            (bsum / (F.col("k") - 1)) / (w / (F.col("n") - F.col("k"))), 6
+            F.when(
+                (F.col("k") > 1) & (F.col("n") > F.col("k")) & (w != 0),
+                (bsum / (F.col("k") - 1)) / (w / (F.col("n") - F.col("k"))),
+            ),
+            6,
         ).alias("calinski_harabasz"),
         F.round(F.col("db_micro_sum") / 1e6 / F.col("k"), 6).alias(
             "davies_bouldin"
@@ -2504,14 +2512,22 @@ def embedding_mmd_quadratic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_b"),
     )
-    return cells.agg(
-        F.count(F.lit(1)).cast("long").alias("n_cells"),
-        F.sum("d_pico").cast("long").alias("d_sum"),
-    ).transform(with_scalars, sizes).select(
-        "n_a",
-        "n_b",
-        "n_cells",
-        F.round(F.col("d_sum") / 1e12, 6).alias("mmd2_quadratic"),
+    # absent-label guard (round-7 tiny fuzz): with either label
+    # missing there is no Gram pair and MMD is undefined — ZERO rows,
+    # matching the oracle's GROUP BY over the empty cells frame
+    return (
+        cells.agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("d_pico").cast("long").alias("d_sum"),
+        )
+        .filter(F.col("n_cells") > 0)
+        .transform(with_scalars, sizes)
+        .select(
+            "n_a",
+            "n_b",
+            "n_cells",
+            F.round(F.col("d_sum") / 1e12, 6).alias("mmd2_quadratic"),
+        )
     )
 
 
@@ -2709,15 +2725,22 @@ def ari_kmeans_vs_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sums.transform(with_scalars, ra).transform(with_scalars, rb)
     n = F.col("n").cast("double")
     tot_pairs = n * (F.col("n") - 1) / 2
-    exp = F.col("s_a").cast("double") * F.col("s_b") / tot_pairs
+    # all-singleton guard (round-7 tiny fuzz: 5 vectors, every label
+    # and cluster a singleton => s_a = s_b = s_ij = 0): the ARI
+    # denominator is 0 and the index undefined — NULL on both engines
+    # (DuckDB's division by zero is NULL-valued); n = 1 NULLs exp too
+    exp = F.when(
+        tot_pairs != 0,
+        F.col("s_a").cast("double") * F.col("s_b") / tot_pairs,
+    )
+    den = (F.col("s_a").cast("double") + F.col("s_b")) / 2 - exp
     return out.select(
         "n",
         "s_ij",
         "s_a",
         "s_b",
         F.round(
-            (F.col("s_ij").cast("double") - exp)
-            / ((F.col("s_a").cast("double") + F.col("s_b")) / 2 - exp),
+            F.when(den != 0, (F.col("s_ij").cast("double") - exp) / den),
             6,
         ).alias("adjusted_rand_index"),
     )

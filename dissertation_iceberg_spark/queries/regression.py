@@ -109,20 +109,37 @@ _RSS = (
 )
 _TSS = "(syy - r*r/f)"
 
+# degenerate guards (round-7 tiny fuzz, the regression_workflow_coefs
+# convention): singular designs (det = 0) and n <= 3 groups emit ZERO
+# rows (filter below); a perfect fit (RSS <= 0) or zero TSS NULLs the
+# t-stats / adj-R². The guards live in these SHARED strings so both
+# engines evaluate the identical expression tree.
+_DEGENERATE_FILTER = f"{_DET} <> 0 AND f > 3"
+
 _FINAL = {
     "n": "CAST(f AS BIGINT)",
     "beta1_r": "round(beta1, 6)",
     "beta2_r": "round(beta2, 6)",
     "intercept_r": "round(intercept, 6)",
-    "t_beta1": f"round(beta1 / sqrt({_RSS} / (f - 3) * inv11), 6)",
-    "t_beta2": f"round(beta2 / sqrt({_RSS} / (f - 3) * inv22), 6)",
-    "adj_r2": f"round(1 - ({_RSS} / (f - 3)) / ({_TSS} / (f - 1)), 6)",
+    "t_beta1": (
+        f"round(CASE WHEN {_RSS} > 0 THEN"
+        f" beta1 / sqrt({_RSS} / (f - 3) * inv11) END, 6)"
+    ),
+    "t_beta2": (
+        f"round(CASE WHEN {_RSS} > 0 THEN"
+        f" beta2 / sqrt({_RSS} / (f - 3) * inv22) END, 6)"
+    ),
+    "adj_r2": (
+        f"round(CASE WHEN {_TSS} <> 0 THEN"
+        f" 1 - ({_RSS} / (f - 3)) / ({_TSS} / (f - 1)) END, 6)"
+    ),
     # A22: t-test of beta1 == beta2 (direction_analysis.ipynb cells
     # 63-65: t_test('order_imbalance_ib - order_imbalance = 0')) —
     # var(b1−b2) = σ²(inv11 + inv22 − 2·inv12)
     "t_equal": (
-        f"round((beta1 - beta2) / sqrt({_RSS} / (f - 3)"
-        " * (inv11 + inv22 - 2 * inv12)), 6)"
+        f"round(CASE WHEN {_RSS} > 0 THEN (beta1 - beta2) /"
+        f" sqrt({_RSS} / (f - 3)"
+        " * (inv11 + inv22 - 2 * inv12)) END, 6)"
     ),
 }
 
@@ -142,7 +159,8 @@ def _ols2_oracle() -> str:
     finals = ", ".join(f"{expr} AS {k}" for k, expr in _FINAL.items())
     return f"""
 WITH inp AS ({_OLS2_INPUT_SQL}),
-g AS (SELECT l_returnflag, {stats} FROM inp GROUP BY l_returnflag),
+g0 AS (SELECT l_returnflag, {stats} FROM inp GROUP BY l_returnflag),
+g AS (SELECT * FROM g0 WHERE {_DEGENERATE_FILTER}),
 s AS (SELECT *, {betas}, {invs} FROM g)
 SELECT l_returnflag, {finals} FROM s
 """
@@ -163,6 +181,7 @@ def ols2_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = inp.groupBy("l_returnflag").agg(
         *[F.expr(expr).alias(k) for k, expr in _STATS_SQL.items()]
     )
+    g = g.filter(F.expr(_DEGENERATE_FILTER))
     s = g.select(
         "*",
         *[F.expr(expr).alias(k) for k, expr in _BETA.items()],

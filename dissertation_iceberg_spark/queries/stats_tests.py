@@ -1600,12 +1600,25 @@ def burstiness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("n_days").cast("long").alias("n_days"),
+            # degenerate guards (round-7 tiny fuzz): one day leaves
+            # the daily variance undefined; one gap (or an all-
+            # duplicate-timestamp zero mean gap) leaves the CV
+            # undefined — NULL on both engines (DuckDB's division by
+            # zero is NULL-valued)
             F.round(
-                F.col("css") / (F.col("n_days") - 1) / F.col("mu2"), 6
+                F.when(
+                    F.col("n_days") > 1,
+                    F.col("css") / (F.col("n_days") - 1) / F.col("mu2"),
+                ),
+                6,
             ).alias("fano_daily"),
             F.col("n_gaps").cast("long").alias("n_gaps"),
             F.round(
-                F.sqrt(F.col("gss") / (F.col("n_gaps") - 1)) / F.col("gmu2"),
+                F.when(
+                    (F.col("n_gaps") > 1) & (F.col("gmu2") != 0),
+                    F.sqrt(F.col("gss") / (F.col("n_gaps") - 1))
+                    / F.col("gmu2"),
+                ),
                 6,
             ).alias("interarrival_cv"),
         )
@@ -3622,18 +3635,28 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _slope_micro(n, sx, sy, sxx, sxy):
+        # constant-x guard (round-7 tiny fuzz): an n = 1 or single-
+        # quantity group has zero x variance — NULL slope on both
+        # engines (DuckDB's division by zero is NULL-valued); the
+        # flip flag's CASE then reads 0 identically in both
         d = F.col
-        return F.round(
-            (
-                d(n).cast("double") * d(sxy).cast("double")
-                - d(sx).cast("double") * d(sy).cast("double")
+        det = d(n).cast("double") * d(sxx).cast("double") - d(sx).cast(
+            "double"
+        ) * d(sx).cast("double")
+        return (
+            F.round(
+                F.when(
+                    det != 0,
+                    (
+                        d(n).cast("double") * d(sxy).cast("double")
+                        - d(sx).cast("double") * d(sy).cast("double")
+                    )
+                    / det
+                    * 1e6,
+                )
             )
-            / (
-                d(n).cast("double") * d(sxx).cast("double")
-                - d(sx).cast("double") * d(sx).cast("double")
-            )
-            * 1e6
-        ).cast("long")
+            .cast("long")
+        )
 
     scored = cells.transform(with_scalars, tot).select(
         "grp",

@@ -787,7 +787,14 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_vowel_groups").cast("long").alias("vgroups"),
     )
     wps = F.col("words").cast("double") / F.col("sentences")
-    spw = F.col("vgroups").cast("double") / F.col("words")
+    # zero-word source guard (round-7 tiny fuzz: a source whose only
+    # doc is empty): syllables/word undefined — NULL on both engines
+    # (DuckDB's division by zero is NULL-valued); sentences >= 1 by
+    # the greatest(.., 1) floor so wps needs no guard
+    spw = F.when(
+        F.col("words") > 0,
+        F.col("vgroups").cast("double") / F.col("words"),
+    )
     return s.select(
         "source",
         "n_docs",
