@@ -153,3 +153,31 @@ def test_fixture_fuzz_compact_round7(spark, tmp_path):
     assert all(ok for ok, _ in res3.values()), {
         k: v for k, v in res3.items() if not v[0]
     }
+
+
+def test_fixture_fuzz_compact_tiny(spark, tmp_path):
+    """Compact in-CI slice of the round-7 `tiny` variant (near-empty
+    corpus: 10 events / 4 docs / 12 lineitem rows / 5 embedding
+    vectors) — pins the 24 degenerate-input guards the full sweep
+    found: n <= 1 groups under (n-1) denominators, windows longer than
+    the series, no-history forecast kernels, k > n clustering."""
+    from tools.fixture_fuzz import build_fixture
+    from tools.parity import run_parity
+
+    names = [
+        # the 24 queries the tiny sweep originally crashed/mismatched
+        "ari_kmeans_vs_labels", "burstiness_stats",
+        "cluster_validity_indices", "effect_sizes",
+        "effective_sample_size", "embedding_mmd_quadratic",
+        "engle_granger_coint", "forecast_backtest_battery",
+        "hmm_forward_loglik", "holt_winters_forecast",
+        "iv_wald_estimate", "jarque_bera", "moment_stats", "ols2_gram",
+        "projection_ks_drift", "readability_scores", "record_highs",
+        "runs_test", "simpson_paradox_audit", "tail_dependence",
+        "ucb1_bandit_replay", "welch_ttest", "zipf_fit", "zscore",
+    ]
+    d = build_fixture("tiny", str(tmp_path))
+    res = run_parity(d, names)
+    assert all(ok for ok, _ in res.values()), {
+        k: v for k, v in res.items() if not v[0]
+    }
