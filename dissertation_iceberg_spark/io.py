@@ -68,18 +68,29 @@ def validate_contract(
 ) -> dict[str, int]:
     """Null-count per contract column that VIOLATES the non-null input
     contract; empty dict = fixture is contract-clean. One cheap
-    count-aggregate per table."""
+    count-aggregate per table.
+
+    Also flags EMPTY contract tables (key ``<table>.__empty__``, value
+    1): a zero-row table is out of contract — the round-7 `tiny` fuzz
+    hardened the registry down to single-digit-row inputs, but a fully
+    empty fact table leaves most registered statistics undefined and
+    several driver-side O(k) collects without their one row, so empty
+    input must be rejected at the boundary rather than half-answered."""
     bad: dict[str, int] = {}
     for table, cols in NON_NULL_CONTRACT.items():
         df = load_table(spark, sf_dir, table)
         row = df.agg(
+            F.count(F.lit(1)).alias("__n__"),
             *[
                 F.count_if(F.col(c).isNull()).alias(c)
                 for c in cols
                 if c in df.columns
-            ]
+            ],
         ).first()
-        for c, n in row.asDict().items():
+        d = row.asDict()
+        if d.pop("__n__") == 0:
+            bad[f"{table}.__empty__"] = 1
+        for c, n in d.items():
             if n:
                 bad[f"{table}.{c}"] = int(n)
     return bad

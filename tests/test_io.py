@@ -181,3 +181,22 @@ def test_fixture_fuzz_compact_tiny(spark, tmp_path):
     assert all(ok for ok, _ in res.values()), {
         k: v for k, v in res.items() if not v[0]
     }
+
+
+def test_contract_flags_empty_table(spark, tmp_path):
+    """A zero-row contract table is out of contract (round-7 tiny
+    fuzz boundary): the validator must flag it instead of letting the
+    registry half-answer on undefined statistics."""
+    import shutil
+
+    import pandas as pd
+
+    from dissertation_iceberg_spark.io import validate_contract
+    from tools.fixture_fuzz import build_fixture
+
+    d = build_fixture("tiny", str(tmp_path))
+    ev = pd.read_parquet(f"{d}/events.parquet").head(0)
+    ev.to_parquet(f"{d}/events.parquet", index=False)
+    bad = validate_contract(spark, d)
+    assert "events.__empty__" in bad
+    shutil.rmtree(d, ignore_errors=True)
