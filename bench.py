@@ -69,6 +69,21 @@ def _loadavg() -> list[float] | None:
         return None
 
 
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat — the hypervisor-steal
+    counter loadavg is blind to: a co-tenant burst slows EVERY run of
+    every query uniformly, which per-query spreads cannot flag. The
+    emitted steal_pct (delta steal / delta total over the bench) is
+    the machine check for that failure mode."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -115,11 +130,21 @@ def main() -> None:
         return timings, spreads
 
     load_start = _loadavg()
+    jiff_start = _cpu_jiffies()
     t_wall0 = time.perf_counter()
     timings, spreads = run_block(HEADLINE)
     ext, ext_spreads = run_block(HEADLINE_EXT)
     wall = round(time.perf_counter() - t_wall0, 3)
     load_end = _loadavg()
+    jiff_end = _cpu_jiffies()
+    steal_pct = None
+    if jiff_start and jiff_end and jiff_end[1] > jiff_start[1]:
+        steal_pct = round(
+            100.0
+            * (jiff_end[0] - jiff_start[0])
+            / (jiff_end[1] - jiff_start[1]),
+            3,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -135,6 +160,7 @@ def main() -> None:
                 "env": {
                     "loadavg_start": load_start,
                     "loadavg_end": load_end,
+                    "steal_pct": steal_pct,
                     "wall_sec": wall,
                     "cpus": os.cpu_count(),
                 },

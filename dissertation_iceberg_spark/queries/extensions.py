@@ -363,10 +363,26 @@ WITH m AS (
          text
   FROM documents),
 b AS (
+  -- per-codepoint UTF-8 byte expansion (round-7 unicode fuzz): the
+  -- Spark payload is the UTF-8 byte stream, so the replay must fold
+  -- each codepoint to its 1-4 encoded bytes, not its codepoint value
+  -- (per-char ascii() only equals the byte on pure-ASCII text)
   SELECT media_id, kind,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         list_transform(string_split_regex(text, ''),
-                        c -> ascii(c) % 8) AS r
+         list_transform(
+           flatten(list_transform(string_split_regex(text, ''), c ->
+             CASE WHEN ascii(c) < 128 THEN [ascii(c)]
+                  WHEN ascii(c) < 2048
+                    THEN [192 + ascii(c) // 64, 128 + ascii(c) % 64]
+                  WHEN ascii(c) < 65536
+                    THEN [224 + ascii(c) // 4096,
+                          128 + (ascii(c) // 64) % 64,
+                          128 + ascii(c) % 64]
+                  ELSE [240 + ascii(c) // 262144,
+                        128 + (ascii(c) // 4096) % 64,
+                        128 + (ascii(c) // 64) % 64,
+                        128 + ascii(c) % 64] END)),
+           x -> x % 8) AS r
   FROM m)
 SELECT media_id, kind, n_bytes,
 {_MM_FULL_FEATS},
@@ -446,10 +462,26 @@ WITH m AS (
          text
   FROM documents),
 b AS (
+  -- per-codepoint UTF-8 byte expansion (round-7 unicode fuzz): the
+  -- Spark payload is the UTF-8 byte stream, so the replay must fold
+  -- each codepoint to its 1-4 encoded bytes, not its codepoint value
+  -- (per-char ascii() only equals the byte on pure-ASCII text)
   SELECT media_id, kind,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         list_transform(string_split_regex(text, ''),
-                        c -> ascii(c) % 8) AS r
+         list_transform(
+           flatten(list_transform(string_split_regex(text, ''), c ->
+             CASE WHEN ascii(c) < 128 THEN [ascii(c)]
+                  WHEN ascii(c) < 2048
+                    THEN [192 + ascii(c) // 64, 128 + ascii(c) % 64]
+                  WHEN ascii(c) < 65536
+                    THEN [224 + ascii(c) // 4096,
+                          128 + (ascii(c) // 64) % 64,
+                          128 + ascii(c) % 64]
+                  ELSE [240 + ascii(c) // 262144,
+                        128 + (ascii(c) // 4096) % 64,
+                        128 + (ascii(c) // 64) % 64,
+                        128 + ascii(c) % 64] END)),
+           x -> x % 8) AS r
   FROM m)
 SELECT media_id, kind, n_bytes,
 {_MM_FEATS}
@@ -464,8 +496,9 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.extract_features — real batch iteration,
     real schema contract), but scored end-to-end against a DuckDB
     replay of the deterministic byte-histogram stand-in (payload =
-    utf-8 text bytes, ASCII-verified fixture, so DuckDB's per-char
-    ascii() IS the byte stream). multimodal_features stays rows-only
+    utf-8 text bytes; since round-7's unicode fuzz the replay folds
+    every codepoint to its 1-4 UTF-8 bytes, so ANY text parity-checks,
+    not just ASCII). multimodal_features stays rows-only
     because a REAL decoder has no SQL twin; this query pins the part
     an engine owns — Arrow batch transfer, pandas UDF arithmetic,
     float division shape — to exact hashes, so a decoder swap only

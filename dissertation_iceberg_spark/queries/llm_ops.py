@@ -2223,9 +2223,9 @@ cand AS (
     AND sb.sz >= {JACCARD_THRESHOLD} * sa.sz)
 SELECT id_a, id_b,
   CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
-  {_EDIT_R6.format(x="1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) / greatest(length(da.text), length(db.text))")}
+  {_EDIT_R6.format(x="1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) / greatest(strlen(da.text), strlen(db.text))")}
     AS edit_sim,
-  CAST(({_EDIT_R6.format(x="1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) / greatest(length(da.text), length(db.text))")})
+  CAST(({_EDIT_R6.format(x="1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) / greatest(strlen(da.text), strlen(db.text))")})
        >= {EDIT_SIM_THRESHOLD} AS BIGINT) AS is_dup
 FROM cand
 JOIN documents da ON da.doc_id = id_a
@@ -2251,6 +2251,14 @@ def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     edit distance; the similarity is rounded with the portable
     integer-round form because d/max(len) lands on exact decimal
     midpoints (e.g. len = 128) where round-to-scale diverges.
+
+    Unit semantics (round-7 unicode fuzz): the registered distance is
+    BYTE-level over UTF-8 — DuckDB's levenshtein counts bytes while
+    Spark's counts codepoints, so the Spark side views each text
+    through decode(encode(·,UTF-8),ISO-8859-1) (one char per byte)
+    and both denominators are byte lengths (octet_length/strlen).
+    Byte-level is encoding-explicit, identical on ASCII, and the
+    cheaper kernel at 100 TB (no codepoint decode in the inner loop).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     cand = dd.jaccard_near_dup_pairs(
@@ -2272,12 +2280,15 @@ def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
         )
     )
-    lev = F.levenshtein("text_a", "text_b")
+    def _bytes_view(c):
+        return F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")
+
+    lev = F.levenshtein(_bytes_view("text_a"), _bytes_view("text_b"))
     sim = F.round(
         (
             1.0
             - lev.cast("double")
-            / F.greatest(F.length("text_a"), F.length("text_b"))
+            / F.greatest(F.octet_length("text_a"), F.octet_length("text_b"))
         )
         * 1e6
     ).cast("long") / 1e6

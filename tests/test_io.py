@@ -200,3 +200,31 @@ def test_contract_flags_empty_table(spark, tmp_path):
     bad = validate_contract(spark, d)
     assert "events.__empty__" in bad
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_fixture_fuzz_compact_unicode(spark, tmp_path):
+    """Compact in-CI slice of the round-7 `unicode` variant (CJK,
+    emoji/ZWJ, NFC-vs-NFD twins, Turkish dotted-I, eszett, RTL,
+    full-width + NBSP tokens) — pins the three cross-engine string
+    semantics fixes the full sweep found: byte-level Levenshtein
+    (DuckDB counts bytes, Spark codepoints -> ISO-8859-1 byte view)
+    and the UTF-8 codepoint->bytes fold in the multimodal replays;
+    representatives of the already-unicode-safe text family ride
+    along as regression canaries."""
+    from tools.fixture_fuzz import build_fixture
+    from tools.parity import run_parity
+
+    names = [
+        "edit_distance_verify", "multimodal_byte_histogram",
+        "multimodal_features",
+        # unicode-safe canaries across the text family
+        "token_stats", "bpe_token_count", "char_entropy",
+        "exact_dedup_groups", "jaccard_near_dups", "minhash_lsh_pairs",
+        "winnow_near_dups", "zipf_fit", "readability_scores",
+        "nb_lang_classify", "chunk_documents",
+    ]
+    d = build_fixture("unicode", str(tmp_path))
+    res = run_parity(d, names)
+    assert all(ok for ok, _ in res.values()), {
+        k: v for k, v in res.items() if not v[0]
+    }

@@ -34,6 +34,14 @@ against them:
   every conversion rate, funnel step, A/B arm and survival event count
   is zero; stresses the zero-positives guards (pooled variances,
   funnel denominators, posterior degeneracy fallbacks).
+- ``unicode`` (round 7): real multilingual documents — CJK without
+  spaces, emoji + ZWJ sequences, combining diacritics (NFC vs
+  decomposed), Turkish dotted-I, German eszett, Greek/Cyrillic, RTL
+  Arabic/Hebrew, full-width forms and NBSP-bearing tokens, plus
+  duplicate/near-duplicate unicode clusters — the shape every
+  web-scale text pipeline actually ingests; stresses cross-engine
+  string semantics (lower(), length, regexp classes, UTF-8 hashing,
+  substring chunking) where JVM UTF8String and DuckDB could diverge.
 - ``tiny`` (round 7): a near-empty corpus — 10 events over 2 days,
   4 documents (one empty, one single-token, one exact duplicate),
   12 lineitem rows, and (uniquely to this variant) a 5-vector
@@ -332,6 +340,59 @@ def gen_documents(variant: str, rng: np.random.Generator) -> pd.DataFrame:
         for i in range(0, n, 31):
             toks = texts[i].split()
             texts[(i + 3) % n] = " ".join(reversed(toks))
+    if variant == "unicode":
+        # real multilingual web-text shapes; space-separated tokens so
+        # the tokenizer contract holds, but every token class that
+        # could split JVM/DuckDB string semantics: case mapping,
+        # codepoint-vs-grapheme length, combining marks, UTF-8 hashing
+        uni = [
+            "café naïve rôle déjà vu façade",
+            # combining-diacritic DECOMPOSED twin of the first doc
+            "café naïve rôle déjà vu "
+            "façade",
+            "東京都に住んでいます "
+            "漢字のテスト 中文文本",
+            "αβγ δεζ ΑΒΓ "
+            "привет мир",
+            "\U0001f600\U0001f389 \U0001f469‍\U0001f469‍"
+            "\U0001f467 \U0001f1ef\U0001f1f5 emoji mix",
+            "مرحبا بالع"
+            "الم שלום עו"
+            "לם rtl text",
+            "İstanbul ışık İstanbul",
+            "straße STRASSE groß GROSS",
+            "ＨＥＬＬＯ full width nbsp"
+            " token",
+            "mixed ascii 漢字 \U0001f600 éèê "
+            "ω я end",
+        ]
+        n = 64
+        texts = []
+        for i in range(n):
+            base_t = uni[i % len(uni)]
+            ln = int(rng.integers(1, 4))
+            texts.append(" ".join([base_t] * ln))
+        # exact duplicates + near-dups (one ASCII token appended) so
+        # the dedup/minhash/winnow families get unicode positives
+        for i in range(0, n, 11):
+            texts[(i + 1) % n] = texts[i]
+        for i in range(0, n, 13):
+            texts[(i + 2) % n] = texts[i] + " omega"
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(1, n + 1, dtype="int64"),
+                "text": texts,
+                "lang": np.array(
+                    ["ja", "el", "ar", "tr", "de", "en"], dtype=object
+                )[rng.integers(0, 6, size=n)],
+                "source": np.array(
+                    ["web", "book", "code", "wiki"], dtype=object
+                )[rng.integers(0, 4, size=n)],
+                "n_chars": np.array(
+                    [len(t) for t in texts], dtype="int64"
+                ),
+            }
+        )
     if variant == "tiny":
         # 4 docs: normal, empty, single-token, exact duplicate of the
         # first — one dedup pair, no 3-gram for doc 3, NULL ratios for
@@ -420,6 +481,7 @@ VARIANTS = (
     "us_bursts",
     "one_type",
     "tiny",
+    "unicode",
 )
 
 
