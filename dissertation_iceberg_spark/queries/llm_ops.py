@@ -2190,6 +2190,13 @@ def source_term_saliency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 EDIT_SIM_THRESHOLD = 0.6
+# Verify-stage cost cap (round 7): levenshtein is O(len_a * len_b) PER
+# PAIR — one near-dup pair of 10 MB documents is ~1e14 cell updates on
+# a single executor thread. Pairs where either side exceeds this byte
+# length skip the quadratic verify (both engines), keeping the stage's
+# worst case bounded at ~4e9 cells per pair; web-scale dedup verifies
+# at chunk granularity anyway (duplicate_chunk_fraction/containment).
+EDIT_MAX_BYTES = 65536
 
 _EDIT_R6 = "CAST(round(({x}) * 1e6) AS BIGINT) / 1e6"
 
@@ -2230,6 +2237,8 @@ SELECT id_a, id_b,
 FROM cand
 JOIN documents da ON da.doc_id = id_a
 JOIN documents db ON db.doc_id = id_b
+WHERE strlen(da.text) <= {EDIT_MAX_BYTES}
+  AND strlen(db.text) <= {EDIT_MAX_BYTES}
 """
 
 
@@ -2259,6 +2268,12 @@ def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     and both denominators are byte lengths (octet_length/strlen).
     Byte-level is encoding-explicit, identical on ASCII, and the
     cheaper kernel at 100 TB (no codepoint decode in the inner loop).
+
+    Cost cap: pairs where either text exceeds EDIT_MAX_BYTES skip the
+    O(len^2) verify on both engines — one 10 MB near-dup pair would
+    otherwise pin an executor thread on ~1e14 DP cells; oversized
+    near-dups are the chunk-granularity family's job
+    (duplicate_chunk_fraction / containment_dups).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     cand = dd.jaccard_near_dup_pairs(
@@ -2280,6 +2295,11 @@ def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
         )
     )
+    j = j.filter(
+        (F.octet_length("text_a") <= EDIT_MAX_BYTES)
+        & (F.octet_length("text_b") <= EDIT_MAX_BYTES)
+    )
+
     def _bytes_view(c):
         return F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")
 

@@ -1365,7 +1365,10 @@ def test_nearest_event_join_matches_pandas(spark, sf_dir):
 
 def test_edit_distance_matches_dp_replay(spark, sf_dir):
     """Spark's levenshtein agrees with a textbook DP on the emitted
-    candidate pairs, and edit_dist == 0 exactly for identical texts."""
+    candidate pairs, and edit_dist == 0 exactly for identical texts.
+    The registered unit is BYTES over UTF-8 (round-7 unicode fuzz), so
+    the replay runs on the encoded byte sequences — identical to the
+    codepoint replay on this ASCII fixture, byte-exact beyond it."""
     from dissertation_iceberg_spark.io import load_table
     from dissertation_iceberg_spark.queries.llm_ops import edit_distance_verify
 
@@ -1393,9 +1396,63 @@ def test_edit_distance_matches_dp_replay(spark, sf_dir):
 
     sample = got.sort_values(["id_a", "id_b"]).head(10)
     for r in sample.itertuples():
-        want = lev(texts[r.id_a], texts[r.id_b])
+        want = lev(
+            texts[r.id_a].encode("utf-8"), texts[r.id_b].encode("utf-8")
+        )
         assert r.edit_dist == want
         assert (r.edit_dist == 0) == (texts[r.id_a] == texts[r.id_b])
+
+
+def test_edit_distance_verify_length_cap(spark, tmp_path):
+    """Near-dup pairs where either side exceeds EDIT_MAX_BYTES skip
+    the O(len^2) verify stage on BOTH engines (round-7 cost cap): two
+    oversized near-identical docs produce candidates but no verify
+    row, while a small duplicate pair still verifies."""
+    import duckdb
+    import pandas as pd
+
+    from dissertation_iceberg_spark.queries.llm_ops import (
+        EDIT_MAX_BYTES,
+        edit_distance_verify,
+    )
+    from dissertation_iceberg_spark.queries.registry import REGISTRY
+
+    big = " ".join(f"tok{i}" for i in range(12_000))
+    assert len(big.encode("utf-8")) > EDIT_MAX_BYTES
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [big, big + " tail", "small dup text here",
+                     "small dup text here"],
+            "lang": ["en"] * 4,
+            "source": ["web"] * 4,
+            "n_chars": [len(big), len(big) + 5, 19, 19],
+        }
+    )
+    d = tmp_path / "capfix"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet", index=False)
+    # the oversized pair IS a near-dup candidate (cap is what drops it)
+    from dissertation_iceberg_spark.io import load_table
+    from dissertation_iceberg_spark.operators import dedup as dd
+    from dissertation_iceberg_spark.queries.llm_ops import (
+        JACCARD_N,
+        JACCARD_THRESHOLD,
+        MAX_SHINGLE_FREQ,
+    )
+
+    cand = dd.jaccard_near_dup_pairs(
+        load_table(spark, str(d), "documents"), "text", "doc_id",
+        n=JACCARD_N, threshold=JACCARD_THRESHOLD,
+        max_shingle_freq=MAX_SHINGLE_FREQ,
+    ).toPandas()
+    assert (1, 2) in set(zip(cand.id_a, cand.id_b))
+    got = edit_distance_verify(spark, str(d)).toPandas()
+    assert set(zip(got.id_a, got.id_b)) == {(3, 4)}
+    con = duckdb.connect()
+    con.register("documents", docs)
+    oracle = con.execute(REGISTRY["edit_distance_verify"].oracle).df()
+    assert set(zip(oracle.id_a, oracle.id_b)) == {(3, 4)}
 
 
 def test_file_skipping_matches_pandas_replay(spark, sf_dir):
