@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.operators.text import TOKEN_SEP
+from dissertation_iceberg_spark.session import pin
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -574,15 +575,18 @@ def connected_components(
     practice, with the driver-side changed-count (an O(1) scalar) as
     the stop condition.
 
-    Checkpoint durability boundary (round 7): write volume is linear —
-    one O(2 x pairs) edge list once, one O(nodes) label frame per sweep
-    (SCALE.md rows) — but ``localCheckpoint`` pins blocks to EXECUTOR
-    storage: on a real cluster an executor loss kills the truncated
-    lineage and fails the job (acceptable here: sweeps are cheap to
-    rerun from the pair stage). For a long 100 TB run prefer
-    ``persist(StorageLevel.DISK_ONLY)`` + an explicit reliable
-    ``checkpoint()`` to the cluster FS every few sweeps — same linear
-    volume, survives executor loss.
+    Checkpoint durability boundary (round 7, exercised round 8): write
+    volume is linear — one O(2 x pairs) edge list once, one O(nodes)
+    label frame per sweep (SCALE.md rows). The storage tier is
+    selectable via ``session.pin``: the default ``localCheckpoint``
+    pins blocks to EXECUTOR storage (an executor loss kills the
+    truncated lineage — acceptable locally, sweeps are cheap to rerun
+    from the pair stage); ``SPARK_GRAFT_PIN=reliable`` switches every
+    pin in this algorithm to an eager reliable ``checkpoint()`` on the
+    cluster FS (``SPARK_GRAFT_CHECKPOINT_DIR``), which survives
+    executor loss. Both tiers are hash-equal-pinned by
+    tests/test_partitioning.py::test_pin_reliable_mode_hash_equal and
+    the measured overhead is recorded in SCALE.md.
     """
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -594,13 +598,13 @@ def connected_components(
         # pair-generation lineage (measured: near_dup_clusters ~ 4x the
         # pair-gen cost at sf0.1). O(pairs) executor storage, spills to
         # disk — the same budget the per-sweep shuffle already needs.
-        .localCheckpoint()
+        .transform(pin)
     )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .transform(pin)
     )
     # NOTE (round 6): an Observation-fused convergence check was tried
     # here (changed-count riding the label materialization) and
@@ -618,7 +622,7 @@ def connected_components(
             labels.unionByName(cand)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .transform(pin)
         )
         changed = (
             new.alias("n")

@@ -31,22 +31,40 @@ from dissertation_iceberg_spark.operators.strategy import (
 )
 
 
-def oi_frame(
+def tagged_lob(
     spark: SparkSession,
     sf_dir: str,
-    delta_sec: int,
     tolerance_us: int = 6 * 3600 * 1_000_000,
 ) -> DataFrame:
-    """E1 step 3: tag icebergs -> per-bin OI (vis/ib/hid split) ->
-    densify -> returns. One lazy plan."""
+    """E1 steps 1-2: the as-of iceberg-tagged LOB frame. Delta-
+    INDEPENDENT — callers that loop deltas (regression_workflow's 9-arm
+    sweep) should compute this once, ``session.pin`` it, and pass it to
+    :func:`oi_frame`, so the event scan + the tagging window sort run
+    once instead of once per delta (the round-8 E1 10x rehearsal
+    measured the per-delta re-derivation as the dominant cost — see
+    SCALE.md)."""
     lob = lob_events(spark, sf_dir)
-    tagged = asof_next_within(
+    return asof_next_within(
         lob,
         probe_pred=F.col("event_type") == "purchase",
         match_pred=F.col("event_type") == "signup",
         by_cols=["user_id"],
         tolerance_us=tolerance_us,
     )
+
+
+def oi_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    delta_sec: int,
+    tolerance_us: int = 6 * 3600 * 1_000_000,
+    tagged: DataFrame | None = None,
+) -> DataFrame:
+    """E1 step 3: tag icebergs -> per-bin OI (vis/ib/hid split) ->
+    densify -> returns. One lazy plan. Pass a precomputed (pinned)
+    ``tagged`` frame when looping deltas."""
+    if tagged is None:
+        tagged = tagged_lob(spark, sf_dir, tolerance_us)
     d, s = F.col("direction"), F.col("size")
     is_exec = F.col("event_type") == "purchase"
     is_hid = F.col("event_type") == "error"
@@ -71,10 +89,20 @@ def regression_workflow(
 ) -> DataFrame:
     """E1: per-delta OI frames -> exact OLS of future return on the OI
     columns -> coefficient table (OI_results shape,
-    chunk_pipeline.py:353-412)."""
+    chunk_pipeline.py:353-412).
+
+    The delta-independent tagged frame is computed ONCE and pinned —
+    the reference re-reads 5 days of archives per delta
+    (chunk_pipeline.py:129-143 inside the delta loop); the round-8 10x
+    rehearsal showed the same barrier in the naive composed plan (each
+    union arm re-ran the scan + tagging window sort), so the loop now
+    rides one materialization (SCALE.md: e1_workflow rows)."""
+    from dissertation_iceberg_spark.session import pin
+
+    tg = pin(tagged_lob(spark, sf_dir))
     rows = []
     for delta in deltas:
-        frame = oi_frame(spark, sf_dir, delta).filter(
+        frame = oi_frame(spark, sf_dir, delta, tagged=tg).filter(
             F.col("fut_log_ret").isNotNull()
         )
         fits = ols_fit(

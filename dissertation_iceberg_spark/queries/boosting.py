@@ -281,6 +281,18 @@ def stump_boost_frame(lob: DataFrame) -> DataFrame:
             "y", "xq1", "xq2", "xq3", F.expr(_wq_sql(t)).alias("wq")
         )
         row = _best_frame(z_w).first()  # 1-row stump collect per round
+        if row is None:
+            # Degenerate input: the _GUARD_SQL standardization guard
+            # (constant feature or n<=1) emptied z, so there is no best
+            # stump. The oracle's WHERE-guarded CTE chain yields zero
+            # rows in the same case — mirror it with an empty frame on
+            # the registered output schema instead of crashing.
+            return spark.createDataFrame(
+                [],
+                "round long, feature long, threshold long,"
+                " polarity long, alpha double, err_rate double,"
+                " train_acc double",
+            )
         stumps.append(
             {k: int(row[k]) for k in ("f", "v", "pol", "err", "w", "alpha")}
         )

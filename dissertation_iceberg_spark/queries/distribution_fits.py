@@ -494,10 +494,17 @@ def _pow10_scale(n: int, mx: int, budget: int) -> int:
 
 
 def _pow10_scale_sql(budget: int) -> str:
-    """Oracle twin of :func:`_pow10_scale` over a ``pre(n, mx)`` CTE."""
+    """Oracle twin of :func:`_pow10_scale` over a ``pre(n, mx)`` CTE.
+
+    Failure modes agree (round-8 ADVICE): when no grain fits, the Spark
+    side raises ValueError; ``min(s)`` over the empty set would yield a
+    NULL vs and silently NULL-bucket the histogram, so the oracle fails
+    loudly via DuckDB ``error()`` instead."""
     vals = ", ".join(f"(CAST({s} AS BIGINT))" for s in _POW10)
     return (
-        f"SELECT min(s) AS vs FROM (VALUES {vals}) t(s) CROSS JOIN pre"
+        f"SELECT COALESCE(CAST(min(s) AS BIGINT),"
+        f" error('no power-of-10 grain fits the integer budget')) AS vs"
+        f" FROM (VALUES {vals}) t(s) CROSS JOIN pre"
         f" WHERE CAST(n AS HUGEINT) * ((mx + s - 1) // s)"
         f" * ((mx + s - 1) // s) <= {budget}"
     )

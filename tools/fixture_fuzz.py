@@ -504,7 +504,7 @@ def main() -> int:
     for v in variants:
         d = build_fixture(v, args.out)
         res = run_parity(d, names)
-        n_ok = sum(ok for ok, _ in res.values())
+        n_ok = sum(ok for ok, *_ in res.values())
         for name, (ok, msg) in sorted(res.items()):
             if not ok:
                 print(f"FAIL [{v}] {name}: {msg}")
