@@ -737,19 +737,48 @@ seeds AS (
 
 
 def km_k_for(base) -> int:
-    """Data-derived Lloyd cluster count (one cheap count(*) pre-pass)."""
+    """Data-derived Lloyd cluster count (one cheap count(*) pre-pass).
+
+    Call it with the RAW parquet frame when possible: a count over the
+    bare scan is answered from parquet footers (aggregate pushdown),
+    where a count over the spread/quantized frame pays a full
+    round-robin exchange first (measured ~0.3 s at sf0.1, round 8)."""
     n = base.count()
     return max(KM_K, -(-n // KM_TARGET_CLUSTER))
 
 
-def _km_seeds(base) -> "DataFrame":
+def _km_base(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    """Shared Lloyd-family base: quantized embeddings, KEY-partitioned.
+
+    Round-8 optimization (guide §2.4 — remove shuffles outright): the
+    parallelism-restoring repartition hashes on ``vec_id`` instead of
+    round-robin. Every per-``vec_id`` aggregation in ``_km_assign``
+    (``groupBy(vec_id, cluster, n)`` then ``groupBy(vec_id)``) and the
+    centroid-rebuild join (``a1.join(xe, "vec_id")``) are then
+    satisfied by this ONE exchange — the executed 2-iteration Lloyd
+    drops from 12 Exchange nodes to 8 (plans/r08/), and the three
+    remaining non-broadcast exchanges are O(k x dims) centroid frames,
+    not corpus-scaled. k comes from a footer count of the raw table."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    k = km_k_for(raw)
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * KM_SCALE).cast("long"),
+    )
+    base = raw.select("vec_id", "label", qv.alias("qv")).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    return base, k
+
+
+def _km_seeds(base, k: int | None = None) -> "DataFrame":
     """First-k-by-vec_id seed frame (cluster, qv) with corpus-scaled k —
     TakeOrderedAndProject, never a global window over the corpus."""
     from pyspark.sql import Window
 
     return (
         base.orderBy("vec_id")
-        .limit(km_k_for(base))
+        .limit(km_k_for(base) if k is None else k)
         .select(
             (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
                 "cluster"
@@ -757,6 +786,23 @@ def _km_seeds(base) -> "DataFrame":
             "qv",
         )
     )
+
+
+def _lloyd2(base: DataFrame, k: int, keep_stats: bool = False) -> DataFrame:
+    """The exact 2-iteration integer Lloyd assignment shared by
+    kmeans_cluster_stats / semdedup_prune / ari_kmeans_vs_labels."""
+    xe = base.select("vec_id", F.posexplode("qv").alias("pos", "x"))
+    seeds = _km_seeds(base, k)
+    c0 = seeds.select(
+        "cluster", F.posexplode("qv").alias("pos", "s")
+    ).withColumn("n", F.lit(1).cast("long"))
+    a1 = _km_assign(xe, c0, keep_stats=False)
+    c1 = (
+        a1.join(xe, "vec_id")
+        .groupBy("cluster", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return _km_assign(xe, c1, keep_stats=keep_stats)
 
 
 _KM_ORACLE = f"""
@@ -854,26 +900,11 @@ def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats — and ride broadcast joins; the vector side is never
     collected. At 100 TB each iteration is one broadcast join + one
     int-sum shuffle keyed on (cluster, pos)."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    qv = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double") * KM_SCALE).cast("long"),
-    )
-    base = emb.select("vec_id", "label", qv.alias("qv"))
-    xe = base.select("vec_id", F.posexplode("qv").alias("pos", "x"))
-
-    seeds = _km_seeds(base)
-    c0 = seeds.select(
-        "cluster", F.posexplode("qv").alias("pos", "s")
-    ).withColumn("n", F.lit(1).cast("long"))
-
-    a1 = _km_assign(xe, c0, keep_stats=False)
-    c1 = (
-        a1.join(xe, "vec_id")
-        .groupBy("cluster", "pos")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-    )
-    a2 = _km_assign(xe, c1, keep_stats=True)
+    base, k = _km_base(spark, sf_dir)
+    # a2 feeds TWO rollups (stats and the label join) — pin once so the
+    # 2-iteration Lloyd is not re-derived per consumer (the semdedup
+    # precedent; O(N) narrow rows, write volume linear in the corpus)
+    a2 = _lloyd2(base, k, keep_stats=True).transform(pin)
 
     stats = a2.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -1006,38 +1037,23 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot products and norms are exact; sqrt / division are IEEE
     exactly-rounded with identical op shape in both engines; the
     cosine micro-rounds BEFORE the threshold compare."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    qv = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double") * KM_SCALE).cast("long"),
-    )
-    base = emb.select("vec_id", "label", qv.alias("qv"))
-    xe = base.select("vec_id", F.posexplode("qv").alias("pos", "x"))
+    base, k = _km_base(spark, sf_dir)
+    a2 = _lloyd2(base, k)
 
-    seeds = _km_seeds(base)
-    c0 = seeds.select(
-        "cluster", F.posexplode("qv").alias("pos", "s")
-    ).withColumn("n", F.lit(1).cast("long"))
-    a1 = _km_assign(xe, c0, keep_stats=False)
-    c1 = (
-        a1.join(xe, "vec_id")
-        .groupBy("cluster", "pos")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-    )
-    # materialize the assignment ONCE (round 6, the connected-
-    # components precedent): a2 is consumed three times below (both
-    # sides of the within-cluster self-join and the final audit join),
-    # and the lambda-bearing Lloyd lineage defeats exchange reuse, so
-    # without this the full 2-iteration clustering re-runs per
-    # consumer (measured ~3x at sf0.1). O(N) narrow rows — checkpoint
-    # write volume is linear in the corpus (SCALE.md). Durability
-    # boundary: the default pin tier is localCheckpoint (executor
-    # storage — an executor loss kills the lineage); on a long cluster
-    # run set SPARK_GRAFT_PIN=reliable to route every pin through an
-    # eager reliable checkpoint() on the cluster FS — hash-equal-pinned
-    # by test_pin_reliable_mode_hash_equal, overhead in SCALE.md.
-    a2 = _km_assign(xe, c1, keep_stats=False).transform(pin)
-
+    # materialize ONCE (round 6, the connected-components precedent),
+    # as the single joined (cluster, vec_id, qv, nn) frame: it feeds
+    # both sides of the within-cluster self-join AND (projected down to
+    # (vec_id, cluster)) the final audit rollup, and the lambda-bearing
+    # Lloyd lineage defeats exchange reuse, so without this the full
+    # 2-iteration clustering re-runs per consumer (measured ~3x at
+    # sf0.1). Round 8 folded the former separate a2 checkpoint into
+    # this one — one O(N)-row write instead of two, one fewer eager
+    # job, same lineage cut. Durability boundary: the default pin tier
+    # is localCheckpoint (executor storage — an executor loss kills the
+    # lineage); on a long cluster run set SPARK_GRAFT_PIN=reliable to
+    # route every pin through an eager reliable checkpoint() on the
+    # cluster FS — hash-equal-pinned by
+    # test_pin_reliable_mode_hash_equal, overhead in SCALE.md.
     nn = F.aggregate(
         F.zip_with("qv", "qv", lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -1045,7 +1061,8 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = a2.join(base.select("vec_id", "qv"), "vec_id").select(
         "cluster", "vec_id", "qv", nn.alias("nn")
-    ).transform(pin)  # lhs AND rhs of the pair join read this
+    ).transform(pin)
+    assign = m.select("vec_id", "cluster")
     lhs = m.select(
         "cluster",
         F.col("vec_id").alias("id_a"),
@@ -1068,20 +1085,25 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
         * 1e6
     ).cast("long")
+    # the threshold predicate is stated IN the join condition, AFTER
+    # the cheap id check: written as a post-select filter it is pushed
+    # into the SortMergeJoin condition anyway, but Catalyst prepends it
+    # — the interpreted zip_with/aggregate dot product then evaluates
+    # for every ORDERED within-cluster pair (2x) before id_a < id_b
+    # can short-circuit (measured +2.3 s at sf0.1, round 8)
     pruned = (
         lhs.join(
             rhs,
             (F.col("cluster") == F.col("c2"))
-            & (F.col("id_a") < F.col("id_b")),
+            & (F.col("id_a") < F.col("id_b"))
+            & (cos_micro >= SD_TAU_MICRO),
         )
-        .select("id_b", cos_micro.alias("cos_micro"))
-        .filter(F.col("cos_micro") >= SD_TAU_MICRO)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("__p", F.lit(1))
     )
     return (
-        a2.join(pruned, "vec_id", "left")
+        assign.join(pruned, "vec_id", "left")
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -2715,30 +2737,18 @@ def ari_kmeans_vs_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the O(k × labels) contingency table, and the final expression is
     one identically-shaped double.
     """
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    qv = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double") * KM_SCALE).cast("long"),
-    )
-    base = emb.select("vec_id", "label", qv.alias("qv"))
-    xe = base.select("vec_id", F.posexplode("qv").alias("pos", "x"))
-
-    seeds = _km_seeds(base)
-    c0 = seeds.select(
-        "cluster", F.posexplode("qv").alias("pos", "s")
-    ).withColumn("n", F.lit(1).cast("long"))
-    a1 = _km_assign(xe, c0, keep_stats=False)
-    c1 = (
-        a1.join(xe, "vec_id")
-        .groupBy("cluster", "pos")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-    )
-    a2 = _km_assign(xe, c1, keep_stats=False)
+    base, k = _km_base(spark, sf_dir)
+    a2 = _lloyd2(base, k)
+    # ct is O(k x labels) — tiny — but it feeds THREE rollups (sums,
+    # ra, rb) and the lambda-bearing Lloyd lineage defeats exchange
+    # reuse, so unpinned the full clustering re-derives per consumer
+    # (the before-plan carried 100 Exchange refs; after: one Lloyd +
+    # three scans of the pinned table — plans/r08/)
     ct = (
         a2.join(base.select("vec_id", "label"), "vec_id")
         .groupBy("cluster", "label")
         .agg(F.count(F.lit(1)).cast("long").alias("nij"))
-    )
+    ).transform(pin)
     nij = F.col("nij")
     sums = ct.agg(
         F.sum(nij).cast("long").alias("n"),
