@@ -48,6 +48,7 @@ def pair_expansion_partitions(
     key: str,
     rows_per_partition: int = 500_000,
     max_partitions: int = 4096,
+    bound_src: DataFrame | None = None,
 ) -> int:
     """Self-size the shuffle for a pair-expansion self-join (basket
     co-occurrence, candidate generation): the expanded row count is
@@ -66,8 +67,37 @@ def pair_expansion_partitions(
     session plan unchanged. The 500k-row default matches the measured
     sweet spot from SCALE.md round 4 (512 partitions for a ~300M-row
     expansion = ~580k rows each completed; 32 partitions died).
+
+    ``bound_src`` (round 8 — the jaccard gating recipe applied here):
+    an optional CHEAPER frame whose per-``key`` squared-count sum is a
+    provable upper bound on ``assoc``'s (e.g. the raw projection
+    feeding a distinct + basket-cap pipeline: raw group counts >=
+    capped-distinct basket sizes, so dropping the distinct exchange
+    and the cap window from the sizing pass only ever OVER-estimates).
+    When the bound already fits the session default's quota, the exact
+    pre-agg over ``assoc`` — a full distinct + window derivation run
+    only to pick a partition count — is provably unnecessary and is
+    skipped; oversized inputs still fall through to the exact
+    measurement, so the width is never under-sized. Sizing is purely
+    physical: results are identical either way.
     """
     import math
+
+    default = int(
+        assoc.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    quota = rows_per_partition * default
+    if bound_src is not None:
+        brow = (
+            bound_src.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__k"))
+            .agg(
+                F.sum(F.col("__k").cast("long") * F.col("__k")).alias("__sq")
+            )
+            .first()
+        )
+        if int(brow["__sq"] or 0) <= quota:
+            return default
 
     row = (
         assoc.groupBy(key)
@@ -78,9 +108,6 @@ def pair_expansion_partitions(
         .first()
     )
     sq = int(row["__sq"] or 0)
-    default = int(
-        assoc.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
     need = math.ceil(sq / rows_per_partition) if sq else 0
     return max(default, min(max_partitions, need))
 

@@ -247,8 +247,31 @@ def _capped_baskets(assoc: DataFrame, max_basket_size: int | None) -> DataFrame:
         .drop("__bsz")
     )
 
+def _basket_universe(
+    li: DataFrame, max_basket_size: int | None
+) -> tuple[DataFrame, DataFrame | None]:
+    """Shared builder for the pair-expansion family: the capped
+    distinct (order, part) universe plus the raw projection that
+    upper-bounds its pair volume for shuffle sizing.
+
+    Round-8 shape (guide §2.4): the capped path pre-repartitions by
+    ``l_orderkey`` so the distinct aggregation (clustering on
+    (l_orderkey, l_partkey) — satisfied by the orderkey hash) and the
+    basket-size cap window (partitioned by l_orderkey) both ride that
+    ONE exchange instead of shuffling twice. The uncapped path has no
+    window, so the plain distinct stays."""
+    raw = li.select("l_orderkey", "l_partkey")
+    if max_basket_size is None:
+        return raw.distinct(), raw
+    pre = raw.repartition(
+        li.sparkSession.sparkContext.defaultParallelism, "l_orderkey"
+    )
+    return _capped_baskets(pre.distinct(), max_basket_size), raw
+
+
 def _marginal_pair_counts(
     assoc: DataFrame,
+    bound_src: DataFrame | None = None,
 ) -> tuple[DataFrame, int]:
     """Shared pair-expansion core for the market-basket family
     (copurchase_lift, item_cf_topk): co-occurrence counts per
@@ -273,12 +296,18 @@ def _marginal_pair_counts(
 
     Returns (pairs, n_shuffle) so callers can reuse the derived
     partition count for their own pair-frame-sized shuffles (e.g.
-    item_cf's per-item rank window)."""
+    item_cf's per-item rank window). ``bound_src`` (the raw
+    pre-distinct projection from :func:`_basket_universe`) lets the
+    sizing pre-agg skip the full distinct+window derivation when a
+    cheap raw-count upper bound already fits the session default —
+    see ``pair_expansion_partitions``."""
     from dissertation_iceberg_spark.functions.partitioning import (
         pair_expansion_partitions,
     )
 
-    n_shuffle = pair_expansion_partitions(assoc, "l_orderkey")
+    n_shuffle = pair_expansion_partitions(
+        assoc, "l_orderkey", bound_src=bound_src
+    )
     marg = assoc.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
     enriched = assoc.join(marg, "l_partkey").repartition(
         n_shuffle, "l_orderkey"
@@ -359,11 +388,9 @@ def copurchase_lift(
     scalar subquery; final top-k is TakeOrderedAndProject
     (per-partition heaps, no global sort)."""
     li = load_table(spark, sf_dir, "lineitem")
-    assoc = _capped_baskets(
-        li.select("l_orderkey", "l_partkey").distinct(), max_basket_size
-    )
+    assoc, raw = _basket_universe(li, max_basket_size)
     n = assoc.agg(F.count_distinct("l_orderkey").alias("n_orders"))
-    pairs, _ = _marginal_pair_counts(assoc)
+    pairs, _ = _marginal_pair_counts(assoc, bound_src=raw)
     return (
         pairs.transform(with_scalars, n)
         .select(
@@ -2567,10 +2594,8 @@ def item_cf_topk(
     cosine is micro-rounded identically in both engines BEFORE the
     rank, and rec id breaks exact ties, so row_number is total."""
     li = load_table(spark, sf_dir, "lineitem")
-    assoc = _capped_baskets(
-        li.select("l_orderkey", "l_partkey").distinct(), max_basket_size
-    )
-    pairs, n_shuffle = _marginal_pair_counts(assoc)
+    assoc, raw = _basket_universe(li, max_basket_size)
+    pairs, n_shuffle = _marginal_pair_counts(assoc, bound_src=raw)
     sym = pairs.select(
         F.col("part_a").alias("item"),
         F.col("part_b").alias("rec"),
@@ -3190,11 +3215,9 @@ def association_rules(
     array — no union rescan, no join). Every metric is one mirrored
     float expression over exact BIGINT counts."""
     li = load_table(spark, sf_dir, "lineitem")
-    assoc = _capped_baskets(
-        li.select("l_orderkey", "l_partkey").distinct(), max_basket_size
-    )
+    assoc, raw = _basket_universe(li, max_basket_size)
     n = assoc.agg(F.count_distinct("l_orderkey").alias("n_orders"))
-    pairs, _ = _marginal_pair_counts(assoc)
+    pairs, _ = _marginal_pair_counts(assoc, bound_src=raw)
     top = (
         pairs.transform(with_scalars, n)
         .orderBy(F.desc("n_both"), F.asc("part_a"), F.asc("part_b"))
