@@ -272,10 +272,11 @@ def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max_shingle_freq=256, the 100 TB-safe default — capped-universe
     semantics, oracle cap-matched). The uncapped joinless one-pass
     shape remains callable via max_shingle_freq=None."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    raw = load_table(spark, sf_dir, "documents")
     out = dd.jaccard_near_dup_pairs(
-        docs, "text", "doc_id", n=JACCARD_N, threshold=JACCARD_THRESHOLD,
-        max_shingle_freq=MAX_SHINGLE_FREQ,
+        spread(raw), "text", "doc_id", n=JACCARD_N,
+        threshold=JACCARD_THRESHOLD, max_shingle_freq=MAX_SHINGLE_FREQ,
+        bound_src=raw,
     )
     return out.select(
         "id_a", "id_b", F.col("n_inter").cast("long").alias("n_inter"), "jaccard"
@@ -318,10 +319,11 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     size."""
     from pyspark.sql import Window
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    raw = load_table(spark, sf_dir, "documents")
     pairs = dd.jaccard_near_dup_pairs(
-        docs, "text", "doc_id", n=JACCARD_N, threshold=JACCARD_THRESHOLD,
-        max_shingle_freq=MAX_SHINGLE_FREQ,
+        spread(raw), "text", "doc_id", n=JACCARD_N,
+        threshold=JACCARD_THRESHOLD, max_shingle_freq=MAX_SHINGLE_FREQ,
+        bound_src=raw,
     )
     cc = dd.connected_components(pairs, "id_a", "id_b")
     w = Window.partitionBy("cluster_id")

@@ -864,21 +864,29 @@ def _dsir_model(
     <= DSIR_B-row log-ratio table fitted from feats, plus the two
     1-row total frames (for the streaming trainer's floor)."""
     is_tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
-    tgt = (
-        feats.filter(is_tgt)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c_t"))
+    # ONE bucket-keyed pass fits BOTH distributions (round 8, guide
+    # §2.3 "aggregate before you shuffle" / §1.2 "remove passes"):
+    # count_if splits target vs raw per bucket. The previous shape ran
+    # two separate groupBy(b) aggregations whose lineages each
+    # re-tokenized and re-exploded the corpus (the expensive map side
+    # lives ABOVE the reusable exchange, so stage reuse cannot help).
+    # The bucket row set is restricted to c_r >= 1 — exactly the old
+    # rawc-join-tgt row set — and c_t comes out 0 instead of NULL where
+    # no target rows hit the bucket, which _dsir_lr_micro's coalesce
+    # already normalizes, so lr is value-identical.
+    both = feats.groupBy("b").agg(
+        F.count_if(is_tgt).alias("c_t"),
+        F.count_if(~is_tgt).alias("c_r"),
     )
     rawf = feats.filter(~is_tgt)
-    rawc = rawf.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
-    nt = tgt.agg(
+    nt = both.agg(
         F.coalesce(F.sum("c_t"), F.lit(0)).cast("long").alias("n_t")
     )
-    nr = rawc.agg(
+    nr = both.agg(
         F.coalesce(F.sum("c_r"), F.lit(0)).cast("long").alias("n_r")
     )
     lr = (
-        rawc.join(tgt, "b", "left")
+        both.filter(F.col("c_r") >= 1)
         .transform(with_scalars, nt)
         .transform(with_scalars, nr)
         .select("b", _dsir_lr_micro(F.col("c_t"), F.col("c_r")))
@@ -1001,12 +1009,19 @@ def dsir_importance_resampling(
     an exact order statistic from the distinct-value histogram via the
     bucketed two-pass cumsum kernel — no global sort.
 
-    Scale: the n-gram explode is map-side; both distribution fits are
-    map-side-combinable counts into <= 1024 buckets (a near-empty
-    shuffle); the scorer joins fact-scale features to the 1024-row
-    broadcast table; per-doc reduction is one doc-keyed exact integer
-    sum. Nothing data-scaled is ever collected, sorted globally, or
-    joined fact-to-fact."""
+    Scale: the n-gram explode is map-side; both distribution fits ride
+    ONE map-side-combinable count_if pass into <= 1024 buckets (a
+    near-empty shuffle); the scorer joins fact-scale features to the
+    1024-row broadcast table; per-doc reduction is one doc-keyed exact
+    integer sum that rides the doc_id-keyed spread below (round 8 —
+    the parallelism-restoring repartition hashes on doc_id, so the
+    explode/broadcast-join chain preserves it and the per-doc
+    aggregation needs no exchange of the O(features) frame). Nothing
+    data-scaled is ever collected, sorted globally, or joined
+    fact-to-fact."""
+    docs = load_table(spark, sf_dir, "documents")
     return dsir_selection_frame(
-        spread(load_table(spark, sf_dir, "documents"))
+        docs.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
     )
