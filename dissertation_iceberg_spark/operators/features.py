@@ -31,12 +31,19 @@ def adjacent_direction(
     next = first direction of matching rows strictly after (bfill);
     0 when none exists (reference fill)."""
     base = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    # bfill as a RUNNING frame over the reversed (total) order — the
+    # literal `first OVER (1, UNBOUNDED FOLLOWING)` executes as
+    # Spark's UnboundedFollowing frame, which rescans to the partition
+    # end for every row: O(rows²) per partition (round 8)
+    rev = Window.partitionBy(*partition_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
     masked = F.when(type_pred, F.col(dir_col))
     prev = F.last(masked, ignorenulls=True).over(
         base.rowsBetween(Window.unboundedPreceding, -1)
     )
-    nxt = F.first(masked, ignorenulls=True).over(
-        base.rowsBetween(1, Window.unboundedFollowing)
+    nxt = F.last(masked, ignorenulls=True).over(
+        rev.rowsBetween(Window.unboundedPreceding, -1)
     )
     return df.withColumn(prev_name, F.coalesce(prev, F.lit(0))).withColumn(
         next_name, F.coalesce(nxt, F.lit(0))

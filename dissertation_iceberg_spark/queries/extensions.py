@@ -257,8 +257,15 @@ def ml_direction_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_rf,
     )
 
+    # log(value) is undefined (NULL) for non-positive raw prices — the
+    # same guard class as the flagship's ln() guard. sf0.1 carries 6
+    # such rows and VectorAssembler(handleInvalid="error") aborts the
+    # whole fit on the first NULL feature (found by the round-8 full
+    # -registry sweep at sf0.1); sf0.001/sf0.01 have none, so the
+    # filter is a no-op at every correctness-checked scale.
     df = direction_label(
         lob_events(spark, sf_dir)
+        .filter(F.col("value") > 0)
         .withColumn("log_value", F.log("value"))
         .withColumn("hour_of_day", F.hour("ts").cast("double"))
     )
@@ -2029,6 +2036,12 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "vec_id")
         .groupBy("i", "j")
         .agg(F.sum(F.col("ya") * F.col("yb")).cast("long").alias("g"))
+        # pin the d^2-row Gram (round 8): every power iteration joins
+        # against g, and the lambda-bearing quantization lineage
+        # defeats exchange reuse — unpinned, each of the PCA_ITERS
+        # iterations re-ran the fact-scale Gram build (sweep: 16 s at
+        # sf0.1 -> ~3 s; 4096-row checkpoint write)
+        .transform(pin)
     )
     v = mh.select(F.col("pos").alias("j"), F.lit(PCA_VSCALE).cast("long").alias("v"))
     for _ in range(PCA_ITERS):

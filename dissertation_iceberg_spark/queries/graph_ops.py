@@ -22,6 +22,7 @@ from dissertation_iceberg_spark.functions.scalars import (
     with_scalars,
 )
 from dissertation_iceberg_spark.queries.registry import register
+from dissertation_iceberg_spark.session import pin
 
 _PR_ITERS = 3
 _PR_TOPK = 30
@@ -535,7 +536,14 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         ).select(F.lit(i).alias("peel"), "n_edges", "n_nodes")
 
-    edges = edges.persist()
+    # Eager pin per level, not lazy persist (round 8): the final plan
+    # unions ten stats branches over five edge generations, and lazily
+    # cached levels are populated mid-job by whichever branch gets
+    # there first — concurrent stages duplicate the upstream peel
+    # chains before the cache fills (sweep: 33-37 s at sf0.1 for a
+    # ~127k-edge graph; ~3 s pinned). Each level is an O(edges) narrow
+    # frame, the same write budget the persists already claimed.
+    edges = pin(edges)
     out = [stats(edges, 0)]
     cur = edges
     for i in range(1, _KCORE_PEELS + 1):
@@ -546,11 +554,10 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
         keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
-        cur = (
+        cur = pin(
             cur.join(keep.withColumnRenamed("node", "pa"), "pa", "left_semi")
             .join(keep.withColumnRenamed("node", "pb"), "pb", "left_semi")
             .select("pa", "pb")
-            .persist()
         )
         out.append(stats(cur, i))
     res = out[0]

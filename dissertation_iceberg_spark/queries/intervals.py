@@ -430,10 +430,15 @@ def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the "reversed running min" the docstring promises, literally: a
+    # (currentRow, unboundedFollowing) frame executes as Spark's
+    # UnboundedFollowing frame — a rescan to the partition end per
+    # row, O(rows²) per user (round 8); min is order-insensitive, so
+    # the running frame over the reversed total order is identical
     wnext = (
         Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(*[c.desc() for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     click_us = F.when(F.col("k") == 0, F.col("us"))
     w = e.select(

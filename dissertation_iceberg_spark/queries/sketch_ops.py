@@ -1157,7 +1157,13 @@ def poisson_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     Poisson(1)-marginal and both engines agree row-by-row.""".format(
         b=_BOOT_B
     )
-    ords = load_table(spark, sf_dir, "orders")
+    # spread BEFORE the x48 explode: the orders scan is one parquet
+    # split, and explode + the 48 md5 weight derivations per row are
+    # narrow, so without this the whole 7.2M-hash fan-out runs on ONE
+    # task (measured 93-120 s at sf0.1 by the round-8 registry sweep;
+    # ~4 s spread). Weighted sums are exact integers — row order
+    # cannot change the result.
+    ords = spread(load_table(spark, sf_dir, "orders"))
     x = ords.select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
@@ -1467,7 +1473,10 @@ def f2_ams_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch sums are integer ±1 sums, estimates exact integer squares,
     and the even-depth median uses the lower-median convention with
     (estimate, est_id) ordering."""
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # spread BEFORE the x16 explode: one parquet split otherwise runs
+    # all 9.6M sign hashes on a single task (round-8 sweep: 12.9 s ->
+    # ~1 s). Sign sums are exact integers — order-independent.
+    li = spread(load_table(spark, sf_dir, "lineitem")).select(
         F.col("l_partkey").cast("string").alias("key")
     )
     est = li.select(

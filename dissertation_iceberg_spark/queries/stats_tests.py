@@ -830,12 +830,32 @@ def link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
+    # Round 8 (the _marginal_pair_counts recipe): endpoint degrees are
+    # attached to the O(edges) frame BEFORE the wedge expansion and
+    # carried through the aggregation as functionally-dependent group
+    # keys — the previous shape joined deg onto the O(wedges)
+    # candidate frame TWICE (two sort-merge passes over the largest
+    # frame in the query; sweep: 37.6 s at sf0.1). The wedge shuffle
+    # is self-sized from the exact sum(d^2) wedge volume; both join
+    # inputs ride ONE hub-keyed repartition.
+    from dissertation_iceberg_spark.functions.partitioning import (
+        pair_expansion_partitions,
+    )
+
+    n_shuffle = pair_expansion_partitions(edges, "u")
+    degv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    ed = edges.join(degv, "v").repartition(n_shuffle, "u")
+    e1 = ed.alias("e1")
+    e2 = ed.alias("e2")
     wedge = (
         e1.join(e2, "u")
         .filter(F.col("e1.v") < F.col("e2.v"))
-        .groupBy(F.col("e1.v").alias("a"), F.col("e2.v").alias("b"))
+        .groupBy(
+            F.col("e1.v").alias("a"),
+            F.col("e1.dv").alias("da"),
+            F.col("e2.v").alias("b"),
+            F.col("e2.dv").alias("db"),
+        )
         .agg(F.count(F.lit(1)).alias("cn"))
     )
     cand = wedge.join(
@@ -843,23 +863,17 @@ def link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (wedge["a"] == e0["u"]) & (wedge["b"] == e0["v"]),
         "left_anti",
     )
-    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
-    scored = (
-        cand.join(da, "a")
-        .join(db, "b")
-        .select(
-            "a",
-            "b",
-            "cn",
-            F.round(
-                F.col("cn").cast("double")
-                / (F.col("da") + F.col("db") - F.col("cn"))
-                * 1e6
-            )
-            .cast("long")
-            .alias("jaccard_micro"),
+    scored = cand.select(
+        "a",
+        "b",
+        "cn",
+        F.round(
+            F.col("cn").cast("double")
+            / (F.col("da") + F.col("db") - F.col("cn"))
+            * 1e6
         )
+        .cast("long")
+        .alias("jaccard_micro"),
     )
     return (
         scored.orderBy(
@@ -2919,7 +2933,12 @@ def bh_fdr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_rank).alias("i"),
         F.count(F.lit(1)).over(w_all).cast("long").alias("m"),
     )
-    w_rev = Window.orderBy("i").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # running min over the reversed rank order (min is
+    # order-insensitive): the literal (currentRow, unboundedFollowing)
+    # frame rescans to the end per row — O(tests²) (round 8)
+    w_rev = Window.orderBy(F.col("i").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     q = r.select(
         "*",
         F.min(
@@ -3496,18 +3515,37 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
+    # Round 8 (link_prediction_cn's restructure, same rationale): the
+    # hub's 1/ln(d) contribution is computed ON THE EDGE ROW before
+    # the wedge expansion — the previous shape joined deg onto the
+    # O(wedges) frame (a sort-merge pass over the largest frame;
+    # sweep: 52.5 s at sf0.1). One hub-keyed self-sized repartition
+    # feeds both join inputs.
+    from dissertation_iceberg_spark.functions.partitioning import (
+        pair_expansion_partitions,
+    )
+
+    n_shuffle = pair_expansion_partitions(edges, "u")
+    ed = (
+        edges.join(deg, "u")
+        .select(
+            "u",
+            "v",
+            F.round(F.lit(1e6) / F.log(F.col("d")))
+            .cast("long")
+            .alias("aa_w"),
+        )
+        .repartition(n_shuffle, "u")
+    )
+    e1 = ed.alias("e1")
+    e2 = ed.alias("e2")
     wedge = (
         e1.join(e2, "u")
         .filter(F.col("e1.v") < F.col("e2.v"))
-        .join(deg, "u")
         .groupBy(F.col("e1.v").alias("a"), F.col("e2.v").alias("b"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("cn"),
-            F.sum(F.round(F.lit(1e6) / F.log(F.col("d"))).cast("long"))
-            .cast("long")
-            .alias("aa_micro"),
+            F.sum(F.col("e1.aa_w")).cast("long").alias("aa_micro"),
         )
     )
     cand = wedge.join(

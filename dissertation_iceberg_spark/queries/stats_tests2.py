@@ -1160,8 +1160,11 @@ def psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     prevw = Window.orderBy("score").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    nextw = Window.orderBy("score").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
+    # running frame over the reversed (total, score is a group key)
+    # order — the literal (currentRow, unboundedFollowing) frame
+    # rescans to the end per row, O(strata²) (round 8)
+    nextw = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     ctl_score = F.when(F.col("nc") > 0, F.col("score"))
     nbr = strata.select(
@@ -1170,7 +1173,7 @@ def psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sc",
         "nt",
         F.last(ctl_score, ignorenulls=True).over(prevw).alias("prev_c"),
-        F.first(ctl_score, ignorenulls=True).over(nextw).alias("next_c"),
+        F.last(ctl_score, ignorenulls=True).over(nextw).alias("next_c"),
     )
     m_score = (
         F.when(F.col("prev_c").isNull(), F.col("next_c"))
