@@ -32,8 +32,17 @@ RUNTIME_CONF = {
 }
 
 # Confs that must be set before the JVM starts (ignored if set later).
+# Shuffle width is env-parameterised (round 8): 32 is the LOCAL
+# default (matches local[32]; AQE coalescing + the per-query
+# pair_expansion_partitions self-sizing handle everything above it);
+# a cluster deployment sets SPARK_GRAFT_SHUFFLE_PARTITIONS to
+# ~2-3x total cores (guide §2.2: partitions in the 100 MB-1 GB
+# range), without touching code. The bench never sets it, so driver
+# runs are unchanged.
 STARTUP_CONF = {
-    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
