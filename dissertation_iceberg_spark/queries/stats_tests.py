@@ -3526,8 +3526,15 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     n_shuffle = pair_expansion_partitions(edges, "u")
+    # d >= 2 filter (round 9, ADVICE): since round 8 moved the 1/ln(d)
+    # evaluation onto the EDGE row, a degree-1 hub would evaluate
+    # 1e6/log(1) = x/0 here — a DIVIDE_BY_ZERO crash under Spark 4's
+    # default ANSI mode. A degree-1 hub forms no wedge (the e1×e2
+    # self-join needs >= 2 rows per u-group), so dropping its edge rows
+    # is output-identical AND shrinks the wedge self-join input.
     ed = (
         edges.join(deg, "u")
+        .filter(F.col("d") >= 2)
         .select(
             "u",
             "v",

@@ -284,23 +284,39 @@ def test_plan_red_flag_sweep(spark, sf_dir):
     """No query may regress into a cartesian product, an unintended
     nested-loop join, a row-at-a-time Python UDF, or an unattributed
     GLOBAL window (single-partition sort over a possibly data-scaled
-    frame)."""
-    for name, spec in sorted(REGISTRY.items()):
+    frame).
+
+    Round 9: the 440 plan builds run on a small driver-side thread
+    pool — plan construction is py4j/JVM work that releases the GIL,
+    and the few eager pre-jobs (pins, sizing pre-aggs) are independent
+    Spark jobs the scheduler happily overlaps (guide §2.6). This was
+    the single slowest test in the suite (~200 s serial); failures are
+    collected and reported together so the error surface is unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(name: str) -> str | None:
         p = _plan(spark, sf_dir, name)
-        assert "CartesianProduct" not in p, name
-        if name not in INTENTIONAL_BNLJ:
-            assert "BroadcastNestedLoopJoin" not in p, name
-        assert "BatchEvalPython" not in p, name
+        if "CartesianProduct" in p:
+            return f"{name}: CartesianProduct"
+        if name not in INTENTIONAL_BNLJ and "BroadcastNestedLoopJoin" in p:
+            return f"{name}: unattributed BroadcastNestedLoopJoin"
+        if "BatchEvalPython" in p:
+            return f"{name}: BatchEvalPython"
         globals_ = [
             c for c in _global_windows(p) if c != "__bucket"
         ]  # the bucketed-rank kernel's O(n_buckets) offset is always fine
         if globals_ and name not in BOUNDED_GLOBAL_WINDOWS:
-            raise AssertionError(
+            return (
                 f"{name}: unattributed global window over {globals_} — "
                 "either partition it (bucketed kernels in functions/"
                 "ranks.py) or attribute the bounded frame in "
                 "BOUNDED_GLOBAL_WINDOWS"
             )
+        return None
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        failures = [m for m in pool.map(check, sorted(REGISTRY)) if m]
+    assert not failures, "\n".join(failures)
 
 
 def test_q3_pushdown_broadcast_topk(spark, sf_dir):

@@ -57,9 +57,12 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         if runs:
             rs = sorted(runs)
+            # LOWER median (ADVICE round 9): with the default n_runs=2,
+            # rs[len//2] recorded the WORSE run under the key "median";
+            # the lower median is the contention-robust choice
             results[name] = {
                 "best": round(rs[0], 3),
-                "median": round(rs[len(rs) // 2], 3),
+                "median": round(rs[(len(rs) - 1) // 2], 3),
                 "n": len(rs),
             }
         else:
@@ -79,10 +82,12 @@ def main() -> None:
     if out_path:
         with open(out_path, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
+    # errored queries are listed separately below, not as timings
     top = sorted(
         (
-            (v.get("best", 1e9), k)
+            (v["best"], k)
             for k, v in results.items()
+            if "best" in v
         ),
         reverse=True,
     )[:40]
