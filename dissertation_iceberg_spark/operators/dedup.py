@@ -266,6 +266,12 @@ def jaccard_near_dup_pairs(
         )
         if n_parts:
             sh = sh.repartition(n_parts, "shingle")
+        # Round 9: a pin of the capped posting frame was tried here
+        # (it feeds both the sizes rebuild and the pair expansion) and
+        # REVERTED — the two consumers sit above the same shingle
+        # exchange, which Catalyst already reuses, so the pin was
+        # timing-neutral at sf0.1 while adding a full materialization
+        # of the posting index to the declared 100 TB plan.
         posts = sh.groupBy("shingle").agg(
             F.sort_array(F.collect_list("doc_id")).alias("ids")
         ).filter(F.size("ids") <= max_shingle_freq)
@@ -387,7 +393,14 @@ def prefix_filter_near_dup_pairs(
     """
     sh = word_shingles(df, text_col, id_col, n)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    per_doc = (
+    # Round 9 (§5): per_doc feeds THREE consumers (the prefix explode
+    # and both verification array-fetch sides), and its lineage — two
+    # tokenize+shingle passes (sh + dfreq) plus a join and a
+    # collect_list — defeats exchange reuse via the shingle lambdas.
+    # Unpinned that whole build ran three times (38 Exchange refs,
+    # ~6 tokenize passes at sf0.1). One pin of the O(docs)
+    # bounded-array frame; values untouched.
+    per_doc = pin(
         sh.join(dfreq, "shingle")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("a"))
@@ -402,16 +415,23 @@ def prefix_filter_near_dup_pairs(
         - F.ceil(F.lit(threshold) * F.col("set_size")).cast("int")
         + 1
     )
+    # positions ride the posting entries (round 9): pos is the shingle's
+    # 1-based rank in the doc's FULL (df, shingle)-sorted set — the
+    # slice starts at element 1, so posexplode positions are global
     pre = per_doc.select(
         "doc_id",
         "set_size",
-        F.explode(F.slice("shingles", F.lit(1), p)).alias("shingle"),
+        F.posexplode(F.slice("shingles", F.lit(1), p)).alias(
+            "pos0", "shingle"
+        ),
+    ).select(
+        "doc_id", "set_size", (F.col("pos0") + 1).alias("pos"), "shingle"
     )
     posts = (
         pre.groupBy("shingle")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct("doc_id", "set_size"))
+                F.collect_list(F.struct("doc_id", "set_size", "pos"))
             ).alias("ps")
         )
         .filter(F.size("ps") >= 2)
@@ -427,6 +447,21 @@ def prefix_filter_near_dup_pairs(
                     F.col("ps")[j]["doc_id"].alias("id_b"),
                     F.col("ps")[i]["set_size"].alias("size_a"),
                     F.col("ps")[j]["set_size"].alias("size_b"),
+                    # PPJoin positional overlap bound for THIS shared
+                    # prefix shingle w: common shingles ordered <= w
+                    # sit at positions <= pos in both docs (<= min of
+                    # the positions, w included), common shingles > w
+                    # in the suffixes (<= min of the suffix lengths) —
+                    # so n_inter <= ub_w for every shared w
+                    (
+                        F.least(F.col("ps")[i]["pos"], F.col("ps")[j]["pos"])
+                        + F.least(
+                            F.col("ps")[i]["set_size"]
+                            - F.col("ps")[i]["pos"],
+                            F.col("ps")[j]["set_size"]
+                            - F.col("ps")[j]["pos"],
+                        )
+                    ).alias("ub"),
                 ),
             ),
         )
@@ -437,12 +472,26 @@ def prefix_filter_near_dup_pairs(
         & (c["size_b"] >= threshold * c["size_a"]),
     )
     # a pair sharing several prefix shingles repeats — dedup on the id
-    # pair (sizes are functionally dependent, kept as grouping keys)
+    # pair (sizes are functionally dependent, kept as grouping keys).
+    # Round 9 (§3 "reduce the big side before shuffling it"): the
+    # positional filter drops pairs whose best overlap bound max_w ub_w
+    # cannot reach the J >= t requirement n_inter >= t/(1+t)·(sa+sb)
+    # BEFORE the two wide array-fetch joins and the per-pair
+    # array_intersect — verification volume was the dominant cost
+    # (310k candidates at sf0.1, most hopeless). The prune is
+    # output-safe: ub_w is a valid upper bound on n_inter for every
+    # shared prefix shingle (proof in the combos comment), and the
+    # comparison carries a 1e-6 slack so float rounding can only KEEP
+    # a borderline pair (exact verification decides it), never drop.
     cand = (
         posts.select(F.explode(pruned).alias("pr"))
         .groupBy("pr.id_a", "pr.id_b", "pr.size_a", "pr.size_b")
-        .agg(F.count(F.lit(1)).alias("__n_pref"))
-        .drop("__n_pref")
+        .agg(F.max("pr.ub").alias("__ub"))
+        .filter(
+            (1.0 + threshold) * F.col("__ub")
+            >= threshold * (F.col("size_a") + F.col("size_b")) - 1e-6
+        )
+        .drop("__ub")
     )
     arr_a = per_doc.select(
         F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
@@ -511,6 +560,12 @@ def minhash_lsh_candidates(
                 F.concat_ws(",", *[F.col(c) for c in use]).alias("bh"),
             )
         )
+    # Round 9: a pin of `banded` was tried here (both self-join sides
+    # consume it) and REVERTED — the banded self-join's two sides
+    # canonicalize identically despite the shingle lambdas, so
+    # Catalyst's ReusedExchange already computes the signature
+    # pipeline once, and the pin only added a write (measured: 1.75 s
+    # steady-state -> 2.6 s with the pin at sf0.1).
     banded = signatures.select(
         "doc_id", F.explode(F.array(*band_exprs)).alias("bk")
     ).select("doc_id", "bk.band", "bk.bh")

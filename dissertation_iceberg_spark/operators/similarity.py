@@ -49,17 +49,31 @@ def cosine_topk(
     this query IS the bottleneck). Bulk paths: `lsh_cosine_topk`
     (hyperplane LSH, OR-amplified) or `ivf_cosine_topk` (inverted
     lists, probe cost ≈ n_probe/n_lists of the corpus).
+
+    Round 9 (guide §1.2 "per-task work"): the per-vector norms are
+    computed ONCE per row before the pair join — sqrt(norm2(·)) is an
+    interpreted higher-order fold, and evaluating it per PAIR charged
+    O(|corpus| × |queries|) folds for values that only vary per row.
+    The cosine expression value is bit-identical (same ops, evaluated
+    in an earlier projection); only the dot product remains per-pair.
     """
     q = queries.select(
-        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qvec")
+        F.col(query_id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("__nq"),
     )
-    pairs = corpus.alias("c").join(F.broadcast(q), F.col("qid") != F.col(id_col))
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(_norm2(F.col(vec_col))).alias("__nv"),
+    )
+    pairs = c.alias("c").join(F.broadcast(q), F.col("qid") != F.col(id_col))
     scored = pairs.select(
         "qid",
         F.col(id_col).alias("neighbor_id"),
         F.round(
             _dot(F.col("qvec"), F.col(vec_col))
-            / (F.sqrt(_norm2(F.col("qvec"))) * F.sqrt(_norm2(F.col(vec_col)))),
+            / (F.col("__nq") * F.col("__nv")),
             6,
         ).alias("cosine"),
     )
@@ -106,24 +120,36 @@ def hyperplane_lsh_buckets(
     ids are bit-reproducible across engines and the DuckDB oracle can
     replay them. Output: one row per (vector, table).
     """
+    # Round 9 (guide §1.2/§4): the bucket expressions are built as ONE
+    # SQL string per table and parsed server-side with F.expr — the
+    # previous Column-by-Column construction issued ~2 py4j round trips
+    # per plane weight (num_tables × num_planes × dim ≈ 2048 F.lit
+    # calls at the registered 8×4×64 shape), which made DataFrame
+    # CONSTRUCTION the dominant cost of every LSH query (~7 s of
+    # lsh_ann_topk's 8.8 s at sf0.1 was driver-side build, exec was
+    # 1.3 s). The parsed expression tree is term-for-term the same
+    # (same zip_with/aggregate fold, same casts, same init), so bucket
+    # ids — and the DuckDB oracle replay — are unchanged.
+    def proj_sql(t: int, p: int) -> str:
+        arr = ",".join(str(w) for w in lsh_plane_weights(t, p, dim, seed))
+        return (
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            "(x, w) -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) * w), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+
     rows = []
     for t in range(num_tables):
-        bucket = F.lit(0).cast("long")
-        for i in range(num_planes):
-            plane = F.array(
-                *[F.lit(w) for w in lsh_plane_weights(t, i, dim, seed)]
+        bucket = " + ".join(
+            f"(CASE WHEN {proj_sql(t, i)} > 0 THEN {2 ** i} ELSE 0 END)"
+            for i in range(num_planes)
+        )
+        rows.append(
+            F.struct(
+                F.lit(t).alias("tbl"),
+                F.expr(f"CAST(0 AS BIGINT) + {bucket}").alias("bucket"),
             )
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    plane,
-                    lambda x, w: F.round(x.cast("double") * 1e6).cast("long") * w,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            bucket = bucket + F.when(proj > 0, F.lit(2**i)).otherwise(F.lit(0))
-        rows.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
+        )
     return df.select(
         F.col(id_col), F.col(vec_col), F.explode(F.array(*rows)).alias("tb")
     ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
@@ -410,7 +436,17 @@ def lsh_cosine_topk(
     in at least one hash table, then exact cosine + top-k. Recall < 1
     by construction; the scale win is that the join key is
     (table, bucket) — an equi-join the planner can shuffle-partition —
-    instead of a cross product."""
+    instead of a cross product.
+
+    Round 9 (guide §2.3 "shuffle keys and metadata instead of
+    payloads"): the multi-table dedup used to run ``.distinct()`` over
+    rows CARRYING BOTH 64-dim vectors — every duplicate candidate
+    shipped ~1 KB of payload through the exchange and hashed/compared
+    arrays in the aggregate. Now the distinct runs on the bare
+    (qid, neighbor_id) pair and the vectors (plus once-per-row norms,
+    the cosine_topk §1.2 fix) re-attach afterwards: queries by
+    broadcast, corpus by one narrow equi-join. Same candidate set,
+    same 6-dp cosines, same ranks."""
     cb = hyperplane_lsh_buckets(
         corpus, vec_col, id_col, num_planes, dim, num_tables=num_tables
     )
@@ -421,23 +457,36 @@ def lsh_cosine_topk(
         num_planes,
         dim,
         num_tables=num_tables,
-    ).select(
-        F.col("vec_id").alias("qid"), F.col(vec_col).alias("qvec"), "tbl", "bucket"
-    )
-    pairs = (
-        cb.join(F.broadcast(qb), ["tbl", "bucket"])
+    ).select(F.col("vec_id").alias("qid"), "tbl", "bucket")
+    cand = (
+        cb.select(id_col, "tbl", "bucket")
+        .join(F.broadcast(qb), ["tbl", "bucket"])
         .where(F.col("qid") != F.col(id_col))
-        .select("qid", "qvec", id_col, vec_col)
+        .select("qid", id_col)
         .distinct()
     )
-    scored = pairs.select(
-        "qid",
-        F.col(id_col).alias("neighbor_id"),
-        F.round(
-            _dot(F.col("qvec"), F.col(vec_col))
-            / (F.sqrt(_norm2(F.col("qvec"))) * F.sqrt(_norm2(F.col(vec_col)))),
-            6,
-        ).alias("cosine"),
+    qv = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("__nq"),
+    )
+    cv = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(_norm2(F.col(vec_col))).alias("__nv"),
+    )
+    scored = (
+        cand.join(cv, id_col)
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qvec"), F.col(vec_col))
+                / (F.col("__nq") * F.col("__nv")),
+                6,
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

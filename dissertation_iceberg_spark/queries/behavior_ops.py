@@ -20,6 +20,7 @@ from dissertation_iceberg_spark.functions.scalars import (
     with_scalars,
 )
 from dissertation_iceberg_spark.queries.registry import register
+from dissertation_iceberg_spark.session import pin
 
 # --------------------------------------------------------------------------
 # Ordered funnel: view -> click -> purchase (first-touch sequencing)
@@ -3370,11 +3371,21 @@ def recsys_coverage_audit(
     the O(items x k) rec frame — a broadcast dim join (part brands), a
     marginal equi-join, and three tiny aggregates injected as scalar
     subqueries. No new fact-scale stage."""
-    recs = item_cf_topk(spark, sf_dir).select("item", "rec")
+    # Round 9 (§5): the rec frame is consumed by THREE readouts (novel,
+    # ild, base), each a separate scalar subplan — unpinned, the whole
+    # item_cf pair-expansion pipeline re-derived per consumer (262
+    # Exchange refs, ~3x the CF cost at sf0.1). recs is O(items x k);
+    # assoc (distinct + cap window over lineitem) likewise feeds two
+    # aggregates (n_orders, marg) that each re-derived it. Pin both;
+    # marg itself stays lazy (two cheap groupBys over the pinned
+    # assoc beat a third pin job).
+    recs = pin(item_cf_topk(spark, sf_dir).select("item", "rec"))
     li = load_table(spark, sf_dir, "lineitem")
-    assoc = _capped_baskets(
-        li.select("l_orderkey", "l_partkey").distinct(),
-        _DEFAULT_MAX_BASKET,
+    assoc = pin(
+        _capped_baskets(
+            li.select("l_orderkey", "l_partkey").distinct(),
+            _DEFAULT_MAX_BASKET,
+        )
     )
     n = assoc.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     marg = assoc.groupBy("l_partkey").agg(

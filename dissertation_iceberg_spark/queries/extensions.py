@@ -1464,14 +1464,22 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % _LSH_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    truth = cosine_topk(emb, queries, k=_EVAL_K)
-    approx = lsh_cosine_topk(
-        emb,
-        queries,
-        k=_EVAL_K,
-        num_planes=_LSH_PLANES,
-        num_tables=_LSH_TABLES,
-    ).select("qid", "neighbor_id", "rnk")
+    # Round 9 (§5): both arms feed TWO consumers each (hits + fr), and
+    # their lambda-bearing lineages (zip_with/aggregate cosines, LSH
+    # bucket folds) defeat exchange reuse — unpinned, the brute-force
+    # BNLJ and the whole LSH pipeline re-derived per consumer (52
+    # Exchange refs, ~2x the arm cost at sf0.1). Each arm is O(queries
+    # x k) rows after top-k — a trivially small pin.
+    truth = pin(cosine_topk(emb, queries, k=_EVAL_K))
+    approx = pin(
+        lsh_cosine_topk(
+            emb,
+            queries,
+            k=_EVAL_K,
+            num_planes=_LSH_PLANES,
+            num_tables=_LSH_TABLES,
+        ).select("qid", "neighbor_id", "rnk")
+    )
     disc = F.element_at(
         F.array(*[F.lit(d).cast("long") for d in _DCG_MICRO]),
         F.col("rnk").cast("int"),
@@ -2676,14 +2684,24 @@ def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # Round 9 (§1.2/§5): this query paid THREE derivations of the LSH
+    # candidate pipeline — a dead eager .count() whose result was never
+    # read (removed), plus one per consumer (n_cand agg, tp join) — and
+    # two of the exact-Jaccard truth pipeline (n_truth agg, tp join);
+    # the scalar-subquery consumers each carry their own subplan, and
+    # the lambda-bearing lineages defeat exchange reuse. Both arms are
+    # O(pairs) two-column frames: pin once, read three times.
     sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=_MH_HASHES)
-    cand = minhash_lsh_candidates(
-        sigs, bands=_MH_BANDS, rows_per_band=_MH_ROWS
-    ).select("id_a", "id_b")
-    truth = jaccard_near_dup_pairs(
-        docs, "text", "doc_id", n=3, threshold=_DE_TRUTH_T
-    ).select("id_a", "id_b")
-    n_cand = cand.count()
+    cand = pin(
+        minhash_lsh_candidates(
+            sigs, bands=_MH_BANDS, rows_per_band=_MH_ROWS
+        ).select("id_a", "id_b")
+    )
+    truth = pin(
+        jaccard_near_dup_pairs(
+            docs, "text", "doc_id", n=3, threshold=_DE_TRUTH_T
+        ).select("id_a", "id_b")
+    )
     n_truth_df = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     tp_df = cand.join(truth, ["id_a", "id_b"]).agg(
         F.count(F.lit(1)).cast("long").alias("tp")

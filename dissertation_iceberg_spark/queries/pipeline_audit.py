@@ -81,19 +81,6 @@ def _jl_p_sql(j: int) -> str:
     return f"(({pos}) - ({neg}))"
 
 
-def _jl_p_col(j: int):
-    """Spark column of projection coordinate j over BIGINT array ``q``."""
-    pos = functools.reduce(
-        operator.add,
-        [F.element_at(F.col("q"), i + 1) for i in _JL_POS[j]],
-    )
-    neg = functools.reduce(
-        operator.add,
-        [F.element_at(F.col("q"), i + 1) for i in _JL_NEG[j]],
-    )
-    return pos - neg
-
-
 _JL_ORACLE = f"""
 WITH qt AS (
   SELECT vec_id, label,
@@ -137,32 +124,59 @@ def jl_audit_frame(emb: DataFrame) -> DataFrame:
     """Frame-level JL audit kernel over an embeddings DataFrame
     (vec_id, embedding, label) — the shape :func:`jl_distortion_audit`
     registers and ``tools/scale_exp.py`` measures on replicated
-    frames."""
+    frames.
+
+    Round 9 (guide §1.2/§4): the projection is evaluated from SQL
+    strings instead of a transform-array + per-projection element_at
+    Column tree — (a) construction: a handful of F.expr parses replace
+    >1000 py4j Column round trips (DataFrame build was 6.2 s of the
+    12 s total at sf0.1); (b) execution: no higher-order lambdas
+    anywhere, so the projection runs in codegen with subexpression
+    elimination; (c) each p_j uses the half-size identity
+    p_j = 2·Σ_pos q_i − Σ_all q_i (exact BIGINT arithmetic — pos−neg
+    ≡ 2·pos−total). Every value is the identical exact integer, so dm
+    and the oracle comparison are untouched. The expression is kept as
+    exactly TWO projection stages so CollapseProject can inline at
+    most one level (a first 3-stage draft of this rewrite let the
+    optimizer square the tree across collapse iterations and OOM the
+    driver). The per-vector (vec_id, label, dm) frame is then PINNED
+    (§5): it feeds both the median histogram and the stats rollup,
+    which otherwise re-derived the projection scan per consumer (44
+    Exchange refs before)."""
     emb = emb.filter(F.size("embedding") == JL_D)
-    q = F.transform(
-        F.col("embedding"),
-        lambda v: F.round(v.cast("double") * 1e6).cast("long"),
-    )
-    zero = F.lit(0).cast("long")
-    qn = F.aggregate(
-        F.transform(F.col("q"), lambda v: v * v), zero, lambda a, v: a + v
-    )
-    pr = emb.select("vec_id", "label", q.alias("q")).select(
+
+    def _q(i: int) -> str:
+        return (
+            f"CAST(round(CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+            " * 1e6) AS BIGINT)"
+        )
+
+    qn_sql = " + ".join(f"{_q(i)} * {_q(i)}" for i in range(JL_D))
+    s_sql = " + ".join(_q(i) for i in range(JL_D))
+    base = emb.select(
         "vec_id",
         "label",
-        qn.alias("qn"),
-        *[_jl_p_col(j).alias(f"p{j}") for j in range(JL_K)],
+        F.expr(qn_sql).alias("qn"),
+        *[
+            F.expr(
+                "2 * ("
+                + " + ".join(_q(i) for i in _JL_POS[j])
+                + f") - ({s_sql})"
+            ).alias(f"p{j}")
+            for j in range(JL_K)
+        ],
     )
-    pn = functools.reduce(
-        operator.add,
-        [F.col(f"p{j}") * F.col(f"p{j}") for j in range(JL_K)],
-    )
-    d = pr.filter(F.col("qn") > 0).select(
-        "vec_id",
-        "label",
-        F.round(pn.cast("double") / F.col("qn").cast("double") * F.lit(625e2))
-        .cast("long")
-        .alias("dm"),
+    pn = F.expr(" + ".join(f"p{j} * p{j}" for j in range(JL_K)))
+    d = pin(
+        base.filter(F.col("qn") > 0).select(
+            "vec_id",
+            "label",
+            F.round(
+                pn.cast("double") / F.col("qn").cast("double") * F.lit(625e2)
+            )
+            .cast("long")
+            .alias("dm"),
+        )
     )
     hist = d.groupBy("label", "dm").agg(F.count(F.lit(1)).alias("cnt"))
     cum = bucketed_exclusive_cumsums(

@@ -19,6 +19,7 @@ from dissertation_iceberg_spark.functions.scalars import (
     with_scalars,
 )
 from dissertation_iceberg_spark.queries.registry import register
+from dissertation_iceberg_spark.session import pin
 
 
 @register(
@@ -319,7 +320,15 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbw = Window.partitionBy("flag", "qc", "cents").orderBy(
         "l_orderkey", "l_linenumber"
     )
-    base = (
+    # Round 9 (§5): `base` (a full-fact window pass) feeds the cumsum
+    # kernel — which itself consumes its input twice (min/max stats +
+    # the bucketed frame) — plus the per-flag count; `ranked` then
+    # feeds BOTH pair-join sides. Unpinned, the before-plan carried
+    # 298 Exchange refs and re-ran the (flag,qc,cents) window and the
+    # rank kernel once per reference (~7 s at sf0.1). Two pins of the
+    # narrow O(rows) frames cut that to one window pass + one kernel
+    # pass; values are untouched (pins are physical-only).
+    base = pin(
         li.select(
             F.col("l_returnflag").alias("flag"),
             F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
@@ -337,9 +346,11 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("one"),
         )
     )
-    ranked = bucketed_exclusive_cumsums(
-        base, "qkey", ["one"], group_cols=["flag"]
-    ).withColumn("rn", F.col("cum_one") + 1)
+    ranked = pin(
+        bucketed_exclusive_cumsums(
+            base, "qkey", ["one"], group_cols=["flag"]
+        ).withColumn("rn", F.col("cum_one") + 1)
+    )
     n = base.groupBy("flag").agg(F.count(F.lit(1)).alias("n"))
     a = ranked.join(F.broadcast(n), "flag").filter(F.col("n") >= 2)
     b = ranked.select(
@@ -358,9 +369,14 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("qc2") - F.col("qc")).alias("den"),
         )
     )
-    lv = pairs.groupBy(
-        "flag", (F.col("num").cast("double") / F.col("den")).alias("slope")
-    ).agg(F.count(F.lit(1)).alias("w"))
+    # lv feeds the slope-cumsum kernel (2 internal consumers) plus the
+    # per-flag total — pinned for the same reason as `ranked` above
+    # (each reference otherwise re-runs the O(rows) pair join)
+    lv = pin(
+        pairs.groupBy(
+            "flag", (F.col("num").cast("double") / F.col("den")).alias("slope")
+        ).agg(F.count(F.lit(1)).alias("w"))
+    )
     cum = bucketed_exclusive_cumsums(
         lv, "slope", ["w"], group_cols=["flag"]
     ).withColumn("cw", F.col("cum_w") + F.col("w"))

@@ -24,6 +24,7 @@ from dissertation_iceberg_spark.functions.scalars import (
     with_scalars,
 )
 from dissertation_iceberg_spark.queries.registry import register
+from dissertation_iceberg_spark.session import pin
 
 _MMR_QUERY_ID = 0  # the query vector
 _MMR_POOL = 20  # relevance-ranked candidate pool size
@@ -143,14 +144,27 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel"),
         )
     )
-    pool = scored.orderBy(F.desc("rel"), F.asc("vec_id")).limit(_MMR_POOL)
+    # Round 9 (§5): the pool is referenced by EVERY unrolled greedy
+    # round, directly and through the nested sel/pick lineages — and
+    # its lineage is the full corpus-scoring scan (interpreted cosine
+    # folds) behind a TakeOrdered. Unpinned, the final unioned plan
+    # carried 924 Exchange references and re-derived the corpus scan
+    # per reference (~8.6 s at sf0.1 for a 20-row pool). One pin of the
+    # O(pool) frame collapses every downstream round to tiny local
+    # frames; the corpus is scanned exactly once.
+    pool = pin(scored.orderBy(F.desc("rel"), F.asc("vec_id")).limit(_MMR_POOL))
     pa = pool.select(
         F.col("vec_id").alias("a"), F.col("embedding").alias("va")
     )
     pb = pool.select(
         F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
     )
-    sims = (
+    # sims is likewise referenced by every greedy round — even over the
+    # pinned pool, each reference re-planned and re-ran the O(pool²)
+    # non-equi join (the after-plan still carried 400 Exchange refs
+    # with only the pool pinned). A second pin of the O(pool²)=380-row
+    # frame makes every round a join of two tiny checkpoint scans.
+    sims = pin(
         pa.join(pb, F.col("a") != F.col("b"))
         .select(
             "a",
@@ -175,6 +189,12 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(lam) * F.col("rel"), 6).alias("score"),
         )
     )
+    # each pick is itself pinned (a 1-row job per round): pick_k's
+    # lineage nests every earlier round through sel, so even over
+    # pinned pool/sims the unioned final plan re-planned and re-ran
+    # the whole greedy recursion per reference (320 Exchange refs with
+    # only pool+sims pinned; 24 after)
+    pick = pin(pick)
     out = pick
     sel = pick.select("vec_id")
     for k in range(2, _MMR_K + 1):
@@ -202,6 +222,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("score"),
             )
         )
+        pick = pin(pick)
         out = out.unionByName(pick)
         sel = sel.unionByName(pick.select("vec_id"))
     return out

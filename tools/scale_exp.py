@@ -815,6 +815,67 @@ def main() -> None:
                               "input_rows": n_li, "out_rows": tris,
                               "sec": round(t, 3)}))
 
+        def wedge_aa():
+            # adamic_adar_links / link_prediction_cn wedge stage
+            # (round-9 VERDICT item 5): pre-attached degree weights on
+            # the O(edges) frame, self-sized hub-keyed shuffle, then
+            # the Θ(Σ C(d,2)) wedge expansion + pair aggregate.
+            # Replicas are key-disjoint subgraphs (both part and order
+            # keys shifted), so edges AND wedges scale linearly with
+            # the factor — the claim under test is that the self-sized
+            # shuffle keeps per-reducer volume flat while total wedge
+            # volume grows 10x/100x.
+            from dissertation_iceberg_spark.functions.partitioning import (
+                pair_expansion_partitions,
+            )
+
+            li2 = l.select("l_orderkey", "l_partkey")  # l is replicated
+            a2_ = li2.alias("a")
+            b2_ = li2.alias("b")
+            e0 = (
+                a2_.join(b2_, "l_orderkey")
+                .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+                .select(
+                    F.col("a.l_partkey").alias("u"),
+                    F.col("b.l_partkey").alias("v"),
+                )
+                .distinct()
+            )
+            edges = e0.unionByName(
+                e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+            n_shuffle = pair_expansion_partitions(edges, "u")
+            ed = (
+                edges.join(deg, "u")
+                .filter(F.col("d") >= 2)
+                .select(
+                    "u",
+                    "v",
+                    F.round(F.lit(1e6) / F.log(F.col("d")))
+                    .cast("long")
+                    .alias("aa_w"),
+                )
+                .repartition(n_shuffle, "u")
+            )
+            e1_ = ed.alias("e1")
+            e2_ = ed.alias("e2")
+            return (
+                e1_.join(e2_, "u")
+                .filter(F.col("e1.v") < F.col("e2.v"))
+                .groupBy(F.col("e1.v").alias("pa"), F.col("e2.v").alias("pb"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("cn"),
+                    F.sum(F.col("e1.aa_w")).cast("long").alias("aa_micro"),
+                )
+            )
+
+        if _want("wedge_aa"):
+            t, prs = timed(wedge_aa, action="count")
+            print(json.dumps({"kernel": "wedge_aa", "factor": r,
+                              "input_rows": n_li, "out_rows": prs,
+                              "sec": round(t, 3)}))
+
         def tdigest_build():
             # sketch_ops.tdigest_centroids: fixed 1024-cell agg state
             # regardless of input rows -> time should scale with the
