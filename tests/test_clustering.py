@@ -5,6 +5,8 @@ integer quantization buys)."""
 
 from __future__ import annotations
 
+import pytest
+
 from dissertation_iceberg_spark.io import load_table
 from dissertation_iceberg_spark.queries.registry import REGISTRY, _ensure_loaded
 
@@ -40,6 +42,7 @@ def test_kmeans_bitwise_reproducible(spark, sf_dir):
     assert a == b
 
 
+@pytest.mark.slow
 def test_corpus_scaled_k_parity(spark, tmp_path):
     """Round-7 registration fix: k is DERIVED from the corpus count
     (greatest(8, ceil(n/256))) in both engines. On a 3000-vector corpus

@@ -7,6 +7,8 @@ from __future__ import annotations
 import gzip
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from dissertation_iceberg_spark.io import load_table, write_partitioned
@@ -75,6 +77,7 @@ def test_driver_fixtures_satisfy_non_null_contract(spark):
         pytest.skip("no /root/testdata fixture directory present")
 
 
+@pytest.mark.slow
 def test_fixture_fuzz_compact(spark, tmp_path):
     """Compact in-CI slice of tools/fixture_fuzz.py: the skew_nulls
     perturbed fixture (hot user, 80% one event type, NULL props, empty
@@ -106,6 +109,7 @@ def test_fixture_fuzz_compact(spark, tmp_path):
     assert "events.value" in validate_contract(spark, d2)
 
 
+@pytest.mark.slow
 def test_fixture_fuzz_compact_round7(spark, tmp_path):
     """Compact in-CI slice of the round-7 fuzz variants: one_ticker
     (whole stream one user — pins the 13 degenerate-input guards) and
@@ -155,6 +159,7 @@ def test_fixture_fuzz_compact_round7(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_fixture_fuzz_compact_tiny(spark, tmp_path):
     """Compact in-CI slice of the round-7 `tiny` variant (near-empty
     corpus: 10 events / 4 docs / 12 lineitem rows / 5 embedding
@@ -202,6 +207,7 @@ def test_contract_flags_empty_table(spark, tmp_path):
     shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_fixture_fuzz_compact_unicode(spark, tmp_path):
     """Compact in-CI slice of the round-7 `unicode` variant (CJK,
     emoji/ZWJ, NFC-vs-NFD twins, Turkish dotted-I, eszett, RTL,
@@ -230,6 +236,7 @@ def test_fixture_fuzz_compact_unicode(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_edit_cap_boundary_fixture(spark, tmp_path):
     """Round-8 judge item 8: the EDIT_MAX_BYTES = 64 KiB per-side cap
     of edit_distance_verify is a registered SEMANTIC (TESTDATA.md

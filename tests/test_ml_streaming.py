@@ -347,6 +347,7 @@ def test_model_persistence_roundtrip(spark, sf_dir, tmp_path, featured):
     assert (a.pred_prob == b.pred_prob).all()
 
 
+@pytest.mark.slow
 def test_cross_validated_rf(featured):
     """M2: 5-fold accuracy grid search (GridSearchCV parity) actually
     selects a model that predicts."""

@@ -114,8 +114,11 @@ INTENTIONAL_BNLJ = {
     "cosine_topk",
     "embedding_near_dups",
     "knn_classify",
+    # (round 9: retrieval_eval/mmr_rerank pin their brute-force arms,
+    # so the BNLJ executes inside the pin and no longer appears in the
+    # FINAL plan — entries kept for the documented baseline inside)
     "retrieval_eval",
-    "mmr_rerank",  # greedy rerank re-scans candidates per pick (bounded k picks)
+    "mmr_rerank",
     # (b) iterative bcast_params chains (see functions/scalars.py)
     "bpe_merge_training",
     "gbm_stumps",

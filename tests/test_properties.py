@@ -4,6 +4,8 @@ tolerance monotonicity."""
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
@@ -1403,6 +1405,7 @@ def test_edit_distance_matches_dp_replay(spark, sf_dir):
         assert (r.edit_dist == 0) == (texts[r.id_a] == texts[r.id_b])
 
 
+@pytest.mark.slow
 def test_edit_distance_verify_length_cap(spark, tmp_path):
     """Near-dup pairs where either side exceeds EDIT_MAX_BYTES skip
     the O(len^2) verify stage on BOTH engines (round-7 cost cap): two
@@ -6308,6 +6311,7 @@ def test_price_elasticity_sanity(spark, sf_dir):
     assert abs(got - slope) < 1e-5
 
 
+@pytest.mark.slow
 def test_bayes_posterior_accuracy_at_1e6_conversions(spark):
     """Judge-r7 item 6: the ADAPTIVE term quantum keeps p_b_beats_a
     within 1e-6 absolute of a full-precision math.lgamma/fsum replay at

@@ -1546,6 +1546,7 @@ def test_streaming_gopher_gate_matches_batch(spark, tmp_path):
     assert 0 < int(want["pass"].sum()) < len(want)
 
 
+@pytest.mark.slow
 def test_streaming_ccnet_gate_matches_batch(spark, tmp_path):
     """Streaming CCNet gate (LM-as-broadcast-artifact): streamed
     scores and buckets are bit-identical to the same gate on a batch
@@ -2034,6 +2035,7 @@ def test_attribution_checkpoint_restart(spark, tmp_path):
     assert len(got) > 0
 
 
+@pytest.mark.slow
 def test_vpin_checkpoint_restart(spark, tmp_path):
     """Round-8 judge item 6: streaming VPIN volume clock (per-user
     cumulative-cents state in applyInPandasWithState) — kill with
@@ -2069,6 +2071,7 @@ def test_vpin_checkpoint_restart(spark, tmp_path):
     assert not got.duplicated(["user_id", "bucket"]).any()
 
 
+@pytest.mark.slow
 def test_funnel_checkpoint_restart(spark, tmp_path):
     """Round-8 judge item 6: streaming first-touch funnel (per-user
     step times pending in state) — kill mid-funnel, restart — emitted
